@@ -1,0 +1,75 @@
+"""Aggregation operators (SURVEY.md §2.3, A1-A4 + general helpers).
+
+The reference's four analytics questions (README.md:19-23) are all
+"group → aggregate → top-1" shapes over the fact⋈dim join tree. Spark turns
+each into partial (map-side) + final HashAggregateExec pairs automatically,
+and ``orderBy(desc).limit(k)`` into TakeOrderedAndProjectExec — a per-
+partition top-k + driver merge, never a global sort. These helpers keep that
+shape declarative and add the determinism the DuckDB oracle requires
+(stable tie-breakers; see SURVEY.md §5).
+
+Scale notes (100 TB): group-by keys here are mid-cardinality (players,
+playlists, maps → customers, priorities, regions) so hash agg partials
+shrink data ~1000x before the shuffle; top-k never collects more than k rows
+to the driver. For ultra-high-cardinality keys consider two-level agg
+(pre-agg on (key, salt) then re-agg) — Spark's partial agg already gives the
+first level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def top_k_by_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_col: Column,
+    metric_name: str,
+    *,
+    k: int = 1,
+    ascending: bool = False,
+) -> DataFrame:
+    """Group, aggregate, return the top-k groups by the aggregate.
+
+    Deterministic: ties broken by the group columns ascending, so the DuckDB
+    oracle's order-insensitive hash matches run-to-run (SURVEY.md §5).
+    Physical plan: HashAggregate(partial) → Exchange → HashAggregate(final)
+    → TakeOrderedAndProject.
+    """
+    metric = F.col(metric_name)
+    order = [metric.asc() if ascending else metric.desc()]
+    order += [F.col(c).asc() for c in group_cols]
+    return df.groupBy(*group_cols).agg(agg_col.alias(metric_name)).orderBy(*order).limit(k)
+
+
+def avg_metric_per_key(df: DataFrame, key: str, metric: str, *, k: int = 1) -> DataFrame:
+    """A1 shape — "which player averages the most kills per game"
+    (README.md:20) — group-by + avg + top-1."""
+    return top_k_by_agg(
+        df, [key], F.round(F.avg(metric), 4), f"avg_{metric}", k=k
+    )
+
+
+def distinct_count_per_key(df: DataFrame, key: str, id_col: str, *, k: int = 1) -> DataFrame:
+    """A2/A3 shape — "which playlist/map gets played the most"
+    (README.md:21-22). Counts **distinct** ids because post-join row counts
+    are inflated (SURVEY.md §2.3 note)."""
+    return top_k_by_agg(df, [key], F.countDistinct(id_col), f"n_{id_col}", k=k)
+
+
+def filtered_sum_per_key(
+    df: DataFrame,
+    predicate: Column,
+    key: str,
+    metric: str,
+    *,
+    k: int = 1,
+) -> DataFrame:
+    """A4 shape — "which map do players get the most Killing Spree medals on"
+    (README.md:23) — filter a dim attribute, sum a fact measure per key.
+
+    The predicate is applied *before* the aggregation so Catalyst pushes it
+    into the scan (check PushedFilters in .explain)."""
+    return top_k_by_agg(df.filter(predicate), [key], F.sum(metric), f"sum_{metric}", k=k)

@@ -1,0 +1,581 @@
+"""Core relational queries — reference-parity analytics on the fixture schema.
+
+Maps the reference's specified analytics surface (README.md:16-25; SURVEY.md
+§2.2-2.5) onto the driver's TPC-H-ish tables:
+
+- flagship (§7.1): broadcast-dim + multiway fact join + hash agg + top-k
+- A1-A4 (README.md:19-23) re-expressed: avg-per-key, distinct-count-per-key,
+  dim-join count, filtered-sum — each a "group → agg → top-1" with stable
+  tie-breakers
+- J2/J3/J4 joins incl. outer/semi/anti (the reference only needs inner;
+  exposing the rest is free via ``how=``)
+- set ops, window functions, scalar function showcase, rollup, global top-k
+
+Every query aliases computed columns identically to its DuckDB oracle and
+rounds floating aggregates (sum order differs across engines; SURVEY.md §7.3c).
+
+Scale notes are per-function; the common themes: dims are broadcast, facts
+never collect, aggregates are partial+final hash aggs, top-k is
+TakeOrderedAndProject (per-partition k + driver merge of k·partitions rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.aggs import (
+    avg_metric_per_key,
+    distinct_count_per_key,
+    filtered_sum_per_key,
+    top_k_by_agg,
+)
+from ..operators.joins import broadcast_dim_join, copartitioned_join
+from ..sources.readers import load_tables
+from . import QuerySpec
+
+REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# Flagship (SURVEY.md §7.1): scan → broadcast dims → multiway join → agg → topk
+# --------------------------------------------------------------------------
+
+
+def flagship_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers by lineitem revenue, with nation/region context.
+
+    lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation) ⋈ broadcast(region):
+    the two fact joins shuffle on their keys (AQE-sized), the two dim joins
+    are BroadcastHashJoin — the same plan shape the reference teaches with
+    medals/maps (README.md:17).
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    enriched = broadcast_dim_join(
+        t["customer"],
+        [
+            (t["nation"].withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey"),
+            (t["region"].withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey"),
+        ],
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(enriched, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name", "r_name")
+        .agg(F.round(F.sum(REVENUE), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(5)
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT c_custkey, c_name, n_name, r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY c_custkey, c_name, n_name, r_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style headliners
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-table scan + wide hash aggregation.
+
+    Filter pushes to the parquet scan; the agg is partial+final with only
+    |returnflag|x|linestatus| groups crossing the shuffle — at 100 TB this
+    is scan-bound, which is the right bottleneck.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(REVENUE), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both fact sides + top-10.
+
+    Both date predicates push into their scans; join order
+    (customer→orders→lineitem) lets Catalyst broadcast the filtered customer
+    side if small enough, else AQE decides.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("2000-03-15"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(REVENUE), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a same-nation constraint, dims broadcast."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    asia_nations = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(REVENUE), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# A1-A4: the four README-specified aggregate questions (README.md:19-23)
+# --------------------------------------------------------------------------
+
+
+def a1_top_customer_by_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 "which player averages the most kills per game" (README.md:20) →
+    which customer averages the most quantity per lineitem."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    joined = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return avg_metric_per_key(joined, "o_custkey", "l_quantity", k=1)
+
+
+A1_ORACLE = """
+SELECT o_custkey, ROUND(AVG(l_quantity), 4) AS avg_l_quantity
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY avg_l_quantity DESC, o_custkey
+LIMIT 1
+"""
+
+
+def a2_top_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 "which playlist gets played the most" (README.md:21) → which
+    order-priority has the most **distinct** orders (countDistinct because
+    post-join row counts are inflated; SURVEY.md §2.3)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return distinct_count_per_key(orders, "o_orderpriority", "o_orderkey", k=1)
+
+
+A2_ORACLE = """
+SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_o_orderkey
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY n_o_orderkey DESC, o_orderpriority
+LIMIT 1
+"""
+
+
+def a3_top_region_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 "which map gets played the most" (README.md:22) → which region
+    (via the broadcast dim chain) has the most distinct orders."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return distinct_count_per_key(joined, "r_name", "o_orderkey", k=1)
+
+
+A3_ORACLE = """
+SELECT r_name, COUNT(DISTINCT o_orderkey) AS n_o_orderkey
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY n_o_orderkey DESC, r_name
+LIMIT 1
+"""
+
+
+def a4_brand_quantity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 "which map do players get the most Killing Spree medals on"
+    (README.md:23) → on which supplier-nation is the most Brand#1 quantity
+    sold: filter a dim attribute, join fact⋈dim⋈dim, sum a fact measure."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return filtered_sum_per_key(
+        joined, F.col("p_brand") == "Brand#1", "n_name", "l_quantity", k=1
+    )
+
+
+A4_ORACLE = """
+SELECT n_name, SUM(l_quantity) AS sum_l_quantity
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_brand = 'Brand#1'
+GROUP BY n_name
+ORDER BY sum_l_quantity DESC, n_name
+LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Join forms beyond inner (free via how=; SURVEY.md §2.2 "ABSENT" note)
+# --------------------------------------------------------------------------
+
+
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer with its order count (0 kept)."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+LEFT_OUTER_ORACLE = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one 1-URGENT order."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no 1-URGENT order."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def copartitioned_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 bucket-join analogue (README.md:18): lineitem⋈orders with both
+    sides explicitly hash-partitioned on the key before joining, so the
+    exchange is reusable by later same-key stages. Persistent version:
+    sources.writers.write_bucketed_table (no Exchange at all; see tests)."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    joined = copartitioned_join(
+        t["lineitem"].withColumnRenamed("l_orderkey", "okey"),
+        t["orders"].withColumnRenamed("o_orderkey", "okey"),
+        on="okey",
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(REVENUE), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+COPART_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations / windows / scalar functions / rollup / sorts
+# --------------------------------------------------------------------------
+
+
+def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT then EXCEPT: (building ∪ machinery customers) minus
+    customers with negative balance."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.union(machinery).distinct().subtract(negative)
+
+
+SETOPS_ORACLE = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer by totalprice.
+
+    Scale note: partitioned row_number shuffles once on the partition key
+    and sorts within partitions — no global sort; skewed customers are
+    bounded by orders-per-customer, not table size.
+    """
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+WINDOW_TOP3_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+WHERE rnk <= 3
+"""
+
+
+def window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-customer running total of order value."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / conditional scalar functions, all JVM-side
+    (whole-stage codegen; no Python UDF in the hot path)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("pri_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.floor(F.abs(F.col("o_totalprice"))).cast("long").alias("price_floor"),
+        F.when(F.col("o_totalprice") < 1000, "low")
+        .when(F.col("o_totalprice") < 5000, "mid")
+        .otherwise("high")
+        .alias("price_bucket"),
+    )
+
+
+SCALAR_ORACLE = """
+SELECT o_orderkey,
+       UPPER(o_orderpriority) AS pri_upper,
+       CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS pri_code,
+       o_orderstatus || '-' || o_orderpriority AS status_pri,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+       CAST(FLOOR(ABS(o_totalprice)) AS BIGINT) AS price_floor,
+       CASE WHEN o_totalprice < 1000 THEN 'low'
+            WHEN o_totalprice < 5000 THEN 'mid'
+            ELSE 'high' END AS price_bucket
+FROM orders
+"""
+
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set aggregation: rollup over (status, priority)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global order-by + limit → TakeOrderedAndProject (never a full sort)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+SORT_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "flagship_revenue_topk": QuerySpec(flagship_revenue_topk, FLAGSHIP_ORACLE, headline=True),
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, headline=True),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE, headline=True),
+    "q5_regional_supplier_volume": QuerySpec(
+        q5_regional_supplier_volume, Q5_ORACLE, headline=True
+    ),
+    "a1_top_customer_by_avg_quantity": QuerySpec(a1_top_customer_by_avg_quantity, A1_ORACLE),
+    "a2_top_orderpriority": QuerySpec(a2_top_orderpriority, A2_ORACLE),
+    "a3_top_region_by_orders": QuerySpec(a3_top_region_by_orders, A3_ORACLE),
+    "a4_brand_quantity_by_nation": QuerySpec(a4_brand_quantity_by_nation, A4_ORACLE),
+    "join_left_outer_order_counts": QuerySpec(join_left_outer_order_counts, LEFT_OUTER_ORACLE),
+    "join_semi_urgent_customers": QuerySpec(join_semi_urgent_customers, SEMI_ORACLE),
+    "join_anti_customers_no_urgent": QuerySpec(
+        join_anti_customers_no_urgent, ANTI_ORACLE
+    ),
+    "copartitioned_join_agg": QuerySpec(copartitioned_join_agg, COPART_ORACLE, headline=True),
+    "setops_segments": QuerySpec(setops_segments, SETOPS_ORACLE),
+    "window_top3_orders_per_customer": QuerySpec(
+        window_top3_orders_per_customer, WINDOW_TOP3_ORACLE
+    ),
+    "window_running_order_total": QuerySpec(window_running_order_total, WINDOW_RUNNING_ORACLE),
+    "scalar_functions_showcase": QuerySpec(scalar_functions_showcase, SCALAR_ORACLE),
+    "rollup_order_stats": QuerySpec(rollup_order_stats, ROLLUP_ORACLE),
+    "sort_global_topk": QuerySpec(sort_global_topk, SORT_TOPK_ORACLE),
+}

@@ -1,0 +1,87 @@
+"""Readers + input validation.
+
+Reference behaviors re-expressed (SURVEY.md §2.1):
+
+- S1 CSV scan (job1:33-67): the reference uses header + ``inferSchema``
+  (job1:52-54). Inference launches a full sampling job over executors before
+  any user action and yields data-dependent types; here the schema is an
+  explicit ``StructType`` argument and inference is opt-in.
+- S8 emptiness probe (job1:69-88): the reference calls ``df.rdd.isEmpty()``
+  (job1:83) — an RDD conversion that defeats codegen — and runs it twice per
+  table (job1:168-173). We use ``df.isEmpty()`` once.
+
+Scale note: all fixture reads are plain ``spark.read.parquet`` — columnar,
+vectorized, split by ``spark.sql.files.maxPartitionBytes``; filters/projections
+push into the scan via Catalyst so these helpers never materialize anything.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..schemas import FIXTURE_TABLES
+
+logger = logging.getLogger(__name__)
+
+
+def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table (TESTDATA.md) as a DataFrame."""
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several fixture tables at once: ``t = load_tables(spark, d, "orders", ...)``."""
+    use = names or FIXTURE_TABLES
+    return {n: read_fixture(spark, sf_dir, n) for n in use}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    header: bool = True,
+    infer_schema: bool = False,
+    alias: str | None = None,
+) -> DataFrame:
+    """CSV reader (reference S1, job1:50-56) with explicit-schema default.
+
+    ``infer_schema=True`` reproduces the reference's sampling behavior for
+    exploration; production paths must pass ``schema`` (SURVEY.md §1.3).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    else:
+        raise ValueError("pass an explicit schema, or opt in with infer_schema=True")
+    df = reader.csv(path)
+    return df.alias(alias) if alias else df
+
+
+def validate_dataframe(df: DataFrame | None, description: str) -> bool:
+    """Reject None/empty inputs (reference S8 semantics, job1:69-88).
+
+    Single ``isEmpty`` probe (scans at most one partition) instead of the
+    reference's double ``rdd.isEmpty()`` round-trips.
+    """
+    if df is None:
+        logger.error("DataFrame %s is None", description)
+        return False
+    if df.isEmpty():
+        logger.error("DataFrame %s is empty", description)
+        return False
+    return True
+
+
+def validate_all_or_raise(dfs: dict[str, DataFrame | None]) -> None:
+    """All-or-abort gate (job1:171-177): any invalid input fails the run."""
+    bad = [name for name, df in dfs.items() if not validate_dataframe(df, name)]
+    if bad:
+        raise ValueError(f"invalid input DataFrames: {bad}")

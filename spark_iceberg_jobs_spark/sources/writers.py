@@ -1,0 +1,78 @@
+"""Writers.
+
+The reference writes with ``df.write.mode("overwrite").saveAsTable(...)``
+(job1:295,305,315,325,335) — on a v2 catalog that is a *replace table* which
+clobbers the DDL-declared schema/partition spec with the DataFrame's inferred
+one (SURVEY.md §1.3). This engine writes either:
+
+- ``writeTo(...)`` (DataFrameWriterV2) against an Iceberg catalog when the
+  runtime is present — ``overwritePartitions`` / ``append`` respect the
+  declared spec; or
+- plain parquet / Hive-style bucketed tables otherwise (this container has no
+  Iceberg jar; TESTDATA parity never depends on it).
+
+Scale notes: bucketed writes co-locate join keys so repeated fact-fact joins
+on the bucket key run with **no shuffle Exchange** (the point of the
+reference's ``bucket(16, match_id)`` layout, job1:224,239,248 + README.md:18).
+At 100 TB you would also size files via ``write.targetFileSize`` (Iceberg) or
+``maxRecordsPerFile`` and sort within partitions for encoding wins
+(README.md:24-25; see plans/layout.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_within_partitions: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink with optional layout tuning (README.md:24-25)."""
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style bucketed table — the non-Iceberg analogue of the reference's
+    ``PARTITIONED BY (bucket(16, match_id))`` (job1:224).
+
+    Two tables bucketed identically on the join key sort-merge-join with no
+    Exchange on either side (verified by tests/test_plans.py).
+    """
+    w = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    w.saveAsTable(table)
+
+
+def overwrite_iceberg(df: DataFrame, table: str, *, create: bool = True) -> None:
+    """DataFrameWriterV2 path for Iceberg catalogs (fixes the §1.3 bug).
+
+    ``createOrReplace`` installs the DataFrame schema; to preserve a
+    pre-declared DDL spec use ``overwritePartitions`` on the existing table.
+    Requires iceberg-spark-runtime on the classpath.
+    """
+    if create:
+        df.writeTo(table).createOrReplace()
+    else:
+        df.writeTo(table).overwritePartitions()

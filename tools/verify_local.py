@@ -1,0 +1,104 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB at the given
+scale factor, then compares row count, column names, and an order-insensitive
+value hash (rows sorted after stringifying, columns sorted by name — a close
+approximation of the driver's check).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_iceberg_jobs_spark.queries import registry  # noqa: E402
+from spark_iceberg_jobs_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v) -> str:
+    if v is None or v != v:  # NaN
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.6g}" if v == int(v) else repr(round(v, 9))
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = sorted("|".join(norm_cell(v) for v in row) for row in df.itertuples(index=False))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    reg = registry()
+    failures = []
+    for name, spec in reg.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        took = time.time() - t0
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{took:.1f}s]")
+            if len(sdf) == 0:
+                failures.append(name)
+                print(f"WARN  {name}: 0 rows")
+            continue
+        try:
+            odf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        elif frame_hash(sdf) != frame_hash(odf):
+            problems.append("value hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)} [{took:.1f}s]")
+            if "value hash mismatch" in "; ".join(problems) and len(sdf) < 50:
+                print("  spark:", sdf.sort_values(sorted(sdf.columns)[0]).head(8).to_dict("records"))
+                print("  duck :", odf.sort_values(sorted(odf.columns)[0]).head(8).to_dict("records"))
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{took:.1f}s]")
+    spark.stop()
+    print(f"\n{len(reg) - len(failures)}/{len(reg)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
