@@ -1,7 +1,161 @@
-"""Event-analytics queries (EXTENSION X6) — filled in incrementally."""
+"""Event-analytics queries (EXTENSION X6) with DuckDB oracles.
+
+Window starts / durations are emitted as epoch-second BIGINTs on both sides
+so timestamp precision (parquet ns vs Spark µs) and timezone never enter the
+comparison. DuckDB's EPOCH() returns a DOUBLE with fractional seconds, hence
+the CAST(FLOOR(...) AS BIGINT) mirroring Spark's unix_timestamp floor.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.events import running_agg, sessionize, sliding_window_agg, tumbling_window_agg
+from ..sources.readers import read_fixture
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window event counts and value sums per event type."""
+    events = read_fixture(spark, sf_dir, "events")
+    return tumbling_window_agg(events, duration="1 hour", group_extra=["event_type"])
+
+
+TUMBLING_ORACLE = """
+SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h long, every 30min): each event counts in 2 windows."""
+    events = read_fixture(spark, sf_dir, "events")
+    return sliding_window_agg(events, duration_sec=3600, slide_sec=1800)
+
+
+SLIDING_ORACLE = """
+WITH grid AS (
+    SELECT *,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 1800 * 1800 AS g
+    FROM events
+), expanded AS (
+    SELECT UNNEST([g, g - 1800]) AS window_start, value
+    FROM grid
+)
+SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM expanded
+GROUP BY window_start
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min inactivity) per user."""
+    events = read_fixture(spark, sf_dir, "events")
+    return sessionize(events, gap_sec=1800)
+
+
+SESSION_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, value,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es,
+           ts
+    FROM events
+), gaps AS (
+    SELECT *,
+           CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id) > 1800
+                  OR LAG(es) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+), ids AS (
+    SELECT *,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM gaps
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MAX(es) - MIN(es) AS duration_sec,
+       ROUND(SUM(value), 2) AS session_value
+FROM ids
+GROUP BY user_id, session_seq
+"""
+
+
+def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total of event value."""
+    events = read_fixture(spark, sf_dir, "events")
+    return running_agg(events)
+
+
+RUNNING_ORACLE = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS running_value
+FROM events
+"""
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer out of the ``props`` JSON
+    string with a regex (JVM-side regexp_extract, no Python UDF) and
+    aggregate it per event type."""
+    events = read_fixture(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.regexp_extract("props", r"(\d+)", 1).cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(REGEXP_EXTRACT(props, '(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter one event type, rank users by total value, top 10."""
+    events = read_fixture(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+        .orderBy(F.desc("purchase_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+TOP_PURCHASERS_ORACLE = """
+SELECT user_id, ROUND(SUM(value), 2) AS purchase_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY purchase_value DESC, user_id
+LIMIT 10
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_tumbling_hourly": QuerySpec(events_tumbling_hourly, TUMBLING_ORACLE, headline=True),
+    "events_sliding_1h_30m": QuerySpec(events_sliding_1h_30m, SLIDING_ORACLE),
+    "events_sessionization": QuerySpec(events_sessionization, SESSION_ORACLE, headline=True),
+    "events_running_value": QuerySpec(events_running_value, RUNNING_ORACLE),
+    "events_props_extract": QuerySpec(events_props_extract, PROPS_ORACLE),
+    "events_top_purchasers": QuerySpec(events_top_purchasers, TOP_PURCHASERS_ORACLE),
+}

@@ -20,7 +20,8 @@ from __future__ import annotations
 import logging
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
 
 from ..schemas import FIXTURE_TABLES
 
@@ -28,9 +29,22 @@ logger = logging.getLogger(__name__)
 
 
 def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver fixture table (TESTDATA.md) as a DataFrame."""
+    """Read one driver fixture table (TESTDATA.md) as a DataFrame.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    outright; we read it as a nanosecond long (``legacy.parquet.nanosAsLong``)
+    and truncate to a microsecond TimestampType. Truncation only ever moves
+    *down* within the same second/window bucket, so windowing, epoch-second
+    math, and ordering (tie-broken by event_id) are unaffected.
+    """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
