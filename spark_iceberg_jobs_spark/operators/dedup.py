@@ -1,0 +1,258 @@
+"""Deduplication operators (EXTENSION X1/X2): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (the whole point at 100 TB):
+
+- **Exact** dedup hashes the normalized content and groups on the digest —
+  one shuffle keyed by a 128-bit hash, perfectly spreadable; never compares
+  full texts across the wire.
+- **N-gram Jaccard** (exact near-dup) is the quadratic-ish baseline used as
+  the correctness oracle: the shingle self-join only pairs docs that share a
+  shingle, so cost is Σ_shingle freq² — fine when no shingle is hot. A stop-
+  shingle cap (drop shingles with doc-frequency > limit) bounds the worst
+  case; at 100 TB you run MinHash-LSH below instead and verify candidates.
+- **MinHash+LSH** computes a k-permutation signature in one pass (k cheap
+  xxhash64 calls per shingle, map-side min-aggregated), then bands the
+  signature so only same-bucket docs are ever joined. Shuffle volume is
+  O(docs x bands), independent of pair count.
+- **SimHash** collapses each doc to a 64-bit fingerprint (one shuffle of
+  8 bytes/doc); near-dups are same-fingerprint groups or small-hamming pairs
+  found via band-exploded self-join.
+
+All hashing is seeded/deterministic (xxhash64) — rerunning yields identical
+outputs, required by the driver's hash-compare and by any incremental
+pipeline diffing runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texts import normalize, tokens, word_shingles
+
+
+def exact_dedup(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = True,
+) -> DataFrame:
+    """Content-hash exact dedup: one row per distinct (normalized) text, the
+    smallest id as the keeper, plus the copy count."""
+    key = normalize(text_col) if normalized else F.col(text_col)
+    return (
+        documents.select(F.col(id_col), F.md5(key).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _distinct_shingles(documents: DataFrame, *, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs, deduped per doc."""
+    return (
+        documents.select(
+            "doc_id", F.explode(word_shingles(tokens("text"), n)).alias("shingle")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b).
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct word n-grams.
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (stop-shingles) — the standard guard against hot-key join blowup.
+    """
+    sh = _distinct_shingles(documents, n=n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """k-min-value MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, salt_i). One explode + one groupBy with k min() aggs —
+    map-side partials make the shuffle O(docs x k)."""
+    sh = _distinct_shingles(documents, n=n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates with signature-estimated Jaccard.
+
+    Signature is split into ``bands`` (rows = num_hashes/bands); docs
+    sharing any band-hash become candidates (probability 1-(1-j^r)^b). The
+    estimate is the fraction of agreeing signature positions. Deterministic;
+    not SQL-oracle-able (DuckDB lacks xxhash64) → rows-only check; exactness
+    is cross-checked against ngram_jaccard_pairs in tests.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signatures(documents, n=n, num_hashes=num_hashes)
+    sig = sig.withColumn("sig", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]))
+
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cands.withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 4))
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_fingerprints(documents: DataFrame, *, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc: bit_j = sign of Σ_tokens (±1 by token-hash bit j).
+
+    Computed as an exploded token stream with per-bit conditional sums —
+    partial aggregation keeps the shuffle at O(docs x bits/8 bytes).
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{j}")
+        for j in range(bits)
+    ]
+    summed = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = summed.withColumn(
+        "simhash",
+        sum(
+            F.when(F.col(f"b_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(bits)
+        ).cast("long"),
+    )
+    return fp.select("doc_id", "simhash")
+
+
+def simhash_near_pairs(
+    documents: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into ``bands``
+    16-bit chunks; by pigeonhole any pair within ``max_hamming < bands``
+    agrees on ≥1 band, so the banded self-join finds all of them without a
+    full cross product. Hamming distance via bit_count(xor)."""
+    fp = simhash_fingerprints(documents)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright("simhash", bi * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = fp.select("doc_id", "simhash", F.explode(chunks).alias("bb")).select(
+        "doc_id", "simhash", "bb.band", "bb.chunk"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (EXTENSION X3/X5).
+
+Three tiers, trading recall for scale:
+
+1. ``bruteforce_topk`` — exact cosine top-k. Probes are broadcast; the
+   candidate table is scanned once; per-probe top-k is a ranking window.
+   Right answer for ≤ millions of candidates or as the verification oracle.
+2. ``centroid_similarity`` — IVF-style building block: per-label centroids
+   computed in exploded (label, dim) space, members scored against their
+   centroid. The same pattern gives coarse quantization for IVF search.
+3. ``lsh_topk`` — sign-random-projection LSH: a 16-bit signature buckets
+   vectors; exact cosine only within the probe's bucket. Shuffle volume
+   O(n) instead of O(probes x n); recall measured against tier 1 in tests.
+
+All vector math is ``functions.vectors`` (JVM higher-order functions, double
+precision, deterministic fold order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import as_double, cosine
+
+
+def bruteforce_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each probe (excluding itself).
+
+    ``probes`` (small) is broadcast against the candidate scan — no shuffle
+    of the big side; the per-probe ranking window shuffles only
+    (probes x candidates) scored rows, which the k-filter then truncates.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim"))
+    )
+
+
+def centroid_similarity(embeddings: DataFrame, *, label_col: str = "label") -> DataFrame:
+    """Per-label centroid + mean member-to-centroid cosine (cluster tightness).
+
+    Runs entirely in exploded (id, label, dim, value) space: centroids are a
+    (label, dim) groupBy; dots/norms re-aggregate per vector. Two shuffles
+    total, both on small keys — never materializes a dense matrix anywhere.
+    """
+    e = embeddings.select(
+        "vec_id", F.col(label_col).alias("label"), F.posexplode(as_double("embedding"))
+    ).withColumnsRenamed({"pos": "dim", "col": "val"})
+    cent = e.groupBy("label", "dim").agg(F.avg("val").alias("cval"))
+    joined = e.join(cent, ["label", "dim"])
+    per_vec = joined.groupBy("vec_id", "label").agg(
+        F.sum(F.col("val") * F.col("cval")).alias("dot"),
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vnorm"),
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cnorm"),
+    )
+    sim = per_vec.withColumn("cos", F.col("dot") / (F.col("vnorm") * F.col("cnorm")))
+    return (
+        sim.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("cos"), 3).alias("avg_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+def _plane_weights(num_planes: int, dim: int, *, table: int = 0) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5(table, plane, dim) parity — no
+    RNG state, so signatures are identical across runs/sessions/executors."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            digest = hashlib.md5(f"srp:{table}:{p}:{d}".encode()).digest()
+            row.append(1.0 if digest[0] & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    dim: int = 64,
+    table: int = 0,
+    out_col: str = "srp_sig",
+) -> DataFrame:
+    """Sign-random-projection signature: bit_p = [v · plane_p > 0].
+
+    Planes are compile-time literal arrays (broadcast with the plan); the
+    projection is a zip_with/aggregate fold per plane — one scan, no shuffle.
+    """
+    planes = _plane_weights(num_planes, dim, table=table)
+    v = as_double(vec_col)
+    bits = []
+    for p, weights in enumerate(planes):
+        w = F.array(*[F.lit(x) for x in weights])
+        proj = F.aggregate(
+            F.zip_with(v, w, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return embeddings.withColumn(out_col, sum(bits).cast("long"))
+
+
+def _multi_table_sig(
+    df: DataFrame, *, vec_col: str, num_planes: int, num_tables: int, dim: int
+) -> DataFrame:
+    """Attach an array of per-table SRP signatures, then explode to
+    (row, table, sig) — the multi-probe layout for the bucket join."""
+    out = df
+    for t in range(num_tables):
+        out = srp_signature(
+            out, vec_col=vec_col, num_planes=num_planes, dim=dim, table=t, out_col=f"_sig_{t}"
+        )
+    sigs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"_sig_{t}").alias("sig"))
+            for t in range(num_tables)
+        ]
+    )
+    return (
+        out.withColumn("_ts", F.explode(sigs))
+        .select(*df.columns, F.col("_ts.tbl").alias("tbl"), F.col("_ts.sig").alias("sig"))
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: exact cosine restricted to SRP bucket matches across
+    ``num_tables`` independent hash tables (multi-table LSH).
+
+    Per table, only 1/2^planes of the corpus co-buckets with a probe; a true
+    near neighbor (angle θ) matches a table with prob (1-θ/π)^planes, and
+    missing ALL tables decays exponentially: recall ≈ 1-(1-p)^tables. More
+    tables = recall, more planes = speed. Candidates are unioned and deduped
+    before the (exact) cosine ranking, so precision is never approximate —
+    only recall is. Recall vs bruteforce_topk is measured in tests.
+    """
+    c = _multi_table_sig(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
+        ),
+        vec_col="cv",
+        num_planes=num_planes,
+        num_tables=num_tables,
+        dim=dim,
+    )
+    p = _multi_table_sig(
+        probes.select(F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pv")),
+        vec_col="pv",
+        num_planes=num_planes,
+        num_tables=num_tables,
+        dim=dim,
+    ).withColumnsRenamed({"tbl": "ptbl", "sig": "psig"})
+    cands = (
+        c.join(
+            F.broadcast(p),
+            (F.col("tbl") == F.col("ptbl"))
+            & (F.col("sig") == F.col("psig"))
+            & (F.col("neighbor_id") != F.col("probe_id")),
+        )
+        .select("probe_id", "neighbor_id", "pv", "cv")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim"))
+    )

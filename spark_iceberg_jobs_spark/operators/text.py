@@ -1,0 +1,111 @@
+"""Text-analysis operators (EXTENSION X4): language ID, quality scoring,
+token statistics, document fingerprinting.
+
+Everything is built from ``functions.texts`` expressions — tokenization,
+shingling, stopword matching all run inside whole-stage codegen; nothing
+leaves the JVM. At 100 TB these are embarrassingly parallel scans whose only
+shuffle is the final (small) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texts import (
+    STOPWORDS,
+    normalize,
+    predicted_lang,
+    token_count,
+    tokens,
+)
+
+
+def lang_profile(documents: DataFrame) -> DataFrame:
+    """Per-language corpus profile: doc count, avg length, avg token count."""
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(token_count("text")), 2).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-overlap language-ID heuristic vs the labeled ``lang``.
+
+    Returns the (lang, predicted_lang) confusion counts. The heuristic is a
+    deterministic argmax over per-language stopword hits (functions.texts
+    .predicted_lang); on real corpora you would extend the lists or swap in
+    character n-gram profiles — same plan shape.
+    """
+    toks = tokens("text")
+    return (
+        documents.select("lang", predicted_lang(toks).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Per-document quality features + a composite score, aggregated per source.
+
+    Features (all cheap JVM expressions): token count, mean word length,
+    English-stopword ratio. Score favors mid-length docs with natural
+    function-word density — the standard cheap pre-filter before expensive
+    model-based quality classifiers in a training-data pipeline.
+    """
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / n_tok
+    avg_word_len = (F.length("text") - (n_tok - 1)) / n_tok  # chars minus spaces
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 8), 0.2).otherwise(0.0)
+    )
+    per_doc = documents.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def top_terms(documents: DataFrame, *, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k terms. Explode → count is the scalable shape: the
+    partial agg collapses each partition to its distinct terms before the
+    shuffle, so the exchange carries vocabulary, not tokens."""
+    return (
+        documents.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Stable per-document content fingerprint: md5 of the normalized text
+    (+ normalized length). The join key for exact dedup across snapshots."""
+    norm = normalize("text")
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("n_chars_norm"),
+    )

@@ -1,7 +1,288 @@
-"""LLM-data-pipeline queries (EXTENSION X1-X5) — filled in incrementally."""
+"""LLM-data-pipeline queries (EXTENSION X1-X5; SURVEY.md §2.7).
+
+SQL-expressible formulations get a DuckDB oracle (exact dedup, n-gram
+Jaccard, text analysis, brute-force cosine, centroid similarity, multimodal
+byte features). The hash-based ops (MinHash-LSH, SimHash, SRP-LSH) have no
+DuckDB equivalent (no xxhash64) → rows-only check; their correctness is
+cross-validated against the exact variants in tests/.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.multimodal import attach_binary_payload, extract_payload_features
+from ..operators.similarity import bruteforce_topk, centroid_similarity, lsh_topk
+from ..operators.text import fingerprints, lang_profile, language_id, quality_scores, top_terms
+from ..sources.readers import read_fixture
 from . import QuerySpec
 
-QUERIES: dict[str, QuerySpec] = {}
+# --------------------------------------------------------------------------
+# X1/X2 — deduplication
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(read_fixture(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS text_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(read_fixture(spark, sf_dir, "documents"), threshold=0.8)
+
+
+DEDUP_JACCARD_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common::DOUBLE / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(read_fixture(spark, sf_dir, "documents"), est_threshold=0.7)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(read_fixture(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# X4 — text analysis
+# --------------------------------------------------------------------------
+
+
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_profile(read_fixture(spark, sf_dir, "documents"))
+
+
+LANG_PROFILE_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       ROUND(AVG(LEN(STRING_SPLIT(text, ' '))), 2) AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(read_fixture(spark, sf_dir, "documents"))
+
+
+_HITS = {
+    "en": "('the','a','of','and','to','in','is','on','for','with')",
+    "de": "('der','die','das','und','ist','von','zu','mit','auf','ein')",
+    "fr": "('le','la','les','et','est','de','un','une','dans','pour')",
+    "es": "('el','la','los','y','es','de','un','una','en','por')",
+    "zh": "('的','了','是','我','不','在','有','这','他','们')",
+}
+_HITS_SQL = ",\n           ".join(
+    f"LEN(LIST_FILTER(STRING_SPLIT(text,' '), t -> t IN {words})) AS h_{lang}"
+    for lang, words in _HITS.items()
+)
+LANGID_ORACLE = f"""
+WITH scored AS (
+    SELECT lang,
+           {_HITS_SQL}
+    FROM documents
+), pred AS (
+    SELECT lang,
+           CASE WHEN h_en >= GREATEST(h_de, h_fr, h_es, h_zh) THEN 'en'
+                WHEN h_de >= GREATEST(h_en, h_fr, h_es, h_zh) THEN 'de'
+                WHEN h_fr >= GREATEST(h_en, h_de, h_es, h_zh) THEN 'fr'
+                WHEN h_es >= GREATEST(h_en, h_de, h_fr, h_zh) THEN 'es'
+                ELSE 'zh' END AS predicted_lang
+    FROM scored
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM pred
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
+
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(read_fixture(spark, sf_dir, "documents"))
+
+
+QUALITY_ORACLE = """
+WITH feats AS (
+    SELECT source,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           (LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1))
+               / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS awl,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+               / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS stop_ratio
+    FROM documents
+), scored AS (
+    SELECT source, n_tokens,
+           ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+                 + LEAST(stop_ratio * 5, 1.0) * 0.3
+                 + CASE WHEN awl >= 3 AND awl <= 8 THEN 0.2 ELSE 0.0 END,
+                 4) AS quality_score
+    FROM feats
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(quality_score), 4) AS avg_quality,
+       ROUND(AVG(n_tokens), 2) AS avg_tokens
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_terms(read_fixture(spark, sf_dir, "documents"), k=20)
+
+
+TOP_TERMS_ORACLE = """
+SELECT term, COUNT(*) AS n
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 20
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(read_fixture(spark, sf_dir, "documents"))
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       LENGTH(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# X3/X5 — similarity search + multimodal
+# --------------------------------------------------------------------------
+
+
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return bruteforce_topk(emb, probes, k=5)
+
+
+BRUTEFORCE_ORACLE = """
+WITH p AS (
+    SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+    FROM embeddings WHERE vec_id < 10
+), c AS (
+    SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings
+), scored AS (
+    SELECT probe_id, neighbor_id, LIST_COSINE_SIMILARITY(pv, cv) AS sim
+    FROM p, c
+    WHERE neighbor_id <> probe_id
+), ranked AS (
+    SELECT probe_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY sim DESC, neighbor_id) AS rnk,
+           sim
+    FROM scored
+)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
+def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return centroid_similarity(read_fixture(spark, sf_dir, "embeddings"))
+
+
+CENTROID_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label,
+           UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+           GENERATE_SUBSCRIPTS(CAST(embedding AS DOUBLE[]), 1) AS dim
+    FROM embeddings
+), cent AS (
+    SELECT label, dim, AVG(val) AS cval FROM e GROUP BY label, dim
+), per_vec AS (
+    SELECT e.vec_id, e.label,
+           SUM(e.val * c.cval) AS dot,
+           SQRT(SUM(e.val * e.val)) AS vnorm,
+           SQRT(SUM(c.cval * c.cval)) AS cnorm
+    FROM e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+    GROUP BY e.vec_id, e.label
+)
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(AVG(dot / (vnorm * cnorm)), 3) AS avg_cos_to_centroid
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, probes, k=5)
+
+
+def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_fixture(spark, sf_dir, "documents")
+    return extract_payload_features(attach_binary_payload(docs))
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       OCTET_LENGTH(ENCODE(text)) AS byte_len,
+       MD5(text) AS payload_md5,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, headline=True),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None, headline=True),
+    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "text_lang_profile": QuerySpec(text_lang_profile, LANG_PROFILE_ORACLE),
+    "text_language_id": QuerySpec(text_language_id, LANGID_ORACLE),
+    "text_quality_by_source": QuerySpec(text_quality_by_source, QUALITY_ORACLE),
+    "text_top_terms": QuerySpec(text_top_terms, TOP_TERMS_ORACLE),
+    "text_fingerprints": QuerySpec(text_fingerprints, FINGERPRINT_ORACLE),
+    "sim_bruteforce_topk": QuerySpec(sim_bruteforce_topk, BRUTEFORCE_ORACLE, headline=True),
+    "sim_centroid_per_label": QuerySpec(sim_centroid_per_label, CENTROID_ORACLE),
+    "sim_lsh_topk": QuerySpec(sim_lsh_topk, None),
+    "multimodal_payload_features": QuerySpec(multimodal_payload_features, MULTIMODAL_ORACLE),
+}
