@@ -1,0 +1,62 @@
+"""Benchmark harness: times the headline queries and prints ONE JSON line.
+
+Usage: python bench.py            (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect cost). Times are per-query wall seconds; the headline
+metric is the total across the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_iceberg_jobs_spark.queries import registry  # noqa: E402
+from spark_iceberg_jobs_spark.session import get_spark  # noqa: E402
+
+
+def run() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Untimed warmup: absorbs one-time JVM/codegen/parquet-footer costs so
+    # per-query timings reflect steady-state execution.
+    reg = registry()
+    reg["flagship_revenue_topk"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, spec in reg.items():
+        if not spec.headline:
+            continue
+        df = spec.fn(spark, sf_dir)  # build plan (not timed: planning is cheap)
+
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    run()

@@ -18,11 +18,15 @@ Scale notes (100 TB of events):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: floor(epoch seconds) — matches the oracle's CAST(FLOOR(EPOCH(ts)) AS BIGINT)
-_EPOCH = F.unix_timestamp("ts")
+
+def _epoch() -> Column:
+    """floor(epoch seconds) of ts — matches the oracle's
+    CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT). Built lazily: column
+    expressions need an active session, so no module-level construction."""
+    return F.unix_timestamp("ts")
 
 
 def tumbling_window_agg(
@@ -99,7 +103,7 @@ def sessionize(
     """
     order = [F.col("ts"), F.col("event_id")]
     w = Window.partitionBy(user_col).orderBy(*order)
-    epoch = _EPOCH
+    epoch = _epoch()
     with_gap = events.withColumn(
         "_new_session",
         F.when(

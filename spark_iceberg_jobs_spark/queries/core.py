@@ -34,7 +34,11 @@ from ..operators.joins import broadcast_dim_join, copartitioned_join
 from ..sources.readers import load_tables
 from . import QuerySpec
 
-REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    """l_extendedprice * (1 - l_discount); built lazily — classic-mode column
+    expressions require an active SparkContext, and the driver may import
+    this module before creating its session."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # --------------------------------------------------------------------------
@@ -65,7 +69,7 @@ def flagship_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name", "r_name")
-        .agg(F.round(F.sum(REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(5)
     )
@@ -104,7 +108,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(REVENUE), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -146,7 +150,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -199,7 +203,7 @@ def q5_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -389,7 +393,7 @@ def copartitioned_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum(REVENUE), 2).alias("revenue"),
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
         )
         .orderBy("o_orderstatus")
     )
@@ -553,7 +557,27 @@ LIMIT 10
 """
 
 
+def layout_compression_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:24-25 re-expressed: write the orders fact under several
+    sortWithinPartitions orderings, measure parquet bytes, report smallest
+    first. Low-cardinality-first orderings (status, priority) win via RLE/
+    dictionary encoding. Rows-only check (byte counts are environment-
+    dependent); the sort-invariance of query *results* is pytest-asserted."""
+    from ..plans.layout import compare_sort_layouts
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    results = compare_sort_layouts(
+        orders,
+        [[], ["o_orderstatus", "o_orderpriority"], ["o_orderpriority", "o_orderstatus"], ["o_totalprice"]],
+    )
+    return spark.createDataFrame(
+        [(("+".join(r.ordering) or "unsorted"), r.n_files, r.total_bytes) for r in results],
+        "ordering string, n_files int, total_bytes long",
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "layout_compression_lab": QuerySpec(layout_compression_lab, None),
     "flagship_revenue_topk": QuerySpec(flagship_revenue_topk, FLAGSHIP_ORACLE, headline=True),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, headline=True),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE, headline=True),

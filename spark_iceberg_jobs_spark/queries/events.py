@@ -151,8 +151,19 @@ LIMIT 10
 """
 
 
+def streaming_tumbling_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_tumbling_hourly: file-source
+    stream → watermarked windows → AvailableNow trigger → memory sink.
+    Bounded input ⇒ identical result, so it shares the same DuckDB oracle —
+    a streaming pipeline verified against plain SQL."""
+    from ..streaming.events_stream import streaming_tumbling_hourly
+
+    return streaming_tumbling_hourly(spark, sf_dir)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling_hourly": QuerySpec(events_tumbling_hourly, TUMBLING_ORACLE, headline=True),
+    "streaming_tumbling_hourly": QuerySpec(streaming_tumbling_hourly_query, TUMBLING_ORACLE),
     "events_sliding_1h_30m": QuerySpec(events_sliding_1h_30m, SLIDING_ORACLE),
     "events_sessionization": QuerySpec(events_sessionization, SESSION_ORACLE, headline=True),
     "events_running_value": QuerySpec(events_running_value, RUNNING_ORACLE),

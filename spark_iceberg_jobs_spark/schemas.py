@@ -26,6 +26,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -71,7 +72,8 @@ FIXTURE_SCHEMAS: dict[str, StructType] = {
         ("o_custkey", LongType()),
         ("o_orderstatus", StringType()),
         ("o_totalprice", DoubleType()),
-        ("o_orderdate", TimestampType()),
+        # parquet timestamp[ms], not UTC-adjusted → Spark 4 reads TIMESTAMP_NTZ
+        ("o_orderdate", TimestampNTZType()),
         ("o_orderpriority", StringType()),
     ),
     "lineitem": _st(
@@ -85,7 +87,7 @@ FIXTURE_SCHEMAS: dict[str, StructType] = {
         ("l_tax", DoubleType()),
         ("l_returnflag", StringType()),
         ("l_linestatus", StringType()),
-        ("l_shipdate", TimestampType()),
+        ("l_shipdate", TimestampNTZType()),
     ),
     "events": _st(
         ("event_id", LongType()),

@@ -1,0 +1,196 @@
+"""Structured Streaming event analytics (EXTENSION X6 stretch; SURVEY.md §2.7).
+
+The batch operators in operators/events.py re-expressed as streams:
+
+- ``stream_events``: file-source stream over the events parquet (the fixture
+  stands in for a Kafka topic; swap ``readStream.format("kafka")`` and the
+  same downstream plan works unchanged).
+- ``windowed_counts``: watermarked tumbling-window aggregation — the
+  canonical late-data-tolerant rollup. Watermark bounds state: windows older
+  than (max event time - delay) are finalized and evicted.
+- ``sessionize_stream``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user session accumulation with timeout,
+  the pattern for operators Spark's built-ins can't express.
+- ``run_available_now``: drives any of these to completion over the bounded
+  fixture (Trigger.AvailableNow) into a memory sink and returns the result
+  as a plain DataFrame — which is how the streaming path gets the SAME
+  DuckDB oracle as its batch twin.
+
+Scale notes: streaming state lives in the state store (RocksDB-backed in
+prod config); watermark delay bounds it. The file source here reads one
+static file; on a real bus, partitions = topic partitions.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events schema as the parquet file stores it (ts = nanosecond INT64;
+#: the nanosAsLong conf maps it to long, converted to µs timestamp below).
+_EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture, ts normalized to µs
+    timestamps exactly like the batch reader (sources/readers.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_FILE_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming twin of
+    operators.events.tumbling_window_agg — identical output schema)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, *, query_name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (bounded) streaming DataFrame to completion into a memory
+    sink and return the materialized result.
+
+    Uses Trigger.AvailableNow — process everything currently available,
+    then stop — so the call is synchronous and deterministic. Aggregations
+    use ``complete``; custom stateful operators emit with ``append``.
+    """
+    name = query_name or f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: stream source → watermarked hourly windows → memory sink.
+
+    Over the bounded fixture this produces byte-identical results to the
+    batch events_tumbling_hourly, so it shares that DuckDB oracle — the
+    driver verifies a *streaming* pipeline against plain SQL.
+    """
+    return run_available_now(windowed_counts(stream_events(spark, sf_dir)))
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap-based sessions via
+    ``applyInPandasWithState`` (state = open session aggregate; a session
+    closes when the inactivity gap exceeds ``gap_sec`` or the group times
+    out at a watermark).
+
+    Emits closed sessions (user_id, session_start_es, n_events,
+    session_value). This is the template for any custom per-key streaming
+    state machine that Spark's built-in windows can't express.
+    """
+    import pandas as pd  # local import: only the executors need it
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_es", LongType()),
+            StructField("n_events", LongType()),
+            StructField("session_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_es", LongType()),
+            StructField("last_es", LongType()),
+            StructField("n", LongType()),
+            StructField("val", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        sessions: list[tuple] = []
+        cur = list(state.get) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("es")
+            for es, value in zip(pdf["es"], pdf["value"]):
+                es = int(es)
+                if cur is None:
+                    cur = [es, es, 0, 0.0]
+                elif es - cur[1] > gap_sec:
+                    sessions.append((int(user_id), cur[0], cur[2], round(cur[3], 2)))
+                    cur = [es, es, 0, 0.0]
+                cur[1] = es
+                cur[2] += 1
+                cur[3] += float(value)
+        if cur is not None:
+            state.update(tuple(cur))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([s[0] for s in sessions], dtype="int64"),
+                "session_start_es": pd.Series([s[1] for s in sessions], dtype="int64"),
+                "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+                "session_value": pd.Series([s[3] for s in sessions], dtype="float64"),
+            }
+        )
+
+    prepared = events.select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    # NoTimeout: a session is emitted when the same user's next event
+    # arrives past the gap. (Prod pattern adds EventTimeTimeout + watermark
+    # to flush idle users; with a bounded AvailableNow replay the timeout
+    # micro-batch loop never converges, so the bounded path closes sessions
+    # on successor events only.)
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

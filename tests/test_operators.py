@@ -1,0 +1,170 @@
+"""Golden/property tests for operators on tiny literal DataFrames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_iceberg_jobs_spark.operators.aggs import top_k_by_agg
+from spark_iceberg_jobs_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from spark_iceberg_jobs_spark.operators.events import sessionize, tumbling_window_agg
+from spark_iceberg_jobs_spark.operators.joins import salted_join
+from spark_iceberg_jobs_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_payload_features,
+    sample_frames_stub,
+)
+from spark_iceberg_jobs_spark.operators.similarity import bruteforce_topk, lsh_topk
+from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+
+def test_top_k_tie_break_deterministic(spark):
+    df = spark.createDataFrame(
+        [("b", 10), ("a", 10), ("c", 5)], "key string, v int"
+    )
+    rows = top_k_by_agg(df, ["key"], F.sum("v"), "sum_v", k=1).collect()
+    assert rows[0].key == "a"  # tie on sum_v=10 broken by key asc
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame([(i % 3, i) for i in range(100)], "k int, v int")
+    right = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k int, name string")
+    plain = left.join(right, "k").groupBy("name").count().collect()
+    salted = salted_join(left, right, "k").groupBy("name").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # same after normalization
+            (3, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.keeper_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_exact_dedup_idempotent(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 4}") for i in range(20)], "doc_id long, text string"
+    )
+    once = exact_dedup(docs)
+    keepers = once.select(F.col("keeper_id").alias("doc_id")).join(
+        docs, "doc_id"
+    )
+    twice = exact_dedup(keepers)
+    assert once.count() == twice.count() == 4
+    assert twice.agg(F.max("n_copies")).first()[0] == 1
+
+
+def _near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    variant = base.replace("today", "tomorrow")
+    other = "completely different words about spark query engines and parquet files"
+    return spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], "doc_id long, text string"
+    )
+
+
+def test_ngram_jaccard_detects_near_dup(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(
+        _near_dup_docs(spark), threshold=0.5
+    ).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert 0.5 < pairs[(1, 2)] < 1.0
+
+
+def test_minhash_lsh_agrees_with_exact_on_fixture(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, est_threshold=0.7).collect()}
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_simhash_pairs_are_near_dups(spark, sf_dir):
+    docs = read_fixture(spark, sf_dir, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    sim = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert sim, "simhash should find the planted near-dups"
+    # SimHash is a similarity *sketch*: on short same-vocabulary docs some
+    # moderately-similar pairs land within hamming 3 — bounded, not zero.
+    false_pos = len(sim - exact) / len(sim)
+    assert false_pos <= 0.4, f"simhash false positive rate {false_pos}"
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.probe_id, r.neighbor_id) for r in bruteforce_topk(emb, probes, k=5).collect()}
+    ann = {(r.probe_id, r.neighbor_id) for r in lsh_topk(emb, probes, k=5).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.4, f"multi-table LSH recall {recall} (random vectors)"
+
+
+def test_bruteforce_topk_self_excluded_and_ranked(spark, sf_dir):
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") == 0)
+    rows = bruteforce_topk(emb, probes, k=3).collect()
+    assert [r.rnk for r in rows] == [1, 2, 3]
+    assert all(r.neighbor_id != 0 for r in rows)
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_sessionize_gap_semantics(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, 1.0),
+            (2, "2024-01-01 00:10:00", 7, 2.0),  # same session (gap 600s)
+            (3, "2024-01-01 01:10:00", 7, 3.0),  # new session (gap 3600s)
+            (4, "2024-01-01 00:00:00", 8, 4.0),
+        ],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_sec, r.session_value)
+        for r in sessionize(events, gap_sec=1800).collect()
+    }
+    assert rows == {
+        (7, 1): (2, 600, 3.0),
+        (7, 2): (1, 0, 3.0),
+        (8, 1): (1, 0, 4.0),
+    }
+
+
+def test_tumbling_window_boundaries(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:59:59", 1, 1.0),
+            (2, "2024-01-01 01:00:00", 1, 2.0),
+        ],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {r.window_start: r.n_events for r in tumbling_window_agg(events).collect()}
+    assert len(rows) == 2  # events straddle the hour boundary
+
+
+def test_multimodal_features_roundtrip(spark):
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "abc"), (2, "hello")], "doc_id long, text string")
+    feats = {r.doc_id: r for r in extract_payload_features(attach_binary_payload(docs)).collect()}
+    assert feats[1].byte_len == 3
+    assert feats[1].payload_md5 == hashlib.md5(b"abc").hexdigest()
+    assert feats[2].mime == "text/plain"
+
+
+def test_sample_frames_stub_expansion(spark):
+    docs = spark.createDataFrame([(1, "x" * 130)], "doc_id long, text string")
+    rows = sample_frames_stub(attach_binary_payload(docs), every_n_bytes=64).collect()
+    assert [r.frame_offset for r in rows] == [0, 64, 128]
+    assert all(r.frame_byte == ord("x") for r in rows)

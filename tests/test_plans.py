@@ -1,0 +1,128 @@
+"""Physical-plan shape assertions (SURVEY.md §5.3) — the reference's
+pedagogical points (README.md:16-18, 24-25) verified mechanically."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_iceberg_jobs_spark.plans.ddl import bootcamp_ddls, create_table_ddl, execute_ddls
+from spark_iceberg_jobs_spark.plans.explain import (
+    count_shuffle_exchanges,
+    formatted_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+)
+from spark_iceberg_jobs_spark.plans.layout import compare_sort_layouts
+from spark_iceberg_jobs_spark.schemas import MATCHES
+from spark_iceberg_jobs_spark.sources.readers import read_fixture
+from spark_iceberg_jobs_spark.sources.writers import write_bucketed_table
+
+
+def test_broadcast_hint_wins_over_disabled_threshold(spark, sf_dir):
+    """README.md:16-17: explicit F.broadcast produces a BroadcastHashJoin
+    even with autoBroadcastJoinThreshold=-1."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = read_fixture(spark, sf_dir, "orders")
+        customer = read_fixture(spark, sf_dir, "customer")
+        plain = orders.join(customer, orders.o_custkey == customer.c_custkey)
+        hinted = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        assert not has_broadcast_hash_join(plain)
+        assert has_broadcast_hash_join(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
+    """README.md:18 / job1:224,239: identically bucketed tables join with
+    zero shuffle Exchange (the Spark analogue of Iceberg's storage-
+    partitioned join)."""
+    orders = read_fixture(spark, sf_dir, "orders")
+    lineitem = read_fixture(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed_table(orders, "bj_orders", bucket_cols=["o_orderkey"], n_buckets=8)
+    write_bucketed_table(lineitem, "bj_lineitem", bucket_cols=["o_orderkey"], n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bj_orders").join(spark.table("bj_lineitem"), "o_orderkey")
+        n_shuffles = count_shuffle_exchanges(joined)
+        assert n_shuffles == 0, formatted_plan(joined)
+        # sanity: the same join on raw parquet shuffles both sides
+        raw = read_fixture(spark, sf_dir, "orders").join(
+            read_fixture(spark, sf_dir, "lineitem").withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            "o_orderkey",
+        )
+        assert count_shuffle_exchanges(raw) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    """Filters/column pruning reach the parquet scan (SURVEY.md §4)."""
+    li = read_fixture(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert "l_returnflag" in pf, pf
+    plan = formatted_plan(q)
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read_schema  # pruned
+    assert "l_returnflag" in read_schema
+
+
+def test_ddl_generation_matches_reference_layout():
+    """DDL builder reproduces job1:184-275's shape: 5 tables, iceberg,
+    bucket(16, match_id) on the three facts, identity on dims."""
+    ddls = bootcamp_ddls()
+    assert set(ddls) == {
+        "match_details",
+        "matches",
+        "medals_matches_players",
+        "maps",
+        "medals",
+    }
+    for t in ("match_details", "matches", "medals_matches_players"):
+        assert "PARTITIONED BY (bucket(16, match_id))" in ddls[t]
+        assert "USING iceberg" in ddls[t]
+    assert "PARTITIONED BY (mapid)" in ddls["maps"]
+    assert "PARTITIONED BY (medal_id)" in ddls["medals"]
+    matches_ddl = create_table_ddl("bootcamp.matches", MATCHES, partition_by="bucket(16, match_id)")
+    assert "completion_date TIMESTAMP" in matches_ddl
+    assert "is_team_game BOOLEAN" in matches_ddl
+
+
+def test_execute_iceberg_ddl_fails_loud_without_runtime(spark):
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        execute_ddls(spark, bootcamp_ddls())
+
+
+def test_sort_layout_changes_bytes_not_results(spark, sf_dir):
+    """README.md:24-25: sortWithinPartitions affects file size only.
+    Low-cardinality-first ordering must not beat unsorted by accident of
+    row order — and query results must be invariant."""
+    orders = read_fixture(spark, sf_dir, "orders").repartition(2)
+    results = compare_sort_layouts(
+        orders, [[], ["o_orderstatus", "o_orderpriority"]]
+    )
+    by_ordering = {r.ordering: r.total_bytes for r in results}
+    assert set(by_ordering) == {(), ("o_orderstatus", "o_orderpriority")}
+    assert all(b > 0 for b in by_ordering.values())
+    assert (
+        by_ordering[("o_orderstatus", "o_orderpriority")] != by_ordering[()]
+    ), "sorting should change the encoded size"
+    # result invariance
+    a = orders.groupBy("o_orderstatus").count().collect()
+    b = (
+        orders.sortWithinPartitions("o_orderstatus", "o_orderpriority")
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,43 @@
+"""Registry contract + smoke for every registered query at sf0.001.
+
+The driver's full DuckDB comparison runs via tools/verify_local.py; here we
+assert the structural contract (names, oracles, column aliasing) and that
+every query executes and returns rows at the smallest scale factor.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_iceberg_jobs_spark.queries import registry
+
+REG = registry()
+
+
+def test_registry_nonempty_and_oracle_coverage():
+    assert len(REG) >= 35
+    oracled = [n for n, s in REG.items() if s.oracle]
+    assert len(oracled) / len(REG) > 0.8, "most queries must be DuckDB-verifiable"
+
+
+def test_headline_queries_marked():
+    assert sum(1 for s in REG.values() if s.headline) >= 8
+
+
+@pytest.mark.parametrize("name", sorted(REG))
+def test_query_runs_at_smoke_sf(spark, sf_dir, name):
+    df = REG[name].fn(spark, sf_dir)
+    rows = df.limit(2000).collect()
+    if name.startswith(("dedup_ngram", "dedup_minhash", "dedup_simhash", "sim_lsh")):
+        return  # near-dup pair counts may legitimately be 0 at sf0.001
+    assert rows, f"{name} returned 0 rows at smoke scale"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    assert df.count() > 0
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert set(qs) == set(REG)
