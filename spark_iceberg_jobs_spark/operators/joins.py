@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,6 +88,108 @@ def multiway_join(
 ) -> DataFrame:
     """n-way equi join on a shared key (J4; README.md:19-23 query shapes)."""
     return reduce(lambda a, b: a.join(b, on=on, how=how), dfs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (``<`` when strict) per key — an operator Spark
+    lacks natively, built as the classic union + ordered-window sweep.
+
+    Mechanics: tag and union both inputs, sort each key's timeline once
+    (ts, then tag so equal timestamps resolve strictness), and carry the
+    last-seen right-side attributes forward with ``last(ignorenulls)``.
+    One shuffle + one sort, O(n log n) — never the per-left-row subquery
+    rescan a naive formulation costs. Rows with no prior match are dropped
+    (inner as-of).
+
+    Scale note: both sides shuffle once on the key; skew = hot keys, same
+    remedies as any join. State per key during the sort-merge is one row.
+    """
+    # Ordering is (ts, tag) ascending: under strict semantics an equal-ts
+    # right row must sort AFTER the left row (invisible to last()); under
+    # inclusive semantics it must sort BEFORE it.
+    tag_left, tag_right = (0, 1) if strict else (1, 0)
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(tag_left).alias("_tag"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(tag_right).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        on,
+        "_ts",
+        "_tag",
+        *lcols,
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_cols],
+    )
+    out = filled.filter(F.col("_tag") == tag_left).select(
+        on,
+        F.col("_ts").alias(left_ts),
+        *lcols,
+        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_cols],
+    )
+    # inner as-of: require a match on the first carried column
+    return out.filter(F.col(f"asof_{right_cols[0]}").isNotNull())
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_es: str,
+    right_es: str,
+    max_gap_sec: int,
+) -> DataFrame:
+    """Range join — right rows within ``(left_es, left_es + max_gap_sec]``
+    of a left row, same key — via time-band bucketing.
+
+    A naive range join is an equi join on the key plus a post-filter whose
+    matched-row count explodes with key cardinality skew. Banding quantizes
+    the right side into gap-width buckets and joins each left row to exactly
+    two buckets (its own and the next), then applies the exact predicate:
+    join fan-out is bounded by rows-per-bucket, the filter is codegen'd, and
+    the plan is a plain shuffled equi join on (key, bucket).
+    """
+    r = right.withColumn("_bucket", (F.col(right_es) / max_gap_sec).cast("long"))
+    l_binned = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                (F.col(left_es) / max_gap_sec).cast("long"),
+                (F.col(left_es) / max_gap_sec).cast("long") + 1,
+            )
+        ),
+    )
+    joined = l_binned.join(r, on=[on, "_bucket"])
+    return joined.filter(
+        (F.col(right_es) > F.col(left_es))
+        & (F.col(right_es) <= F.col(left_es) + max_gap_sec)
+    ).drop("_bucket")
 
 
 def salted_join(

@@ -557,6 +557,99 @@ LIMIT 10
 """
 
 
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: customers with balance above their
+    nation's average. Decorrelated Spark-side into aggregate + broadcast
+    join — what Catalyst does to the subquery form anyway, stated
+    explicitly so the plan is obvious."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    nation_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("_avg_bal"))
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .select("c_custkey", "c_name")
+    )
+
+
+SUBQUERY_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+def having_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING on an exact count (threshold on integers, so no
+    float-boundary risk in the oracle comparison)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+HAVING_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+"""
+
+
+def percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of order value per priority
+    — F.percentile (exact, sort-based) vs DuckDB quantile_cont. At 100 TB
+    you'd switch to approx_percentile (t-digest sketch, one pass, no sort)
+    and accept the epsilon; the exact form is the verifiable baseline."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    pct = F.percentile("o_totalprice", F.lit([0.5, 0.9]))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.element_at(pct, 1), 2).alias("p50"),
+            F.round(F.element_at(pct, 2), 2).alias("p90"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS p50,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 2) AS p90,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join, verified to produce exactly the plain
+    join's aggregate: lineitem (skewed side, salted) ⋈ orders (exploded
+    x salt), revenue per order status."""
+    from ..operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    joined = salted_join(
+        t["lineitem"].withColumnRenamed("l_orderkey", "okey"),
+        t["orders"].withColumnRenamed("o_orderkey", "okey"),
+        "okey",
+        salt_buckets=8,
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def layout_compression_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README.md:24-25 re-expressed: write the orders fact under several
     sortWithinPartitions orderings, measure parquet bytes, report smallest
@@ -578,6 +671,10 @@ def layout_compression_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "layout_compression_lab": QuerySpec(layout_compression_lab, None),
+    "subquery_above_nation_avg": QuerySpec(subquery_above_nation_avg, SUBQUERY_ORACLE),
+    "having_frequent_customers": QuerySpec(having_frequent_customers, HAVING_ORACLE),
+    "percentiles_by_priority": QuerySpec(percentiles_by_priority, PERCENTILES_ORACLE),
+    "salted_join_agg": QuerySpec(salted_join_agg, COPART_ORACLE),
     "flagship_revenue_topk": QuerySpec(flagship_revenue_topk, FLAGSHIP_ORACLE, headline=True),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_ORACLE, headline=True),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_ORACLE, headline=True),

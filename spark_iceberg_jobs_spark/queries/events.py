@@ -151,6 +151,135 @@ LIMIT 10
 """
 
 
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively): each purchase matched to
+    the same user's most recent strictly-earlier click. Microsecond epoch
+    on both sides so Spark's union-window sweep and DuckDB's native ASOF
+    JOIN resolve identical winners."""
+    from ..operators.joins import asof_join
+
+    ev = read_fixture(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id"), us.alias("p_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("c_us"), F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_us",
+        right_ts="c_us",
+        right_cols=["c_us", "click_value"],
+        strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("p_us DIV 1000000").alias("purchase_es"),
+        F.expr("asof_c_us DIV 1000000").alias("click_es"),
+        F.expr("(p_us - asof_c_us) DIV 1000000").alias("gap_sec"),
+        F.col("asof_click_value").alias("click_value"),
+    )
+
+
+ASOF_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, event_type, value, EPOCH_US(ts) AS us FROM events
+), p AS (
+    SELECT event_id, user_id, us AS p_us FROM e WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, us AS c_us, value AS click_value FROM e WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       p.p_us // 1000000 AS purchase_es,
+       c.c_us // 1000000 AS click_es,
+       (p.p_us - c.c_us) // 1000000 AS gap_sec,
+       c.click_value
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.p_us > c.c_us
+"""
+
+
+def events_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-band bucketing: all events within one hour after
+    a signup by the same user, aggregated per follow-up type."""
+    from ..operators.joins import banded_range_join
+
+    ev = read_fixture(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), es.alias("s_es")
+    )
+    follows = ev.select(
+        "user_id",
+        F.col("event_id").alias("follow_id"),
+        F.col("event_type"),
+        "value",
+        es.alias("f_es"),
+    )
+    pairs = banded_range_join(
+        signups, follows, on="user_id", left_es="s_es", right_es="f_es", max_gap_sec=3600
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_followups"),
+            F.countDistinct("signup_id").alias("n_signups"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, event_type, value,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+    FROM events
+), s AS (
+    SELECT event_id AS signup_id, user_id, es AS s_es FROM e WHERE event_type = 'signup'
+), f AS (
+    SELECT event_id AS follow_id, user_id, event_type, value, es AS f_es FROM e
+)
+SELECT f.event_type,
+       COUNT(*) AS n_followups,
+       COUNT(DISTINCT s.signup_id) AS n_signups,
+       ROUND(SUM(f.value), 2) AS sum_value
+FROM s JOIN f ON s.user_id = f.user_id
+             AND f.f_es > s.s_es AND f.f_es <= s.s_es + 3600
+GROUP BY f.event_type
+ORDER BY f.event_type
+"""
+
+
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts as one column per event type (explicit
+    value list — never let pivot scan for distinct values at scale)."""
+    ev = read_fixture(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [f"{t}" for t in types])
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+    )
+
+
+PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
 def streaming_tumbling_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_tumbling_hourly: file-source
     stream → watermarked windows → AvailableNow trigger → memory sink.
@@ -164,6 +293,11 @@ def streaming_tumbling_hourly_query(spark: SparkSession, sf_dir: str) -> DataFra
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling_hourly": QuerySpec(events_tumbling_hourly, TUMBLING_ORACLE, headline=True),
     "streaming_tumbling_hourly": QuerySpec(streaming_tumbling_hourly_query, TUMBLING_ORACLE),
+    "events_asof_purchase_click": QuerySpec(
+        events_asof_purchase_click, ASOF_ORACLE, headline=True
+    ),
+    "events_range_join_followups": QuerySpec(events_range_join_followups, RANGE_JOIN_ORACLE),
+    "events_pivot_type_counts": QuerySpec(events_pivot_type_counts, PIVOT_ORACLE),
     "events_sliding_1h_30m": QuerySpec(events_sliding_1h_30m, SLIDING_ORACLE),
     "events_sessionization": QuerySpec(events_sessionization, SESSION_ORACLE, headline=True),
     "events_running_value": QuerySpec(events_running_value, RUNNING_ORACLE),

@@ -271,7 +271,112 @@ FROM documents
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per language: tf = term count within the language,
+    idf = ln(N_docs / doc-frequency). Explode → two aggregations (term df
+    corpus-wide, tf per lang) → broadcast the tiny df table back — the
+    standard two-pass shape; at 100 TB both aggs are partial+final over the
+    vocabulary, never over tokens."""
+    from pyspark.sql import Window
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    n_docs = docs.count()  # tiny scalar, known before planning
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    df_term = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    scored = tf.join(F.broadcast(df_term), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "term", F.round("tfidf", 4).alias("tfidf"), "rnk")
+    )
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+), n AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), tf AS (
+    SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY lang, term
+), scored AS (
+    SELECT tf.lang, tf.term,
+           tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT lang, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, term) AS rnk
+    FROM scored
+)
+SELECT lang, term, ROUND(tfidf, 4) AS tfidf, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal/array showcase: symmetric int8 quantization of each
+    embedding (per-vector max-abs scale) and the mean reconstruction error
+    per label — the storage-shrink step before shipping vectors to an ANN
+    index. Pure array higher-order functions."""
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    err_sum = F.aggregate(
+        F.transform(
+            v,
+            lambda x: F.abs(x - F.round(x * 127 / scale) * scale / 127),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    per_vec = emb.select(
+        "vec_id", "label", (err_sum / F.size(v)).alias("mean_err")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("mean_err"), 6).alias("avg_quant_err"),
+        )
+        .orderBy("label")
+    )
+
+
+QUANT_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scaled AS (
+    SELECT vec_id, label, v,
+           LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS scale
+    FROM e
+), ex AS (
+    SELECT vec_id, label,
+           UNNEST(v) AS x, scale
+    FROM scaled
+), per_vec AS (
+    SELECT vec_id, label,
+           AVG(ABS(x - ROUND(x * 127 / scale) * scale / 127)) AS mean_err
+    FROM ex
+    GROUP BY vec_id, label
+)
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(AVG(mean_err), 6) AS avg_quant_err
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TFIDF_ORACLE),
+    "embedding_quantization_error": QuerySpec(embedding_quantization_error, QUANT_ORACLE),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, headline=True),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None, headline=True),
