@@ -21,6 +21,8 @@ TakeOrderedAndProject (per-partition k + driver merge of k·partitions rows).
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf resolves 'pd.Series' hints here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -650,6 +652,124 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: building-segment customers who also have ≥1 order."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = t["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(with_orders)
+
+
+INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch: approx_count_distinct per priority — the 100 TB
+    replacement for exact countDistinct (one pass, fixed memory, no exact
+    shuffle of distinct values). No oracle: the estimate is
+    implementation-specific; the exact twin a2_top_orderpriority is the
+    verified baseline, and tests bound the relative error."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Pandas UDF on the hot path — when logic genuinely
+    can't be a built-in expression, this is the fallback shape: columnar
+    Arrow batches into numpy, ~10-100x faster than row-at-a-time Python
+    UDFs. The arithmetic here is deliberately built-in-expressible so the
+    UDF path itself is what the oracle verifies."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def discounted(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.withColumn("rev", discounted("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count("*").alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+PANDAS_UDF_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def grouped_zscore_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score each customer's orders against
+    their own mean/std in pandas, return the outliers (|z| > 2). The same
+    result is SQL-expressible (window avg/stddev), which is exactly what
+    makes the pandas path verifiable."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)  # sample std = SQL stddev_samp
+        if pd.isna(sd) or sd == 0:
+            return pdf.iloc[0:0][["o_custkey", "o_orderkey"]].assign(z=pd.Series(dtype="f8"))
+        out = pdf[["o_custkey", "o_orderkey"]].copy()
+        out["z"] = (pdf["o_totalprice"] - mu) / sd
+        return out[out["z"].abs() > 2]
+
+    return (
+        orders.groupBy("o_custkey")
+        .applyInPandas(zscore, schema="o_custkey long, o_orderkey long, z double")
+        .select("o_custkey", "o_orderkey", F.round("z", 4).alias("z"))
+    )
+
+
+ZSCORE_ORACLE = """
+WITH scored AS (
+    SELECT o_custkey, o_orderkey,
+           (o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_custkey))
+             / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_custkey) AS z
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, ROUND(z, 4) AS z
+FROM scored
+WHERE ABS(z) > 2
+"""
+
+
 def layout_compression_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README.md:24-25 re-expressed: write the orders fact under several
     sortWithinPartitions orderings, measure parquet bytes, report smallest
@@ -672,6 +792,11 @@ def layout_compression_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QuerySpec] = {
     "layout_compression_lab": QuerySpec(layout_compression_lab, None),
     "subquery_above_nation_avg": QuerySpec(subquery_above_nation_avg, SUBQUERY_ORACLE),
+    "setops_intersect": QuerySpec(setops_intersect, INTERSECT_ORACLE),
+    "cube_order_stats": QuerySpec(cube_order_stats, CUBE_ORACLE),
+    "approx_distinct_custkeys": QuerySpec(approx_distinct_custkeys, None),
+    "pandas_udf_revenue": QuerySpec(pandas_udf_revenue, PANDAS_UDF_ORACLE),
+    "grouped_zscore_extremes": QuerySpec(grouped_zscore_extremes, ZSCORE_ORACLE),
     "having_frequent_customers": QuerySpec(having_frequent_customers, HAVING_ORACLE),
     "percentiles_by_priority": QuerySpec(percentiles_by_priority, PERCENTILES_ORACLE),
     "salted_join_agg": QuerySpec(salted_join_agg, COPART_ORACLE),
