@@ -134,9 +134,13 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # Tie-break equal-timestamp RIGHT rows by their carried columns so the
+    # winner is deterministic (last = greatest tuple). Left/right never tie
+    # with each other here — the tag already separates them — so appending
+    # the right-side columns cannot reorder left rows.
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", *[f"_r_{c}" for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the custom operators.
+
+Each property cross-checks a distributed implementation against either an
+algebraic invariant or a naive single-process reference on small generated
+inputs. Example counts are kept low: every example costs Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from spark_iceberg_jobs_spark.operators.dedup import exact_dedup
+from spark_iceberg_jobs_spark.operators.events import sessionize
+from spark_iceberg_jobs_spark.operators.joins import asof_join
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=12).map(lambda s: s.strip() or "a"),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(texts)
+def test_exact_dedup_partitions_the_input(spark, docs):
+    """Dedup groups partition the input: copies sum to the row count, and
+    dedup of the keepers is a fixed point."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    groups = exact_dedup(df).collect()
+    assert sum(g.n_copies for g in groups) == len(docs)
+    keepers = spark.createDataFrame(
+        [(g.keeper_id, docs[g.keeper_id]) for g in groups], "doc_id long, text string"
+    )
+    again = exact_dedup(keepers).collect()
+    assert len(again) == len(groups)
+    assert all(g.n_copies == 1 for g in again)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=10_000),  # epoch seconds
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(events_strategy)
+def test_sessionize_conservation(spark, rows):
+    """Sessions partition each user's events; durations are non-negative and
+    bounded by the user's time span."""
+    data = [
+        (i, user, es, float(round(v, 2))) for i, (user, es, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, es long, value double"
+    ).withColumn("ts", F.timestamp_seconds("es"))
+    sessions = sessionize(df, gap_sec=600).collect()
+    assert sum(s.n_events for s in sessions) == len(rows)
+    per_user_span = {}
+    for _, user, es, _v in data:
+        lo, hi = per_user_span.get(user, (es, es))
+        per_user_span[user] = (min(lo, es), max(hi, es))
+    for s in sessions:
+        lo, hi = per_user_span[s.user_id]
+        assert 0 <= s.duration_sec <= hi - lo
+
+
+asof_strategy = st.tuples(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=12
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 9)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.booleans(),
+)
+
+
+@SETTINGS
+@given(asof_strategy)
+def test_asof_join_matches_naive(spark, data):
+    """Distributed as-of join == naive per-row max-scan, both strictness
+    modes, including equal-timestamp edge cases (generated integer
+    timestamps collide often by design)."""
+    lrows, rrows, strict = data
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)], "lid long, k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, v) for k, ts, v in rrows], "k long, rts long, rv long"
+    )
+    got = {
+        (r.lid, r.asof_rts, r.asof_rv)
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_cols=["rts", "rv"],
+            strict=strict,
+        ).collect()
+    }
+    expected = set()
+    for i, (k, lts) in enumerate(lrows):
+        cands = [
+            (rts, rv)
+            for (rk, rts, rv) in rrows
+            if rk == k and (rts < lts if strict else rts <= lts)
+        ]
+        if cands:
+            # the sweep tie-breaks equal-ts right rows by carried columns:
+            # winner = greatest (rts, rv) tuple
+            best_ts, best_rv = max(cands)
+            expected.add((i, best_ts, best_rv))
+    assert got == expected
