@@ -559,6 +559,141 @@ LIMIT 10
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two nations by
+    year — supplier nation ≠ customer nation pairs, dims broadcast twice
+    under different aliases."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(F.broadcast(n2), "c_nationkey")
+        .filter(
+            ((F.col("supp_nation") == pair[0][0]) & (F.col("cust_nation") == pair[0][1]))
+            | ((F.col("supp_nation") == pair[1][0]) & (F.col("cust_nation") == pair[1][1]))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (aggregate-then-semi-join), with customer context. Quantities are
+    integral doubles, so the HAVING threshold is float-safe."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "total_qty")
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, total_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def window_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation: days between each customer's consecutive orders."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    es = F.unix_timestamp("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(es).over(w)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            ((es - prev) / 86400).cast("long").alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+
+
+LAG_GAPS_ORACLE = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS es
+    FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       (es - LAG(es) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)) // 86400 AS gap_days
+FROM o
+QUALIFY gap_days IS NOT NULL
+"""
+
+
 def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape: customers with balance above their
     nation's average. Decorrelated Spark-side into aggregate + broadcast
@@ -793,6 +928,10 @@ QUERIES: dict[str, QuerySpec] = {
     "layout_compression_lab": QuerySpec(layout_compression_lab, None),
     "subquery_above_nation_avg": QuerySpec(subquery_above_nation_avg, SUBQUERY_ORACLE),
     "setops_intersect": QuerySpec(setops_intersect, INTERSECT_ORACLE),
+    "q7_nation_volume": QuerySpec(q7_nation_volume, Q7_ORACLE),
+    "q10_returned_items": QuerySpec(q10_returned_items, Q10_ORACLE, headline=True),
+    "q18_large_orders": QuerySpec(q18_large_orders, Q18_ORACLE),
+    "window_lag_order_gaps": QuerySpec(window_lag_order_gaps, LAG_GAPS_ORACLE),
     "cube_order_stats": QuerySpec(cube_order_stats, CUBE_ORACLE),
     "approx_distinct_custkeys": QuerySpec(approx_distinct_custkeys, None),
     "pandas_udf_revenue": QuerySpec(pandas_udf_revenue, PANDAS_UDF_ORACLE),

@@ -30,6 +30,8 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     rows = df.limit(2000).collect()
     if name.startswith(("dedup_ngram", "dedup_minhash", "dedup_simhash", "sim_lsh")):
         return  # near-dup pair counts may legitimately be 0 at sf0.001
+    if name == "q7_nation_volume":
+        return  # the specific nation pair may have no trade at 10-supplier scale
     assert rows, f"{name} returned 0 rows at smoke scale"
 
 
