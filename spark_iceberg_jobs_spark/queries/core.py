@@ -905,6 +905,37 @@ WHERE ABS(z) > 2
 """
 
 
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) entry point (reference §3.2: the DDL loop at
+    job1:281 is the only SQL the reference executes; here the full analytics
+    path runs through SQL text over registered temp views — identical plan
+    to the DataFrame form, same Catalyst pipeline)."""
+    for name, df in load_tables(spark, sf_dir, "lineitem", "orders", "customer").items():
+        df.createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_rows
+        FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+                        JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+SQL_INTERFACE_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def layout_compression_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README.md:24-25 re-expressed: write the orders fact under several
     sortWithinPartitions orderings, measure parquet bytes, report smallest
@@ -932,6 +963,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q10_returned_items": QuerySpec(q10_returned_items, Q10_ORACLE, headline=True),
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_ORACLE),
     "window_lag_order_gaps": QuerySpec(window_lag_order_gaps, LAG_GAPS_ORACLE),
+    "sql_interface_revenue": QuerySpec(sql_interface_revenue, SQL_INTERFACE_ORACLE),
     "cube_order_stats": QuerySpec(cube_order_stats, CUBE_ORACLE),
     "approx_distinct_custkeys": QuerySpec(approx_distinct_custkeys, None),
     "pandas_udf_revenue": QuerySpec(pandas_udf_revenue, PANDAS_UDF_ORACLE),

@@ -54,6 +54,29 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_fixture(spark, sf_dir, n) for n in use}
 
 
+def read_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Format-generic reader (parquet/json/orc/csv). JSON requires an
+    explicit schema in this engine — schema inference over 100 TB of JSON is
+    a full extra pass; the reference's inferSchema habit (job1:53) stops at
+    the CSV door."""
+    fmt = fmt.lower()
+    if fmt == "json" and schema is None:
+        raise ValueError("JSON reads require an explicit schema (inference = extra full pass)")
+    reader = spark.read
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

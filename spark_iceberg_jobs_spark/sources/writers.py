@@ -44,6 +44,25 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Format-generic sink (parquet/json/orc/csv). Parquet/ORC for anything
+    analytical — JSON/CSV sinks exist for interchange, not for scans."""
+    w = df.write.mode(mode).format(fmt.lower())
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

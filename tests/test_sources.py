@@ -61,6 +61,32 @@ def test_read_csv_requires_schema_or_optin(spark, tmp_path):
     assert inferred.count() == 2
 
 
+def test_json_orc_roundtrip(spark, sf_dir, tmp_path):
+    """Format-generic read/write: parquet fixture → ORC and JSON → identical
+    rows back (JSON with explicit schema; timestamps excluded — JSON's ISO
+    text round-trip is exercised via the string projection)."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.sources.readers import read_table
+    from spark_iceberg_jobs_spark.sources.writers import write_table
+
+    nation = read_fixture(spark, sf_dir, "nation")
+    orc_path = str(tmp_path / "nation_orc")
+    json_path = str(tmp_path / "nation_json")
+    write_table(nation, orc_path, fmt="orc")
+    write_table(nation, json_path, fmt="json")
+
+    orc_back = read_table(spark, orc_path, fmt="orc")
+    json_back = read_table(
+        spark, json_path, fmt="json", schema=FIXTURE_SCHEMAS["nation"]
+    )
+    expected = sorted(map(tuple, nation.collect()))
+    assert sorted(map(tuple, orc_back.collect())) == expected
+    assert sorted(map(tuple, json_back.collect())) == expected
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, json_path, fmt="json")
+
+
 def test_validation_gate(spark):
     good = spark.range(3)
     empty = spark.range(0)
