@@ -39,6 +39,11 @@ def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
+    # Timestamp math (unix_timestamp on the NTZ order/ship dates) must mean
+    # the same thing in this session as in the DuckDB oracle (naive == UTC),
+    # regardless of who created the session — pin it here, not only in our
+    # own session factory.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
