@@ -59,6 +59,37 @@ def distinct_count_per_key(df: DataFrame, key: str, id_col: str, *, k: int = 1) 
     return top_k_by_agg(df, [key], F.countDistinct(id_col), f"n_{id_col}", k=k)
 
 
+def profile_numeric_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-quality profile of numeric columns in one scan: per column the
+    row/null/distinct counts and min/max/avg — the cheap pre-flight check
+    before pointing a 100 TB pipeline at a table. One wide aggregate (no
+    per-column scans), reshaped long via an inline stack."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__avg"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+            F.col(f"{c}__avg").alias("avg_v"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
 def filtered_sum_per_key(
     df: DataFrame,
     predicate: Column,

@@ -905,6 +905,47 @@ WHERE ABS(z) > 2
 """
 
 
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan data-quality profile of lineitem's numeric measures."""
+    from ..operators.aggs import profile_numeric_columns
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return profile_numeric_columns(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+PROFILE_ORACLE = """
+SELECT 'l_quantity' AS column, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+       ROUND(AVG(l_quantity), 4) AS avg_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*),
+       CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_extendedprice),
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+       ROUND(AVG(l_extendedprice), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*),
+       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_discount),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+       ROUND(AVG(l_discount), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', COUNT(*),
+       CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT l_tax),
+       CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
+       ROUND(AVG(l_tax), 4)
+FROM lineitem
+"""
+
+
 def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spark.sql(...) entry point (reference §3.2: the DDL loop at
     job1:281 is the only SQL the reference executes; here the full analytics
@@ -964,6 +1005,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_ORACLE),
     "window_lag_order_gaps": QuerySpec(window_lag_order_gaps, LAG_GAPS_ORACLE),
     "sql_interface_revenue": QuerySpec(sql_interface_revenue, SQL_INTERFACE_ORACLE),
+    "profile_lineitem": QuerySpec(profile_lineitem, PROFILE_ORACLE),
     "cube_order_stats": QuerySpec(cube_order_stats, CUBE_ORACLE),
     "approx_distinct_custkeys": QuerySpec(approx_distinct_custkeys, None),
     "pandas_udf_revenue": QuerySpec(pandas_udf_revenue, PANDAS_UDF_ORACLE),

@@ -117,6 +117,88 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(windowed_counts(stream_events(spark, sf_dir)))
 
 
+def stream_stream_purchase_click_join(
+    events: DataFrame,
+    *,
+    max_gap_sec: int = 3600,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    clicks from the preceding ``max_gap_sec``.
+
+    Both sides carry watermarks; the range condition bounds how long click
+    state is retained (Spark evicts clicks older than the watermark minus
+    the interval). This is THE canonical streaming enrichment join; on
+    bounded input it equals the batch banded_range_join formulation, which
+    is how the test verifies it.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap_sec} SECONDS")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "click_value")
+
+
+def foreach_batch_upsert_sink(
+    result: DataFrame,
+    *,
+    target_path: str,
+    key: str,
+) -> None:
+    """Streaming → lake-table sink via foreachBatch + merge_upsert: each
+    micro-batch MERGEs into the parquet target instead of blind-appending —
+    the streaming upsert pattern (Iceberg: MERGE INTO inside foreachBatch).
+    Runs to completion with AvailableNow.
+    """
+    import os
+
+    from ..plans.maintenance import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch_df, key=key)
+        else:
+            merged = batch_df
+        # write to a side dir then swap: plain-parquet stand-in for an
+        # atomic table-format commit
+        tmp = target_path.rstrip("/") + f"__b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_path):
+            import shutil
+
+            shutil.rmtree(target_path)
+        os.rename(tmp, target_path)
+
+    q = (
+        result.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def sessionize_stream(
     events: DataFrame,
     *,

@@ -29,6 +29,72 @@ def test_streaming_watermark_present(spark, sf_dir):
     assert "watermark" in plan.lower()
 
 
+def test_stream_stream_join_equals_batch_range_join(spark, sf_dir):
+    """Watermarked stream-stream interval join on bounded input == the batch
+    banded_range_join with mirrored bounds."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.operators.joins import banded_range_join
+    from spark_iceberg_jobs_spark.streaming.events_stream import (
+        stream_stream_purchase_click_join,
+    )
+
+    streamed = run_available_now(
+        stream_stream_purchase_click_join(stream_events(spark, sf_dir), max_gap_sec=3600),
+        query_name="ss_join",
+        output_mode="append",
+    )
+    got = {(r.purchase_id, r.click_id) for r in streamed.collect()}
+
+    ev = read_fixture(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), us.alias("c_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), us.alias("p_us")
+    )
+    # batch mirror: click in [purchase - 1h, purchase)
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in banded_range_join(
+            clicks.withColumnRenamed("c_us", "left_us"),
+            purchases.withColumnRenamed("p_us", "right_us"),
+            on="user_id",
+            left_es="left_us",
+            right_es="right_us",
+            max_gap_sec=3600 * 1_000_000,  # µs domain
+        ).collect()
+    }
+    assert got == batch
+    assert got, "fixture should contain click→purchase sequences"
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch MERGE into a parquet target: final table has
+    one row per user with their latest running aggregate."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.streaming.events_stream import foreach_batch_upsert_sink
+
+    target = str(tmp_path / "user_totals")
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    foreach_batch_upsert_sink(agg, target_path=target, key="user_id")
+    back = spark.read.parquet(target)
+    ev = read_fixture(spark, sf_dir, "events")
+    expected = {
+        (r.user_id, r.n, r.total)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert {(r.user_id, r.n, r.total) for r in back.collect()} == expected
+
+
 def test_sessionize_stream_emits_closed_sessions(spark, sf_dir):
     """applyInPandasWithState sessionization: every *closed* session the
     stream emits must exist in the batch sessionization with identical
