@@ -63,13 +63,17 @@ def compact_parquet(
     shaped = df.repartition(n_files)
     if sort_within:
         shaped = shaped.sortWithinPartitions(*sort_within)
-    tmp = path.rstrip("/") + "__compacting"
-    shaped.write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (real lakes do this via metadata commit, not renames)
-    bak = path.rstrip("/") + "__old"
-    os.rename(path, bak)
-    os.rename(tmp, path)
     import shutil
 
-    shutil.rmtree(bak)
+    tmp = path.rstrip("/") + "__compacting"
+    try:
+        shaped.write.mode("overwrite").parquet(tmp)
+        # rename-aside swap (real lakes do this via metadata commit): the
+        # original stays recoverable at __old until the new tree is in place
+        bak = path.rstrip("/") + "__old"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return before, count_files(path)

@@ -174,21 +174,31 @@ def foreach_batch_upsert_sink(
     from ..plans.maintenance import merge_upsert
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
         if os.path.exists(target_path):
             target = spark.read.parquet(target_path)
             merged = merge_upsert(target, batch_df, key=key)
         else:
             merged = batch_df
-        # write to a side dir then swap: plain-parquet stand-in for an
-        # atomic table-format commit
+        # Write to a side dir, then swap via rename-ASIDE (never
+        # delete-then-rename: a crash in that window leaves no target, and
+        # the next run would silently rebuild from one micro-batch). Real
+        # table formats make this a metadata commit; this ordering fails
+        # recoverable instead of failing open.
         tmp = target_path.rstrip("/") + f"__b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_path):
-            import shutil
-
-            shutil.rmtree(target_path)
-        os.rename(tmp, target_path)
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+            aside = target_path.rstrip("/") + "__prev"
+            had_target = os.path.exists(target_path)
+            if had_target:
+                os.rename(target_path, aside)
+            os.rename(tmp, target_path)
+            if had_target:
+                shutil.rmtree(aside)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     q = (
         result.writeStream.foreachBatch(apply_batch)
