@@ -905,6 +905,33 @@ WHERE ABS(z) > 2
 """
 
 
+def argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/arg_max: the richest customer per nation in ONE aggregation —
+    no join-back, no window. The single-pass argmax Spark and DuckDB both
+    ship natively (acctbals are continuous doubles: ties don't occur)."""
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ARGMAX_ORACLE = """
+SELECT n_name,
+       ARG_MAX(c_name, c_acctbal) AS richest_customer,
+       ROUND(MAX(c_acctbal), 2) AS max_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan data-quality profile of lineitem's numeric measures."""
     from ..operators.aggs import profile_numeric_columns
@@ -1006,6 +1033,7 @@ QUERIES: dict[str, QuerySpec] = {
     "window_lag_order_gaps": QuerySpec(window_lag_order_gaps, LAG_GAPS_ORACLE),
     "sql_interface_revenue": QuerySpec(sql_interface_revenue, SQL_INTERFACE_ORACLE),
     "profile_lineitem": QuerySpec(profile_lineitem, PROFILE_ORACLE),
+    "argmax_customer_per_nation": QuerySpec(argmax_customer_per_nation, ARGMAX_ORACLE),
     "cube_order_stats": QuerySpec(cube_order_stats, CUBE_ORACLE),
     "approx_distinct_custkeys": QuerySpec(approx_distinct_custkeys, None),
     "pandas_udf_revenue": QuerySpec(pandas_udf_revenue, PANDAS_UDF_ORACLE),
