@@ -62,7 +62,11 @@ def _distinct_shingles(documents: DataFrame, *, n: int = 3) -> DataFrame:
     every (doc_id, shingle) group, the following distinct adds NO second
     exchange — one shuffle end to end.
     """
+    if n < 1:
+        raise ValueError(f"shingle size must be >= 1, got {n}")
     tok = documents.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    if n == 1:
+        return tok.select("doc_id", F.col("tok").alias("shingle")).distinct()
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, n)]
     return (
@@ -243,6 +247,11 @@ def simhash_near_pairs(
     16-bit chunks; by pigeonhole any pair within ``max_hamming < bands``
     agrees on ≥1 band, so the banded self-join finds all of them without a
     full cross product. Hamming distance via bit_count(xor)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole requires max_hamming < bands (got {max_hamming} >= {bands}): "
+            "pairs differing in every band would never co-bucket and be silently lost"
+        )
     fp = simhash_fingerprints(documents)
     width = 64 // bands
     mask = (1 << width) - 1

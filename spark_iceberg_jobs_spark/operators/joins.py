@@ -119,28 +119,36 @@ def asof_join(
     # inclusive semantics it must sort BEFORE it.
     tag_left, tag_right = (0, 1) if strict else (1, 0)
     lcols = [c for c in left.columns if c not in (on, left_ts)]
+    # The carried right attributes travel as ONE nullable struct: per-column
+    # last(ignorenulls) calls would each skip nulls independently and could
+    # stitch together attributes from DIFFERENT right rows whenever a
+    # carried column is null; the struct is atomic, so the match is always
+    # one real row (and its nullness is the match indicator).
+    r_struct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+    )
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(tag_left).alias("_tag"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        null_struct.alias("_r"),
     )
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(tag_right).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        r_struct.alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    # Tie-break equal-timestamp RIGHT rows by their carried columns so the
+    # Tie-break equal-timestamp RIGHT rows by the carried struct so the
     # winner is deterministic (last = greatest tuple). Left/right never tie
-    # with each other here — the tag already separates them — so appending
-    # the right-side columns cannot reorder left rows.
+    # with each other here — the tag already separates them.
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_tag", *[f"_r_{c}" for c in right_cols])
+        .orderBy("_ts", "_tag", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -148,16 +156,21 @@ def asof_join(
         "_ts",
         "_tag",
         *lcols,
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_cols],
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
     out = filled.filter(F.col("_tag") == tag_left).select(
         on,
         F.col("_ts").alias(left_ts),
         *lcols,
-        *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_cols],
+        "_m",
     )
-    # inner as-of: require a match on the first carried column
-    return out.filter(F.col(f"asof_{right_cols[0]}").isNotNull())
+    # inner as-of: no prior right row → null struct → dropped
+    return out.filter(F.col("_m").isNotNull()).select(
+        on,
+        left_ts,
+        *lcols,
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_cols],
+    )
 
 
 def banded_range_join(
@@ -211,7 +224,13 @@ def salted_join(
     a crawl's top domains) can stall a stage; salting fans each hot key out
     over ``salt_buckets`` reducers. Prefer AQE skew-join first; salt when a
     single key exceeds what one task can hold.
+
+    Right-preserving joins are rejected: the small side is exploded
+    ``salt_buckets``-fold, so an unmatched right row would be emitted once
+    per salt value.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        raise ValueError(f"salted_join cannot preserve the exploded right side (how={how!r})")
     salted_l = skewed.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     salted_r = small.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))

@@ -108,7 +108,7 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_fixture(spark, sf_dir, "events")
     return (
         events.withColumn(
-            "k", F.regexp_extract("props", r"(\d+)", 1).cast("long")
+            "k", F.expr(r"try_cast(regexp_extract(props, '(\\d+)', 1) AS BIGINT)")
         )
         .groupBy("event_type")
         .agg(
@@ -121,7 +121,7 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROPS_ORACLE = """
 SELECT event_type,
-       CAST(SUM(CAST(REGEXP_EXTRACT(props, '(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(TRY_CAST(REGEXP_EXTRACT(props, '(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type

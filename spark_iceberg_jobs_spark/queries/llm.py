@@ -280,7 +280,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_fixture(spark, sf_dir, "documents")
-    n_docs = docs.count()  # tiny scalar, known before planning
+    n_docs = docs.select("doc_id").distinct().count()  # == oracle's COUNT(DISTINCT doc_id)
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
     )

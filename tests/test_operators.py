@@ -120,6 +120,43 @@ def test_bruteforce_topk_self_excluded_and_ranked(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_asof_join_null_carried_column_stays_atomic(spark):
+    """A null in one carried column must NOT cause attribute-mixing across
+    right rows: the match is one real row, nulls and all."""
+    from spark_iceberg_jobs_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 300)], "k int, lts long")
+    right = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 200, None)], "k int, rts long, rv double"
+    )
+    rows = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["rts", "rv"], strict=True,
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].asof_rts == 200
+    assert rows[0].asof_rv is None  # from the SAME row — never 5.0
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    import pytest as _pytest
+
+    from spark_iceberg_jobs_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, 1)], "k int, v int")
+    right = spark.createDataFrame([(1, "x")], "k int, name string")
+    with _pytest.raises(ValueError, match="right side"):
+        salted_join(left, right, "k", how="full")
+
+
+def test_unigram_shingles_supported(spark):
+    from spark_iceberg_jobs_spark.operators.dedup import _distinct_shingles
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    got = {r.shingle for r in _distinct_shingles(docs, n=1).collect()}
+    assert got == {"a", "b"}
+
+
 def test_sessionize_gap_semantics(spark):
     events = spark.createDataFrame(
         [
