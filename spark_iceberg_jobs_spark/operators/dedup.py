@@ -119,11 +119,14 @@ def ngram_jaccard_pairs(
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4),
+            "_raw_jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        # threshold the RAW value (the oracle does too); round only the
+        # reported column — filtering on the rounded value would admit pairs
+        # the oracle rejects at the 0.79995 boundary
+        .filter(F.col("_raw_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("_raw_jaccard", 4).alias("jaccard"))
     )
 
 

@@ -374,7 +374,96 @@ ORDER BY label
 """
 
 
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation — the composition the individual
+    X1-X4 operators exist for, as ONE dataflow:
+
+    1. quality gate: keep docs with ≥ 30 tokens and some stopword density
+    2. exact dedup: keep the smallest doc_id per normalized content hash
+    3. near-dup removal: from each 3-gram-Jaccard ≥ 0.8 pair, drop the
+       larger doc_id (left anti join against the pair list)
+    4. report: per language, surviving doc count and mean length
+
+    Every stage is a shuffle-keyed bulk operator (no driver loops), so the
+    pipeline scales like its parts; at 100 TB step 3 swaps in the MinHash
+    candidates with identical downstream wiring.
+    """
+    from ..functions.texts import STOPWORDS, normalize, tokens
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / n_tok
+    quality = docs.filter((n_tok >= 30) & (stop_ratio >= 0.01))
+
+    keepers = (
+        quality.select("doc_id", F.md5(normalize("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(keepers, "doc_id", "left_semi")
+
+    near_dup_losers = ngram_jaccard_pairs(deduped, threshold=0.8).select(
+        F.col("doc_b").alias("doc_id")
+    )
+    curated = deduped.join(near_dup_losers.distinct(), "doc_id", "left_anti")
+
+    return (
+        curated.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+CURATION_ORACLE = """
+WITH toks AS (
+    SELECT *, STRING_SPLIT(text, ' ') AS t FROM documents
+), quality AS (
+    SELECT * FROM toks
+    WHERE LEN(t) >= 30
+      AND LEN(LIST_FILTER(t, x -> x IN
+            ('the','a','of','and','to','in','is','on','for','with')))
+          / CAST(LEN(t) AS DOUBLE) >= 0.01
+), keepers AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM quality
+    GROUP BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+), deduped AS (
+    SELECT q.* FROM quality q JOIN keepers k ON q.doc_id = k.doc_id
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM deduped, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), losers AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
+), curated AS (
+    SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars
+FROM curated
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_corpus_curation": QuerySpec(
+        pipeline_corpus_curation, CURATION_ORACLE, headline=True
+    ),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TFIDF_ORACLE),
     "embedding_quantization_error": QuerySpec(embedding_quantization_error, QUANT_ORACLE),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
