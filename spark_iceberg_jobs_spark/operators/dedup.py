@@ -106,6 +106,10 @@ def ngram_jaccard_pairs(
     # The shingle set feeds three consumers (both self-join sides + the
     # per-doc sizes); persist it so the tokenize/shingle scan runs once.
     # MEMORY_AND_DISK by default — at 100 TB this spills instead of OOMing.
+    # Retention note: the cache entry lives in the session's CacheManager
+    # until the session ends (lazily-returned results leave no safe place to
+    # unpersist); long-lived sessions doing many dedup runs should call
+    # spark.catalog.clearCache() between batches.
     sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")

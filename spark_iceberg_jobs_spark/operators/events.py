@@ -29,21 +29,13 @@ def _epoch() -> Column:
     return F.unix_timestamp("ts")
 
 
-def tumbling_window_agg(
-    events: DataFrame,
-    *,
-    duration: str = "1 hour",
-    group_extra: list[str] | None = None,
-) -> DataFrame:
-    """Tumbling-window counts/sums: one row per (window_start, *group_extra).
-
-    Uses ``F.window`` (origin-aligned, same grid as DuckDB's date_trunc for
-    whole-hour durations); emits the window start as epoch seconds so the
-    oracle comparison is timezone-proof.
-    """
-    extra = group_extra or []
+def _window_agg(events: DataFrame, window: Column, extra: list[str]) -> DataFrame:
+    """Shared window-agg body: counts/sums per (window_start, *extra), the
+    window start emitted as epoch seconds so oracle comparison is
+    timezone-proof. A tumbling window is a sliding window with
+    slide == duration, so both public forms share this one body."""
     return (
-        events.groupBy(F.window("ts", duration).alias("w"), *extra)
+        events.groupBy(window.alias("w"), *extra)
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
@@ -57,6 +49,17 @@ def tumbling_window_agg(
     )
 
 
+def tumbling_window_agg(
+    events: DataFrame,
+    *,
+    duration: str = "1 hour",
+    group_extra: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts/sums — ``F.window`` is origin-aligned, the
+    same grid as DuckDB's date_trunc for whole-hour durations."""
+    return _window_agg(events, F.window("ts", duration), group_extra or [])
+
+
 def sliding_window_agg(
     events: DataFrame,
     *,
@@ -64,27 +67,12 @@ def sliding_window_agg(
     slide_sec: int = 1800,
     group_extra: list[str] | None = None,
 ) -> DataFrame:
-    """Sliding-window aggregation via ``F.window(ts, duration, slide)``.
-
-    Each event lands in ``duration/slide`` windows; Spark expands them with a
-    generator before the hash agg, so the cost is (expansion x partial-agg),
-    still no per-key state.
-    """
-    extra = group_extra or []
-    dur = f"{duration_sec} seconds"
-    slide = f"{slide_sec} seconds"
-    return (
-        events.groupBy(F.window("ts", dur, slide).alias("w"), *extra)
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.unix_timestamp("w.start").alias("window_start"),
-            *extra,
-            "n_events",
-            "sum_value",
-        )
+    """Sliding-window aggregation: each event expands into duration/slide
+    windows before the hash agg — expansion x partial-agg, no per-key state."""
+    return _window_agg(
+        events,
+        F.window("ts", f"{duration_sec} seconds", f"{slide_sec} seconds"),
+        group_extra or [],
     )
 
 
