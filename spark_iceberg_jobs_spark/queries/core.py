@@ -559,6 +559,98 @@ LIMIT 10
 """
 
 
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style semi join with a date-arithmetic
+    predicate — orders having ≥1 lineitem shipped more than 90 days after
+    the order date, counted per priority."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        t["orders"]
+        .join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive pushdown filter + scalar
+    aggregate — the canonical filter-pushdown benchmark (one output row)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 10)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 10
+"""
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio — the share of revenue
+    from PROMO parts per year."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    rev = _revenue()
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("l_year")
+    )
+
+
+Q14_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(100 * SUM(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_year
+ORDER BY l_year
+"""
+
+
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional trade volume between two nations by
     year — supplier nation ≠ customer nation pairs, dims broadcast twice
@@ -1027,6 +1119,9 @@ QUERIES: dict[str, QuerySpec] = {
     "layout_compression_lab": QuerySpec(layout_compression_lab, None),
     "subquery_above_nation_avg": QuerySpec(subquery_above_nation_avg, SUBQUERY_ORACLE),
     "setops_intersect": QuerySpec(setops_intersect, INTERSECT_ORACLE),
+    "q4_late_shipment_priority": QuerySpec(q4_late_shipment_priority, Q4_ORACLE),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_ORACLE, headline=True),
+    "q14_promo_revenue_share": QuerySpec(q14_promo_revenue_share, Q14_ORACLE),
     "q7_nation_volume": QuerySpec(q7_nation_volume, Q7_ORACLE),
     "q10_returned_items": QuerySpec(q10_returned_items, Q10_ORACLE, headline=True),
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_ORACLE),
