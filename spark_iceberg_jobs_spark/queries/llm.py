@@ -374,6 +374,75 @@ ORDER BY label
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (a < b) vector pairs whose cosine
+    exceeds the threshold. All-pairs is the exact baseline (O(n²) scoring,
+    fine to ~10^5 vectors with broadcast tiling); the scale path buckets by
+    SRP signature first (operators/similarity.lsh_topk machinery) and scores
+    only within buckets. Random fixture vectors peak near 0.51, so 0.42
+    yields a small, stable pair set."""
+    from ..functions.vectors import as_double, dot, norm
+
+    e = read_fixture(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    # norms once per VECTOR (n folds), not per pair (n² folds): only the
+    # dot product is pairwise work
+    e = e.withColumn("nrm", norm(F.col("v")))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("_sim", sim)
+        .filter(F.col("_sim") >= 0.42)
+        .select("vec_a", "vec_b", F.round("_sim", 4).alias("cos_sim"))
+    )
+
+
+EMBED_DEDUP_ORACLE = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.42
+"""
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per language: whitespace tokens and a
+    BPE-ish regex tokenization (letter runs / digit runs / punctuation
+    runs — the pre-tokenizer split every BPE vocabulary starts from).
+    Both are JVM-side regex engines; counts verified cross-engine."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), 0))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws.cast("long")).alias("ws_tokens"),
+            F.sum(bpe.cast("long")).alias("bpe_tokens"),
+            F.round(F.avg(bpe), 2).alias("avg_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_COUNTS_ORACLE = r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS BIGINT) AS bpe_tokens,
+       ROUND(AVG(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+'))), 2) AS avg_bpe_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation — the composition the individual
     X1-X4 operators exist for, as ONE dataflow:
@@ -464,6 +533,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_corpus_curation": QuerySpec(
         pipeline_corpus_curation, CURATION_ORACLE, headline=True
     ),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMBED_DEDUP_ORACLE),
+    "text_token_counts": QuerySpec(text_token_counts, TOKEN_COUNTS_ORACLE),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TFIDF_ORACLE),
     "embedding_quantization_error": QuerySpec(embedding_quantization_error, QUANT_ORACLE),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
