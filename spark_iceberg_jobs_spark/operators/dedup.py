@@ -134,6 +134,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_dup_clusters(
+    pairs: DataFrame,
+    *,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id, cluster)
+    with cluster = the component's minimum doc_id. The post-dedup step that
+    turns pairwise matches into keep-one-per-cluster decisions.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; rounds needed = graph diameter
+    (near-dup clusters are tiny — a handful of rounds). This is the one
+    operator family where Spark needs a DRIVER-SIDE loop (bounded, with a
+    cheap fixpoint check per round); each round is a shuffle-keyed
+    join+groupBy, so per-round cost is O(edges) regardless of cluster count.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
 def minhash_signatures(
     documents: DataFrame,
     *,

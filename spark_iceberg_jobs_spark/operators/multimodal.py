@@ -87,6 +87,27 @@ def decode_image(multimodal: DataFrame) -> DataFrame:  # pragma: no cover - stub
     )
 
 
+def resize_stub(multimodal: DataFrame, *, factor: int = 4) -> DataFrame:
+    """Deterministic stand-in for image resize: keeps every ``factor``-th
+    byte of the payload as the 'thumbnail' (a real implementation decodes,
+    bilinear-resamples, re-encodes — same mapInPandas signature, same
+    binary-in/binary-out schema)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumbnail": pdf["payload"].map(lambda b: bytes(b)[::factor]),
+                    "thumb_len": pdf["payload"].map(lambda b: len(bytes(b)[::factor])).astype("int64"),
+                }
+            )
+
+    return multimodal.mapInPandas(
+        resize, schema="doc_id bigint, thumbnail binary, thumb_len bigint"
+    )
+
+
 def sample_frames_stub(multimodal: DataFrame, *, every_n_bytes: int = 64) -> DataFrame:
     """Deterministic stand-in for video frame sampling: emits one row per
     ``every_n_bytes`` offset of the payload (as a real frame sampler emits

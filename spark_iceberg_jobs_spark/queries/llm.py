@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    connected_dup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -374,6 +375,48 @@ ORDER BY label
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components: (doc_id, cluster) for every
+    document in a Jaccard≥0.5 pair, cluster = component min doc_id. The
+    iterative Spark implementation is verified against DuckDB's RECURSIVE
+    CTE transitive closure."""
+    pairs = ngram_jaccard_pairs(read_fixture(spark, sf_dir, "documents"), threshold=0.5)
+    return connected_dup_clusters(pairs)
+
+
+DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE pairs AS (
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), commons AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b FROM commons
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+FROM reach
+GROUP BY src
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (a < b) vector pairs whose cosine
     exceeds the threshold. All-pairs is the exact baseline (O(n²) scoring,
@@ -534,6 +577,7 @@ QUERIES: dict[str, QuerySpec] = {
         pipeline_corpus_curation, CURATION_ORACLE, headline=True
     ),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMBED_DEDUP_ORACLE),
+    "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "text_token_counts": QuerySpec(text_token_counts, TOKEN_COUNTS_ORACLE),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TFIDF_ORACLE),
     "embedding_quantization_error": QuerySpec(embedding_quantization_error, QUANT_ORACLE),

@@ -200,6 +200,28 @@ def test_multimodal_features_roundtrip(spark):
     assert feats[2].mime == "text/plain"
 
 
+def test_connected_dup_clusters_chain(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) needs label propagation across
+    multiple hops — all nodes must land in cluster 1; the isolated pair
+    (8-9) keeps its own cluster."""
+    from spark_iceberg_jobs_spark.operators.dedup import connected_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (8, 9)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster for r in connected_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_resize_stub(spark):
+    from spark_iceberg_jobs_spark.operators.multimodal import resize_stub
+
+    docs = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    row = resize_stub(attach_binary_payload(docs), factor=4).first()
+    assert bytes(row.thumbnail) == b"ae"
+    assert row.thumb_len == 2
+
+
 def test_sample_frames_stub_expansion(spark):
     docs = spark.createDataFrame([(1, "x" * 130)], "doc_id long, text string")
     rows = sample_frames_stub(attach_binary_payload(docs), every_n_bytes=64).collect()
