@@ -280,6 +280,80 @@ GROUP BY user_id
 """
 
 
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: the peak number of simultaneously-active
+    sessions per hour. Sessions (30-min gap) become +1/-1 boundary events;
+    a running sum ordered by (time, delta) is the live count — ends sort
+    before starts at the same second so touching sessions don't
+    double-count. Per-hour MAX over the running count is deterministic even
+    with tied timestamps (the partial-sum multiset is order-free within a
+    tie group). One shuffle for the global order; at 100 TB you'd sweep per
+    day-partition and stitch boundaries."""
+    from pyspark.sql import Window
+
+    ev = read_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    with_gap = ev.withColumn(
+        "_new",
+        F.when(
+            (epoch - F.lag(epoch).over(w)).isNull()
+            | ((epoch - F.lag(epoch).over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    with_id = with_gap.withColumn(
+        "session_seq", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = with_id.groupBy("user_id", "session_seq").agg(
+        F.min(epoch).alias("start_es"), F.max(epoch).alias("end_es")
+    )
+    points = spans.select(
+        F.col("start_es").alias("es"), F.lit(1).alias("delta")
+    ).unionByName(spans.select(F.col("end_es").alias("es"), F.lit(-1).alias("delta")))
+    wsum = Window.orderBy("es", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    running = points.withColumn("live", F.sum("delta").over(wsum))
+    return (
+        running.groupBy((F.expr("es DIV 3600") * 3600).alias("hour_start"))
+        .agg(F.max("live").alias("max_concurrent"))
+        .orderBy("hour_start")
+    )
+
+
+CONCURRENCY_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es, ts
+    FROM events
+), gaps AS (
+    SELECT *,
+           CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id) > 1800
+                  OR LAG(es) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+), ids AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM gaps
+), spans AS (
+    SELECT user_id, session_seq, MIN(es) AS start_es, MAX(es) AS end_es
+    FROM ids GROUP BY user_id, session_seq
+), points AS (
+    SELECT start_es AS es, 1 AS delta FROM spans
+    UNION ALL
+    SELECT end_es, -1 FROM spans
+), running AS (
+    SELECT es, delta,
+           SUM(delta) OVER (ORDER BY es, delta ROWS UNBOUNDED PRECEDING) AS live
+    FROM points
+)
+SELECT es // 3600 * 3600 AS hour_start, MAX(live) AS max_concurrent
+FROM running
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def streaming_tumbling_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_tumbling_hourly: file-source
     stream → watermarked windows → AvailableNow trigger → memory sink.
@@ -298,6 +372,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_range_join_followups": QuerySpec(events_range_join_followups, RANGE_JOIN_ORACLE),
     "events_pivot_type_counts": QuerySpec(events_pivot_type_counts, PIVOT_ORACLE),
+    "events_max_concurrency": QuerySpec(events_max_concurrency, CONCURRENCY_ORACLE),
     "events_sliding_1h_30m": QuerySpec(events_sliding_1h_30m, SLIDING_ORACLE),
     "events_sessionization": QuerySpec(events_sessionization, SESSION_ORACLE, headline=True),
     "events_running_value": QuerySpec(events_running_value, RUNNING_ORACLE),
