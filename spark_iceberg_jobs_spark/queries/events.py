@@ -354,6 +354,105 @@ ORDER BY 1
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: of all users, how many ever signed up, how many of
+    those clicked after their first signup, and how many of those purchased
+    after their first post-signup click — first-occurrence ordering, one
+    groupBy with conditional mins (no joins, no window)."""
+    ev = read_fixture(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", es)).alias("t_signup")
+    )
+    clicks_after = (
+        ev.join(stages, "user_id")
+        .filter((F.col("event_type") == "click") & (es > F.col("t_signup")))
+        .groupBy("user_id")
+        .agg(F.min(es).alias("t_click"))
+    )
+    purchases_after = (
+        ev.join(stages.join(clicks_after, "user_id"), "user_id")
+        .filter((F.col("event_type") == "purchase") & (es > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min(es).alias("t_purchase"))
+    )
+    n_users = ev.select("user_id").distinct().count()
+    n_signup = stages.filter(F.col("t_signup").isNotNull()).count()
+    n_click = clicks_after.count()
+    n_purchase = purchases_after.count()
+    return spark.createDataFrame(
+        [
+            ("1_all_users", n_users),
+            ("2_signed_up", n_signup),
+            ("3_clicked_after_signup", n_click),
+            ("4_purchased_after_click", n_purchase),
+        ],
+        "stage string, n_users long",
+    )
+
+
+FUNNEL_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+    FROM events
+), s AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN es END) AS t_signup
+    FROM e GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(es) AS t_click
+    FROM e JOIN s ON e.user_id = s.user_id
+    WHERE event_type = 'click' AND es > t_signup
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(es) AS t_purchase
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE event_type = 'purchase' AND es > t_click
+    GROUP BY e.user_id
+)
+SELECT '1_all_users' AS stage, COUNT(DISTINCT user_id) AS n_users FROM e
+UNION ALL
+SELECT '2_signed_up', COUNT(*) FROM s WHERE t_signup IS NOT NULL
+UNION ALL
+SELECT '3_clicked_after_signup', COUNT(*) FROM c
+UNION ALL
+SELECT '4_purchased_after_click', COUNT(*) FROM p
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users per (cohort_day, day_offset). Two aggregations + one
+    broadcastable join — the standard retention triangle."""
+    ev = read_fixture(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    cohorts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        ev.select("user_id", day.alias("active_day"))
+        .distinct()
+        .join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort_day", (F.col("active_day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_ORACLE = """
+WITH e AS (
+    SELECT user_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS active_day
+    FROM events
+), cohorts AS (
+    SELECT user_id, MIN(active_day) AS cohort_day FROM e GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, active_day FROM e
+)
+SELECT cohort_day, active_day - cohort_day AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY cohort_day, day_offset
+"""
+
+
 def streaming_tumbling_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of events_tumbling_hourly: file-source
     stream → watermarked windows → AvailableNow trigger → memory sink.
@@ -373,6 +472,8 @@ QUERIES: dict[str, QuerySpec] = {
     "events_range_join_followups": QuerySpec(events_range_join_followups, RANGE_JOIN_ORACLE),
     "events_pivot_type_counts": QuerySpec(events_pivot_type_counts, PIVOT_ORACLE),
     "events_max_concurrency": QuerySpec(events_max_concurrency, CONCURRENCY_ORACLE),
+    "events_funnel": QuerySpec(events_funnel, FUNNEL_ORACLE),
+    "events_retention_cohorts": QuerySpec(events_retention_cohorts, RETENTION_ORACLE),
     "events_sliding_1h_30m": QuerySpec(events_sliding_1h_30m, SLIDING_ORACLE),
     "events_sessionization": QuerySpec(events_sessionization, SESSION_ORACLE, headline=True),
     "events_running_value": QuerySpec(events_running_value, RUNNING_ORACLE),
