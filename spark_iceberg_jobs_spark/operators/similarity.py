@@ -152,6 +152,72 @@ def _multi_table_sig(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into ``n_cells``
+    cells by nearest centroid, then search a probe only in its ``nprobe``
+    closest cells with exact cosine.
+
+    Centroids here are a deterministic sample of the corpus (every
+    (n/n_cells)-th vector by id) — production uses k-means, but the
+    *search* dataflow is identical and that is what scales: the corpus is
+    scored once against n_cells centroids (O(n x cells)), partitioned by
+    cell, and each probe touches nprobe/n_cells of the data. Recall vs
+    bruteforce is measured in tests; raise nprobe for recall, n_cells for
+    speed.
+    """
+    e = embeddings.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    # deterministic coarse centroids: stride-sample the corpus by id rank
+    w_all = Window.orderBy("cid")
+    ranked = e.withColumn("_rn", F.row_number().over(w_all))
+    total = ranked.count()
+    stride = max(1, total // n_cells)
+    centroids = (
+        ranked.filter((F.col("_rn") % stride == 1) & (F.col("_rn") <= stride * n_cells))
+        .select(F.col("_rn").alias("cell_raw"), F.col("cv").alias("centv"))
+        .withColumn("cell", F.dense_rank().over(Window.orderBy("cell_raw")))
+        .select("cell", "centv")
+    )
+
+    def nearest_cells(df: DataFrame, vcol: str, idcol: str, top: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            idcol, vcol, "cell", cosine(F.col(vcol), F.col("centv")).alias("csim")
+        )
+        w = Window.partitionBy(idcol).orderBy(F.desc("csim"), F.asc("cell"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= top)
+            .select(idcol, vcol, "cell")
+        )
+
+    assigned = nearest_cells(e, "cv", "cid", 1)
+    p = probes.select(F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv"))
+    probe_cells = nearest_cells(p, "pv", "probe_id", nprobe)
+
+    cands = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("cid") != F.col("probe_id"))
+        .dropDuplicates(["probe_id", "cid"])
+    )
+    scored = cands.select(
+        "probe_id", F.col("cid").alias("neighbor_id"), cosine(F.col("pv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     probes: DataFrame,

@@ -20,7 +20,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.multimodal import attach_binary_payload, extract_payload_features
-from ..operators.similarity import bruteforce_topk, centroid_similarity, lsh_topk
+from ..operators.similarity import bruteforce_topk, centroid_similarity, ivf_topk, lsh_topk
 from ..operators.text import fingerprints, lang_profile, language_id, quality_scores, top_terms
 from ..sources.readers import read_fixture
 from . import QuerySpec
@@ -256,6 +256,14 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_fixture(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, probes, k=5)
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant (rows-only: cell assignment is a heuristic; recall
+    vs sim_bruteforce_topk is measured in tests)."""
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, probes, k=5, n_cells=10, nprobe=3)
 
 
 def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,5 +601,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_bruteforce_topk": QuerySpec(sim_bruteforce_topk, BRUTEFORCE_ORACLE, headline=True),
     "sim_centroid_per_label": QuerySpec(sim_centroid_per_label, CENTROID_ORACLE),
     "sim_lsh_topk": QuerySpec(sim_lsh_topk, None),
+    "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
     "multimodal_payload_features": QuerySpec(multimodal_payload_features, MULTIMODAL_ORACLE),
 }

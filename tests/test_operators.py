@@ -110,6 +110,28 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.4, f"multi-table LSH recall {recall} (random vectors)"
 
 
+def test_ivf_topk_recall_scales_with_nprobe(spark, sf_dir):
+    from spark_iceberg_jobs_spark.operators.similarity import ivf_topk
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.probe_id, r.neighbor_id) for r in bruteforce_topk(emb, probes, k=5).collect()}
+    narrow = {(r.probe_id, r.neighbor_id) for r in ivf_topk(emb, probes, k=5, nprobe=2).collect()}
+    wide = {(r.probe_id, r.neighbor_id) for r in ivf_topk(emb, probes, k=5, nprobe=10).collect()}
+    assert len(bf & wide) / len(bf) == 1.0, "nprobe=n_cells must equal brute force"
+    assert len(narrow) <= len(wide)
+
+
+def test_multiway_join(spark, sf_dir):
+    from spark_iceberg_jobs_spark.operators.joins import multiway_join
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, a string")
+    b = spark.createDataFrame([(1, 10), (2, 20)], "k long, b int")
+    c = spark.createDataFrame([(1, True)], "k long, c boolean")
+    rows = multiway_join([a, b, c], on="k").collect()
+    assert len(rows) == 1 and rows[0].k == 1
+
+
 def test_bruteforce_topk_self_excluded_and_ranked(spark, sf_dir):
     emb = read_fixture(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") == 0)
