@@ -34,31 +34,34 @@ def run() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in reg.items():
         if not spec.headline:
             continue
         # best-of-2: the first run pays codegen + OS page-cache warmup that a
         # steady-state cluster job never sees; the min is the honest number.
         best = float("inf")
-        for _ in range(2):
-            df = spec.fn(spark, sf_dir)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                df = spec.fn(spark, sf_dir)
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
