@@ -280,6 +280,50 @@ GROUP BY user_id
 """
 
 
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (gap-closing windows) — the
+    built-in twin of the manual lag/cumsum sessionize: same 30-min-gap
+    semantics, one groupBy, no explicit window functions. Verified against
+    the manual formulation's oracle (session start = min event second)."""
+    ev = read_fixture(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.unix_timestamp(F.min("ts")).alias("start_es"),
+        )
+        .select("user_id", "start_es", "n_events", "session_value")
+    )
+
+
+SESSION_NATIVE_ORACLE = """
+-- session_window merges while the µs-precision gap is <= 30min (verified
+-- empirically: an exactly-1800s gap merges, 1800s+1µs splits), so the gap
+-- test here runs on EPOCH_US, not floor-seconds
+WITH e AS (
+    SELECT user_id, event_id, value,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es,
+           EPOCH_US(ts) AS us, ts
+    FROM events
+), gaps AS (
+    SELECT *,
+           CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+                  OR LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+), ids AS (
+    SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM gaps
+)
+SELECT user_id, MIN(es) AS start_es, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM ids
+GROUP BY user_id, session_seq
+"""
+
+
 def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line concurrency: the peak number of simultaneously-active
     sessions per hour. Sessions (30-min gap) become +1/-1 boundary events;
@@ -475,6 +519,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_funnel": QuerySpec(events_funnel, FUNNEL_ORACLE),
     "events_retention_cohorts": QuerySpec(events_retention_cohorts, RETENTION_ORACLE),
     "events_sliding_1h_30m": QuerySpec(events_sliding_1h_30m, SLIDING_ORACLE),
+    "events_session_window_native": QuerySpec(
+        events_session_window_native, SESSION_NATIVE_ORACLE
+    ),
     "events_sessionization": QuerySpec(events_sessionization, SESSION_ORACLE, headline=True),
     "events_running_value": QuerySpec(events_running_value, RUNNING_ORACLE),
     "events_props_extract": QuerySpec(events_props_extract, PROPS_ORACLE),

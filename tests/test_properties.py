@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from spark_iceberg_jobs_spark.operators.dedup import exact_dedup
 from spark_iceberg_jobs_spark.operators.events import sessionize
-from spark_iceberg_jobs_spark.operators.joins import asof_join
+from spark_iceberg_jobs_spark.operators.joins import asof_join, banded_range_join
 
 SETTINGS = settings(
     max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
@@ -87,6 +87,41 @@ asof_strategy = st.tuples(
     ),
     st.booleans(),
 )
+
+
+range_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10),
+    st.integers(min_value=1, max_value=20),
+)
+
+
+@SETTINGS
+@given(range_strategy)
+def test_banded_range_join_matches_naive(spark, data):
+    """Band-bucketed range join == naive inequality scan, including
+    bucket-boundary cases (small integer timestamps collide with bucket
+    edges by design)."""
+    lrows, rrows, gap = data
+    left = spark.createDataFrame(
+        [(i, k, es) for i, (k, es) in enumerate(lrows)], "lid long, k long, les long"
+    )
+    right = spark.createDataFrame(
+        [(j, k, es) for j, (k, es) in enumerate(rrows)], "rid long, k long, res long"
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in banded_range_join(
+            left, right, on="k", left_es="les", right_es="res", max_gap_sec=gap
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, (lk, les) in enumerate(lrows)
+        for j, (rk, res) in enumerate(rrows)
+        if lk == rk and les < res <= les + gap
+    }
+    assert got == expected
 
 
 @SETTINGS
