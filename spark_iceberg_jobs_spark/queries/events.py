@@ -398,6 +398,40 @@ ORDER BY 1
 """
 
 
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: one pass producing day-level,
+    (day, hour)-level, and grand-total aggregates via ROLLUP over derived
+    time buckets — the continuous-aggregate table a time-series store
+    maintains, computed as a single grouping-sets aggregation."""
+    ev = read_fixture(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    day = (es / 86400).cast("long")
+    hour = (es / 3600).cast("long") % 24
+    return (
+        ev.withColumn("day_num", day)
+        .withColumn("hour_of_day", hour)
+        .rollup("day_num", "hour_of_day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+TIME_ROLLUP_ORACLE = """
+WITH e AS (
+    SELECT CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS day_num,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 3600 % 24 AS hour_of_day,
+           value
+    FROM events
+)
+SELECT day_num, hour_of_day, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM e
+GROUP BY ROLLUP (day_num, hour_of_day)
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: of all users, how many ever signed up, how many of
     those clicked after their first signup, and how many of those purchased
@@ -517,6 +551,7 @@ QUERIES: dict[str, QuerySpec] = {
     "events_pivot_type_counts": QuerySpec(events_pivot_type_counts, PIVOT_ORACLE),
     "events_max_concurrency": QuerySpec(events_max_concurrency, CONCURRENCY_ORACLE),
     "events_funnel": QuerySpec(events_funnel, FUNNEL_ORACLE),
+    "events_time_rollup": QuerySpec(events_time_rollup, TIME_ROLLUP_ORACLE),
     "events_retention_cohorts": QuerySpec(events_retention_cohorts, RETENTION_ORACLE),
     "events_sliding_1h_30m": QuerySpec(events_sliding_1h_30m, SLIDING_ORACLE),
     "events_session_window_native": QuerySpec(
