@@ -1065,6 +1065,34 @@ FROM lineitem
 """
 
 
+def stats_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance and Pearson
+    correlation per return flag — single-pass distributed moments."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 3).alias("std_price"),
+            F.round(F.var_samp("l_quantity"), 3).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("corr_qty_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_ORACLE = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 3) AS std_price,
+       ROUND(VAR_SAMP(l_quantity), 3) AS var_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 5) AS corr_qty_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spark.sql(...) entry point (reference §3.2: the DDL loop at
     job1:281 is the only SQL the reference executes; here the full analytics
@@ -1127,6 +1155,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_ORACLE),
     "window_lag_order_gaps": QuerySpec(window_lag_order_gaps, LAG_GAPS_ORACLE),
     "sql_interface_revenue": QuerySpec(sql_interface_revenue, SQL_INTERFACE_ORACLE),
+    "stats_moments_by_flag": QuerySpec(stats_moments_by_flag, STATS_ORACLE),
     "profile_lineitem": QuerySpec(profile_lineitem, PROFILE_ORACLE),
     "argmax_customer_per_nation": QuerySpec(argmax_customer_per_nation, ARGMAX_ORACLE),
     "cube_order_stats": QuerySpec(cube_order_stats, CUBE_ORACLE),

@@ -541,9 +541,17 @@ def streaming_tumbling_hourly_query(spark: SparkSession, sf_dir: str) -> DataFra
     return streaming_tumbling_hourly(spark, sf_dir)
 
 
+def streaming_sliding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_sliding_1h_30m (shared oracle)."""
+    from ..streaming.events_stream import streaming_sliding_1h_30m
+
+    return streaming_sliding_1h_30m(spark, sf_dir)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling_hourly": QuerySpec(events_tumbling_hourly, TUMBLING_ORACLE, headline=True),
     "streaming_tumbling_hourly": QuerySpec(streaming_tumbling_hourly_query, TUMBLING_ORACLE),
+    "streaming_sliding_1h_30m": QuerySpec(streaming_sliding_query, SLIDING_ORACLE),
     "events_asof_purchase_click": QuerySpec(
         events_asof_purchase_click, ASOF_ORACLE, headline=True
     ),

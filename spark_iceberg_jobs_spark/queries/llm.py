@@ -494,6 +494,34 @@ ORDER BY lang
 """
 
 
+def text_edit_distance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (levenshtein) text matching: distance from each doc's
+    30-char prefix to a fixed probe phrase, bucketed — the fuzzy-match
+    primitive for title/URL dedup where token methods are too coarse.
+    Exact integer distances, directly comparable across engines."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    probe = "the fast key order sort table"
+    dist = F.levenshtein(F.substring("text", 1, 30), F.lit(probe))
+    return (
+        docs.select("doc_id", dist.alias("d"))
+        .groupBy((F.col("d") / 5).cast("long").alias("dist_bucket"))
+        .agg(F.count("*").alias("n_docs"), F.min("d").cast("long").alias("min_dist"))
+        .orderBy("dist_bucket")
+    )
+
+
+EDIT_DISTANCE_ORACLE = """
+SELECT LEVENSHTEIN(SUBSTRING(text, 1, 30), 'the fast key order sort table') // 5
+         AS dist_bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(LEVENSHTEIN(SUBSTRING(text, 1, 30), 'the fast key order sort table'))
+            AS BIGINT) AS min_dist
+FROM documents
+GROUP BY dist_bucket
+ORDER BY dist_bucket
+"""
+
+
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation — the composition the individual
     X1-X4 operators exist for, as ONE dataflow:
@@ -587,6 +615,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMBED_DEDUP_ORACLE),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "text_token_counts": QuerySpec(text_token_counts, TOKEN_COUNTS_ORACLE),
+    "text_edit_distance_probe": QuerySpec(text_edit_distance_probe, EDIT_DISTANCE_ORACLE),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TFIDF_ORACLE),
     "embedding_quantization_error": QuerySpec(embedding_quantization_error, QUANT_ORACLE),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),

@@ -107,6 +107,38 @@ def run_available_now(
     return result.sparkSession.table(name)
 
 
+def sliding_counts(
+    events: DataFrame,
+    *,
+    duration: str = "3600 seconds",
+    slide: str = "1800 seconds",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (streaming twin of
+    operators.events.sliding_window_agg — same output schema, no
+    per-type grouping)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming sliding windows over the bounded fixture —
+    byte-identical to the batch events_sliding_1h_30m, so it shares that
+    DuckDB oracle."""
+    return run_available_now(sliding_counts(stream_events(spark, sf_dir)))
+
+
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: stream source → watermarked hourly windows → memory sink.
 
