@@ -161,31 +161,37 @@ def ivf_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into ``n_cells``
     cells by nearest centroid, then search a probe only in its ``nprobe``
     closest cells with exact cosine.
 
-    Centroids here are a deterministic sample of the corpus (every
-    (n/n_cells)-th vector by id) — production uses k-means, but the
-    *search* dataflow is identical and that is what scales: the corpus is
+    Default centroids are the ``n_cells`` corpus vectors with the smallest
+    ``xxhash64(id)`` — a deterministic, order-free sample. ``orderBy(hash)
+    .limit(n)`` compiles to TakeOrderedAndProject: every scan task keeps its
+    local top-n and the driver merges only n x partitions candidate rows, so
+    seeding costs one scan with NO global sort, NO single-partition window,
+    and NO extra count() action (the round-1 version had all three).
+    Production passes k-means ``centroids`` (columns ``cell``, ``centv``) —
+    the *search* dataflow is identical and that is what scales: the corpus is
     scored once against n_cells centroids (O(n x cells)), partitioned by
     cell, and each probe touches nprobe/n_cells of the data. Recall vs
     bruteforce is measured in tests; raise nprobe for recall, n_cells for
     speed.
     """
     e = embeddings.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
-    # deterministic coarse centroids: stride-sample the corpus by id rank
-    w_all = Window.orderBy("cid")
-    ranked = e.withColumn("_rn", F.row_number().over(w_all))
-    total = ranked.count()
-    stride = max(1, total // n_cells)
-    centroids = (
-        ranked.filter((F.col("_rn") % stride == 1) & (F.col("_rn") <= stride * n_cells))
-        .select(F.col("_rn").alias("cell_raw"), F.col("cv").alias("centv"))
-        .withColumn("cell", F.dense_rank().over(Window.orderBy("cell_raw")))
-        .select("cell", "centv")
-    )
+    if centroids is None:
+        # The sampled vector's own id is the cell key — dense 1..n numbering
+        # would need a window; the join below only needs distinctness.
+        centroids = (
+            e.withColumn("_h", F.xxhash64(F.col("cid").cast("string")))
+            .orderBy("_h", "cid")
+            .limit(n_cells)
+            .select(F.col("cid").alias("cell"), F.col("cv").alias("centv"))
+        )
+    else:
+        centroids = centroids.select("cell", "centv")
 
     def nearest_cells(df: DataFrame, vcol: str, idcol: str, top: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(centroids)).select(
