@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.cache import release, scoped_persist
 from ..functions.texts import normalize, tokens
 
 
@@ -106,11 +107,10 @@ def ngram_jaccard_pairs(
     # The shingle set feeds three consumers (both self-join sides + the
     # per-doc sizes); persist it so the tokenize/shingle scan runs once.
     # MEMORY_AND_DISK by default — at 100 TB this spills instead of OOMing.
-    # Retention note: the cache entry lives in the session's CacheManager
-    # until the session ends (lazily-returned results leave no safe place to
-    # unpersist); long-lived sessions doing many dedup runs should call
-    # spark.catalog.clearCache() between batches.
-    sh = sh.persist()
+    # Retention: scoped_persist registers the entry with the caller's
+    # cache_scope() so batch runners drop it after materializing; outside a
+    # scope it is a plain persist (session-lifetime, as before).
+    sh = scoped_persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -137,45 +137,87 @@ def ngram_jaccard_pairs(
 def connected_dup_clusters(
     pairs: DataFrame,
     *,
-    max_iter: int = 10,
+    max_iter: int = 15,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id, cluster)
     with cluster = the component's minimum doc_id. The post-dedup step that
     turns pairwise matches into keep-one-per-cluster decisions.
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors; rounds needed = graph diameter
-    (near-dup clusters are tiny — a handful of rounds). This is the one
-    operator family where Spark needs a DRIVER-SIDE loop (bounded, with a
-    cheap fixpoint check per round); each round is a shuffle-keyed
-    join+groupBy, so per-round cost is O(edges) regardless of cluster count.
+    Iterative min-label propagation with POINTER JUMPING: each round every
+    node takes the min label among itself and its neighbors, then follows
+    its label's label (path halving), so reach doubles per round and
+    convergence is O(log diameter) — max_iter=15 covers diameters past
+    30 000, vs the plain propagation that silently returned unconverged
+    labels for any chain longer than max_iter (ADVICE r1 / VERDICT item 7).
+    If the fixpoint is still not reached the function RAISES rather than
+    returning wrong labels. This is the one operator family where Spark
+    needs a DRIVER-SIDE loop (bounded, with a cheap fixpoint check per
+    round); each round is a shuffle-keyed join+groupBy, so per-round cost is
+    O(edges + nodes) regardless of cluster count.
+
+    Each round ends in an EAGER localCheckpoint: iterative self-reference
+    otherwise multiplies the logical plan ~4x per round (labels appears in
+    the neighbor join AND both sides of the pointer jump), which blows up
+    analysis time and driver heap long before data size matters. The
+    checkpoint truncates lineage to a constant-size plan; the previous
+    round's checkpoint blocks are explicitly dropped once the fixpoint
+    check has consumed them.
     """
-    edges = (
+    edges = scoped_persist(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .persist()
     )
+    jsc = pairs.sparkSession.sparkContext._jsc
+
+    def _block_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _drop_blocks(ids: set[int]) -> None:
+        jmap = jsc.getPersistentRDDs()
+        for i in ids:
+            if jmap.containsKey(i):
+                jmap.get(i).unpersist()
+
+    before = _block_ids()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
+    labels_ids = _block_ids() - before
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+        )
+        # pointer jumping: label ← label(label). Labels are always node ids
+        # within the component, so the lookup is a self-join on the label
+        # table; combined with neighbor-min this halves chain lengths.
+        ptr = propagated.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        before = _block_ids()
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            propagated.join(ptr, propagated.label == ptr.pnode, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("plabel", F.col("label"))).alias(
+                    "label"
+                ),
             )
-            .persist()
+            .localCheckpoint()
         )
+        new_ids = _block_ids() - before
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -183,11 +225,17 @@ def connected_dup_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        _drop_blocks(labels_ids)
+        labels, labels_ids = new_labels, new_ids
         if changed == 0:
             break
-    edges.unpersist()
+    release(edges)
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} rounds; "
+            "raise max_iter (reach doubles per round: 15 rounds covers "
+            "diameter ~32k)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
@@ -237,10 +285,9 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    banded = (
+    banded = scoped_persist(  # consumed by both self-join sides; signatures hash once
         sig.select("doc_id", "sig", F.explode(F.array(*band_cols)).alias("bb"))
         .select("doc_id", "sig", "bb.band", "bb.bucket")
-        .persist()  # consumed by both self-join sides; signatures hash once
     )
 
     a = banded.alias("a")
@@ -328,10 +375,9 @@ def simhash_near_pairs(
             for bi in range(bands)
         ]
     )
-    banded = (
+    banded = scoped_persist(  # both self-join sides; the 64-bit-sum agg runs once
         fp.select("doc_id", "simhash", F.explode(chunks).alias("bb"))
         .select("doc_id", "simhash", "bb.band", "bb.chunk")
-        .persist()  # both self-join sides; the 64-bit-sum agg runs once
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -192,13 +192,16 @@ def banded_range_join(
     join fan-out is bounded by rows-per-bucket, the filter is codegen'd, and
     the plan is a plain shuffled equi join on (key, bucket).
     """
-    r = right.withColumn("_bucket", (F.col(right_es) / max_gap_sec).cast("long"))
+    # floor division, NOT cast-truncation: cast("long") truncates toward
+    # zero, so pre-1970 (negative) epochs would round the two sides into
+    # misaligned buckets and silently drop matching pairs (ADVICE r1)
+    r = right.withColumn("_bucket", F.floor(F.col(right_es) / max_gap_sec).cast("long"))
     l_binned = left.withColumn(
         "_bucket",
         F.explode(
             F.array(
-                (F.col(left_es) / max_gap_sec).cast("long"),
-                (F.col(left_es) / max_gap_sec).cast("long") + 1,
+                F.floor(F.col(left_es) / max_gap_sec).cast("long"),
+                F.floor(F.col(left_es) / max_gap_sec).cast("long") + 1,
             )
         ),
     )

@@ -451,6 +451,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed embedding near-dup pairs — the 100 TB path for
+    dedup_embedding_cosine (which stays as the exact small-n oracle
+    baseline). Candidates come from a (table, signature) self-join across 8
+    SRP tables, so shuffle volume is O(n x tables), never O(n²); survivors
+    are re-scored with exact cosine, making precision exact and only recall
+    probabilistic (measured vs the exact pairs in tests). Rows-only check:
+    recall < 1 by design on the fixture's random vectors."""
+    from ..operators.similarity import srp_dedup_pairs
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    return srp_dedup_pairs(emb, threshold=0.42, num_planes=3, num_tables=8)
+
+
 EMBED_DEDUP_ORACLE = """
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -613,6 +627,7 @@ QUERIES: dict[str, QuerySpec] = {
         pipeline_corpus_curation, CURATION_ORACLE, headline=True
     ),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMBED_DEDUP_ORACLE),
+    "dedup_embedding_cosine_bucketed": QuerySpec(dedup_embedding_cosine_bucketed, None),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "text_token_counts": QuerySpec(text_token_counts, TOKEN_COUNTS_ORACLE),
     "text_edit_distance_probe": QuerySpec(text_edit_distance_probe, EDIT_DISTANCE_ORACLE),

@@ -22,6 +22,13 @@ This factory bakes in the settings we want on a real cluster:
   this environment; ``enable_iceberg`` is a no-op with a warning unless the
   jar is on the classpath — every query in this repo runs on plain parquet
   so correctness never depends on Iceberg, per SURVEY.md §7.2 M2 risk note).
+
+Known session-wide side effect: the first events-fixture read sets
+``spark.sql.legacy.parquet.nanosAsLong=true`` for the REST OF THE SESSION
+(sources/readers.read_fixture) — subsequent nanos-timestamp parquet reads
+come back as raw longs. It cannot be scoped per-read because the scan
+re-reads the conf at execution time (restoring it makes lazy consumers
+throw PARQUET_TYPE_ILLEGAL).
 """
 
 from __future__ import annotations

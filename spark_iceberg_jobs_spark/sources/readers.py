@@ -36,6 +36,16 @@ def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and truncate to a microsecond TimestampType. Truncation only ever moves
     *down* within the same second/window bucket, so windowing, epoch-second
     math, and ordering (tie-broken by event_id) are unaffected.
+
+    SESSION-WIDE SIDE EFFECT (deliberate — ADVICE r1): ``nanosAsLong`` stays
+    set for the session's lifetime after the first events read. It cannot be
+    scoped set/read/restore around the read because the parquet scan
+    re-reads the conf at EXECUTION time — restoring it before a lazy
+    consumer materializes makes the scan throw PARQUET_TYPE_ILLEGAL
+    (verified empirically on Spark 4.1). Consequence: any OTHER
+    nanos-timestamp parquet read in the same session also comes back as
+    long; callers who need TimestampType must convert as done here. The
+    session factory documents the same flag (session.py).
     """
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")

@@ -209,6 +209,17 @@ def foreach_batch_upsert_sink(
         import shutil
 
         spark = batch_df.sparkSession
+        # Crash recovery (ADVICE r1): a crash between rename(target→aside)
+        # and rename(tmp→target) leaves the full history in the aside dir
+        # and NO target — without this check the run would silently rebuild
+        # the table from one micro-batch. aside+target both present means
+        # the crash was after the swap (target is newer) — drop the aside.
+        aside = target_path.rstrip("/") + "__prev"
+        if os.path.exists(aside):
+            if os.path.exists(target_path):
+                shutil.rmtree(aside)
+            else:
+                os.rename(aside, target_path)
         if os.path.exists(target_path):
             target = spark.read.parquet(target_path)
             merged = merge_upsert(target, batch_df, key=key)
@@ -222,7 +233,6 @@ def foreach_batch_upsert_sink(
         tmp = target_path.rstrip("/") + f"__b{batch_id}"
         try:
             merged.write.mode("overwrite").parquet(tmp)
-            aside = target_path.rstrip("/") + "__prev"
             had_target = os.path.exists(target_path)
             if had_target:
                 os.rename(target_path, aside)

@@ -122,6 +122,24 @@ def test_ivf_topk_recall_scales_with_nprobe(spark, sf_dir):
     assert len(narrow) <= len(wide)
 
 
+def test_srp_dedup_pairs_subset_of_exact_with_recall(spark, sf_dir):
+    """VERDICT r1 item 4: the SRP-bucketed near-dup must (a) never emit a
+    pair the exact all-pairs baseline wouldn't (precision 1.0 — survivors
+    are re-scored with true cosine) and (b) retain most of the exact pairs
+    even in the fixture's hostile cos≈0.42 regime (random vectors; true
+    near-dups at cos≥0.9 bucket far better — see srp_dedup_pairs docstring)."""
+    from spark_iceberg_jobs_spark.operators.similarity import srp_dedup_pairs
+    from spark_iceberg_jobs_spark.queries.llm import dedup_embedding_cosine
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    exact = {(r.vec_a, r.vec_b) for r in dedup_embedding_cosine(spark, sf_dir).collect()}
+    approx = {(r.vec_a, r.vec_b) for r in srp_dedup_pairs(emb).collect()}
+    assert exact, "exact baseline should find pairs at 0.42 on the fixture"
+    assert approx <= exact, f"false positives: {approx - exact}"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"SRP-bucketed recall {recall} (random vectors)"
+
+
 def test_multiway_join(spark, sf_dir):
     from spark_iceberg_jobs_spark.operators.joins import multiway_join
 
@@ -233,6 +251,44 @@ def test_connected_dup_clusters_chain(spark):
     )
     got = {r.doc_id: r.cluster for r in connected_dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 8: 8, 9: 8}
+
+
+def test_connected_dup_clusters_long_chain_converges(spark):
+    """VERDICT r1 item 7: a 25-node chain has diameter 24 — plain min-label
+    propagation with max_iter=10 would return wrong labels silently. Pointer
+    jumping must converge it (reach doubles per round: ~6 rounds), and a
+    too-small max_iter must RAISE instead of returning unconverged labels."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.operators.dedup import connected_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 25)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster for r in connected_dup_clusters(chain).collect()}
+    assert got == {i: 1 for i in range(1, 26)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_dup_clusters(chain, max_iter=2)
+
+
+def test_cache_scope_releases_all_persisted_intermediates(spark, sf_dir):
+    """VERDICT r1 item 8: after a batch materializes inside cache_scope(),
+    the session's CacheManager must hold nothing — long sessions running
+    many dedup batches must not accumulate entries."""
+    from spark_iceberg_jobs_spark.functions.cache import cache_scope
+    from spark_iceberg_jobs_spark.queries.llm import pipeline_corpus_curation
+
+    def ids():
+        return {
+            int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    before = ids()  # other tests in the shared session may hold caches
+    with cache_scope():
+        rows = pipeline_corpus_curation(spark, sf_dir).collect()
+        assert rows
+    leaked = ids() - before
+    assert not leaked, f"persisted RDDs leaked by the batch: {sorted(leaked)}"
 
 
 def test_resize_stub(spark):

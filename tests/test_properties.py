@@ -90,8 +90,8 @@ asof_strategy = st.tuples(
 
 
 range_strategy = st.tuples(
-    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10),
-    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(-50, 50)), min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(-50, 50)), min_size=1, max_size=10),
     st.integers(min_value=1, max_value=20),
 )
 
@@ -101,7 +101,8 @@ range_strategy = st.tuples(
 def test_banded_range_join_matches_naive(spark, data):
     """Band-bucketed range join == naive inequality scan, including
     bucket-boundary cases (small integer timestamps collide with bucket
-    edges by design)."""
+    edges by design) and NEGATIVE epochs (pre-1970 — bucketing must be
+    floor division, not cast-truncation; ADVICE r1)."""
     lrows, rrows, gap = data
     left = spark.createDataFrame(
         [(i, k, es) for i, (k, es) in enumerate(lrows)], "lid long, k long, les long"

@@ -28,11 +28,23 @@ def test_headline_queries_marked():
 def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     df = REG[name].fn(spark, sf_dir)
     rows = df.limit(2000).collect()
-    if name.startswith(("dedup_ngram", "dedup_minhash", "dedup_simhash", "sim_lsh")):
+    if name.startswith(
+        ("dedup_ngram", "dedup_minhash", "dedup_simhash", "sim_lsh", "dedup_embedding_cosine_b")
+    ):
         return  # near-dup pair counts may legitimately be 0 at sf0.001
     if name == "q7_nation_volume":
         return  # the specific nation pair may have no trade at 10-supplier scale
     assert rows, f"{name} returned 0 rows at smoke scale"
+
+
+def test_driver_window_covers_llm_and_events_tiers():
+    """VERDICT r1 item 2: the driver scores only the first DRIVER_WINDOW
+    registry entries — every llm + events query must land inside them."""
+    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, events, llm
+
+    window = set(list(REG)[:DRIVER_WINDOW])
+    outside = (set(llm.QUERIES) | set(events.QUERIES)) - window
+    assert not outside, f"llm/events queries outside the driver window: {sorted(outside)}"
 
 
 def test_entry_contract(spark):

@@ -95,6 +95,34 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
     assert {(r.user_id, r.n, r.total) for r in back.collect()} == expected
 
 
+def test_upsert_sink_recovers_orphaned_aside_dir(spark, sf_dir, tmp_path):
+    """ADVICE r1 (medium): a crash between rename(target→__prev) and
+    rename(tmp→target) leaves the history ONLY in __prev. The sink must
+    restore it — not silently rebuild the table from one micro-batch. A
+    sentinel user that exists only in the orphaned history must survive."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.streaming.events_stream import foreach_batch_upsert_sink
+
+    target = str(tmp_path / "user_totals")
+    # simulate the crash state: history landed in __prev, no target dir
+    history = spark.createDataFrame(
+        [(999_999, 7, 1.25)], "user_id long, n long, total double"
+    )
+    history.write.parquet(target + "__prev")
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    foreach_batch_upsert_sink(agg, target_path=target, key="user_id")
+    back = {r.user_id: (r.n, r.total) for r in spark.read.parquet(target).collect()}
+    assert back[999_999] == (7, 1.25), "orphaned history must be restored, not lost"
+    import os
+
+    assert not os.path.exists(target + "__prev"), "aside dir must be consumed"
+
+
 def test_sessionize_stream_emits_closed_sessions(spark, sf_dir):
     """applyInPandasWithState sessionization: every *closed* session the
     stream emits must exist in the batch sessionization with identical
