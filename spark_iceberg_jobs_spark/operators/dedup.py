@@ -11,17 +11,20 @@ Scale design (the whole point at 100 TB):
   shingle, so cost is Σ_shingle freq² — fine when no shingle is hot. A stop-
   shingle cap (drop shingles with doc-frequency > limit) bounds the worst
   case; at 100 TB you run MinHash-LSH below instead and verify candidates.
-- **MinHash+LSH** computes a k-permutation signature in one pass (k cheap
-  xxhash64 calls per shingle, map-side min-aggregated), then bands the
-  signature so only same-bucket docs are ever joined. Shuffle volume is
-  O(docs x bands), independent of pair count.
+- **MinHash+LSH** computes a k-permutation signature in one pass (k hash
+  calls per shingle, map-side min-aggregated), then bands the signature so
+  only same-bucket docs are ever joined. Shuffle volume is O(docs x bands),
+  independent of pair count.
 - **SimHash** collapses each doc to a 64-bit fingerprint (one shuffle of
   8 bytes/doc); near-dups are same-fingerprint groups or small-hamming pairs
   found via band-exploded self-join.
 
-All hashing is seeded/deterministic (xxhash64) — rerunning yields identical
-outputs, required by the driver's hash-compare and by any incremental
-pipeline diffing runs.
+All hashing is seeded/deterministic — rerunning yields identical outputs,
+required by the driver's hash-compare and by any incremental pipeline
+diffing runs. The sketch operators take ``portable=True`` (default: md5-
+derived hashes any SQL engine can recompute, enabling end-to-end DuckDB
+hash verification) or ``portable=False`` (xxhash64, maximum throughput,
+same banding math).
 """
 
 from __future__ import annotations
@@ -244,15 +247,31 @@ def minhash_signatures(
     *,
     n: int = 3,
     num_hashes: int = 32,
+    portable: bool = True,
 ) -> DataFrame:
     """k-min-value MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, salt_i). One explode + one groupBy with k min() aggs —
-    map-side partials make the shuffle O(docs x k)."""
+    hash_i(shingle). One explode + one groupBy with k min() aggs — map-side
+    partials make the shuffle O(docs x k).
+
+    ``portable=True`` (default) hashes with md5 over a salted string and
+    takes the LEXICOGRAPHIC min of the hex digests — a valid uniform
+    minhash that any SQL engine with md5 can recompute, which is what lets
+    the driver hash-verify the whole LSH pipeline against DuckDB.
+    ``portable=False`` swaps in xxhash64 (integer min) for maximum
+    throughput when cross-engine verification isn't needed; the banding
+    math is identical either way.
+    """
     sh = _distinct_shingles(documents, n=n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    if portable:
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy("doc_id").agg(*mins)
 
 
@@ -263,26 +282,35 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     est_threshold: float = 0.7,
+    portable: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates with signature-estimated Jaccard.
 
     Signature is split into ``bands`` (rows = num_hashes/bands); docs
     sharing any band-hash become candidates (probability 1-(1-j^r)^b). The
-    estimate is the fraction of agreeing signature positions. Deterministic;
-    not SQL-oracle-able (DuckDB lacks xxhash64) → rows-only check; exactness
-    is cross-checked against ngram_jaccard_pairs in tests.
+    estimate is the fraction of agreeing signature positions. Deterministic,
+    and with ``portable=True`` (md5-based minhash, see minhash_signatures)
+    fully SQL-replayable — the driver hash-verifies it against a DuckDB
+    oracle end-to-end; ``portable=False`` uses xxhash64 for throughput.
+    Exactness is additionally cross-checked against ngram_jaccard_pairs in
+    tests.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(documents, n=n, num_hashes=num_hashes)
+    sig = minhash_signatures(documents, n=n, num_hashes=num_hashes, portable=portable)
     sig = sig.withColumn("sig", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]))
 
+    def _bucket(bi: int):
+        cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+        if portable:
+            # md5 over the joined hex digests: fixed 32-char shuffle key,
+            # reproducible in any SQL engine (DuckDB MD5 || CONCAT_WS)
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias("bucket"),
-        )
+        F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
         for bi in range(bands)
     ]
     banded = scoped_persist(  # consumed by both self-join sides; signatures hash once
@@ -320,20 +348,36 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_fingerprints(documents: DataFrame, *, bits: int = 64) -> DataFrame:
+def simhash_fingerprints(
+    documents: DataFrame, *, bits: int = 64, portable: bool = True
+) -> DataFrame:
     """64-bit SimHash per doc: bit_j = sign of Σ_tokens (±1 by token-hash bit j).
 
     Computed as an exploded token stream with per-bit conditional sums —
     partial aggregation keeps the shuffle at O(docs x bits/8 bytes).
+
+    ``portable=True`` (default) takes token-hash bit j from the md5 hex
+    digest (bit j%4 of hex digit j/4) — one md5 per token, and a SQL engine
+    with md5 can recompute the identical fingerprint, so the driver
+    hash-verifies the pipeline against DuckDB. ``portable=False`` uses
+    xxhash64 bits for maximum throughput; banding math is identical.
     """
-    tok = documents.select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    tok = documents.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    if portable:
+        tok = tok.select("doc_id", F.md5("tok").alias("h"))
+
+        def _bit(j: int):
+            dig = F.conv(F.substring("h", j // 4 + 1, 1), 16, 10).cast("int")
+            return F.shiftright(dig, j % 4).bitwiseAND(F.lit(1))
+
+    else:
+        tok = tok.select("doc_id", F.xxhash64("tok").alias("h"))
+
+        def _bit(j: int):
+            return F.shiftright("h", j).bitwiseAND(F.lit(1))
+
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{j}")
-        for j in range(bits)
+        F.sum(F.when(_bit(j) == 1, 1).otherwise(-1)).alias(f"b_{j}") for j in range(bits)
     ]
     summed = tok.groupBy("doc_id").agg(*bit_sums)
     fp = summed.withColumn(
@@ -353,17 +397,19 @@ def simhash_near_pairs(
     *,
     max_hamming: int = 3,
     bands: int = 4,
+    portable: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit fingerprint into ``bands``
     16-bit chunks; by pigeonhole any pair within ``max_hamming < bands``
     agrees on ≥1 band, so the banded self-join finds all of them without a
-    full cross product. Hamming distance via bit_count(xor)."""
+    full cross product. Hamming distance via bit_count(xor).
+    ``portable`` selects the token-hash family (see simhash_fingerprints)."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole requires max_hamming < bands (got {max_hamming} >= {bands}): "
             "pairs differing in every band would never co-bucket and be silently lost"
         )
-    fp = simhash_fingerprints(documents)
+    fp = simhash_fingerprints(documents, portable=portable)
     width = 64 // bands
     mask = (1 << width) - 1
     chunks = F.array(

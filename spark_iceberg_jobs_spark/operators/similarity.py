@@ -100,6 +100,19 @@ def _plane_weights(num_planes: int, dim: int, *, table: int = 0) -> list[list[fl
     return planes
 
 
+def srp_plane_sql_values(num_tables: int, num_planes: int, dim: int) -> str:
+    """The SAME planes as ``_plane_weights``, rendered as a SQL VALUES body
+    ``(tbl, p, w DOUBLE[])`` — lets a DuckDB oracle recompute SRP signatures
+    bit-for-bit and hash-verify the LSH family end-to-end (the planes are
+    md5-derived Python-side, so they are reproducible outside Spark)."""
+    rows = []
+    for t in range(num_tables):
+        for p, w in enumerate(_plane_weights(num_planes, dim, table=t)):
+            arr = "[" + ",".join("1.0" if x > 0 else "-1.0" for x in w) + "]"
+            rows.append(f"({t},{p},{arr}::DOUBLE[])")
+    return ",\n".join(rows)
+
+
 def srp_signature(
     embeddings: DataFrame,
     *,
@@ -168,7 +181,8 @@ def ivf_topk(
     closest cells with exact cosine.
 
     Default centroids are the ``n_cells`` corpus vectors with the smallest
-    ``xxhash64(id)`` — a deterministic, order-free sample. ``orderBy(hash)
+    ``md5(id)`` — a deterministic, order-free sample that a SQL oracle can
+    recompute (md5 exists in DuckDB; xxhash64 does not). ``orderBy(hash)
     .limit(n)`` compiles to TakeOrderedAndProject: every scan task keeps its
     local top-n and the driver merges only n x partitions candidate rows, so
     seeding costs one scan with NO global sort, NO single-partition window,
@@ -185,7 +199,7 @@ def ivf_topk(
         # The sampled vector's own id is the cell key — dense 1..n numbering
         # would need a window; the join below only needs distinctness.
         centroids = (
-            e.withColumn("_h", F.xxhash64(F.col("cid").cast("string")))
+            e.withColumn("_h", F.md5(F.col("cid").cast("string")))
             .orderBy("_h", "cid")
             .limit(n_cells)
             .select(F.col("cid").alias("cell"), F.col("cv").alias("centv"))

@@ -2,7 +2,8 @@
 
 Each entry pairs a PySpark callable ``(spark, sf_dir) -> DataFrame`` with an
 equivalent ANSI-SQL oracle string for DuckDB (or ``None`` for ops DuckDB
-cannot express — LSH, streaming — which get a rows-only check).
+cannot express, which get a rows-only check; as of round 2 every registered
+query has an oracle — the sketch tier via portable md5-based hashing).
 
 Registration is decentralized: each module in this package exposes
 ``QUERIES: dict[str, QuerySpec]`` and is merged here.

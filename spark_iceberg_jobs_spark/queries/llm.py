@@ -1,10 +1,11 @@
 """LLM-data-pipeline queries (EXTENSION X1-X5; SURVEY.md §2.7).
 
-SQL-expressible formulations get a DuckDB oracle (exact dedup, n-gram
-Jaccard, text analysis, brute-force cosine, centroid similarity, multimodal
-byte features). The hash-based ops (MinHash-LSH, SimHash, SRP-LSH) have no
-DuckDB equivalent (no xxhash64) → rows-only check; their correctness is
-cross-validated against the exact variants in tests/.
+Every query here carries a DuckDB oracle — including the sketch tier
+(MinHash-LSH, SimHash, SRP-LSH, IVF): their hashing is *portable* (md5-based,
+and the SRP planes are md5-derived Python-side literals), so the oracles
+replay signatures, banding, candidate generation, and rescoring bit-for-bit.
+The sketches are additionally cross-validated against the exact variants in
+tests/ (recall, precision-subset, hamming bounds).
 """
 
 from __future__ import annotations
@@ -20,7 +21,13 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..operators.multimodal import attach_binary_payload, extract_payload_features
-from ..operators.similarity import bruteforce_topk, centroid_similarity, ivf_topk, lsh_topk
+from ..operators.similarity import (
+    bruteforce_topk,
+    centroid_similarity,
+    ivf_topk,
+    lsh_topk,
+    srp_plane_sql_values,
+)
 from ..operators.text import fingerprints, lang_profile, language_id, quality_scores, top_terms
 from ..sources.readers import read_fixture
 from . import QuerySpec
@@ -70,11 +77,119 @@ WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash MinHash+LSH (md5-based minhash → DuckDB replays the
+    same signatures, banding, and Jaccard estimate bit-for-bit)."""
     return minhash_lsh_pairs(read_fixture(spark, sf_dir, "documents"), est_threshold=0.7)
 
 
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8, est_threshold: float = 0.7) -> str:
+    """DuckDB replay of minhash_lsh_pairs with portable md5 hashing: same
+    shingles (the Jaccard oracle's CTE), same salted-md5 lexicographic-min
+    signatures, same band buckets, same agreement fraction."""
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"MIN(MD5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    buckets = "\n    UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, MD5({expr}) AS bucket FROM sig".format(
+            b=bi,
+            expr=" || '|' || ".join(f"mh_{bi * rows + r}" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+), sig AS (
+    SELECT doc_id,
+         {mins}
+    FROM sh GROUP BY doc_id
+), banded AS (
+    {buckets}
+), cands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), est AS (
+    SELECT doc_a, doc_b, ROUND(({agree}) / {num_hashes}.0, 4) AS est_jaccard
+    FROM cands
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {est_threshold}
+"""
+
+
+DEDUP_MINHASH_ORACLE = _minhash_oracle_sql()
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash SimHash (md5-bit token hashes → DuckDB recomputes the
+    identical 64-bit fingerprints, pigeonhole bands, and hamming filter)."""
     return simhash_near_pairs(read_fixture(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """DuckDB replay of simhash_near_pairs with portable md5-bit hashing:
+    token-hash bit j = bit j%4 of hex digit j/4 of md5(token); per-doc
+    bit-sign sums -> 16-bit band chunks -> pigeonhole self-join -> hamming."""
+    hex_digits = "0123456789abcdef"
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((STRPOS('{hex_digits}', SUBSTR(h, {j // 4 + 1}, 1)) - 1) "
+        f">> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{j}"
+        for j in range(64)
+    )
+    width = 64 // bands
+    chunk_exprs = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN b_{bi * width + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(width)
+        )
+        + f") AS c_{bi}"
+        for bi in range(bands)
+    )
+    bucket_union = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, c_{bi} AS chunk FROM chunks" for bi in range(bands)
+    )
+    hamming = " + ".join(f"BIT_COUNT(XOR(ca.c_{bi}, cb.c_{bi}))" for bi in range(bands))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+), th AS (
+    SELECT doc_id, MD5(tok) AS h FROM toks
+), sums AS (
+    SELECT doc_id,
+         {bit_sums}
+    FROM th GROUP BY doc_id
+), chunks AS (
+    SELECT doc_id,
+         {chunk_exprs}
+    FROM sums
+), banded AS (
+    {bucket_union}
+), cands AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ({hamming}) AS hamming
+FROM cands
+JOIN chunks ca ON doc_a = ca.doc_id
+JOIN chunks cb ON doc_b = cb.doc_id
+WHERE ({hamming}) <= {max_hamming}
+"""
+
+
+DEDUP_SIMHASH_ORACLE = _simhash_oracle_sql()
 
 
 # --------------------------------------------------------------------------
@@ -259,8 +374,10 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN variant (rows-only: cell assignment is a heuristic; recall
-    vs sim_bruteforce_topk is measured in tests)."""
+    """IVF ANN: hash-verified end-to-end — centroid seeding is md5-ordered
+    (portable), so the DuckDB oracle replays seeding → cell assignment →
+    nprobe search → rerank bit-for-bit. Recall vs sim_bruteforce_topk is
+    additionally measured in tests."""
     emb = read_fixture(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, probes, k=5, n_cells=10, nprobe=3)
@@ -457,12 +574,144 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     baseline). Candidates come from a (table, signature) self-join across 8
     SRP tables, so shuffle volume is O(n x tables), never O(n²); survivors
     are re-scored with exact cosine, making precision exact and only recall
-    probabilistic (measured vs the exact pairs in tests). Rows-only check:
-    recall < 1 by design on the fixture's random vectors."""
+    probabilistic (measured vs the exact pairs in tests). Hash-verified
+    end-to-end: the SRP planes are md5-derived Python-side, so the DuckDB
+    oracle re-computes the same signatures from a literal plane table and
+    replays banding + rescoring bit-for-bit."""
     from ..operators.similarity import srp_dedup_pairs
 
     emb = read_fixture(spark, sf_dir, "embeddings")
     return srp_dedup_pairs(emb, threshold=0.42, num_planes=3, num_tables=8)
+
+
+# SRP signatures are recomputable outside Spark (planes are md5-derived
+# Python-side literals), so the bucketed variant gets a FULL hash oracle:
+# same planes → same signatures → same candidate set → same cosine scores.
+EMBED_DEDUP_BUCKETED_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(tbl, p, w) AS (VALUES {srp_plane_sql_values(8, 3, 64)}),
+sig AS (
+  SELECT e.vec_id, pl.tbl,
+         SUM(CASE WHEN LIST_INNER_PRODUCT(e.v, pl.w) > 0
+                  THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS sig
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl
+),
+cands AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND(LIST_INNER_PRODUCT(ea.v, eb.v)
+             / (SQRT(LIST_INNER_PRODUCT(ea.v, ea.v))
+                * SQRT(LIST_INNER_PRODUCT(eb.v, eb.v))), 4) AS cos_sim
+FROM cands c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE LIST_INNER_PRODUCT(ea.v, eb.v)
+      / (SQRT(LIST_INNER_PRODUCT(ea.v, ea.v))
+         * SQRT(LIST_INNER_PRODUCT(eb.v, eb.v))) >= 0.42
+"""
+
+
+# Same portable-plane trick for the multi-table ANN: candidates from any of
+# the 6 (tbl, sig) tables, exact cosine rerank, deterministic tie-break.
+SIM_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(tbl, p, w) AS (VALUES {srp_plane_sql_values(6, 4, 64)}),
+sig AS (
+  SELECT e.vec_id, pl.tbl,
+         SUM(CASE WHEN LIST_INNER_PRODUCT(e.v, pl.w) > 0
+                  THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS sig
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.tbl
+),
+cands AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+  FROM sig p JOIN sig c ON p.tbl = c.tbl AND p.sig = c.sig
+  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cd.probe_id, cd.neighbor_id,
+         LIST_INNER_PRODUCT(ep.v, ec.v)
+         / (SQRT(LIST_INNER_PRODUCT(ep.v, ep.v))
+            * SQRT(LIST_INNER_PRODUCT(ec.v, ec.v))) AS sim
+  FROM cands cd
+  JOIN e ep ON ep.vec_id = cd.probe_id
+  JOIN e ec ON ec.vec_id = cd.neighbor_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk,
+         sim
+  FROM scored
+)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
+# IVF is fully deterministic once seeding is portable: centroids = 10
+# smallest md5(id) corpus vectors, assignment = nearest centroid, search =
+# 3 nearest cells per probe, exact cosine rerank.
+SIM_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS cell, v AS centv FROM e
+  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 10
+),
+corpus_scored AS (
+  SELECT e.vec_id, c.cell,
+         LIST_INNER_PRODUCT(e.v, c.centv)
+         / (SQRT(LIST_INNER_PRODUCT(e.v, e.v))
+            * SQRT(LIST_INNER_PRODUCT(c.centv, c.centv))) AS csim
+  FROM e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+    FROM corpus_scored
+  ) WHERE r = 1
+),
+probe_cells AS (
+  SELECT vec_id AS probe_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+    FROM corpus_scored WHERE vec_id < 10
+  ) WHERE r <= 3
+),
+cands AS (
+  SELECT pc.probe_id, a.vec_id AS neighbor_id
+  FROM assigned a JOIN probe_cells pc ON a.cell = pc.cell
+  WHERE a.vec_id <> pc.probe_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT cd.probe_id, cd.neighbor_id,
+         LIST_INNER_PRODUCT(ep.v, ec.v)
+         / (SQRT(LIST_INNER_PRODUCT(ep.v, ep.v))
+            * SQRT(LIST_INNER_PRODUCT(ec.v, ec.v))) AS sim
+  FROM cands cd
+  JOIN e ep ON ep.vec_id = cd.probe_id
+  JOIN e ec ON ec.vec_id = cd.neighbor_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk,
+         sim
+  FROM scored
+)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim
+FROM ranked
+WHERE rnk <= 5
+"""
 
 
 EMBED_DEDUP_ORACLE = """
@@ -627,7 +876,9 @@ QUERIES: dict[str, QuerySpec] = {
         pipeline_corpus_curation, CURATION_ORACLE, headline=True
     ),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMBED_DEDUP_ORACLE),
-    "dedup_embedding_cosine_bucketed": QuerySpec(dedup_embedding_cosine_bucketed, None),
+    "dedup_embedding_cosine_bucketed": QuerySpec(
+        dedup_embedding_cosine_bucketed, EMBED_DEDUP_BUCKETED_ORACLE
+    ),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "text_token_counts": QuerySpec(text_token_counts, TOKEN_COUNTS_ORACLE),
     "text_edit_distance_probe": QuerySpec(text_edit_distance_probe, EDIT_DISTANCE_ORACLE),
@@ -635,8 +886,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_quantization_error": QuerySpec(embedding_quantization_error, QUANT_ORACLE),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, headline=True),
-    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, None, headline=True),
-    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, headline=True),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "text_lang_profile": QuerySpec(text_lang_profile, LANG_PROFILE_ORACLE),
     "text_language_id": QuerySpec(text_language_id, LANGID_ORACLE),
     "text_quality_by_source": QuerySpec(text_quality_by_source, QUALITY_ORACLE),
@@ -644,7 +895,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprints": QuerySpec(text_fingerprints, FINGERPRINT_ORACLE),
     "sim_bruteforce_topk": QuerySpec(sim_bruteforce_topk, BRUTEFORCE_ORACLE, headline=True),
     "sim_centroid_per_label": QuerySpec(sim_centroid_per_label, CENTROID_ORACLE),
-    "sim_lsh_topk": QuerySpec(sim_lsh_topk, None),
-    "sim_ivf_topk": QuerySpec(sim_ivf_topk, None),
+    "sim_lsh_topk": QuerySpec(sim_lsh_topk, SIM_LSH_ORACLE),
+    "sim_ivf_topk": QuerySpec(sim_ivf_topk, SIM_IVF_ORACLE),
     "multimodal_payload_features": QuerySpec(multimodal_payload_features, MULTIMODAL_ORACLE),
 }

@@ -57,9 +57,11 @@ def main() -> int:
 
     reg = registry()
     failures = []
+    ran = 0
     for name, spec in reg.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
@@ -96,7 +98,7 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(sdf)} rows [{took:.1f}s]")
     spark.stop()
-    print(f"\n{len(reg) - len(failures)}/{len(reg)} passed")
+    print(f"\n{ran - len(failures)}/{ran} passed")
     return 1 if failures else 0
 
 
