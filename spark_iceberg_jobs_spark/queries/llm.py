@@ -192,6 +192,94 @@ WHERE ({hamming}) <= {max_hamming}
 DEDUP_SIMHASH_ORACLE = _simhash_oracle_sql()
 
 
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment over the corpus —
+    pure function of md5(doc_id), so it is stable across runs, retries,
+    appends, and engines (the DuckDB oracle recomputes the identical
+    assignment). Returns per-split counts + doc_id checksums proving the
+    exact membership, not just the proportions. Zero-shuffle assignment;
+    the only exchange is the final 3-group aggregate."""
+    from ..operators.splits import assign_split
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, key_col="doc_id", weights={"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_oracle_sql() -> str:
+    from ..operators.splits import _hex_threshold
+
+    t_train = _hex_threshold(0.9)
+    t_val = _hex_threshold(0.95)
+    return f"""
+WITH assigned AS (
+    SELECT doc_id, n_chars,
+           CASE WHEN SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t_train}'
+                THEN 'train'
+                WHEN SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t_val}'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, SUM(doc_id) AS sum_doc_ids,
+       SUM(n_chars) AS sum_chars
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+SPLIT_ORACLE = _split_oracle_sql()
+
+_SAMPLE_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+
+
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: downsample the dominant language
+    (en at 25%) while keeping half of each minority language — the standard
+    rebalancing move before training. Keep/drop is a pure function of
+    md5(doc_id) under per-stratum thresholds (stable across runs/appends/
+    engines; DuckDB oracle recomputes identical membership). The filter is
+    a zero-shuffle row-local decision fused into the scan."""
+    from ..operators.splits import stratified_sample
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, key_col="doc_id", rates=_SAMPLE_RATES, stratum_col="lang")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("doc_id").alias("sum_doc_ids"))
+        .orderBy("lang")
+    )
+
+
+def _sample_oracle_sql() -> str:
+    from ..operators.splits import _hex_threshold
+
+    conds = " OR ".join(
+        f"(lang = '{lang}' AND SUBSTR(MD5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{_hex_threshold(rate)}')"
+        for lang, rate in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_sampled, SUM(doc_id) AS sum_doc_ids
+FROM documents
+WHERE {conds}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SAMPLE_ORACLE = _sample_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # X4 — text analysis
 # --------------------------------------------------------------------------
@@ -888,6 +976,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, headline=True),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, headline=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
+    "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_ORACLE),
+    "stratified_sample_by_lang": QuerySpec(stratified_sample_by_lang, SAMPLE_ORACLE),
     "text_lang_profile": QuerySpec(text_lang_profile, LANG_PROFILE_ORACLE),
     "text_language_id": QuerySpec(text_language_id, LANGID_ORACLE),
     "text_quality_by_source": QuerySpec(text_quality_by_source, QUALITY_ORACLE),

@@ -291,6 +291,59 @@ def test_cache_scope_releases_all_persisted_intermediates(spark, sf_dir):
     assert not leaked, f"persisted RDDs leaked by the batch: {sorted(leaked)}"
 
 
+def test_assign_split_partitions_completely_and_stably(spark, sf_dir):
+    """Every row gets exactly one split; proportions land near the weights;
+    and membership is a pure function of the key — re-running yields the
+    identical assignment (the reproducibility contract)."""
+    from spark_iceberg_jobs_spark.operators.splits import assign_split
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = assign_split(docs, key_col="doc_id", weights=w)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total  # complete, disjoint by construction
+    assert counts["train"] / total > 0.8  # loose: small-n binomial noise
+    again = {r.doc_id: r.split for r in assign_split(docs, key_col="doc_id", weights=w).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+
+
+def test_assign_split_stable_under_append(spark, sf_dir):
+    """Appending new rows must never reassign existing ones: the split of a
+    doc computed on a 50% subset equals its split computed on the full set."""
+    from spark_iceberg_jobs_spark.operators.splits import assign_split
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    w = {"train": 0.8, "test": 0.2}
+    full = {r.doc_id: r.split for r in assign_split(docs, key_col="doc_id", weights=w).collect()}
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {r.doc_id: r.split for r in assign_split(half, key_col="doc_id", weights=w).collect()}
+    assert sub == {k: v for k, v in full.items() if k % 2 == 0}
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from spark_iceberg_jobs_spark.operators.splits import stratified_sample
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    rates = {"en": 0.25, "de": 0.5}
+    out = stratified_sample(docs, key_col="doc_id", rates=rates, stratum_col="lang")
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}, "strata without a rate must be dropped"
+    en_total = docs.filter(F.col("lang") == "en").count()
+    en_kept = out.filter(F.col("lang") == "en").count()
+    assert 0.1 < en_kept / en_total < 0.45  # binomial tolerance around 0.25
+    # sampled set is a deterministic subset: rerun matches exactly
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in stratified_sample(docs, key_col="doc_id", rates=rates, stratum_col="lang")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+
+
 def test_resize_stub(spark):
     from spark_iceberg_jobs_spark.operators.multimodal import resize_stub
 
