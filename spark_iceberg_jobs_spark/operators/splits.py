@@ -1,4 +1,5 @@
-"""Deterministic dataset splitting + sampling (training-data pipeline ops).
+"""Deterministic dataset splitting, sampling, and sequence packing
+(training-data pipeline ops).
 
 A 100 TB training corpus needs its train/val/test assignment to be a pure
 FUNCTION of the record key — never a random() call (irreproducible, changes
@@ -19,8 +20,10 @@ brief mandates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.texts import token_count
 
 _PREFIX_LEN = 8  # 8 hex chars = 32 bits: rate resolution ~2.3e-10, plenty
 
@@ -96,3 +99,40 @@ def stratified_sample(
             )
         return df.filter(cond)
     return df.filter(h < F.lit(_hex_threshold(float(rates))))
+
+
+def pack_sequences(
+    documents: DataFrame,
+    *,
+    budget: int,
+    shard_col: str,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM pretraining
+    step): documents are concatenated in ``order_col`` order WITHIN each
+    ``shard_col`` shard and cut into chunks of ``budget`` tokens; each doc
+    is labeled with the chunk its first token lands in.
+
+    Scale shape: the running token offset is a window cumsum PARTITIONED BY
+    the shard — never a global unpartitioned sort (real pipelines pack
+    within language/source/date shards precisely so the operation
+    parallelizes). Chunk identity is (shard, chunk_id). Deterministic given
+    the ordering column, so the assignment is SQL-replayable: DuckDB's
+    SUM() OVER (PARTITION BY shard ORDER BY ...) reproduces it exactly.
+
+    Returns the documents with ``n_tokens``, ``token_offset`` (tokens
+    before this doc in its shard) and ``chunk_id`` attached.
+    """
+    if budget <= 0:
+        raise ValueError(f"token budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        documents.withColumn("n_tokens", token_count(text_col))
+        .withColumn("token_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("chunk_id", F.floor(F.col("token_offset") / budget).cast("long"))
+    )

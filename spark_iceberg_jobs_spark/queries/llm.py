@@ -280,6 +280,40 @@ ORDER BY lang
 SAMPLE_ORACLE = _sample_oracle_sql()
 
 
+def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (512-token chunks within each
+    language shard) summarized per chunk: how many docs start in it and
+    their token mass. The packing offset is a lang-partitioned window
+    cumsum — parallel across shards, no global sort — and deterministic,
+    so DuckDB replays the assignment exactly."""
+    from ..operators.splits import pack_sequences
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=512, shard_col="lang")
+    return (
+        packed.groupBy("lang", "chunk_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("chunk_tokens"))
+        .orderBy("lang", "chunk_id")
+    )
+
+
+PACK_ORACLE = """
+WITH t AS (
+    SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents
+), o AS (
+    SELECT doc_id, lang, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM t
+)
+SELECT lang, CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+FROM o
+GROUP BY lang, chunk_id
+ORDER BY lang, chunk_id
+"""
+
+
 # --------------------------------------------------------------------------
 # X4 — text analysis
 # --------------------------------------------------------------------------
@@ -978,6 +1012,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_ORACLE),
     "stratified_sample_by_lang": QuerySpec(stratified_sample_by_lang, SAMPLE_ORACLE),
+    "pack_sequences_stats": QuerySpec(pack_sequences_stats, PACK_ORACLE),
     "text_lang_profile": QuerySpec(text_lang_profile, LANG_PROFILE_ORACLE),
     "text_language_id": QuerySpec(text_language_id, LANGID_ORACLE),
     "text_quality_by_source": QuerySpec(text_quality_by_source, QUALITY_ORACLE),

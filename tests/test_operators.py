@@ -344,6 +344,29 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     assert ids1 == ids2
 
 
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing invariants: offsets are the exact prefix sums in doc_id
+    order within each shard (so concatenation order is well-defined),
+    chunk_id == floor(offset/budget), and chunk ids are contiguous from 0
+    per shard (concat-and-chunk leaves no empty chunks)."""
+    from spark_iceberg_jobs_spark.operators.splits import pack_sequences
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=512, shard_col="lang").collect()
+    by_shard: dict = {}
+    for r in packed:
+        by_shard.setdefault(r.lang, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rows:
+            assert r.token_offset == off, f"{shard}:{r.doc_id}"
+            assert r.chunk_id == off // 512
+            off += r.n_tokens
+        chunk_ids = sorted({r.chunk_id for r in rows})
+        assert chunk_ids == list(range(len(chunk_ids)))
+
+
 def test_resize_stub(spark):
     from spark_iceberg_jobs_spark.operators.multimodal import resize_stub
 
