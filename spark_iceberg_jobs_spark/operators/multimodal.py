@@ -11,17 +11,20 @@ The pattern for image/audio/video at 100 TB:
   over Arrow record batches — one Python worker per partition, zero-copy
   into numpy; partition sizing keeps batches in memory.
 
-This container has no image/audio libraries, so ``decode_image`` is an
-explicit NotImplementedError stub and the feature extractor computes real,
-deterministic byte-level features (length, md5) through the exact same
-mapInPandas plumbing a PIL/torchvision decoder would use — swap the body,
-keep the plan.
+This container has no image codec libraries (PIL/opencv), but that only
+rules out *compressed* formats: ``decode_image`` REALLY decodes binary PGM
+(P5) rasters — header parse + numpy frombuffer/reshape — through the
+mapInPandas plumbing, and ``attach_image_payload`` synthesizes genuine PGM
+bytes JVM-side so the whole binary→decode→features path runs and verifies
+end-to-end. JPEG/PNG would swap the frombuffer line for a PIL call; the
+schema, batching, and partitioning stay identical.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -73,18 +76,92 @@ def extract_payload_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
-def decode_image(multimodal: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Stub: image decode requires PIL/opencv, not present in this container.
+def attach_image_payload(
+    documents: DataFrame, *, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Synthesize a REAL binary image column: a valid binary PGM (P5)
+    grayscale image per doc, raster bytes derived from md5(doc_id:row) —
+    deterministic, so the downstream decode is oracle-able. Built entirely
+    JVM-side (md5 → unhex → binary concat, whole-stage codegen): each md5
+    hex digest is exactly 16 raster bytes, one digest per row.
 
-    The real implementation mirrors extract_payload_features: mapInPandas,
-    decode each ``payload`` to HxWxC numpy, emit (doc_id, width, height,
-    mean_rgb array<float>). Plumbing (schema, batching, partitioning) is
-    identical to the tested feature extractor above.
+    On a real corpus the payload column comes from the source table; this
+    generator stands in for it while exercising the identical dataflow.
     """
-    raise NotImplementedError(
-        "image decoding needs PIL/opencv; use extract_payload_features for the "
-        "tested byte-level path — the mapInPandas plumbing is identical"
+    if width != 16:
+        raise ValueError("md5-derived rasters are 16 bytes wide: width must be 16")
+    header = F.lit(bytearray(f"P5\n{width} {height}\n255\n".encode()))
+    row_hex = [
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{r}")))
+        for r in range(height)
+    ]
+    return documents.select(
+        "doc_id",
+        F.concat(header, F.unhex(F.concat(*row_hex))).alias("payload"),
+        F.struct(
+            F.lit("image/x-portable-graymap").alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+        ).alias("meta"),
     )
+
+
+#: Output schema of decode_image — declared once, used by tests.
+DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_pixel double, "
+    "min_pixel int, max_pixel int"
+)
+
+
+def decode_image(multimodal: DataFrame) -> DataFrame:
+    """REAL image decode (binary PGM / P5) via Arrow-batched mapInPandas:
+    parse the header, ``np.frombuffer`` the raster, reshape to HxW, emit
+    per-image pixel statistics. This is the actual decode dataflow — for
+    JPEG/PNG swap the frombuffer for a codec call (PIL), same signature,
+    same batching, same schema discipline (stats out, never raw pixels,
+    unless the next stage needs them).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                magic, _, rest = data.partition(b"\n")
+                if magic != b"P5":
+                    raise ValueError(
+                        f"unsupported image magic {magic[:8]!r}: only binary PGM (P5) "
+                        "decodes without a codec library; JPEG/PNG need PIL"
+                    )
+                dims, _, rest = rest.partition(b"\n")
+                maxval, _, raster = rest.partition(b"\n")
+                w, h = map(int, dims.split())
+                if int(maxval) != 255:
+                    raise ValueError(f"only 8-bit PGM supported, maxval={maxval!r}")
+                img = np.frombuffer(raster[: w * h], dtype=np.uint8).reshape(h, w)
+                out.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        float(img.mean()),
+                        int(img.min()),
+                        int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "mean_pixel",
+                    "min_pixel",
+                    "max_pixel",
+                ],
+            )
+
+    return multimodal.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
 def resize_stub(multimodal: DataFrame, *, factor: int = 4) -> DataFrame:

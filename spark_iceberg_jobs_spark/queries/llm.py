@@ -510,6 +510,48 @@ def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_payload_features(attach_binary_payload(docs))
 
 
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a valid binary PGM per doc
+    (JVM-side md5→unhex raster), decode it with numpy inside Arrow-batched
+    mapInPandas, emit per-image pixel stats. The raster bytes are
+    md5-derived, so the DuckDB oracle recomputes every pixel from hex-digit
+    math and verifies width/height/mean/min/max exactly."""
+    from ..operators.multimodal import attach_image_payload, decode_image
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    decoded = decode_image(attach_image_payload(docs))
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
+        "min_pixel",
+        "max_pixel",
+    )
+
+
+# Every pixel of the synthesized PGM is byte i of md5(doc_id:row); DuckDB
+# rebuilds the identical raster from hex digits (two per byte) and checks
+# the decoder's statistics pixel-for-pixel.
+IMAGE_DECODE_ORACLE = """
+WITH hx AS (
+    SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
+    FROM documents, UNNEST(RANGE(16)) AS t(r)
+), px AS (
+    SELECT doc_id,
+           (STRPOS('0123456789abcdef', SUBSTR(h, 2 * i + 1, 1)) - 1) * 16
+           + (STRPOS('0123456789abcdef', SUBSTR(h, 2 * i + 2, 1)) - 1) AS pixel
+    FROM hx, UNNEST(RANGE(16)) AS s(i)
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       ROUND(AVG(pixel), 4) AS mean_pixel,
+       CAST(MIN(pixel) AS INT) AS min_pixel,
+       CAST(MAX(pixel) AS INT) AS max_pixel
+FROM px
+GROUP BY doc_id
+"""
+
+
 MULTIMODAL_ORACLE = """
 SELECT doc_id,
        OCTET_LENGTH(ENCODE(text)) AS byte_len,
@@ -1023,4 +1065,5 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_lsh_topk": QuerySpec(sim_lsh_topk, SIM_LSH_ORACLE),
     "sim_ivf_topk": QuerySpec(sim_ivf_topk, SIM_IVF_ORACLE),
     "multimodal_payload_features": QuerySpec(multimodal_payload_features, MULTIMODAL_ORACLE),
+    "multimodal_image_decode": QuerySpec(multimodal_image_decode, IMAGE_DECODE_ORACLE),
 }

@@ -367,6 +367,43 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert chunk_ids == list(range(len(chunk_ids)))
 
 
+def test_decode_image_real_pgm_roundtrip(spark, sf_dir):
+    """attach_image_payload emits VALID binary PGM; decode_image really
+    parses the header and raster (numpy frombuffer), and the stats match a
+    local reference decode of the same md5-derived bytes."""
+    import hashlib
+
+    from spark_iceberg_jobs_spark.operators.multimodal import (
+        attach_image_payload,
+        decode_image,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents").limit(5)
+    rows = {r.doc_id: r for r in decode_image(attach_image_payload(docs)).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        raster = b"".join(
+            hashlib.md5(f"{doc_id}:{i}".encode()).digest() for i in range(16)
+        )
+        assert (r.width, r.height) == (16, 16)
+        assert r.min_pixel == min(raster)
+        assert r.max_pixel == max(raster)
+        assert abs(r.mean_pixel - sum(raster) / 256) < 1e-9
+
+
+def test_decode_image_rejects_unknown_magic(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from spark_iceberg_jobs_spark.operators.multimodal import decode_image
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\nrest"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(PythonException, match="unsupported image magic"):
+        decode_image(bad).collect()
+
+
 def test_resize_stub(spark):
     from spark_iceberg_jobs_spark.operators.multimodal import resize_stub
 
