@@ -164,6 +164,105 @@ def decode_image(multimodal: DataFrame) -> DataFrame:
     return multimodal.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
+def _wav_header(n_samples: int, sample_rate: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for PCM mono s16le."""
+    import struct
+
+    data_size = 2 * n_samples
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def attach_audio_payload(
+    documents: DataFrame, *, n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """Synthesize a REAL audio column: a valid RIFF/WAVE (PCM mono s16le)
+    clip per doc, samples derived from md5(wav:doc_id:row) — deterministic,
+    so the downstream decode is oracle-able. Built JVM-side (md5 → unhex →
+    binary concat); each digest is 16 bytes = 8 samples."""
+    if n_samples % 8:
+        raise ValueError("n_samples must be a multiple of 8 (8 samples per digest)")
+    header = F.lit(bytearray(_wav_header(n_samples, sample_rate)))
+    row_hex = [
+        F.md5(F.concat(F.lit("wav:"), F.col("doc_id").cast("string"), F.lit(f":{r}")))
+        for r in range(n_samples // 8)
+    ]
+    return documents.select(
+        "doc_id",
+        F.concat(header, F.unhex(F.concat(*row_hex))).alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(sample_rate).alias("sample_rate"),
+            F.lit(n_samples).alias("n_samples"),
+        ).alias("meta"),
+    )
+
+
+#: Output schema of decode_audio — declared once, used by tests.
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples int, sample_rate int, duration_sec double, "
+    "rms double, peak int"
+)
+
+
+def decode_audio(multimodal: DataFrame) -> DataFrame:
+    """REAL audio decode (RIFF/WAVE PCM s16le) via Arrow-batched
+    mapInPandas: validate the RIFF header, read the fmt chunk's sample
+    rate, ``np.frombuffer`` the PCM data as int16, emit per-clip signal
+    statistics. Compressed codecs (mp3/opus) would swap the frombuffer
+    for a codec call — same signature, batching, and schema."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                    raise ValueError(
+                        f"unsupported audio container {data[:4]!r}: only RIFF/WAVE "
+                        "PCM decodes without a codec library; mp3/opus need one"
+                    )
+                audio_format, channels = struct.unpack("<HH", data[20:24])
+                (sample_rate,) = struct.unpack("<I", data[24:28])
+                (bits,) = struct.unpack("<H", data[34:36])
+                if (audio_format, channels, bits) != (1, 1, 16):
+                    raise ValueError("only PCM mono s16le supported")
+                (data_size,) = struct.unpack("<I", data[40:44])
+                pcm = np.frombuffer(data[44 : 44 + data_size], dtype="<i2")
+                samples = pcm.astype(np.float64)
+                out.append(
+                    (
+                        doc_id,
+                        len(pcm),
+                        sample_rate,
+                        len(pcm) / sample_rate,
+                        float(np.sqrt(np.mean(samples * samples))),
+                        int(np.max(np.abs(pcm.astype(np.int32)))),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_sec",
+                    "rms",
+                    "peak",
+                ],
+            )
+
+    return multimodal.mapInPandas(decode, schema=AUDIO_SCHEMA)
+
+
 def resize_stub(multimodal: DataFrame, *, factor: int = 4) -> DataFrame:
     """Deterministic stand-in for image resize: keeps every ``factor``-th
     byte of the payload as the 'thumbnail' (a real implementation decodes,

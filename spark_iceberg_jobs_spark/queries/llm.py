@@ -533,6 +533,54 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Every pixel of the synthesized PGM is byte i of md5(doc_id:row); DuckDB
 # rebuilds the identical raster from hex digits (two per byte) and checks
 # the decoder's statistics pixel-for-pixel.
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize a valid RIFF/WAVE PCM clip
+    per doc (JVM-side md5→unhex samples), decode with numpy inside
+    Arrow-batched mapInPandas, emit per-clip signal stats. Sample bytes are
+    md5-derived, so the DuckDB oracle reconstructs every s16le sample from
+    hex-digit math and verifies duration/rms/peak exactly."""
+    from ..operators.multimodal import attach_audio_payload, decode_audio
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    decoded = decode_audio(attach_audio_payload(docs))
+    return decoded.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        "duration_sec",
+        F.round("rms", 4).alias("rms"),
+        "peak",
+    )
+
+
+# Rebuild each s16le sample from the md5 hex stream: digest r holds samples
+# 8r..8r+7; sample s of a digest is bytes (2s, 2s+1) little-endian signed.
+AUDIO_DECODE_ORACLE = """
+WITH hx AS (
+    SELECT doc_id,
+           MD5('wav:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
+    FROM documents, UNNEST(RANGE(32)) AS t(r)
+), smp AS (
+    SELECT doc_id,
+           (STRPOS('0123456789abcdef', SUBSTR(h, 4 * s + 1, 1)) - 1) * 16
+           + (STRPOS('0123456789abcdef', SUBSTR(h, 4 * s + 2, 1)) - 1)
+           + ((STRPOS('0123456789abcdef', SUBSTR(h, 4 * s + 3, 1)) - 1) * 16
+              + (STRPOS('0123456789abcdef', SUBSTR(h, 4 * s + 4, 1)) - 1)) * 256
+           AS uval
+    FROM hx, UNNEST(RANGE(8)) AS u(s)
+), signed AS (
+    SELECT doc_id, CASE WHEN uval >= 32768 THEN uval - 65536 ELSE uval END AS val
+    FROM smp
+)
+SELECT doc_id, CAST(256 AS INT) AS n_samples, CAST(8000 AS INT) AS sample_rate,
+       CAST(256 AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration_sec,
+       ROUND(SQRT(AVG(CAST(val AS DOUBLE) * val)), 4) AS rms,
+       CAST(MAX(ABS(val)) AS INT) AS peak
+FROM signed
+GROUP BY doc_id
+"""
+
+
 IMAGE_DECODE_ORACLE = """
 WITH hx AS (
     SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
@@ -1066,4 +1114,5 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_ivf_topk": QuerySpec(sim_ivf_topk, SIM_IVF_ORACLE),
     "multimodal_payload_features": QuerySpec(multimodal_payload_features, MULTIMODAL_ORACLE),
     "multimodal_image_decode": QuerySpec(multimodal_image_decode, IMAGE_DECODE_ORACLE),
+    "multimodal_audio_decode": QuerySpec(multimodal_audio_decode, AUDIO_DECODE_ORACLE),
 }

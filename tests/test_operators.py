@@ -404,6 +404,34 @@ def test_decode_image_rejects_unknown_magic(spark):
         decode_image(bad).collect()
 
 
+def test_decode_audio_real_wav_roundtrip(spark, sf_dir):
+    """attach_audio_payload emits a VALID RIFF/WAVE PCM clip; decode_audio
+    really parses the header and PCM data, matching a local reference
+    decode of the same md5-derived samples (including negative s16le)."""
+    import hashlib
+    import struct
+
+    from spark_iceberg_jobs_spark.operators.multimodal import (
+        attach_audio_payload,
+        decode_audio,
+    )
+
+    docs = read_fixture(spark, sf_dir, "documents").limit(5)
+    rows = {r.doc_id: r for r in decode_audio(attach_audio_payload(docs)).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        pcm_bytes = b"".join(
+            hashlib.md5(f"wav:{doc_id}:{i}".encode()).digest() for i in range(32)
+        )
+        samples = struct.unpack(f"<{len(pcm_bytes)//2}h", pcm_bytes)
+        assert (r.n_samples, r.sample_rate) == (256, 8000)
+        assert r.duration_sec == 256 / 8000
+        assert r.peak == max(abs(s) for s in samples)
+        ref_rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+        assert abs(r.rms - ref_rms) < 1e-9
+        assert min(samples) < 0 < max(samples), "fixture should exercise signed range"
+
+
 def test_resize_stub(spark):
     from spark_iceberg_jobs_spark.operators.multimodal import resize_stub
 
