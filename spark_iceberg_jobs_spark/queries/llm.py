@@ -793,7 +793,7 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.similarity import srp_dedup_pairs
 
     emb = read_fixture(spark, sf_dir, "embeddings")
-    return srp_dedup_pairs(emb, threshold=0.42, num_planes=3, num_tables=8)
+    return srp_dedup_pairs(emb, threshold=0.42, num_planes=4, num_tables=8)
 
 
 # SRP signatures are recomputable outside Spark (planes are md5-derived
@@ -801,7 +801,7 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
 # same planes → same signatures → same candidate set → same cosine scores.
 EMBED_DEDUP_BUCKETED_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-planes(tbl, p, w) AS (VALUES {srp_plane_sql_values(8, 3, 64)}),
+planes(tbl, p, w) AS (VALUES {srp_plane_sql_values(8, 4, 64)}),
 sig AS (
   SELECT e.vec_id, pl.tbl,
          SUM(CASE WHEN LIST_INNER_PRODUCT(e.v, pl.w) > 0
@@ -1089,7 +1089,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMBED_DEDUP_ORACLE),
     "dedup_embedding_cosine_bucketed": QuerySpec(
-        dedup_embedding_cosine_bucketed, EMBED_DEDUP_BUCKETED_ORACLE
+        dedup_embedding_cosine_bucketed, EMBED_DEDUP_BUCKETED_ORACLE, headline=True
     ),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_ORACLE),
     "text_token_counts": QuerySpec(text_token_counts, TOKEN_COUNTS_ORACLE),
@@ -1113,6 +1113,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_lsh_topk": QuerySpec(sim_lsh_topk, SIM_LSH_ORACLE),
     "sim_ivf_topk": QuerySpec(sim_ivf_topk, SIM_IVF_ORACLE),
     "multimodal_payload_features": QuerySpec(multimodal_payload_features, MULTIMODAL_ORACLE),
-    "multimodal_image_decode": QuerySpec(multimodal_image_decode, IMAGE_DECODE_ORACLE),
+    "multimodal_image_decode": QuerySpec(
+        multimodal_image_decode, IMAGE_DECODE_ORACLE, headline=True
+    ),
     "multimodal_audio_decode": QuerySpec(multimodal_audio_decode, AUDIO_DECODE_ORACLE),
 }

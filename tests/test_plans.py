@@ -118,6 +118,45 @@ def test_ivf_topk_plan_has_no_single_partition_funnel(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_split_and_sample_are_zero_shuffle(spark, sf_dir):
+    """Dataset splits/samples are row-local decisions: the plan up to (but
+    excluding) any aggregation must contain NO shuffle Exchange — one md5
+    per row fused into the scan projection/filter."""
+    from spark_iceberg_jobs_spark.operators.splits import assign_split, stratified_sample
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    split = assign_split(docs, key_col="doc_id", weights={"train": 0.9, "test": 0.1})
+    assert count_shuffle_exchanges(split) == 0, formatted_plan(split)
+    sampled = stratified_sample(
+        docs, key_col="doc_id", rates={"en": 0.5}, stratum_col="lang"
+    )
+    assert count_shuffle_exchanges(sampled) == 0, formatted_plan(sampled)
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark, sf_dir):
+    """Sequence packing must never serialize the corpus through one task:
+    its cumsum Window is partitioned by the shard column (no
+    SinglePartition exchange anywhere)."""
+    from spark_iceberg_jobs_spark.operators.splits import pack_sequences
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    plan = formatted_plan(pack_sequences(docs, budget=512, shard_col="lang"))
+    assert "SinglePartition" not in plan, plan
+    assert ", [lang#" in plan, plan  # Window partitioned by the shard column
+
+
+def test_srp_dedup_pairs_plan_has_no_cartesian(spark, sf_dir):
+    """The bucketed embedding near-dup must candidate-generate via the
+    (tbl, sig) equi self-join — never a cartesian/broadcast nested-loop
+    all-pairs product (that is exactly what it replaces)."""
+    from spark_iceberg_jobs_spark.operators.similarity import srp_dedup_pairs
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    plan = formatted_plan(srp_dedup_pairs(emb))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_max_concurrency_sweep_is_day_partitioned(spark, sf_dir):
     """VERDICT r1 item 3: the boundary-point running sum must be partitioned
     (by day) — only the per-day-totals carry-in window (one row per day) may
