@@ -576,10 +576,41 @@ def streaming_sliding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sliding_1h_30m(spark, sf_dir)
 
 
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: every event delivered TWICE (self-union
+    simulating at-least-once redelivery), restored to exactly-once by
+    watermarked dropDuplicatesWithinWatermark state, then summarized per
+    event type. The oracle aggregates the original events — equality proves
+    the duplicates were fully removed."""
+    from ..streaming.events_stream import streaming_dedup_redelivery
+
+    deduped = streaming_dedup_redelivery(spark, sf_dir)
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling_hourly": QuerySpec(events_tumbling_hourly, TUMBLING_ORACLE, headline=True),
     "streaming_tumbling_hourly": QuerySpec(streaming_tumbling_hourly_query, TUMBLING_ORACLE),
     "streaming_sliding_1h_30m": QuerySpec(streaming_sliding_query, SLIDING_ORACLE),
+    "streaming_dedup_redelivery": QuerySpec(streaming_dedup_query, STREAMING_DEDUP_ORACLE),
     "events_asof_purchase_click": QuerySpec(
         events_asof_purchase_click, ASOF_ORACLE, headline=True
     ),

@@ -139,6 +139,28 @@ def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(sliding_counts(stream_events(spark, sf_dir)))
 
 
+def streaming_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restoration under at-least-once delivery: the event
+    stream UNIONED WITH A SECOND READ OF ITSELF (every event delivered
+    twice — the redelivery worst case) → watermarked
+    ``dropDuplicatesWithinWatermark`` on event_id → memory sink.
+
+    This is the canonical streaming-ingest dedup: the state store holds one
+    entry per event_id and the watermark bounds how long it is retained, so
+    state is O(events within the watermark horizon), not O(all history) —
+    the property that makes it run forever on an unbounded source. On the
+    bounded fixture the deduped stream equals the original event set
+    exactly, which is what the shared DuckDB oracle checks.
+    """
+    doubled = stream_events(spark, sf_dir).unionByName(stream_events(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return run_available_now(deduped, output_mode="append")
+
+
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: stream source → watermarked hourly windows → memory sink.
 

@@ -123,6 +123,25 @@ def test_upsert_sink_recovers_orphaned_aside_dir(spark, sf_dir, tmp_path):
     assert not os.path.exists(target + "__prev"), "aside dir must be consumed"
 
 
+def test_streaming_dedup_restores_exactly_once(spark, sf_dir):
+    """Every event is delivered twice (self-union); the watermarked dedup
+    state must restore the exact original event set — same count (not 2x),
+    same event_ids."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+    from spark_iceberg_jobs_spark.streaming.events_stream import (
+        streaming_dedup_redelivery,
+    )
+
+    deduped = streaming_dedup_redelivery(spark, sf_dir)
+    batch = read_fixture(spark, sf_dir, "events")
+    assert deduped.count() == batch.count()
+    assert deduped.select("event_id").distinct().count() == deduped.count()
+    missing = batch.select("event_id").exceptAll(deduped.select("event_id")).count()
+    assert missing == 0
+
+
 def test_sessionize_stream_emits_closed_sessions(spark, sf_dir):
     """applyInPandasWithState sessionization: every *closed* session the
     stream emits must exist in the batch sessionization with identical
