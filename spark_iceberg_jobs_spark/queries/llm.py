@@ -229,8 +229,9 @@ WITH assigned AS (
                 ELSE 'test' END AS split
     FROM documents
 )
-SELECT split, COUNT(*) AS n_docs, SUM(doc_id) AS sum_doc_ids,
-       SUM(n_chars) AS sum_chars
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM assigned
 GROUP BY split
 ORDER BY split
@@ -269,7 +270,7 @@ def _sample_oracle_sql() -> str:
         for lang, rate in _SAMPLE_RATES.items()
     )
     return f"""
-SELECT lang, COUNT(*) AS n_sampled, SUM(doc_id) AS sum_doc_ids
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
 FROM documents
 WHERE {conds}
 GROUP BY lang
@@ -307,7 +308,7 @@ WITH t AS (
     FROM t
 )
 SELECT lang, CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk_id,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS chunk_tokens
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
 FROM o
 GROUP BY lang, chunk_id
 ORDER BY lang, chunk_id
