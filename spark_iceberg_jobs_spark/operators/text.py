@@ -9,7 +9,7 @@ shuffle is the final (small) aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.texts import (
@@ -97,6 +97,51 @@ def top_terms(documents: DataFrame, *, k: int = 20) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("term"))
         .limit(k)
+    )
+
+
+def bigram_pmi(documents: DataFrame, *, min_count: int = 5, k: int = 15) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) over bigram
+    occurrences and p(x) over token occurrences — the standard signal for
+    multi-word expressions when building tokenizer/vocab resources.
+
+    Scale shape: bigrams come from the same posexplode + lead() window as
+    shingling (codegen, one shuffle on doc_id); then two partial+final
+    aggregations over BIGRAM VOCABULARY and TOKEN VOCABULARY — the
+    exchanges carry distinct terms, never token streams. The two total
+    counts ride along as window-free scalar aggregates via cross-joined
+    1-row DataFrames (broadcast, no collect)."""
+    tok = documents.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select("doc_id", F.col("tok").alias("x"), F.lead("tok").over(w).alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    big_counts = big.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    uni_counts = tok.groupBy(F.col("tok").alias("t")).agg(F.count("*").alias("c_t"))
+    n_big = big.groupBy().agg(F.count("*").alias("n_bigrams"))
+    n_tok = tok.groupBy().agg(F.count("*").alias("n_tokens"))
+    cx = uni_counts.select(F.col("t").alias("x"), F.col("c_t").alias("c_x"))
+    cy = uni_counts.select(F.col("t").alias("y"), F.col("c_t").alias("c_y"))
+    scored = (
+        big_counts.filter(F.col("c_xy") >= min_count)
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(n_big))
+        .crossJoin(F.broadcast(n_tok))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c_xy") / F.col("n_bigrams"))
+                / ((F.col("c_x") / F.col("n_tokens")) * (F.col("c_y") / F.col("n_tokens")))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+        .limit(k)
+        .select("x", "y", "c_xy", F.round("pmi", 4).alias("pmi"))
     )
 
 

@@ -29,7 +29,7 @@ from ..operators.similarity import (
     srp_plane_sql_values,
 )
 from ..operators.text import fingerprints, lang_profile, language_id, quality_scores, top_terms
-from ..sources.readers import read_fixture
+from ..sources.readers import load_tables, read_fixture
 from . import QuerySpec
 
 # --------------------------------------------------------------------------
@@ -315,6 +315,75 @@ ORDER BY lang, chunk_id
 """
 
 
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (edge when a
+    customer's order contains a supplier's lineitem): the entity-influence
+    pattern a data pipeline uses for source weighting. Fixed 5 iterations,
+    damping 0.85, undirected — a bounded driver loop of shuffle-keyed
+    join+groupBy rounds, lineage-checkpointed per round. The DuckDB oracle
+    unrolls the same 5 rounds as chained CTEs and must agree to 4 decimals
+    on the top-20 ranks."""
+    from ..operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=5, damping=0.85)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select("node", F.round("rank", 4).alias("rank"))
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-CTE replay of operators/graph.pagerank: same symmetrized
+    edge list, same r' = (1-d) + d*sum(r/deg) per round, same rounding."""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"""r{i} AS (
+    SELECT s.dst AS node,
+           {1 - damping} + {damping} * SUM(p.r / d.deg) AS r
+    FROM sym s
+    JOIN r{i - 1} p ON s.src = p.node
+    JOIN deg d ON s.src = d.node
+    GROUP BY s.dst
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH e AS (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), sym AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT dst, src FROM e
+), deg AS (
+    SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src
+), r0 AS (
+    SELECT node, CAST(1.0 AS DOUBLE) AS r FROM deg
+),
+{chain}
+SELECT node, ROUND(r, 4) AS rank
+FROM r{iterations}
+ORDER BY r DESC, node
+LIMIT 20
+"""
+
+
+PAGERANK_ORACLE = _pagerank_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # X4 — text analysis
 # --------------------------------------------------------------------------
@@ -412,6 +481,41 @@ FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
 GROUP BY term
 ORDER BY n DESC, term
 LIMIT 20
+"""
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — the vocab-building
+    signal; aggregations carry vocabulary, never token streams."""
+    from ..operators.text import bigram_pmi
+
+    return bigram_pmi(read_fixture(spark, sf_dir, "documents"), min_count=5, k=15)
+
+
+BIGRAM_PMI_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), big AS (
+    SELECT t[i] AS x, t[i+1] AS y
+    FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+), uni AS (
+    SELECT UNNEST(t) AS tok FROM toks
+), bc AS (
+    SELECT x, y, COUNT(*) AS c_xy FROM big GROUP BY x, y
+), uc AS (
+    SELECT tok, COUNT(*) AS c_t FROM uni GROUP BY tok
+), nb AS (SELECT COUNT(*) AS n_bigrams FROM big),
+   nt AS (SELECT COUNT(*) AS n_tokens FROM uni)
+SELECT x, y, c_xy,
+       ROUND(LN((c_xy / n_bigrams)
+                / ((cx.c_t / n_tokens) * (cy.c_t / n_tokens))), 4) AS pmi
+FROM bc
+JOIN uc cx ON bc.x = cx.tok
+JOIN uc cy ON bc.y = cy.tok, nb, nt
+WHERE c_xy >= 5
+ORDER BY (LN((c_xy / n_bigrams)
+             / ((cx.c_t / n_tokens) * (cy.c_t / n_tokens)))) DESC, x, y
+LIMIT 15
 """
 
 
@@ -1102,6 +1206,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, headline=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_ORACLE),
+    "graph_pagerank_suppliers": QuerySpec(graph_pagerank_suppliers, PAGERANK_ORACLE),
     "stratified_sample_by_lang": QuerySpec(stratified_sample_by_lang, SAMPLE_ORACLE),
     "pack_sequences_stats": QuerySpec(pack_sequences_stats, PACK_ORACLE),
     "text_lang_profile": QuerySpec(text_lang_profile, LANG_PROFILE_ORACLE),
@@ -1109,6 +1214,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_by_source": QuerySpec(text_quality_by_source, QUALITY_ORACLE),
     "text_top_terms": QuerySpec(text_top_terms, TOP_TERMS_ORACLE),
     "text_fingerprints": QuerySpec(text_fingerprints, FINGERPRINT_ORACLE),
+    "text_bigram_pmi": QuerySpec(text_bigram_pmi, BIGRAM_PMI_ORACLE),
     "sim_bruteforce_topk": QuerySpec(sim_bruteforce_topk, BRUTEFORCE_ORACLE, headline=True),
     "sim_centroid_per_label": QuerySpec(sim_centroid_per_label, CENTROID_ORACLE),
     "sim_lsh_topk": QuerySpec(sim_lsh_topk, SIM_LSH_ORACLE),

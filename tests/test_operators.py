@@ -344,6 +344,32 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     assert ids1 == ids2
 
 
+def test_pagerank_matches_local_reference(spark):
+    """5-iteration PageRank on a hand-sized graph equals a plain-Python
+    reference run of the same damped per-node recurrence (undirected,
+    r0=1): exact float agreement, since both run the identical arithmetic."""
+    from spark_iceberg_jobs_spark.operators.graph import pagerank
+
+    raw = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+
+    adj: dict = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ranks = {n: 1.0 for n in adj}
+    for _ in range(5):
+        ranks = {
+            n: 0.15 + 0.85 * sum(ranks[m] / len(adj[m]) for m in adj[n]) for n in adj
+        }
+    assert set(got) == set(ranks)
+    for n in ranks:
+        assert abs(got[n] - ranks[n]) < 1e-12, (n, got[n], ranks[n])
+    # higher-degree nodes accumulate more mass
+    assert got[1] > got[2] and got[3] > got[4]
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     """Packing invariants: offsets are the exact prefix sums in doc_id
     order within each shard (so concatenation order is well-defined),
