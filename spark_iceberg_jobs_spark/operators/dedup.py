@@ -137,6 +137,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: for each TRAINING document, how much of it
+    is covered by word n-grams that also occur in the EVAL set — the
+    standard test-set-leakage check run before every training job.
+
+    Returns (doc_id, n_shingles, n_hit, n_eval_docs, contamination) for
+    train docs with >= ``min_hits`` overlapping distinct shingles, where
+    contamination = n_hit / n_shingles over the doc's distinct n-grams.
+
+    Scale shape: the eval side of a decontamination pass is a benchmark
+    suite — thousands of docs against the corpus' billions — so its distinct
+    shingle set is BROADCAST and the train-side shingle scan joins without
+    shuffling; the only exchanges are the two per-doc aggregations keyed by
+    doc_id. Train shingles are persisted once (size + hit consumers).
+    """
+    tr = scoped_persist(_distinct_shingles(train, n=n))
+    ev = _distinct_shingles(eval_docs, n=n).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_hit") >= min_hits)
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        "n_eval_docs",
+        F.round(F.col("n_hit") / F.col("n_shingles"), 4).alias("contamination"),
+    )
+
+
 def connected_dup_clusters(
     pairs: DataFrame,
     *,

@@ -145,6 +145,58 @@ def bigram_pmi(documents: DataFrame, *, min_count: int = 5, k: int = 15) -> Data
     )
 
 
+def repetition_stats(documents: DataFrame, *, k: int = 20) -> DataFrame:
+    """Gopher-style within-document repetition signals, top-k most
+    repetitive docs: distinct-token ratio, most-frequent-token share, and
+    top-bigram share — the filters that catch boilerplate / template /
+    degenerate-generation text before it reaches training.
+
+    Scale shape: token and bigram streams aggregate keyed by (doc_id, term)
+    with map-side partial combine, then reduce to one row per doc — the
+    exchanges carry per-doc VOCABULARIES, never raw token streams, and no
+    window is unpartitioned. The flag thresholds mirror published corpus-
+    filtering rules (repetition => low distinct ratio or a dominant bigram).
+    """
+    tok = documents.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    tc = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tstat = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select("doc_id", F.col("tok").alias("x"), F.lead("tok").over(w).alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    bstat = (
+        big.groupBy("doc_id", "x", "y")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram"))
+    )
+    scored = (
+        tstat.join(bstat, "doc_id")
+        .withColumn("_distinct_ratio", F.col("n_distinct") / F.col("n_tokens"))
+        .withColumn("_top_bigram_frac", F.col("top_bigram") / F.col("n_bigrams"))
+    )
+    return (
+        scored.orderBy(F.desc("_top_bigram_frac"), F.asc("_distinct_ratio"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round("_distinct_ratio", 4).alias("distinct_ratio"),
+            F.round(F.col("top_tok") / F.col("n_tokens"), 4).alias("top_token_frac"),
+            F.round("_top_bigram_frac", 4).alias("top_bigram_frac"),
+            (
+                (F.col("_distinct_ratio") < 0.35) | (F.col("_top_bigram_frac") > 0.10)
+            ).alias("flagged"),
+        )
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Stable per-document content fingerprint: md5 of the normalized text
     (+ normalized length). The join key for exact dedup across snapshots."""

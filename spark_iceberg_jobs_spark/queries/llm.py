@@ -315,6 +315,53 @@ ORDER BY lang, chunk_id
 """
 
 
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: a deterministic ~1/8 of documents plays the
+    eval benchmark (md5-threshold selection — same portable trick as the
+    split tier), the rest is the training corpus; report every training doc
+    sharing >= 1 distinct 5-gram with any eval doc. The broadcast-eval /
+    shuffle-free-train join shape is the 100 TB decontamination pass."""
+    from ..operators.dedup import ngram_contamination
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    is_eval = (
+        F.substring(F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))), 1, 8)
+        < "20000000"
+    )
+    return ngram_contamination(docs.filter(~is_eval), docs.filter(is_eval), n=5)
+
+
+DECONTAMINATE_ORACLE = """
+WITH ev_ids AS (
+    SELECT doc_id FROM documents
+    WHERE SUBSTR(MD5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+), toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+    FROM toks, UNNEST(RANGE(1, LEN(t) - 3)) AS r(i)
+), tr AS (
+    SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM ev_ids)
+), ev AS (
+    SELECT doc_id AS eval_id, shingle FROM sh
+    WHERE doc_id IN (SELECT doc_id FROM ev_ids)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id
+), hits AS (
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.shingle) AS n_hit,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.doc_id
+    HAVING COUNT(DISTINCT tr.shingle) >= 1
+)
+SELECT doc_id, n_shingles, n_hit, n_eval_docs,
+       ROUND(n_hit::DOUBLE / n_shingles, 4) AS contamination
+FROM hits JOIN sizes USING (doc_id)
+"""
+
+
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier trade graph (edge when a
     customer's order contains a supplier's lineitem): the entity-influence
@@ -516,6 +563,52 @@ WHERE c_xy >= 5
 ORDER BY (LN((c_xy / n_bigrams)
              / ((cx.c_t / n_tokens) * (cy.c_t / n_tokens)))) DESC, x, y
 LIMIT 15
+"""
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most repetitive documents by Gopher-style signals (distinct
+    ratio, dominant token/bigram shares) — the boilerplate/degeneration
+    filter stage of corpus curation."""
+    from ..operators.text import repetition_stats
+
+    return repetition_stats(read_fixture(spark, sf_dir, "documents"), k=20)
+
+
+REPETITION_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), tok AS (
+    SELECT doc_id, UNNEST(t) AS tok FROM toks
+), tc AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), tstat AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct, MAX(c) AS top_tok
+    FROM tc GROUP BY doc_id
+), big AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+    FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)
+), bc AS (
+    SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2
+), bstat AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram
+    FROM bc GROUP BY doc_id
+), scored AS (
+    SELECT doc_id, n_tokens, n_distinct,
+           n_distinct::DOUBLE / n_tokens AS dr,
+           top_tok::DOUBLE / n_tokens AS ttf,
+           top_bigram::DOUBLE / n_bigrams AS tbf
+    FROM tstat JOIN bstat USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(dr, 4) AS distinct_ratio,
+       ROUND(ttf, 4) AS top_token_frac,
+       ROUND(tbf, 4) AS top_bigram_frac,
+       (dr < 0.35 OR tbf > 0.10) AS flagged
+FROM scored
+ORDER BY tbf DESC, dr ASC, doc_id ASC
+LIMIT 20
 """
 
 
@@ -1205,6 +1298,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, DEDUP_JACCARD_ORACLE, headline=True),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, headline=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
+    "decontaminate_eval_overlap": QuerySpec(decontaminate_eval_overlap, DECONTAMINATE_ORACLE),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_ORACLE),
     "graph_pagerank_suppliers": QuerySpec(graph_pagerank_suppliers, PAGERANK_ORACLE),
     "stratified_sample_by_lang": QuerySpec(stratified_sample_by_lang, SAMPLE_ORACLE),
@@ -1215,6 +1309,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_top_terms": QuerySpec(text_top_terms, TOP_TERMS_ORACLE),
     "text_fingerprints": QuerySpec(text_fingerprints, FINGERPRINT_ORACLE),
     "text_bigram_pmi": QuerySpec(text_bigram_pmi, BIGRAM_PMI_ORACLE),
+    "text_repetition_stats": QuerySpec(text_repetition_stats, REPETITION_ORACLE),
     "sim_bruteforce_topk": QuerySpec(sim_bruteforce_topk, BRUTEFORCE_ORACLE, headline=True),
     "sim_centroid_per_label": QuerySpec(sim_centroid_per_label, CENTROID_ORACLE),
     "sim_lsh_topk": QuerySpec(sim_lsh_topk, SIM_LSH_ORACLE),

@@ -370,6 +370,50 @@ def test_pagerank_matches_local_reference(spark):
     assert got[1] > got[2] and got[3] > got[4]
 
 
+def test_ngram_contamination_detects_copied_eval_text(spark):
+    """A train doc that copies an eval doc verbatim scores contamination
+    1.0; a doc sharing no 3-gram is absent from the report."""
+    from spark_iceberg_jobs_spark.operators.dedup import ngram_contamination
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim copy
+            (2, "prefix words then the quick brown fox appears here"),  # partial
+            (3, "completely different tokens with zero overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_contamination(train, eval_docs, n=3).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].contamination == 1.0
+    assert got[1].n_eval_docs == 1
+    assert 0.0 < got[2].contamination < 1.0
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    """A doc that loops one bigram is flagged with top_bigram_frac ~1; a
+    diverse doc is unflagged with distinct_ratio 1.0."""
+    from spark_iceberg_jobs_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 20 + "spam"),  # top bigram (spam ham) dominates
+            # 14 distinct tokens -> 13 distinct bigrams: top share 1/13 < 0.10
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", F.trim("text").alias("text"))
+    got = {r.doc_id: r for r in repetition_stats(docs, k=10).collect()}
+    assert got[1].flagged and not got[2].flagged
+    assert got[1].top_bigram_frac >= 0.5
+    assert got[1].distinct_ratio < 0.35
+    assert got[2].distinct_ratio == 1.0 and got[2].top_bigram_frac < 0.2
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     """Packing invariants: offsets are the exact prefix sums in doc_id
     order within each shard (so concatenation order is well-defined),
