@@ -786,6 +786,84 @@ QUALIFY gap_days IS NOT NULL
 """
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+def pivot_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot: yearly revenue, one column per order priority.
+
+    The pivot values are EXPLICIT — with an open values list Spark first
+    runs a collect-distinct over the pivot column to discover headers, a
+    full extra pass over the fact table at 100 TB. Pinned values make the
+    pivot a single partial+final conditional aggregation (same plan as the
+    CASE-WHEN oracle)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    wide = (
+        orders.withColumn("year", F.year("o_orderdate").cast("long"))
+        .groupBy("year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renamed = wide.select(
+        "year", *[F.col(f"`{v}`").alias(a) for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)]
+    )
+    return renamed.orderBy("year")
+
+
+PIVOT_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent,
+       ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS high,
+       ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium,
+       ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS not_specified,
+       ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS low
+FROM orders
+GROUP BY 1
+ORDER BY year
+"""
+
+
+def window_trailing_spend_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each order's trailing 90-day spend and
+    order count for its customer. Range frames (value-based, not
+    row-count-based) are the time-series feature pattern; the window is
+    PARTITIONED by customer so no global sort exists anywhere in the plan.
+
+    The frame aggregates are SUM + COUNT, not AVG: a windowed average of
+    2-decimal prices lands on exact .xx5 midpoints for 2-row frames, where
+    Spark's decimal HALF_UP and DuckDB's binary-double rounding disagree by
+    a cent (~1% of rows at sf0.01). Sums of 2-decimal values stay ON the
+    2-decimal grid, so ROUND(.., 2) is engine-stable; the average is
+    derivable downstream."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-90, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day.cast("long").alias("day"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_spend"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
+
+
+TRAILING_SPEND_ORACLE = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT) AS day,
+           o_totalprice
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, day,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS trailing_spend,
+       COUNT(*) OVER w AS n_in_window
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+"""
+
+
 def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape: customers with balance above their
     nation's average. Decorrelated Spark-side into aggregate + broadcast
@@ -1190,6 +1268,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q10_returned_items": QuerySpec(q10_returned_items, Q10_ORACLE, headline=True),
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_ORACLE),
     "window_lag_order_gaps": QuerySpec(window_lag_order_gaps, LAG_GAPS_ORACLE),
+    "pivot_revenue_by_priority": QuerySpec(pivot_revenue_by_priority, PIVOT_ORACLE),
+    "window_trailing_spend_range": QuerySpec(window_trailing_spend_range, TRAILING_SPEND_ORACLE),
     "sql_interface_revenue": QuerySpec(sql_interface_revenue, SQL_INTERFACE_ORACLE),
     "stats_moments_by_flag": QuerySpec(stats_moments_by_flag, STATS_ORACLE),
     "profile_lineitem": QuerySpec(profile_lineitem, PROFILE_ORACLE),
