@@ -117,6 +117,41 @@ def read_csv(
     return df.alias(alias) if alias else df
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+    alias: str | None = None,
+) -> DataFrame:
+    """Newline-delimited JSON reader — the arrival format of scraped text
+    corpora (one document object per line).
+
+    Schema is REQUIRED: inference is a full extra pass over the input
+    before the real read, unaffordable at corpus scale. JSONL (unlike
+    multiline JSON) is splittable, so a single huge file still fans out to
+    one task per input block.
+
+    ``mode``: PERMISSIVE (malformed lines become all-null rows, captured in
+    ``corrupt_col`` if given), DROPMALFORMED, or FAILFAST. Extends the
+    reference's CSV-only source surface (S1, job1:50-56) — same
+    explicit-schema discipline, new format.
+    """
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError(f"unknown JSON parse mode: {mode}")
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        from pyspark.sql.types import StringType
+
+        if corrupt_col not in schema.fieldNames():
+            schema = schema.add(corrupt_col, StringType())
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    df = reader.schema(schema).json(path)
+    return df.alias(alias) if alias else df
+
+
 def validate_dataframe(df: DataFrame | None, description: str) -> bool:
     """Reject None/empty inputs (reference S8 semantics, job1:69-88).
 

@@ -61,6 +61,36 @@ def test_read_csv_requires_schema_or_optin(spark, tmp_path):
     assert inferred.count() == 2
 
 
+def test_read_jsonl_modes_and_corrupt_capture(spark, tmp_path):
+    """JSONL corpus ingestion: good lines parse against the explicit
+    schema; a malformed line is captured (PERMISSIVE + corrupt_col),
+    dropped (DROPMALFORMED), or fatal (FAILFAST)."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from spark_iceberg_jobs_spark.sources.readers import read_jsonl
+
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "hello world"}\n')
+        f.write('{"doc_id": 2, "text": "second doc"}\n')
+        f.write("{not json at all\n")
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+
+    kept = read_jsonl(spark, p, schema, mode="DROPMALFORMED")
+    assert [r.doc_id for r in kept.orderBy("doc_id").collect()] == [1, 2]
+
+    tagged = read_jsonl(spark, p, schema, corrupt_col="_bad")
+    rows = tagged.orderBy("doc_id").collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._bad is not None]
+    assert len(bad) == 1 and bad[0].doc_id is None and "not json" in bad[0]._bad
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, p, schema, mode="FAILFAST").collect()
+    with pytest.raises(ValueError):
+        read_jsonl(spark, p, schema, mode="YOLO")
+
+
 def test_json_orc_roundtrip(spark, sf_dir, tmp_path):
     """Format-generic read/write: parquet fixture → ORC and JSON → identical
     rows back (JSON with explicit schema; timestamps excluded — JSON's ISO
