@@ -104,3 +104,50 @@ def filtered_sum_per_key(
     The predicate is applied *before* the aggregation so Catalyst pushes it
     into the scan (check PushedFilters in .explain)."""
     return top_k_by_agg(df.filter(predicate), [key], F.sum(metric), f"sum_{metric}", k=k)
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    min_rows: int = 2,
+) -> DataFrame:
+    """Per-group least-squares trend (slope, intercept, r2, n) via
+    ``applyInPandas`` — the grouped-map Arrow tier: each group's rows
+    arrive as ONE pandas DataFrame, numpy does the fit, one row comes back.
+
+    Scale notes: applyInPandas shuffles each whole group to a single task,
+    which is exactly right for many-small-groups model fitting (per-entity
+    trends over millions of entities) and exactly wrong for a handful of
+    giant groups — OLS has a closed form over five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²), so huge groups should use the pure-JVM
+    partial+final aggregation instead (``tests/test_operators.py``
+    cross-checks this operator against that formulation). Groups below
+    ``min_rows`` are dropped (a 1-point fit is undefined).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
+
+    out_fields = ", ".join(f"{c} string" for c in key_cols)
+    schema = f"{out_fields}, n long, slope double, intercept double, r2 double"
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < min_rows:
+            return pdf.iloc[0:0][key_cols].assign(n=0, slope=0.0, intercept=0.0, r2=0.0)
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        xm, ym = x.mean(), y.mean()
+        sxx = ((x - xm) ** 2).sum()
+        sxy = ((x - xm) * (y - ym)).sum()
+        syy = ((y - ym) ** 2).sum()
+        slope = sxy / sxx if sxx else 0.0
+        intercept = ym - slope * xm
+        r2 = (sxy * sxy) / (sxx * syy) if sxx and syy else 0.0
+        head = {c: [str(pdf[c].iloc[0])] for c in key_cols}
+        return pd.DataFrame(
+            {**head, "n": [len(pdf)], "slope": [slope], "intercept": [intercept], "r2": [r2]}
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(fit, schema=schema)

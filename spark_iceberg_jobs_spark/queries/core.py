@@ -864,6 +864,54 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day
 """
 
 
+def grouped_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order-value trend over time, fit with the grouped-map
+    Arrow tier (``applyInPandas`` + numpy least squares — see
+    operators/aggs.py::grouped_ols_trend for when to prefer the closed-form
+    sufficient-statistics aggregation instead). Dims broadcast; x is epoch
+    day so slope is currency-per-day."""
+    from ..operators.aggs import grouped_ols_trend
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("double").alias("day"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    fitted = grouped_ols_trend(joined, key_cols=["n_name"], x_col="day", y_col="price")
+    return fitted.select(
+        "n_name",
+        "n",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 1).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("n_name")
+
+
+GROUPED_TREND_ORACLE = """
+SELECT n_name,
+       COUNT(*) AS n,
+       ROUND(REGR_SLOPE(o_totalprice, day), 4) AS slope,
+       ROUND(REGR_INTERCEPT(o_totalprice, day), 1) AS intercept,
+       ROUND(REGR_R2(o_totalprice, day), 6) AS r2
+FROM (
+    SELECT n_name,
+           CAST(o_orderdate::DATE - DATE '1970-01-01' AS DOUBLE) AS day,
+           o_totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape: customers with balance above their
     nation's average. Decorrelated Spark-side into aggregate + broadcast
@@ -1269,6 +1317,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_ORACLE),
     "window_lag_order_gaps": QuerySpec(window_lag_order_gaps, LAG_GAPS_ORACLE),
     "pivot_revenue_by_priority": QuerySpec(pivot_revenue_by_priority, PIVOT_ORACLE),
+    "grouped_trend_by_nation": QuerySpec(grouped_trend_by_nation, GROUPED_TREND_ORACLE),
     "window_trailing_spend_range": QuerySpec(window_trailing_spend_range, TRAILING_SPEND_ORACLE),
     "sql_interface_revenue": QuerySpec(sql_interface_revenue, SQL_INTERFACE_ORACLE),
     "stats_moments_by_flag": QuerySpec(stats_moments_by_flag, STATS_ORACLE),

@@ -370,6 +370,47 @@ def test_pagerank_matches_local_reference(spark):
     assert got[1] > got[2] and got[3] > got[4]
 
 
+def test_grouped_ols_matches_sufficient_stats_agg(spark, sf_dir):
+    """grouped_ols_trend (applyInPandas + numpy) must agree with the
+    closed-form pure-JVM sufficient-statistics aggregation — the stated
+    100 TB alternative for giant groups — to float precision."""
+    from spark_iceberg_jobs_spark.operators.aggs import grouped_ols_trend
+    from spark_iceberg_jobs_spark.sources.readers import load_tables
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    df = orders.select(
+        (F.col("o_custkey") % 5).cast("string").alias("g"),
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    got = {
+        r.g: r
+        for r in grouped_ols_trend(df, key_cols=["g"], x_col="x", y_col="y").collect()
+    }
+    stats = (
+        df.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("x").alias("xm"),
+            F.avg("y").alias("ym"),
+            F.covar_pop("x", "y").alias("sxy"),
+            F.var_pop("x").alias("sxx"),
+            F.var_pop("y").alias("syy"),
+        )
+        .collect()
+    )
+    assert len(got) == len(stats) == 5
+    for r in stats:
+        slope = r.sxy / r.sxx
+        intercept = r.ym - slope * r.xm
+        r2 = (r.sxy * r.sxy) / (r.sxx * r.syy)
+        g = got[r.g]
+        assert g.n == r.n
+        assert abs(g.slope - slope) < 1e-9
+        assert abs(g.intercept - intercept) < 1e-6 * max(1.0, abs(intercept))
+        assert abs(g.r2 - r2) < 1e-9
+
+
 def test_ngram_contamination_detects_copied_eval_text(spark):
     """A train doc that copies an eval doc verbatim scores contamination
     1.0; a doc sharing no 3-gram is absent from the report."""
