@@ -137,6 +137,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    existing_hashes: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "text_hash",
+) -> DataFrame:
+    """Incremental (snapshot-append) exact dedup: which rows of a NEW batch
+    survive against the corpus ingested so far.
+
+    ``existing_hashes`` is the persisted fingerprint index — one 128-bit
+    md5 per already-accepted document, column ``hash_col`` — NOT the corpus
+    itself: a production pipeline carries this index forward between runs
+    so each increment never rescans 100 TB of accepted text. Two steps,
+    both keyed on the digest:
+
+    1. within-batch dedup: min-id per content hash (one shuffle of ids);
+    2. anti-join against the index (shuffle keyed on the hash — store the
+       index bucketed by ``hash_col`` and this side never reshuffles).
+
+    Returns (id_col, hash_col) for the accepted rows — the increment to
+    append to both the corpus and the index.
+    """
+    hashed = new_batch.select(
+        F.col(id_col), F.md5(normalize(text_col)).alias(hash_col)
+    )
+    kept = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+    return kept.join(
+        existing_hashes.select(hash_col), hash_col, "left_anti"
+    ).select(id_col, hash_col)
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_docs: DataFrame,

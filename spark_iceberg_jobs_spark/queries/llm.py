@@ -315,6 +315,39 @@ ORDER BY lang, chunk_id
 """
 
 
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-append dedup: a deterministic ~1/8 of documents plays the
+    incoming batch (md5-threshold selection), the rest is the
+    already-ingested corpus represented ONLY by its fingerprint index;
+    report which batch rows survive within-batch + against-index dedup —
+    the per-increment shape of a production ingestion pipeline."""
+    from ..operators.dedup import exact_dedup, incremental_dedup
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    is_batch = (
+        F.substring(F.md5(F.concat(F.lit("batch:"), F.col("doc_id").cast("string"))), 1, 8)
+        < "20000000"
+    )
+    index = exact_dedup(docs.filter(~is_batch)).select("text_hash")
+    return incremental_dedup(docs.filter(is_batch), index)
+
+
+DEDUP_INCREMENTAL_ORACLE = """
+WITH tagged AS (
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS h,
+           SUBSTR(MD5('batch:' || CAST(doc_id AS VARCHAR)), 1, 8) < '20000000' AS is_batch
+    FROM documents
+), kept AS (
+    SELECT h AS text_hash, MIN(doc_id) AS doc_id
+    FROM tagged WHERE is_batch GROUP BY h
+)
+SELECT doc_id, text_hash
+FROM kept
+WHERE text_hash NOT IN (SELECT h FROM tagged WHERE NOT is_batch)
+"""
+
+
 def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: a deterministic ~1/8 of documents plays the
     eval benchmark (md5-threshold selection — same portable trick as the
@@ -1299,6 +1332,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, headline=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_ORACLE),
     "decontaminate_eval_overlap": QuerySpec(decontaminate_eval_overlap, DECONTAMINATE_ORACLE),
+    "dedup_incremental_batch": QuerySpec(dedup_incremental_batch, DEDUP_INCREMENTAL_ORACLE),
     "split_train_val_test": QuerySpec(split_train_val_test, SPLIT_ORACLE),
     "graph_pagerank_suppliers": QuerySpec(graph_pagerank_suppliers, PAGERANK_ORACLE),
     "stratified_sample_by_lang": QuerySpec(stratified_sample_by_lang, SAMPLE_ORACLE),

@@ -411,6 +411,29 @@ def test_grouped_ols_matches_sufficient_stats_agg(spark, sf_dir):
         assert abs(g.r2 - r2) < 1e-9
 
 
+def test_incremental_dedup_within_and_against_index(spark):
+    """Batch rows dedup within the batch (min id per content hash) and
+    against the existing fingerprint index; normalization collapses
+    case/whitespace variants."""
+    from spark_iceberg_jobs_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(90, "already ingested doc")], "doc_id long, text string"
+    )
+    index = exact_dedup(existing).select("text_hash")
+    batch = spark.createDataFrame(
+        [
+            (1, "brand new doc"),
+            (2, "Brand  NEW   doc"),  # normalizes to the same content as 1
+            (3, "ALREADY   ingested DOC"),  # normalizes to the indexed doc
+            (4, "another fresh doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = incremental_dedup(batch, index)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 4]
+
+
 def test_ngram_contamination_detects_copied_eval_text(spark):
     """A train doc that copies an eval doc verbatim scores contamination
     1.0; a doc sharing no 3-gram is absent from the report."""
