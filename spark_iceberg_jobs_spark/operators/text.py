@@ -125,9 +125,12 @@ def bigram_pmi(documents: DataFrame, *, min_count: int = 5, k: int = 15) -> Data
     cx = uni_counts.select(F.col("t").alias("x"), F.col("c_t").alias("c_x"))
     cy = uni_counts.select(F.col("t").alias("y"), F.col("c_t").alias("c_y"))
     scored = (
+        # term-vocabulary joins shuffle on the term key: a real corpus'
+        # unigram vocabulary is itself huge (100M+ terms), so it is NOT
+        # broadcast — only the two 1-row totals below are
         big_counts.filter(F.col("c_xy") >= min_count)
-        .join(F.broadcast(cx), "x")
-        .join(F.broadcast(cy), "y")
+        .join(cx, "x")
+        .join(cy, "y")
         .crossJoin(F.broadcast(n_big))
         .crossJoin(F.broadcast(n_tok))
         .withColumn(
