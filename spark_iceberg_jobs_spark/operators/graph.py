@@ -15,6 +15,11 @@ Scale notes:
 - A FIXED iteration count (rather than convergence detection) keeps the
   operator deterministic and SQL-replayable: the DuckDB oracle unrolls
   the same k rounds as chained CTEs and must agree to the rounding digit.
+
+Reference parity: the reference repo has no graph operators (its surface is
+CSV→Iceberg ingestion, job1; README.md:13-26); this extends the
+LLM-pipeline tier the driver brief mandates (entity-influence weighting for
+source curation).
 """
 
 from __future__ import annotations

@@ -192,3 +192,54 @@ def test_sort_layout_changes_bytes_not_results(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_decontamination_broadcasts_only_the_eval_side(spark, sf_dir):
+    """The decontamination join must broadcast the (small) eval shingle set
+    so the training-corpus scan never shuffles for the join — and the
+    train-side per-doc aggregations must be the only exchanges."""
+    from spark_iceberg_jobs_spark.operators.dedup import ngram_contamination
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 8 == 0
+    q = ngram_contamination(docs.filter(~is_eval), docs.filter(is_eval), n=5)
+    assert has_broadcast_hash_join(q), formatted_plan(q)
+    assert "CartesianProduct" not in formatted_plan(q)
+
+
+def test_bigram_pmi_vocabulary_joins_are_not_forced_broadcast(spark, sf_dir):
+    """The PMI term-vocabulary joins must carry NO broadcast hint — at
+    corpus scale the unigram vocabulary is huge, so the optimizer must be
+    free to shuffle them (it may still choose broadcast at fixture scale
+    from size stats; that's its call). Only the two 1-row total counts are
+    hint-broadcast. Mechanically: with autoBroadcast disabled, exactly the
+    2 hinted BroadcastExchanges remain and the vocab joins become shuffle
+    joins."""
+    from spark_iceberg_jobs_spark.operators.text import bigram_pmi
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = formatted_plan(bigram_pmi(docs))
+        # vocab joins: shuffle joins, not broadcast-hash (no hint forces them)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2, plan
+        # the 1-row totals keep their hinted broadcast cross joins
+        assert "BroadcastNestedLoopJoin Cross" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def test_trailing_spend_window_is_customer_partitioned(spark, sf_dir):
+    """The time-RANGE frame must be partitioned by customer — a single
+    unpartitioned range window would serialize all orders through one
+    task."""
+    from spark_iceberg_jobs_spark.queries.core import window_trailing_spend_range
+
+    plan = formatted_plan(window_trailing_spend_range(spark, sf_dir))
+    assert "SinglePartition" not in plan, plan
+    assert ", [o_custkey#" in plan, plan  # Window partitioned by customer
