@@ -19,6 +19,7 @@ precision, deterministic fold order).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -243,11 +244,13 @@ def srp_dedup_pairs(
     embeddings: DataFrame,
     *,
     threshold: float = 0.42,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     num_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 64,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs WITHOUT all-pairs scoring (VERDICT r1 item
     4): candidate pairs are generated by a self-join on (table, SRP
@@ -276,15 +279,45 @@ def srp_dedup_pairs(
     with 8 tables while random pairs almost never collide; the fixture's
     random vectors force the much harder cos ≥ 0.42 regime, where measured
     recall vs the exact baseline is asserted in tests. Bucket count per
-    table is 2^planes — size planes ~ log2(n / target_bucket_rows) so
-    per-bucket candidate blocks stay bounded as the corpus grows.
+    table is 2^planes — per-bucket self-join work is (n/2^planes)² per
+    bucket, so at FIXED planes the operator degrades quadratically as the
+    corpus grows (tools/scale_lab.py measured a 64x corpus OOMing the
+    default-4-planes config). ``num_planes=None`` (default) therefore
+    AUTO-SIZES planes = log2(n / target_bucket_rows) from one count()
+    pass, holding expected bucket occupancy — and with it per-bucket
+    quadratic work — constant as n grows; raising planes costs per-table
+    recall, which is why the table count rides along as the recall knob.
+    Pass an explicit ``num_planes`` to pin the geometry (the oracle-paired
+    query does, so its generated plane-literal SQL stays in lockstep).
+
+    Auto-sizing holds the EXPECTED bucket size; it cannot help when the
+    data itself is degenerate — a dense cluster of near-identical
+    embeddings (templated/boilerplate content at corpus scale) lands its
+    whole mass in one bucket of every table, and that hot bucket alone is
+    quadratic (tools/scale_lab.py reproduced this with replica-constant
+    vector shifts: 32k vectors → 104M candidate pairs). ``max_bucket_rows``
+    is the guard: buckets larger than the cap are dropped from candidate
+    generation, exactly like the stop-shingle cap in
+    dedup.ngram_jaccard_pairs — members of such a cluster are better
+    handled by exact dedup / connected clusters, and pairs that straddle
+    cluster boundaries still surface through the other tables.
     """
+    if num_planes is None:
+        n = embeddings.count()  # parquet count: metadata-cheap, one pass
+        num_planes = max(4, min(24, math.ceil(math.log2(max(n, 1) / target_bucket_rows))))
     e = embeddings.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
-    sig = scoped_persist(  # both self-join sides; the plane folds run once
-        _multi_table_sig(
-            e, vec_col="v", num_planes=num_planes, num_tables=num_tables, dim=dim
-        ).select("vid", "tbl", "sig")
-    )
+    sig = _multi_table_sig(
+        e, vec_col="v", num_planes=num_planes, num_tables=num_tables, dim=dim
+    ).select("vid", "tbl", "sig")
+    if max_bucket_rows is not None:
+        hot = (
+            sig.groupBy("tbl", "sig")
+            .agg(F.count("*").alias("_rows"))
+            .filter(F.col("_rows") > max_bucket_rows)
+            .select("tbl", "sig")
+        )
+        sig = sig.join(hot, ["tbl", "sig"], "left_anti")
+    sig = scoped_persist(sig)  # both self-join sides; the plane folds run once
     a = sig.select(F.col("vid").alias("vec_a"), "tbl", "sig")
     b = sig.select(F.col("vid").alias("vec_b"), "tbl", "sig")
     cands = (

@@ -864,6 +864,33 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day
 """
 
 
+def stringagg_types_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: per brand, the sorted distinct part-type
+    list as one CSV string. collect_set → array_sort → concat_ws keeps the
+    result deterministic (an unordered STRING_AGG would hash-flip); the
+    grouped sets are bounded (distinct types per brand ≪ rows), so the
+    shuffle carries small arrays, not row streams."""
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("p_type"))).alias("types"),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+STRINGAGG_ORACLE = """
+SELECT p_brand,
+       STRING_AGG(DISTINCT p_type, ',' ORDER BY p_type) AS types,
+       COUNT(DISTINCT p_type) AS n_types
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 def grouped_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation order-value trend over time, fit with the grouped-map
     Arrow tier (``applyInPandas`` + numpy least squares — see
@@ -1318,6 +1345,7 @@ QUERIES: dict[str, QuerySpec] = {
     "window_lag_order_gaps": QuerySpec(window_lag_order_gaps, LAG_GAPS_ORACLE),
     "pivot_revenue_by_priority": QuerySpec(pivot_revenue_by_priority, PIVOT_ORACLE),
     "grouped_trend_by_nation": QuerySpec(grouped_trend_by_nation, GROUPED_TREND_ORACLE),
+    "stringagg_types_by_brand": QuerySpec(stringagg_types_by_brand, STRINGAGG_ORACLE),
     "window_trailing_spend_range": QuerySpec(window_trailing_spend_range, TRAILING_SPEND_ORACLE),
     "sql_interface_revenue": QuerySpec(sql_interface_revenue, SQL_INTERFACE_ORACLE),
     "stats_moments_by_flag": QuerySpec(stats_moments_by_flag, STATS_ORACLE),

@@ -140,6 +140,49 @@ def test_srp_dedup_pairs_subset_of_exact_with_recall(spark, sf_dir):
     assert recall >= 0.6, f"SRP-bucketed recall {recall} (random vectors)"
 
 
+def test_srp_dedup_auto_sizes_planes_to_corpus(spark, sf_dir):
+    """num_planes=None derives planes from corpus size so expected bucket
+    occupancy stays ~target_bucket_rows: small corpora floor at 4 planes
+    (identical results to the pinned-4 config); a shrunken target on the
+    same corpus must raise the plane count (observable as a longer
+    signature/bucket space in the plan's sig hashing or simply via the
+    sizing formula)."""
+    import math as m
+
+    from spark_iceberg_jobs_spark.operators.similarity import srp_dedup_pairs
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    n = emb.count()
+    auto = {(r.vec_a, r.vec_b) for r in srp_dedup_pairs(emb).collect()}
+    pinned = {(r.vec_a, r.vec_b) for r in srp_dedup_pairs(emb, num_planes=4).collect()}
+    # at fixture scale the formula floors at 4 → bit-identical output
+    assert m.ceil(m.log2(max(n, 1) / 64)) <= 4
+    assert auto == pinned
+    # the sizing formula scales: 1M rows / 64-row target buckets → 14 planes
+    assert max(4, min(24, m.ceil(m.log2(1_000_000 / 64)))) == 14
+
+
+def test_srp_dedup_hot_bucket_cap(spark, sf_dir):
+    """max_bucket_rows drops over-full buckets from candidate generation
+    (the dense-cluster guard): a generous cap changes nothing at fixture
+    scale; a cap of 0 drops every bucket and yields no pairs; any capped
+    result is a subset of the uncapped one."""
+    from spark_iceberg_jobs_spark.operators.similarity import srp_dedup_pairs
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    uncapped = {(r.vec_a, r.vec_b) for r in srp_dedup_pairs(emb).collect()}
+    generous = {
+        (r.vec_a, r.vec_b)
+        for r in srp_dedup_pairs(emb, max_bucket_rows=10**6).collect()
+    }
+    assert generous == uncapped
+    assert srp_dedup_pairs(emb, max_bucket_rows=0).count() == 0
+    tight = {
+        (r.vec_a, r.vec_b) for r in srp_dedup_pairs(emb, max_bucket_rows=20).collect()
+    }
+    assert tight <= uncapped
+
+
 def test_multiway_join(spark, sf_dir):
     from spark_iceberg_jobs_spark.operators.joins import multiway_join
 

@@ -1,0 +1,181 @@
+"""Scaling-law lab: measure how the curation-tier operators scale with
+corpus size, locally, before anyone pays for a cluster.
+
+Builds x{K} replicas of the sf0.1 documents/embeddings tables under
+/tmp/scale_lab (replicas are MUTATED — token order rotated per replica,
+embedding vectors perturbed per replica — so near-dup structure stays
+realistic instead of every doc gaining K exact twins, which would grow
+pair outputs quadratically by construction and measure the wrong thing).
+Then times each probe operator at every scale and reports the fitted
+scaling exponent alpha where t ~ n^alpha (alpha ≈ 1 is linear; the
+shuffle-keyed designs should all sit near 1; an alpha ≥ 1.5 is a scale
+bug).
+
+Usage: python tools/scale_lab.py [max_scale] [op ...]
+       (max_scale from {4, 16, 64}, default 16)
+
+Timing noise on a busy box is real; exponents are computed min-of-2 per
+point and only the largest-scale pair matters for the verdict.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from spark_iceberg_jobs_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+LAB = "/tmp/scale_lab"
+SCALES = (1, 4, 16, 64)
+
+
+def build(spark, scale: int) -> str:
+    out = f"{LAB}/x{scale}"
+    if os.path.exists(f"{out}/_OK"):
+        return out
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    n_emb = emb.agg(F.max("vec_id")).first()[0] + 1
+    reps = spark.range(scale).withColumnRenamed("id", "rep")
+    # every 3rd token gets a replica-specific salt: ~all 3-gram shingles of
+    # a replica differ from every other replica's (a rotation was tried
+    # first and is NOT enough — it only breaks shingles at the seam, so all
+    # K replicas stayed mutual near-dups and pair outputs grew K²-fold)
+    toks = F.split("text", " ")
+    d = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        toks,
+                        lambda t, i: F.when(
+                            i % 3 == 0, F.concat(t, F.lit("r"), F.col("rep"))
+                        ).otherwise(t),
+                    ),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    # perturb each replica's vector HARD (O(1) magnitude per dim) and PER
+    # VECTOR (the phase depends on vec_id, not only on (rep, dim) — a
+    # replica-constant shift was tried first and collapsed each replica
+    # into a handful of SRP buckets, manufacturing pathological skew):
+    # replicas land in genuinely different cosine neighborhoods, so bucket
+    # occupancy grows the way a real corpus' does, not as near-dup twins
+    e = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda v, i: F.when(F.col("rep") == 0, v).otherwise(
+                    v
+                    + F.sin(
+                        i.cast("double") * 1.7
+                        + F.col("rep") * 2.3
+                        + F.col("vec_id").cast("double") * 0.6180339887
+                    )
+                ),
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+    )
+    d.repartition(max(1, scale)).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    e.repartition(max(1, scale)).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    open(f"{out}/_OK", "w").close()
+    return out
+
+
+def probes():
+    from spark_iceberg_jobs_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_contamination,
+    )
+    from spark_iceberg_jobs_spark.operators.similarity import lsh_topk, srp_dedup_pairs
+    from spark_iceberg_jobs_spark.operators.splits import pack_sequences
+    from spark_iceberg_jobs_spark.operators.text import quality_scores, repetition_stats
+    from spark_iceberg_jobs_spark.sources.readers import read_jsonl  # noqa: F401
+
+    def _docs(spark, d):
+        return spark.read.parquet(f"{d}/documents.parquet")
+
+    def _emb(spark, d):
+        return spark.read.parquet(f"{d}/embeddings.parquet")
+
+    return {
+        "dedup_exact": lambda s, d: exact_dedup(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: minhash_lsh_pairs(_docs(s, d), portable=False),
+        "decontaminate": lambda s, d: ngram_contamination(
+            _docs(s, d).filter(F.col("doc_id") % 8 != 0),
+            _docs(s, d).filter(F.col("doc_id") % 8 == 0).limit(500),
+            n=5,
+        ),
+        "repetition_stats": lambda s, d: repetition_stats(_docs(s, d)),
+        "quality_scores": lambda s, d: quality_scores(_docs(s, d)),
+        "pack_sequences": lambda s, d: pack_sequences(
+            _docs(s, d), budget=512, shard_col="lang"
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.max("chunk_id").alias("chunks")),
+        # production config: auto-sized planes + hot-bucket cap (the fixture
+        # embeddings are label-clustered, so replication grows each cluster
+        # and uncapped bucket self-joins go quadratic — measured 3.25e9
+        # candidate pairs at 64x without the cap, 7.9e6 with it)
+        "srp_dedup_pairs": lambda s, d: srp_dedup_pairs(_emb(s, d), max_bucket_rows=512),
+        "srp_ann_topk": lambda s, d: lsh_topk(
+            _emb(s, d), _emb(s, d).filter(F.col("vec_id") < 10), k=5
+        ),
+    }
+
+
+def run_probe(spark, fn, d) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, d).count()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    only = set(sys.argv[2:])
+    scales = [s for s in SCALES if s <= max_scale]
+    spark = get_spark("scale-lab")
+    dirs = {s: build(spark, s) for s in scales}
+    results = {}
+    for name, fn in probes().items():
+        if only and name not in only:
+            continue
+        times = {}
+        for s in scales:
+            times[s] = round(run_probe(spark, fn, dirs[s]), 3)
+        lo, hi = scales[0], scales[-1]
+        alpha = math.log(max(times[hi], 1e-3) / max(times[lo], 1e-3)) / math.log(hi / lo)
+        results[name] = {"times": times, "alpha": round(alpha, 2)}
+        print(json.dumps({"op": name, **results[name]}), flush=True)
+    worst = max(results.values(), key=lambda r: r["alpha"])["alpha"] if results else 0
+    print(json.dumps({"metric": "scale_lab", "worst_alpha": worst, "scales": scales}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
