@@ -21,7 +21,7 @@ import logging
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import LongType, StructType, TimestampNTZType, TimestampType
 
 from ..schemas import FIXTURE_TABLES
 
@@ -31,11 +31,18 @@ logger = logging.getLogger(__name__)
 def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table (TESTDATA.md) as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    outright; we read it as a nanosecond long (``legacy.parquet.nanosAsLong``)
-    and truncate to a microsecond TimestampType. Truncation only ever moves
-    *down* within the same second/window bucket, so windowing, epoch-second
-    math, and ordering (tie-broken by event_id) are unaffected.
+    ``events.ts`` is normalized to a session-zoned ``TimestampType``
+    whatever the parquet file stores:
+
+    - TIMESTAMP(MICROS), not UTC-adjusted (current driver fixtures) → Spark
+      reads ``TIMESTAMP_NTZ``; with the session zone pinned UTC below, a
+      cast to ``TimestampType`` is value-identity and restores the type the
+      event-time operators (``unix_micros``, watermarks) require.
+    - TIMESTAMP(NANOS) (round-1 fixtures), which Spark's reader rejects
+      outright: read as nanosecond long (``legacy.parquet.nanosAsLong``) and
+      truncate to µs. Truncation only moves *down* within the same
+      second/window bucket, so windowing, epoch-second math, and ordering
+      (tie-broken by event_id) are unaffected.
 
     SESSION-WIDE SIDE EFFECT (deliberate — ADVICE r1): ``nanosAsLong`` stays
     set for the session's lifetime after the first events read. It cannot be
@@ -57,8 +64,11 @@ def read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

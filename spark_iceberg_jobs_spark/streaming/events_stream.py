@@ -33,32 +33,43 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-#: events schema as the parquet file stores it (ts = nanosecond INT64;
-#: the nanosAsLong conf maps it to long, converted to µs timestamp below).
-_EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_file_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """events schema as the parquet file stores it. A stream read needs the
+    schema declared up front, but the fixture's on-disk ts type differs by
+    driver generation (µs TIMESTAMP_NTZ today; nanosecond INT64 in round 1,
+    surfaced as long via the nanosAsLong conf) — so probe it with a one-file
+    batch footer read instead of hardcoding either."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture, ts normalized to µs
-    timestamps exactly like the batch reader (sources/readers.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    session-zoned timestamps exactly like the batch reader
+    (sources/readers.py read_fixture)."""
+    schema = _events_file_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(_EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
 
 
 def windowed_counts(
