@@ -240,6 +240,109 @@ def ivf_topk(
     )
 
 
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2) — as a PURE
+    PROJECTION, zero shuffle.
+
+    The centroids are compile-time literal arrays (they are driver-small by
+    definition — k x dim doubles), so the per-row distance folds and the
+    argmin run inside whole-stage codegen on the scan: no crossJoin, no
+    broadcast exchange, no per-row Python. The argmin is an ``array_min``
+    over (distance, index) structs — deterministic tie-break by cell index.
+    Adds ``cell`` (long) and ``dist`` (squared L2 to that centroid).
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    v = F.col(vec_col)
+    cands = []
+    for i, c in enumerate(centroids):
+        w = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, w, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d2.alias("d"), F.lit(i).cast("long").alias("i")))
+    m = F.array_min(F.array(*cands))
+    return embeddings.withColumn("cell", m["i"]).withColumn("dist", m["d"])
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column — the production centroid
+    source for ``ivf_topk`` (pass the result through ``centroids_df``).
+
+    Scale shape per round (this is the point of the design):
+
+    - **Assignment is projection-only** (``assign_cells``): centroids are
+      embedded as literal arrays, so assigning a 100 TB corpus is one scan
+      with NO shuffle, NO broadcast join, NO crossJoin against a centroid
+      table.
+    - **Update is one narrow shuffle**: per-dim means via ``k x dim``
+      partial-aggregating AVG columns — each task emits k rows of dim
+      partials, the exchange carries k x partitions rows, never vectors.
+    - **Centroids live on the driver** between rounds (k x dim doubles —
+      small by definition; k=1024, dim=4096 is 32 MB). The per-round
+      ``collect()`` of k rows replaces PageRank's per-round
+      ``localCheckpoint()`` — same action count, smaller payload, and it
+      keeps every round's assignment expression literal (the lineage never
+      nests).
+
+    Determinism: init picks the k vectors with the smallest
+    ``md5(id)`` (TakeOrderedAndProject — distributed partial top-k, same
+    seeding as ``ivf_topk``), ties in the argmin break by cell index, and
+    the iteration count is FIXED so a DuckDB oracle can replay every round
+    as unrolled CTEs (queries/ml.py). A cell that loses all members keeps
+    its previous centroid.
+
+    Returns the centroid list (index = cell id), for ``assign_cells`` /
+    ``centroids_df``.
+    """
+    if k < 1 or iterations < 0:
+        raise ValueError(f"need k >= 1 and iterations >= 0, got k={k}, iterations={iterations}")
+    e = embeddings.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("v"))
+    init = (
+        e.withColumn("_h", F.md5(F.col("cid").cast("string")))
+        .orderBy("_h", "cid")
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r.v) for r in init]
+    for _ in range(iterations):
+        rows = (
+            assign_cells(e, cents)
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("v")[d]).alias(f"m{d}") for d in range(dim)])
+            .collect()
+        )
+        nxt = list(cents)  # empty cells carry their previous centroid
+        for r in rows:
+            nxt[r["cell"]] = [r[f"m{d}"] for d in range(dim)]
+        cents = nxt
+    return cents
+
+
+def centroids_df(spark, cents: list[list[float]]) -> DataFrame:
+    """Render driver-side centroids as the (cell, centv) DataFrame
+    ``ivf_topk(centroids=...)`` consumes."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell long, centv array<double>",
+    )
+
+
 def srp_dedup_pairs(
     embeddings: DataFrame,
     *,

@@ -52,10 +52,10 @@ _CORE_PRIORITY = [
 
 
 def _merged() -> dict[str, QuerySpec]:
-    from . import core, events, llm, tpch_tail  # local import to avoid cycles
+    from . import core, events, llm, ml, tpch_tail  # local import to avoid cycles
 
     pool: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events, tpch_tail):
+    for mod in (core, llm, events, ml, tpch_tail):
         dup = pool.keys() & mod.QUERIES.keys()
         if dup:
             raise ValueError(f"duplicate query names: {sorted(dup)}")

@@ -623,3 +623,49 @@ def test_sample_frames_stub_expansion(spark):
     rows = sample_frames_stub(attach_binary_payload(docs), every_n_bytes=64).collect()
     assert [r.frame_offset for r in rows] == [0, 64, 128]
     assert all(r.frame_byte == ord("x") for r in rows)
+
+
+def test_kmeans_inertia_non_increasing_and_ivf_integration(spark, sf_dir):
+    """Lloyd's guarantee: total inertia after 3 update rounds must not
+    exceed the seeded (0-round) inertia. The fitted centroids must slot
+    directly into ivf_topk (the production path its docstring names)."""
+    from spark_iceberg_jobs_spark.functions.vectors import as_double
+    from spark_iceberg_jobs_spark.operators.similarity import (
+        assign_cells,
+        centroids_df,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("cid"), as_double("embedding").alias("v"))
+
+    def inertia(cents):
+        return assign_cells(e, cents).agg(F.sum("dist")).collect()[0][0]
+
+    seeded = kmeans_fit(emb, k=4, iterations=0)
+    fitted = kmeans_fit(emb, k=4, iterations=3)
+    assert inertia(fitted) <= inertia(seeded) + 1e-9
+
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(
+        emb, probes, k=5, nprobe=2, centroids=centroids_df(spark, fitted)
+    )
+    per_probe = {r.probe_id for r in out.collect()}
+    assert per_probe == {0, 1, 2}
+
+
+def test_kmeans_assignment_is_projection_only(spark, sf_dir):
+    """The assignment pass must compile to a pure projection over the scan:
+    literal-array centroids, no shuffle, no broadcast, no crossJoin."""
+    from spark_iceberg_jobs_spark.functions.vectors import as_double
+    from spark_iceberg_jobs_spark.operators.similarity import assign_cells, kmeans_fit
+    from spark_iceberg_jobs_spark.plans.explain import count_shuffle_exchanges, formatted_plan
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("cid"), as_double("embedding").alias("v"))
+    cents = kmeans_fit(emb, k=4, iterations=1)
+    assigned = assign_cells(e, cents)
+    assert count_shuffle_exchanges(assigned) == 0, formatted_plan(assigned)
+    plan = formatted_plan(assigned)
+    assert "BroadcastExchange" not in plan, plan
