@@ -151,3 +151,30 @@ def grouped_ols_trend(
         )
 
     return df.groupBy(*key_cols).applyInPandas(fit, schema=schema)
+
+
+def skew_profile(df: DataFrame, key: str, *, k: int = 5) -> DataFrame:
+    """Hot-key profile for a prospective join/agg key: the top-k keys by
+    row count with their share of all rows and their multiple of the mean
+    per-key count — the pre-flight diagnostic that decides between a plain
+    shuffle join, a broadcast, or salting (operators/joins.salted_join).
+
+    Scale: one partial+final count shuffle on the key; the global stats
+    re-aggregate the per-key counts (one row, broadcast back); the top-k is
+    TakeOrderedAndProject. Nothing driver-side beyond k rows.
+    """
+    per_key = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    stats = per_key.agg(
+        F.avg("cnt").alias("avg_cnt"), F.sum("cnt").cast("double").alias("total")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            key,
+            "cnt",
+            F.round(F.col("cnt") / F.col("total") * 100, 4).alias("pct_of_rows"),
+            F.round(F.col("cnt") / F.col("avg_cnt"), 3).alias("x_avg"),
+        )
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(k)
+    )

@@ -209,3 +209,31 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap fluency/quality signal (gibberish and
+    boilerplate both score as outliers vs the corpus distribution).
+
+    Scale shape: tokens are aggregated to per-doc (doc_id, term, count)
+    BEFORE any join, so the vocabulary join shuffles per-doc vocabularies,
+    never raw token streams; the unigram vocabulary itself is huge at
+    corpus scale and is NOT broadcast (same discipline as bigram_pmi) —
+    only the 1-row corpus-total rides a broadcast cross join. The per-doc
+    mean is the count-weighted sum, one final shuffle on doc_id.
+    """
+    tok = documents.select("doc_id", F.explode(tokens("text")).alias("t"))
+    doc_tok = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c_t"))
+    total = tok.groupBy().agg(F.count("*").alias("corpus_tokens"))
+    logp = F.log(F.col("c_t") / F.col("corpus_tokens"))
+    return (
+        doc_tok.join(vocab, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * logp) / F.sum("c"), 4).alias("avg_logprob"),
+        )
+    )

@@ -56,10 +56,12 @@ def _merged() -> dict[str, QuerySpec]:
 
     pool: dict[str, QuerySpec] = {}
     for mod in (core, llm, events, ml, tpch_tail):
-        dup = pool.keys() & mod.QUERIES.keys()
-        if dup:
-            raise ValueError(f"duplicate query names: {sorted(dup)}")
-        pool.update(mod.QUERIES)
+        # EXTRA_QUERIES: verified like QUERIES, but never head-eligible
+        for queries in (mod.QUERIES, getattr(mod, "EXTRA_QUERIES", {})):
+            dup = pool.keys() & queries.keys()
+            if dup:
+                raise ValueError(f"duplicate query names: {sorted(dup)}")
+            pool.update(queries)
 
     head = list(llm.QUERIES) + list(events.QUERIES)
     slots = DRIVER_WINDOW - len(head)

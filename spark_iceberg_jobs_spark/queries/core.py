@@ -1332,6 +1332,33 @@ SELECT * FROM (VALUES
 """
 
 
+
+
+def skew_profile_lineitem_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic (operators/aggs.skew_profile) on the lineitem
+    supplier key — the pre-flight check that pairs with salted_join_agg:
+    run this first, salt only when x_avg says a key is pathological."""
+    from ..operators.aggs import skew_profile
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return skew_profile(li, "l_suppkey", k=5)
+
+
+SKEW_PROFILE_ORACLE = """
+WITH per_key AS (
+    SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), stats AS (
+    SELECT AVG(cnt) AS avg_cnt, CAST(SUM(cnt) AS DOUBLE) AS total FROM per_key
+)
+SELECT l_suppkey, cnt,
+       ROUND(cnt / total * 100, 4) AS pct_of_rows,
+       ROUND(cnt / avg_cnt, 3) AS x_avg
+FROM per_key CROSS JOIN stats
+ORDER BY cnt DESC, l_suppkey
+LIMIT 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_compression_lab": QuerySpec(layout_compression_lab, LAYOUT_LAB_ORACLE),
     "subquery_above_nation_avg": QuerySpec(subquery_above_nation_avg, SUBQUERY_ORACLE),
@@ -1382,4 +1409,7 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_functions_showcase": QuerySpec(scalar_functions_showcase, SCALAR_ORACLE),
     "rollup_order_stats": QuerySpec(rollup_order_stats, ROLLUP_ORACLE),
     "sort_global_topk": QuerySpec(sort_global_topk, SORT_TOPK_ORACLE),
+    "skew_profile_lineitem_suppkey": QuerySpec(
+        skew_profile_lineitem_suppkey, SKEW_PROFILE_ORACLE
+    ),
 }

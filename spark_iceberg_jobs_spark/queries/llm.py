@@ -1354,3 +1354,36 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_audio_decode": QuerySpec(multimodal_audio_decode, AUDIO_DECODE_ORACLE),
 }
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency scoring (operators/text.unigram_logprob): every
+    doc's mean token log-probability under the corpus distribution."""
+    from ..operators.text import unigram_logprob
+
+    return unigram_logprob(read_fixture(spark, sf_dir, "documents"))
+
+
+UNIGRAM_LOGPROB_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+), doc_tok AS (
+    SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+), vocab AS (
+    SELECT t, COUNT(*) AS c_t FROM tok GROUP BY t
+), total AS (
+    SELECT COUNT(*) AS corpus_tokens FROM tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(SUM(c * LN(c_t / corpus_tokens)) / SUM(c), 4) AS avg_logprob
+FROM doc_tok JOIN vocab USING (t) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+#: Verified like QUERIES but OUTSIDE the driver's 50-entry window (which the
+#: llm + events tiers fill exactly); tools/verify_local.py covers these.
+EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
+}
