@@ -1359,6 +1359,111 @@ LIMIT 5
 """
 
 
+
+
+def window_analytics_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ranking functions — ntile / percent_rank / cume_dist over a
+    per-priority price ordering, summarized per quartile. Ranks are integer
+    arithmetic over a uniquely-ordered frame (orderkey tie-break), so the
+    ratios are engine-exact. Scale: one shuffle on the partition key; the
+    window never sees an unpartitioned frame."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.max("pr"), 6).alias("max_pct_rank"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+WINDOW_ANALYTICS_ORACLE = """
+WITH ranked AS (
+    SELECT o_orderpriority, o_totalprice,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, quartile,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       ROUND(MAX(pr), 6) AS max_pct_rank,
+       ROUND(MAX(cd), 6) AS max_cume_dist
+FROM ranked
+GROUP BY o_orderpriority, quartile
+ORDER BY o_orderpriority, quartile
+"""
+
+
+def timeseries_gap_filled_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-count time series over an EXPLICIT month spine
+    (sequence + explode), so months with zero orders appear as zeros — the
+    gap-fill pattern every reporting pipeline needs. The spine is a
+    generated ~100-row dimension (broadcast); the fact aggregates to one
+    row per month BEFORE the join, so the outer join touches |months|
+    rows, never the fact."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1994-07-01").cast("date"),
+                F.lit("2002-06-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    per_month = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("month_start")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return (
+        spine.join(per_month, "month_start", "left_outer")
+        .select(
+            F.date_format("month_start", "yyyy-MM").alias("month"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+GAP_FILLED_ORACLE = """
+WITH spine AS (
+    SELECT UNNEST(GENERATE_SERIES(DATE '1994-07-01', DATE '2002-06-01',
+                                  INTERVAL 1 MONTH)) AS month_start
+), per_month AS (
+    SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1
+)
+SELECT STRFTIME(s.month_start, '%Y-%m') AS month,
+       COALESCE(cnt, 0) AS n_orders,
+       COALESCE(revenue, 0.0) AS revenue
+FROM spine s LEFT OUTER JOIN per_month p ON s.month_start = p.month_start
+ORDER BY month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_compression_lab": QuerySpec(layout_compression_lab, LAYOUT_LAB_ORACLE),
     "subquery_above_nation_avg": QuerySpec(subquery_above_nation_avg, SUBQUERY_ORACLE),
@@ -1411,5 +1516,11 @@ QUERIES: dict[str, QuerySpec] = {
     "sort_global_topk": QuerySpec(sort_global_topk, SORT_TOPK_ORACLE),
     "skew_profile_lineitem_suppkey": QuerySpec(
         skew_profile_lineitem_suppkey, SKEW_PROFILE_ORACLE
+    ),
+    "window_analytics_showcase": QuerySpec(
+        window_analytics_showcase, WINDOW_ANALYTICS_ORACLE
+    ),
+    "timeseries_gap_filled_monthly": QuerySpec(
+        timeseries_gap_filled_monthly, GAP_FILLED_ORACLE
     ),
 }
