@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.cache import scoped_persist
 from ..sources.readers import load_tables
 from . import QuerySpec
 
@@ -44,11 +45,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Supply cost proxy (no partsupp table): MIN(l_extendedprice/l_quantity)
     per (part, supplier) over lineitem.
 
-    Scale: the per-(part,supplier) and per-part aggregations shuffle on
-    their group keys with map-side partials; part/supplier/nation/region are
-    broadcast. The min-vs-min equality join keys on l_partkey — co-shuffled
-    with the grouped-min, so AQE plans one exchange per side. No window over
-    an unpartitioned frame anywhere.
+    Scale: ONE pass over the fact — the per-(part,supplier) grouped-min
+    shuffles once, then the per-part min is a window PARTITIONED BY
+    l_partkey over the (already small) grouped rows. A groupBy-then-join
+    decorrelation would recompute the base aggregation for each consumer
+    (Spark does not share CTEs the way DuckDB does); the window form
+    computes it once. Dims broadcast; no unpartitioned frame anywhere.
     """
     t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
     persupp = (
@@ -56,12 +58,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
     )
-    min_cost = persupp.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
-    best = persupp.join(
-        min_cost,
-        (persupp.l_partkey == min_cost.l_partkey)
-        & (persupp.supply_cost == min_cost.min_cost),
-    ).drop(min_cost.l_partkey)
+    w = Window.partitionBy("l_partkey")
+    best = persupp.withColumn("min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
     europe_nations = t["nation"].join(
         F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
         F.col("n_regionkey") == F.col("r_regionkey"),
@@ -256,13 +256,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stock-value proxy (no partsupp): SUM(l_extendedprice * l_quantity) per
     part, restricted to suppliers in EUROPE nations.
 
-    Scale: one shuffle on l_partkey with map-side partials; the global
-    average re-aggregates the per-part sums (tiny) and is crossJoin-broadcast
-    — one row, no second scan of the fact. The threshold is 2× the MEAN
-    per-part value rather than TPC-H's fixed fraction of the total: a fixed
-    fraction selects a constant number of parts regardless of corpus size
-    (TPC-H itself rescales it by 1/SF), while a mean multiple keeps the
-    query's selectivity stable at any scale.
+    Scale: one shuffle on l_partkey with map-side partials; the per-part
+    result is persisted (scoped — it is |parts| rows, post-agg) because it
+    feeds TWO consumers (the global average and the filter) and Spark would
+    otherwise re-scan the fact for each; the average is one broadcast row.
+    The threshold is 2× the MEAN per-part value rather than TPC-H's fixed
+    fraction of the total: a fixed fraction selects a constant number of
+    parts regardless of corpus size (TPC-H itself rescales it by 1/SF),
+    while a mean multiple keeps the query's selectivity stable at any
+    scale.
     """
     t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation", "region")
     europe_supps = (
@@ -274,7 +276,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
-    per_part = (
+    per_part = scoped_persist(
         t["lineitem"]
         .join(F.broadcast(europe_supps), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
@@ -421,12 +423,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     select the supplier(s) whose revenue equals the global max — scalar
     subquery equality, returning all ties.
 
-    Scale: per-supplier agg shuffles on suppkey; the max re-aggregates the
-    |suppliers|-row result and broadcasts one row. The equality compares a
-    double against the max of the same doubles (exact within an engine).
+    Scale: per-supplier agg shuffles on suppkey, persisted (scoped — it is
+    |suppliers| rows, post-agg) because both the max and the filter consume
+    it and Spark would otherwise scan the fact twice; the max re-aggregates
+    it to one broadcast row. The equality compares a double against the max
+    of the same doubles (exact within an engine).
     """
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
-    revenue = (
+    revenue = scoped_persist(
         t["lineitem"]
         .filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01"))
@@ -521,23 +525,22 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated AVG subquery — lineitems whose quantity is
     below 20% of the average quantity for their part, revenue / 7 years.
 
-    Scale: decorrelated into a per-part avg (shuffle on partkey, map-side
-    partials) joined back on partkey. The brand filter restricts the *outer*
-    side only; the inner average is over all lineitems of those parts, so
-    the avg input is partkey-pruned via a semi join before aggregating —
-    never a full-corpus agg for an 85-part brand.
+    Scale: decorrelated into an AVG window PARTITIONED BY l_partkey over the
+    brand-pruned lineitems — ONE scan, ONE shuffle (a groupBy-avg joined
+    back would recompute the pruned scan for each consumer). The brand
+    filter restricts the *outer* side only; the inner average is over all
+    lineitems of those parts, so the window input is partkey-pruned via a
+    broadcast semi join before aggregating — never a full-corpus agg for an
+    85-part brand.
     """
     t = load_tables(spark, sf_dir, "lineitem", "part")
     brand_parts = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = t["lineitem"].join(
         F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
-    per_part_avg = li.groupBy("l_partkey").agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(per_part_avg.withColumnRenamed("l_partkey", "ap_partkey")),
-                F.col("l_partkey") == F.col("ap_partkey"))
+        li.withColumn("qty_threshold", 0.2 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -628,27 +631,26 @@ def q20_concentrated_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity of those parts (1997 is one of ~6.6 fixture years, so 18% means
     "concentrated in 1997 above baseline").
 
-    Scale: the part family is broadcast-semi-joined into the fact before
-    any aggregation; both per-supplier aggs shuffle on suppkey and join
-    suppkey-to-suppkey (co-partitioned); the AFRICA supplier filter is a
-    broadcast semi join at the end.
+    Scale: the part family is broadcast-semi-joined into the fact, then the
+    all-time and 1997 quantities are a SINGLE conditional aggregation — one
+    scan, one suppkey shuffle; the two-subquery formulation the oracle runs
+    would scan the pruned fact twice and join the results. The AFRICA
+    supplier filter is a broadcast semi join at the end.
     """
     t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
     small_parts = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
     li = t["lineitem"].join(
         F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
-    total = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("total_qty"))
-    y97 = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01"))
-        )
-        .groupBy(F.col("l_suppkey").alias("s97_suppkey"))
-        .agg(F.sum("l_quantity").alias("qty_97"))
+    in_97 = (F.col("l_shipdate") >= F.lit("1997-01-01")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01")
     )
     qualified = (
-        total.join(y97, F.col("l_suppkey") == F.col("s97_suppkey"))
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(F.when(in_97, F.col("l_quantity")).otherwise(0.0)).alias("qty_97"),
+        )
         .filter(F.col("qty_97") > 0.18 * F.col("total_qty"))
         .select("l_suppkey")
     )
@@ -700,10 +702,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Late proxy (no receipt/commit dates): shipped >1000 days after order.
 
-    Scale: one orderkey-keyed shuffle feeds all three roles (candidate,
-    EXISTS probe, NOT-EXISTS probe) — expressed as semi/anti joins on
-    orderkey with a suppkey inequality, so Spark plans SortMergeJoin semi
-    and anti on the co-partitioned key, never a per-row subquery.
+    Scale: the EXISTS/NOT-EXISTS pair decorrelates into per-order supplier
+    sets — ``collect_set`` windows PARTITIONED BY orderkey — so ONE
+    orderkey-keyed exchange (reused from the orders join, which partitions
+    on the same key) feeds both probes, and the fact is scanned ONCE. A
+    semi+anti-join formulation would recompute the lineitem⋈orders join
+    for each of its three roles (Spark does not share subplans the way
+    DuckDB shares CTEs). A candidate is late with ≥2 suppliers in the
+    order and exactly 1 late supplier (itself, since the row is late).
+    Per-order supplier sets are bounded by order width, so the window
+    state is small.
     """
     t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier", "nation", "region")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS")
@@ -713,31 +721,25 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_suppkey", late.alias("is_late"))
     )
-    l1 = li.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
-    others = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    late_others = li.filter(F.col("is_late")).select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    w = Window.partitionBy("l_orderkey")
+    cand = (
+        li.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     asia_nations = t["nation"].join(
         F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
         F.col("n_regionkey") == F.col("r_regionkey"),
     )
     return (
-        l1.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            late_others,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
-        )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        cand.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -48,12 +48,13 @@ def test_q19_disjunction_pushes_quantity_to_scan(spark, sf_dir):
     assert has_broadcast_hash_join(q), formatted_plan(q)
 
 
-def test_q21_exists_pair_compiles_to_semi_and_anti_joins(spark, sf_dir):
-    """EXISTS → LeftSemi, NOT EXISTS → LeftAnti, all on the orderkey-keyed
-    shuffle — never a per-row subquery or nested-loop product."""
+def test_q21_exists_pair_decorrelates_to_orderkey_windows(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair must decorrelate into per-order
+    collect_set windows partitioned by orderkey (single scan of the fact)
+    — never a per-row subquery, nested-loop product, or a global window."""
     plan = formatted_plan(q21_waiting_suppliers(spark, sf_dir))
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+    assert ", [l_orderkey#" in plan, plan  # Window partitioned by orderkey
+    assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
