@@ -1464,6 +1464,45 @@ ORDER BY month
 """
 
 
+
+
+def approx_percentiles_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch: percentile_approx (Greenwald-Khanna) per priority —
+    the 100 TB replacement for exact percentiles (one pass, bounded
+    memory, mergeable partials; exact percentile needs a per-group sort).
+    Like approx_distinct_custkeys, the output exposes what IS
+    deterministic: the exact median alongside a boolean asserting the
+    sketch landed within 2% of it — hash-matchable against an oracle that
+    expects TRUE everywhere."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("exact_median", 2).alias("exact_median"),
+            (
+                F.abs(F.col("approx_median") - F.col("exact_median"))
+                <= F.col("exact_median") * 0.02
+            ).alias("within_2pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+APPROX_PERCENTILES_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS exact_median,
+       TRUE AS within_2pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_compression_lab": QuerySpec(layout_compression_lab, LAYOUT_LAB_ORACLE),
     "subquery_above_nation_avg": QuerySpec(subquery_above_nation_avg, SUBQUERY_ORACLE),
@@ -1522,5 +1561,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "timeseries_gap_filled_monthly": QuerySpec(
         timeseries_gap_filled_monthly, GAP_FILLED_ORACLE
+    ),
+    "approx_percentiles_quality": QuerySpec(
+        approx_percentiles_quality, APPROX_PERCENTILES_ORACLE
     ),
 }
