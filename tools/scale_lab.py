@@ -143,7 +143,21 @@ def probes():
         "srp_ann_topk": lambda s, d: lsh_topk(
             _emb(s, d), _emb(s, d).filter(F.col("vec_id") < 10), k=5
         ),
+        # 2 fit rounds + final assignment stats; each round is a scan
+        # (projection-only assignment) + a k x dim partial-mean shuffle,
+        # so the expected shape is linear in corpus size
+        "kmeans_fit_assign": _kmeans_probe,
     }
+
+
+def _kmeans_probe(s, d):
+    from spark_iceberg_jobs_spark.functions.vectors import as_double
+    from spark_iceberg_jobs_spark.operators.similarity import assign_cells, kmeans_fit
+
+    emb = s.read.parquet(f"{d}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, iterations=2)
+    e = emb.select(F.col("vec_id").alias("cid"), as_double("embedding").alias("v"))
+    return assign_cells(e, cents).groupBy("cell").count()
 
 
 def run_probe(spark, fn, d) -> float:
