@@ -1382,8 +1382,40 @@ GROUP BY doc_id
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1→N mapInPandas expansion shape (video frame sampling): one
+    output row per sampled payload offset, summarized per doc. The payload
+    is the utf-8 text bytes (ASCII fixture), so the oracle replays the
+    sampled bytes with ORD(SUBSTRING(...)) over a generated offset series —
+    the Arrow-batched explode-like expansion is value-verified."""
+    from ..operators.multimodal import attach_binary_payload, sample_frames_stub
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    frames = sample_frames_stub(attach_binary_payload(docs), every_n_bytes=64)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_byte").cast("long").alias("byte_sum"),
+        F.max("frame_offset").alias("last_offset"),
+    )
+
+
+FRAME_SAMPLE_ORACLE = """
+WITH offs AS (
+    SELECT doc_id, text,
+           UNNEST(GENERATE_SERIES(0, LEN(text) - 1, 64)) AS off
+    FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_frames,
+       CAST(SUM(ORD(SUBSTRING(text, CAST(off AS INT) + 1, 1))) AS BIGINT) AS byte_sum,
+       MAX(off) AS last_offset
+FROM offs
+GROUP BY doc_id
+"""
+
+
 #: Verified like QUERIES but OUTSIDE the driver's 50-entry window (which the
 #: llm + events tiers fill exactly); tools/verify_local.py covers these.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
+    "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
 }
