@@ -243,3 +243,69 @@ def test_trailing_spend_window_is_customer_partitioned(spark, sf_dir):
     plan = formatted_plan(window_trailing_spend_range(spark, sf_dir))
     assert "SinglePartition" not in plan, plan
     assert ", [o_custkey#" in plan, plan  # Window partitioned by customer
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Spark's InjectRuntimeFilter puts a bloom filter built from the
+    selective (filtered) build side into the probe-side scan of a shuffle
+    join — the runtime analogue of broadcast-pruning for joins too big to
+    broadcast. The size thresholds are tuned for 100 TB defaults
+    (application side ≥ 10 GB), so this test lowers them to fixture scale
+    and asserts the might_contain probe appears."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_fixture(spark, sf_dir, "lineitem")
+        orders = read_fixture(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a 90%-one-key join partition is split at
+    runtime (SortMergeJoin(skew=true) + 'AQEShuffleRead ... skewed') —
+    the built-in complement to operators/joins.salted_join, which
+    pre-salts when the skew is known up front. Thresholds are lowered to
+    make fixture-scale partitions register as skewed; at 100 TB the
+    defaults (256 MB) trigger on real skew."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        agg = left.join(right, "k").select(F.count("*").alias("n"))
+        [row] = agg.collect()  # AQE finalizes THIS dataset's plan
+        assert row.n == 190100
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
