@@ -677,6 +677,38 @@ QUERIES: dict[str, QuerySpec] = {
     "events_top_purchasers": QuerySpec(events_top_purchasers, TOP_PURCHASERS_ORACLE),
 }
 
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant column, then typed path access with
+    ``try_variant_get`` — the modern engine-native path for schema-on-read
+    JSON (binary-encoded, no per-query re-parse, pushdown-friendly),
+    versus events_props_extract's regex approach. Same aggregation, so the
+    two queries cross-check each other through their shared oracle shape."""
+    events = read_fixture(spark, sf_dir, "events")
+    return (
+        events.withColumn("v", F.parse_json("props"))
+        .withColumn("k", F.try_variant_get("v", "$.k", "bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events,
+       COUNT(CAST(props::JSON ->> 'k' AS BIGINT)) AS n_with_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 #: Verified like QUERIES but kept OUT of the driver's 50-entry correctness
 #: window (queries/__init__._merged head), which the llm + events tiers fill
 #: exactly; tools/verify_local.py covers these every round.
@@ -684,4 +716,5 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "streaming_purchase_click_join": QuerySpec(
         streaming_purchase_click_join_query, STREAMING_JOIN_ORACLE
     ),
+    "events_props_variant": QuerySpec(events_props_variant, PROPS_VARIANT_ORACLE),
 }
