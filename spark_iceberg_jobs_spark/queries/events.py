@@ -712,9 +712,45 @@ ORDER BY event_type
 #: Verified like QUERIES but kept OUT of the driver's 50-entry correctness
 #: window (queries/__init__._merged head), which the llm + events tiers fill
 #: exactly; tools/verify_local.py covers these every round.
+def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming lake-sink path under the oracle: a streaming per-user
+    aggregation (update mode) drains through foreachBatch + MERGE-upsert
+    into a parquet target (rename-aside swap, crash-recoverable), then the
+    TABLE is read back and compared against the batch aggregate — verifying
+    end-to-end that micro-batch upserts converge to exactly the batch
+    answer. Target lives under /tmp and is recreated per run."""
+    import shutil
+
+    from ..streaming.events_stream import foreach_batch_upsert_sink, stream_events
+
+    target = "/tmp/spark_graft_upsert_q/user_totals"
+    shutil.rmtree("/tmp/spark_graft_upsert_q", ignore_errors=True)
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    foreach_batch_upsert_sink(agg, target_path=target, key="user_id")
+    return spark.read.parquet(target).orderBy("user_id")
+
+
+STREAMING_UPSERT_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "streaming_purchase_click_join": QuerySpec(
         streaming_purchase_click_join_query, STREAMING_JOIN_ORACLE
     ),
     "events_props_variant": QuerySpec(events_props_variant, PROPS_VARIANT_ORACLE),
+    "streaming_upsert_user_totals": QuerySpec(
+        streaming_upsert_user_totals, STREAMING_UPSERT_ORACLE
+    ),
 }
