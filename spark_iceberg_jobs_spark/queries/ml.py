@@ -200,7 +200,100 @@ WHERE rnk <= 5
 IVF_KMEANS_ORACLE = _ivf_kmeans_oracle_sql()
 
 
+def corpus_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal corpus profiling: every document joined to its
+    embedding's fitted k-means cell (doc_id ↔ vec_id), profiled per
+    (lang, cell) — the cluster-aware view used for mixture design and
+    targeted curation ("which clusters are dominated by which
+    languages?").
+
+    Scale: the k-means fit is kmeans_fit's (projection-only rounds); the
+    final assignment is again a projection, so the only added work is one
+    doc⋈embedding equi join (id-keyed shuffle, AQE-planned) and a small
+    (lang × cell) aggregate.
+    """
+    from ..operators.similarity import assign_cells
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_K, iterations=_ITERATIONS, dim=_DIM)
+    e = emb.select(F.col("vec_id").alias("cid"), as_double("embedding").alias("v"))
+    assigned = assign_cells(e, cents).select("cid", "cell")
+    return (
+        docs.join(assigned, docs.doc_id == assigned.cid)
+        .groupBy("lang", "cell")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # SUM not rounded AVG: integer-exact both engines (a rounded
+            # AVG of integer chars lands on .xx5 midpoints where Spark
+            # HALF_UP and DuckDB binary rounding disagree - same trap as
+            # window_trailing_spend_range, found by the sf0.1 oracle)
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang", "cell")
+    )
+
+
+def _cluster_profile_oracle_sql(k: int = _K, iterations: int = _ITERATIONS) -> str:
+    return f"""
+WITH {_kmeans_chain(k, iterations, extra_assign=True)}
+SELECT d.lang, a.cell, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN a{iterations + 1} a ON d.doc_id = a.vec_id
+GROUP BY d.lang, a.cell
+ORDER BY d.lang, a.cell
+"""
+
+
+CLUSTER_PROFILE_ORACLE = _cluster_profile_oracle_sql()
+
+
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based sampling weights for the language mixture:
+    w(lang) ∝ n(lang)^α with α=0.5 — the standard multilingual up/down
+    sampling rule (low-resource languages upweighted relative to their
+    share). Pairs with operators/splits.stratified_sample, which consumes
+    per-stratum rates.
+
+    Scale: one lang-keyed count aggregate; the normalizer re-aggregates
+    |langs| rows and broadcasts one row.
+    """
+    docs = read_fixture(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    norm = per_lang.agg(
+        F.sum(F.pow("n_docs", 0.5)).alias("z"),
+        F.sum("n_docs").cast("double").alias("total"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(norm))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("raw_share"),
+            F.round(F.pow("n_docs", 0.5) / F.col("z"), 6).alias("alpha05_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+MIXTURE_ORACLE = """
+WITH per_lang AS (
+    SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS raw_share,
+       ROUND(POW(n_docs, 0.5) / (SELECT SUM(POW(n_docs, 0.5)) FROM per_lang), 6)
+           AS alpha05_weight
+FROM per_lang
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings, KMEANS_ORACLE),
     "sim_ivf_kmeans_topk": QuerySpec(sim_ivf_kmeans_topk, IVF_KMEANS_ORACLE),
+    "corpus_cluster_profile": QuerySpec(corpus_cluster_profile, CLUSTER_PROFILE_ORACLE),
+    "mixture_temperature_weights": QuerySpec(
+        mixture_temperature_weights, MIXTURE_ORACLE
+    ),
 }
