@@ -159,11 +159,16 @@ def skew_profile(df: DataFrame, key: str, *, k: int = 5) -> DataFrame:
     per-key count — the pre-flight diagnostic that decides between a plain
     shuffle join, a broadcast, or salting (operators/joins.salted_join).
 
-    Scale: one partial+final count shuffle on the key; the global stats
-    re-aggregate the per-key counts (one row, broadcast back); the top-k is
-    TakeOrderedAndProject. Nothing driver-side beyond k rows.
+    Scale: one partial+final count shuffle on the key; the per-key counts
+    are persisted (scoped — post-agg, |keys| rows) because both the global
+    stats and the top-k consume them (Spark shares no subplans, so an
+    unpersisted lineage would scan the fact twice); the stats re-aggregate
+    to one broadcast row; the top-k is TakeOrderedAndProject. Nothing
+    driver-side beyond k rows.
     """
-    per_key = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    from ..functions.cache import scoped_persist
+
+    per_key = scoped_persist(df.groupBy(key).agg(F.count("*").alias("cnt")))
     stats = per_key.agg(
         F.avg("cnt").alias("avg_cnt"), F.sum("cnt").cast("double").alias("total")
     )

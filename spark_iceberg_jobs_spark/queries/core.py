@@ -1412,27 +1412,33 @@ ORDER BY o_orderpriority, quartile
 
 
 def timeseries_gap_filled_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly order-count time series over an EXPLICIT month spine
-    (sequence + explode), so months with zero orders appear as zeros — the
-    gap-fill pattern every reporting pipeline needs. The spine is a
-    generated ~100-row dimension (broadcast); the fact aggregates to one
-    row per month BEFORE the join, so the outer join touches |months|
-    rows, never the fact."""
+    """Monthly order-count time series over an explicit month spine
+    (sequence + explode), so interior months with zero orders appear as
+    zeros — the gap-fill pattern every reporting pipeline needs. The spine
+    bounds derive from the DATA's min/max month (a hardcoded range would
+    silently drop months if the fixture's date span ever changed — and the
+    oracle, sharing the literals, would never notice); the fact aggregates
+    to one row per month BEFORE everything else, so the bounds aggregate
+    and the outer join touch |months| rows, never the fact (per_month is
+    scope-persisted for its two consumers)."""
+    from ..functions.cache import scoped_persist
+
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    spine = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("1994-07-01").cast("date"),
-                F.lit("2002-06-01").cast("date"),
-                F.expr("INTERVAL 1 MONTH"),
-            )
-        ).alias("month_start")
+    per_month = scoped_persist(
+        orders.groupBy(F.trunc("o_orderdate", "month").alias("month_start")).agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
     )
-    per_month = orders.groupBy(
-        F.trunc("o_orderdate", "month").alias("month_start")
-    ).agg(
-        F.count("*").alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    spine = (
+        per_month.agg(
+            F.min("month_start").alias("lo"), F.max("month_start").alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+            ).alias("month_start")
+        )
     )
     return (
         spine.join(per_month, "month_start", "left_outer")
@@ -1446,15 +1452,16 @@ def timeseries_gap_filled_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 GAP_FILLED_ORACLE = """
-WITH spine AS (
-    SELECT UNNEST(GENERATE_SERIES(DATE '1994-07-01', DATE '2002-06-01',
-                                  INTERVAL 1 MONTH)) AS month_start
-), per_month AS (
+WITH per_month AS (
     SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
            COUNT(*) AS cnt,
            ROUND(SUM(o_totalprice), 2) AS revenue
     FROM orders
     GROUP BY 1
+), spine AS (
+    SELECT UNNEST(GENERATE_SERIES((SELECT MIN(month_start) FROM per_month),
+                                  (SELECT MAX(month_start) FROM per_month),
+                                  INTERVAL 1 MONTH)) AS month_start
 )
 SELECT STRFTIME(s.month_start, '%Y-%m') AS month,
        COALESCE(cnt, 0) AS n_orders,

@@ -56,9 +56,13 @@ def _kmeans_chain(k: int, iterations: int, *, extra_assign: bool) -> str:
 
     Round r: d{r} = squared-L2 of every (vector, cell) pair against c{r-1};
     a{r} = argmin with (dist, cell) tie-break — identical to assign_cells's
-    array_min over (d, i) structs; c{r} = per-(cell, dim) member means.
-    ``extra_assign`` appends round iterations+1's d/a pair (the final
-    assignment against the fitted centroids) without a further update.
+    array_min over (d, i) structs; c{r} = per-(cell, dim) member means,
+    UNION ALL the previous round's centroid for any cell that lost all its
+    members — replaying kmeans_fit's empty-cell carry-forward exactly (a
+    bare GROUP BY would silently drop the cell from the next round's
+    argmin candidate set and diverge). ``extra_assign`` appends round
+    iterations+1's d/a pair (the final assignment against the fitted
+    centroids) without a further update.
     """
     rounds = []
     last = iterations + 1 if extra_assign else iterations
@@ -84,6 +88,10 @@ def _kmeans_chain(k: int, iterations: int, *, extra_assign: bool) -> str:
     SELECT a.cell, e.dim, AVG(e.val) AS cval
     FROM a{r} a JOIN ev e ON a.vec_id = e.vec_id
     GROUP BY a.cell, e.dim
+    UNION ALL
+    SELECT p.cell, p.dim, p.cval
+    FROM c{r - 1} p
+    WHERE p.cell NOT IN (SELECT DISTINCT cell FROM a{r})
 )"""
             )
     chain = ",\n".join(rounds)
@@ -255,11 +263,14 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     share). Pairs with operators/splits.stratified_sample, which consumes
     per-stratum rates.
 
-    Scale: one lang-keyed count aggregate; the normalizer re-aggregates
-    |langs| rows and broadcasts one row.
+    Scale: one lang-keyed count aggregate, persisted (scoped — |langs|
+    rows) because the normalizer and the final projection both consume it;
+    the normalizer broadcasts one row.
     """
+    from ..functions.cache import scoped_persist
+
     docs = read_fixture(spark, sf_dir, "documents")
-    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    per_lang = scoped_persist(docs.groupBy("lang").agg(F.count("*").alias("n_docs")))
     norm = per_lang.agg(
         F.sum(F.pow("n_docs", 0.5)).alias("z"),
         F.sum("n_docs").cast("double").alias("total"),

@@ -36,14 +36,27 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+#: per-path probe cache — the fixture's on-disk encoding is fixed per
+#: sf_dir, so the footer read happens once per path, not once per call
+_TS_TYPE_CACHE: dict[str, object] = {}
+
+
 def _events_file_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """events schema as the parquet file stores it. A stream read needs the
     schema declared up front, but the fixture's on-disk ts type differs by
     driver generation (µs TIMESTAMP_NTZ today; nanosecond INT64 in round 1,
     surfaced as long via the nanosAsLong conf) — so probe it with a one-file
-    batch footer read instead of hardcoding either."""
+    batch footer read (cached per path) instead of hardcoding either.
+
+    Pins the session zone to UTC like the batch reader (read_fixture): the
+    NTZ→TimestampType cast below is zone-dependent, and naive == UTC is
+    what the DuckDB oracle assumes."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    if path not in _TS_TYPE_CACHE:
+        _TS_TYPE_CACHE[path] = spark.read.parquet(path).schema["ts"].dataType
+    ts_type = _TS_TYPE_CACHE[path]
     return StructType(
         [
             StructField("event_id", LongType()),
