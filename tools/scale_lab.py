@@ -103,6 +103,39 @@ def build(spark, scale: int) -> str:
     return out
 
 
+def build_tpch(spark, scale: int) -> str:
+    """Replicate the sf0.1 TPC-H facts (lineitem, orders) x{scale} with
+    orderkeys remapped per replica — order count grows, per-order line
+    structure is preserved — while parts/suppliers/customers stay FIXED
+    (dims don't grow with fact volume), so per-part and per-supplier group
+    cardinalities deepen the way a growing fact's do. Dims are copied
+    verbatim so the real query functions run unchanged against the lab
+    dir."""
+    out = f"{LAB}/x{scale}"
+    if os.path.exists(f"{out}/_OK_TPCH"):
+        return out
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    n_ord = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    reps = spark.range(scale).withColumnRenamed("id", "rep")
+    o = orders.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") + F.col("rep") * n_ord).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    )
+    l = li.crossJoin(F.broadcast(reps)).select(
+        (F.col("l_orderkey") + F.col("rep") * n_ord).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    o.repartition(max(1, scale)).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    l.repartition(max(1, scale)).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    for dim in ("part", "supplier", "nation", "region", "customer"):
+        spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{dim}.parquet"
+        )
+    open(f"{out}/_OK_TPCH", "w").close()
+    return out
+
+
 def probes():
     from spark_iceberg_jobs_spark.operators.dedup import (
         exact_dedup,
@@ -147,7 +180,23 @@ def probes():
         # (projection-only assignment) + a k x dim partial-mean shuffle,
         # so the expected shape is linear in corpus size
         "kmeans_fit_assign": _kmeans_probe,
+        # the single-scan subquery decorrelations (tpch_tail): window-min
+        # over grouped rows, partkey-pruned window-avg, per-order
+        # collect_set windows — all should be linear in fact volume
+        "tpch_q2_mincost": _tpch_probe("q2_min_cost_supplier"),
+        "tpch_q17_smallqty": _tpch_probe("q17_small_quantity_revenue"),
+        "tpch_q21_waiting": _tpch_probe("q21_waiting_suppliers"),
     }
+
+
+def _tpch_probe(qname):
+    def run(s, d):
+        from spark_iceberg_jobs_spark.queries import tpch_tail
+
+        build_tpch(s, int(os.path.basename(d)[1:]))
+        return getattr(tpch_tail, qname)(s, d)
+
+    return run
 
 
 def _kmeans_probe(s, d):
