@@ -183,3 +183,67 @@ def skew_profile(df: DataFrame, key: str, *, k: int = 5) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc(key))
         .limit(k)
     )
+
+
+def cms_sketch(df: DataFrame, key: str, *, depth: int = 4) -> DataFrame:
+    """Count-min sketch over a key column: ``depth`` independent hash rows
+    of 256 buckets each (bucket = first hex byte of a row-salted md5 — no
+    numeric conversion, so a SQL oracle replays it verbatim). Returns
+    (r, b, cnt) counters.
+
+    Scale: the canonical fixed-memory frequency summary — the counter
+    table is depth x 256 rows REGARDLESS of corpus size or key
+    cardinality, built in one pass with map-side partial counts; rows
+    explode JVM-side (array+explode, no Python). Counters from shards/
+    streams merge by summing (r, b) cells.
+    """
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"cms:{r}:"), F.col(key))), 1, 2
+                    ).alias("b"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(rb.alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str, *, depth: int = 4) -> DataFrame:
+    """Point-estimate each probe key's frequency from a cms_sketch: the MIN
+    over the depth counters the key hashes into. Estimates are upper
+    bounds (est >= true count, overcount from collisions only).
+
+    Scale: probes x depth is tiny and broadcast; the sketch side is
+    depth x 256 rows — the join never touches the original corpus.
+    """
+    pr = probes.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"cms:{r}:"), F.col(key))), 1, 2
+                        ).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key, F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    return (
+        sketch.join(F.broadcast(pr), ["r", "b"])
+        .groupBy(key)
+        .agg(F.min("cnt").cast("long").alias("est_n"))
+    )

@@ -1415,7 +1415,60 @@ GROUP BY doc_id
 
 #: Verified like QUERIES but OUTSIDE the driver's 50-entry window (which the
 #: llm + events tiers fill exactly); tools/verify_local.py covers these.
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (operators/aggs.cms_sketch):
+    the fixed-memory (depth x 256 counters, size-invariant) frequency
+    summary, probed for the exact top-10 terms. The md5-hex bucketing is
+    fully portable, so the oracle replays the ENTIRE sketch — counters,
+    probe hashing, and min-selection — and the estimates hash-match.
+    The exact companion aggregation exists for verification; production
+    keeps only the sketch (that is the point of it)."""
+    from ..functions.cache import scoped_persist
+    from ..operators.aggs import cms_estimate, cms_sketch
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    sketch = cms_sketch(tok, "t")
+    exact = scoped_persist(  # 10 rows post-limit; feeds probes AND the join
+        tok.groupBy("t")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "t")
+        .limit(10)
+    )
+    est = cms_estimate(sketch, exact.select("t"), "t")
+    return (
+        exact.join(est, "t")
+        .select(F.col("t").alias("term"), "exact_n", "est_n")
+        .orderBy(F.desc("exact_n"), "term")
+    )
+
+
+CMS_ORACLE = """
+WITH tok AS (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+), rows AS (
+    SELECT UNNEST(GENERATE_SERIES(0, 3)) AS r
+), sketch AS (
+    SELECT r, SUBSTRING(MD5('cms:' || r || ':' || t), 1, 2) AS b,
+           COUNT(*) AS cnt
+    FROM tok CROSS JOIN rows
+    GROUP BY r, b
+), exact AS (
+    SELECT t, COUNT(*) AS exact_n FROM tok
+    GROUP BY t ORDER BY exact_n DESC, t LIMIT 10
+)
+SELECT e.t AS term, e.exact_n, CAST(MIN(s.cnt) AS BIGINT) AS est_n
+FROM exact e
+CROSS JOIN rows r
+JOIN sketch s
+  ON s.r = r.r AND s.b = SUBSTRING(MD5('cms:' || r.r || ':' || e.t), 1, 2)
+GROUP BY e.t, e.exact_n
+ORDER BY e.exact_n DESC, term
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
+    "sketch_cms_heavy_hitters": QuerySpec(sketch_cms_heavy_hitters, CMS_ORACLE),
 }

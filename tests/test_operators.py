@@ -669,3 +669,18 @@ def test_kmeans_assignment_is_projection_only(spark, sf_dir):
     assert count_shuffle_exchanges(assigned) == 0, formatted_plan(assigned)
     plan = formatted_plan(assigned)
     assert "BroadcastExchange" not in plan, plan
+
+
+def test_cms_estimates_are_upper_bounds(spark, sf_dir):
+    """Count-min guarantee: every estimate >= the true count (collisions
+    only ever ADD), and equals it when no heavier key collides."""
+    from spark_iceberg_jobs_spark.operators.aggs import cms_estimate, cms_sketch
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    sketch = cms_sketch(tok, "t")
+    exact = tok.groupBy("t").agg(F.count("*").alias("exact_n")).limit(50)
+    est = cms_estimate(sketch, exact.select("t"), "t")
+    joined = exact.join(est, "t").collect()
+    assert joined, "no probe keys"
+    assert all(r.est_n >= r.exact_n for r in joined)
