@@ -1510,6 +1510,111 @@ ORDER BY o_orderpriority
 """
 
 
+
+
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization rollup/cube specialize:
+    exactly the (status, priority), (status), and () aggregates in one
+    pass, with grouping_id distinguishing the levels. Spark expands the
+    sets into one Expand + single aggregation — no multi-scan union."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+           AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag-semantics difference (multiplicities subtract,
+    unlike EXCEPT's set semantics): order priorities of BUILDING-segment
+    customers minus those of MACHINERY-segment URGENT orders — the
+    asymmetric subtrahend leaves every priority with a different surviving
+    multiplicity (a symmetric pair would cancel almost everything, which
+    demonstrates nothing)."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    def seg(name):
+        return (
+            t["orders"]
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .filter(F.col("c_mktsegment") == name)
+            .select("o_orderpriority")
+        )
+    return (
+        seg("BUILDING")
+        .exceptAll(seg("MACHINERY").filter(F.col("o_orderpriority") == "1-URGENT"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("surviving_rows"))
+        .orderBy("o_orderpriority")
+    )
+
+
+EXCEPT_ALL_ORACLE = """
+WITH b AS (
+    SELECT o_orderpriority FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+), m AS (
+    SELECT o_orderpriority FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'MACHINERY' AND o_orderpriority = '1-URGENT'
+)
+SELECT o_orderpriority, COUNT(*) AS surviving_rows
+FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM m)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def join_null_safe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>): NULLIF turns the 'AUTOMOBILE' segment into
+    NULL on both sides, then a <=> self-join of the per-segment counts
+    matches the NULL row to itself — where a plain = join drops it. Output
+    contrasts both join semantics per segment."""
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    per_seg = cust.groupBy(
+        F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")).alias("seg")
+    ).agg(F.count("*").alias("n"))
+    a = per_seg.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))
+    b = per_seg.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
+    nullsafe = (
+        a.join(b, F.col("seg_a").eqNullSafe(F.col("seg_b")))
+        .select(F.coalesce(F.col("seg_a"), F.lit("<null>")).alias("segment"), "n_a", "n_b")
+    )
+    return nullsafe.orderBy("segment")
+
+
+NULL_SAFE_ORACLE = """
+WITH per_seg AS (
+    SELECT NULLIF(c_mktsegment, 'AUTOMOBILE') AS seg, COUNT(*) AS n
+    FROM customer GROUP BY 1
+)
+SELECT COALESCE(a.seg, '<null>') AS segment, a.n AS n_a, b.n AS n_b
+FROM per_seg a JOIN per_seg b ON a.seg IS NOT DISTINCT FROM b.seg
+ORDER BY segment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_compression_lab": QuerySpec(layout_compression_lab, LAYOUT_LAB_ORACLE),
     "subquery_above_nation_avg": QuerySpec(subquery_above_nation_avg, SUBQUERY_ORACLE),
@@ -1572,4 +1677,9 @@ QUERIES: dict[str, QuerySpec] = {
     "approx_percentiles_quality": QuerySpec(
         approx_percentiles_quality, APPROX_PERCENTILES_ORACLE
     ),
+    "grouping_sets_order_stats": QuerySpec(
+        grouping_sets_order_stats, GROUPING_SETS_ORACLE
+    ),
+    "setops_except_all": QuerySpec(setops_except_all, EXCEPT_ALL_ORACLE),
+    "join_null_safe_segments": QuerySpec(join_null_safe_segments, NULL_SAFE_ORACLE),
 }
