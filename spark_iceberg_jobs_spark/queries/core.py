@@ -1615,6 +1615,43 @@ ORDER BY segment
 """
 
 
+
+
+def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the per-row dependent join (each outer
+    customer drives an ordered LIMIT-1 inner lookup). Catalyst decorrelates
+    the lateral into a ranked join rather than per-row re-execution; same
+    semantics as the argmax window, expressed in the dialect many BI tools
+    emit."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    t["customer"].createOrReplaceTempView("customer_lat")
+    t["orders"].createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, t.o_orderkey AS top_orderkey,
+               t.o_totalprice AS top_price
+        FROM customer_lat,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        WHERE c_custkey < 20
+        ORDER BY c_custkey
+        """
+    )
+
+
+LATERAL_ORACLE = """
+SELECT c_custkey, c_name, t.o_orderkey AS top_orderkey,
+       t.o_totalprice AS top_price
+FROM customer,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+WHERE c_custkey < 20
+ORDER BY c_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "layout_compression_lab": QuerySpec(layout_compression_lab, LAYOUT_LAB_ORACLE),
     "subquery_above_nation_avg": QuerySpec(subquery_above_nation_avg, SUBQUERY_ORACLE),
@@ -1682,4 +1719,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "setops_except_all": QuerySpec(setops_except_all, EXCEPT_ALL_ORACLE),
     "join_null_safe_segments": QuerySpec(join_null_safe_segments, NULL_SAFE_ORACLE),
+    "lateral_top_order_per_customer": QuerySpec(
+        lateral_top_order_per_customer, LATERAL_ORACLE
+    ),
 }
