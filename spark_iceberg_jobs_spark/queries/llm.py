@@ -1470,5 +1470,5 @@ ORDER BY e.exact_n DESC, term
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
-    "sketch_cms_heavy_hitters": QuerySpec(sketch_cms_heavy_hitters, CMS_ORACLE),
+    "sketch_cms_heavy_hitters": QuerySpec(sketch_cms_heavy_hitters, CMS_ORACLE, headline=True),
 }

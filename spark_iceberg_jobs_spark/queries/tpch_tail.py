@@ -842,6 +842,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q17_small_quantity_revenue": QuerySpec(q17_small_quantity_revenue, Q17_ORACLE),
     "q19_disjunctive_revenue": QuerySpec(q19_disjunctive_revenue, Q19_ORACLE),
     "q20_concentrated_shippers": QuerySpec(q20_concentrated_shippers, Q20_ORACLE),
-    "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_ORACLE),
+    "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_ORACLE, headline=True),
     "q22_dormant_customers": QuerySpec(q22_dormant_customers, Q22_ORACLE),
 }
