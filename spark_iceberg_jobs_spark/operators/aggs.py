@@ -185,19 +185,12 @@ def skew_profile(df: DataFrame, key: str, *, k: int = 5) -> DataFrame:
     )
 
 
-def cms_sketch(df: DataFrame, key: str, *, depth: int = 4) -> DataFrame:
-    """Count-min sketch over a key column: ``depth`` independent hash rows
-    of 256 buckets each (bucket = first hex byte of a row-salted md5 — no
-    numeric conversion, so a SQL oracle replays it verbatim). Returns
-    (r, b, cnt) counters.
-
-    Scale: the canonical fixed-memory frequency summary — the counter
-    table is depth x 256 rows REGARDLESS of corpus size or key
-    cardinality, built in one pass with map-side partial counts; rows
-    explode JVM-side (array+explode, no Python). Counters from shards/
-    streams merge by summing (r, b) cells.
-    """
-    rb = F.explode(
+def _cms_cells(key: str, depth: int):
+    """The (r, b) cell coordinates a key hashes into — ONE definition shared
+    by cms_sketch and cms_estimate (and mirrored in the oracle SQL): if the
+    salt format or bucket width ever drifted between the two, the join
+    would silently produce plausible-looking nonsense."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -210,8 +203,22 @@ def cms_sketch(df: DataFrame, key: str, *, depth: int = 4) -> DataFrame:
             ]
         )
     )
+
+
+def cms_sketch(df: DataFrame, key: str, *, depth: int = 4) -> DataFrame:
+    """Count-min sketch over a key column: ``depth`` independent hash rows
+    of 256 buckets each (bucket = first hex byte of a row-salted md5 — no
+    numeric conversion, so a SQL oracle replays it verbatim). Returns
+    (r, b, cnt) counters.
+
+    Scale: the canonical fixed-memory frequency summary — the counter
+    table is depth x 256 rows REGARDLESS of corpus size or key
+    cardinality, built in one pass with map-side partial counts; rows
+    explode JVM-side (array+explode, no Python). Counters from shards/
+    streams merge by summing (r, b) cells.
+    """
     return (
-        df.select(rb.alias("rb"))
+        df.select(_cms_cells(key, depth).alias("rb"))
         .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .groupBy("r", "b")
         .agg(F.count("*").alias("cnt"))
@@ -223,27 +230,19 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str, *, depth: int =
     over the depth counters the key hashes into. Estimates are upper
     bounds (est >= true count, overcount from collisions only).
 
-    Scale: probes x depth is tiny and broadcast; the sketch side is
-    depth x 256 rows — the join never touches the original corpus.
+    An EMPTY cell counts as 0 (probe-side LEFT join + coalesce), so a key
+    absent from the sketched corpus estimates as 0 — canonical count-min
+    semantics; an inner join would silently drop such keys or inflate
+    their min over only collided cells.
+
+    Scale: probes x depth is tiny; the sketch side is depth x 256 rows —
+    the join never touches the original corpus.
     """
-    pr = probes.select(
-        F.col(key),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"cms:{r}:"), F.col(key))), 1, 2
-                        ).alias("b"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
-    ).select(key, F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    pr = probes.select(F.col(key), _cms_cells(key, depth).alias("rb")).select(
+        key, F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    )
     return (
-        sketch.join(F.broadcast(pr), ["r", "b"])
+        pr.join(F.broadcast(sketch), ["r", "b"], "left_outer")
         .groupBy(key)
-        .agg(F.min("cnt").cast("long").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_n"))
     )

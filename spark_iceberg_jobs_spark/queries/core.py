@@ -1550,10 +1550,11 @@ ORDER BY gid, o_orderstatus, o_orderpriority
 def setops_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL — bag-semantics difference (multiplicities subtract,
     unlike EXCEPT's set semantics): order priorities of BUILDING-segment
-    customers minus those of MACHINERY-segment URGENT orders — the
-    asymmetric subtrahend leaves every priority with a different surviving
-    multiplicity (a symmetric pair would cancel almost everything, which
-    demonstrates nothing)."""
+    customers minus those of MACHINERY-segment URGENT orders. The
+    subtrahend drains multiplicity from the 1-URGENT priority only — at
+    the verified scales it cancels entirely (absent row = multiplicity 0)
+    while the other priorities pass through with their full counts; under
+    plain EXCEPT every surviving priority would collapse to one row."""
     t = load_tables(spark, sf_dir, "orders", "customer")
     def seg(name):
         return (

@@ -1457,10 +1457,11 @@ WITH tok AS (
     SELECT t, COUNT(*) AS exact_n FROM tok
     GROUP BY t ORDER BY exact_n DESC, t LIMIT 10
 )
-SELECT e.t AS term, e.exact_n, CAST(MIN(s.cnt) AS BIGINT) AS est_n
+SELECT e.t AS term, e.exact_n,
+       CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_n
 FROM exact e
 CROSS JOIN rows r
-JOIN sketch s
+LEFT JOIN sketch s
   ON s.r = r.r AND s.b = SUBSTRING(MD5('cms:' || r.r || ':' || e.t), 1, 2)
 GROUP BY e.t, e.exact_n
 ORDER BY e.exact_n DESC, term

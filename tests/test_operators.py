@@ -679,7 +679,12 @@ def test_cms_estimates_are_upper_bounds(spark, sf_dir):
     docs = read_fixture(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
     sketch = cms_sketch(tok, "t")
-    exact = tok.groupBy("t").agg(F.count("*").alias("exact_n")).limit(50)
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "t")
+        .limit(50)
+    )
     est = cms_estimate(sketch, exact.select("t"), "t")
     joined = exact.join(est, "t").collect()
     assert joined, "no probe keys"

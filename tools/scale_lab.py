@@ -223,10 +223,15 @@ def main() -> int:
     only = set(sys.argv[2:])
     scales = [s for s in SCALES if s <= max_scale]
     spark = get_spark("scale-lab")
-    dirs = {s: build(spark, s) for s in scales}
+    selected = [n for n in probes() if not only or n in only]
+    # the documents/embeddings replica build is the lab's most expensive
+    # step — skip it when every selected probe is a TPC-H one (those build
+    # their own tables lazily via build_tpch)
+    needs_corpus = any(not n.startswith("tpch_") for n in selected)
+    dirs = {s: (build(spark, s) if needs_corpus else f"{LAB}/x{s}") for s in scales}
     results = {}
     for name, fn in probes().items():
-        if only and name not in only:
+        if name not in selected:
             continue
         times = {}
         for s in scales:
