@@ -237,3 +237,38 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
             F.round(F.sum(F.col("c") * logp) / F.sum("c"), 4).alias("avg_logprob"),
         )
     )
+
+
+def chunk_with_overlap(
+    documents: DataFrame, *, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks (stride =
+    chunk_tokens - overlap) — the context-window prep step for retrieval /
+    embedding pipelines, where overlap keeps boundary sentences queryable
+    from both neighbors.
+
+    Pure expression (sequence over chunk starts + transform + slice), so
+    the 1→N expansion runs inside whole-stage codegen on the scan — no
+    shuffle, no Python. Emits (doc_id, chunk_id, chunk_text, n_tokens);
+    the final (short) chunk is kept, and a doc shorter than one chunk
+    yields exactly one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = tokens("text")
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (≥1 chunk)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int") * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_tokens)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return documents.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")

@@ -1468,8 +1468,43 @@ ORDER BY e.exact_n DESC, term
 """
 
 
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (operators/text.chunk_with_overlap):
+    every document split into 16-token chunks with 4-token overlap — the
+    retrieval/embedding context-prep step. The oracle rebuilds every chunk
+    STRING verbatim via list slicing, so the 1→N codegen expansion is
+    text-exact verified, not just counted."""
+    from ..operators.text import chunk_with_overlap
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    return chunk_with_overlap(docs, chunk_tokens=16, overlap=4)
+
+
+CHUNK_ORACLE = """
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+           LEN(STRING_SPLIT(text, ' ')) AS n
+    FROM documents
+), sized AS (
+    SELECT doc_id, toks, n,
+           GREATEST(CAST(CEIL((n - 4) / 12.0) AS BIGINT), 1) AS n_chunks
+    FROM base
+), starts AS (
+    SELECT doc_id, toks, n,
+           UNNEST(GENERATE_SERIES(0, (n_chunks - 1) * 12, 12)) AS s
+    FROM sized
+)
+SELECT doc_id,
+       CAST(s / 12 AS BIGINT) AS chunk_id,
+       ARRAY_TO_STRING(toks[s + 1 : s + 16], ' ') AS chunk_text,
+       CAST(LEAST(n - s, 16) AS BIGINT) AS n_tokens
+FROM starts
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
+    "text_chunk_overlap": QuerySpec(text_chunk_overlap, CHUNK_ORACLE),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
     "sketch_cms_heavy_hitters": QuerySpec(sketch_cms_heavy_hitters, CMS_ORACLE, headline=True),
 }

@@ -689,3 +689,25 @@ def test_cms_estimates_are_upper_bounds(spark, sf_dir):
     joined = exact.join(est, "t").collect()
     assert joined, "no probe keys"
     assert all(r.est_n >= r.exact_n for r in joined)
+
+
+def test_chunk_with_overlap_edges(spark, sf_dir):
+    """A doc shorter than one chunk yields exactly one chunk carrying the
+    whole text; consecutive chunks overlap by the configured amount; bad
+    overlap raises."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.operators.text import chunk_with_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    out = chunk_with_overlap(docs, chunk_tokens=16, overlap=4)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert rows[(1, 0)].chunk_text == "a b c" and rows[(1, 0)].n_tokens == 3
+    assert sum(1 for k in rows if k[0] == 1) == 1
+    c0, c1 = rows[(2, 0)].chunk_text.split(), rows[(2, 1)].chunk_text.split()
+    assert c0[-4:] == c1[:4]  # 4-token overlap
+    with pytest.raises(ValueError):
+        chunk_with_overlap(docs, chunk_tokens=8, overlap=8)
