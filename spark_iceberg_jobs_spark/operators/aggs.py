@@ -222,6 +222,9 @@ def cms_sketch(df: DataFrame, key: str, *, depth: int = 4) -> DataFrame:
         .select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .groupBy("r", "b")
         .agg(F.count("*").alias("cnt"))
+        # the sketch carries its depth so cms_estimate can fail loud on a
+        # mismatched probe depth instead of silently estimating 0
+        .withColumn("depth", F.lit(depth))
     )
 
 
@@ -241,8 +244,14 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str, *, depth: int =
     pr = probes.select(F.col(key), _cms_cells(key, depth).alias("rb")).select(
         key, F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
     )
+    cell_cnt = F.when(
+        F.col("depth").isNotNull() & (F.col("depth") != F.lit(depth)),
+        F.raise_error(
+            F.lit(f"cms_estimate depth={depth} does not match the sketch's depth")
+        ).cast("long"),
+    ).otherwise(F.coalesce(F.col("cnt"), F.lit(0)))
     return (
         pr.join(F.broadcast(sketch), ["r", "b"], "left_outer")
         .groupBy(key)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_n"))
+        .agg(F.min(cell_cnt).cast("long").alias("est_n"))
     )

@@ -277,7 +277,7 @@ def kmeans_fit(
     *,
     k: int = 8,
     iterations: int = 3,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
@@ -307,8 +307,9 @@ def kmeans_fit(
     as unrolled CTEs (queries/ml.py). A cell that loses all members keeps
     its previous centroid.
 
-    Returns the centroid list (index = cell id), for ``assign_cells`` /
-    ``centroids_df``.
+    ``dim`` is derived from the data when omitted and validated against it
+    when given. Returns the centroid list (index = cell id), for
+    ``assign_cells`` / ``centroids_df``.
     """
     if k < 1 or iterations < 0:
         raise ValueError(f"need k >= 1 and iterations >= 0, got k={k}, iterations={iterations}")
@@ -319,6 +320,15 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    if not init:
+        raise ValueError("kmeans_fit: embeddings input is empty")
+    actual_dim = len(init[0].v)
+    if dim is None:
+        dim = actual_dim
+    elif dim != actual_dim:
+        # a silent mismatch truncates centroids (dim too small) or poisons
+        # the next round with None means (dim too large) — fail loud
+        raise ValueError(f"dim={dim} but vectors have {actual_dim} dimensions")
     cents = [list(r.v) for r in init]
     for _ in range(iterations):
         rows = (

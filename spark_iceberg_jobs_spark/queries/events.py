@@ -710,21 +710,23 @@ ORDER BY event_type
 
 
 #: Verified like QUERIES but kept OUT of the driver's 50-entry correctness
-#: window (queries/__init__._merged head), which the llm + events tiers fill
-#: exactly; tools/verify_local.py covers these every round.
+#: window (queries/__init__._merged head) — llm (32) + events (17) + the
+#: flagship core query fill it exactly; tools/verify_local.py covers these
+#: every round.
 def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming lake-sink path under the oracle: a streaming per-user
     aggregation (update mode) drains through foreachBatch + MERGE-upsert
     into a parquet target (rename-aside swap, crash-recoverable), then the
     TABLE is read back and compared against the batch aggregate — verifying
     end-to-end that micro-batch upserts converge to exactly the batch
-    answer. Target lives under /tmp and is recreated per run."""
-    import shutil
+    answer. The target is a fresh per-run temp dir (a fixed shared path
+    would let concurrent verify runs delete each other's state between the
+    rename-swap and the read-back)."""
+    import tempfile
 
     from ..streaming.events_stream import foreach_batch_upsert_sink, stream_events
 
-    target = "/tmp/spark_graft_upsert_q/user_totals"
-    shutil.rmtree("/tmp/spark_graft_upsert_q", ignore_errors=True)
+    target = tempfile.mkdtemp(prefix="spark_graft_upsert_") + "/user_totals"
     agg = (
         stream_events(spark, sf_dir)
         .groupBy("user_id")

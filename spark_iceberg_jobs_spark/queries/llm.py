@@ -1413,8 +1413,9 @@ GROUP BY doc_id
 """
 
 
-#: Verified like QUERIES but OUTSIDE the driver's 50-entry window (which the
-#: llm + events tiers fill exactly); tools/verify_local.py covers these.
+#: Verified like QUERIES but OUTSIDE the driver's 50-entry window (llm +
+#: events + the flagship core query fill it exactly); tools/verify_local.py
+#: covers these.
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation (operators/aggs.cms_sketch):
     the fixed-memory (depth x 256 counters, size-invariant) frequency

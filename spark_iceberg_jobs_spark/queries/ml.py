@@ -8,9 +8,9 @@ stats. The oracle unrolls the SAME rounds as chained CTEs in exploded
 replay bit-compatibly, so the driver hash-verifies an *iterative ML fit*
 end-to-end, like queries/llm.py does for PageRank.
 
-This module rides OUTSIDE the driver's 50-entry correctness window (the
-llm + events tiers fill it — queries/__init__.py); tools/verify_local.py
-covers it every round.
+This module rides OUTSIDE the driver's 50-entry correctness window (llm +
+events + the flagship core query fill it — queries/__init__.py);
+tools/verify_local.py covers it every round.
 """
 
 from __future__ import annotations
@@ -220,8 +220,6 @@ def corpus_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc⋈embedding equi join (id-keyed shuffle, AQE-planned) and a small
     (lang × cell) aggregate.
     """
-    from ..operators.similarity import assign_cells
-
     docs = read_fixture(spark, sf_dir, "documents")
     emb = read_fixture(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, k=_K, iterations=_ITERATIONS, dim=_DIM)

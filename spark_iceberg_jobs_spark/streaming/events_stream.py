@@ -73,16 +73,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture, ts normalized to µs
     session-zoned timestamps exactly like the batch reader
     (sources/readers.py read_fixture)."""
+    from ..sources.readers import normalize_events_ts
+
     schema = _events_file_schema(spark, sf_dir)
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = schema["ts"].dataType
-    if isinstance(ts_type, LongType):
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return normalize_events_ts(raw)
 
 
 def windowed_counts(
