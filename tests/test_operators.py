@@ -711,3 +711,26 @@ def test_chunk_with_overlap_edges(spark, sf_dir):
     assert c0[-4:] == c1[:4]  # 4-token overlap
     with pytest.raises(ValueError):
         chunk_with_overlap(docs, chunk_tokens=8, overlap=8)
+
+
+def test_kmeans_dim_validation_and_cms_depth_guard(spark, sf_dir):
+    """kmeans_fit fails loud on a dim mismatch (silent truncation/poisoned
+    means otherwise); cms_estimate raises on a probe depth that differs
+    from the sketch's instead of estimating 0 for present keys."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from spark_iceberg_jobs_spark.operators.aggs import cms_estimate, cms_sketch
+    from spark_iceberg_jobs_spark.operators.similarity import kmeans_fit
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="dimensions"):
+        kmeans_fit(emb, k=2, iterations=0, dim=32)
+    assert len(kmeans_fit(emb, k=2, iterations=0)[0]) == 64  # derived
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    sketch = cms_sketch(tok, "t", depth=4)
+    probes = tok.limit(5)
+    with pytest.raises(SparkRuntimeException, match="depth"):
+        cms_estimate(sketch, probes, "t", depth=8).collect()
