@@ -126,3 +126,29 @@ def test_validation_gate(spark):
     with pytest.raises(ValueError, match="empty"):
         validate_all_or_raise({"good": good, "empty": empty})
     validate_all_or_raise({"good": good})
+
+
+def test_observation_metrics_ride_the_ingest_scan(spark, sf_dir):
+    """df.observe(): pipeline health metrics (row count, null keys, value
+    bounds) collected DURING the normal action — no second scan, the
+    production pattern for ingest monitoring (vs a separate validation
+    pass). The observed numbers must agree with a direct aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    obs = Observation("ingest_health")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_keys"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    n = observed.count()  # the one action both consumes rows and fills obs
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["null_keys"] == 0
+    [direct] = orders.agg(F.round(F.max("o_totalprice"), 2)).collect()
+    assert got["max_price"] == direct[0]
