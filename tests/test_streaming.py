@@ -160,3 +160,42 @@ def test_sessionize_stream_emits_closed_sessions(spark, sf_dir):
     assert emitted, "bounded fixture should close at least one session"
     for r in emitted:
         assert (r.user_id, r.n_events, r.session_value) in batch
+
+
+def test_rocksdb_state_store_and_checkpoint_resumption(spark, sf_dir, tmp_path):
+    """Production streaming config end-to-end: the RocksDB state store
+    provider backs the windowed aggregation, and a restart from the same
+    checkpoint reprocesses ZERO input rows (the source offsets are
+    committed — exactly-once resumption, not a re-read)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        agg = windowed_counts(stream_events(spark, sf_dir))
+        ck = str(tmp_path / "ck")
+
+        def run(name):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return (q.lastProgress or {}).get("numInputRows", 0)
+
+        first_in = run("rocks_first")
+        assert first_in > 0
+        assert spark.table("rocks_first").count() > 0
+        restart_in = run("rocks_restart")
+        assert restart_in == 0, "checkpointed restart must not reprocess the source"
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
