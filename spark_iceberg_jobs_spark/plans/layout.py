@@ -61,3 +61,29 @@ def compare_sort_layouts(
         if not keep:
             shutil.rmtree(base, ignore_errors=True)
     return sorted(results, key=lambda r: r.total_bytes)
+
+
+def zorder_key(a, b, *, bits: int = 16):
+    """Z-order (Morton) key for two non-negative int columns already scaled
+    to ``[0, 2^bits)``: bit i of ``a`` lands at position 2i, bit i of ``b``
+    at 2i+1, so sorting by the key interleaves both dimensions — files/row
+    groups get BOUNDED ranges on BOTH columns instead of tight-on-first /
+    full-range-on-second, which is what lets min/max pruning work for
+    predicates on either column. Pure bit arithmetic (shift/and/or terms),
+    whole-stage-codegen'd; the 100 TB use is an Iceberg/Delta-style
+    multi-dimension clustered rewrite where neither column dominates the
+    query mix.
+    """
+    from pyspark.sql import functions as F
+
+    ac = a if not isinstance(a, str) else F.col(a)
+    bc = b if not isinstance(b, str) else F.col(b)
+    ac, bc = ac.cast("long"), bc.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            .bitwiseOR(F.shiftleft(F.shiftrightunsigned(ac, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftrightunsigned(bc, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return key
