@@ -1503,9 +1503,88 @@ FROM starts
 """
 
 
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: exactly min(k, |group|) docs per
+    language, chosen by md5(doc_id) rank — the eval-set construction
+    primitive (rate-based sampling can't guarantee per-group counts).
+    Append-stable for the chosen ids: a doc's hash never changes, though
+    new docs can displace rank-boundary members (unlike the threshold
+    sampler in operators/splits, which trades exact counts for full
+    append-stability). Scale: one lang-partitioned ranking window — state
+    is k rows per group, never a global sort."""
+    from pyspark.sql import Window
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("lang", F.col("rnk").cast("long").alias("rnk"), "doc_id")
+    )
+
+
+SAMPLE_K_ORACLE = """
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id
+FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+    FROM documents
+) WHERE rnk <= 20
+"""
+
+
+def quality_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by Median Absolute Deviation: docs whose
+    length deviates from their language's median by more than 1.5 scaled
+    MADs (the fixture's lengths are near-uniform, so the classic 3-MAD
+    cut selects nothing; the pattern is the point) — the robust cousin of z-scoring (grouped_zscore_extremes), used
+    when heavy-tailed quality metrics make mean/stddev useless. Medians
+    are exact (MEDIAN / percentile 0.5 on both engines); the two per-lang
+    scalars broadcast back. Scale: two lang-keyed aggregations over doc
+    STATS (never text), one broadcast join."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    med = docs.groupBy("lang").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    mad = (
+        docs.join(F.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(F.expr("percentile(abs(n_chars - med), 0.5)").alias("mad"))
+    )
+    scored = (
+        docs.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .withColumn("dev", F.abs(F.col("n_chars") - F.col("med")) / (1.4826 * F.col("mad")))
+    )
+    return (
+        scored.filter(F.col("dev") > 1.5)
+        .select("lang", "doc_id", "n_chars", F.round("dev", 3).alias("mad_devs"))
+        .orderBy("lang", "doc_id")
+    )
+
+
+MAD_ORACLE = """
+WITH med AS (
+    SELECT lang, MEDIAN(n_chars) AS med FROM documents GROUP BY lang
+), mad AS (
+    SELECT d.lang, MEDIAN(ABS(d.n_chars - m.med)) AS mad
+    FROM documents d JOIN med m USING (lang)
+    GROUP BY d.lang
+)
+SELECT d.lang, d.doc_id, d.n_chars,
+       ROUND(ABS(d.n_chars - m.med) / (1.4826 * a.mad), 3) AS mad_devs
+FROM documents d
+JOIN med m USING (lang)
+JOIN mad a USING (lang)
+WHERE ABS(d.n_chars - m.med) / (1.4826 * a.mad) > 1.5
+ORDER BY d.lang, d.doc_id
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
     "text_chunk_overlap": QuerySpec(text_chunk_overlap, CHUNK_ORACLE),
+    "sample_k_per_group": QuerySpec(sample_k_per_group, SAMPLE_K_ORACLE),
+    "quality_outliers_mad": QuerySpec(quality_outliers_mad, MAD_ORACLE),
     "multimodal_frame_sample": QuerySpec(multimodal_frame_sample, FRAME_SAMPLE_ORACLE),
     "sketch_cms_heavy_hitters": QuerySpec(sketch_cms_heavy_hitters, CMS_ORACLE, headline=True),
 }
