@@ -370,3 +370,31 @@ def test_zorder_layout_enables_pruning_on_both_dimensions(spark, tmp_path):
     # z-order: at most ~half the files scanned on EITHER dimension
     assert scanned(zo, "c1", *probe) <= len(zo) // 2, zo
     assert scanned(zo, "c2", *probe) <= len(zo) // 2, zo
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, sf_dir):
+    """ANALYZE TABLE ... COMPUTE STATISTICS populates the catalog with
+    table row counts and per-column min/max/ndv — the inputs Spark's
+    cost-based optimizer uses for join reordering and build-side choice
+    at 100 TB (where stats, not defaults, must drive the plan)."""
+    orders = read_fixture(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").saveAsTable("cbo_orders_t")
+    try:
+        spark.sql(
+            "ANALYZE TABLE cbo_orders_t COMPUTE STATISTICS FOR COLUMNS o_custkey"
+        )
+        [stats] = [
+            r for r in spark.sql("DESCRIBE EXTENDED cbo_orders_t").collect()
+            if r.col_name == "Statistics"
+        ]
+        n = orders.count()
+        assert f"{n} rows" in stats.data_type
+        col = {
+            r.info_name: r.info_value
+            for r in spark.sql("DESCRIBE EXTENDED cbo_orders_t o_custkey").collect()
+        }
+        assert col["num_nulls"] == "0"
+        assert int(col["distinct_count"]) > 0
+        assert col["min"] == "0"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_orders_t")
