@@ -180,6 +180,12 @@ def probes():
         # (projection-only assignment) + a k x dim partial-mean shuffle,
         # so the expected shape is linear in corpus size
         "kmeans_fit_assign": _kmeans_probe,
+        # 1-to-N codegen expansion: linear in corpus bytes by construction
+        "chunk_overlap": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.operators.text", fromlist=["chunk_with_overlap"]
+        ).chunk_with_overlap(_docs(s, d), chunk_tokens=16, overlap=4)
+        .groupBy()
+        .agg(F.count("*").alias("n_chunks")),
         # the single-scan subquery decorrelations (tpch_tail): window-min
         # over grouped rows, partkey-pruned window-avg, per-order
         # collect_set windows — all should be linear in fact volume
