@@ -55,3 +55,17 @@ def test_entry_contract(spark):
     qs, osql = mod.queries(), mod.oracle_sql()
     assert set(osql) <= set(qs)
     assert set(qs) == set(REG)
+
+
+def test_extra_queries_stay_outside_the_driver_window():
+    """EXTRA_QUERIES are verified like QUERIES but must never displace the
+    curated first-50 window entries (llm + events + flagship)."""
+    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, events, llm
+
+    window = set(list(REG)[:DRIVER_WINDOW])
+    extras = set(getattr(llm, "EXTRA_QUERIES", {})) | set(
+        getattr(events, "EXTRA_QUERIES", {})
+    )
+    assert extras, "EXTRA_QUERIES should exist"
+    assert not (extras & window), f"extras leaked into the window: {extras & window}"
+    assert "flagship_revenue_topk" in window
