@@ -163,3 +163,34 @@ def test_asof_join_matches_naive(spark, data):
             best_ts, best_rv = max(cands)
             expected.add((i, best_ts, best_rv))
     assert got == expected
+
+
+pairs = st.lists(
+    st.tuples(st.integers(0, (1 << 10) - 1), st.integers(0, (1 << 10) - 1)),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(pairs)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_key_matches_python_morton_reference(spark, ps):
+    """plans/layout.zorder_key must compute the exact Morton interleave: the
+    JVM shift/and/or expression agrees with a plain-Python bit-interleave
+    reference on arbitrary in-range pairs (and is therefore a bijection)."""
+    from spark_iceberg_jobs_spark.plans.layout import zorder_key
+
+    def morton(a: int, b: int, bits: int = 10) -> int:
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    df = spark.createDataFrame(ps, "a long, b long")
+    got = {
+        (r.a, r.b): r.k
+        for r in df.withColumn("k", zorder_key("a", "b", bits=10)).collect()
+    }
+    assert got == {(a, b): morton(a, b) for a, b in ps}
