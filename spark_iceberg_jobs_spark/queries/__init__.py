@@ -27,27 +27,36 @@ class QuerySpec:
 
 
 # The driver's correctness gate scores only the FIRST 50 registry entries,
-# so registry order is a coverage decision (VERDICT r1 item 2): the whole
-# LLM-pipeline tier and the whole events/streaming tier go first — in round
-# 1 they rode entirely outside the window — then as many core queries as fit,
-# highest-distinct-physical-pattern first. The core long-tail (driver-
-# verified green in round 1, re-verified every round by tools/
-# verify_local.py) rides after the window.
+# so registry order is a coverage decision. Rotation history:
+#   r1: core tier scored (llm/events rode outside — VERDICT r1 item 2).
+#   r2: llm (32) + events (17) + flagship filled the window; all 49 new
+#       entries came back green (2 oracle-typing bugs, fixed this round).
+#   r3 (VERDICT r2 item 3): rotate the never-driver-scored tpch_tail (13)
+#       and ml (4) tiers INTO the window, keep the whole events tier (the
+#       two fixed queries must be re-scored as regression proof) plus
+#       flagship, and retain one llm representative per operator family
+#       (15). The 17 llm entries rotated out are r2-driver-green and stay
+#       re-verified every round by tools/verify_local.py.
 DRIVER_WINDOW = 50
 
-_CORE_PRIORITY = [
-    "flagship_revenue_topk",  # broadcast dims + AQE SMJ + TakeOrdered
-    "q1_pricing_summary",  # wide partial+final aggregation
-    "q3_shipping_priority",  # multiway equi join
-    "copartitioned_join_agg",  # bucketed shuffle-free join
-    "salted_join_agg",  # skew-salted join
-    "pandas_udf_revenue",  # Arrow pandas-UDF path
-    "a1_top_customer_by_avg_quantity",  # reference README analytics
-    "a2_top_orderpriority",
-    "a3_top_region_by_orders",
-    "a4_brand_quantity_by_nation",
-    "window_top3_orders_per_customer",  # partitioned ranking window
-    "sort_global_topk",  # TakeOrderedAndProject
+# One representative per LLM-pipeline operator family stays in-window so a
+# regression in any family's shared machinery is still driver-visible.
+_LLM_WINDOW_KEEPS = [
+    "pipeline_corpus_curation",  # quality gate + dedup + anti-join composite
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",  # pointer-jumping connected components
+    "dedup_embedding_cosine_bucketed",  # SRP-bucketed embedding near-dup
+    "decontaminate_eval_overlap",
+    "dedup_incremental_batch",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "text_tfidf_top_terms",  # shared tokenize/explode/agg machinery
+    "multimodal_image_decode",
+    "multimodal_audio_decode",
 ]
 
 
@@ -63,11 +72,22 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = list(llm.QUERIES) + list(events.QUERIES)
-    slots = DRIVER_WINDOW - len(head)
-    if slots < 0:
-        raise ValueError(f"llm+events tiers ({len(head)}) overflow the {DRIVER_WINDOW}-entry driver window")
-    head += [n for n in _CORE_PRIORITY if n in pool][:slots]
+    head = (
+        list(events.QUERIES)
+        + list(tpch_tail.QUERIES)
+        + list(ml.QUERIES)
+        + ["flagship_revenue_topk"]
+        + _LLM_WINDOW_KEEPS
+    )
+    missing = [n for n in head if n not in pool]
+    if missing:
+        raise ValueError(f"window entries not in pool: {missing}")
+    if len(head) != len(set(head)):
+        raise ValueError("duplicate names in driver-window head")
+    if len(head) > DRIVER_WINDOW:
+        raise ValueError(
+            f"curated head ({len(head)}) overflows the {DRIVER_WINDOW}-entry driver window"
+        )
 
     out = {n: pool[n] for n in head}
     out.update({n: s for n, s in pool.items() if n not in out})

@@ -77,7 +77,9 @@ WITH e AS (
                                   ROWS UNBOUNDED PRECEDING) AS session_seq
     FROM gaps
 )
-SELECT user_id, session_seq,
+-- windowed SUM yields DuckDB HUGEINT which pandas fetches as float64 and the
+-- driver stringifies as '3.0' vs Spark's BIGINT '3' — cast to match Spark
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        COUNT(*) AS n_events,
        MAX(es) - MIN(es) AS duration_sec,
        ROUND(SUM(value), 2) AS session_value
@@ -419,7 +421,9 @@ WITH e AS (
            SUM(delta) OVER (ORDER BY es, delta ROWS UNBOUNDED PRECEDING) AS live
     FROM points
 )
-SELECT es // 3600 * 3600 AS hour_start, MAX(live) AS max_concurrent
+-- live is a windowed SUM (DuckDB HUGEINT → float64 in pandas) — cast so the
+-- driver's stringified hash sees BIGINT '3', matching Spark
+SELECT es // 3600 * 3600 AS hour_start, CAST(MAX(live) AS BIGINT) AS max_concurrent
 FROM running
 GROUP BY 1
 ORDER BY 1
@@ -463,37 +467,55 @@ GROUP BY ROLLUP (day_num, hour_of_day)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: of all users, how many ever signed up, how many of
     those clicked after their first signup, and how many of those purchased
-    after their first post-signup click — first-occurrence ordering, one
-    groupBy with conditional mins (no joins, no window)."""
+    after their first post-signup click.
+
+    One lazy Spark action (VERDICT r2 item 4 — was a 4-action driver-side
+    chain rebuilding the events scan per stage): three chained conditional
+    MINs over the SAME user-partitioned window (one exchange, no sort —
+    unordered whole-partition frames), a per-user rollup, a single global
+    conditional-count aggregate, and a ``stack`` unpivot to the 4 stage
+    rows. Scales as one shuffle on user_id regardless of event volume."""
+    from pyspark.sql import Window
+
     ev = read_fixture(spark, sf_dir, "events")
     es = F.unix_timestamp("ts")
-    stages = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", es)).alias("t_signup")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_signup", F.min(F.when(F.col("event_type") == "signup", es)).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when((F.col("event_type") == "click") & (es > F.col("t_signup")), es)
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (es > F.col("t_click")), es
+                )
+            ).over(w),
+        )
     )
-    clicks_after = (
-        ev.join(stages, "user_id")
-        .filter((F.col("event_type") == "click") & (es > F.col("t_signup")))
-        .groupBy("user_id")
-        .agg(F.min(es).alias("t_click"))
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_signup").alias("t_signup"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
     )
-    purchases_after = (
-        ev.join(stages.join(clicks_after, "user_id"), "user_id")
-        .filter((F.col("event_type") == "purchase") & (es > F.col("t_click")))
-        .groupBy("user_id")
-        .agg(F.min(es).alias("t_purchase"))
+    counts = per_user.agg(
+        F.count("*").alias("n_all"),
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
     )
-    n_users = ev.select("user_id").distinct().count()
-    n_signup = stages.filter(F.col("t_signup").isNotNull()).count()
-    n_click = clicks_after.count()
-    n_purchase = purchases_after.count()
-    return spark.createDataFrame(
-        [
-            ("1_all_users", n_users),
-            ("2_signed_up", n_signup),
-            ("3_clicked_after_signup", n_click),
-            ("4_purchased_after_click", n_purchase),
-        ],
-        "stage string, n_users long",
+    return counts.select(
+        F.expr(
+            "stack(4, '1_all_users', n_all, '2_signed_up', n_signup, "
+            "'3_clicked_after_signup', n_click, '4_purchased_after_click', n_purchase) "
+            "AS (stage, n_users)"
+        )
     )
 
 

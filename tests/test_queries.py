@@ -37,14 +37,35 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     assert rows, f"{name} returned 0 rows at smoke scale"
 
 
-def test_driver_window_covers_llm_and_events_tiers():
-    """VERDICT r1 item 2: the driver scores only the first DRIVER_WINDOW
-    registry entries — every llm + events query must land inside them."""
-    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, events, llm
+def test_driver_window_r3_rotation():
+    """VERDICT r2 item 3: the r3 window rotates the never-driver-scored
+    tpch_tail + ml tiers in, keeps the whole events tier (incl. the two
+    fixed oracles as regression proof) + flagship + one llm representative
+    per family, and fills the window exactly."""
+    from spark_iceberg_jobs_spark.queries import (
+        DRIVER_WINDOW,
+        _LLM_WINDOW_KEEPS,
+        events,
+        ml,
+        tpch_tail,
+    )
 
-    window = set(list(REG)[:DRIVER_WINDOW])
-    outside = (set(llm.QUERIES) | set(events.QUERIES)) - window
-    assert not outside, f"llm/events queries outside the driver window: {sorted(outside)}"
+    window = list(REG)[:DRIVER_WINDOW]
+    wset = set(window)
+    must_cover = (
+        set(events.QUERIES)
+        | set(tpch_tail.QUERIES)
+        | set(ml.QUERIES)
+        | set(_LLM_WINDOW_KEEPS)
+        | {"flagship_revenue_topk"}
+    )
+    outside = must_cover - wset
+    assert not outside, f"curated queries outside the driver window: {sorted(outside)}"
+    # the two round-2 hash failures must be re-scored by the driver
+    assert {"events_max_concurrency", "events_sessionization"} <= wset
+    assert len(must_cover) == DRIVER_WINDOW, (
+        f"window underfilled: {len(must_cover)}/{DRIVER_WINDOW} curated entries"
+    )
 
 
 def test_entry_contract(spark):

@@ -32,7 +32,12 @@ def norm_cell(v) -> str:
     if v is None or v != v:  # NaN
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.6g}" if v == int(v) else repr(round(v, 9))
+        # Type-faithful: an integral float renders '3.0', never '3' — the
+        # driver stringifies pandas cells, so a DuckDB HUGEINT/DECIMAL column
+        # fetched as float64 must hash differently from Spark's int64 here
+        # too (the round-2 trap: the old '%.6g' coercion hid exactly that).
+        # round(…, 9) still absorbs cross-engine last-ulp noise.
+        return repr(round(float(v), 9))
     return str(v)
 
 
@@ -87,8 +92,17 @@ def main() -> int:
             problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        elif frame_hash(sdf) != frame_hash(odf):
-            problems.append("value hash mismatch")
+        else:
+            kind_mismatch = {
+                c: (sdf[c].dtype.kind, odf[c].dtype.kind)
+                for c in sdf.columns
+                if sdf[c].dtype.kind != odf[c].dtype.kind
+                and not ({sdf[c].dtype.kind, odf[c].dtype.kind} <= {"i", "u"})
+            }
+            if kind_mismatch:
+                problems.append(f"dtype kinds (spark, oracle): {kind_mismatch}")
+            if frame_hash(sdf) != frame_hash(odf):
+                problems.append("value hash mismatch")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)} [{took:.1f}s]")
