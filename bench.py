@@ -38,11 +38,13 @@ def run() -> None:
     for name, spec in reg.items():
         if not spec.headline:
             continue
-        # best-of-2: the first run pays codegen + OS page-cache warmup that a
-        # steady-state cluster job never sees; the min is the honest number.
+        # best-of-5 (VERDICT r2 item 5 — n=2 left ±1.5s box noise that made
+        # sub-second regressions unreadable): the first run pays codegen +
+        # OS page-cache warmup a steady-state cluster job never sees; the
+        # min is the honest steady-state number.
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(5):
                 df = spec.fn(spark, sf_dir)
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()

@@ -1580,7 +1580,68 @@ ORDER BY d.lang, d.doc_id
 """
 
 
+def dedup_embedding_cosine_bucketed_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SRP configuration (VERDICT r2 item 8): auto-sized
+    planes (planes = log2(n / target_bucket_rows), holding expected bucket
+    occupancy constant as the corpus grows — the pinned-4-planes twin
+    degrades quadratically, measured OOMing at 64x in tools/scale_lab.py)
+    plus the hot-bucket cap that drops degenerate near-identical clusters
+    from candidate generation. Oracled via a 24-plane superset literal
+    table with the active plane count derived from COUNT(*) in SQL — the
+    md5 planes for (table, p) don't depend on how many planes are in use,
+    so the same literals serve every corpus size."""
+    from ..operators.similarity import srp_dedup_pairs
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    return srp_dedup_pairs(
+        emb, threshold=0.42, num_planes=None, num_tables=8, max_bucket_rows=2048
+    )
+
+
+# Superset plane literals (24 per table); the active count np replays
+# srp_dedup_pairs' auto-sizing: max(4, min(24, ceil(log2(n / 64)))).
+EMBED_DEDUP_AUTO_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+k AS (
+  SELECT GREATEST(4, LEAST(24, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT))) AS np
+  FROM e
+),
+planes(tbl, p, w) AS (VALUES {srp_plane_sql_values(8, 24, 64)}),
+sig AS (
+  SELECT e.vec_id, pl.tbl,
+         SUM(CASE WHEN LIST_INNER_PRODUCT(e.v, pl.w) > 0
+                  THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS sig
+  FROM e CROSS JOIN planes pl CROSS JOIN k
+  WHERE pl.p < k.np
+  GROUP BY e.vec_id, pl.tbl
+),
+ok AS (
+  SELECT tbl, sig FROM sig GROUP BY tbl, sig HAVING COUNT(*) <= 2048
+),
+cands AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a
+  JOIN ok ON ok.tbl = a.tbl AND ok.sig = a.sig
+  JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND(LIST_INNER_PRODUCT(ea.v, eb.v)
+             / (SQRT(LIST_INNER_PRODUCT(ea.v, ea.v))
+                * SQRT(LIST_INNER_PRODUCT(eb.v, eb.v))), 4) AS cos_sim
+FROM cands c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE LIST_INNER_PRODUCT(ea.v, eb.v)
+      / (SQRT(LIST_INNER_PRODUCT(ea.v, ea.v))
+         * SQRT(LIST_INNER_PRODUCT(eb.v, eb.v))) >= 0.42
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "dedup_embedding_cosine_bucketed_auto": QuerySpec(
+        dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
+    ),
     "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
     "text_chunk_overlap": QuerySpec(text_chunk_overlap, CHUNK_ORACLE),
     "sample_k_per_group": QuerySpec(sample_k_per_group, SAMPLE_K_ORACLE),
