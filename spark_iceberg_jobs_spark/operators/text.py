@@ -253,8 +253,12 @@ def chunk_with_overlap(
     the final (short) chunk is kept, and a doc shorter than one chunk
     yields exactly one chunk.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        # a negative overlap would make stride > chunk_tokens and silently
+        # SKIP tokens between chunks despite the 'overlapping' contract
+        raise ValueError(f"overlap must be in [0, chunk_tokens), got {overlap}")
     stride = chunk_tokens - overlap
     toks = tokens("text")
     n = F.size(toks)

@@ -86,4 +86,16 @@ def zorder_key(a, b, *, bits: int = 16):
             .bitwiseOR(F.shiftleft(F.shiftrightunsigned(ac, i).bitwiseAND(F.lit(1)), 2 * i))
             .bitwiseOR(F.shiftleft(F.shiftrightunsigned(bc, i).bitwiseAND(F.lit(1)), 2 * i + 1))
         )
-    return key
+    # Inputs outside [0, 2^bits) would silently alias onto another cell and
+    # destroy the clustering property the key exists for — fail loud instead
+    # (one AND+compare per row; negative values trip the same high-bit test).
+    hi = F.lit(-(1 << bits))  # two's-complement ~((1 << bits) - 1)
+    out_of_range = (ac.bitwiseAND(hi) != 0) | (bc.bitwiseAND(hi) != 0)
+    return F.when(
+        out_of_range,
+        F.raise_error(
+            F.format_string(
+                f"zorder_key input outside [0, 2^{bits}): a=%s b=%s", ac, bc
+            )
+        ),
+    ).otherwise(key)

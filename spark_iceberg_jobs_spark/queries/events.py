@@ -744,11 +744,17 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer. The target is a fresh per-run temp dir (a fixed shared path
     would let concurrent verify runs delete each other's state between the
     rename-swap and the read-back)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..streaming.events_stream import foreach_batch_upsert_sink, stream_events
 
-    target = tempfile.mkdtemp(prefix="spark_graft_upsert_") + "/user_totals"
+    root = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    # the returned DataFrame lazily reads the target, so removal must wait
+    # until process exit — without this every verify/bench run leaked a dir
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    target = root + "/user_totals"
     agg = (
         stream_events(spark, sf_dir)
         .groupBy("user_id")

@@ -985,18 +985,38 @@ GROUP BY src
 """
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: dedup_embedding_cosine is the documented SMALL-N-ONLY exact baseline;
+#: above this the O(n²) pair space stops being a sane oracle target and the
+#: SRP-bucketed twin is the only defensible plan (VERDICT r2 item 7: the
+#: contract is now enforced, not just commented).
+EXACT_EMBED_DEDUP_MAX_ROWS = 100_000
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, *, max_rows: int | None = EXACT_EMBED_DEDUP_MAX_ROWS
+) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (a < b) vector pairs whose cosine
     exceeds the threshold. All-pairs is the exact baseline (O(n²) scoring,
     fine to ~10^5 vectors with broadcast tiling); the scale path buckets by
     SRP signature first (operators/similarity.lsh_topk machinery) and scores
     only within buckets. Random fixture vectors peak near 0.51, so 0.42
-    yields a small, stable pair set."""
+    yields a small, stable pair set. Refuses inputs above ``max_rows``
+    (pass ``max_rows=None`` to override explicitly); the count is a
+    parquet-metadata pass, not a scan."""
     from ..functions.vectors import as_double, dot, norm
 
     e = read_fixture(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
+    if max_rows is not None:
+        n = e.count()
+        if n > max_rows:
+            raise ValueError(
+                f"dedup_embedding_cosine is the O(n²) small-n oracle baseline: "
+                f"input has {n} vectors > max_rows={max_rows}; use "
+                f"dedup_embedding_cosine_bucketed (the SRP scale path) or pass "
+                f"max_rows=None to force"
+            )
     # norms once per VECTOR (n folds), not per pair (n² folds): only the
     # dot product is pairwise work
     e = e.withColumn("nrm", norm(F.col("v")))

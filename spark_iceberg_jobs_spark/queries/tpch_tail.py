@@ -426,8 +426,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-supplier agg shuffles on suppkey, persisted (scoped — it is
     |suppliers| rows, post-agg) because both the max and the filter consume
     it and Spark would otherwise scan the fact twice; the max re-aggregates
-    it to one broadcast row. The equality compares a double against the max
-    of the same doubles (exact within an engine).
+    it to one broadcast row.
+
+    Determinism (ADVICE r2): the equality runs on revenue ROUNDED to cents
+    BEFORE the max — each engine's sum is exact within itself, but Spark
+    and DuckDB accumulate doubles in different orders, so two suppliers
+    within ulp of each other could otherwise flip membership between
+    engines at a new scale factor. Cent-rounding compares values ~13
+    orders of magnitude above ulp noise; suppliers tied at the cent are
+    returned by BOTH engines identically.
     """
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
     revenue = scoped_persist(
@@ -437,31 +444,29 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_revenue()).alias("total_revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.round("total_revenue", 2).alias("total_revenue"),
-        )
+        .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
 
 
 Q15_ORACLE = """
 WITH revenue AS (
-    SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+    -- cent-rounded BEFORE the max, mirroring the Spark side: the equality
+    -- must never compare raw double sums across engines (ulp-order noise)
+    SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'
     GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+SELECT s_suppkey, s_name, total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -630,6 +635,13 @@ def q20_concentrated_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped quantity of 'small%' parts exceeds 18% of its all-time shipped
     quantity of those parts (1997 is one of ~6.6 fixture years, so 18% means
     "concentrated in 1997 above baseline").
+
+    Determinism (ADVICE r2, resolved by inspection): l_quantity is
+    integer-valued in the fixtures (verified: zero non-integral rows at
+    sf0.1), so both SUMs are EXACT doubles regardless of accumulation
+    order, and 0.18 * total_qty is one identical IEEE multiply in both
+    engines — the threshold compare cannot flip across engines or scale
+    factors while quantities stay integral below 2^53.
 
     Scale: the part family is broadcast-semi-joined into the fact, then the
     all-time and 1997 quantities are a SINGLE conditional aggregation — one

@@ -23,6 +23,7 @@ static file; on a real bus, partitions = topic partitions.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,9 +37,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-#: per-path probe cache — the fixture's on-disk encoding is fixed per
-#: sf_dir, so the footer read happens once per path, not once per call
-_TS_TYPE_CACHE: dict[str, object] = {}
+#: probe cache keyed on (path, mtime_ns, size) — the footer read happens
+#: once per on-disk file VERSION, so a fixture regenerated at the same path
+#: with a different ts encoding (e.g. tests rewriting an sf_dir) re-probes
+#: instead of silently reusing a stale schema
+_TS_TYPE_CACHE: dict[tuple[str, int, int], object] = {}
 
 
 def _events_file_schema(spark: SparkSession, sf_dir: str) -> StructType:
@@ -54,9 +57,11 @@ def _events_file_schema(spark: SparkSession, sf_dir: str) -> StructType:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
-    if path not in _TS_TYPE_CACHE:
-        _TS_TYPE_CACHE[path] = spark.read.parquet(path).schema["ts"].dataType
-    ts_type = _TS_TYPE_CACHE[path]
+    stat = os.stat(path)
+    key = (path, stat.st_mtime_ns, stat.st_size)
+    if key not in _TS_TYPE_CACHE:
+        _TS_TYPE_CACHE[key] = spark.read.parquet(path).schema["ts"].dataType
+    ts_type = _TS_TYPE_CACHE[key]
     return StructType(
         [
             StructField("event_id", LongType()),

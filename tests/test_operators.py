@@ -734,3 +734,36 @@ def test_kmeans_dim_validation_and_cms_depth_guard(spark, sf_dir):
     probes = tok.limit(5)
     with pytest.raises(SparkRuntimeException, match="depth"):
         cms_estimate(sketch, probes, "t", depth=8).collect()
+
+
+def test_chunk_with_overlap_rejects_degenerate_params(spark):
+    """ADVICE r2: negative overlap (stride > chunk_tokens ⇒ silently skipped
+    tokens) and non-positive chunk_tokens must fail loud."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.operators.text import chunk_with_overlap
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_with_overlap(docs, chunk_tokens=8, overlap=-1)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_with_overlap(docs, chunk_tokens=0, overlap=0)
+
+
+def test_exact_embedding_dedup_guard(spark, sf_dir):
+    """VERDICT r2 item 7: the O(n²) exact baseline enforces its small-n
+    contract — inputs above max_rows raise instead of silently planning an
+    all-pairs job; max_rows=None overrides explicitly."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.queries.llm import dedup_embedding_cosine
+
+    with pytest.raises(ValueError, match="small-n oracle baseline"):
+        dedup_embedding_cosine(spark, sf_dir, max_rows=10)
+    # explicit override and the default cap both still plan fine at sf0.001
+    assert dedup_embedding_cosine(spark, sf_dir, max_rows=None).columns == [
+        "vec_a",
+        "vec_b",
+        "cos_sim",
+    ]
+    assert dedup_embedding_cosine(spark, sf_dir).columns == ["vec_a", "vec_b", "cos_sim"]

@@ -425,3 +425,19 @@ def test_events_funnel_builds_lazily_single_action(spark, sf_dir):
     # funnel stages are monotonically non-increasing
     vals = [rows[k] for k in sorted(rows)]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_zorder_key_raises_on_out_of_range_input(spark):
+    """ADVICE r2: inputs outside [0, 2^bits) used to silently alias onto
+    another Morton cell, quietly destroying the clustering property — now
+    they raise; in-range values still interleave exactly."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.plans.layout import zorder_key
+
+    ok = spark.createDataFrame([(3, 5)], "a long, b long")
+    assert ok.select(zorder_key("a", "b", bits=3).alias("k")).collect()[0].k == 0b100111
+    for bad in [(8, 0), (0, 8), (-1, 0)]:
+        df = spark.createDataFrame([bad], "a long, b long")
+        with pytest.raises(Exception, match="zorder_key input outside"):
+            df.select(zorder_key("a", "b", bits=3).alias("k")).collect()
