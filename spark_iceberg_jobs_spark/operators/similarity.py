@@ -503,3 +503,187 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): codebook fit, encode, asymmetric-distance top-k
+# --------------------------------------------------------------------------
+
+
+def _sqdist(a, b):
+    """Squared L2 between an array column and an array expression — the same
+    zip_with/aggregate fold assign_cells uses (whole-stage codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub_slices(vec_col, m: int, subdim: int):
+    """The m contiguous subvector slices of a dim-length array column."""
+    return [F.slice(vec_col, s * subdim + 1, subdim) for s in range(m)]
+
+
+def _code_expr(sub_slice, book: list[list[float]]):
+    """Argmin codeword index for one subvector against one subspace's
+    codebook — literal arrays, first-minimum tie-break (lowest code wins,
+    mirroring assign_cells' (dist, index) struct min)."""
+    dists = F.array(
+        *[_sqdist(sub_slice, F.array(*[F.lit(float(x)) for x in c])) for c in book]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's fit of PQ codebooks: split each vector into
+    ``m`` contiguous ``dim/m``-length subvectors and run k-means with ``k``
+    codewords independently in every subspace. Returns
+    ``books[sub][code][subdim]`` — ``m * k * dim/m`` doubles, driver-small
+    by construction (the whole codebook of a 4096-dim, m=64, k=256 PQ is
+    1 MB).
+
+    Scale shape mirrors ``kmeans_fit`` with the subspace axis folded into
+    the SAME jobs, not multiplied: per round, assignment is ONE scan whose
+    posexplode emits (vector, sub, subvector) rows with the argmin fused as
+    a literal-codebook projection (no shuffle, no crossJoin), and the
+    update is ONE m*k x subdim partial-mean shuffle. Codebooks live on the
+    driver between rounds. Determinism matches kmeans_fit: seeds are the k
+    vectors with the smallest md5(id) (their slices seed every subspace),
+    argmin ties break to the lowest code, empty codes carry forward — so a
+    DuckDB oracle can replay the fit as unrolled CTEs (queries/ml.py).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must be divisible by m {m}")
+    if k < 1 or iterations < 0:
+        raise ValueError(f"need k >= 1 and iterations >= 0, got k={k}, iterations={iterations}")
+    subdim = dim // m
+    e = embeddings.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
+    seeds = (
+        e.withColumn("_h", F.md5(F.col("vid").cast("string")))
+        .orderBy("_h", "vid")
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_fit: embeddings input is empty")
+    if len(seeds[0].v) != dim:
+        raise ValueError(f"dim={dim} but vectors have {len(seeds[0].v)} dimensions")
+    books = [
+        [list(r.v[s * subdim : (s + 1) * subdim]) for r in seeds] for s in range(m)
+    ]
+    sliced = e.select(
+        "vid",
+        F.posexplode(F.array(*_sub_slices(F.col("v"), m, subdim))).alias("sub", "sv"),
+    )
+    for _ in range(iterations):
+        lit_books = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in books[s]])
+                for s in range(m)
+            ]
+        )
+        cents_here = F.element_at(lit_books, F.col("sub") + 1)
+        dists = F.transform(cents_here, lambda c: _sqdist(F.col("sv"), c))
+        assigned = sliced.withColumn(
+            "code", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+        rows = (
+            assigned.groupBy("sub", "code")
+            .agg(*[F.avg(F.col("sv")[d]).alias(f"m{d}") for d in range(subdim)])
+            .collect()
+        )
+        nxt = [list(book) for book in books]  # empty codes carry forward
+        for r in rows:
+            nxt[r["sub"]][r["code"]] = [r[f"m{d}"] for d in range(subdim)]
+        books = nxt
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codeword indices — (id, codes array<int>).
+
+    A PURE PROJECTION: the codebooks are literal arrays, so encoding a
+    100 TB corpus is one scan inside whole-stage codegen — no shuffle, no
+    join, no Python (plan-asserted in tests). At m=4/k=8 the 64-dim double
+    vector (512 B) compresses to 4 small ints; production m=64/k=256 is
+    64 B -> the 32-512x footprint cut that makes billion-vector ANN serving
+    fit in memory.
+    """
+    m = len(books)
+    subdim = len(books[0][0])
+    v = as_double(vec_col)
+    codes = F.array(
+        *[_code_expr(sl, books[s]) for s, sl in enumerate(_sub_slices(v, m, subdim))]
+    )
+    return embeddings.select(F.col(id_col).alias("vid"), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is scored
+    through its codes ONLY — per probe, a lookup table of
+    ``m x k_codes`` exact subspace distances is built once (literal-codebook
+    projection on the broadcast probe side), and each corpus vector's
+    approximate distance is the m-term sum of table entries selected by its
+    codes. The full-precision corpus vectors are never touched after
+    encoding — that is the PQ serving contract at scale.
+
+    Distances are rounded (6 dp) BEFORE ranking: vectors sharing codes have
+    mathematically identical ADC distances, and the rank tie-break
+    (neighbor id) must see them as equal in every engine regardless of
+    floating summation order. Emits (probe_id, neighbor_id, rnk, adc_dist).
+    """
+    m = len(books)
+    subdim = len(books[0][0])
+    coded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+    pv = as_double(vec_col)
+    lut = F.array(
+        *[
+            F.array(
+                *[_sqdist(sl, F.array(*[F.lit(float(x)) for x in c])) for c in books[s]]
+            )
+            for s, sl in enumerate(_sub_slices(pv, m, subdim))
+        ]
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"), lut.alias("lut"))
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda code, table: F.element_at(table, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(p))
+        .filter(F.col("vid") != F.col("probe_id"))
+        .select("probe_id", F.col("vid").alias("neighbor_id"), F.round(adist, 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "rnk", "adc_dist")
+    )

@@ -775,7 +775,68 @@ ORDER BY user_id
 """
 
 
+def streaming_stateful_sessions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState
+    per-user session state machine, streaming/events_stream.sessionize_stream)
+    under the full hash oracle. With NoTimeout semantics a session is
+    emitted exactly when a successor event from the same user arrives past
+    the gap — so on bounded input the emitted set is deterministic and
+    SQL-expressible: every session EXCEPT each user's last. The oracle
+    replays the batch sessionization and drops the per-user max session_seq
+    row; equality proves the streaming state machine (state carry, gap
+    close, per-batch sort) reproduces batch semantics event-for-event."""
+    from ..streaming.events_stream import (
+        run_available_now,
+        sessionize_stream,
+        stream_events,
+    )
+
+    out = run_available_now(
+        sessionize_stream(stream_events(spark, sf_dir), gap_sec=1800),
+        query_name="stateful_sessions_oracle",
+        output_mode="append",
+    )
+    return out.orderBy("user_id", "session_start_es")
+
+
+STATEFUL_SESSIONS_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, value,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es,
+           ts
+    FROM events
+), gaps AS (
+    SELECT *,
+           CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id) > 1800
+                  OR LAG(es) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+), ids AS (
+    SELECT *,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM gaps
+), sess AS (
+    SELECT user_id, session_seq,
+           MIN(es) AS session_start_es,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM ids
+    GROUP BY user_id, session_seq
+)
+-- NoTimeout: only sessions closed by a successor event are emitted — each
+-- user's final session stays in state and never leaves the operator
+SELECT user_id, session_start_es, n_events, session_value
+FROM sess
+QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
+ORDER BY user_id, session_start_es
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "streaming_stateful_sessions": QuerySpec(
+        streaming_stateful_sessions_query, STATEFUL_SESSIONS_ORACLE
+    ),
     "streaming_purchase_click_join": QuerySpec(
         streaming_purchase_click_join_query, STREAMING_JOIN_ORACLE
     ),

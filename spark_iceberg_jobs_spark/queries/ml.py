@@ -298,6 +298,120 @@ ORDER BY lang
 """
 
 
+_PQ_M = 4
+_PQ_K = 8
+_PQ_ITER = 2
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end under the full hash oracle: fit
+    per-subspace codebooks (operators/similarity.pq_fit — Lloyd's per
+    subspace, md5-seeded), encode the corpus to m codeword indices, and
+    serve asymmetric-distance top-5 for probes vec_id < 10 through the
+    codes only (pq_adc_topk). The oracle unrolls the per-subspace fit as
+    chained CTEs in exploded (vec_id, sub, sd, val) space — the kmeans
+    replay pattern with a subspace axis — then replays encode + the ADC
+    lookup sum. Distances are rounded before ranking on BOTH sides: code
+    sharers are exact ADC ties and must rank purely by neighbor id."""
+    from ..operators.similarity import pq_adc_topk, pq_fit
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITER, dim=_DIM)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(emb, probes, books, k=5)
+
+
+def _pq_chain(m: int, k: int, iterations: int, dim: int) -> str:
+    """WITH-body replaying pq_fit in exploded (vec_id, sub, sd, val) space:
+    the _kmeans_chain shape with every stage additionally keyed by the
+    subspace — seeds are the k smallest-md5 vectors (their slices seed all
+    subspaces), argmin ties break to the lowest code, empty (sub, code)
+    cells carry the previous codeword forward."""
+    subdim = dim // m
+    rounds = []
+    last = iterations + 1  # extra assignment round = the encode pass
+    for r in range(1, last + 1):
+        rounds.append(
+            f"""d{r} AS (
+    SELECT s.vec_id, s.sub, c.cell,
+           SUM((s.val - c.cval) * (s.val - c.cval)) AS dist
+    FROM sv s JOIN c{r - 1} c ON s.sub = c.sub AND s.sd = c.sd
+    GROUP BY s.vec_id, s.sub, c.cell
+), a{r} AS (
+    SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cell) AS rn
+        FROM d{r}
+    ) WHERE rn = 1
+)"""
+        )
+        if r <= iterations:
+            rounds.append(
+                f"""c{r} AS (
+    SELECT a.cell, s.sub, s.sd, AVG(s.val) AS cval
+    FROM a{r} a JOIN sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+    GROUP BY a.cell, s.sub, s.sd
+    UNION ALL
+    SELECT p.cell, p.sub, p.sd, p.cval
+    FROM c{r - 1} p
+    WHERE NOT EXISTS (SELECT 1 FROM a{r} a
+                      WHERE a.sub = p.sub AND a.cell = p.cell)
+)"""
+            )
+    chain = ",\n".join(rounds)
+    return f"""ev AS (
+    SELECT vec_id,
+           UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+           GENERATE_SUBSCRIPTS(CAST(embedding AS DOUBLE[]), 1) AS dim
+    FROM embeddings
+), sv AS (
+    SELECT vec_id, (dim - 1) // {subdim} AS sub, (dim - 1) % {subdim} AS sd, val
+    FROM ev
+), init AS (
+    SELECT vec_id, rn - 1 AS cell FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+    ) WHERE rn <= {k}
+), c0 AS (
+    SELECT i.cell, s.sub, s.sd, s.val AS cval
+    FROM init i JOIN sv s ON i.vec_id = s.vec_id
+),
+{chain}"""
+
+
+def _pq_oracle_sql(
+    m: int = _PQ_M, k: int = _PQ_K, iterations: int = _PQ_ITER, dim: int = _DIM
+) -> str:
+    final = iterations + 1
+    return f"""
+WITH {_pq_chain(m, k, iterations, dim)},
+pv AS (SELECT * FROM sv WHERE vec_id < 10),
+adc AS (
+    SELECT p.vec_id AS probe_id, a.vec_id AS neighbor_id,
+           SUM((p.val - c.cval) * (p.val - c.cval)) AS adist
+    FROM a{final} a
+    JOIN c{iterations} c ON c.sub = a.sub AND c.cell = a.cell
+    JOIN pv p ON p.sub = c.sub AND p.sd = c.sd
+    WHERE a.vec_id <> p.vec_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, ROUND(adist, 6) AS adc_dist,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY ROUND(adist, 6), neighbor_id) AS rnk
+    FROM adc
+)
+SELECT probe_id, neighbor_id, rnk, adc_dist
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
+PQ_ADC_ORACLE = _pq_oracle_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings, KMEANS_ORACLE),
     "sim_ivf_kmeans_topk": QuerySpec(sim_ivf_kmeans_topk, IVF_KMEANS_ORACLE),
@@ -305,4 +419,10 @@ QUERIES: dict[str, QuerySpec] = {
     "mixture_temperature_weights": QuerySpec(
         mixture_temperature_weights, MIXTURE_ORACLE
     ),
+}
+
+#: Outside the driver window (queries/__init__ head is curated); verified by
+#: tools/verify_local.py every round.
+EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "sim_pq_adc_topk": QuerySpec(sim_pq_adc_topk, PQ_ADC_ORACLE, headline=True),
 }

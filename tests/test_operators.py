@@ -767,3 +767,52 @@ def test_exact_embedding_dedup_guard(spark, sf_dir):
         "cos_sim",
     ]
     assert dedup_embedding_cosine(spark, sf_dir).columns == ["vec_a", "vec_b", "cos_sim"]
+
+
+def test_pq_fit_encode_adc_properties(spark, sf_dir):
+    """PQ invariants: fit is deterministic across runs; iterating reduces
+    quantization distortion vs the seed codebooks (proxied by summed
+    nearest-neighbor ADC distance over 20 probes); encode emits m codes
+    in [0, k)."""
+    from spark_iceberg_jobs_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=8, iterations=2, dim=64)
+    again = pq_fit(emb, m=4, k=8, iterations=2, dim=64)
+    assert books == again, "pq_fit must be deterministic"
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+
+    def distortion(bk):
+        rows = pq_adc_topk(emb, emb.limit(20), bk, k=1).collect()
+        return sum(r.adc_dist for r in rows)
+
+    seeds = pq_fit(emb, m=4, k=8, iterations=0, dim=64)
+    assert distortion(books) <= distortion(seeds), (
+        "Lloyd's rounds must not increase quantization distortion"
+    )
+
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r.codes) == 4 for r in codes)
+    assert all(0 <= c < 8 for r in codes for c in r.codes)
+
+
+def test_pq_encode_is_projection_only(spark, sf_dir):
+    """pq_encode must compile to a pure scan projection — literal codebooks,
+    zero shuffle Exchange (the 100 TB contract: encoding never moves data)."""
+    from spark_iceberg_jobs_spark.operators.similarity import pq_encode, pq_fit
+    from spark_iceberg_jobs_spark.plans.explain import (
+        count_shuffle_exchanges,
+        formatted_plan,
+    )
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=8, iterations=0, dim=64)
+    coded = pq_encode(emb, books)
+    assert count_shuffle_exchanges(coded) == 0, formatted_plan(coded)
