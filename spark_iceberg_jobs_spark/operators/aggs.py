@@ -255,3 +255,77 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str, *, depth: int =
         .groupBy(key)
         .agg(F.min(cell_cnt).cast("long").alias("est_n"))
     )
+
+
+def _hll_reg_rho(key: str, *, m: int = 64):
+    """(register, rho) columns for one key under the portable HLL hashing:
+    register = first md5 hex byte mod m; rho = 1 + leading zero BITS of the
+    52-bit value in hex digits 3..15, derived from the leading-'0' run plus
+    the first nonzero digit's high-bit position — pure string/CASE math
+    that a SQL oracle replays verbatim (no numeric base conversion).
+    Formats are load-bearing for sketch/oracle agreement, like _cms_cells.
+    """
+    h = F.md5(F.concat(F.lit("hll:"), F.col(key).cast("string")))
+    reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % m).alias("reg")
+    s13 = F.substring(h, 3, 13)
+    lz = F.length(F.regexp_extract(s13, "^0*", 0))
+    first = s13.substr(lz + F.lit(1), F.lit(1))
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = (
+        F.when(lz == 13, F.lit(53)).otherwise(lz * 4 + extra + 1).cast("int").alias("rho")
+    )
+    return reg, rho
+
+
+def hll_registers(df: DataFrame, key: str, group: str, *, m: int = 64) -> DataFrame:
+    """Portable HyperLogLog registers per group: (group, reg, r) with
+    r = MAX(rho) — the canonical mergeable distinct sketch, md5-hashed so
+    any SQL engine recomputes it bit-for-bit (contrast core.py's
+    approx_distinct_custkeys, which exposes Spark's built-in HLL++ only
+    through a tolerance predicate because its sketch is implementation-
+    internal).
+
+    Scale: ONE pass; the groupBy partially aggregates map-side, so the
+    exchange carries at most |groups| x m rows regardless of corpus size
+    or key cardinality — the fixed-memory property that replaces exact
+    countDistinct's full shuffle of distinct values at 100 TB. Registers
+    from shards or streaming micro-batches merge by MAX on (group, reg).
+    """
+    reg, rho = _hll_reg_rho(key, m=m)
+    return (
+        df.select(F.col(group), reg, rho)
+        .groupBy(group, "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group: str, *, m: int = 64) -> DataFrame:
+    """Distinct-count estimate from hll_registers: the raw HLL harmonic
+    mean alpha_m * m^2 / Z, with Z summing 2^-r over present registers
+    plus 1.0 per absent (zero) register. Every term 2^-r is an EXACT
+    power of two (1.0 / shiftleft(1L, r) — integer shift, exact division),
+    so Z is deterministic across engines and summation orders, and the
+    final division is a single correctly-rounded IEEE op — no libm in the
+    hash-verified path (the standard small/large-range LOG corrections are
+    deliberately omitted: alpha is exact arithmetic, ln() is not).
+    Emits (group, n_regs_set, hll_est)."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return (
+        registers.groupBy(group)
+        .agg(
+            F.count("*").cast("long").alias("n_regs_set"),
+            F.sum(F.expr("1.0 / shiftleft(cast(1 as bigint), r)")).alias("_z_set"),
+        )
+        .select(
+            group,
+            "n_regs_set",
+            F.round(
+                F.lit(alpha) * m * m / (F.col("_z_set") + (m - F.col("n_regs_set"))), 4
+            ).alias("hll_est"),
+        )
+    )

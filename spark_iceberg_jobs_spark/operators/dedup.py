@@ -521,3 +521,160 @@ def simhash_near_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    cents: list[list[float]],
+    *,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    k-means-cluster the embedding space, then compare pairs ONLY within a
+    cluster — a doc is removed when a lower-id clustermate sits above the
+    cosine threshold. Emits (cell, removed_id, keeper_id, cos_sim) where
+    ``keeper_id`` is the smallest qualifying clustermate (deterministic:
+    ROW_NUMBER over keeper id) and ``cos_sim`` its similarity.
+
+    Scale shape — this is why SemDeDup works at corpus scale where
+    all-pairs cosine cannot: assignment to the fitted centroids is a
+    literal-argmin PROJECTION (assign_cells — no shuffle, no crossJoin);
+    the self-join is keyed by cell, so pair work drops from O(n²) to
+    Σ_cell n_cell² — with k clusters of even mass that is n²/k, and k is
+    the knob (production runs k in the tens of thousands). Pairs carry ids
+    + vectors per cell partition; scoring is the Arrow-vectorized numpy
+    cosine. A degenerate hot cell (mass collapsing into one cluster) is
+    the same failure mode as SRP's hot bucket — ``max_cell_rows`` drops
+    such cells from pairing (their members are better served by exact
+    dedup), mirroring srp_dedup_pairs' guard.
+    """
+    from .similarity import assign_cells
+
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = assign_cells(e, cents, vec_col="v").select("vid", "cell", "v")
+    if max_cell_rows is not None:
+        hot = (
+            assigned.groupBy("cell")
+            .agg(F.count("*").alias("_rows"))
+            .filter(F.col("_rows") > max_cell_rows)
+            .select("cell")
+        )
+        assigned = assigned.join(hot, "cell", "left_anti")
+    assigned = scoped_persist(assigned)  # both self-join sides; assign runs once
+    a = assigned.select("cell", F.col("vid").alias("keeper_id"), F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("vid").alias("removed_id"), F.col("v").alias("vb"))
+    from ..functions.vectors import cosine_arrow
+
+    hits = (
+        a.join(b, "cell")
+        .filter(F.col("keeper_id") < F.col("removed_id"))
+        .withColumn("_sim", cosine_arrow(F.col("va"), F.col("vb")))
+        .filter(F.col("_sim") >= threshold)
+    )
+    w = Window.partitionBy("removed_id").orderBy("keeper_id")
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cell", "removed_id", "keeper_id", F.round("_sim", 4).alias("cos_sim"))
+    )
+
+
+def _bloom_positions(shingle: F.Column, *, bits: int, hashes: int) -> list[F.Column]:
+    """The ``hashes`` bloom bit positions of a shingle: first 8 hex digits
+    of a j-salted md5, base-16-converted, mod ``bits`` — the salt format is
+    load-bearing for oracle agreement (mirrored in the SQL replay)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{j}:"), shingle)), 1, 8), 16, 10
+        ).cast("long")
+        % bits
+        for j in range(hashes)
+    ]
+
+
+def bloom_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 5,
+    bits: int = 1 << 19,
+    hashes: int = 3,
+) -> DataFrame:
+    """Decontamination with a BLOOM-FILTER prefilter — the shape that
+    replaces ngram_contamination's broadcast of the raw eval shingle SET
+    when the benchmark suite itself is large: eval shingles are folded into
+    a fixed ``bits``-wide bloom (md5-salted positions, no false negatives),
+    train shingles test membership against the broadcast bloom as a pure
+    projection, and only the tiny bloom-passing remainder meets the exact
+    eval set for confirmation.
+
+    Emits (doc_id, n_shingles, n_bloom_pass, n_hit, contamination) for
+    train docs with >= 1 bloom-passing shingle: ``n_bloom_pass`` counts the
+    prefilter survivors (deterministic — the bloom is md5-derived, so the
+    oracle replays it bit-for-bit and the measured false-positive margin
+    n_bloom_pass - n_hit is itself hash-verified), ``n_hit`` the exactly
+    confirmed overlaps.
+
+    Scale shape: the bloom is a FIXED-size artifact (bits/8 bytes,
+    sized by the standard m ~ 9.6n rule for ~1% FP) built from one
+    distinct-position pass bounded by ``bits`` rows — never by corpus
+    size — and shipped as a broadcast row, not a plan literal. The train
+    side is scanned once; membership is string indexing inside codegen
+    (production would bit-pack the same positions; the 0/1-string keeps
+    the artifact SQL-replayable). The exact-confirm join now carries only
+    bloom survivors — at a 0.5% FP rate the shuffle drops 200x vs joining
+    every train shingle against the eval set.
+    """
+    from functools import reduce
+    from operator import and_
+
+    # persisted: consumed by the position collect AND the exact-confirm join
+    evsh = scoped_persist(_distinct_shingles(eval_docs, n=n).select("shingle").distinct())
+    pos_rows = (
+        evsh.select(
+            F.explode(
+                F.array(*_bloom_positions(F.col("shingle"), bits=bits, hashes=hashes))
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    positions = {r.pos for r in pos_rows}
+    bloom_str = "".join("1" if i in positions else "0" for i in range(bits))
+    spark = train.sparkSession
+    bloom_df = spark.createDataFrame([(bloom_str,)], "bloom string")
+
+    tr = scoped_persist(_distinct_shingles(train, n=n))
+    sizes = tr.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    member = [
+        F.col("bloom").substr((p + F.lit(1)).cast("int"), F.lit(1)) == "1"
+        for p in _bloom_positions(F.col("shingle"), bits=bits, hashes=hashes)
+    ]
+    passed = scoped_persist(
+        tr.crossJoin(F.broadcast(bloom_df))
+        .filter(reduce(and_, member))
+        .select("doc_id", "shingle")
+    )
+    nbp = passed.groupBy("doc_id").agg(F.count("*").alias("n_bloom_pass"))
+    hits = (
+        passed.join(F.broadcast(evsh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    out = (
+        nbp.join(hits, "doc_id", "left_outer")
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_pass",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("contamination"),
+        )
+    )
+    return out

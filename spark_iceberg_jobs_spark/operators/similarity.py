@@ -634,6 +634,161 @@ def pq_encode(
     return embeddings.select(F.col(id_col).alias("vid"), codes.alias("codes"))
 
 
+def residuals(
+    embeddings: DataFrame,
+    cents: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cell, res): each vector's nearest coarse cell (squared L2,
+    literal argmin) and its residual against that cell's centroid — pure
+    projection, the substrate IVF-PQ fits and encodes on."""
+    lit_cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    e = embeddings.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
+    assigned = assign_cells(e, cents, vec_col="v")
+    res = F.zip_with(
+        F.col("v"),
+        F.element_at(lit_cents, F.col("cell").cast("int") + 1),
+        lambda a, b: a - b,
+    )
+    return assigned.select("vid", "cell", res.alias("res"))
+
+
+def residual_encode(
+    embeddings: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ corpus encoding: assign each vector to its nearest coarse
+    centroid (squared L2, ``assign_cells`` literal argmin), subtract that
+    centroid, and PQ-encode the RESIDUAL — (vid, cell, codes array<int>).
+
+    Like ``pq_encode`` this is a PURE PROJECTION (plan-asserted): coarse
+    centroids and codebooks are both literal arrays, so encoding a 100 TB
+    corpus is one scan with no shuffle, no join, no Python. Encoding the
+    residual instead of the raw vector is what makes IVF-PQ beat flat PQ:
+    within a cell the residual energy is a fraction of the vector's, so the
+    same code budget quantizes much finer (measured in tests as lower ADC
+    error vs flat PQ on the same m/k).
+    """
+    m = len(books)
+    subdim = len(books[0][0])
+    r = residuals(embeddings, cents, id_col=id_col, vec_col=vec_col)
+    codes = F.array(
+        *[
+            _code_expr(sl, books[s])
+            for s, sl in enumerate(_sub_slices(F.col("res"), m, subdim))
+        ]
+    )
+    return r.select("vid", "cell", codes.alias("codes"))
+
+
+def nearest_cells_lit(
+    df: DataFrame,
+    cents: list[list[float]],
+    *,
+    n: int,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Explode each row to its ``n`` nearest coarse cells (squared L2) — as
+    a projection: distances to every literal centroid are folded into an
+    array of (dist, cell) structs, ``array_sort`` orders them (struct sort =
+    lexicographic, so exact-distance ties break to the lower cell exactly
+    like ``assign_cells``'s array_min), and the first ``n`` explode. No
+    crossJoin against a centroid table, no window — multiprobe selection
+    rides the scan."""
+    v = F.col(vec_col)
+    cands = []
+    for i, c in enumerate(cents):
+        w = F.array(*[F.lit(float(x)) for x in c])
+        cands.append(F.struct(_sqdist(v, w).alias("d"), F.lit(i).cast("long").alias("i")))
+    top = F.slice(F.array_sort(F.array(*cands)), 1, n)
+    return (
+        df.withColumn("_nc", F.explode(top))
+        .withColumn("cell", F.col("_nc.i"))
+        .drop("_nc")
+    )
+
+
+def ivfpq_adc_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    *,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ serving: the composition that actually runs billion-vector ANN
+    (FAISS's IVFADC layout re-expressed as Spark dataflow). The corpus lives
+    as (cell, codes) only — ``residual_encode``'s one-scan projection; a
+    probe touches just its ``nprobe`` nearest cells, and within them scores
+    candidates through their codes with an asymmetric-distance lookup table
+    built from the PROBE'S residual against each probed cell.
+
+    Scale shape: probe-side work (cell selection, residuals, the m x k_codes
+    LUT) is a projection over the tiny probe set, broadcast into the join;
+    the corpus side is partition-pruned by the cell equi-join (at rest the
+    encoded corpus would be partitioned/bucketed by cell, so a probe reads
+    nprobe/n_cells of it) and never touches full-precision vectors. Shuffle
+    is only the per-probe ranking window over candidate rows.
+
+    Distances are rounded (6 dp) before ranking — code-sharing candidates
+    are mathematically identical under ADC and must tie deterministically
+    (broken by neighbor id) in every engine. Emits
+    (probe_id, neighbor_id, rnk, adc_dist).
+    """
+    m = len(books)
+    subdim = len(books[0][0])
+    lit_cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    coded = residual_encode(embeddings, cents, books, id_col=id_col, vec_col=vec_col)
+
+    p = probes.select(F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv"))
+    pc = nearest_cells_lit(p, cents, n=nprobe, vec_col="pv")
+    pres = F.zip_with(
+        F.col("pv"),
+        F.element_at(lit_cents, F.col("cell").cast("int") + 1),
+        lambda a, b: a - b,
+    )
+    pr = pc.withColumn("_pres", pres)
+    lut = F.array(
+        *[
+            F.array(
+                *[_sqdist(sl, F.array(*[F.lit(float(x)) for x in c])) for c in books[s]]
+            )
+            for s, sl in enumerate(_sub_slices(F.col("_pres"), m, subdim))
+        ]
+    )
+    pl = pr.select("probe_id", "cell", lut.alias("lut"))
+
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda code, table: F.element_at(table, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.join(F.broadcast(pl), "cell")
+        .filter(F.col("vid") != F.col("probe_id"))
+        .select(
+            "probe_id", F.col("vid").alias("neighbor_id"), F.round(adist, 6).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "rnk", "adc_dist")
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     probes: DataFrame,

@@ -833,7 +833,82 @@ ORDER BY user_id, session_start_es
 """
 
 
+def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user estimate per event type, next to
+    the exact count (operators/aggs.hll_registers/hll_estimate): the
+    registers are md5-derived, so unlike the built-in approx_count_distinct
+    (oracled only through a tolerance predicate) the SKETCH ITSELF is
+    hash-verified — the oracle rebuilds every register from hex-digit math
+    and reproduces the estimate to the rounded digit. One pass + a
+    |types| x 64-row exchange; the exact countDistinct rides the same scan
+    for the accuracy column."""
+    from ..operators.aggs import hll_estimate, hll_registers
+
+    ev = read_fixture(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", "event_type")
+    est = hll_estimate(regs, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "exact_users", "n_regs_set", "hll_est")
+        .orderBy("event_type")
+    )
+
+
+def _hll_oracle_sql(m: int = 64) -> str:
+    alpha = 0.7213 / (1 + 1.079 / m)
+    hexd = "0123456789abcdef"
+    return f"""
+WITH h AS (
+    SELECT event_type, user_id,
+           MD5('hll:' || CAST(user_id AS VARCHAR)) AS hh
+    FROM events
+), lzx AS (
+    SELECT event_type, hh,
+           LENGTH(REGEXP_EXTRACT(SUBSTR(hh, 3, 13), '^0*')) AS lz
+    FROM h
+), rr AS (
+    SELECT event_type,
+           ((STRPOS('{hexd}', SUBSTR(hh, 1, 1)) - 1) * 16
+            + (STRPOS('{hexd}', SUBSTR(hh, 2, 1)) - 1)) % {m} AS reg,
+           CASE WHEN lz = 13 THEN 53
+                ELSE lz * 4
+                     + CASE SUBSTR(hh, 2 + lz + 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                     + 1
+           END AS rho
+    FROM lzx
+), regs AS (
+    SELECT event_type, reg, MAX(rho) AS r
+    FROM rr GROUP BY event_type, reg
+), est AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_regs_set,
+           SUM(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) AS z_set
+    FROM regs GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users,
+       est.n_regs_set,
+       ROUND(CAST({alpha!r} AS DOUBLE) * {m} * {m}
+             / (est.z_set + ({m} - est.n_regs_set)), 4) AS hll_est
+FROM events e JOIN est ON e.event_type = est.event_type
+GROUP BY e.event_type, est.n_regs_set, est.z_set
+ORDER BY e.event_type
+"""
+
+
+HLL_ORACLE = _hll_oracle_sql()
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "streaming_stateful_sessions": QuerySpec(
         streaming_stateful_sessions_query, STATEFUL_SESSIONS_ORACLE
     ),

@@ -1658,7 +1658,103 @@ WHERE LIST_INNER_PRODUCT(ea.v, eb.v)
 """
 
 
+_BLOOM_BITS = 1 << 19
+_BLOOM_HASHES = 3
+
+
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/dedup
+    .bloom_contamination): same eval/train split as
+    decontaminate_eval_overlap, but train shingles first pass a broadcast
+    md5-derived bloom of the eval shingles — the fixed-memory prefilter
+    that scales when the benchmark suite is too big to broadcast raw. The
+    bloom is deterministic, so the oracle replays the exact bit positions
+    (the position set IS the filter) and hash-verifies both the prefilter
+    margin (n_bloom_pass) and the exactly-confirmed overlaps (n_hit)."""
+    from ..operators.dedup import bloom_contamination
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    is_eval = (
+        F.substring(F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))), 1, 8)
+        < "20000000"
+    )
+    return bloom_contamination(
+        docs.filter(~is_eval),
+        docs.filter(is_eval),
+        n=5,
+        bits=_BLOOM_BITS,
+        hashes=_BLOOM_HASHES,
+    ).orderBy("doc_id")
+
+
+def _bloom_pos_sql(j: int, bits: int) -> str:
+    """DuckDB replay of _bloom_positions: base-16 positional sum of the
+    first 8 hex digits of the j-salted md5, mod bits."""
+    hexd = "0123456789abcdef"
+    terms = " + ".join(
+        f"(STRPOS('{hexd}', SUBSTR(MD5('bf{j}:' || shingle), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) % {bits})"
+
+
+def _bloom_oracle_sql(bits: int = _BLOOM_BITS, hashes: int = _BLOOM_HASHES) -> str:
+    ev_union = "\n        UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(j, bits)} AS pos FROM ev" for j in range(hashes)
+    )
+    member = " AND ".join(
+        f"{_bloom_pos_sql(j, bits)} IN (SELECT pos FROM evpos)" for j in range(hashes)
+    )
+    return f"""
+WITH ev_ids AS (
+    SELECT doc_id FROM documents
+    WHERE SUBSTR(MD5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+), toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+    FROM toks, UNNEST(RANGE(1, LEN(t) - 3)) AS r(i)
+), tr AS (
+    SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM ev_ids)
+), ev AS (
+    SELECT DISTINCT shingle FROM sh
+    WHERE doc_id IN (SELECT doc_id FROM ev_ids)
+), evpos AS (
+    SELECT DISTINCT pos FROM (
+        {ev_union}
+    )
+), pass AS (
+    SELECT doc_id, shingle FROM tr
+    WHERE {member}
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id
+), nbp AS (
+    SELECT doc_id, COUNT(*) AS n_bloom_pass FROM pass GROUP BY doc_id
+), hits AS (
+    SELECT p.doc_id, COUNT(*) AS n_hit
+    FROM pass p JOIN ev e ON p.shingle = e.shingle
+    GROUP BY p.doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(nbp.n_bloom_pass AS BIGINT) AS n_bloom_pass,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_shingles, 4) AS contamination
+FROM nbp
+JOIN sizes s USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+BLOOM_DECONTAMINATE_ORACLE = _bloom_oracle_sql()
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "decontaminate_bloom_prefilter": QuerySpec(
+        decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
+    ),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),

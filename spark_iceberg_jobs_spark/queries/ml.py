@@ -321,64 +321,76 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, probes, books, k=5)
 
 
-def _pq_chain(m: int, k: int, iterations: int, dim: int) -> str:
-    """WITH-body replaying pq_fit in exploded (vec_id, sub, sd, val) space:
-    the _kmeans_chain shape with every stage additionally keyed by the
-    subspace — seeds are the k smallest-md5 vectors (their slices seed all
-    subspaces), argmin ties break to the lowest code, empty (sub, code)
-    cells carry the previous codeword forward."""
+def _pq_subchain(
+    m: int, k: int, iterations: int, dim: int, *, src: str, prefix: str
+) -> str:
+    """CTE fragments (comma-joined, each name ``prefix``-ed) replaying
+    pq_fit in exploded (vec_id, sub, sd, val) space over ``src`` — a CTE
+    with columns (vec_id, dim, val), dim 1-based: the _kmeans_chain shape
+    with every stage additionally keyed by the subspace — seeds are the k
+    smallest-md5 vectors (their slices seed all subspaces), argmin ties
+    break to the lowest code, empty (sub, code) cells carry the previous
+    codeword forward. The prefix lets the chain compose with other chains
+    (IVF-PQ runs it over coarse-residuals downstream of _kmeans_chain)."""
+    p = prefix
     subdim = dim // m
     rounds = []
     last = iterations + 1  # extra assignment round = the encode pass
     for r in range(1, last + 1):
         rounds.append(
-            f"""d{r} AS (
+            f"""{p}d{r} AS (
     SELECT s.vec_id, s.sub, c.cell,
            SUM((s.val - c.cval) * (s.val - c.cval)) AS dist
-    FROM sv s JOIN c{r - 1} c ON s.sub = c.sub AND s.sd = c.sd
+    FROM {p}sv s JOIN {p}c{r - 1} c ON s.sub = c.sub AND s.sd = c.sd
     GROUP BY s.vec_id, s.sub, c.cell
-), a{r} AS (
+), {p}a{r} AS (
     SELECT vec_id, sub, cell FROM (
         SELECT vec_id, sub, cell,
                ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                                   ORDER BY dist, cell) AS rn
-        FROM d{r}
+        FROM {p}d{r}
     ) WHERE rn = 1
 )"""
         )
         if r <= iterations:
             rounds.append(
-                f"""c{r} AS (
+                f"""{p}c{r} AS (
     SELECT a.cell, s.sub, s.sd, AVG(s.val) AS cval
-    FROM a{r} a JOIN sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+    FROM {p}a{r} a JOIN {p}sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
     GROUP BY a.cell, s.sub, s.sd
     UNION ALL
-    SELECT p.cell, p.sub, p.sd, p.cval
-    FROM c{r - 1} p
-    WHERE NOT EXISTS (SELECT 1 FROM a{r} a
-                      WHERE a.sub = p.sub AND a.cell = p.cell)
+    SELECT pp.cell, pp.sub, pp.sd, pp.cval
+    FROM {p}c{r - 1} pp
+    WHERE NOT EXISTS (SELECT 1 FROM {p}a{r} a
+                      WHERE a.sub = pp.sub AND a.cell = pp.cell)
 )"""
             )
     chain = ",\n".join(rounds)
-    return f"""ev AS (
-    SELECT vec_id,
-           UNNEST(CAST(embedding AS DOUBLE[])) AS val,
-           GENERATE_SUBSCRIPTS(CAST(embedding AS DOUBLE[]), 1) AS dim
-    FROM embeddings
-), sv AS (
+    return f"""{p}sv AS (
     SELECT vec_id, (dim - 1) // {subdim} AS sub, (dim - 1) % {subdim} AS sd, val
-    FROM ev
-), init AS (
+    FROM {src}
+), {p}init AS (
     SELECT vec_id, rn - 1 AS cell FROM (
         SELECT vec_id,
                ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
         FROM embeddings
     ) WHERE rn <= {k}
-), c0 AS (
+), {p}c0 AS (
     SELECT i.cell, s.sub, s.sd, s.val AS cval
-    FROM init i JOIN sv s ON i.vec_id = s.vec_id
+    FROM {p}init i JOIN {p}sv s ON i.vec_id = s.vec_id
 ),
 {chain}"""
+
+
+def _pq_chain(m: int, k: int, iterations: int, dim: int) -> str:
+    """WITH-body replaying pq_fit over the raw embeddings (flat PQ)."""
+    return f"""ev AS (
+    SELECT vec_id,
+           UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+           GENERATE_SUBSCRIPTS(CAST(embedding AS DOUBLE[]), 1) AS dim
+    FROM embeddings
+),
+{_pq_subchain(m, k, iterations, dim, src="ev", prefix="")}"""
 
 
 def _pq_oracle_sql(
@@ -412,6 +424,153 @@ WHERE rnk <= 5
 PQ_ADC_ORACLE = _pq_oracle_sql()
 
 
+_IVFPQ_COARSE_ITER = 2  # bounds the composed oracle: 3 assignment rounds each
+
+
+def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end — the billion-vector ANN serving layout (FAISS
+    IVFADC re-expressed as Spark dataflow) under the full hash oracle:
+
+    1. coarse k-means fit (kmeans_fit: md5-seeded, projection-only rounds),
+    2. per-vector residual against its nearest coarse cell (one-scan
+       projection, operators/similarity.residuals),
+    3. PQ codebook fit ON THE RESIDUALS (pq_fit — same subspace Lloyd's,
+       now quantizing the much-smaller within-cell displacement),
+    4. corpus encoded to (cell, codes) in one scan (residual_encode,
+       plan-asserted projection-only),
+    5. probes vec_id < 10 served through codes only: nprobe nearest cells
+       per probe (array_sort projection), per-(probe, cell) residual LUT,
+       ADC sum, (dist, id)-ranked top-5 (ivfpq_adc_topk).
+
+    The oracle composes the two existing replay chains — _kmeans_chain for
+    the coarse fit, _pq_subchain (prefixed, over a residual CTE) for the
+    codebooks — then replays cell selection from the coarse distance CTE
+    and the ADC sum in exploded space. Distances round (6 dp) before
+    ranking on both sides: code-sharers are exact ADC ties, broken by id.
+    """
+    from ..operators.similarity import ivfpq_adc_topk, pq_fit, residuals
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_K, iterations=_IVFPQ_COARSE_ITER, dim=_DIM)
+    res = residuals(emb, cents)
+    books = pq_fit(
+        res, m=_PQ_M, k=_PQ_K, iterations=_PQ_ITER, dim=_DIM, id_col="vid", vec_col="res"
+    )
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_adc_topk(emb, probes, cents, books, k=5, nprobe=3)
+
+
+def _ivfpq_oracle_sql(
+    coarse_k: int = _K,
+    coarse_iter: int = _IVFPQ_COARSE_ITER,
+    m: int = _PQ_M,
+    k_codes: int = _PQ_K,
+    pq_iter: int = _PQ_ITER,
+    dim: int = _DIM,
+    nprobe: int = 3,
+) -> str:
+    fa = coarse_iter + 1  # the extra-assign round: a{fa} / d{fa} vs c{coarse_iter}
+    pqf = pq_iter + 1  # the PQ encode round
+    subdim = dim // m
+    return f"""
+WITH {_kmeans_chain(coarse_k, coarse_iter, extra_assign=True)},
+cassign AS (SELECT vec_id, cell AS ccell FROM a{fa}),
+rv AS (
+    SELECT e.vec_id, e.dim, e.val - c.cval AS val
+    FROM ev e
+    JOIN cassign a ON e.vec_id = a.vec_id
+    JOIN c{coarse_iter} c ON c.cell = a.ccell AND c.dim = e.dim
+),
+{_pq_subchain(m, k_codes, pq_iter, dim, src="rv", prefix="q")},
+pcells AS (
+    SELECT vec_id AS probe_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+        FROM d{fa} WHERE vec_id < 10
+    ) WHERE rn <= {nprobe}
+),
+pres AS (
+    SELECT p.probe_id, p.cell AS ccell,
+           (e.dim - 1) // {subdim} AS sub, (e.dim - 1) % {subdim} AS sd,
+           e.val - c.cval AS val
+    FROM pcells p
+    JOIN ev e ON e.vec_id = p.probe_id
+    JOIN c{coarse_iter} c ON c.cell = p.cell AND c.dim = e.dim
+),
+adc AS (
+    SELECT pr.probe_id, a.vec_id AS neighbor_id,
+           SUM((pr.val - cb.cval) * (pr.val - cb.cval)) AS adist
+    FROM qa{pqf} a
+    JOIN cassign ca ON ca.vec_id = a.vec_id
+    JOIN qc{pq_iter} cb ON cb.sub = a.sub AND cb.cell = a.cell
+    JOIN pres pr ON pr.ccell = ca.ccell AND pr.sub = cb.sub AND pr.sd = cb.sd
+    WHERE a.vec_id <> pr.probe_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, ROUND(adist, 6) AS adc_dist,
+           ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY ROUND(adist, 6), neighbor_id) AS rnk
+    FROM adc
+)
+SELECT probe_id, neighbor_id, rnk, adc_dist
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
+IVFPQ_ADC_ORACLE = _ivfpq_oracle_sql()
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus: k-means partition of the
+    embedding space (kmeans_fit, projection-only rounds), then cosine
+    near-dup removal WITHIN clusters only (operators/dedup.semantic_dedup)
+    — pair work n²/k instead of n², the recipe that made semantic dedup
+    tractable on LAION/web-scale corpora. A vector is removed when a
+    lower-id clustermate scores >= 0.42; the keeper is the smallest such
+    id. The oracle replays the fit (unrolled CTEs) + the within-cell pair
+    scan with exact cosine."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_K, iterations=_IVFPQ_COARSE_ITER, dim=_DIM)
+    return semantic_dedup(emb, cents, threshold=0.42).orderBy("cell", "removed_id")
+
+
+def _semantic_oracle_sql(
+    k: int = _K, iterations: int = _IVFPQ_COARSE_ITER, threshold: float = 0.42
+) -> str:
+    fa = iterations + 1
+    return f"""
+WITH {_kmeans_chain(k, iterations, extra_assign=True)},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+    SELECT a.cell, a.vec_id AS keeper_id, b.vec_id AS removed_id,
+           LIST_INNER_PRODUCT(ea.v, eb.v)
+           / (SQRT(LIST_INNER_PRODUCT(ea.v, ea.v))
+              * SQRT(LIST_INNER_PRODUCT(eb.v, eb.v))) AS sim
+    FROM a{fa} a
+    JOIN a{fa} b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+),
+ranked AS (
+    SELECT cell, removed_id, keeper_id, ROUND(sim, 4) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY removed_id ORDER BY keeper_id) AS rn
+    FROM pairs
+    WHERE sim >= {threshold}
+)
+SELECT cell, removed_id, keeper_id, cos_sim
+FROM ranked
+WHERE rn = 1
+ORDER BY cell, removed_id
+"""
+
+
+SEMANTIC_DEDUP_ORACLE = _semantic_oracle_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings, KMEANS_ORACLE),
     "sim_ivf_kmeans_topk": QuerySpec(sim_ivf_kmeans_topk, IVF_KMEANS_ORACLE),
@@ -425,4 +584,6 @@ QUERIES: dict[str, QuerySpec] = {
 #: tools/verify_local.py every round.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "sim_pq_adc_topk": QuerySpec(sim_pq_adc_topk, PQ_ADC_ORACLE, headline=True),
+    "sim_ivfpq_adc_topk": QuerySpec(sim_ivfpq_adc_topk, IVFPQ_ADC_ORACLE, headline=True),
+    "dedup_semantic": QuerySpec(dedup_semantic, SEMANTIC_DEDUP_ORACLE),
 }

@@ -816,3 +816,165 @@ def test_pq_encode_is_projection_only(spark, sf_dir):
     books = pq_fit(emb, m=4, k=8, iterations=0, dim=64)
     coded = pq_encode(emb, books)
     assert count_shuffle_exchanges(coded) == 0, formatted_plan(coded)
+
+
+def test_ivfpq_residual_encode_is_projection_only(spark, sf_dir):
+    """residual_encode (coarse argmin + centroid subtraction + PQ argmin)
+    must still compile to one scan projection — zero shuffle Exchanges: the
+    IVF-PQ encode pass never moves data, exactly like flat pq_encode."""
+    from spark_iceberg_jobs_spark.operators.similarity import (
+        kmeans_fit,
+        pq_fit,
+        residual_encode,
+        residuals,
+    )
+    from spark_iceberg_jobs_spark.plans.explain import (
+        count_shuffle_exchanges,
+        formatted_plan,
+    )
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, iterations=1, dim=64)
+    res = residuals(emb, cents)
+    books = pq_fit(res, m=4, k=8, iterations=0, dim=64, id_col="vid", vec_col="res")
+    coded = residual_encode(emb, cents, books)
+    assert count_shuffle_exchanges(coded) == 0, formatted_plan(coded)
+    rows = coded.limit(50).collect()
+    assert all(0 <= r.cell < 4 for r in rows)
+    assert all(len(r.codes) == 4 and all(0 <= c < 8 for c in r.codes) for r in rows)
+
+
+def test_ivfpq_beats_flat_pq_distortion(spark, sf_dir):
+    """The point of residual encoding: with the SAME code budget (m=4, k=8),
+    quantizing within-cell residuals must reconstruct vectors closer than
+    quantizing the raw vectors — summed self-ADC distance over 20 probes
+    (each probe's distance to its own encoding, rank-1 with nprobe=1 when
+    probing its own cell) is strictly lower for IVF-PQ than flat PQ on the
+    fixture corpus."""
+    from spark_iceberg_jobs_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        kmeans_fit,
+        pq_adc_topk,
+        pq_fit,
+        residuals,
+    )
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+    from pyspark.sql import functions as F
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+
+    flat_books = pq_fit(emb, m=4, k=8, iterations=2, dim=64)
+    flat = pq_adc_topk(emb, probes, flat_books, k=3).collect()
+
+    cents = kmeans_fit(emb, k=4, iterations=2, dim=64)
+    res = residuals(emb, cents)
+    rbooks = pq_fit(res, m=4, k=8, iterations=2, dim=64, id_col="vid", vec_col="res")
+    ivfpq = ivfpq_adc_topk(emb, probes, cents, rbooks, k=3, nprobe=4).collect()
+
+    # nprobe = all cells -> same candidate set; compare mean top-3 ADC dist
+    flat_sum = sum(r.adc_dist for r in flat)
+    ivfpq_sum = sum(r.adc_dist for r in ivfpq)
+    assert len(flat) == len(ivfpq)
+    assert ivfpq_sum < flat_sum, (ivfpq_sum, flat_sum)
+
+
+def test_ivfpq_nearest_cells_lit_tie_break(spark):
+    """nearest_cells_lit: struct array_sort orders by (dist, cell) — an
+    exact-tie pair of centroids must emit the LOWER cell first, matching
+    assign_cells' array_min tie-break."""
+    from spark_iceberg_jobs_spark.operators.similarity import nearest_cells_lit
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "id long, v array<double>")
+    # cells 0 and 1 are identical -> exact tie; cell 2 is farther
+    cents = [[0.0, 0.0], [0.0, 0.0], [9.0, 9.0]]
+    rows = nearest_cells_lit(df, cents, n=2, vec_col="v").select("cell").collect()
+    assert [r.cell for r in rows] == [0, 1]
+
+
+def test_semantic_dedup_precision_and_hot_cell_guard(spark, sf_dir):
+    """semantic_dedup precision is exact (every emitted pair truly scores
+    >= threshold — verified by re-scoring removed/keeper pairs brute-force)
+    and max_cell_rows drops pair generation for oversized cells."""
+    from spark_iceberg_jobs_spark.operators.dedup import semantic_dedup
+    from spark_iceberg_jobs_spark.operators.similarity import kmeans_fit
+    from spark_iceberg_jobs_spark.functions.vectors import as_double, cosine
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+    from pyspark.sql import functions as F
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, iterations=1, dim=64)
+    out = semantic_dedup(emb, cents, threshold=0.30)
+    e = emb.select(F.col("vec_id").alias("rid"), as_double("embedding").alias("rv"))
+    k = emb.select(F.col("vec_id").alias("kid"), as_double("embedding").alias("kv"))
+    rescored = (
+        out.join(e, out.removed_id == e.rid)
+        .join(k, out.keeper_id == k.kid)
+        .select(cosine(F.col("rv"), F.col("kv")).alias("true_sim"))
+        .collect()
+    )
+    assert rescored, "fixture should produce at least one semantic dup at 0.30"
+    assert all(r.true_sim >= 0.30 for r in rescored)
+
+    # a cap below every cell's size must remove all pair work
+    none = semantic_dedup(emb, cents, threshold=0.30, max_cell_rows=1)
+    assert none.count() == 0
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    """HLL invariants: registers from two shards merge by MAX to the whole
+    corpus' registers (mergeable-sketch contract), and the raw estimate
+    lands within 3 standard errors (3 * 1.04/sqrt(64) = 39%) of the truth."""
+    from spark_iceberg_jobs_spark.operators.aggs import hll_estimate, hll_registers
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("k")
+    )
+    whole = hll_registers(df, "k", "g")
+    half_a = hll_registers(df.filter(F.col("k") < 1000), "k", "g")
+    half_b = hll_registers(df.filter(F.col("k") >= 1000), "k", "g")
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("g", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    est = {r.g: r.hll_est for r in hll_estimate(whole, "g").collect()}
+    for g in (0, 1):
+        assert abs(est[g] - 1000) / 1000 < 0.39, est
+
+
+def test_bloom_contamination_matches_exact(spark, sf_dir):
+    """The bloom prefilter must lose NOTHING (no false negatives): per-doc
+    n_hit equals ngram_contamination's n_hit, and the prefilter actually
+    prunes (bloom-passing shingles are a strict subset of all shingles)."""
+    from spark_iceberg_jobs_spark.operators.dedup import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+    from pyspark.sql import functions as F
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))), 1, 8
+        )
+        < "20000000"
+    )
+    train, ev = docs.filter(~is_eval), docs.filter(is_eval)
+    bloom = bloom_contamination(train, ev, n=5, bits=1 << 16, hashes=3)
+    exact = ngram_contamination(train, ev, n=5)
+    b = {r.doc_id: r for r in bloom.collect()}
+    e = {r.doc_id: r.n_hit for r in exact.collect()}
+    # every exact hit shows up with the identical count
+    assert all(doc in b and b[doc].n_hit == n for doc, n in e.items())
+    # no phantom hits: bloom-path docs not in exact have n_hit = 0 (FPs only)
+    assert all(r.n_hit == 0 for d, r in b.items() if d not in e)
+    # and the prefilter prunes: survivors are far fewer than total shingles
+    tot = sum(r.n_shingles for r in b.values())
+    surv = sum(r.n_bloom_pass for r in b.values())
+    assert surv < tot
