@@ -1724,3 +1724,74 @@ QUERIES: dict[str, QuerySpec] = {
         lateral_top_order_per_customer, LATERAL_ORACLE
     ),
 }
+
+
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change feed — the
+    warehouse-maintenance primitive every large pipeline runs to keep
+    dimension history: treating each order as a state observation of its
+    customer's priority, collapse consecutive repeats and emit validity
+    intervals [valid_from, valid_to) with an is_current flag.
+
+    Scale shape: two windows over the SAME (o_custkey)-partitioned,
+    date-ordered sort — the change-detection lag and the interval-closing
+    lead reuse one exchange (no second shuffle; the filter between them
+    preserves partitioning and order). At 100 TB the feed would be
+    date-partitioned and the merge incremental per partition; the
+    per-customer window is bounded by one entity's history, never the
+    corpus. Output restricted to o_custkey <= 500 to keep the verify
+    payload bounded."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    feed = orders.filter(F.col("o_custkey") <= 500).select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    changes = (
+        feed.withColumn("_prev", F.lag("o_orderpriority").over(w))
+        .filter(~F.col("_prev").eqNullSafe(F.col("o_orderpriority")))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return (
+        changes.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("o_custkey", "valid_from", "o_orderpriority")
+    )
+
+
+SCD2_ORACLE = """
+WITH feed AS (
+    SELECT o_custkey, o_orderpriority,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS valid_from, o_orderkey
+    FROM orders WHERE o_custkey <= 500
+), changes AS (
+    SELECT * FROM (
+        SELECT o_custkey, o_orderpriority, valid_from, o_orderkey,
+               LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY valid_from, o_orderkey) AS prev
+        FROM feed
+    ) WHERE prev IS DISTINCT FROM o_orderpriority
+)
+SELECT o_custkey, o_orderpriority, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY o_custkey
+                              ORDER BY valid_from, o_orderkey) AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY o_custkey
+                              ORDER BY valid_from, o_orderkey) IS NULL AS is_current
+FROM changes
+ORDER BY o_custkey, valid_from, o_orderpriority
+"""
+
+
+#: Outside the driver window (only flagship_revenue_topk is pulled from this
+#: module into the curated head); verified by tools/verify_local.py.
+EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "scd2_customer_priority": QuerySpec(scd2_customer_priority, SCD2_ORACLE),
+}

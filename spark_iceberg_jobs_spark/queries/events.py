@@ -8,7 +8,7 @@ the CAST(FLOOR(...) AS BIGINT) mirroring Spark's unix_timestamp floor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.events import running_agg, sessionize, sliding_window_agg, tumbling_window_agg
@@ -907,8 +907,75 @@ ORDER BY e.event_type
 HLL_ORACLE = _hll_oracle_sql()
 
 
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA drift/spike monitoring over the daily event-volume series —
+    the data-quality watchdog a production ingest runs per source: for
+    each event type, the zero-seeded exponentially weighted moving average
+    s_t = alpha * sum_{i<=t} (1-alpha)^(t-i) x_i (alpha=0.1) plus the
+    spike ratio of today's count against yesterday's smoothed level.
+
+    The recursion is re-expressed as ONE cumulative window: s_t =
+    alpha * 0.9^t * cumsum(x_i * 0.9^-i) — no driver loop, no UDF, and
+    the prefix-sum form is exactly what a SQL oracle replays. Scale: the
+    daily rollup is the only data-sized shuffle; the window then runs
+    over |types| x |days| rows. Exponents are bounded by the series
+    length, so the 0.9^-i rescaling cannot overflow on any realistic
+    retention window (documented contract: days <= ~3000)."""
+    ev = read_fixture(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    rn = F.row_number().over(w)
+    d = daily.withColumn("rn", rn)
+    cum = (
+        F.sum(F.col("n_events") * F.pow(F.lit(0.9), -F.col("rn"))).over(
+            Window.partitionBy("event_type").orderBy("rn")
+        )
+    )
+    d = d.withColumn("ewma", F.lit(0.1) * F.pow(F.lit(0.9), F.col("rn")) * cum)
+    prev = F.lag("ewma").over(Window.partitionBy("event_type").orderBy("rn"))
+    return (
+        d.withColumn("ewma_prev", prev)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round("ewma_prev", 4).alias("ewma_prev"),
+            F.round(F.col("n_events") / F.col("ewma_prev"), 4).alias("spike_ratio"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EWMA_ORACLE = """
+WITH daily AS (
+    SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type, STRFTIME(ts, '%Y-%m-%d')
+), idx AS (
+    SELECT event_type, day, n_events,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+    FROM daily
+), smoothed AS (
+    SELECT event_type, day, n_events, rn,
+           0.1 * POWER(0.9, rn)
+               * SUM(n_events * POWER(0.9, -rn))
+                 OVER (PARTITION BY event_type ORDER BY rn) AS ewma
+    FROM idx
+)
+SELECT event_type, day, n_events,
+       ROUND(LAG(ewma) OVER (PARTITION BY event_type ORDER BY rn), 4) AS ewma_prev,
+       ROUND(n_events / LAG(ewma) OVER (PARTITION BY event_type ORDER BY rn), 4)
+           AS spike_ratio
+FROM smoothed
+ORDER BY event_type, day
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
+    "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "streaming_stateful_sessions": QuerySpec(
         streaming_stateful_sessions_query, STATEFUL_SESSIONS_ORACLE
     ),

@@ -1658,6 +1658,69 @@ WHERE LIST_INNER_PRODUCT(ea.v, eb.v)
 """
 
 
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES): per
+    language, keep the top-5 documents ranked by ln(u)/w where u is an
+    md5-derived uniform and w = n_chars — the one-pass distributed
+    equivalent of sampling without replacement with probability
+    proportional to size, the standard way a training pipeline upweights
+    long/high-quality documents while staying reproducible run-to-run.
+
+    Scale shape: the sample key is a pure projection on the scan; per-group
+    top-k is one ranking window partitioned by lang (at extreme group
+    sizes: map-side partial top-k via groupBy-aggregate of a k-bounded
+    heap, same result). No RNG state anywhere — md5(salt:id) makes the
+    draw portable, so the oracle replays the exact sample membership."""
+    from pyspark.sql import Window
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wres:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 32))
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc("_key"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars", key.alias("_key"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "doc_id", "n_chars", "rnk")
+        .orderBy("lang", "rnk")
+    )
+
+
+def _wres_oracle_sql() -> str:
+    hexd = "0123456789abcdef"
+    hex32 = " + ".join(
+        f"(STRPOS('{hexd}', SUBSTR(MD5('wres:' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           LN((({hex32}) + 0.5) / 4294967296.0) / n_chars AS k
+    FROM documents
+), ranked AS (
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rnk
+    FROM keyed
+)
+SELECT lang, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY lang, rnk
+"""
+
+
+WEIGHTED_RESERVOIR_ORACLE = _wres_oracle_sql()
+
+
 _BLOOM_BITS = 1 << 19
 _BLOOM_HASHES = 3
 
@@ -1754,6 +1817,9 @@ BLOOM_DECONTAMINATE_ORACLE = _bloom_oracle_sql()
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
+    ),
+    "sample_weighted_reservoir": QuerySpec(
+        sample_weighted_reservoir, WEIGHTED_RESERVOIR_ORACLE
     ),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
