@@ -18,7 +18,7 @@ first level.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -328,4 +328,88 @@ def hll_estimate(registers: DataFrame, group: str, *, m: int = 64) -> DataFrame:
                 F.lit(alpha) * m * m / (F.col("_z_set") + (m - F.col("n_regs_set"))), 4
             ).alias("hll_est"),
         )
+    )
+
+
+def kmv_sketches(df: DataFrame, key: str, group: str, *, k: int = 256) -> DataFrame:
+    """K-minimum-values sketch per group: the k lexicographically smallest
+    md5 hashes of the group's distinct keys — (group, h, rnk). The KMV
+    complement to hll_registers: registers estimate cardinality, KMV
+    additionally supports SET ALGEBRA (union/intersection/Jaccard between
+    groups) because the sketch retains comparable hash samples.
+
+    Portable by the same rule as every sketch here: h = md5('kmv:'||key),
+    ordered as a hex STRING — no numeric conversion anywhere in the
+    sketch, so a SQL oracle replays it byte-for-byte. Scale: one distinct
+    pass, then a per-group top-k rank — at extreme group counts the rank
+    is a bounded window per group; the sketch output is |groups| x k rows
+    regardless of corpus size, and sketches merge by re-ranking unioned
+    hashes (used by kmv_pairwise_overlap below).
+    """
+    hashed = df.select(
+        F.col(group), F.md5(F.concat(F.lit("kmv:"), F.col(key).cast("string"))).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group).orderBy("h")
+    return (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(group, "h", "rnk")
+    )
+
+
+def kmv_pairwise_overlap(sketches: DataFrame, group: str, *, k: int = 256) -> DataFrame:
+    """Estimate union size and Jaccard for every unordered pair of groups
+    from their KMV sketches ALONE (no return to the raw data): merge the
+    two hash samples, keep the k smallest of the union, read the union
+    estimate (k-1)/h_(k) from the k-th normalized hash (exact count when
+    the merged sample never fills k), and the Jaccard estimate from the
+    fraction of the merged sample present in both sketches. Emits
+    (grp_a, grp_b, kmv_common, jaccard_est, est_union, est_intersection).
+
+    Scale: the pairwise stage is |groups|^2 x k rows of 32-char strings —
+    sketch-sized, never data-sized; everything downstream of kmv_sketches
+    runs on sketches regardless of corpus scale, which is the operational
+    point of KMV set algebra (cross-source overlap matrices without
+    cross-source shuffles). Hash->number conversion happens only at the
+    estimator: first 8 hex digits / 2^32, one exact IEEE division, so the
+    estimates hash-verify cross-engine.
+    """
+    s = sketches.select(F.col(group).alias("g"), "h")
+    gs = s.select("g").distinct()
+    pairs = gs.select(F.col("g").alias("grp_a")).join(
+        gs.select(F.col("g").alias("grp_b")), F.col("grp_a") < F.col("grp_b")
+    )
+    ha = pairs.join(
+        s.select(F.col("g").alias("grp_a"), "h"), "grp_a"
+    ).select("grp_a", "grp_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    hb = pairs.join(
+        s.select(F.col("g").alias("grp_b"), "h"), "grp_b"
+    ).select("grp_a", "grp_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    kept = merged.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    hk_norm = F.conv(F.substring(F.max("h"), 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    agg = kept.groupBy("grp_a", "grp_b").agg(
+        F.count("*").alias("n_sample"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("kmv_common"),
+        hk_norm.alias("_hk"),
+    )
+    est_union = F.when(
+        F.col("n_sample") < k, F.col("n_sample").cast("double")
+    ).otherwise(F.round((k - 1) / F.col("_hk"), 4))
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "kmv_common",
+        F.round(F.col("kmv_common") / F.col("n_sample"), 4).alias("jaccard_est"),
+        est_union.alias("est_union"),
+        F.round(F.col("kmv_common") / F.col("n_sample") * est_union, 4).alias(
+            "est_intersection"
+        ),
     )

@@ -973,9 +973,111 @@ ORDER BY event_type, day
 """
 
 
+def sketch_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix from KMV sketches (operators/aggs
+    .kmv_sketches/kmv_pairwise_overlap): for every pair of event types,
+    estimate the union size, Jaccard, and intersection of their user sets
+    from 256-hash sketches — the set-algebra sketch HLL cannot do. The
+    exact pairwise intersection rides along as the accuracy column
+    (data-sized, fine at fixture scale; production reads the sketch
+    columns only). The sketch is md5-ordered hex strings, so the oracle
+    replays sample membership and estimators exactly."""
+    from ..operators.aggs import kmv_pairwise_overlap, kmv_sketches
+
+    ev = read_fixture(spark, sf_dir, "events")
+    sk = kmv_sketches(ev, "user_id", "event_type", k=256)
+    overlap = kmv_pairwise_overlap(sk, "event_type", k=256)
+    du = ev.select("event_type", "user_id").distinct()
+    ex = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("grp_a"), F.col("y.event_type").alias("grp_b")
+        )
+        .agg(F.count("*").cast("long").alias("exact_common"))
+    )
+    return (
+        overlap.join(ex, ["grp_a", "grp_b"], "left_outer")
+        .select(
+            "grp_a",
+            "grp_b",
+            "kmv_common",
+            "jaccard_est",
+            "est_union",
+            "est_intersection",
+            F.coalesce(F.col("exact_common"), F.lit(0)).cast("long").alias("exact_common"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )
+
+
+def _kmv_oracle_sql(k: int = 256) -> str:
+    hexd = "0123456789abcdef"
+    hex32 = " + ".join(
+        f"(STRPOS('{hexd}', SUBSTR(MAX(h), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    est_union = (
+        f"CASE WHEN n_sample < {k} THEN CAST(n_sample AS DOUBLE) "
+        f"ELSE ROUND({k - 1} / hk, 4) END"
+    )
+    return f"""
+WITH du AS (
+    SELECT DISTINCT event_type AS g, user_id FROM events
+), hashed AS (
+    SELECT g, MD5('kmv:' || CAST(user_id AS VARCHAR)) AS h FROM du
+), sk AS (
+    SELECT g, h FROM (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rnk
+        FROM hashed
+    ) WHERE rnk <= {k}
+), gs AS (
+    SELECT DISTINCT g FROM sk
+), pairs AS (
+    SELECT a.g AS grp_a, b.g AS grp_b FROM gs a JOIN gs b ON a.g < b.g
+), m AS (
+    SELECT p.grp_a, p.grp_b, s.h,
+           MAX(CASE WHEN s.g = p.grp_a THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN s.g = p.grp_b THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p JOIN sk s ON s.g IN (p.grp_a, p.grp_b)
+    GROUP BY p.grp_a, p.grp_b, s.h
+), kept AS (
+    SELECT * FROM (
+        SELECT m.*, ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rnk
+        FROM m
+    ) WHERE rnk <= {k}
+), agg AS (
+    SELECT grp_a, grp_b, COUNT(*) AS n_sample,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS kmv_common,
+           ({hex32}) / 4294967296.0 AS hk
+    FROM kept GROUP BY grp_a, grp_b
+), ex AS (
+    SELECT a.g AS grp_a, b.g AS grp_b, CAST(COUNT(*) AS BIGINT) AS exact_common
+    FROM du a JOIN du b ON a.user_id = b.user_id AND a.g < b.g
+    GROUP BY a.g, b.g
+)
+SELECT agg.grp_a, agg.grp_b, kmv_common,
+       ROUND(CAST(kmv_common AS DOUBLE) / n_sample, 4) AS jaccard_est,
+       {est_union} AS est_union,
+       ROUND(CAST(kmv_common AS DOUBLE) / n_sample * ({est_union}), 4)
+           AS est_intersection,
+       CAST(COALESCE(ex.exact_common, 0) AS BIGINT) AS exact_common
+FROM agg LEFT JOIN ex ON agg.grp_a = ex.grp_a AND agg.grp_b = ex.grp_b
+ORDER BY agg.grp_a, agg.grp_b
+"""
+
+
+KMV_ORACLE = _kmv_oracle_sql()
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
+    "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
     "streaming_stateful_sessions": QuerySpec(
         streaming_stateful_sessions_query, STATEFUL_SESSIONS_ORACLE
     ),

@@ -1721,6 +1721,77 @@ ORDER BY lang, rnk
 WEIGHTED_RESERVOIR_ORACLE = _wres_oracle_sql()
 
 
+def drift_psi_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check between two deterministic
+    halves of the corpus (md5 split — stands in for run N vs run N+1 of an
+    ingest): document length binned into 10 fixed-width buckets, smoothed
+    shares compared with PSI = sum (p_a - p_b) * ln(p_a / p_b) — the
+    standard monitoring stat for 'did my input distribution move'. Emits
+    per-bin counts and contributions plus the total (same on every row).
+
+    Scale: one scan -> conditional-sum aggregate keyed by bin (10 groups);
+    the share normalization and total are windows over the 10-row
+    aggregate, never the data. Laplace smoothing (+0.5/+5) keeps empty
+    bins finite, so the stat is defined even under hard drift."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    half = F.when(
+        F.substring(F.md5(F.concat(F.lit("psi:"), F.col("doc_id").cast("string"))), 1, 8)
+        < "80000000",
+        "a",
+    ).otherwise("b")
+    bin_ = F.least(F.floor(F.col("n_chars") / 200), F.lit(9)).cast("long")
+    c = (
+        docs.select(half.alias("half"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()  # 10-row aggregate — bounded by design
+    pa = (F.col("n_a") + 0.5) / (F.sum("n_a").over(wall) + 5.0)
+    pb = (F.col("n_b") + 0.5) / (F.sum("n_b").over(wall) + 5.0)
+    contrib = (pa - pb) * F.log(pa / pb)
+    return (
+        c.withColumn("_contrib", contrib)
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round("_contrib", 6).alias("contrib"),
+            F.round(F.sum("_contrib").over(wall), 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+PSI_ORACLE = """
+WITH tagged AS (
+    SELECT CASE WHEN SUBSTR(MD5('psi:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '80000000' THEN 'a' ELSE 'b' END AS half,
+           LEAST(n_chars // 200, 9) AS bin
+    FROM documents
+), c AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM tagged GROUP BY bin
+), p AS (
+    SELECT bin, n_a, n_b,
+           (n_a + 0.5) / (SUM(n_a) OVER () + 5.0) AS pa,
+           (n_b + 0.5) / (SUM(n_b) OVER () + 5.0) AS pb
+    FROM c
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b,
+       ROUND((pa - pb) * LN(pa / pb), 6) AS contrib,
+       ROUND(SUM((pa - pb) * LN(pa / pb)) OVER (), 6) AS psi_total
+FROM p
+ORDER BY bin
+"""
+
+
 _BLOOM_BITS = 1 << 19
 _BLOOM_HASHES = 3
 
@@ -1821,6 +1892,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "sample_weighted_reservoir": QuerySpec(
         sample_weighted_reservoir, WEIGHTED_RESERVOIR_ORACLE
     ),
+    "drift_psi_length": QuerySpec(drift_psi_length, PSI_ORACLE),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),
