@@ -1790,8 +1790,60 @@ ORDER BY o_custkey, valid_from, o_orderpriority
 """
 
 
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type the registry lacked: per-nation
+    rich-customer counts against in-debt-supplier counts, where each side's
+    filter leaves nations unmatched on the other (COALESCE key + zero
+    fill). Both inputs pre-aggregate to |nations| rows BEFORE the full
+    outer join, so the join itself is dimension-sized at any corpus scale;
+    the nation names broadcast on at the end."""
+    t = load_tables(spark, sf_dir, "customer", "supplier", "nation")
+    c = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_rich_customers"))
+    )
+    s = (
+        t["supplier"]
+        .filter(F.col("s_acctbal") < 0)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_debt_suppliers"))
+    )
+    f = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_rich_customers", F.lit(0)).cast("long").alias("n_rich_customers"),
+        F.coalesce("n_debt_suppliers", F.lit(0)).cast("long").alias("n_debt_suppliers"),
+    )
+    return (
+        f.join(F.broadcast(t["nation"]), f.nationkey == F.col("n_nationkey"))
+        .select("n_name", "n_rich_customers", "n_debt_suppliers")
+        .orderBy("n_name")
+    )
+
+
+FULL_OUTER_ORACLE = """
+WITH c AS (
+    SELECT c_nationkey, COUNT(*) AS n_rich_customers
+    FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+), s AS (
+    SELECT s_nationkey, COUNT(*) AS n_debt_suppliers
+    FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey
+)
+SELECT n.n_name,
+       CAST(COALESCE(c.n_rich_customers, 0) AS BIGINT) AS n_rich_customers,
+       CAST(COALESCE(s.n_debt_suppliers, 0) AS BIGINT) AS n_debt_suppliers
+FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+JOIN nation n ON n.n_nationkey = COALESCE(c.c_nationkey, s.s_nationkey)
+ORDER BY n.n_name
+"""
+
+
 #: Outside the driver window (only flagship_revenue_topk is pulled from this
 #: module into the curated head); verified by tools/verify_local.py.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "scd2_customer_priority": QuerySpec(scd2_customer_priority, SCD2_ORACLE),
+    "join_full_outer_nation_activity": QuerySpec(
+        join_full_outer_nation_activity, FULL_OUTER_ORACLE
+    ),
 }

@@ -175,6 +175,26 @@ def read_jsonl(
     return df.alias(alias) if alias else df
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    alias: str | None = None,
+) -> DataFrame:
+    """ORC reader — the other columnar lake format (warehouses migrating
+    from Hive arrive with ORC, not parquet). Self-describing like parquet,
+    so the schema is optional; passing one enforces the contract (extra /
+    missing columns fail at analysis instead of downstream). Same
+    pushdown/pruning properties as the parquet path: predicates and column
+    pruning reach the ORC stripe reader (asserted in test_sources)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.orc(path)
+    return df.alias(alias) if alias else df
+
+
 def validate_dataframe(df: DataFrame | None, description: str) -> bool:
     """Reject None/empty inputs (reference S8 semantics, job1:69-88).
 

@@ -152,3 +152,25 @@ def test_observation_metrics_ride_the_ingest_scan(spark, sf_dir):
     assert got["null_keys"] == 0
     [direct] = orders.agg(F.round(F.max("o_totalprice"), 2)).collect()
     assert got["max_price"] == direct[0]
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC source parity: parquet fixture -> ORC -> read back identical;
+    predicate + projection reach the ORC scan (PushedFilters / narrow
+    ReadSchema) just like the parquet path."""
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture, read_orc
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_orc")
+    docs.write.orc(out)
+    back = read_orc(spark, out, docs.schema)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    a = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    b = sorted(r.doc_id for r in back.select("doc_id").collect())
+    assert a == b
+
+    narrow = back.filter(back.n_chars > 100).select("doc_id", "n_chars")
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "n_chars" in plan and "text" not in plan.split("ReadSchema")[-1], plan
+    assert "PushedFilters: [" in plan, plan

@@ -192,7 +192,67 @@ def probes():
         "tpch_q2_mincost": _tpch_probe("q2_min_cost_supplier"),
         "tpch_q17_smallqty": _tpch_probe("q17_small_quantity_revenue"),
         "tpch_q21_waiting": _tpch_probe("q21_waiting_suppliers"),
+        # IVF-PQ end-to-end (fit 1+1 rounds, encode, ADC top-5): every fit
+        # round and the encode are single scans; serving joins the encoded
+        # corpus against 10 broadcast probes — expected linear
+        "ivfpq_serve": _ivfpq_probe,
+        # fixed k with the hot-cell cap: production scales k ~ n/const to
+        # hold cell occupancy (and with it the n²/k pair work) constant;
+        # here the cap is the guard against replica-clustered cells going
+        # quadratic, same role as srp_dedup_pairs' max_bucket_rows
+        "semantic_dedup": _semdedup_probe,
+        # bloom build is bounded by the eval side (fixed 500 docs), train
+        # membership is a projection, the confirm join sees survivors only
+        "bloom_decontaminate": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.operators.dedup", fromlist=["bloom_contamination"]
+        ).bloom_contamination(
+            _docs(s, d).filter(F.col("doc_id") % 8 != 0),
+            _docs(s, d).filter(F.col("doc_id") % 8 == 0).limit(500),
+            n=5,
+            bits=1 << 19,
+        ),
+        # sketch builds: one distinct pass + bounded per-group state — the
+        # exchanges carry |groups| x m (HLL) / |groups| x k (KMV) rows
+        "hll_registers": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.operators.aggs", fromlist=["hll_registers"]
+        ).hll_registers(_docs(s, d), "doc_id", "lang"),
+        "kmv_overlap": _kmv_probe,
     }
+
+
+def _ivfpq_probe(s, d):
+    from spark_iceberg_jobs_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        kmeans_fit,
+        pq_fit,
+        residuals,
+    )
+
+    emb = s.read.parquet(f"{d}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, iterations=1)
+    res = residuals(emb, cents)
+    books = pq_fit(res, m=4, k=8, iterations=1, dim=64, id_col="vid", vec_col="res")
+    probes_df = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_adc_topk(emb, probes_df, cents, books, k=5, nprobe=3)
+
+
+def _semdedup_probe(s, d):
+    from spark_iceberg_jobs_spark.operators.dedup import semantic_dedup
+    from spark_iceberg_jobs_spark.operators.similarity import kmeans_fit
+
+    emb = s.read.parquet(f"{d}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, iterations=1)
+    return semantic_dedup(emb, cents, threshold=0.42, max_cell_rows=2048)
+
+
+def _kmv_probe(s, d):
+    from spark_iceberg_jobs_spark.operators.aggs import (
+        kmv_pairwise_overlap,
+        kmv_sketches,
+    )
+
+    docs = s.read.parquet(f"{d}/documents.parquet")
+    return kmv_pairwise_overlap(kmv_sketches(docs, "doc_id", "lang"), "lang")
 
 
 def _tpch_probe(qname):
