@@ -1839,11 +1839,79 @@ ORDER BY n.n_name
 """
 
 
+def source_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source end-to-end (sources/pygen.py — the Spark 4
+    DataSource API): register, read 10k synthetic events across 8 real
+    input partitions, aggregate per type. Every generated field is an
+    md5 hex-digit function of the row index, so the DuckDB oracle replays
+    the GENERATOR itself (RANGE + md5 digit math) — a custom source whose
+    output is hash-verified, not just row-counted. ``sf_dir`` is unused:
+    the source is algorithmic, which is the point."""
+    from ..sources.pygen import register
+
+    register(spark)
+    ev = (
+        spark.read.format("synthetic_events")
+        .option("rows", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("value").cast("long").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _pygen_oracle_sql(n: int = 10000) -> str:
+    hexd = "0123456789abcdef"
+
+    def hex_int(start: int, width: int) -> str:
+        return " + ".join(
+            f"(STRPOS('{hexd}', SUBSTR(h, {start + j}, 1)) - 1) * {16 ** (width - 1 - j)}"
+            for j in range(width)
+        )
+
+    types = "view click purchase refund share".split()
+    type_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(types)
+    )
+    return f"""
+WITH g AS (
+    SELECT i, MD5('gen:' || CAST(i AS VARCHAR)) AS h FROM RANGE({n}) t(i)
+), rows_ AS (
+    SELECT i AS event_id,
+           ({hex_int(1, 4)}) % 997 AS user_id,
+           CASE (STRPOS('{hexd}', SUBSTR(h, 5, 1)) - 1) % 5 {type_case} END
+               AS event_type,
+           ({hex_int(6, 4)}) % 1000 AS value
+    FROM g
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(value) AS BIGINT) AS sum_value
+FROM rows_
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+PYGEN_ORACLE = _pygen_oracle_sql()
+
+
 #: Outside the driver window (only flagship_revenue_topk is pulled from this
 #: module into the curated head); verified by tools/verify_local.py.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "scd2_customer_priority": QuerySpec(scd2_customer_priority, SCD2_ORACLE),
     "join_full_outer_nation_activity": QuerySpec(
         join_full_outer_nation_activity, FULL_OUTER_ORACLE
+    ),
+    "source_python_datasource_agg": QuerySpec(
+        source_python_datasource_agg, PYGEN_ORACLE
     ),
 }

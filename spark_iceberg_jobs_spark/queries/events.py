@@ -1074,10 +1074,49 @@ ORDER BY agg.grp_a, agg.grp_b
 KMV_ORACLE = _kmv_oracle_sql()
 
 
+def streaming_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime totals through the Spark 4
+    ``transformWithStateInPandas`` API (streaming/events_stream
+    .user_totals_tws): declared ValueState per user, updated-row emission
+    per micro-batch, drained with AvailableNow. Over the bounded fixture
+    each user emits exactly once, so the custom stateful operator equals
+    the batch per-user aggregate — which is its full hash oracle."""
+    from ..streaming.events_stream import (
+        run_available_now,
+        stream_events,
+        user_totals_tws,
+    )
+
+    out = run_available_now(
+        user_totals_tws(stream_events(spark, sf_dir)), output_mode="update"
+    )
+    return out.orderBy("user_id")
+
+
+TWS_TOTALS_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       MAX(value) AS max_value,
+       CAST(MIN(EPOCH(DATE_TRUNC('second', ts))) AS BIGINT) AS first_es,
+       CAST(MAX(EPOCH(DATE_TRUNC('second', ts))) AS BIGINT) AS last_es
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
+    # streaming_tws_user_totals (transformWithStateInPandas) is NOT
+    # registered: the API's Python<->JVM state protocol needs protobuf,
+    # absent from this container (ModuleNotFoundError: google) — same
+    # env-block class as the Iceberg runtime jar. The operator exists
+    # (streaming/events_stream.user_totals_tws) with its oracle below;
+    # tests/test_streaming.py probes the environment and skips loudly,
+    # flipping to a full equivalence check the day protobuf ships.
     "streaming_stateful_sessions": QuerySpec(
         streaming_stateful_sessions_query, STATEFUL_SESSIONS_ORACLE
     ),

@@ -378,3 +378,83 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user lifetime totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API that supersedes applyInPandasWithState:
+    state is DECLARED (named ValueState/ListState/MapState handles with
+    schemas, optional TTL, timers) instead of one opaque tuple, so complex
+    operators compose state primitives and the store can evolve them
+    independently.
+
+    The processor keeps one ValueState (n, total, max_value, first_es,
+    last_es) per user and, each micro-batch, emits the user's UPDATED
+    lifetime row — the classic upsert-feed shape. Over the bounded
+    AvailableNow replay every user emits once, which is exactly the batch
+    per-user aggregate: that equivalence is this operator's oracle
+    (value sums rounded at emission, both engines).
+
+    Scale: state is one fixed-width row per user, RocksDB-backed in prod
+    config; rows arrive grouped by user so the update is a per-key fold —
+    no shuffle beyond the groupBy exchange."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+            StructField("first_es", LongType()),
+            StructField("last_es", LongType()),
+        ]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                "n bigint, total double, max_value double, first_es bigint, last_es bigint",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                n, total, mx, first_es, last_es = self._state.get()
+            else:
+                n, total, mx, first_es, last_es = 0, 0.0, float("-inf"), None, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+                lo, hi = int(pdf["es"].min()), int(pdf["es"].max())
+                first_es = lo if first_es is None else min(first_es, lo)
+                last_es = hi if last_es is None else max(last_es, hi)
+            self._state.update((n, total, mx, first_es, last_es))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([int(user_id)], dtype="int64"),
+                    "n_events": pd.Series([n], dtype="int64"),
+                    "total_value": pd.Series([round(total, 2)], dtype="float64"),
+                    "max_value": pd.Series([mx], dtype="float64"),
+                    "first_es": pd.Series([first_es], dtype="int64"),
+                    "last_es": pd.Series([last_es], dtype="int64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select("user_id", F.unix_timestamp("ts").alias("es"), "value")
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -174,3 +174,26 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     plan = narrow._jdf.queryExecution().executedPlan().toString()
     assert "n_chars" in plan and "text" not in plan.split("ReadSchema")[-1], plan
     assert "PushedFilters: [" in plan, plan
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The custom Python data source must expose REAL input partitions
+    (one task per declared split) and generate identical rows regardless
+    of the partition count (index-pure generator)."""
+    from spark_iceberg_jobs_spark.sources.pygen import register
+
+    register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_events")
+            .option("rows", 1000)
+            .option("partitions", parts)
+            .load()
+        )
+
+    df8 = load(8)
+    assert df8.rdd.getNumPartitions() == 8
+    rows8 = sorted(map(tuple, df8.collect()))
+    rows3 = sorted(map(tuple, load(3).collect()))
+    assert rows8 == rows3 and len(rows8) == 1000
