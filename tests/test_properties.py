@@ -194,3 +194,56 @@ def test_zorder_key_matches_python_morton_reference(spark, ps):
         for r in df.withColumn("k", zorder_key("a", "b", bits=10)).collect()
     }
     assert got == {(a, b): morton(a, b) for a, b in ps}
+
+
+ids = st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=40)
+
+
+@SETTINGS
+@given(ids)
+def test_hll_reg_rho_matches_python_reference(spark, keys):
+    """The Spark-side HLL hashing (string/CASE math over md5 hex) must
+    agree with a direct Python bit-level reference: register = first hex
+    byte mod 64; rho = 1 + number of leading zero bits of the 52-bit value
+    in hex digits 3..15 (53 when all zero)."""
+    import hashlib
+
+    from spark_iceberg_jobs_spark.operators.aggs import _hll_reg_rho
+
+    def ref(k: int) -> tuple[int, int]:
+        h = hashlib.md5(f"hll:{k}".encode()).hexdigest()
+        reg = int(h[:2], 16) % 64
+        w = int(h[2:15], 16)  # 13 hex digits = 52 bits
+        if w == 0:
+            return reg, 53
+        rho = 52 - w.bit_length() + 1
+        return reg, rho
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    reg, rho = _hll_reg_rho("k")
+    got = {
+        r.k: (r.reg, r.rho)
+        for r in df.select("k", reg, rho).collect()
+    }
+    for k in set(keys):
+        assert got[k] == ref(k), (k, got[k], ref(k))
+
+
+@SETTINGS
+@given(ids)
+def test_bloom_positions_match_python_reference(spark, keys):
+    """_bloom_positions (conv of the first 8 salted-md5 hex digits, mod
+    bits) must agree with the direct Python int(h[:8], 16) reference for
+    every hash index — the property the oracle replay relies on."""
+    import hashlib
+
+    from spark_iceberg_jobs_spark.operators.dedup import _bloom_positions
+
+    bits, hashes = 1 << 13, 3
+    df = spark.createDataFrame([(str(k),) for k in keys], "s string")
+    cols = _bloom_positions(F.col("s"), bits=bits, hashes=hashes)
+    rows = df.select("s", *[c.alias(f"p{j}") for j, c in enumerate(cols)]).collect()
+    for r in rows:
+        for j in range(hashes):
+            h = hashlib.md5(f"bf{j}:{r.s}".encode()).hexdigest()
+            assert r[f"p{j}"] == int(h[:8], 16) % bits
