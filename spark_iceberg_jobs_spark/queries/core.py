@@ -1904,6 +1904,82 @@ ORDER BY event_type
 PYGEN_ORACLE = _pygen_oracle_sql()
 
 
+def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A true custom AGGREGATE (pandas GROUPED_AGG UDAF — the UDAF row in
+    SURVEY §2.3's absent list): quantity-weighted mean price per return
+    flag, computed as one numpy reduction per group. Spark plans it as a
+    real aggregate exchange (partial batches stream into the UDF per
+    group), not a collect — the vectorized path for aggregation logic the
+    built-ins can't express. This one IS expressible (sum(p*q)/sum(q)),
+    deliberately, so the oracle verifies the UDAF machinery itself."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        import numpy as np
+
+        q = np.asarray(qty, dtype=np.float64)
+        p = np.asarray(price, dtype=np.float64)
+        return float((p * q).sum() / q.sum())
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # a GROUPED_AGG pandas UDF cannot share an .agg() with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a second
+    # aggregation joined back on the 3-row group key
+    w = li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 2).alias("wavg_price")
+    )
+    n = li.groupBy("l_returnflag").agg(F.count("*").cast("long").alias("n_rows"))
+    return w.join(n, "l_returnflag").orderBy("l_returnflag")
+
+
+UDAF_WAVG_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) AS wavg_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def page_orders_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination — the scalable replacement for OFFSET (SURVEY
+    §2.5's absent pagination row): page N arrives as WHERE key > cursor
+    ORDER BY key LIMIT page_size, where the cursor is the last key of the
+    previous page. OFFSET must scan and discard all preceding rows on
+    every request (O(offset) per page, quadratic over a full paginated
+    export); the keyset predicate pushes into the scan (min/max pruning
+    skips whole files once the data is key-sorted) and each page costs
+    O(page). The fixed cursor literal stands in for the value the client
+    echoed back from the previous response."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    cursor = 1000  # last o_orderkey seen on the previous page
+    return (
+        orders.filter(F.col("o_orderkey") > cursor)
+        .orderBy("o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+KEYSET_PAGE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_orderkey > 1000
+ORDER BY o_orderkey
+LIMIT 20
+"""
+
+
 #: Outside the driver window (only flagship_revenue_topk is pulled from this
 #: module into the curated head); verified by tools/verify_local.py.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
@@ -1914,4 +1990,6 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "source_python_datasource_agg": QuerySpec(
         source_python_datasource_agg, PYGEN_ORACLE
     ),
+    "udaf_weighted_avg_price": QuerySpec(udaf_weighted_avg_price, UDAF_WAVG_ORACLE),
+    "page_orders_keyset": QuerySpec(page_orders_keyset, KEYSET_PAGE_ORACLE),
 }
