@@ -571,6 +571,70 @@ ORDER BY cell, removed_id
 SEMANTIC_DEDUP_ORACLE = _semantic_oracle_sql()
 
 
+def ml_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed closed-form linear regression — the normal-equation
+    primitive every shared-nothing ML trainer reduces to (MLlib's
+    WeightedLeastSquares does exactly this): per return flag, fit
+    price ~ quantity by aggregating centered second moments (one d x d
+    partial-aggregated statistics pass — the exchange carries a handful
+    of doubles per group, never rows) and solving on the driver side of
+    the expression (here d=2, so the solve is a scalar ratio inside the
+    projection).
+
+    Two-pass centering (means first, then centered cross-products) keeps
+    the sums numerically small — the single-pass n*Sxy - Sx*Sy form
+    cancels catastrophically at corpus scale. Emits slope/intercept/R²
+    per group, rounded; the oracle replays both passes."""
+    from ..sources.readers import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    means = li.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("mx"),
+        F.avg("l_extendedprice").alias("my"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    j = li.join(means, "l_returnflag")
+    cx = F.col("l_quantity") - F.col("mx")
+    cy = F.col("l_extendedprice") - F.col("my")
+    stats = j.groupBy("l_returnflag", "mx", "my", "n_rows").agg(
+        F.sum(cx * cy).alias("sxy"),
+        F.sum(cx * cx).alias("sxx"),
+        F.sum(cy * cy).alias("syy"),
+    )
+    b1 = F.col("sxy") / F.col("sxx")
+    return stats.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(b1, 2).alias("slope"),
+        F.round(F.col("my") - b1 * F.col("mx"), 2).alias("intercept"),
+        F.round(
+            (F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 6
+        ).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+OLS_ORACLE = """
+WITH means AS (
+    SELECT l_returnflag, AVG(l_quantity) AS mx, AVG(l_extendedprice) AS my,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+), stats AS (
+    SELECT li.l_returnflag, m.mx, m.my, m.n_rows,
+           SUM((li.l_quantity - m.mx) * (li.l_extendedprice - m.my)) AS sxy,
+           SUM((li.l_quantity - m.mx) * (li.l_quantity - m.mx)) AS sxx,
+           SUM((li.l_extendedprice - m.my) * (li.l_extendedprice - m.my)) AS syy
+    FROM lineitem li JOIN means m ON li.l_returnflag = m.l_returnflag
+    GROUP BY li.l_returnflag, m.mx, m.my, m.n_rows
+)
+SELECT l_returnflag, n_rows,
+       ROUND(sxy / sxx, 2) AS slope,
+       ROUND(my - (sxy / sxx) * mx, 2) AS intercept,
+       ROUND((sxy * sxy) / (sxx * syy), 6) AS r2
+FROM stats
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings, KMEANS_ORACLE),
     "sim_ivf_kmeans_topk": QuerySpec(sim_ivf_kmeans_topk, IVF_KMEANS_ORACLE),
@@ -586,4 +650,5 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "sim_pq_adc_topk": QuerySpec(sim_pq_adc_topk, PQ_ADC_ORACLE, headline=True),
     "sim_ivfpq_adc_topk": QuerySpec(sim_ivfpq_adc_topk, IVFPQ_ADC_ORACLE, headline=True),
     "dedup_semantic": QuerySpec(dedup_semantic, SEMANTIC_DEDUP_ORACLE),
+    "ml_ols_price_model": QuerySpec(ml_ols_price_model, OLS_ORACLE),
 }
