@@ -441,3 +441,42 @@ def test_zorder_key_raises_on_out_of_range_input(spark):
         df = spark.createDataFrame([bad], "a long, b long")
         with pytest.raises(Exception, match="zorder_key input outside"):
             df.select(zorder_key("a", "b", bits=3).alias("k")).collect()
+
+
+def test_bloom_membership_stays_jvm_side(spark, sf_dir):
+    """bloom_contamination's membership test must run as JVM string
+    indexing inside the scan stage — no Python eval anywhere in the plan
+    (the md5/conv/substr chain is all built-in expressions), and the bloom
+    itself must arrive via a broadcast join, not a plan literal."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.operators.dedup import bloom_contamination
+    from spark_iceberg_jobs_spark.plans.explain import formatted_plan
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    out = bloom_contamination(
+        docs.filter(F.col("doc_id") % 8 != 0),
+        docs.filter(F.col("doc_id") % 8 == 0),
+        n=5,
+        bits=1 << 14,
+    )
+    plan = formatted_plan(out)
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_kmv_sketch_rank_uses_partial_window_group_limit(spark, sf_dir):
+    """kmv_sketches' per-group top-k must plan with the partial
+    WindowGroupLimit (rank pushdown): each task truncates to k rows per
+    group BEFORE the exchange, so the shuffle carries at most
+    |groups| x k x partitions rows — the property that makes the sketch
+    build data-bounded."""
+    from spark_iceberg_jobs_spark.operators.aggs import kmv_sketches
+    from spark_iceberg_jobs_spark.plans.explain import formatted_plan
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    ev = read_fixture(spark, sf_dir, "events")
+    sk = kmv_sketches(ev, "user_id", "event_type", k=64)
+    plan = formatted_plan(sk)
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
