@@ -413,3 +413,59 @@ def kmv_pairwise_overlap(sketches: DataFrame, group: str, *, k: int = 256) -> Da
             "est_intersection"
         ),
     )
+
+
+def histogram_sketch(
+    df: DataFrame, col: str, group: str, *, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Fixed-bin histogram per group: (group, bin, cnt) with equal-width
+    bins over [lo, hi) and clamped tails — the deterministic quantile
+    sketch (contrast percentile_approx's t-digest, whose internals are
+    implementation-defined and can only be oracle-checked through a
+    tolerance flag). One pass, map-side partial counts; the exchange
+    carries at most |groups| x bins rows at any corpus size, and
+    histograms from shards/streams merge by summing (group, bin)."""
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need bins >= 1 and hi > lo, got bins={bins}, [{lo}, {hi})")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(col) - lo) / width), F.lit(0)), F.lit(bins - 1)
+    ).cast("long")
+    return (
+        df.select(F.col(group), b.alias("bin"))
+        .groupBy(group, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame, group: str, q: float, *, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Quantile estimate from a histogram_sketch by linear interpolation
+    WITHIN the target bin: find the first bin whose cumulative count
+    reaches q * total, then walk q's remaining mass through it. Every
+    input is an integer count, so the estimate is pure deterministic IEEE
+    arithmetic — the whole sketch+estimator chain hash-verifies
+    cross-engine. Emits (group, n_rows, est)."""
+    width = (hi - lo) / bins
+    wcum = Window.partitionBy(group).orderBy("bin")
+    wall = Window.partitionBy(group)
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("total", F.sum("cnt").over(wall))
+        .withColumn("target", F.lit(q) * F.col("total"))
+    )
+    cand = h.filter(F.col("cum").cast("double") >= F.col("target"))
+    first = F.row_number().over(Window.partitionBy(group).orderBy("bin"))
+    est = (
+        F.lit(lo)
+        + F.col("bin") * width
+        + width
+        * (F.col("target") - (F.col("cum") - F.col("cnt")).cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return (
+        cand.withColumn("_rn", first)
+        .filter(F.col("_rn") == 1)
+        .select(group, F.col("total").cast("long").alias("n_rows"), est.alias("est"))
+    )

@@ -1980,6 +1980,86 @@ LIMIT 20
 """
 
 
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 120
+
+
+def sketch_histogram_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantile sketch (operators/aggs.histogram_sketch +
+    histogram_quantile): per priority, the median of order value estimated
+    from a 120-bin fixed-width histogram, next to the exact interpolated
+    median. Unlike percentile_approx (t-digest, implementation-internal,
+    oracled only via a tolerance flag), every piece here — bin counts,
+    cumulative walk, within-bin interpolation — is integer/IEEE
+    deterministic, so the ESTIMATOR itself hash-verifies. One pass +
+    a |groups| x bins exchange; histograms merge by summing bins."""
+    from ..operators.aggs import histogram_quantile, histogram_sketch
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    hist = histogram_sketch(
+        orders, "o_totalprice", "o_orderpriority",
+        lo=_HIST_LO, hi=_HIST_HI, bins=_HIST_BINS,
+    )
+    est = histogram_quantile(
+        hist, "o_orderpriority", 0.5, lo=_HIST_LO, hi=_HIST_HI, bins=_HIST_BINS
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("exact_p50")
+    )
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.round("est", 2).alias("est_p50"),
+            "exact_p50",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _hist_median_oracle_sql(
+    lo: float = _HIST_LO, hi: float = _HIST_HI, bins: int = _HIST_BINS
+) -> str:
+    width = (hi - lo) / bins
+    return f"""
+WITH hist AS (
+    SELECT o_orderpriority,
+           CAST(LEAST(GREATEST(FLOOR((o_totalprice - {lo!r}) / {width!r}), 0),
+                      {bins - 1}) AS BIGINT) AS bin,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY 1, 2
+), c AS (
+    SELECT o_orderpriority, bin, cnt,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority) AS total
+    FROM hist
+), cand AS (
+    SELECT o_orderpriority, bin, cnt, cum, total,
+           0.5 * CAST(total AS DOUBLE) AS target,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY bin) AS rn
+    FROM c
+    WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+), est AS (
+    SELECT o_orderpriority, CAST(total AS BIGINT) AS n_rows,
+           {lo!r} + bin * {width!r}
+           + {width!r} * (target - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)
+               AS est
+    FROM cand WHERE rn = 1
+), exact AS (
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS exact_p50
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority, e.n_rows, ROUND(e.est, 2) AS est_p50, x.exact_p50
+FROM est e JOIN exact x USING (o_orderpriority)
+ORDER BY e.o_orderpriority
+"""
+
+
+HIST_MEDIAN_ORACLE = _hist_median_oracle_sql()
+
+
 #: Outside the driver window (only flagship_revenue_topk is pulled from this
 #: module into the curated head); verified by tools/verify_local.py.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
@@ -1992,4 +2072,5 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "udaf_weighted_avg_price": QuerySpec(udaf_weighted_avg_price, UDAF_WAVG_ORACLE),
     "page_orders_keyset": QuerySpec(page_orders_keyset, KEYSET_PAGE_ORACLE),
+    "sketch_histogram_median": QuerySpec(sketch_histogram_median, HIST_MEDIAN_ORACLE),
 }
