@@ -308,3 +308,51 @@ def sample_frames_stub(multimodal: DataFrame, *, every_n_bytes: int = 64) -> Dat
     return multimodal.mapInPandas(
         sample, schema="doc_id bigint, frame_offset bigint, frame_byte bigint"
     )
+
+
+#: Output schema of image_histogram — declared once, used by tests.
+HISTOGRAM_SCHEMA = "doc_id bigint, bin int, cnt bigint"
+
+
+def image_histogram(multimodal: DataFrame, *, bins: int = 16) -> DataFrame:
+    """Feature EXTRACTION (not just stats) from the decoded image: a
+    ``bins``-bin intensity histogram per image via Arrow-batched
+    mapInPandas — the shape of any per-image featurizer (embeddings,
+    SIFT, perceptual hash: same batching, same decode, different numpy).
+    Emits (doc_id, bin, cnt) rows for NON-EMPTY bins only, matching what
+    a SQL GROUP BY over the replayed pixels produces — which is exactly
+    how the oracle verifies the featurizer.
+
+    256 must divide evenly into ``bins`` so the bin edges are integral
+    (bin = pixel // (256/bins)) — integer math, no float binning drift.
+    """
+    if bins < 1 or 256 % bins != 0:
+        raise ValueError(f"bins must divide 256 evenly, got {bins}")
+    width = 256 // bins
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bs, cs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                magic, _, rest = data.partition(b"\n")
+                if magic != b"P5":
+                    raise ValueError(f"unsupported image magic {magic[:8]!r}")
+                dims, _, rest = rest.partition(b"\n")
+                maxval, _, raster = rest.partition(b"\n")
+                w, h = map(int, dims.split())
+                img = np.frombuffer(raster[: w * h], dtype=np.uint8)
+                counts = np.bincount(img // width, minlength=bins)
+                nz = np.nonzero(counts)[0]
+                ids.extend([doc_id] * len(nz))
+                bs.extend(int(b) for b in nz)
+                cs.extend(int(counts[b]) for b in nz)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bin": pd.Series(bs, dtype="int32"),
+                    "cnt": pd.Series(cs, dtype="int64"),
+                }
+            )
+
+    return multimodal.mapInPandas(featurize, schema=HISTOGRAM_SCHEMA)

@@ -1792,6 +1792,40 @@ ORDER BY bin
 """
 
 
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image FEATURE extraction over the decoded binary column
+    (operators/multimodal.image_histogram): a 16-bin intensity histogram
+    per synthesized PGM, computed by numpy inside Arrow-batched
+    mapInPandas — the dataflow shape of any image featurizer. Bounded to
+    doc_id < 100 to keep the verify payload small (the operator streams
+    the full corpus). The raster is md5-derived, so the oracle rebuilds
+    every pixel from hex digits and GROUPs them into the same bins."""
+    from ..operators.multimodal import attach_image_payload, image_histogram
+
+    docs = read_fixture(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return image_histogram(attach_image_payload(docs), bins=16).orderBy(
+        "doc_id", "bin"
+    )
+
+
+IMAGE_HISTOGRAM_ORACLE = """
+WITH hx AS (
+    SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
+    FROM documents, UNNEST(RANGE(16)) AS t(r)
+    WHERE doc_id < 100
+), px AS (
+    SELECT doc_id,
+           (STRPOS('0123456789abcdef', SUBSTR(h, 2 * i + 1, 1)) - 1) * 16
+           + (STRPOS('0123456789abcdef', SUBSTR(h, 2 * i + 2, 1)) - 1) AS pixel
+    FROM hx, UNNEST(RANGE(16)) AS s(i)
+)
+SELECT doc_id, CAST(pixel // 16 AS INT) AS bin, COUNT(*) AS cnt
+FROM px
+GROUP BY doc_id, pixel // 16
+ORDER BY doc_id, bin
+"""
+
+
 _BLOOM_BITS = 1 << 19
 _BLOOM_HASHES = 3
 
@@ -1893,6 +1927,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         sample_weighted_reservoir, WEIGHTED_RESERVOIR_ORACLE
     ),
     "drift_psi_length": QuerySpec(drift_psi_length, PSI_ORACLE),
+    "multimodal_image_histogram": QuerySpec(
+        multimodal_image_histogram, IMAGE_HISTOGRAM_ORACLE
+    ),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),
