@@ -480,3 +480,34 @@ def test_kmv_sketch_rank_uses_partial_window_group_limit(spark, sf_dir):
     sk = kmv_sketches(ev, "user_id", "event_type", k=64)
     plan = formatted_plan(sk)
     assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+
+
+def test_dynamic_partition_pruning_on_partitioned_scan(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a hive-partitioned fact on its
+    partition column against a selectively-filtered dim must inject a
+    runtime subquery filter into the fact scan (the plan carries a
+    dynamicpruning expression) — at 100 TB this is what turns a
+    fact x filtered-dim join into a read of only the matching partitions."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.sources.readers import load_tables
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    fact_path = str(tmp_path / "li_part")
+    li.select("l_returnflag", "l_extendedprice", "l_quantity").write.partitionBy(
+        "l_returnflag"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "drop")], "flag string, verdict string"
+    )
+    joined = (
+        fact.join(dim, fact.l_returnflag == dim.flag)
+        .filter(F.col("verdict") == "keep")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = joined.collect()
+    assert [r.l_returnflag for r in rows] == ["A"]
