@@ -2060,6 +2060,50 @@ ORDER BY e.o_orderpriority
 HIST_MEDIAN_ORACLE = _hist_median_oracle_sql()
 
 
+def stats_trimmed_mean_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: the 5-95% trimmed mean of order value per
+    priority — exact percentile thresholds (one sort-based pass), then a
+    mean over the in-range rows. The two-aggregation shape (thresholds
+    join back onto the scan) is the standard way outlier-robust stats run
+    distributed; at 100 TB the exact percentile pass would swap for the
+    deterministic histogram sketch (sketch_histogram_median) with
+    identical downstream plumbing. Interpolated thresholds are pure IEEE
+    on identical inputs, so the boundary predicate agrees cross-engine."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    pct = F.percentile("o_totalprice", F.lit([0.05, 0.95]))
+    th = orders.groupBy("o_orderpriority").agg(
+        F.element_at(pct, 1).alias("lo"), F.element_at(pct, 2).alias("hi")
+    )
+    j = orders.join(F.broadcast(th), "o_orderpriority").filter(
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") <= F.col("hi"))
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.round(F.avg("o_totalprice"), 2).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+TRIMMED_MEAN_ORACLE = """
+WITH th AS (
+    SELECT o_orderpriority,
+           QUANTILE_CONT(o_totalprice, 0.05) AS lo,
+           QUANTILE_CONT(o_totalprice, 0.95) AS hi
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(AVG(o.o_totalprice), 2) AS trimmed_mean
+FROM orders o JOIN th ON o.o_orderpriority = th.o_orderpriority
+WHERE o.o_totalprice >= th.lo AND o.o_totalprice <= th.hi
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 #: Outside the driver window (only flagship_revenue_topk is pulled from this
 #: module into the curated head); verified by tools/verify_local.py.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
@@ -2073,4 +2117,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "udaf_weighted_avg_price": QuerySpec(udaf_weighted_avg_price, UDAF_WAVG_ORACLE),
     "page_orders_keyset": QuerySpec(page_orders_keyset, KEYSET_PAGE_ORACLE),
     "sketch_histogram_median": QuerySpec(sketch_histogram_median, HIST_MEDIAN_ORACLE),
+    "stats_trimmed_mean_by_priority": QuerySpec(
+        stats_trimmed_mean_by_priority, TRIMMED_MEAN_ORACLE
+    ),
 }
