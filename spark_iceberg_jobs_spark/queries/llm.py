@@ -1808,6 +1808,57 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (operators/multimodal.resize_image):
+    decode the synthesized 16x16 PGM, 2x2 average-pool to 8x8 (integer
+    floor division — exact), re-encode as a valid PGM thumbnail, emit its
+    size and pixel stats. The oracle rebuilds every SOURCE pixel from md5
+    hex digits, pools the same 2x2 blocks with the same floor division,
+    and verifies the thumbnail stats pixel-exactly — the resample itself
+    is hash-verified, upgrading the old byte-striding resize stub to the
+    real decode -> resample -> re-encode dataflow."""
+    from ..operators.multimodal import attach_image_payload, resize_image
+
+    docs = read_fixture(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = resize_image(attach_image_payload(docs), factor=2)
+    return out.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        "thumb_len",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
+        "min_pixel",
+        "max_pixel",
+    ).orderBy("doc_id")
+
+
+IMAGE_RESIZE_ORACLE = """
+WITH hx AS (
+    SELECT doc_id, r, MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
+    FROM documents, UNNEST(RANGE(16)) AS t(r)
+    WHERE doc_id < 200
+), px AS (
+    SELECT doc_id, r AS y, i AS x,
+           (STRPOS('0123456789abcdef', SUBSTR(h, 2 * i + 1, 1)) - 1) * 16
+           + (STRPOS('0123456789abcdef', SUBSTR(h, 2 * i + 2, 1)) - 1) AS pixel
+    FROM hx, UNNEST(RANGE(16)) AS s(i)
+), pooled AS (
+    SELECT doc_id, y // 2 AS py, x // 2 AS px2,
+           CAST(SUM(pixel) // 4 AS BIGINT) AS pv
+    FROM px
+    GROUP BY doc_id, y // 2, x // 2
+)
+SELECT doc_id, 8 AS out_width, 8 AS out_height,
+       CAST(75 AS BIGINT) AS thumb_len,
+       ROUND(AVG(pv), 4) AS mean_pixel,
+       CAST(MIN(pv) AS INT) AS min_pixel,
+       CAST(MAX(pv) AS INT) AS max_pixel
+FROM pooled
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 IMAGE_HISTOGRAM_ORACLE = """
 WITH hx AS (
     SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
@@ -1929,6 +1980,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "drift_psi_length": QuerySpec(drift_psi_length, PSI_ORACLE),
     "multimodal_image_histogram": QuerySpec(
         multimodal_image_histogram, IMAGE_HISTOGRAM_ORACLE
+    ),
+    "multimodal_image_resize": QuerySpec(
+        multimodal_image_resize, IMAGE_RESIZE_ORACLE
     ),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
