@@ -1808,6 +1808,74 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    ln(freq) ~ ln(rank) over the top-500 terms — the canonical sanity
+    statistic for a text corpus (natural language sits near -1; templated
+    or synthetic text drifts). Composes the text tier's term counting with
+    the centered normal-equation regression (ml_ols_price_model's shape)
+    over the tiny 500-row rank table: the only data-sized work is the one
+    token-count shuffle; everything after runs on the vocabulary head."""
+    from ..functions.texts import tokens
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        tf.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term")))
+        )
+        .filter(F.col("rnk") <= 500)
+        .select(F.log("rnk").alias("x"), F.log("n").alias("y"))
+    )
+    m = ranked.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    c = ranked.crossJoin(F.broadcast(m))
+    stats = c.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))).alias("sxy"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias("sxx"),
+        F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))).alias("syy"),
+    )
+    b1 = F.col("sxy") / F.col("sxx")
+    return stats.select(
+        "n_terms",
+        F.round(b1, 3).alias("zipf_slope"),
+        F.round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 4).alias(
+            "r2"
+        ),
+    )
+
+
+ZIPF_ORACLE = """
+WITH tf AS (
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+    GROUP BY term
+), ranked AS (
+    SELECT LN(rnk) AS x, LN(n) AS y FROM (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk FROM tf
+    ) WHERE rnk <= 500
+), m AS (
+    SELECT AVG(x) AS mx, AVG(y) AS my FROM ranked
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           SUM((x - mx) * (y - my)) AS sxy,
+           SUM((x - mx) * (x - mx)) AS sxx,
+           SUM((y - my) * (y - my)) AS syy
+    FROM ranked, m
+)
+SELECT n_terms,
+       ROUND(sxy / sxx, 3) AS zipf_slope,
+       ROUND((sxy * sxy) / (sxx * syy), 4) AS r2
+FROM stats
+"""
+
+
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize end-to-end (operators/multimodal.resize_image):
     decode the synthesized 16x16 PGM, 2x2 average-pool to 8x8 (integer
@@ -1984,6 +2052,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "multimodal_image_resize": QuerySpec(
         multimodal_image_resize, IMAGE_RESIZE_ORACLE
     ),
+    "text_zipf_slope": QuerySpec(text_zipf_slope, ZIPF_ORACLE),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),
