@@ -21,6 +21,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pandas as pd  # module scope: pandas_udf resolves pd.Series type hints
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -145,11 +147,71 @@ def srp_signature(
     return embeddings.withColumn(out_col, sum(bits).cast("long"))
 
 
+def _all_table_sigs_arrow(*, num_planes: int, num_tables: int, dim: int):
+    """Arrow-vectorized SRP signatures for ALL tables in one numpy matmul —
+    an ``array<long>`` of per-table signatures per row.
+
+    The interpreted HOF fold in srp_signature dominates the SRP pipeline
+    (profiled ~60-70% of dedup_embedding_cosine_bucketed wall time at
+    sf0.1: 32 plane folds x 64 dims per row, no codegen); one
+    (batch, dim) @ (dim, tables*planes) BLAS call replaces them all. Bit
+    semantics are identical (bit_p = [v . plane_p > 0]); only float
+    summation ORDER differs from the sequential fold, which can flip a
+    sign only when |projection| is within accumulated ulp of zero —
+    vanishingly rare on real-valued embeddings, and
+    test_srp_arrow_signatures_match_fold pins fold==matmul equality on
+    the fixture corpus so the plane-literal SQL oracles stay valid."""
+    import numpy as np
+
+    planes = np.array(
+        [
+            w
+            for t in range(num_tables)
+            for w in _plane_weights(num_planes, dim, table=t)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, tables*planes)
+    shifts = np.array(
+        [1 << p for _ in range(num_tables) for p in range(num_planes)],
+        dtype=np.int64,
+    )
+
+    @F.pandas_udf("array<long>")
+    def sigs(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        bits = (V @ planes) > 0  # (n, tables*planes)
+        weighted = bits * shifts
+        per_table = weighted.reshape(len(V), -1, num_planes).sum(axis=2)
+        return pd.Series(list(per_table))
+
+    return sigs
+
+
 def _multi_table_sig(
-    df: DataFrame, *, vec_col: str, num_planes: int, num_tables: int, dim: int
+    df: DataFrame,
+    *,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+    arrow: bool = True,
 ) -> DataFrame:
     """Attach an array of per-table SRP signatures, then explode to
-    (row, table, sig) — the multi-probe layout for the bucket join."""
+    (row, table, sig) — the multi-probe layout for the bucket join.
+    ``arrow=True`` (default) computes every table's signature in one
+    vectorized matmul (see _all_table_sigs_arrow); ``arrow=False`` keeps
+    the pure-JVM fold (the reference semantics the tests compare against).
+    """
+    if arrow:
+        sigs_udf = _all_table_sigs_arrow(
+            num_planes=num_planes, num_tables=num_tables, dim=dim
+        )
+        out = df.withColumn("_sigs", sigs_udf(F.col(vec_col)))
+        return out.select(
+            *df.columns, F.posexplode("_sigs").alias("tbl", "sig")
+        )
     out = df
     for t in range(num_tables):
         out = srp_signature(

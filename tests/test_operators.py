@@ -1056,3 +1056,22 @@ def test_weighted_reservoir_favors_heavy_docs(spark, sf_dir):
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     sample_mean = sum(r.n_chars for r in s1) / len(s1)
     assert sample_mean > corpus_mean
+
+
+def test_srp_arrow_signatures_match_fold(spark, sf_dir):
+    """The Arrow matmul signature path must produce bit-identical
+    (vid, tbl, sig) rows to the pure-JVM fold on the fixture corpus —
+    the equivalence that keeps the plane-literal SQL oracles valid."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.functions.vectors import as_double
+    from spark_iceberg_jobs_spark.operators.similarity import _multi_table_sig
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("vid"), as_double("embedding").alias("v"))
+    a = _multi_table_sig(e, vec_col="v", num_planes=4, num_tables=8, dim=64, arrow=True)
+    b = _multi_table_sig(e, vec_col="v", num_planes=4, num_tables=8, dim=64, arrow=False)
+    ra = sorted((r.vid, r.tbl, r.sig) for r in a.select("vid", "tbl", "sig").collect())
+    rb = sorted((r.vid, r.tbl, r.sig) for r in b.select("vid", "tbl", "sig").collect())
+    assert ra == rb
