@@ -1927,6 +1927,63 @@ ORDER BY doc_id
 """
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction end-to-end (operators/multimodal
+    .audio_features): decode the synthesized RIFF/WAVE clip, emit
+    zero-crossing count, mean absolute amplitude, and near-clipping
+    sample count per clip — integer-exact features, so the md5 sample
+    replay verifies the featurizer itself. Bounded to doc_id < 200 for
+    the verify payload; the operator streams the full corpus."""
+    from ..operators.multimodal import attach_audio_payload, audio_features
+
+    docs = read_fixture(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = audio_features(attach_audio_payload(docs))
+    return out.select(
+        "doc_id",
+        "n_crossings",
+        F.round("mean_abs", 4).alias("mean_abs"),
+        "n_loud",
+    ).orderBy("doc_id")
+
+
+AUDIO_FEATURES_ORACLE = """
+WITH hx AS (
+    SELECT doc_id, r,
+           MD5('wav:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
+    FROM documents, UNNEST(RANGE(32)) AS t(r)
+    WHERE doc_id < 200
+), smp AS (
+    SELECT doc_id, 8 * r + s AS idx,
+           (STRPOS('0123456789abcdef', SUBSTR(h, 4 * s + 1, 1)) - 1) * 16
+           + (STRPOS('0123456789abcdef', SUBSTR(h, 4 * s + 2, 1)) - 1)
+           + ((STRPOS('0123456789abcdef', SUBSTR(h, 4 * s + 3, 1)) - 1) * 16
+              + (STRPOS('0123456789abcdef', SUBSTR(h, 4 * s + 4, 1)) - 1)) * 256
+           AS uval
+    FROM hx, UNNEST(RANGE(8)) AS u(s)
+), signed AS (
+    SELECT doc_id, idx,
+           CASE WHEN uval >= 32768 THEN uval - 65536 ELSE uval END AS val
+    FROM smp
+), sgn AS (
+    SELECT doc_id, idx,
+           CASE WHEN val >= 0 THEN 1 ELSE -1 END AS s, ABS(val) AS a
+    FROM signed
+), lagged AS (
+    SELECT doc_id, a, s,
+           LAG(s) OVER (PARTITION BY doc_id ORDER BY idx) AS prev_s
+    FROM sgn
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN prev_s IS NOT NULL AND prev_s <> s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_crossings,
+       ROUND(AVG(CAST(a AS DOUBLE)), 4) AS mean_abs,
+       CAST(SUM(CASE WHEN a >= 24576 THEN 1 ELSE 0 END) AS BIGINT) AS n_loud
+FROM lagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 IMAGE_HISTOGRAM_ORACLE = """
 WITH hx AS (
     SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
@@ -2053,6 +2110,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         multimodal_image_resize, IMAGE_RESIZE_ORACLE
     ),
     "text_zipf_slope": QuerySpec(text_zipf_slope, ZIPF_ORACLE),
+    "multimodal_audio_features": QuerySpec(
+        multimodal_audio_features, AUDIO_FEATURES_ORACLE
+    ),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),
