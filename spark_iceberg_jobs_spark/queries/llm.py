@@ -2002,6 +2002,81 @@ ORDER BY doc_id, bin
 """
 
 
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the modern complement to n-gram overlap
+    (paraphrased eval leakage that shares no 5-gram): flag every training
+    document whose embedding sits above cosine 0.42 against ANY eval
+    member, reporting the closest eval doc and its similarity. The same
+    deterministic md5 split as the n-gram tier plays the eval set
+    (doc_id <-> vec_id).
+
+    Scale shape: the eval side of decontamination is benchmark-sized by
+    definition, so its vectors BROADCAST and the training corpus is
+    scanned once — no shuffle of the big side; the per-train max is a
+    partial-aggregated max_by. At eval sets too big to broadcast, the SRP
+    bucketed path (dedup_embedding_cosine_bucketed) supplies the
+    candidate prefilter with identical rescoring semantics."""
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    is_eval = (
+        F.substring(F.md5(F.concat(F.lit("eval:"), F.col("vec_id").cast("string"))), 1, 8)
+        < "20000000"
+    )
+    from ..functions.vectors import as_double, cosine_arrow
+
+    train = emb.filter(~is_eval).select(
+        F.col("vec_id").alias("train_id"), as_double("embedding").alias("tv")
+    )
+    ev = emb.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"), as_double("embedding").alias("ev")
+    )
+    scored = (
+        train.join(F.broadcast(ev))
+        .withColumn("_sim", cosine_arrow(F.col("tv"), F.col("ev")))
+        .filter(F.col("_sim") >= 0.42)
+    )
+    return (
+        scored.groupBy("train_id")
+        .agg(
+            F.max_by("eval_id", F.struct(F.col("_sim"), -F.col("eval_id"))).alias(
+                "closest_eval_id"
+            ),
+            F.round(F.max("_sim"), 4).alias("max_sim"),
+            F.count("*").cast("long").alias("n_eval_hits"),
+        )
+        .orderBy("train_id")
+    )
+
+
+SEMANTIC_DECONTAMINATE_ORACLE = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           SUBSTR(MD5('eval:' || CAST(vec_id AS VARCHAR)), 1, 8) < '20000000'
+               AS is_eval
+    FROM embeddings
+), scored AS (
+    SELECT t.vec_id AS train_id, ev.vec_id AS eval_id,
+           LIST_INNER_PRODUCT(t.v, ev.v)
+           / (SQRT(LIST_INNER_PRODUCT(t.v, t.v))
+              * SQRT(LIST_INNER_PRODUCT(ev.v, ev.v))) AS sim
+    FROM e t CROSS JOIN e ev
+    WHERE NOT t.is_eval AND ev.is_eval
+), hits AS (
+    SELECT * FROM scored WHERE sim >= 0.42
+), best AS (
+    SELECT train_id, eval_id AS closest_eval_id, sim,
+           ROW_NUMBER() OVER (PARTITION BY train_id
+                              ORDER BY sim DESC, eval_id) AS rn
+    FROM hits
+)
+SELECT h.train_id, b.closest_eval_id,
+       ROUND(MAX(h.sim), 4) AS max_sim,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+FROM hits h JOIN best b ON b.train_id = h.train_id AND b.rn = 1
+GROUP BY h.train_id, b.closest_eval_id
+ORDER BY h.train_id
+"""
+
+
 _BLOOM_BITS = 1 << 19
 _BLOOM_HASHES = 3
 
@@ -2112,6 +2187,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_zipf_slope": QuerySpec(text_zipf_slope, ZIPF_ORACLE),
     "multimodal_audio_features": QuerySpec(
         multimodal_audio_features, AUDIO_FEATURES_ORACLE
+    ),
+    "decontaminate_semantic": QuerySpec(
+        decontaminate_semantic, SEMANTIC_DECONTAMINATE_ORACLE
     ),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
