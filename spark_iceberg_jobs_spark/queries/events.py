@@ -1093,6 +1093,71 @@ def streaming_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def streaming_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE SKETCH AS STREAMING STATE: the HLL registers ride a
+    plain watermarked streaming aggregation — per (day, register) the
+    running MAX(rho) is exactly the sketch merge operation, so streaming
+    distinct-count needs no custom stateful operator, just groupBy+max
+    over the register projection (state = |days| x 64 rows, bounded by
+    the watermark). The drained registers finalize to the estimate with
+    the same libm-free arithmetic as the batch tier, and the oracle is
+    the batch HLL over the same days — streaming-equals-batch, the
+    sketch way."""
+    from ..operators.aggs import hll_estimate
+    from ..operators.aggs import _hll_reg_rho
+    from ..streaming.events_stream import run_available_now, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    reg, rho = _hll_reg_rho("user_id")
+    regs = (
+        ev.withWatermark("ts", "48 hours")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"), reg, rho)
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+    drained = run_available_now(regs, output_mode="complete")
+    return hll_estimate(drained, "day").orderBy("day")
+
+
+STREAMING_HLL_ORACLE = """
+WITH h AS (
+    SELECT STRFTIME(ts, '%Y-%m-%d') AS day, user_id,
+           MD5('hll:' || CAST(user_id AS VARCHAR)) AS hh
+    FROM events
+), lzx AS (
+    SELECT day, hh,
+           LENGTH(REGEXP_EXTRACT(SUBSTR(hh, 3, 13), '^0*')) AS lz
+    FROM h
+), rr AS (
+    SELECT day,
+           ((STRPOS('0123456789abcdef', SUBSTR(hh, 1, 1)) - 1) * 16
+            + (STRPOS('0123456789abcdef', SUBSTR(hh, 2, 1)) - 1)) % 64 AS reg,
+           CASE WHEN lz = 13 THEN 53
+                ELSE lz * 4
+                     + CASE SUBSTR(hh, 2 + lz + 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                     + 1
+           END AS rho
+    FROM lzx
+), regs AS (
+    SELECT day, reg, MAX(rho) AS r
+    FROM rr GROUP BY day, reg
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_regs_set,
+       ROUND(CAST({alpha!r} AS DOUBLE) * 64 * 64
+             / (SUM(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r))
+                + (64 - COUNT(*))), 4) AS hll_est
+FROM regs
+GROUP BY day
+ORDER BY day
+""".replace("{alpha!r}", repr(0.7213 / (1 + 1.079 / 64)))
+
+
 TWS_TOTALS_ORACLE = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1110,6 +1175,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
+    "streaming_hll_daily_users": QuerySpec(
+        streaming_hll_daily_users, STREAMING_HLL_ORACLE
+    ),
     # streaming_tws_user_totals (transformWithStateInPandas) is NOT
     # registered: the API's Python<->JVM state protocol needs protobuf,
     # absent from this container (ModuleNotFoundError: google) — same
