@@ -1075,3 +1075,52 @@ def test_srp_arrow_signatures_match_fold(spark, sf_dir):
     ra = sorted((r.vid, r.tbl, r.sig) for r in a.select("vid", "tbl", "sig").collect())
     rb = sorted((r.vid, r.tbl, r.sig) for r in b.select("vid", "tbl", "sig").collect())
     assert ra == rb
+
+
+def test_ivfpq_recall_vs_exact_l2(spark, sf_dir):
+    """IVF-PQ serving quality: with nprobe = all cells (no coarse-pruning
+    loss), ADC top-5 over residual codes must retain a solid fraction of
+    the exact-L2 top-5 — quantization is lossy, but m=4/k=8 on 64 dims
+    must beat random (5/n ~ 1%) by a wide margin on the fixture."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.functions.vectors import as_double
+    from spark_iceberg_jobs_spark.operators.similarity import (
+        _sqdist,
+        ivfpq_adc_topk,
+        kmeans_fit,
+        pq_fit,
+        residuals,
+    )
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+    from pyspark.sql.window import Window
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    cents = kmeans_fit(emb, k=4, iterations=1, dim=64)
+    res = residuals(emb, cents)
+    books = pq_fit(res, m=4, k=8, iterations=2, dim=64, id_col="vid", vec_col="res")
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivfpq_adc_topk(emb, probes, cents, books, k=5, nprobe=4).collect()
+    }
+
+    e = emb.select(F.col("vec_id").alias("nid"), as_double("embedding").alias("cv"))
+    p = probes.select(F.col("vec_id").alias("pid"), as_double("embedding").alias("pv"))
+    scored = e.crossJoin(F.broadcast(p)).filter(F.col("nid") != F.col("pid")).select(
+        "pid", "nid", _sqdist(F.col("pv"), F.col("cv")).alias("d")
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("d"), F.asc("nid"))
+    exact = {
+        (r.pid, r.nid)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    # Random 64-dim vectors are the WORST case for PQ: pairwise distances
+    # concentrate, so 12-bit codes can barely order the bulk — measured
+    # recall ~0.12 here vs a random-pick baseline of k/n = 1%. Real
+    # embedding corpora (clustered, low intrinsic dim) quantize far
+    # better; the assert pins "an order of magnitude above random".
+    assert recall >= 0.08, f"IVF-PQ recall {recall} (random 64-dim fixture)"
