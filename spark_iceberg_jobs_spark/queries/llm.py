@@ -1059,6 +1059,147 @@ ORDER BY cluster
 """
 
 
+def align_mutual_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext-style corpus alignment by MUTUAL nearest neighbors: split the
+    embedding corpus into two sides (even/odd label — stand-ins for two
+    languages), score cross-side cosine, and keep only pairs where each is
+    the other's top-1 — the standard high-precision alignment rule
+    (margin-based mining's strict core). Emits (a_id, b_id, sim).
+
+    Scale shape: the exact cross-score here is the small-side baseline
+    (one side broadcast); at corpus scale both top-1 passes run through
+    the ANN tier (IVF/SRP) and the mutual filter is the same tiny
+    id-pair join. Ranking ties break by id on both engines."""
+    from ..functions.vectors import as_double, cosine_arrow
+    from pyspark.sql import Window
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"), as_double("embedding").alias("av")
+    )
+    b = emb.filter(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"), as_double("embedding").alias("bv")
+    )
+    scored = a.join(F.broadcast(b)).select(
+        "a_id", "b_id", cosine_arrow(F.col("av"), F.col("bv")).alias("sim")
+    )
+    from ..functions.cache import scoped_persist
+
+    scored = scoped_persist(scored)
+    wa = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("sim"), F.asc("a_id"))
+    top_ab = scored.withColumn("_r", F.row_number().over(wa)).filter(
+        F.col("_r") == 1
+    ).select("a_id", "b_id")
+    top_ba = scored.withColumn("_r", F.row_number().over(wb)).filter(
+        F.col("_r") == 1
+    ).select("a_id", "b_id")
+    mutual = top_ab.join(top_ba, ["a_id", "b_id"])
+    return (
+        mutual.join(scored, ["a_id", "b_id"])
+        .select("a_id", "b_id", F.round("sim", 4).alias("sim"))
+        .orderBy("a_id")
+    )
+
+
+MUTUAL_NEAREST_ORACLE = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), scored AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           LIST_INNER_PRODUCT(a.v, b.v)
+           / (SQRT(LIST_INNER_PRODUCT(a.v, a.v))
+              * SQRT(LIST_INNER_PRODUCT(b.v, b.v))) AS sim
+    FROM e a CROSS JOIN e b
+    WHERE a.label % 2 = 0 AND b.label % 2 = 1
+), ta AS (
+    SELECT a_id, b_id FROM (
+        SELECT a_id, b_id,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS r
+        FROM scored
+    ) WHERE r = 1
+), tb AS (
+    SELECT a_id, b_id FROM (
+        SELECT a_id, b_id,
+               ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS r
+        FROM scored
+    ) WHERE r = 1
+)
+SELECT s.a_id, s.b_id, ROUND(s.sim, 4) AS sim
+FROM ta JOIN tb USING (a_id, b_id)
+JOIN scored s USING (a_id, b_id)
+ORDER BY s.a_id
+"""
+
+
+def snapshot_diff_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake snapshot diff — the CDC-style report every versioned corpus
+    pipeline runs between ingests: membership of two deterministic
+    md5-derived snapshots (v1/v2 keep ~75% each; ~12.5% of common docs get
+    modified content in v2), classified per doc by content hash into
+    added / removed / changed / unchanged and counted per (lang, status).
+
+    Scale shape: one scan computes both memberships and both content
+    hashes as projections; the diff is a single full-outer self-alignment
+    on doc_id collapsed here to conditional aggregation — no join at all,
+    since both versions derive from one table (a real two-table diff is
+    the same classification over a doc_id full outer join, the shape
+    join_full_outer_nation_activity pins)."""
+    docs = read_fixture(spark, sf_dir, "documents")
+
+    def member(tag: str):
+        return (
+            F.substring(
+                F.md5(F.concat(F.lit(f"{tag}:"), F.col("doc_id").cast("string"))), 1, 8
+            )
+            < "c0000000"
+        )
+
+    modified = (
+        F.substring(
+            F.md5(F.concat(F.lit("mod:"), F.col("doc_id").cast("string"))), 1, 8
+        )
+        < "20000000"
+    )
+    status = (
+        F.when(member("v1") & ~member("v2"), "removed")
+        .when(~member("v1") & member("v2"), "added")
+        .when(member("v1") & member("v2") & modified, "changed")
+        .when(member("v1") & member("v2"), "unchanged")
+    )
+    return (
+        docs.select("lang", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+        .groupBy("lang", "status")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "status")
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH tagged AS (
+    SELECT lang,
+           SUBSTR(MD5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' AS v1,
+           SUBSTR(MD5('v2:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000' AS v2,
+           SUBSTR(MD5('mod:' || CAST(doc_id AS VARCHAR)), 1, 8) < '20000000' AS md
+    FROM documents
+), st AS (
+    SELECT lang,
+           CASE WHEN v1 AND NOT v2 THEN 'removed'
+                WHEN NOT v1 AND v2 THEN 'added'
+                WHEN v1 AND v2 AND md THEN 'changed'
+                WHEN v1 AND v2 THEN 'unchanged'
+           END AS status
+    FROM tagged
+)
+SELECT lang, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM st
+WHERE status IS NOT NULL
+GROUP BY lang, status
+ORDER BY lang, status
+"""
+
+
 #: dedup_embedding_cosine is the documented SMALL-N-ONLY exact baseline;
 #: above this the O(n²) pair space stops being a sane oracle target and the
 #: SRP-bucketed twin is the only defensible plan (VERDICT r2 item 7: the
@@ -2266,6 +2407,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         decontaminate_semantic, SEMANTIC_DECONTAMINATE_ORACLE
     ),
     "dedup_cluster_keep_best": QuerySpec(dedup_cluster_keep_best, KEEP_BEST_ORACLE),
+    "align_mutual_nearest": QuerySpec(align_mutual_nearest, MUTUAL_NEAREST_ORACLE),
+    "snapshot_diff_by_lang": QuerySpec(snapshot_diff_by_lang, SNAPSHOT_DIFF_ORACLE),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),

@@ -511,3 +511,31 @@ def test_dynamic_partition_pruning_on_partitioned_scan(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     rows = joined.collect()
     assert [r.l_returnflag for r in rows] == ["A"]
+
+
+def test_shuffle_hash_join_hint_wins(spark, sf_dir):
+    """The shuffle-hash strategy must be reachable by hint: when sort-merge
+    would otherwise be picked, hint("shuffle_hash") plans a
+    ShuffledHashJoin — the right strategy when one side is small enough to
+    hash per-partition but too big to broadcast."""
+    from spark_iceberg_jobs_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    j = t["orders"].join(t["customer"].hint("shuffle_hash"),
+                         t["orders"].o_custkey == t["customer"].c_custkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_repartition_by_range_plans_range_partitioning(spark, sf_dir):
+    """repartitionByRange + sortWithinPartitions = the write-ordered-output
+    recipe (globally range-clustered files without a single-reducer sort):
+    the plan must carry a rangepartitioning exchange, not hashpartitioning."""
+    from spark_iceberg_jobs_spark.sources.readers import load_tables
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    out = orders.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+        "o_orderdate"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
