@@ -539,3 +539,32 @@ def test_repartition_by_range_plans_range_partitioning(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_parquet_aggregate_pushdown_under_dsv2(spark, sf_dir):
+    """COUNT(*) / MIN / MAX over parquet must be answerable from footer
+    statistics: under the V2 source with aggregatePushdown, the scan node
+    carries PushedAggregation and the query never reads data pages — at
+    100 TB the difference between a metadata lookup and a full scan.
+    (Both confs are runtime SQL confs — set and restored on the shared
+    session.)"""
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_pd = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        pc = df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*)]" in pc, pc
+        pm = (
+            df.agg({"o_orderkey": "max"})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedAggregation: [MAX(o_orderkey)]" in pm, pm
+        n = df.groupBy().count().first()[0]
+        assert n == df.rdd.count()  # pushed answer equals a real scan
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_pd)
