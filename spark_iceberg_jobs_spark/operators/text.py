@@ -276,3 +276,81 @@ def chunk_with_overlap(
     return documents.select(
         "doc_id", F.explode(chunks).alias("c")
     ).select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+
+
+def bpe_fit(
+    documents: DataFrame,
+    *,
+    merges: int = 8,
+    text_col: str = "text",
+) -> list[tuple[int, str, int]]:
+    """Distributed BPE vocabulary induction (token-level): ``merges``
+    rounds of corpus-wide greedy pair merging — each round counts adjacent
+    token pairs across the whole corpus, picks the most frequent
+    (ties: lexicographic), and merges every non-overlapping occurrence.
+    Returns [(round, merged_token, pair_count)]; the merged corpus column
+    evolves with '+' joining merged units.
+
+    Distribution shape per round: ONE bigram count (explode + groupBy,
+    map-side partial) and ONE top-1 TakeOrderedAndProject collect (a
+    single row to the driver — the merge decision is the only driver
+    state, like kmeans' centroids); the merge application is a pure
+    projection (string REPLACE) on the persisted corpus column, so round
+    r+1 never recomputes rounds 1..r (per-round persist, released as
+    superseded — the PageRank lineage discipline).
+
+    Replayability is the design constraint everything above serves:
+    tokens are wrapped in '|' sentinels ('|a| |b|'), so a plain
+    substring REPLACE (a) can never match inside a token, (b) never
+    shares characters between adjacent matches, and (c) has identical
+    left-to-right non-overlapping semantics in Spark and ANSI SQL —
+    which is what lets a DuckDB oracle replay the full fit round by
+    round (queries/llm.py BPE_ORACLE). Corpus contract: text must not
+    contain '|' or '+' (validated on a sample; both are outside the
+    fixture charset).
+    """
+    from ..functions.cache import release, scoped_persist
+
+    bad = documents.filter(
+        F.col(text_col).contains("|") | F.col(text_col).contains("+")
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError("bpe_fit sentinel collision: text contains '|' or '+'")
+
+    cur = scoped_persist(
+        documents.select(
+            F.concat(
+                F.lit("|"), F.replace(F.col(text_col), F.lit(" "), F.lit("| |")), F.lit("|")
+            ).alias("s")
+        )
+    )
+    out: list[tuple[int, str, int]] = []
+    for r in range(1, merges + 1):
+        toks = F.split(F.col("s"), " ")
+        n = F.size(toks)
+        pairs = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        top = (
+            cur.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0].pair, top[0].cnt
+        merged = pair.replace("| |", "+")
+        out.append((r, merged.replace("|", ""), int(cnt)))
+        nxt = scoped_persist(
+            cur.select(F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"))
+        )
+        nxt.count()  # materialize before dropping the predecessor
+        release(cur)
+        cur = nxt
+    release(cur)
+    return out

@@ -1059,6 +1059,65 @@ ORDER BY cluster
 """
 
 
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction under the full hash oracle
+    (operators/text.bpe_fit): 8 rounds of corpus-wide greedy pair merging
+    — per round one bigram-count shuffle and a single-row top-1 collect
+    (the merge decision is the only driver state), with the merge applied
+    as a sentinel-guarded string REPLACE whose left-to-right
+    non-overlapping semantics are identical in Spark and SQL. The oracle
+    unrolls all 8 rounds: per round it recounts bigrams on the replayed
+    corpus string, picks the same (count DESC, pair ASC) winner, and
+    rewrites the corpus with the same REPLACE — an iterative
+    vocabulary-learning fit verified end-to-end, the text-tier sibling of
+    the kmeans/PageRank replay chains."""
+    from ..operators.text import bpe_fit
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, merges=8)
+    return spark.createDataFrame(
+        merges, "merge_round long, merged_token string, n_occ long"
+    ).orderBy("merge_round")
+
+
+def _bpe_oracle_sql(merges: int = 8) -> str:
+    parts = [
+        "s0 AS (SELECT '|' || REPLACE(text, ' ', '| |') || '|' AS s FROM documents)"
+    ]
+    for r in range(1, merges + 1):
+        parts.append(
+            f"""b{r} AS (
+    SELECT t[i] || ' ' || t[i+1] AS pair, COUNT(*) AS cnt
+    FROM (SELECT STRING_SPLIT(s, ' ') AS t FROM s{r - 1}),
+         UNNEST(RANGE(1, LEN(t))) AS rr{r}(i)
+    GROUP BY 1
+), p{r} AS (
+    SELECT pair, REPLACE(pair, '| |', '+') AS merged, cnt
+    FROM b{r} ORDER BY cnt DESC, pair LIMIT 1
+), s{r} AS (
+    SELECT REPLACE(s, (SELECT pair FROM p{r}), (SELECT merged FROM p{r})) AS s
+    FROM s{r - 1}
+)"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round,"
+        f" REPLACE(merged, '|', '') AS merged_token,"
+        f" CAST(cnt AS BIGINT) AS n_occ FROM p{r}"
+        for r in range(1, merges + 1)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT * FROM (
+{rows}
+)
+ORDER BY merge_round
+"""
+
+
+BPE_ORACLE = _bpe_oracle_sql()
+
+
 def align_mutual_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext-style corpus alignment by MUTUAL nearest neighbors: split the
     embedding corpus into two sides (even/odd label — stand-ins for two
@@ -2409,6 +2468,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_keep_best": QuerySpec(dedup_cluster_keep_best, KEEP_BEST_ORACLE),
     "align_mutual_nearest": QuerySpec(align_mutual_nearest, MUTUAL_NEAREST_ORACLE),
     "snapshot_diff_by_lang": QuerySpec(snapshot_diff_by_lang, SNAPSHOT_DIFF_ORACLE),
+    "text_bpe_merges": QuerySpec(text_bpe_merges, BPE_ORACLE),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),

@@ -1124,3 +1124,31 @@ def test_ivfpq_recall_vs_exact_l2(spark, sf_dir):
     # embedding corpora (clustered, low intrinsic dim) quantize far
     # better; the assert pins "an order of magnitude above random".
     assert recall >= 0.08, f"IVF-PQ recall {recall} (random 64-dim fixture)"
+
+
+def test_bpe_fit_greedy_semantics_and_determinism(spark):
+    """BPE invariants on a hand-checkable corpus: (1) greedy left-to-right
+    non-overlap — 'a a a a' contributes 3 'a a' bigrams to the count but
+    only 2 merges apply; (2) merged units participate in later rounds;
+    (3) the fit is deterministic across runs; (4) sentinel collision
+    fails loud."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.operators.text import bpe_fit
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b c"), (2, "a a b c b c"), (3, "b c b c b c")],
+        "doc_id long, text string",
+    )
+    out = bpe_fit(docs, merges=3)
+    assert out == bpe_fit(docs, merges=3)
+    # round 1: 'b c' occurs 6x, 'a a' 4x (3 in doc1 + 1 in doc2) -> 'b+c'
+    assert out[0] == (1, "b+c", 6)
+    # round 2: 'a a' now top with 4 raw occurrences
+    assert out[1] == (2, "a+a", 4)
+    # round 3: merged units pair up: doc2/doc3 have 'b+c b+c' adjacency
+    assert out[2][1] in ("b+c+b+c", "a+a+b+c") and out[2][0] == 3
+
+    bad = spark.createDataFrame([(1, "has | pipe")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="sentinel collision"):
+        bpe_fit(bad, merges=1)
