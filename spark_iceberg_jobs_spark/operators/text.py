@@ -288,8 +288,9 @@ def bpe_fit(
     rounds of corpus-wide greedy pair merging — each round counts adjacent
     token pairs across the whole corpus, picks the most frequent
     (ties: lexicographic), and merges every non-overlapping occurrence.
-    Returns [(round, merged_token, pair_count)]; the merged corpus column
-    evolves with '+' joining merged units.
+    Returns [(round, merged_token, pair_count, raw_pair, raw_merged)] —
+    the last two in the internal '|'-sentinel form that bpe_apply consumes
+    verbatim; the merged corpus column evolves with '+' joining units.
 
     Distribution shape per round: ONE bigram count (explode + groupBy,
     map-side partial) and ONE top-1 TakeOrderedAndProject collect (a
@@ -345,7 +346,7 @@ def bpe_fit(
             break
         pair, cnt = top[0].pair, top[0].cnt
         merged = pair.replace("| |", "+")
-        out.append((r, merged.replace("|", ""), int(cnt)))
+        out.append((r, merged.replace("|", ""), int(cnt), pair, merged))
         nxt = scoped_persist(
             cur.select(F.replace(F.col("s"), F.lit(pair), F.lit(merged)).alias("s"))
         )
@@ -354,3 +355,25 @@ def bpe_fit(
         cur = nxt
     release(cur)
     return out
+
+
+def bpe_apply(
+    documents: DataFrame,
+    merges: list[tuple],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a FITTED merge list (bpe_fit's output): the whole
+    apply pass is a chain of literal string REPLACEs over the sentineled
+    corpus column — a pure projection, zero shuffle, whole-stage codegen
+    (the serving half of BPE: fit once, apply to 100 TB as a scan).
+    Appends ``out_col`` (array<string> of merged units, sentinel-free)."""
+    s = F.concat(
+        F.lit("|"), F.replace(F.col(text_col), F.lit(" "), F.lit("| |")), F.lit("|")
+    )
+    for m in merges:
+        pair, merged = m[3], m[4]
+        s = F.replace(s, F.lit(pair), F.lit(merged))
+    toks = F.transform(F.split(s, " "), lambda t: F.replace(t, F.lit("|"), F.lit("")))
+    return documents.withColumn(out_col, toks)

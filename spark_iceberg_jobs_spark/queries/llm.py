@@ -1076,13 +1076,22 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_fixture(spark, sf_dir, "documents")
     merges = bpe_fit(docs, merges=8)
     return spark.createDataFrame(
-        merges, "merge_round long, merged_token string, n_occ long"
+        [m[:3] for m in merges], "merge_round long, merged_token string, n_occ long"
     ).orderBy("merge_round")
 
 
-def _bpe_oracle_sql(merges: int = 8) -> str:
+def _bpe_chain(merges: int, *, carry: str = "") -> list[str]:
+    """The round CTEs replaying bpe_fit; ``carry`` names extra columns
+    (e.g. ``lang,``) threaded through every corpus-rewrite CTE so a
+    downstream consumer can aggregate the FINAL tokenization by them."""
     parts = [
-        "s0 AS (SELECT '|' || REPLACE(text, ' ', '| |') || '|' AS s FROM documents)"
+        # MATERIALIZED is load-bearing: each s{r} is referenced by both the
+        # next round's bigram count and the next rewrite — left to the
+        # planner, DuckDB may inline the chain and re-evaluate it once per
+        # downstream reference, going exponential in the round count
+        # (measured ~7x per round; 8 rounds -> minutes instead of seconds)
+        f"s0 AS MATERIALIZED (SELECT {carry} '|' || REPLACE(text, ' ', '| |') || '|' AS s"
+        " FROM documents)"
     ]
     for r in range(1, merges + 1):
         parts.append(
@@ -1094,11 +1103,16 @@ def _bpe_oracle_sql(merges: int = 8) -> str:
 ), p{r} AS (
     SELECT pair, REPLACE(pair, '| |', '+') AS merged, cnt
     FROM b{r} ORDER BY cnt DESC, pair LIMIT 1
-), s{r} AS (
-    SELECT REPLACE(s, (SELECT pair FROM p{r}), (SELECT merged FROM p{r})) AS s
+), s{r} AS MATERIALIZED (
+    SELECT {carry} REPLACE(s, (SELECT pair FROM p{r}), (SELECT merged FROM p{r})) AS s
     FROM s{r - 1}
 )"""
         )
+    return parts
+
+
+def _bpe_oracle_sql(merges: int = 8) -> str:
+    parts = _bpe_chain(merges)
     rows = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round,"
         f" REPLACE(merged, '|', '') AS merged_token,"
@@ -1116,6 +1130,54 @@ ORDER BY merge_round
 
 
 BPE_ORACLE = _bpe_oracle_sql()
+
+
+def text_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving half of BPE: fit the 8 merges (bpe_fit), then APPLY
+    them to the corpus as a chain of literal REPLACE projections
+    (operators/text.bpe_apply — one scan, zero shuffle) and report
+    per-language unit counts before/after plus the compression ratio.
+    The oracle replays fit AND apply: the round chain (lang carried
+    through every rewrite) ends in the final corpus string, whose token
+    counts aggregate per language."""
+    from ..operators.text import bpe_apply, bpe_fit
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, merges=8)
+    applied = bpe_apply(docs, merges)
+    return (
+        applied.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("units_before"),
+            F.sum(F.size("bpe_tokens")).cast("long").alias("units_after"),
+            F.round(
+                F.sum(F.size("bpe_tokens"))
+                / F.sum(F.size(F.split("text", " "))),
+                4,
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_compression_oracle_sql(merges: int = 8) -> str:
+    body = ",\n".join(_bpe_chain(merges, carry="doc_id, lang,"))
+    return f"""
+WITH {body}
+SELECT f.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(STRING_SPLIT(d.text, ' '))) AS BIGINT) AS units_before,
+       CAST(SUM(LEN(STRING_SPLIT(f.s, ' '))) AS BIGINT) AS units_after,
+       ROUND(CAST(SUM(LEN(STRING_SPLIT(f.s, ' '))) AS DOUBLE)
+             / SUM(LEN(STRING_SPLIT(d.text, ' '))), 4) AS compression
+FROM s{merges} f JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY f.lang
+ORDER BY f.lang
+"""
+
+
+BPE_COMPRESSION_ORACLE = _bpe_compression_oracle_sql()
 
 
 def align_mutual_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2469,6 +2531,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "align_mutual_nearest": QuerySpec(align_mutual_nearest, MUTUAL_NEAREST_ORACLE),
     "snapshot_diff_by_lang": QuerySpec(snapshot_diff_by_lang, SNAPSHOT_DIFF_ORACLE),
     "text_bpe_merges": QuerySpec(text_bpe_merges, BPE_ORACLE),
+    "text_bpe_compression": QuerySpec(text_bpe_compression, BPE_COMPRESSION_ORACLE),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),

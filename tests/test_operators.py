@@ -1143,9 +1143,9 @@ def test_bpe_fit_greedy_semantics_and_determinism(spark):
     out = bpe_fit(docs, merges=3)
     assert out == bpe_fit(docs, merges=3)
     # round 1: 'b c' occurs 6x, 'a a' 4x (3 in doc1 + 1 in doc2) -> 'b+c'
-    assert out[0] == (1, "b+c", 6)
+    assert out[0][:3] == (1, "b+c", 6)
     # round 2: 'a a' now top with 4 raw occurrences
-    assert out[1] == (2, "a+a", 4)
+    assert out[1][:3] == (2, "a+a", 4)
     # round 3: merged units pair up: doc2/doc3 have 'b+c b+c' adjacency
     assert out[2][1] in ("b+c+b+c", "a+a+b+c") and out[2][0] == 3
 
