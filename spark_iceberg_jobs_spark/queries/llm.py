@@ -1180,6 +1180,116 @@ ORDER BY f.lang
 BPE_COMPRESSION_ORACLE = _bpe_compression_oracle_sql()
 
 
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composite — a pretraining corpus built end to end in
+    one DAG, chaining four verified tiers:
+
+    1. eval holdout excluded (the md5 'eval:' split — benchmark docs never
+       enter the corpus),
+    2. quality gate (n_chars >= 100),
+    3. exact dedup (smallest doc_id per normalized content hash),
+    4. n-gram decontamination against the eval set (any shared 5-gram
+       disqualifies — broadcast-eval anti join),
+    5. deterministic train/val/test assignment (md5 'split:' thresholds),
+    6. report per (lang, split): surviving docs and total characters.
+
+    Every stage is a shuffle-keyed bulk operator or pure projection — the
+    whole pipeline is one lazy plan, no driver loops, no collect. At
+    100 TB the stages swap in their scale twins with identical wiring
+    (MinHash for 3, the bloom prefilter for 4)."""
+    from ..functions.texts import normalize
+    from ..operators.dedup import _distinct_shingles
+    from ..operators.splits import assign_split
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    is_eval = (
+        F.substring(F.md5(F.concat(F.lit("eval:"), F.col("doc_id").cast("string"))), 1, 8)
+        < "20000000"
+    )
+    ev_docs = docs.filter(is_eval)
+    base = docs.filter(~is_eval).filter(F.col("n_chars") >= 100)
+
+    keepers = (
+        base.select("doc_id", F.md5(normalize("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = base.join(keepers, "doc_id", "left_semi")
+
+    ev_sh = _distinct_shingles(ev_docs, n=5).select("shingle").distinct()
+    tr_sh = _distinct_shingles(deduped, n=5)
+    contaminated = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle").select("doc_id").distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    split = assign_split(
+        clean, key_col="doc_id", weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return (
+        split.groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _pretraining_oracle_sql() -> str:
+    from ..operators.splits import _hex_threshold
+
+    t_train = _hex_threshold(0.9)
+    t_val = _hex_threshold(0.95)
+    return f"""
+WITH ev_ids AS (
+    SELECT doc_id FROM documents
+    WHERE SUBSTR(MD5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8) < '20000000'
+), base AS (
+    SELECT * FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM ev_ids) AND n_chars >= 100
+), kept AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (SELECT doc_id,
+                 MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS h
+          FROM base)
+    GROUP BY h
+), dd AS (
+    SELECT b.* FROM base b JOIN kept k ON b.doc_id = k.doc_id
+), toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+    FROM toks, UNNEST(RANGE(1, LEN(t) - 3)) AS r(i)
+), ev_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id IN (SELECT doc_id FROM ev_ids)
+), contaminated AS (
+    SELECT DISTINCT s.doc_id
+    FROM sh s
+    JOIN ev_sh e ON s.shingle = e.shingle
+    WHERE s.doc_id IN (SELECT doc_id FROM dd)
+), clean AS (
+    SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT lang,
+       CASE WHEN SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t_train}'
+                THEN 'train'
+            WHEN SUBSTR(MD5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t_val}'
+                THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM clean
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
+PRETRAINING_ORACLE = _pretraining_oracle_sql()
+
+
 def align_mutual_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext-style corpus alignment by MUTUAL nearest neighbors: split the
     embedding corpus into two sides (even/odd label — stand-ins for two
@@ -2532,6 +2642,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "snapshot_diff_by_lang": QuerySpec(snapshot_diff_by_lang, SNAPSHOT_DIFF_ORACLE),
     "text_bpe_merges": QuerySpec(text_bpe_merges, BPE_ORACLE),
     "text_bpe_compression": QuerySpec(text_bpe_compression, BPE_COMPRESSION_ORACLE),
+    "pipeline_pretraining_corpus": QuerySpec(
+        pipeline_pretraining_corpus, PRETRAINING_ORACLE, headline=True
+    ),
     "dedup_embedding_cosine_bucketed_auto": QuerySpec(
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),
