@@ -296,6 +296,9 @@ def hll_registers(df: DataFrame, key: str, group: str, *, m: int = 64) -> DataFr
     countDistinct's full shuffle of distinct values at 100 TB. Registers
     from shards or streaming micro-batches merge by MAX on (group, reg).
     """
+    if m < 1 or 256 % m != 0:
+        # register = first md5 byte mod m: uniform only when m divides 256
+        raise ValueError(f"m must divide 256 evenly, got {m}")
     reg, rho = _hll_reg_rho(key, m=m)
     return (
         df.select(F.col(group), reg, rho)
@@ -346,6 +349,8 @@ def kmv_sketches(df: DataFrame, key: str, group: str, *, k: int = 256) -> DataFr
     regardless of corpus size, and sketches merge by re-ranking unioned
     hashes (used by kmv_pairwise_overlap below).
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     hashed = df.select(
         F.col(group), F.md5(F.concat(F.lit("kmv:"), F.col(key).cast("string"))).alias("h")
     ).distinct()

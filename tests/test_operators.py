@@ -1152,3 +1152,26 @@ def test_bpe_fit_greedy_semantics_and_determinism(spark):
     bad = spark.createDataFrame([(1, "has | pipe")], "doc_id long, text string")
     with pytest.raises(ValueError, match="sentinel collision"):
         bpe_fit(bad, merges=1)
+
+
+def test_sketch_operator_guards(spark):
+    """Sketch preconditions fail loud: HLL register count must divide 256
+    (first-byte-mod uniformity), KMV k must be positive, histogram bins
+    must divide 256-free but need bins >= 1 and hi > lo."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.operators.aggs import (
+        histogram_sketch,
+        hll_registers,
+        kmv_sketches,
+    )
+
+    df = spark.createDataFrame([(1, "g")], "k long, g string")
+    with pytest.raises(ValueError, match="divide 256"):
+        hll_registers(df, "k", "g", m=60)
+    with pytest.raises(ValueError, match=">= 1"):
+        kmv_sketches(df, "k", "g", k=0)
+    with pytest.raises(ValueError, match="bins >= 1"):
+        histogram_sketch(df, "k", "g", lo=0.0, hi=1.0, bins=0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_sketch(df, "k", "g", lo=1.0, hi=1.0, bins=4)
