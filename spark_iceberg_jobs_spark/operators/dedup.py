@@ -678,3 +678,89 @@ def bloom_contamination(
         )
     )
     return out
+
+
+def repeated_ngram_spans(
+    documents: DataFrame,
+    *,
+    window: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring detection, token-granular: the within-corpus
+    twin of the Lee et al. "Deduplicating Training Data Makes Language
+    Models Better" ExactSubstr pass, re-expressed as Spark dataflow instead
+    of a suffix array. Every ``window``-token sliding window whose content
+    occurs >= ``min_count`` times ANYWHERE in the corpus (across or within
+    documents) marks its token span as duplicated; overlapping spans merge
+    into maximal islands (gaps-and-islands over a doc-partitioned window),
+    and each affected document reports its merged span count, duplicated
+    token count, and duplicated fraction.
+
+    Scale shape: window formation is posexplode + lead() over a
+    doc-partitioned window (codegen'd — the same machinery as
+    ``_distinct_shingles``, kept positional); the duplicate census is ONE
+    shuffle keyed by the 128-bit gram hash with map-side partial counts
+    (hot grams are the signal, not a skew hazard — they collapse to one
+    count row); the join back ships (hash, pos) pairs only, never text; the
+    island merge re-shuffles just the surviving spans on doc_id. A suffix
+    array finds arbitrary-length repeats; the fixed-window formulation
+    finds every repeat of length >= window (as merged islands) with
+    embarrassingly parallel passes — the standard trade at corpus scale.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), normalize(text_col).alias("_norm")
+    )
+    tok = base.select("doc_id", F.posexplode(tokens("_norm")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, window)]
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.col("tok"), *leads)).alias("h"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    # feeds both the census and the span join — materialize the window pass once
+    grams = scoped_persist(grams)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    spans = grams.join(dup, "h").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + window).alias("e")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    isl = spans.withColumn(
+        "_new", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("island_id", F.sum("_new").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+    merged = isl.groupBy("doc_id", "island_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    sizes = base.select("doc_id", F.size(tokens("_norm")).cast("long").alias("n_tokens"))
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+        )
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias("dup_frac"),
+        )
+    )

@@ -2616,7 +2616,68 @@ ORDER BY s.doc_id
 BLOOM_DECONTAMINATE_ORACLE = _bloom_oracle_sql()
 
 
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus exact repeated-substring detection
+    (operators/dedup.repeated_ngram_spans): every 10-token window occurring
+    >= 2 times anywhere in the corpus marks a duplicated span; per affected
+    document, the merged-island span count, duplicated token count, and
+    duplicated fraction — the ExactSubstr pass of Lee et al. 2021
+    re-expressed as hash-census + gaps-and-islands dataflow (the
+    fixed-window trade for a suffix array at corpus scale)."""
+    from ..operators.dedup import repeated_ngram_spans
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, window=10, min_count=2).orderBy("doc_id")
+
+
+_REPEAT_W = 10
+
+REPEATED_SUBSTR_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), w AS (
+    SELECT doc_id, UNNEST(RANGE(0, LEN(toks) - {_REPEAT_W} + 1)) AS pos, toks
+    FROM t WHERE LEN(toks) >= {_REPEAT_W}
+), g AS (
+    SELECT doc_id, pos,
+           MD5(ARRAY_TO_STRING(toks[pos + 1:pos + {_REPEAT_W}], ' ')) AS h
+    FROM w
+), dup AS (
+    SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+), spans AS (
+    SELECT g.doc_id, g.pos AS s, g.pos + {_REPEAT_W} AS e
+    FROM g JOIN dup ON g.h = dup.h
+), marked AS (
+    SELECT *, CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   THEN 1 ELSE 0 END AS _new
+    FROM spans
+), isl AS (
+    SELECT *, SUM(_new) OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM marked
+), merged AS (
+    SELECT doc_id, island_id, MIN(s) AS s, MAX(e) AS e
+    FROM isl GROUP BY doc_id, island_id
+), sizes AS (
+    SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens FROM t
+)
+SELECT m.doc_id, sizes.n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(m.e - m.s) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(SUM(m.e - m.s) AS DOUBLE) / sizes.n_tokens, 4) AS dup_frac
+FROM merged m JOIN sizes ON m.doc_id = sizes.doc_id
+GROUP BY m.doc_id, sizes.n_tokens
+ORDER BY m.doc_id
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "dedup_repeated_substrings": QuerySpec(
+        dedup_repeated_substrings, REPEATED_SUBSTR_ORACLE
+    ),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
