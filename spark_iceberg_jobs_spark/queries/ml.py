@@ -635,6 +635,102 @@ ORDER BY l_returnflag
 """
 
 
+_LOGREG_ITER = 5
+_LOGREG_LR = 1.0
+
+
+def ml_logreg_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (operators/regression.logreg_fit):
+    predict lang == 'en' from document length features by 5 rounds of
+    full-batch gradient descent with the rational fast-sigmoid link —
+    the iterative-GD counterpart of the closed-form OLS query. Per round:
+    one scan, one partial-aggregated gradient exchange (3 doubles),
+    weights driver-resident as literals (the kmeans_fit pattern). Output:
+    fitted coefficients plus training mean-prediction and MSE from one
+    final pass. The oracle unrolls the same rounds as MATERIALIZED CTEs —
+    zero-init, fixed lr, rational link make the replay exact, with
+    ROUND(6) absorbing cross-engine summation-order ulp."""
+    from ..functions.cache import scoped_persist
+    from ..functions.texts import normalize, tokens
+    from ..operators.regression import logreg_fit, logreg_predict
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    feats = scoped_persist(
+        docs.select(
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            (F.col("n_chars") / 300.0).alias("x1"),
+            (F.size(tokens(normalize("text"))) / 50.0).alias("x2"),
+        )
+    )
+    w = logreg_fit(
+        feats,
+        label_col="y",
+        feature_cols=["x1", "x2"],
+        iterations=_LOGREG_ITER,
+        lr=_LOGREG_LR,
+    )
+    p = logreg_predict(feats, w, ["x1", "x2"])
+    return feats.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.lit(w[0]), 6).alias("w_bias"),
+        F.round(F.lit(w[1]), 6).alias("w_chars"),
+        F.round(F.lit(w[2]), 6).alias("w_tokens"),
+        F.round(F.avg(p), 6).alias("mean_pred"),
+        F.round(F.avg((p - F.col("y")) * (p - F.col("y"))), 6).alias("mse"),
+    )
+
+
+def _logreg_oracle_sql(iterations: int = _LOGREG_ITER, lr: float = _LOGREG_LR) -> str:
+    """Unrolled GD replay: round r scores f against w{r-1} (fast sigmoid),
+    averages the residual gradients, and steps to w{r}. MATERIALIZED
+    throughout — the chained-CTE exponential-inlining hazard."""
+    rounds = []
+    for r in range(1, iterations + 1):
+        rounds.append(
+            f"""g{r} AS MATERIALIZED (
+    SELECT AVG(p - y) AS g0, AVG((p - y) * x1) AS gx1, AVG((p - y) * x2) AS gx2
+    FROM (SELECT y, x1, x2, 0.5 * (1 + z / (1 + ABS(z))) AS p
+          FROM (SELECT f.y, f.x1, f.x2,
+                       w.b + w.wa * f.x1 + w.wb * f.x2 AS z
+                FROM f CROSS JOIN w{r - 1} w))
+), w{r} AS MATERIALIZED (
+    SELECT w.b - {lr!r} * g.g0 AS b,
+           w.wa - {lr!r} * g.gx1 AS wa,
+           w.wb - {lr!r} * g.gx2 AS wb
+    FROM w{r - 1} w CROSS JOIN g{r} g
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH f AS MATERIALIZED (
+    SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           n_chars / 300.0 AS x1,
+           LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '))
+               / 50.0 AS x2
+    FROM documents
+),
+w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS wa, CAST(0 AS DOUBLE) AS wb),
+{chain},
+scored AS (
+    SELECT f.y, w.b, w.wa, w.wb,
+           0.5 * (1 + (w.b + w.wa * f.x1 + w.wb * f.x2)
+                  / (1 + ABS(w.b + w.wa * f.x1 + w.wb * f.x2))) AS p
+    FROM f CROSS JOIN w{iterations} w
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(b, 6) AS w_bias,
+       ROUND(wa, 6) AS w_chars,
+       ROUND(wb, 6) AS w_tokens,
+       ROUND(AVG(p), 6) AS mean_pred,
+       ROUND(AVG((p - y) * (p - y)), 6) AS mse
+FROM scored
+GROUP BY b, wa, wb
+"""
+
+
+LOGREG_ORACLE = _logreg_oracle_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings, KMEANS_ORACLE),
     "sim_ivf_kmeans_topk": QuerySpec(sim_ivf_kmeans_topk, IVF_KMEANS_ORACLE),
@@ -651,4 +747,5 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "sim_ivfpq_adc_topk": QuerySpec(sim_ivfpq_adc_topk, IVFPQ_ADC_ORACLE, headline=True),
     "dedup_semantic": QuerySpec(dedup_semantic, SEMANTIC_DEDUP_ORACLE),
     "ml_ols_price_model": QuerySpec(ml_ols_price_model, OLS_ORACLE),
+    "ml_logreg_language": QuerySpec(ml_logreg_language, LOGREG_ORACLE),
 }

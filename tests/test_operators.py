@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_iceberg_jobs_spark.operators.aggs import top_k_by_agg
@@ -1175,3 +1176,80 @@ def test_sketch_operator_guards(spark):
         histogram_sketch(df, "k", "g", lo=0.0, hi=1.0, bins=0)
     with pytest.raises(ValueError, match="hi > lo"):
         histogram_sketch(df, "k", "g", lo=1.0, hi=1.0, bins=4)
+
+
+def test_repeated_ngram_spans_merges_islands_and_guards(spark):
+    from spark_iceberg_jobs_spark.operators.dedup import repeated_ngram_spans
+
+    # doc 1 and doc 2 share the run "a b c d" twice → every 3-gram window in
+    # the run duplicates; doc 3 is unique text → absent from the output
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z q r s"),
+            (2, "p q a b c d w"),
+            (3, "unique words only here nothing repeats ever at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_ngram_spans(docs, window=3, min_count=2).collect()
+    }
+    assert set(out) == {1, 2}
+    # doc 1: windows [a b c], [b c d] duplicate → merged island tokens 0..4
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 4
+    assert out[1]["n_tokens"] == 10
+    assert abs(out[1]["dup_frac"] - 0.4) < 1e-9
+    # doc 2: same island at offset 2
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 4
+
+    with pytest.raises(ValueError, match="window"):
+        repeated_ngram_spans(docs, window=1)
+    with pytest.raises(ValueError, match="min_count"):
+        repeated_ngram_spans(docs, min_count=1)
+
+
+def test_repeated_ngram_spans_counts_within_doc_repeats(spark):
+    from spark_iceberg_jobs_spark.operators.dedup import repeated_ngram_spans
+
+    # the 2-gram "a b" occurs twice WITHIN one doc → both spans flagged,
+    # non-adjacent so they stay separate islands
+    docs = spark.createDataFrame(
+        [(7, "a b x y z a b")], "doc_id long, text string"
+    )
+    [row] = repeated_ngram_spans(docs, window=2, min_count=2).collect()
+    assert row["n_dup_spans"] == 2 and row["dup_tokens"] == 4
+    assert row["n_tokens"] == 7
+
+
+def test_logreg_fit_learns_separable_labels(spark):
+    from spark_iceberg_jobs_spark.operators.regression import (
+        fast_sigmoid,
+        logreg_fit,
+        logreg_predict,
+    )
+
+    # y = 1 iff x > 0, well-separated → GD must find a positive slope and
+    # classify the training set perfectly at the 0.5 threshold
+    rows = [(1.0 if i >= 0 else 0.0, float(i)) for i in range(-20, 20) if i != 0]
+    feats = spark.createDataFrame(rows, "y double, x double")
+    w = logreg_fit(feats, label_col="y", feature_cols=["x"], iterations=20, lr=2.0)
+    assert w[1] > 0.0
+    p = logreg_predict(feats, w, ["x"])
+    miss = feats.select(
+        ((p >= 0.5).cast("int") != F.col("y").cast("int")).cast("int").alias("m")
+    ).agg(F.sum("m")).collect()[0][0]
+    assert miss == 0
+
+    with pytest.raises(ValueError, match="iterations"):
+        logreg_fit(feats, label_col="y", feature_cols=["x"], iterations=-1)
+    with pytest.raises(ValueError, match="feature"):
+        logreg_fit(feats, label_col="y", feature_cols=[])
+
+    # the rational link is bounded and centered
+    probe = spark.range(1).select(
+        fast_sigmoid(F.lit(0.0)).alias("mid"),
+        fast_sigmoid(F.lit(1e9)).alias("hi"),
+        fast_sigmoid(F.lit(-1e9)).alias("lo"),
+    ).collect()[0]
+    assert probe["mid"] == 0.5 and 0.999 < probe["hi"] < 1.0 and 0.0 < probe["lo"] < 0.001
