@@ -764,3 +764,70 @@ def repeated_ngram_spans(
             F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias("dup_frac"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    *,
+    threshold: float = 0.3,
+    max_term_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted near-duplicate pairs by TF-IDF cosine — the sparse
+    inverted-index similarity join (AllPairs-family) that complements the
+    set-based Jaccard/MinHash tier: repeated terms count, and rare terms
+    dominate the score.
+
+    Per doc: tf(term), idf = ln(N / df) (terms in every doc score 0 and
+    drop out), L2-normalized weights. Pairs form ONLY through the inverted
+    index (self-join on term), so cost is Sigma_term df^2 — the same
+    candidate shape as ``ngram_jaccard_pairs``, with ``max_term_df``
+    bounding the hot-term worst case (at corpus scale the cap is also the
+    prefix-filter: high-df terms carry near-zero idf weight, so dropping
+    them from CANDIDATE GENERATION loses almost nothing while removing the
+    quadratic heads). Dot products of unit vectors need no per-pair norm
+    join. cos >= threshold on the RAW value; reported rounded to 4.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tf = (
+        documents.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(normalize(text_col))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = scoped_persist(tf)
+    n_docs = documents.select(F.count("*").alias("n")).withColumnRenamed("n", "n_docs")
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_term_df is not None:
+        df_tbl = df_tbl.filter(F.col("df") <= max_term_df)
+    weighted = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    unit = scoped_persist(
+        weighted.join(norms, "doc_id")
+        .filter(F.col("norm") > 0)
+        .select("doc_id", "term", (F.col("w") / F.col("norm")).alias("u"))
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.u") * F.col("b.u")).alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("doc_a", "doc_b", F.round("_cos", 4).alias("cos_sim"))
+    )

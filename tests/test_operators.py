@@ -1253,3 +1253,26 @@ def test_logreg_fit_learns_separable_labels(spark):
         fast_sigmoid(F.lit(-1e9)).alias("lo"),
     ).collect()[0]
     assert probe["mid"] == 0.5 and 0.999 < probe["hi"] < 1.0 and 0.0 < probe["lo"] < 0.001
+
+
+def test_tfidf_cosine_pairs_weights_and_cap(spark):
+    from spark_iceberg_jobs_spark.operators.dedup import tfidf_cosine_pairs
+
+    # docs 1/2 are identical → cos == 1.0; doc 3 shares only the ubiquitous
+    # term "the", whose idf = ln(3/3) = 0 → zero weight, no qualifying pair
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox jumps high"),
+            (2, "the quick fox jumps high"),
+            (3, "the slow turtle crawls low"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["cos_sim"]) for r in rows] == [(1, 2, 1.0)]
+
+    # the df cap drops every term shared by both near-dup docs → no pairs
+    assert tfidf_cosine_pairs(docs, threshold=0.5, max_term_df=1).count() == 0
+
+    with pytest.raises(ValueError, match="threshold"):
+        tfidf_cosine_pairs(docs, threshold=0.0)
