@@ -377,3 +377,32 @@ def bpe_apply(
         s = F.replace(s, F.lit(pair), F.lit(merged))
     toks = F.transform(F.split(s, " "), lambda t: F.replace(t, F.lit("|"), F.lit("")))
     return documents.withColumn(out_col, toks)
+
+
+def char_entropy(documents: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the classic
+    gibberish/repetition quality signal: natural prose sits near the
+    language's character entropy, while boilerplate, padding, and
+    degenerate generations collapse toward 0.
+
+    Computed from character counts with the numerically stable identity
+    H = ln(n) - (1/n) * Sigma c*ln(c) (no per-character division, and
+    every ln argument is an integer count — cross-engine reproducible to
+    rounding). One posexplode scan + a (doc, char)-keyed count + a
+    doc-keyed aggregate; at 100 TB the char explosion is the cost, so
+    production would sample long docs — here the fixture docs are short.
+    """
+    chars = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("distinct_chars"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy_nats"),
+    )

@@ -1171,7 +1171,72 @@ ORDER BY user_id
 """
 
 
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the drift watchdog EWMA can't
+    be: each (event_type, day, hour)'s event count is z-scored against the
+    SAME HOUR-OF-DAY's distribution for that type (the diurnal baseline),
+    surfacing the 20 most anomalous hours. Complements events_ewma_daily:
+    EWMA tracks level drift, the seasonal z-score catches
+    wrong-for-this-hour spikes a moving average smooths over.
+
+    Scale: one data-sized aggregation to hourly counts, then windows over
+    |types| x |days| x 24 rows — the rollup IS the reduction. Ranking uses
+    the ROUNDED z (4 dp) with full key tie-break, so the cross-engine
+    order is exact despite stddev's summation-order ulp."""
+    ev = read_fixture(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) DIV 86400").alias("day_num"),
+        F.expr("unix_timestamp(ts) DIV 3600 % 24").alias("hour_of_day"),
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type", "hour_of_day")
+    scored = (
+        hourly.withColumn("slot_mean", F.avg("n_events").over(w))
+        .withColumn("slot_std", F.stddev_pop("n_events").over(w))
+        .filter(F.col("slot_std") > 0)
+        .select(
+            "event_type",
+            "day_num",
+            "hour_of_day",
+            "n_events",
+            F.round("slot_mean", 4).alias("slot_mean"),
+            F.round(
+                (F.col("n_events") - F.col("slot_mean")) / F.col("slot_std"), 4
+            ).alias("z"),
+        )
+    )
+    return scored.orderBy(
+        F.desc(F.abs(F.col("z"))), "event_type", "day_num", "hour_of_day"
+    ).limit(20)
+
+
+HOURLY_ANOMALY_ORACLE = """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS day_num,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 3600 % 24 AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+), scored AS (
+    SELECT event_type, day_num, hour_of_day, n_events,
+           ROUND(AVG(n_events) OVER (PARTITION BY event_type, hour_of_day), 4)
+               AS slot_mean,
+           AVG(n_events) OVER (PARTITION BY event_type, hour_of_day) AS _mean,
+           STDDEV_POP(n_events) OVER (PARTITION BY event_type, hour_of_day) AS _std
+    FROM hourly
+)
+SELECT event_type, day_num, hour_of_day, n_events, slot_mean,
+       ROUND((n_events - _mean) / _std, 4) AS z
+FROM scored
+WHERE _std > 0
+ORDER BY ABS(ROUND((n_events - _mean) / _std, 4)) DESC, event_type, day_num, hour_of_day
+LIMIT 20
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "events_hourly_anomalies": QuerySpec(events_hourly_anomalies, HOURLY_ANOMALY_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),

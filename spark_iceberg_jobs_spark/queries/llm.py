@@ -2674,6 +2674,39 @@ ORDER BY m.doc_id
 """
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 lowest-character-entropy documents (operators/text
+    .char_entropy) — the gibberish/boilerplate screen of a quality
+    pipeline. Ranked on the ROUNDED entropy with doc_id tie-break so the
+    cross-engine ordering is exact; low entropy here flags the repetitive
+    planted duplicates' degenerate cousins."""
+    from ..operators.text import char_entropy
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    ent = char_entropy(docs)
+    return ent.orderBy("entropy_nats", "doc_id").limit(20)
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+    SELECT doc_id, SUBSTR(text, CAST(i AS INT), 1) AS ch
+    FROM documents, UNNEST(RANGE(1, LEN(text) + 1)) AS t(i)
+), counts AS (
+    SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+), ent AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+           ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy_nats
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars, distinct_chars, entropy_nats
+FROM ent
+ORDER BY entropy_nats, doc_id
+LIMIT 20
+"""
+
+
 def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted near-duplicate pairs by TF-IDF cosine
     (operators/dedup.tfidf_cosine_pairs): term frequencies x ln(N/df)
@@ -2723,6 +2756,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         dedup_repeated_substrings, REPEATED_SUBSTR_ORACLE
     ),
     "dedup_tfidf_cosine": QuerySpec(dedup_tfidf_cosine, TFIDF_COSINE_ORACLE),
+    "text_char_entropy": QuerySpec(text_char_entropy, CHAR_ENTROPY_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
