@@ -568,3 +568,52 @@ def test_parquet_aggregate_pushdown_under_dsv2(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_pd)
+
+
+def test_repeated_ngram_spans_plan_shape(spark, sf_dir):
+    """The ExactSubstr pass must pair grams through the hash census equi
+    join — never a cartesian — and both the gram-formation and island
+    windows must be doc-partitioned (no global window over the corpus)."""
+    from spark_iceberg_jobs_spark.operators.dedup import repeated_ngram_spans
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    plan = formatted_plan(repeated_ngram_spans(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line, f"unpartitioned window: {line}"
+
+
+def test_tfidf_cosine_plan_broadcasts_only_corpus_size(spark, sf_dir):
+    """The sparse similarity join pairs docs ONLY through the term-keyed
+    inverted-index equi join; the single nested-loop product allowed is
+    the broadcast of the one-row corpus-size aggregate."""
+    from spark_iceberg_jobs_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    plan = formatted_plan(tfidf_cosine_pairs(docs, threshold=0.9))
+    assert "CartesianProduct" not in plan, plan
+    # the n_docs broadcast is a BNLJ of a ONE-ROW aggregate; it prints twice
+    # because the weighted subtree feeds both norms and unit — anything
+    # beyond those two would be an accidental all-pairs product
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # the doc-pair join itself must be the term-keyed equi join
+    assert "doc_id" in plan and "Join condition: (doc_id" in plan, plan
+
+
+def test_logreg_round_is_scan_plus_aggregate(spark):
+    """Each GD round embeds the weights as literals: the per-round plan
+    must be scan → partial/final HashAggregate with no join, no window,
+    no exchange beyond the single one-row gradient funnel."""
+    from spark_iceberg_jobs_spark.operators.regression import fast_sigmoid
+
+    feats = spark.createDataFrame(
+        [(1.0, 0.5), (0.0, -0.5)], "y double, x double"
+    )
+    resid = fast_sigmoid(F.lit(0.1) + F.lit(0.2) * F.col("x")) - F.col("y")
+    round_df = feats.agg(F.avg(resid).alias("g0"), F.avg(resid * F.col("x")).alias("g1"))
+    plan = formatted_plan(round_df)
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
