@@ -799,18 +799,17 @@ def tfidf_cosine_pairs(
         .agg(F.count("*").alias("tf"))
     )
     tf = scoped_persist(tf)
-    n_docs = documents.select(F.count("*").alias("n")).withColumnRenamed("n", "n_docs")
+    # driver-resident corpus size (the kmeans literal-parameters pattern):
+    # one count action — parquet footer-stats cheap — keeps the per-term
+    # idf a pure projection instead of a one-row broadcast nested loop
+    n_docs = documents.count()
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     if max_term_df is not None:
         df_tbl = df_tbl.filter(F.col("df") <= max_term_df)
-    weighted = (
-        tf.join(df_tbl, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
-        )
+    weighted = tf.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")

@@ -594,12 +594,11 @@ def test_tfidf_cosine_plan_broadcasts_only_corpus_size(spark, sf_dir):
     docs = read_fixture(spark, sf_dir, "documents")
     plan = formatted_plan(tfidf_cosine_pairs(docs, threshold=0.9))
     assert "CartesianProduct" not in plan, plan
-    # the n_docs broadcast is a BNLJ of a ONE-ROW aggregate; it prints twice
-    # because the weighted subtree feeds both norms and unit — anything
-    # beyond those two would be an accidental all-pairs product
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
-    # the doc-pair join itself must be the term-keyed equi join
-    assert "doc_id" in plan and "Join condition: (doc_id" in plan, plan
+    # n_docs is driver-resident (one footer-stats count), so NO nested-loop
+    # product of any kind survives — every join is hash/merge equi
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the doc-pair join itself must be the term-keyed equi self-join
+    assert "Join condition: (doc_id" in plan, plan
 
 
 def test_logreg_round_is_scan_plus_aggregate(spark):
