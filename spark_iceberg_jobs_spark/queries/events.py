@@ -1235,8 +1235,51 @@ LIMIT 20
 """
 
 
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 10 most common 3-step event-type
+    sequences across all users (consecutive events in each user's
+    timeline) — the funnel-discovery complement to events_funnel's fixed
+    funnel. One user-partitioned window (two leads share the sort), a
+    path-keyed count, and a TakeOrderedAndProject top-10 with full
+    lexicographic tie-break."""
+    ev = read_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").alias("n_paths"))
+    )
+    return paths.orderBy(
+        F.desc("n_paths"), "step1", "step2", "step3"
+    ).limit(10)
+
+
+TOP_PATHS_ORACLE = """
+WITH seq AS (
+    SELECT event_type AS step1,
+           LEAD(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY DATE_TRUNC('microsecond', ts), event_id) AS step2,
+           LEAD(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY DATE_TRUNC('microsecond', ts), event_id) AS step3
+    FROM events
+)
+SELECT step1, step2, step3, COUNT(*) AS n_paths
+FROM seq
+WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT 10
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_hourly_anomalies": QuerySpec(events_hourly_anomalies, HOURLY_ANOMALY_ORACLE),
+    "events_top_paths": QuerySpec(events_top_paths, TOP_PATHS_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),

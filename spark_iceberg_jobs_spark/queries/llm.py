@@ -2707,6 +2707,212 @@ LIMIT 20
 """
 
 
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents must
+    never straddle the train/eval boundary (they leak test answers into
+    training), so the split key is the doc's DUP-CLUSTER id (connected
+    components over Jaccard>=0.5 pairs; singletons key by their own id)
+    rather than the doc id. The assignment stays a pure md5 function of
+    the group key, so straddling is impossible BY CONSTRUCTION — the
+    whole cluster moves as one unit — and the oracle recomputes the
+    identical membership (transitive closure + the same hash
+    thresholds). Scale: clustering is the already-verified pointer-jump
+    machinery; the split itself adds zero shuffles beyond one
+    left join against the (small) cluster map."""
+    from ..operators.dedup import connected_dup_clusters, ngram_jaccard_pairs
+    from ..operators.splits import assign_split
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    clusters = connected_dup_clusters(ngram_jaccard_pairs(docs, threshold=0.5))
+    keyed = docs.join(clusters, "doc_id", "left_outer").withColumn(
+        "group_key", F.coalesce(F.col("cluster"), F.col("doc_id"))
+    )
+    split = assign_split(
+        keyed,
+        key_col="group_key",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="leakfree",
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("group_key").alias("n_groups"),
+            F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+        )
+        .orderBy("split")
+    )
+
+
+def _leakage_safe_oracle_sql() -> str:
+    from ..operators.splits import _hex_threshold
+
+    t_train = _hex_threshold(0.8)
+    t_val = _hex_threshold(0.9)
+    return f"""
+WITH RECURSIVE pairs AS (
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), commons AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b FROM commons
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), clusters AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+    FROM reach GROUP BY src
+), keyed AS (
+    SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS group_key
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+), assigned AS (
+    SELECT doc_id, group_key,
+           CASE WHEN SUBSTR(MD5('leakfree:' || CAST(group_key AS VARCHAR)), 1, 8) < '{t_train}'
+                THEN 'train'
+                WHEN SUBSTR(MD5('leakfree:' || CAST(group_key AS VARCHAR)), 1, 8) < '{t_val}'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+LEAKAGE_SAFE_ORACLE = _leakage_safe_oracle_sql()
+
+
+def text_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-value estimation by n-gram novelty: a document's novelty is the
+    fraction of its distinct 3-gram shingles whose FIRST corpus occurrence
+    (minimum doc_id) is the document itself — near-duplicates of earlier
+    docs score ~0, fresh content ~1. Aggregated per source, this ranks
+    feeds by how much genuinely new text they contribute, the curation
+    signal behind dedup-aware source weighting. Scale: one shingle census
+    shuffle (min-doc_id partial-aggregates map-side), one join back, two
+    small aggregates — no pairwise work at all."""
+    from ..functions.cache import scoped_persist
+    from ..operators.dedup import _distinct_shingles
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    sh = scoped_persist(_distinct_shingles(docs, n=3))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_shingles"))
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_novel").cast("long").alias("novel_shingles"),
+            F.sum("n_shingles").cast("long").alias("total_shingles"),
+            F.round(F.avg("novelty"), 4).alias("avg_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+NOVELTY_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+), first AS (
+    SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+), per_doc AS (
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+    FROM sh JOIN first f ON sh.shingle = f.shingle
+    GROUP BY sh.doc_id
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(p.n_novel) AS BIGINT) AS novel_shingles,
+       CAST(SUM(p.n_shingles) AS BIGINT) AS total_shingles,
+       ROUND(AVG(CAST(p.n_novel AS DOUBLE) / p.n_shingles), 4) AS avg_novelty
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: per-dimension mean, variance, and
+    range over the whole corpus — the screen for collapsed dimensions
+    (variance ~ 0 wastes capacity and breaks whitening) and runaway scale
+    drift between model versions. One posexplode scan + a |dims|-group
+    aggregate; the variance uses the explicit E[x^2]-E[x]^2 form so the
+    oracle replays the identical arithmetic (engine-native VAR_POP
+    implementations differ algorithmically)."""
+    from ..functions.vectors import as_double
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(as_double("embedding")).alias("pos", "val")
+    ).select((F.col("pos") + 1).alias("dim"), "val")
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.avg(F.col("val") * F.col("val")) - F.avg("val") * F.avg("val"), 6).alias(
+                "var_val"
+            ),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMBEDDING_DIM_STATS_ORACLE = """
+WITH ex AS (
+    SELECT GENERATE_SUBSCRIPTS(CAST(embedding AS DOUBLE[]), 1) AS dim,
+           UNNEST(CAST(embedding AS DOUBLE[])) AS val
+    FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(val), 6) AS mean_val,
+       ROUND(AVG(val * val) - AVG(val) * AVG(val), 6) AS var_val,
+       ROUND(MIN(val), 6) AS min_val,
+       ROUND(MAX(val), 6) AS max_val
+FROM ex
+GROUP BY dim
+ORDER BY dim
+"""
+
+
 def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted near-duplicate pairs by TF-IDF cosine
     (operators/dedup.tfidf_cosine_pairs): term frequencies x ln(N/df)
@@ -2757,6 +2963,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_tfidf_cosine": QuerySpec(dedup_tfidf_cosine, TFIDF_COSINE_ORACLE),
     "text_char_entropy": QuerySpec(text_char_entropy, CHAR_ENTROPY_ORACLE),
+    "split_leakage_safe": QuerySpec(split_leakage_safe, LEAKAGE_SAFE_ORACLE),
+    "text_novelty_by_source": QuerySpec(text_novelty_by_source, NOVELTY_ORACLE),
+    "embedding_dim_stats": QuerySpec(embedding_dim_stats, EMBEDDING_DIM_STATS_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
