@@ -217,6 +217,26 @@ def probes():
             "spark_iceberg_jobs_spark.operators.aggs", fromlist=["hll_registers"]
         ).hll_registers(_docs(s, d), "doc_id", "lang"),
         "kmv_overlap": _kmv_probe,
+        # fixed-window ExactSubstr pass: gram census shuffle is linear in
+        # token volume; hot grams collapse to count rows (partial aggs)
+        "repeated_substrings": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.operators.dedup", fromlist=["repeated_ngram_spans"]
+        ).repeated_ngram_spans(_docs(s, d), window=10),
+        # inverted-index sparse cosine join: pair work is Sigma_term df^2,
+        # so the df cap IS the scale control (high-df terms carry ~zero idf
+        # weight — dropping them from candidate generation is the prefix
+        # filter); uncapped on this tiny-vocab corpus it would go quadratic
+        # by construction
+        "tfidf_cosine": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.operators.dedup", fromlist=["tfidf_cosine_pairs"]
+        ).tfidf_cosine_pairs(_docs(s, d), threshold=0.9, max_term_df=256),
+        # per-char explode + (doc, char) count: linear in corpus bytes
+        "char_entropy": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.operators.text", fromlist=["char_entropy"]
+        ).char_entropy(_docs(s, d)),
+        # 3 GD rounds: each is one scan + a 3-double exchange — expected
+        # linear with size-invariant round overhead
+        "logreg_fit": _logreg_probe,
     }
 
 
@@ -243,6 +263,20 @@ def _semdedup_probe(s, d):
     emb = s.read.parquet(f"{d}/embeddings.parquet")
     cents = kmeans_fit(emb, k=8, iterations=1)
     return semantic_dedup(emb, cents, threshold=0.42, max_cell_rows=2048)
+
+
+def _logreg_probe(s, d):
+    from spark_iceberg_jobs_spark.functions.texts import normalize, tokens
+    from spark_iceberg_jobs_spark.operators.regression import logreg_fit, logreg_predict
+
+    docs = s.read.parquet(f"{d}/documents.parquet")
+    feats = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / 300.0).alias("x1"),
+        (F.size(tokens(normalize("text"))) / 50.0).alias("x2"),
+    )
+    w = logreg_fit(feats, label_col="y", feature_cols=["x1", "x2"], iterations=3)
+    return feats.agg(F.avg(logreg_predict(feats, w, ["x1", "x2"])).alias("mean_pred"))
 
 
 def _kmv_probe(s, d):
