@@ -1277,9 +1277,69 @@ LIMIT 10
 """
 
 
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — the product-analytics staple: per day,
+    active users, NEW users (first-ever activity), returning users, and
+    the cumulative registered-user curve. One distinct pass + a per-user
+    min (both partial-aggregated), then windows over one row per day.
+    Scale: the only data-sized shuffles are the (user, day) distinct and
+    the per-user first-day min; everything after runs on |days| rows."""
+    ev = read_fixture(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    activity = ev.select("user_id", day.alias("day_num")).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("day_num").alias("first_day"))
+    daily = (
+        activity.join(firsts, "user_id")
+        .groupBy("day_num")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day_num"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+        .withColumn("n_returning", F.col("n_active") - F.col("n_new"))
+    )
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("cumulative_users", F.sum("n_new").over(w))
+        .select(
+            "day_num",
+            "n_active",
+            "n_new",
+            "n_returning",
+            F.col("cumulative_users").cast("long").alias("cumulative_users"),
+        )
+        .orderBy("day_num")
+    )
+
+
+GROWTH_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS day_num
+    FROM events
+), firsts AS (
+    SELECT user_id, MIN(day_num) AS first_day FROM activity GROUP BY user_id
+), daily AS (
+    SELECT a.day_num,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN f.first_day = a.day_num THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY a.day_num
+)
+SELECT day_num, n_active, n_new,
+       n_active - n_new AS n_returning,
+       CAST(SUM(n_new) OVER (ORDER BY day_num ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumulative_users
+FROM daily
+ORDER BY day_num
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_hourly_anomalies": QuerySpec(events_hourly_anomalies, HOURLY_ANOMALY_ORACLE),
     "events_top_paths": QuerySpec(events_top_paths, TOP_PATHS_ORACLE),
+    "events_growth_accounting": QuerySpec(events_growth_accounting, GROWTH_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),

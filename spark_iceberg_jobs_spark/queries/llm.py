@@ -2913,6 +2913,102 @@ ORDER BY dim
 """
 
 
+_HEAPS_BUCKET = 50
+
+
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of 3-GRAM vocabulary growth: V(n) ~ K·n^beta,
+    estimated as the OLS slope of ln(cumulative distinct 3-grams) ~
+    ln(cumulative tokens) over doc-id-ordered corpus prefixes — the
+    companion sanity statistic to text_zipf_slope (sub-linear growth is
+    the signature of natural combinatorial text; a templated corpus
+    saturates, a random one grows linearly). The n-GRAM vocabulary is
+    the right unit here: this synthetic corpus's UNIGRAM vocabulary is
+    closed (~31 terms, saturated within the first bucket — a degenerate
+    flat line), while its shingle space keeps growing like real text.
+    Prefixes are taken at BUCKET granularity (doc_id // 50): token totals
+    and first-occurrence counts aggregate per bucket (the only data-sized
+    shuffles), so the running sums and the regression run over |buckets|
+    rows, never per doc — the same at-scale shape whether the corpus is
+    500 docs or 50 billion (pick the bucket width to taste)."""
+    from pyspark.sql import Window
+
+    from ..functions.texts import tokens
+    from ..operators.dedup import _distinct_shingles
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("term")
+    )
+    bucket = (F.col("doc_id") / _HEAPS_BUCKET).cast("long")
+    tok_per_bucket = toks.groupBy(bucket.alias("b")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    first_bucket = _distinct_shingles(docs, n=3).groupBy("shingle").agg(
+        (F.min("doc_id") / _HEAPS_BUCKET).cast("long").alias("b")
+    )
+    vocab_per_bucket = first_bucket.groupBy("b").agg(F.count("*").alias("n_new_terms"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        tok_per_bucket.join(vocab_per_bucket, "b", "left_outer")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "cum_vocab", F.sum(F.coalesce(F.col("n_new_terms"), F.lit(0))).over(w)
+        )
+        .select(F.log("cum_tokens").alias("x"), F.log("cum_vocab").alias("y"))
+    )
+    m = pts.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    c = pts.crossJoin(F.broadcast(m))
+    stats = c.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my"))).alias("sxy"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias("sxx"),
+        F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))).alias("syy"),
+    )
+    b1 = F.col("sxy") / F.col("sxx")
+    return stats.select(
+        "n_points",
+        F.round(b1, 4).alias("heaps_beta"),
+        F.round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 4).alias(
+            "r2"
+        ),
+    )
+
+
+HEAPS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+), tok_per_bucket AS (
+    SELECT doc_id // {_HEAPS_BUCKET} AS b, COUNT(*) AS n_tokens
+    FROM toks GROUP BY 1
+), sh AS (
+    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+), first_bucket AS (
+    SELECT shingle, MIN(doc_id) // {_HEAPS_BUCKET} AS b FROM sh GROUP BY shingle
+), vocab_per_bucket AS (
+    SELECT b, COUNT(*) AS n_new_terms FROM first_bucket GROUP BY b
+), pts AS (
+    SELECT LN(SUM(t.n_tokens) OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING)) AS x,
+           LN(SUM(COALESCE(v.n_new_terms, 0)) OVER (ORDER BY t.b ROWS UNBOUNDED PRECEDING)) AS y
+    FROM tok_per_bucket t LEFT JOIN vocab_per_bucket v ON t.b = v.b
+), m AS (
+    SELECT AVG(x) AS mx, AVG(y) AS my FROM pts
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           SUM((x - mx) * (y - my)) AS sxy,
+           SUM((x - mx) * (x - mx)) AS sxx,
+           SUM((y - my) * (y - my)) AS syy
+    FROM pts, m
+)
+SELECT n_points,
+       ROUND(sxy / sxx, 4) AS heaps_beta,
+       ROUND((sxy * sxy) / (sxx * syy), 4) AS r2
+FROM stats
+"""
+
+
 def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted near-duplicate pairs by TF-IDF cosine
     (operators/dedup.tfidf_cosine_pairs): term frequencies x ln(N/df)
@@ -2966,6 +3062,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "split_leakage_safe": QuerySpec(split_leakage_safe, LEAKAGE_SAFE_ORACLE),
     "text_novelty_by_source": QuerySpec(text_novelty_by_source, NOVELTY_ORACLE),
     "embedding_dim_stats": QuerySpec(embedding_dim_stats, EMBEDDING_DIM_STATS_ORACLE),
+    "text_heaps_law": QuerySpec(text_heaps_law, HEAPS_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
