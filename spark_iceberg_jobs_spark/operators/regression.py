@@ -56,6 +56,8 @@ def logreg_fit(
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     if not feature_cols:
         raise ValueError("need at least one feature column")
+    if lr <= 0.0:
+        raise ValueError(f"lr must be > 0, got {lr}")
     d = len(feature_cols)
     w = [0.0] * (d + 1)  # [bias, w_1, ..., w_d]
     for _ in range(iterations):

@@ -392,8 +392,12 @@ def char_entropy(documents: DataFrame, *, id_col: str = "doc_id", text_col: str 
     doc-keyed aggregate; at 100 TB the char explosion is the cost, so
     production would sample long docs — here the fixture docs are short.
     """
-    chars = documents.select(
+    chars = documents.filter(F.length(text_col) > 0).select(
         F.col(id_col).alias("doc_id"),
+        # the length guard is load-bearing: Spark's sequence(1, 0) yields
+        # the DESCENDING [1, 0] (not empty), which would fabricate phantom
+        # ''-characters for empty docs; zero-length docs have no defined
+        # entropy and are dropped (matching the oracle's empty RANGE)
         F.explode(
             F.expr(f"transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1))")
         ).alias("ch"),

@@ -1276,3 +1276,26 @@ def test_tfidf_cosine_pairs_weights_and_cap(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         tfidf_cosine_pairs(docs, threshold=0.0)
+
+
+def test_char_entropy_handles_empty_and_uniform_docs(spark):
+    from spark_iceberg_jobs_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    # empty doc dropped (Spark sequence(1,0) is DESCENDING — the guard
+    # prevents a phantom '' character)
+    assert set(rows) == {1, 2}
+    assert rows[1]["entropy_nats"] == 0.0 and rows[1]["distinct_chars"] == 1
+    # two equiprobable symbols → ln 2
+    import math
+
+    assert abs(rows[2]["entropy_nats"] - round(math.log(2), 6)) < 1e-9
+
+    from spark_iceberg_jobs_spark.operators.regression import logreg_fit
+
+    feats = spark.createDataFrame([(1.0, 1.0)], "y double, x double")
+    with pytest.raises(ValueError, match="lr"):
+        logreg_fit(feats, label_col="y", feature_cols=["x"], lr=0.0)
