@@ -1336,10 +1336,83 @@ ORDER BY day_num
 """
 
 
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between event types: for every type pair,
+    the user co-occurrence count and the LIFT
+    P(both) / (P(a)·P(b)) — "users who do X also do Y", the association
+    measure behind cross-sell and feature-adoption analyses. The
+    per-user distinct pass collapses the corpus first; the pair
+    self-join then runs over |users| × |types-per-user| rows with a
+    |types|²-row output — the reduction comes before the quadratic step,
+    never after. Lift > 1 = positive association."""
+    from ..functions.cache import scoped_persist
+
+    ev = read_fixture(spark, sf_dir, "events")
+    du = scoped_persist(ev.select("user_id", "event_type").distinct())
+    n_users = ev.select("user_id").distinct().count()
+    per_type = du.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    both = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(per_type.withColumnRenamed("event_type", "type_a")), "type_a"
+        )
+        .withColumnRenamed("n_type", "n_a")
+        .join(
+            F.broadcast(per_type.withColumnRenamed("event_type", "type_b")), "type_b"
+        )
+        .withColumnRenamed("n_type", "n_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.lit(float(n_users)))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+AFFINITY_ORACLE = """
+WITH du AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM events
+), per_type AS (
+    SELECT event_type, COUNT(*) AS n_type FROM du GROUP BY event_type
+), co AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+    FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       ROUND(n_both * n.n_users / (pa.n_type * pb.n_type), 4) AS lift
+FROM co
+JOIN per_type pa ON co.type_a = pa.event_type
+JOIN per_type pb ON co.type_b = pb.event_type
+CROSS JOIN n
+ORDER BY type_a, type_b
+"""
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_hourly_anomalies": QuerySpec(events_hourly_anomalies, HOURLY_ANOMALY_ORACLE),
     "events_top_paths": QuerySpec(events_top_paths, TOP_PATHS_ORACLE),
     "events_growth_accounting": QuerySpec(events_growth_accounting, GROWTH_ORACLE),
+    "events_type_affinity": QuerySpec(events_type_affinity, AFFINITY_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),

@@ -3055,7 +3055,7 @@ ORDER BY doc_a, doc_b
 
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "dedup_repeated_substrings": QuerySpec(
-        dedup_repeated_substrings, REPEATED_SUBSTR_ORACLE
+        dedup_repeated_substrings, REPEATED_SUBSTR_ORACLE, headline=True
     ),
     "dedup_tfidf_cosine": QuerySpec(dedup_tfidf_cosine, TFIDF_COSINE_ORACLE),
     "text_char_entropy": QuerySpec(text_char_entropy, CHAR_ENTROPY_ORACLE),
