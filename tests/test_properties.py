@@ -247,3 +247,67 @@ def test_bloom_positions_match_python_reference(spark, keys):
         for j in range(hashes):
             h = hashlib.md5(f"bf{j}:{r.s}".encode()).hexdigest()
             assert r[f"p{j}"] == int(h[:8], 16) % bits
+
+
+@SETTINGS
+@given(texts)
+def test_repeated_ngram_spans_matches_naive(spark, docs):
+    """The distributed ExactSubstr pass equals a naive single-process
+    reference: same affected docs, same merged duplicated-token counts;
+    dup_tokens never exceeds n_tokens."""
+    from spark_iceberg_jobs_spark.operators.dedup import repeated_ngram_spans
+
+    W = 2
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens, r.n_tokens)
+        for r in repeated_ngram_spans(df, window=W, min_count=2).collect()
+    }
+
+    # naive reference: census of all W-token windows, merged per doc
+    toks = {i: d.split() for i, d in enumerate(docs)}
+    census: dict[tuple, int] = {}
+    for ts in toks.values():
+        for j in range(len(ts) - W + 1):
+            g = tuple(ts[j : j + W])
+            census[g] = census.get(g, 0) + 1
+    want = {}
+    for i, ts in toks.items():
+        spans = [
+            (j, j + W)
+            for j in range(len(ts) - W + 1)
+            if census[tuple(ts[j : j + W])] >= 2
+        ]
+        if not spans:
+            continue
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        want[i] = (len(merged), sum(e - s for s, e in merged), len(ts))
+    assert got == want
+    for n_spans, dup, total in got.values():
+        assert 0 < dup <= total and n_spans >= 1
+
+
+@SETTINGS
+@given(texts)
+def test_tfidf_cosine_bounds_and_symmetry(spark, docs):
+    """TF-IDF cosine of unit vectors is bounded by 1 (+ float dust), every
+    pair is ordered doc_a < doc_b, and identical texts score exactly 1."""
+    from spark_iceberg_jobs_spark.operators.dedup import tfidf_cosine_pairs
+
+    # plant one exact duplicate pair
+    docs = list(docs) + [docs[0]]
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    rows = tfidf_cosine_pairs(df, threshold=0.01).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.cos_sim <= 1.0 + 1e-9
+    dup_pair = [r for r in rows if r.doc_a == 0 and r.doc_b == len(docs) - 1]
+    # the planted duplicate must be found unless doc 0's every term has
+    # idf 0 (i.e. appears in all docs) — then its weight vector is empty
+    if dup_pair:
+        assert dup_pair[0].cos_sim == 1.0
