@@ -1336,6 +1336,59 @@ ORDER BY day_num
 """
 
 
+def streaming_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending leaderboard: watermarked hourly counts per event
+    type accumulate in the stream (ranking is not streamable —
+    row_number needs the closed window), then the drained windows rank
+    top-3 per hour in one batch window pass. The standard two-phase
+    shape for 'trending now' over an unbounded source; bounded input ⇒
+    equals the batch hourly ranking, which is the oracle."""
+    from ..streaming.events_stream import run_available_now, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    counts = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    # complete mode: the watermark never closes the final ~2h of windows on
+    # a bounded drain, so append would drop them; complete emits the whole
+    # result table at termination
+    drained = run_available_now(
+        counts, query_name="trending_types_oracle", output_mode="complete"
+    )
+    rw = Window.partitionBy("window_start").orderBy(F.desc("n_events"), "event_type")
+    return (
+        drained.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    )
+
+
+TRENDING_ORACLE = """
+WITH hourly AS (
+    SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events,
+       CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                 ORDER BY n_events DESC, event_type) AS rnk
+    FROM hourly
+)
+WHERE rnk <= 3
+ORDER BY window_start, rnk
+"""
+
+
 def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity between event types: for every type pair,
     the user co-occurrence count and the LIFT
@@ -1413,6 +1466,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_top_paths": QuerySpec(events_top_paths, TOP_PATHS_ORACLE),
     "events_growth_accounting": QuerySpec(events_growth_accounting, GROWTH_ORACLE),
     "events_type_affinity": QuerySpec(events_type_affinity, AFFINITY_ORACLE),
+    "streaming_trending_types": QuerySpec(streaming_trending_types, TRENDING_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),

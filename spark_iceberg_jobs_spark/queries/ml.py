@@ -731,6 +731,75 @@ GROUP BY b, wa, wb
 LOGREG_ORACLE = _logreg_oracle_sql()
 
 
+def ml_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the fitted logistic model: predictions
+    binned into deciles, each bin reporting its mean predicted
+    probability against the empirical positive rate — the standard
+    calibration check before a learned quality filter gates real data.
+    Reuses the same fit (weights re-derived deterministically — zero
+    init, fixed rounds); the only additional work is one binned
+    aggregate over the scoring pass. Bin edges land on k/10; the rational
+    link's predictions are generic doubles, so edge collisions are
+    measure-zero (same contract as every threshold query here)."""
+    from ..functions.cache import scoped_persist
+    from ..functions.texts import normalize, tokens
+    from ..operators.regression import logreg_fit, logreg_predict
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    feats = scoped_persist(
+        docs.select(
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            (F.col("n_chars") / 300.0).alias("x1"),
+            (F.size(tokens(normalize("text"))) / 50.0).alias("x2"),
+        )
+    )
+    w = logreg_fit(
+        feats,
+        label_col="y",
+        feature_cols=["x1", "x2"],
+        iterations=_LOGREG_ITER,
+        lr=_LOGREG_LR,
+    )
+    p = logreg_predict(feats, w, ["x1", "x2"])
+    return (
+        feats.select(
+            F.least(F.floor(p * 10), F.lit(9)).cast("long").alias("bin"),
+            F.col("y"),
+            p.alias("p"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.avg("p"), 6).alias("mean_pred"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _logreg_calibration_oracle_sql(
+    iterations: int = _LOGREG_ITER, lr: float = _LOGREG_LR
+) -> str:
+    """The same unrolled chain as _logreg_oracle_sql, finishing in the
+    decile-binned calibration aggregate instead of the coefficient row."""
+    full = _logreg_oracle_sql(iterations, lr)
+    head, _, _ = full.partition("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,")
+    return (
+        head
+        + """SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(AVG(p), 6) AS mean_pred,
+       ROUND(AVG(y), 6) AS frac_pos
+FROM scored
+GROUP BY 1
+ORDER BY 1
+"""
+    )
+
+
+LOGREG_CALIBRATION_ORACLE = _logreg_calibration_oracle_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings, KMEANS_ORACLE),
     "sim_ivf_kmeans_topk": QuerySpec(sim_ivf_kmeans_topk, IVF_KMEANS_ORACLE),
@@ -748,4 +817,5 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "dedup_semantic": QuerySpec(dedup_semantic, SEMANTIC_DEDUP_ORACLE),
     "ml_ols_price_model": QuerySpec(ml_ols_price_model, OLS_ORACLE),
     "ml_logreg_language": QuerySpec(ml_logreg_language, LOGREG_ORACLE),
+    "ml_logreg_calibration": QuerySpec(ml_logreg_calibration, LOGREG_CALIBRATION_ORACLE),
 }
