@@ -2104,10 +2104,93 @@ ORDER BY o.o_orderpriority
 """
 
 
+def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-was) join against the SCD2 history — the
+    correctness test every warehouse dimension exists for: each line item
+    is attributed to the customer-priority version valid AT SHIP DATE
+    (ship happens after order; the priority may have changed in between),
+    never the current one. The half-open [valid_from, valid_to) intervals
+    are disjoint per customer by construction, so the range predicate
+    matches at most one version; same-day changes produce empty [d, d)
+    intervals that can never match. Revenue summed per as-was priority.
+
+    Scale: the history (one row per dimension change) is orders of
+    magnitude smaller than the fact and broadcasts; the fact side is one
+    scan + one custkey-keyed join — the same shape at 100 TB with a
+    date-partitioned incremental history."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    hist = scd2_customer_priority(spark, sf_dir).drop("is_current")
+    ship = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_custkey") <= 500).select("o_orderkey", "o_custkey"),
+            t["lineitem"].l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "o_custkey",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    j = ship.join(
+        F.broadcast(hist),
+        (ship.o_custkey == hist.o_custkey)
+        & (F.col("ship_date") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_date") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("rev"), 2).alias("as_was_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SCD2_PIT_ORACLE = """
+WITH feed AS (
+    SELECT o_custkey, o_orderpriority,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS valid_from, o_orderkey
+    FROM orders WHERE o_custkey <= 500
+), marked AS (
+    SELECT *, LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                  ORDER BY valid_from, o_orderkey) AS _prev
+    FROM feed
+), changes AS (
+    SELECT * FROM marked
+    WHERE _prev IS NULL OR _prev <> o_orderpriority
+), hist AS (
+    SELECT o_custkey, o_orderpriority, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey
+               ORDER BY valid_from, o_orderkey) AS valid_to
+    FROM changes
+), ship AS (
+    SELECT o.o_custkey,
+           STRFTIME(l.l_shipdate, '%Y-%m-%d') AS ship_date,
+           l.l_extendedprice * (1 - l.l_discount) AS rev
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey <= 500
+)
+SELECT h.o_orderpriority,
+       COUNT(*) AS n_items,
+       ROUND(SUM(s.rev), 2) AS as_was_revenue
+FROM ship s JOIN hist h
+  ON s.o_custkey = h.o_custkey
+ AND s.ship_date >= h.valid_from
+ AND (h.valid_to IS NULL OR s.ship_date < h.valid_to)
+GROUP BY h.o_orderpriority
+ORDER BY h.o_orderpriority
+"""
+
+
 #: Outside the driver window (only flagship_revenue_topk is pulled from this
 #: module into the curated head); verified by tools/verify_local.py.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "scd2_customer_priority": QuerySpec(scd2_customer_priority, SCD2_ORACLE),
+    "scd2_point_in_time_revenue": QuerySpec(
+        scd2_point_in_time_revenue, SCD2_PIT_ORACLE
+    ),
     "join_full_outer_nation_activity": QuerySpec(
         join_full_outer_nation_activity, FULL_OUTER_ORACLE
     ),

@@ -2707,6 +2707,62 @@ LIMIT 20
 """
 
 
+def dedup_source_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication flows: near-dup pairs (Jaccard >= 0.5)
+    bucketed by the UNORDERED source pair of their endpoints — the matrix
+    that tells a curation team which feeds mirror which (high off-diagonal
+    mass = syndication; high diagonal = a feed re-posting itself). One
+    broadcastable doc→source map joined onto the pair list; all the heavy
+    lifting is the already-verified pair machinery."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    sa = F.col("sa.source")
+    sb = F.col("sb.source")
+    return (
+        pairs.join(src.alias("sa"), pairs.doc_a == F.col("sa.doc_id"))
+        .join(src.alias("sb"), pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            F.least(sa, sb).alias("source_x"),
+            F.greatest(sa, sb).alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy("source_x", "source_y")
+    )
+
+
+SOURCE_FLOWS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), commons AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc_a, doc_b FROM commons
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
+)
+SELECT LEAST(da.source, db.source) AS source_x,
+       GREATEST(da.source, db.source) AS source_y,
+       COUNT(*) AS n_dup_pairs
+FROM pairs
+JOIN documents da ON pairs.doc_a = da.doc_id
+JOIN documents db ON pairs.doc_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-duplicate documents must
     never straddle the train/eval boundary (they leak test answers into
@@ -3063,6 +3119,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_novelty_by_source": QuerySpec(text_novelty_by_source, NOVELTY_ORACLE),
     "embedding_dim_stats": QuerySpec(embedding_dim_stats, EMBEDDING_DIM_STATS_ORACLE),
     "text_heaps_law": QuerySpec(text_heaps_law, HEAPS_ORACLE),
+    "dedup_source_flows": QuerySpec(dedup_source_flows, SOURCE_FLOWS_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
