@@ -1741,6 +1741,15 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer window is bounded by one entity's history, never the
     corpus. Output restricted to o_custkey <= 500 to keep the verify
     payload bounded."""
+    return _scd2_history(spark, sf_dir).orderBy(
+        "o_custkey", "valid_from", "o_orderpriority"
+    )
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 interval build WITHOUT the final presentation sort — join
+    consumers (the point-in-time query) must not inherit a useless global
+    rangepartitioning exchange below their join."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     feed = orders.filter(F.col("o_custkey") <= 500).select(
         "o_custkey",
@@ -1754,16 +1763,12 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("_prev").eqNullSafe(F.col("o_orderpriority")))
     )
     w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
-    return (
-        changes.withColumn("valid_to", F.lead("valid_from").over(w2))
-        .select(
-            "o_custkey",
-            "o_orderpriority",
-            "valid_from",
-            "valid_to",
-            F.col("valid_to").isNull().alias("is_current"),
-        )
-        .orderBy("o_custkey", "valid_from", "o_orderpriority")
+    return changes.withColumn("valid_to", F.lead("valid_from").over(w2)).select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
     )
 
 
@@ -2119,7 +2124,7 @@ def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + one custkey-keyed join — the same shape at 100 TB with a
     date-partitioned incremental history."""
     t = load_tables(spark, sf_dir, "orders", "lineitem")
-    hist = scd2_customer_priority(spark, sf_dir).drop("is_current")
+    hist = _scd2_history(spark, sf_dir).drop("is_current")
     ship = (
         t["lineitem"]
         .join(
