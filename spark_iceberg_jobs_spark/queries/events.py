@@ -1402,7 +1402,8 @@ def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_fixture(spark, sf_dir, "events")
     du = scoped_persist(ev.select("user_id", "event_type").distinct())
-    n_users = ev.select("user_id").distinct().count()
+    # count users off the cached distinct frame, not a second events scan
+    n_users = du.select("user_id").distinct().count()
     per_type = du.groupBy("event_type").agg(F.count("*").alias("n_type"))
     both = (
         du.alias("a")
