@@ -800,6 +800,84 @@ ORDER BY 1
 LOGREG_CALIBRATION_ORACLE = _logreg_calibration_oracle_sql()
 
 
+def sim_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class query: per-probe recall@5 of the
+    production k-means→IVF path (nprobe=3) against the exact brute-force
+    top-5 — the metric an ANN deployment monitors continuously, computed
+    in the SAME dataflow it measures. The oracle composes the existing
+    kmeans+IVF replay chain with a brute-force rank replay and joins the
+    two rankings; both sides' tie-breaks are deterministic, so the
+    intersection (and hence recall) is exact, not approximate."""
+    from ..operators.similarity import bruteforce_topk, centroids_df, ivf_topk
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_K, iterations=_ITERATIONS, dim=_DIM)
+    probes = emb.filter(F.col("vec_id") < 10)
+    ivf = ivf_topk(
+        emb, probes, k=5, nprobe=3, centroids=centroids_df(spark, cents)
+    ).select("probe_id", "neighbor_id")
+    brute = bruteforce_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    hits = brute.join(ivf, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        brute.groupBy("probe_id")
+        .agg(F.count("*").cast("long").alias("k"))
+        .join(hits, "probe_id", "left_outer")
+        .select(
+            "probe_id",
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4).alias(
+                "recall"
+            ),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _ann_recall_oracle_sql() -> str:
+    """IVF replay chain (everything before its final SELECT) + a brute
+    replay over the chain's shared `e` CTE, joined into per-probe recall."""
+    ivf_full = _ivf_kmeans_oracle_sql()
+    body, sep, _ = ivf_full.partition("SELECT probe_id, neighbor_id, rnk,")
+    assert sep, "IVF oracle final-select marker moved"
+    return (
+        body
+        + """, ivf AS (
+    SELECT probe_id, neighbor_id FROM ranked WHERE rnk <= 5
+), bscored AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           LIST_COSINE_SIMILARITY(p.v, c.v) AS sim
+    FROM e p JOIN e c ON c.vec_id <> p.vec_id
+    WHERE p.vec_id < 10
+), brute AS (
+    SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM bscored
+    ) WHERE rnk <= 5
+), hits AS (
+    SELECT b.probe_id, COUNT(*) AS n_hits
+    FROM brute b JOIN ivf i
+      ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.probe_id
+)
+SELECT b.probe_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(MAX(h.n_hits), 0) AS DOUBLE) / COUNT(*), 4) AS recall
+FROM brute b LEFT JOIN hits h ON b.probe_id = h.probe_id
+GROUP BY b.probe_id
+ORDER BY b.probe_id
+"""
+    )
+
+
+ANN_RECALL_ORACLE = _ann_recall_oracle_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings, KMEANS_ORACLE),
     "sim_ivf_kmeans_topk": QuerySpec(sim_ivf_kmeans_topk, IVF_KMEANS_ORACLE),
@@ -818,4 +896,5 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "ml_ols_price_model": QuerySpec(ml_ols_price_model, OLS_ORACLE),
     "ml_logreg_language": QuerySpec(ml_logreg_language, LOGREG_ORACLE),
     "ml_logreg_calibration": QuerySpec(ml_logreg_calibration, LOGREG_CALIBRATION_ORACLE),
+    "sim_ann_recall_ivf": QuerySpec(sim_ann_recall_ivf, ANN_RECALL_ORACLE),
 }
