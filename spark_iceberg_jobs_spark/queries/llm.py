@@ -2763,6 +2763,111 @@ ORDER BY 1, 2
 """
 
 
+def graph_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph — the density diagnostic for
+    duplicate clusters (a syndication ring shows up as near-cliques, a
+    chain of partial copies as triangle-free paths): node/edge counts,
+    triangle count via the canonical two-hop edge join on ordered ids
+    (each triangle a<b<c counted exactly once), wedge count from the
+    degree table, and the global clustering coefficient 3·T / wedges.
+    The ordered-edge join IS the scalable formulation (no per-node
+    adjacency materialization); at 100 TB you'd pre-bucket edges by the
+    low endpoint and this plan co-partitions."""
+    from ..functions.cache import scoped_persist
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    edges = scoped_persist(
+        ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    )
+    nodes = (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionByName(edges.select(F.col("doc_b").alias("v")))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionByName(edges.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # ONE lazy plan (the events_funnel lesson): every census is a 1-row
+    # aggregate crossJoined together, so the query is a single Spark action
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e1.doc_a") == F.col("e3.doc_a"))
+            & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return (
+        nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(edges.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(F.col("n_wedges") > 0,
+                       F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"))
+                .otherwise(F.lit(0.0)),
+                4,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+DUP_TRIANGLES_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), commons AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), edges AS (
+    SELECT doc_a, doc_b FROM commons
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
+), nodes AS (
+    SELECT DISTINCT v FROM (
+        SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges
+    )
+), deg AS (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges
+    ) GROUP BY v
+), tri AS (
+    SELECT COUNT(*) AS t FROM edges e1
+    JOIN edges e2 ON e1.doc_b = e2.doc_a
+    JOIN edges e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+), wed AS (
+    SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS w FROM deg
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles,
+       wed.w AS n_wedges,
+       ROUND(CASE WHEN wed.w = 0 THEN 0.0
+                  ELSE 3.0 * tri.t / wed.w END, 4) AS clustering_coeff
+FROM tri, wed
+"""
+
+
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-duplicate documents must
     never straddle the train/eval boundary (they leak test answers into
@@ -3120,6 +3225,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "embedding_dim_stats": QuerySpec(embedding_dim_stats, EMBEDDING_DIM_STATS_ORACLE),
     "text_heaps_law": QuerySpec(text_heaps_law, HEAPS_ORACLE),
     "dedup_source_flows": QuerySpec(dedup_source_flows, SOURCE_FLOWS_ORACLE),
+    "graph_dup_triangles": QuerySpec(graph_dup_triangles, DUP_TRIANGLES_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
