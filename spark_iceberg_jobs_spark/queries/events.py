@@ -1336,6 +1336,50 @@ ORDER BY day_num
 """
 
 
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate maintenance, batch-side: the first
+    20 days' rollup is treated as the MATERIALIZED base (aggregated once,
+    never rescanned); the tail arrives as a delta batch, is aggregated
+    alone, and the two partial tables merge by re-aggregation — count and
+    raw sum are mergeable state, so merge(base, delta) == full recompute,
+    which is exactly what the oracle computes from scratch. The batch twin
+    of the streaming foreachBatch MERGE-upsert sink; at 100 TB the base
+    would be day-partitioned parquet and the merge touches only the delta
+    days' partitions. Rounding happens ONLY after the merge (partials stay
+    raw doubles — rounding partials would make merge ≠ recompute)."""
+    ev = read_fixture(spark, sf_dir, "events")
+    day = F.expr("unix_timestamp(ts) DIV 86400")
+    split_day = 19750  # 2024-01-21: first 20 fixture days are the base
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(day.alias("day_num"), "event_type").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+        )
+
+    base = rollup(ev.filter(day < split_day))
+    delta = rollup(ev.filter(day >= split_day))
+    return (
+        base.unionByName(delta)
+        .groupBy("day_num", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+        .orderBy("day_num", "event_type")
+    )
+
+
+INCR_MERGE_ORACLE = """
+SELECT CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS day_num,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def streaming_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming trending leaderboard: watermarked hourly counts per event
     type accumulate in the stream (ranking is not streamable —
@@ -1468,6 +1512,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_growth_accounting": QuerySpec(events_growth_accounting, GROWTH_ORACLE),
     "events_type_affinity": QuerySpec(events_type_affinity, AFFINITY_ORACLE),
     "streaming_trending_types": QuerySpec(streaming_trending_types, TRENDING_ORACLE),
+    "rollup_incremental_merge": QuerySpec(rollup_incremental_merge, INCR_MERGE_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
