@@ -2763,6 +2763,68 @@ ORDER BY 1, 2
 """
 
 
+def drift_ks_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic on document length,
+    src0 vs src1 — the bin-free complement to drift_psi_length (PSI needs
+    chosen bins; KS is the sup-norm gap between the two empirical CDFs,
+    sensitive anywhere on the axis). The distribution collapses to one
+    row per distinct length FIRST (the only data-sized shuffle); the CDF
+    cumsums then run over that bounded value domain — the reduced-table
+    window pattern, allowlisted in tools/plan_lint.py."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_a"),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c_b"),
+        )
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    tot = counts.agg(
+        F.sum("c_a").cast("double").alias("n_a"), F.sum("c_b").cast("double").alias("n_b")
+    )
+    cdf = (
+        counts.withColumn("cum_a", F.sum("c_a").over(w))
+        .withColumn("cum_b", F.sum("c_b").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    return cdf.agg(
+        F.max(F.col("n_a")).cast("long").alias("n_a"),
+        F.max(F.col("n_b")).cast("long").alias("n_b"),
+        F.round(
+            F.max(F.abs(F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b"))),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+KS_ORACLE = """
+WITH counts AS (
+    SELECT n_chars,
+           SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_a,
+           SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c_b
+    FROM documents
+    WHERE source IN ('src0', 'src1')
+    GROUP BY n_chars
+), tot AS (
+    SELECT CAST(SUM(c_a) AS DOUBLE) AS n_a, CAST(SUM(c_b) AS DOUBLE) AS n_b
+    FROM counts
+), cdf AS (
+    SELECT SUM(c_a) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum_a,
+           SUM(c_b) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum_b
+    FROM counts
+)
+SELECT CAST(tot.n_a AS BIGINT) AS n_a,
+       CAST(tot.n_b AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(cum_a / tot.n_a - cum_b / tot.n_b)), 6) AS ks_stat
+FROM cdf, tot
+GROUP BY tot.n_a, tot.n_b
+"""
+
+
 def graph_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the near-dup graph — the density diagnostic for
     duplicate clusters (a syndication ring shows up as near-cliques, a
@@ -3226,6 +3288,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_heaps_law": QuerySpec(text_heaps_law, HEAPS_ORACLE),
     "dedup_source_flows": QuerySpec(dedup_source_flows, SOURCE_FLOWS_ORACLE),
     "graph_dup_triangles": QuerySpec(graph_dup_triangles, DUP_TRIANGLES_ORACLE),
+    "drift_ks_length": QuerySpec(drift_ks_length, KS_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),

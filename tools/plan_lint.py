@@ -46,6 +46,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "events_growth_accounting": "cumulative window over one row per day",
     "text_heaps_law": "running sums over one row per 50-doc bucket",
     "text_zipf_slope": "rank window over the vocabulary frequency table (reduced before ranking; head capped at 500)",
+    "drift_ks_length": "CDF cumsums over one row per distinct document length (bounded domain)",
 }
 
 _UNPARTITIONED = re.compile(r"windowspecdefinition\([^,()]*\s(ASC|DESC)\s")
