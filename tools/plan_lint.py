@@ -40,7 +40,7 @@ from spark_iceberg_jobs_spark.session import get_spark  # noqa: E402
 
 #: query -> why its unpartitioned window is safe (input provably small).
 #: Every OTHER query in the registry has fully partitioned windows — the
-#: lint run confirms these four are the complete set.
+#: lint run confirms these are the complete set.
 UNPARTITIONED_WINDOW_ALLOWLIST = {
     "events_max_concurrency": "carry-in window over per-day totals (one row per day)",
     "events_growth_accounting": "cumulative window over one row per day",
