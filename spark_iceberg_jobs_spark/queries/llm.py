@@ -2763,6 +2763,47 @@ ORDER BY 1, 2
 """
 
 
+def audit_provenance_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance audit for a training-data release: per (input file,
+    lang), the row count, char volume, and an ORDER-INDEPENDENT content
+    checksum — the sum of the md5-prefix integers of `doc_id|text` —
+    so two releases can be diffed file-by-file without comparing rows
+    (sum is commutative ⇒ partitioning/shuffle order can't change it,
+    and any single-row mutation changes it with probability 1-2^-48).
+    The file column comes from `input_file_name()` reduced to its
+    basename, so the fingerprint travels with the lake layout. One scan,
+    one small aggregate."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    fname = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    chk = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(fname.alias("file"), "lang", "n_chars", chk.alias("h"))
+        .groupBy("file", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("h").cast("long").alias("content_checksum"),
+        )
+        .orderBy("file", "lang")
+    )
+
+
+PROVENANCE_ORACLE = """
+SELECT 'documents.parquet' AS file, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 12) AS BIGINT)) AS BIGINT)
+           AS content_checksum
+FROM documents
+GROUP BY lang
+ORDER BY file, lang
+"""
+
+
 def drift_ks_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov drift statistic on document length,
     src0 vs src1 — the bin-free complement to drift_psi_length (PSI needs
@@ -3289,6 +3330,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "dedup_source_flows": QuerySpec(dedup_source_flows, SOURCE_FLOWS_ORACLE),
     "graph_dup_triangles": QuerySpec(graph_dup_triangles, DUP_TRIANGLES_ORACLE),
     "drift_ks_length": QuerySpec(drift_ks_length, KS_ORACLE),
+    "audit_provenance_fingerprint": QuerySpec(
+        audit_provenance_fingerprint, PROVENANCE_ORACLE
+    ),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
