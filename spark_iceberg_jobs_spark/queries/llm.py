@@ -2763,6 +2763,75 @@ ORDER BY 1, 2
 """
 
 
+#: Declarative data-quality contract: rule id -> (Spark predicate,
+#: DuckDB predicate) that a VALID row satisfies. One scan evaluates all
+#: rules as conditional aggregates (the expectations-suite pattern); the
+#: pairs keep both engines evaluating the identical contract.
+_QUALITY_RULES = [
+    ("nonempty_text", "length(text) > 0", "LEN(text) > 0"),
+    ("chars_match_len", "n_chars = length(text)", "n_chars = LEN(text)"),
+    ("known_lang", "lang IN ('en','de','es','fr','zh')", "lang IN ('en','de','es','fr','zh')"),
+    ("source_format", "source RLIKE '^src[0-9]+$'", "REGEXP_MATCHES(source, '^src[0-9]+$')"),
+    ("id_nonnegative", "doc_id >= 0", "doc_id >= 0"),
+    ("len_sane", "n_chars BETWEEN 1 AND 10000", "n_chars BETWEEN 1 AND 10000"),
+]
+
+
+def quality_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the expectations-suite pattern): a
+    rule table of named row-level invariants is evaluated in ONE scan as
+    conditional aggregates — per rule, the violation count and rate —
+    then unpivoted to a row per rule via ``stack``. Adding a rule is one
+    tuple in the contract, zero new passes; at 100 TB this is the same
+    single scan. The contract pairs each Spark predicate with its DuckDB
+    twin so the oracle checks the same invariants, not a re-derivation."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.sum(F.when(F.expr(spark_pred), 0).otherwise(1)).alias(f"v{i}")
+        for i, (_, spark_pred, _) in enumerate(_QUALITY_RULES)
+    ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', v{i}" for i, (name, _, _) in enumerate(_QUALITY_RULES)
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_QUALITY_RULES)}, {stack_args}) AS (rule, n_violations)"
+            ),
+        )
+        .select(
+            "rule",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+        )
+        .orderBy("rule")
+    )
+
+
+def _rules_oracle_sql() -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+        f"       CAST(SUM(CASE WHEN {duck_pred} THEN 0 ELSE 1 END) AS BIGINT) AS n_violations\n"
+        f"FROM documents"
+        for name, _, duck_pred in _QUALITY_RULES
+    )
+    return f"""
+WITH per_rule AS (
+{selects}
+)
+SELECT rule, n_rows, n_violations,
+       ROUND(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_rate
+FROM per_rule
+ORDER BY rule
+"""
+
+
+RULES_ORACLE = _rules_oracle_sql()
+
+
 def audit_provenance_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance audit for a training-data release: per (input file,
     lang), the row count, char volume, and an ORDER-INDEPENDENT content
@@ -3333,6 +3402,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "audit_provenance_fingerprint": QuerySpec(
         audit_provenance_fingerprint, PROVENANCE_ORACLE
     ),
+    "quality_rule_violations": QuerySpec(quality_rule_violations, RULES_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
