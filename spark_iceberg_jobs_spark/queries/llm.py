@@ -2832,6 +2832,157 @@ ORDER BY rule
 RULES_ORACLE = _rules_oracle_sql()
 
 
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing + retrieval, end-to-end as ONE verified dataflow —
+    the second capstone (pipeline_pretraining_corpus covers curation;
+    this covers serving): documents are chunked into overlapping token
+    windows (chunk_with_overlap, pure codegen expansion), the chunk
+    corpus becomes a TF-IDF inverted index (term-keyed — the only
+    data-sized shuffle), and the first three documents act as queries,
+    each retrieving its top-3 foreign chunks (own-document chunks
+    excluded) by cosine through the index. Ranking uses the ROUNDED
+    score with (doc, chunk) tie-break: duplicate chunks are exact ties
+    and must order by id on both engines.
+
+    Scale: query vectors are a handful of rows (broadcast side of the
+    score join); chunk index construction is linear in corpus tokens;
+    serving cost is bounded by the posting lists the query terms touch —
+    the sparse-retrieval shape that serves web-scale BM25."""
+    from pyspark.sql import Window
+
+    from ..functions.cache import scoped_persist
+    from ..functions.texts import tokens
+    from ..operators.text import chunk_with_overlap
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    chunks = scoped_persist(chunk_with_overlap(docs, chunk_tokens=16, overlap=4))
+    n_chunks = chunks.count()
+    ctf = (
+        chunks.select(
+            "doc_id", "chunk_id", F.explode(F.split("chunk_text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "chunk_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ctf = scoped_persist(ctf)
+    df_tbl = ctf.groupBy("term").agg(F.countDistinct("doc_id", "chunk_id").alias("df"))
+    idf = df_tbl.select(
+        "term", F.log(F.lit(float(n_chunks)) / F.col("df")).alias("idf")
+    )
+    wc = ctf.join(idf, "term").select(
+        "doc_id", "chunk_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    cnorm = wc.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    uc = scoped_persist(
+        wc.join(cnorm, ["doc_id", "chunk_id"])
+        .filter(F.col("norm") > 0)
+        .select("doc_id", "chunk_id", "term", (F.col("w") / F.col("norm")).alias("u"))
+    )
+    qtf = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_doc"), F.explode(tokens("text")).alias("term"))
+        .groupBy("query_doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    wq = qtf.join(idf, "term").select(
+        "query_doc", "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    qnorm = wq.groupBy("query_doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("qn"))
+    uq = (
+        wq.join(qnorm, "query_doc")
+        .filter(F.col("qn") > 0)
+        .select("query_doc", "term", (F.col("w") / F.col("qn")).alias("uq"))
+    )
+    scores = (
+        uc.join(F.broadcast(uq), "term")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", "doc_id", "chunk_id")
+        .agg(F.round(F.sum(F.col("u") * F.col("uq")), 4).alias("sim"))
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.desc("sim"), "doc_id", "chunk_id"
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_doc", "rnk", "doc_id", "chunk_id", "sim")
+        .orderBy("query_doc", "rnk")
+    )
+
+
+RAG_ORACLE = """
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+           LEN(STRING_SPLIT(text, ' ')) AS n
+    FROM documents
+), sized AS (
+    SELECT doc_id, toks, n,
+           GREATEST(CAST(CEIL((n - 4) / 12.0) AS BIGINT), 1) AS n_chunks
+    FROM base
+), starts AS (
+    SELECT doc_id, toks, n,
+           UNNEST(GENERATE_SERIES(0, (n_chunks - 1) * 12, 12)) AS s
+    FROM sized
+), chunks AS (
+    SELECT doc_id, CAST(s / 12 AS BIGINT) AS chunk_id,
+           ARRAY_TO_STRING(toks[s + 1 : s + 16], ' ') AS chunk_text
+    FROM starts
+), ctf AS (
+    SELECT doc_id, chunk_id, UNNEST(STRING_SPLIT(chunk_text, ' ')) AS term
+    FROM chunks
+), ctfc AS (
+    SELECT doc_id, chunk_id, term, COUNT(*) AS tf
+    FROM ctf GROUP BY 1, 2, 3
+), nch AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_chunks FROM chunks
+), idf AS (
+    SELECT term, LN(n_chunks / COUNT(*)) AS idf
+    FROM (SELECT DISTINCT doc_id, chunk_id, term FROM ctfc), nch
+    GROUP BY term, n_chunks
+), wc AS (
+    SELECT doc_id, chunk_id, c.term, c.tf * idf.idf AS w
+    FROM ctfc c JOIN idf ON c.term = idf.term
+), cnorm AS (
+    SELECT doc_id, chunk_id, SQRT(SUM(w * w)) AS norm
+    FROM wc GROUP BY doc_id, chunk_id
+), uc AS (
+    SELECT wc.doc_id, wc.chunk_id, term, w / norm AS u
+    FROM wc JOIN cnorm ON wc.doc_id = cnorm.doc_id AND wc.chunk_id = cnorm.chunk_id
+    WHERE norm > 0
+), qtf AS (
+    SELECT doc_id AS query_doc, UNNEST(STRING_SPLIT(text, ' ')) AS term
+    FROM documents WHERE doc_id < 3
+), qtfc AS (
+    SELECT query_doc, term, COUNT(*) AS tf FROM qtf GROUP BY 1, 2
+), wq AS (
+    SELECT query_doc, q.term, q.tf * idf.idf AS w
+    FROM qtfc q JOIN idf ON q.term = idf.term
+), qnorm AS (
+    SELECT query_doc, SQRT(SUM(w * w)) AS qn FROM wq GROUP BY query_doc
+), uq AS (
+    SELECT wq.query_doc, term, w / qn AS uq
+    FROM wq JOIN qnorm ON wq.query_doc = qnorm.query_doc
+    WHERE qn > 0
+), scores AS (
+    SELECT uq.query_doc, uc.doc_id, uc.chunk_id,
+           ROUND(SUM(uc.u * uq.uq), 4) AS sim
+    FROM uc JOIN uq ON uc.term = uq.term
+    WHERE uc.doc_id <> uq.query_doc
+    GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                 ORDER BY sim DESC, doc_id, chunk_id) AS rnk
+    FROM scores
+)
+SELECT query_doc, CAST(rnk AS INT) AS rnk, doc_id, chunk_id, sim
+FROM ranked
+WHERE rnk <= 3
+ORDER BY query_doc, rnk
+"""
+
+
 def audit_provenance_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance audit for a training-data release: per (input file,
     lang), the row count, char volume, and an ORDER-INDEPENDENT content
@@ -3403,6 +3554,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         audit_provenance_fingerprint, PROVENANCE_ORACLE
     ),
     "quality_rule_violations": QuerySpec(quality_rule_violations, RULES_ORACLE),
+    "pipeline_rag_retrieval": QuerySpec(
+        pipeline_rag_retrieval, RAG_ORACLE, headline=True
+    ),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
