@@ -2983,6 +2983,115 @@ ORDER BY query_doc, rnk
 """
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document retrieval — the canonical sparse ranking
+    function (Lucene's default): for each of the first three documents
+    as queries, the top-5 OTHER documents by
+    sum_t qtf·idf(t)·tf(k1+1)/(tf + k1(1-b+b·len/avglen)) with the
+    Robertson–Sparck-Jones smoothed idf ln((N-df+0.5)/(df+0.5)+1),
+    k1=1.2, b=0.75. Every factor is rational arithmetic over integer
+    counts, so the oracle replays the scoring exactly. Same inverted-
+    index shape as the TF-IDF tier: posting-list join, query side
+    broadcast; corpus stats (N, avg length) are one tiny aggregate."""
+    from pyspark.sql import Window
+
+    from ..functions.cache import scoped_persist
+    from ..functions.texts import tokens
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tf = scoped_persist(
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    ).collect()[0]
+    n_docs, avg_dl = stats["n_docs"], stats["avg_dl"]
+    idf = tf.groupBy("term").agg(F.count("*").alias("df")).select(
+        "term",
+        F.log(
+            (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    qtf = (
+        tf.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_doc"), "term", F.col("tf").alias("qtf"))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        tf.join(dlen, "doc_id")
+        .join(idf, "term")
+        .join(F.broadcast(qtf), "term")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            "doc_id",
+            (
+                F.col("qtf")
+                * F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avg_dl)))
+            ).alias("c"),
+        )
+    )
+    scores = contrib.groupBy("query_doc", "doc_id").agg(
+        F.round(F.sum("c"), 4).alias("bm25")
+    )
+    w = Window.partitionBy("query_doc").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_doc", "rnk", "doc_id", "bm25")
+        .orderBy("query_doc", "rnk")
+    )
+
+
+BM25_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+), dlen AS (
+    SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM dlen
+), idf AS (
+    SELECT term, LN((n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+    FROM tf, stats GROUP BY term, n_docs
+), qtf AS (
+    SELECT doc_id AS query_doc, term, tf AS qtf FROM tf WHERE doc_id < 3
+), contrib AS (
+    SELECT q.query_doc, tf.doc_id,
+           q.qtf * idf.idf * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dlen.dl / stats.avg_dl)) AS c
+    FROM tf
+    JOIN dlen ON tf.doc_id = dlen.doc_id
+    JOIN idf ON tf.term = idf.term
+    JOIN qtf q ON tf.term = q.term
+    CROSS JOIN stats
+    WHERE tf.doc_id <> q.query_doc
+), scores AS (
+    SELECT query_doc, doc_id, ROUND(SUM(c), 4) AS bm25
+    FROM contrib GROUP BY query_doc, doc_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                 ORDER BY bm25 DESC, doc_id) AS rnk
+    FROM scores
+)
+SELECT query_doc, CAST(rnk AS INT) AS rnk, doc_id, bm25
+FROM ranked
+WHERE rnk <= 5
+ORDER BY query_doc, rnk
+"""
+
+
 def audit_provenance_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance audit for a training-data release: per (input file,
     lang), the row count, char volume, and an ORDER-INDEPENDENT content
@@ -3557,6 +3666,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "pipeline_rag_retrieval": QuerySpec(
         pipeline_rag_retrieval, RAG_ORACLE, headline=True
     ),
+    "text_bm25_topk": QuerySpec(text_bm25_topk, BM25_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
