@@ -2983,6 +2983,56 @@ ORDER BY query_doc, rnk
 """
 
 
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-conditional embedding outliers: the 10 vectors farthest
+    (squared L2) from their own label's mean vector — mislabeled or
+    corrupted embeddings surface here first (the per-vector complement
+    to embedding_dim_stats' per-dimension screen). Exploded space keeps
+    the whole computation in two keyed aggregations: per-(label, dim)
+    means, then per-vector distance sums; ranking is global top-10 via
+    TakeOrderedAndProject on the ROUNDED distance with vec_id
+    tie-break."""
+    from ..functions.vectors import as_double
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("dim", "val")
+    )
+    cent = ex.groupBy("label", "dim").agg(F.avg("val").alias("cval"))
+    dist = (
+        ex.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))),
+                6,
+            ).alias("sq_dist")
+        )
+    )
+    return dist.orderBy(F.desc("sq_dist"), "vec_id").limit(10)
+
+
+EMBEDDING_OUTLIERS_ORACLE = """
+WITH ex AS (
+    SELECT vec_id, label,
+           GENERATE_SUBSCRIPTS(CAST(embedding AS DOUBLE[]), 1) - 1 AS dim,
+           UNNEST(CAST(embedding AS DOUBLE[])) AS val
+    FROM embeddings
+), cent AS (
+    SELECT label, dim, AVG(val) AS cval FROM ex GROUP BY label, dim
+), dist AS (
+    SELECT ex.vec_id, ex.label,
+           ROUND(SUM((ex.val - cent.cval) * (ex.val - cent.cval)), 6) AS sq_dist
+    FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+    GROUP BY ex.vec_id, ex.label
+)
+SELECT vec_id, label, sq_dist
+FROM dist
+ORDER BY sq_dist DESC, vec_id
+LIMIT 10
+"""
+
+
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
@@ -3667,6 +3717,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         pipeline_rag_retrieval, RAG_ORACLE, headline=True
     ),
     "text_bm25_topk": QuerySpec(text_bm25_topk, BM25_ORACLE),
+    "embedding_outliers": QuerySpec(embedding_outliers, EMBEDDING_OUTLIERS_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
