@@ -1336,6 +1336,110 @@ ORDER BY day_num
 """
 
 
+def events_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type over the daily volume
+    series: the split day minimizing the two-segment squared error (the
+    exact 1-changepoint least-squares fit — the building block of binary
+    segmentation) plus the variance-reduction ratio against the flat
+    single-mean fit: the monitoring question 'did this stream's level
+    SHIFT, and when?'.
+
+    The corpus collapses to one row per (type, day) FIRST; the candidate
+    split × day product then runs over that tiny rollup (|days|² per
+    type), so the data-sized work is one aggregation regardless of event
+    volume. Determinism: each segment's SSE uses the closed form
+    Σx² − (Σx)²/n over EXACT INTEGER sums, so both engines evaluate the
+    identical few IEEE ops — bit-equal doubles, no summation-order ulp
+    at all; the per-type argmin tie-breaks on split_day."""
+    ev = read_fixture(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) DIV 86400").alias("day_num")
+    ).agg(F.count("*").alias("x"))
+    splits = daily.select("event_type", F.col("day_num").alias("split_day"))
+    left = F.col("day_num") < F.col("split_day")
+    seg = (
+        daily.join(splits, "event_type")
+        .groupBy("event_type", "split_day")
+        .agg(
+            F.sum(F.when(left, 1).otherwise(0)).alias("n_l"),
+            F.sum(F.when(left, F.col("x")).otherwise(0)).alias("sx_l"),
+            F.sum(F.when(left, F.col("x") * F.col("x")).otherwise(0)).alias("sxx_l"),
+            F.sum(F.when(~left, 1).otherwise(0)).alias("n_r"),
+            F.sum(F.when(~left, F.col("x")).otherwise(0)).alias("sx_r"),
+            F.sum(F.when(~left, F.col("x") * F.col("x")).otherwise(0)).alias("sxx_r"),
+        )
+        .filter((F.col("n_l") > 0) & (F.col("n_r") > 0))
+    )
+    sse_split = (
+        F.col("sxx_l") - F.col("sx_l") * F.col("sx_l") / F.col("n_l")
+    ) + (F.col("sxx_r") - F.col("sx_r") * F.col("sx_r") / F.col("n_r"))
+    n_t = F.col("n_l") + F.col("n_r")
+    sx_t = F.col("sx_l") + F.col("sx_r")
+    sxx_t = F.col("sxx_l") + F.col("sxx_r")
+    sse_flat = sxx_t - sx_t * sx_t / n_t
+    scored = seg.select(
+        "event_type",
+        "split_day",
+        F.round(sse_split, 4).alias("sse_split"),
+        F.round(sse_flat, 4).alias("sse_flat"),
+        F.round(F.lit(1.0) - sse_split / sse_flat, 4).alias("var_reduction"),
+        F.round(F.col("sx_l") / F.col("n_l"), 4).alias("mean_before"),
+        F.round(F.col("sx_r") / F.col("n_r"), 4).alias("mean_after"),
+    )
+    w = Window.partitionBy("event_type").orderBy("sse_split", "split_day")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_type")
+    )
+
+
+CHANGEPOINT_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS day_num,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+), seg AS (
+    SELECT d.event_type, s.day_num AS split_day,
+           SUM(CASE WHEN d.day_num < s.day_num THEN 1 ELSE 0 END) AS n_l,
+           SUM(CASE WHEN d.day_num < s.day_num THEN d.x ELSE 0 END) AS sx_l,
+           SUM(CASE WHEN d.day_num < s.day_num THEN d.x * d.x ELSE 0 END) AS sxx_l,
+           SUM(CASE WHEN d.day_num >= s.day_num THEN 1 ELSE 0 END) AS n_r,
+           SUM(CASE WHEN d.day_num >= s.day_num THEN d.x ELSE 0 END) AS sx_r,
+           SUM(CASE WHEN d.day_num >= s.day_num THEN d.x * d.x ELSE 0 END) AS sxx_r
+    FROM daily d JOIN daily s ON d.event_type = s.event_type
+    GROUP BY 1, 2
+), scored AS (
+    SELECT event_type, split_day,
+           ROUND((sxx_l - CAST(sx_l * sx_l AS DOUBLE) / n_l)
+                 + (sxx_r - CAST(sx_r * sx_r AS DOUBLE) / n_r), 4) AS sse_split,
+           ROUND((sxx_l + sxx_r)
+                 - CAST((sx_l + sx_r) * (sx_l + sx_r) AS DOUBLE) / (n_l + n_r), 4)
+               AS sse_flat,
+           ROUND(1.0 - ((sxx_l - CAST(sx_l * sx_l AS DOUBLE) / n_l)
+                        + (sxx_r - CAST(sx_r * sx_r AS DOUBLE) / n_r))
+                 / ((sxx_l + sxx_r)
+                    - CAST((sx_l + sx_r) * (sx_l + sx_r) AS DOUBLE) / (n_l + n_r)), 4)
+               AS var_reduction,
+           ROUND(CAST(sx_l AS DOUBLE) / n_l, 4) AS mean_before,
+           ROUND(CAST(sx_r AS DOUBLE) / n_r, 4) AS mean_after
+    FROM seg
+    WHERE n_l > 0 AND n_r > 0
+)
+SELECT event_type, split_day, sse_split, sse_flat, var_reduction,
+       mean_before, mean_after
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY sse_split, split_day) AS rn
+    FROM scored
+)
+WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental continuous-aggregate maintenance, batch-side: the first
     20 days' rollup is treated as the MATERIALIZED base (aggregated once,
@@ -1513,6 +1617,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_type_affinity": QuerySpec(events_type_affinity, AFFINITY_ORACLE),
     "streaming_trending_types": QuerySpec(streaming_trending_types, TRENDING_ORACLE),
     "rollup_incremental_merge": QuerySpec(rollup_incremental_merge, INCR_MERGE_ORACLE),
+    "events_changepoint_daily": QuerySpec(events_changepoint_daily, CHANGEPOINT_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
