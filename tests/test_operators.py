@@ -1299,3 +1299,54 @@ def test_char_entropy_handles_empty_and_uniform_docs(spark):
     feats = spark.createDataFrame([(1.0, 1.0)], "y double, x double")
     with pytest.raises(ValueError, match="lr"):
         logreg_fit(feats, label_col="y", feature_cols=["x"], lr=0.0)
+
+
+def test_bm25_ranks_matching_doc_first_and_excludes_self(spark, monkeypatch, tmp_path):
+    """On a toy corpus where doc 3 shares doc 0's rare vocabulary, BM25
+    must rank doc 3 first for query doc 0 and never retrieve doc 0 for
+    itself."""
+    import spark_iceberg_jobs_spark.queries.llm as llm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "quantum flux capacitor resonance", "en", "src0", 32),
+            (1, "apples bananas cherries daily", "en", "src0", 29),
+            (2, "weather sunny rain cloudy", "en", "src0", 25),
+            (3, "quantum flux capacitor experiments", "en", "src0", 34),
+            (4, "bananas weather quantum mixed", "en", "src0", 29),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(llm, "read_fixture", lambda s, d, t: docs)
+    rows = llm.text_bm25_topk(spark, "unused").collect()
+    q0 = [r for r in rows if r.query_doc == 0]
+    assert q0[0].doc_id == 3, q0
+    assert all(r.doc_id != r.query_doc for r in rows)
+
+
+def test_changepoint_finds_planted_level_shift(spark, monkeypatch):
+    """A series that jumps from ~10/day to ~100/day on day 15 must locate
+    the changepoint exactly and report a large variance reduction."""
+    import datetime
+
+    import spark_iceberg_jobs_spark.queries.events as ev_mod
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for day in range(30):
+        n = 10 if day < 15 else 100
+        for i in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, seconds=i), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    monkeypatch.setattr(ev_mod, "read_fixture", lambda s, d, t: events)
+    [row] = ev_mod.events_changepoint_daily(spark, "unused").collect()
+    day0 = int(base.timestamp() // 86400)
+    assert row.split_day == day0 + 15
+    assert row.var_reduction > 0.99
+    assert row.mean_before == 10.0 and row.mean_after == 100.0
