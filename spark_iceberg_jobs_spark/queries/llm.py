@@ -10,7 +10,7 @@ tests/ (recall, precision-subset, hamming bounds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -2983,6 +2983,80 @@ ORDER BY query_doc, rnk
 """
 
 
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    (vec_id < 10), the 3 most-similar vectors carrying a DIFFERENT label
+    — the near-miss examples that teach an embedding model its decision
+    boundary (random negatives are trivially separable). Same broadcast
+    probe-side shape as bruteforce_topk with the cross-label predicate
+    fused into the join; at scale the ANN tier (IVF/PQ) generates the
+    candidates and this exact scoring reranks them."""
+    from ..functions.vectors import as_double, cosine
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double("embedding").alias("cv"),
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        as_double("embedding").alias("pv"),
+    )
+    scored = corpus.join(
+        F.broadcast(probes), F.col("neighbor_label") != F.col("probe_label")
+    ).select(
+        "probe_id",
+        "probe_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(F.col("pv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "probe_id",
+            "probe_label",
+            "rnk",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("sim", 4).alias("sim"),
+        )
+        .orderBy("probe_id", "rnk")
+    )
+
+
+HARD_NEGATIVES_ORACLE = """
+WITH p AS (
+    SELECT vec_id AS probe_id, label AS probe_label,
+           CAST(embedding AS DOUBLE[]) AS pv
+    FROM embeddings WHERE vec_id < 10
+), c AS (
+    SELECT vec_id AS neighbor_id, label AS neighbor_label,
+           CAST(embedding AS DOUBLE[]) AS cv
+    FROM embeddings
+), scored AS (
+    SELECT probe_id, probe_label, neighbor_id, neighbor_label,
+           LIST_INNER_PRODUCT(pv, cv)
+           / (SQRT(LIST_INNER_PRODUCT(pv, pv)) * SQRT(LIST_INNER_PRODUCT(cv, cv)))
+               AS sim
+    FROM p JOIN c ON neighbor_label <> probe_label
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                 ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT probe_id, probe_label, CAST(rnk AS INT) AS rnk,
+       neighbor_id, neighbor_label, ROUND(sim, 4) AS sim
+FROM ranked
+WHERE rnk <= 3
+ORDER BY probe_id, rnk
+"""
+
+
 def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-conditional embedding outliers: the 10 vectors farthest
     (squared L2) from their own label's mean vector — mislabeled or
@@ -3718,6 +3792,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "text_bm25_topk": QuerySpec(text_bm25_topk, BM25_ORACLE),
     "embedding_outliers": QuerySpec(embedding_outliers, EMBEDDING_OUTLIERS_ORACLE),
+    "mine_hard_negatives": QuerySpec(mine_hard_negatives, HARD_NEGATIVES_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
