@@ -237,6 +237,16 @@ def probes():
         # 3 GD rounds: each is one scan + a 3-double exchange — expected
         # linear with size-invariant round overhead
         "logreg_fit": _logreg_probe,
+        # BM25 serving: posting-list join bounded by the 3 query docs'
+        # terms; index build linear in corpus tokens
+        "bm25_topk": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.queries.llm", fromlist=["text_bm25_topk"]
+        ).text_bm25_topk(s, d),
+        # RAG capstone: chunk expansion (codegen) + chunk-index build
+        # (term-keyed) + 3-query retrieval — linear index cost dominates
+        "rag_retrieval": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.queries.llm", fromlist=["pipeline_rag_retrieval"]
+        ).pipeline_rag_retrieval(s, d),
     }
 
 
