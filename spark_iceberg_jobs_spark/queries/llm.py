@@ -2983,6 +2983,91 @@ ORDER BY query_doc, rnk
 """
 
 
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per language by smoothed log-odds (the
+    Monroe–Colaresi–Quinn 'fightin' words' statistic with a uniform
+    Dirichlet prior, alpha=1): for each language, the 5 terms whose
+    usage odds most exceed the rest of the corpus — the screen that
+    surfaces contamination (wrong-language terms) and register drift in
+    a multilingual mix. One token-count shuffle; everything after runs
+    on the |langs| x |vocab| count table. Rational-input LN over
+    integer-derived odds; ranking on the ROUNDED score, term
+    tie-break."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    from ..functions.texts import tokens as _tokens
+
+    tc = (
+        docs.select("lang", F.explode(_tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("y"))
+    )
+    totals = tc.groupBy("lang").agg(F.sum("y").alias("n_lang"))
+    term_tot = tc.groupBy("term").agg(F.sum("y").alias("y_all"))
+    corpus = tc.agg(F.sum("y").alias("n_all"))
+    j = (
+        tc.join(totals, "lang")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("y_rest", F.col("y_all") - F.col("y"))
+        .withColumn("n_rest", F.col("n_all") - F.col("n_lang"))
+    )
+    log_odds_lang = F.log(
+        (F.col("y") + 1.0) / (F.col("n_lang") - F.col("y") + 1.0)
+    )
+    log_odds_rest = F.log(
+        (F.col("y_rest") + 1.0) / (F.col("n_rest") - F.col("y_rest") + 1.0)
+    )
+    scored = j.select(
+        "lang",
+        "term",
+        F.col("y").cast("long").alias("n_in_lang"),
+        F.col("y_rest").cast("long").alias("n_in_rest"),
+        F.round(log_odds_lang - log_odds_rest, 4).alias("log_odds"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("log_odds"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "rnk", "term", "n_in_lang", "n_in_rest", "log_odds")
+        .orderBy("lang", "rnk")
+    )
+
+
+DISTINCTIVE_ORACLE = """
+WITH tc AS (
+    SELECT lang, term, COUNT(*) AS y
+    FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+    GROUP BY lang, term
+), totals AS (
+    SELECT lang, SUM(y) AS n_lang FROM tc GROUP BY lang
+), term_tot AS (
+    SELECT term, SUM(y) AS y_all FROM tc GROUP BY term
+), corpus AS (
+    SELECT SUM(y) AS n_all FROM tc
+), scored AS (
+    SELECT tc.lang, tc.term,
+           CAST(tc.y AS BIGINT) AS n_in_lang,
+           CAST(term_tot.y_all - tc.y AS BIGINT) AS n_in_rest,
+           ROUND(LN((tc.y + 1.0) / (totals.n_lang - tc.y + 1.0))
+                 - LN((term_tot.y_all - tc.y + 1.0)
+                      / (corpus.n_all - totals.n_lang - (term_tot.y_all - tc.y) + 1.0)),
+                 4) AS log_odds
+    FROM tc
+    JOIN totals ON tc.lang = totals.lang
+    JOIN term_tot ON tc.term = term_tot.term
+    CROSS JOIN corpus
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY log_odds DESC, term) AS rnk
+    FROM scored
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, term, n_in_lang, n_in_rest, log_odds
+FROM ranked
+WHERE rnk <= 5
+ORDER BY lang, rnk
+"""
+
+
 def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each probe
     (vec_id < 10), the 3 most-similar vectors carrying a DIFFERENT label
@@ -3793,6 +3878,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_bm25_topk": QuerySpec(text_bm25_topk, BM25_ORACLE),
     "embedding_outliers": QuerySpec(embedding_outliers, EMBEDDING_OUTLIERS_ORACLE),
     "mine_hard_negatives": QuerySpec(mine_hard_negatives, HARD_NEGATIVES_ORACLE),
+    "text_distinctive_terms": QuerySpec(text_distinctive_terms, DISTINCTIVE_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
