@@ -32,6 +32,9 @@ from ..operators.text import fingerprints, lang_profile, language_id, quality_sc
 from ..sources.readers import load_tables, read_fixture
 from . import QuerySpec
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
 # --------------------------------------------------------------------------
 # X1/X2 — deduplication
 # --------------------------------------------------------------------------
@@ -2983,6 +2986,99 @@ ORDER BY query_doc, rnk
 """
 
 
+def pipeline_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval cascade — the production serving architecture:
+    cheap SPARSE recall (Okapi BM25 over the inverted index, top-10
+    candidates per query) followed by DENSE rerank (embedding cosine
+    between the query doc's vector and each candidate's vector, doc_id ↔
+    vec_id), emitting the top-3 with both scores. The cascade is the
+    point: the expensive vector comparison touches only the 10 BM25
+    survivors per query, never the corpus — exactly how web-scale
+    two-tower systems bound dense-scoring cost. Both stages' ranking
+    uses rounded scores with id tie-breaks; the oracle replays BM25,
+    the candidate cut, and the cosine rerank end-to-end."""
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    bm25 = text_bm25_topk(spark, sf_dir, k=10)
+    from ..functions.vectors import as_double, cosine
+
+    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    qv = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_doc"), F.col("v").alias("qvec")
+    )
+    reranked = (
+        bm25.join(vecs, bm25.doc_id == vecs.vec_id)
+        .join(F.broadcast(qv), "query_doc")
+        .select(
+            "query_doc",
+            "doc_id",
+            "bm25",
+            F.round(cosine(F.col("qvec"), F.col("v")), 4).alias("dense_sim"),
+        )
+    )
+    w = Window.partitionBy("query_doc").orderBy(F.desc("dense_sim"), "doc_id")
+    return (
+        reranked.withColumn("final_rnk", F.row_number().over(w))
+        .filter(F.col("final_rnk") <= 3)
+        .select("query_doc", "final_rnk", "doc_id", "bm25", "dense_sim")
+        .orderBy("query_doc", "final_rnk")
+    )
+
+
+HYBRID_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+), dlen AS (
+    SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM dlen
+), idf AS (
+    SELECT term, LN((n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+    FROM tf, stats GROUP BY term, n_docs
+), qtf AS (
+    SELECT doc_id AS query_doc, term, tf AS qtf FROM tf WHERE doc_id < 3
+), contrib AS (
+    SELECT q.query_doc, tf.doc_id,
+           q.qtf * idf.idf * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dlen.dl / stats.avg_dl)) AS c
+    FROM tf
+    JOIN dlen ON tf.doc_id = dlen.doc_id
+    JOIN idf ON tf.term = idf.term
+    JOIN qtf q ON tf.term = q.term
+    CROSS JOIN stats
+    WHERE tf.doc_id <> q.query_doc
+), scores AS (
+    SELECT query_doc, doc_id, ROUND(SUM(c), 4) AS bm25
+    FROM contrib GROUP BY query_doc, doc_id
+), cands AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                     ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM scores
+    ) WHERE rnk <= 10
+), ev AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), reranked AS (
+    SELECT c.query_doc, c.doc_id, c.bm25,
+           ROUND(LIST_INNER_PRODUCT(q.v, d.v)
+                 / (SQRT(LIST_INNER_PRODUCT(q.v, q.v))
+                    * SQRT(LIST_INNER_PRODUCT(d.v, d.v))), 4) AS dense_sim
+    FROM cands c
+    JOIN ev d ON d.vec_id = c.doc_id
+    JOIN ev q ON q.vec_id = c.query_doc
+), final AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                 ORDER BY dense_sim DESC, doc_id) AS final_rnk
+    FROM reranked
+)
+SELECT query_doc, CAST(final_rnk AS INT) AS final_rnk, doc_id, bm25, dense_sim
+FROM final
+WHERE final_rnk <= 3
+ORDER BY query_doc, final_rnk
+"""
+
+
 def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinctive vocabulary per language by smoothed log-odds (the
     Monroe–Colaresi–Quinn 'fightin' words' statistic with a uniform
@@ -3192,11 +3288,7 @@ LIMIT 10
 """
 
 
-_BM25_K1 = 1.2
-_BM25_B = 0.75
-
-
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Okapi BM25 document retrieval — the canonical sparse ranking
     function (Lucene's default): for each of the first three documents
     as queries, the top-5 OTHER documents by
@@ -3256,7 +3348,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_doc").orderBy(F.desc("bm25"), "doc_id")
     return (
         scores.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= k)
         .select("query_doc", "rnk", "doc_id", "bm25")
         .orderBy("query_doc", "rnk")
     )
@@ -3879,6 +3971,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "embedding_outliers": QuerySpec(embedding_outliers, EMBEDDING_OUTLIERS_ORACLE),
     "mine_hard_negatives": QuerySpec(mine_hard_negatives, HARD_NEGATIVES_ORACLE),
     "text_distinctive_terms": QuerySpec(text_distinctive_terms, DISTINCTIVE_ORACLE),
+    "pipeline_hybrid_retrieval": QuerySpec(
+        pipeline_hybrid_retrieval, HYBRID_ORACLE
+    ),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
