@@ -3079,6 +3079,133 @@ ORDER BY query_doc, final_rnk
 """
 
 
+def retrieval_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of the sparse and dense rankers — the
+    calibration-free fusion standard (Cormack et al.): each of BM25's
+    and embedding-cosine's top-10 lists contributes 1/(60 + rank), fused
+    by full outer join on (query, doc) so a doc ranked by either list
+    scores — no score normalization across heterogeneous rankers, which
+    is the method's whole point (vs pipeline_hybrid_retrieval's cascade,
+    which trusts the dense scores outright). Pure rational arithmetic ⇒
+    exact cross-engine replay."""
+    from ..functions.vectors import as_double, cosine
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    bm25 = text_bm25_topk(spark, sf_dir, k=10).select(
+        "query_doc", "doc_id", F.col("rnk").alias("rnk_sparse")
+    )
+    vecs = emb.select("vec_id", as_double("embedding").alias("v"))
+    qv = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_doc"), F.col("v").alias("qvec")
+    )
+    dense_scored = (
+        vecs.join(F.broadcast(qv), F.col("vec_id") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("qvec"), F.col("v")), 4).alias("dsim"),
+        )
+    )
+    wd = Window.partitionBy("query_doc").orderBy(F.desc("dsim"), "doc_id")
+    dense = (
+        dense_scored.withColumn("rnk_dense", F.row_number().over(wd))
+        .filter(F.col("rnk_dense") <= 10)
+        .select("query_doc", "doc_id", "rnk_dense")
+    )
+    fused = (
+        bm25.join(dense, ["query_doc", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rnk_sparse")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rnk_dense")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_doc").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("final_rnk", F.row_number().over(wf))
+        .filter(F.col("final_rnk") <= 3)
+        .select(
+            "query_doc",
+            "final_rnk",
+            "doc_id",
+            F.coalesce(F.col("rnk_sparse"), F.lit(-1)).cast("int").alias("rnk_sparse"),
+            F.coalesce(F.col("rnk_dense"), F.lit(-1)).cast("int").alias("rnk_dense"),
+            "rrf",
+        )
+        .orderBy("query_doc", "final_rnk")
+    )
+
+
+RRF_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+), dlen AS (
+    SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM dlen
+), idf AS (
+    SELECT term, LN((n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+    FROM tf, stats GROUP BY term, n_docs
+), qtf AS (
+    SELECT doc_id AS query_doc, term, tf AS qtf FROM tf WHERE doc_id < 3
+), contrib AS (
+    SELECT q.query_doc, tf.doc_id,
+           q.qtf * idf.idf * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dlen.dl / stats.avg_dl)) AS c
+    FROM tf
+    JOIN dlen ON tf.doc_id = dlen.doc_id
+    JOIN idf ON tf.term = idf.term
+    JOIN qtf q ON tf.term = q.term
+    CROSS JOIN stats
+    WHERE tf.doc_id <> q.query_doc
+), sparse AS (
+    SELECT query_doc, doc_id, rnk AS rnk_sparse FROM (
+        SELECT query_doc, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_doc
+                                  ORDER BY ROUND(SUM(c), 4) DESC, doc_id) AS rnk
+        FROM contrib GROUP BY query_doc, doc_id
+    ) WHERE rnk <= 10
+), ev AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dense AS (
+    SELECT query_doc, doc_id, rnk AS rnk_dense FROM (
+        SELECT q.vec_id AS query_doc, d.vec_id AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND(LIST_INNER_PRODUCT(q.v, d.v)
+                       / (SQRT(LIST_INNER_PRODUCT(q.v, q.v))
+                          * SQRT(LIST_INNER_PRODUCT(d.v, d.v))), 4) DESC,
+                       d.vec_id) AS rnk
+        FROM ev q JOIN ev d ON d.vec_id <> q.vec_id
+        WHERE q.vec_id < 3
+    ) WHERE rnk <= 10
+), fused AS (
+    SELECT COALESCE(s.query_doc, d.query_doc) AS query_doc,
+           COALESCE(s.doc_id, d.doc_id) AS doc_id,
+           s.rnk_sparse, d.rnk_dense,
+           ROUND(COALESCE(1.0 / (60.0 + s.rnk_sparse), 0.0)
+                 + COALESCE(1.0 / (60.0 + d.rnk_dense), 0.0), 6) AS rrf
+    FROM sparse s FULL OUTER JOIN dense d
+      ON s.query_doc = d.query_doc AND s.doc_id = d.doc_id
+), final AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                 ORDER BY rrf DESC, doc_id) AS final_rnk
+    FROM fused
+)
+SELECT query_doc, CAST(final_rnk AS INT) AS final_rnk, doc_id,
+       CAST(COALESCE(rnk_sparse, -1) AS INT) AS rnk_sparse,
+       CAST(COALESCE(rnk_dense, -1) AS INT) AS rnk_dense,
+       rrf
+FROM final
+WHERE final_rnk <= 3
+ORDER BY query_doc, final_rnk
+"""
+
+
 def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinctive vocabulary per language by smoothed log-odds (the
     Monroe–Colaresi–Quinn 'fightin' words' statistic with a uniform
@@ -3974,6 +4101,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "pipeline_hybrid_retrieval": QuerySpec(
         pipeline_hybrid_retrieval, HYBRID_ORACLE
     ),
+    "retrieval_rank_fusion": QuerySpec(retrieval_rank_fusion, RRF_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
