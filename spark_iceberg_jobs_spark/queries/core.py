@@ -2189,12 +2189,82 @@ ORDER BY h.o_orderpriority
 """
 
 
+def aqp_sample_estimate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic sampling: per return
+    flag, total revenue estimated from a 10% md5-threshold row sample
+    (scaled by 1/rate) next to the exact total and the signed relative
+    error — the estimate-first/verify-later pattern that answers
+    dashboard queries from a sample store at 1/10th the scan. The md5
+    sample is a pure row predicate (engine-replayable, append-stable —
+    the same machinery as the split/sample tier), so unlike TABLESAMPLE
+    the 'sample' is a first-class reproducible set. One scan computes
+    BOTH estimate and truth via conditional aggregation; a production
+    deployment reads only the materialized sample partition."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    rate = 0.1
+    in_sample = (
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit("aqp"), F.col("l_orderkey"), F.col("l_linenumber")
+                )
+            ),
+            1,
+            8,
+        )
+        < format(int(rate * (1 << 32)), "08x")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled"),
+            F.round(F.sum(F.when(in_sample, rev).otherwise(0.0)) / rate, 2).alias(
+                "est_revenue"
+            ),
+            F.round(F.sum(rev), 2).alias("exact_revenue"),
+            F.round(
+                (F.sum(F.when(in_sample, rev).otherwise(0.0)) / rate - F.sum(rev))
+                / F.sum(rev),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AQP_SAMPLE_ORACLE = f"""
+WITH flagged AS (
+    SELECT l_returnflag,
+           l_extendedprice * (1 - l_discount) AS rev,
+           SUBSTR(MD5('aqp' || ':' || CAST(l_orderkey AS VARCHAR)
+                      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)
+               < '{format(int(0.1 * (1 << 32)), "08x")}' AS in_sample
+    FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       ROUND(SUM(CASE WHEN in_sample THEN rev ELSE 0.0 END) / 0.1, 2) AS est_revenue,
+       ROUND(SUM(rev), 2) AS exact_revenue,
+       ROUND((SUM(CASE WHEN in_sample THEN rev ELSE 0.0 END) / 0.1 - SUM(rev))
+             / SUM(rev), 6) AS rel_error
+FROM flagged
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 #: Outside the driver window (only flagship_revenue_topk is pulled from this
 #: module into the curated head); verified by tools/verify_local.py.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "scd2_customer_priority": QuerySpec(scd2_customer_priority, SCD2_ORACLE),
     "scd2_point_in_time_revenue": QuerySpec(
         scd2_point_in_time_revenue, SCD2_PIT_ORACLE
+    ),
+    "aqp_sample_estimate_revenue": QuerySpec(
+        aqp_sample_estimate_revenue, AQP_SAMPLE_ORACLE
     ),
     "join_full_outer_nation_activity": QuerySpec(
         join_full_outer_nation_activity, FULL_OUTER_ORACLE
