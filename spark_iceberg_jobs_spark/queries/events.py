@@ -1336,6 +1336,108 @@ ORDER BY day_num
 """
 
 
+def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day through HLL REGISTER ALGEBRA:
+    the per-day sketches (64 md5 registers, one groupBy) merge across the
+    trailing window as MAX(rho) OVER a RANGE frame per register — sketch
+    union IS max, so the rolling distinct count needs no re-scan of the
+    raw events per window, just |days| x 64 register rows. THE reason
+    mergeable sketches exist: exact rolling distinct must touch every
+    (user, day) pair in every window. The day x register grid comes from
+    an explode projection (no join); the exact answer rides along at
+    fixture scale as the accuracy column. The estimator is the libm-free
+    exact-arithmetic form, so the estimate itself hash-verifies."""
+    from ..operators.aggs import _hll_reg_rho, hll_estimate
+
+    ev = read_fixture(spark, sf_dir, "events")
+    day = F.expr("unix_timestamp(ts) DIV 86400")
+    reg, rho = _hll_reg_rho("user_id")
+    regs = (
+        ev.select(day.alias("day_num"), reg, rho)
+        .groupBy("day_num", "reg")
+        .agg(F.max("rho").alias("r_day"))
+    )
+    days = regs.select("day_num").distinct()
+    grid = days.select(
+        "day_num", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("reg")
+    )
+    full = grid.join(regs, ["day_num", "reg"], "left_outer")
+    w = Window.partitionBy("reg").orderBy("day_num").rangeBetween(-6, 0)
+    merged = (
+        full.withColumn("r", F.max("r_day").over(w))
+        .filter(F.col("r").isNotNull())
+        .select("day_num", "reg", "r")
+    )
+    est = hll_estimate(merged, "day_num")
+    activity = ev.select("user_id", day.alias("day_num")).distinct()
+    exact = (
+        activity.join(
+            F.broadcast(days.select(F.col("day_num").alias("d"))),
+            (F.col("day_num") >= F.col("d") - 6) & (F.col("day_num") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        est.join(exact, est.day_num == exact.d)
+        .select("day_num", "exact_users", "n_regs_set", "hll_est")
+        .orderBy("day_num")
+    )
+
+
+ROLLING_HLL_ORACLE = """
+WITH rr AS (
+    SELECT CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS day_num,
+           ((STRPOS('0123456789abcdef', SUBSTR(hh, 1, 1)) - 1) * 16
+            + (STRPOS('0123456789abcdef', SUBSTR(hh, 2, 1)) - 1)) % 64 AS reg,
+           CASE WHEN LENGTH(REGEXP_EXTRACT(SUBSTR(hh, 3, 13), '^0*')) = 13 THEN 53
+                ELSE LENGTH(REGEXP_EXTRACT(SUBSTR(hh, 3, 13), '^0*')) * 4
+                     + CASE SUBSTR(hh, 2 + LENGTH(REGEXP_EXTRACT(SUBSTR(hh, 3, 13), '^0*')) + 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                     + 1
+           END AS rho
+    FROM (SELECT ts, MD5('hll:' || CAST(user_id AS VARCHAR)) AS hh FROM events)
+), regs AS (
+    SELECT day_num, reg, MAX(rho) AS r_day FROM rr GROUP BY day_num, reg
+), days AS (
+    SELECT DISTINCT day_num FROM regs
+), grid AS (
+    SELECT day_num, CAST(g AS INT) AS reg
+    FROM days, UNNEST(RANGE(0, 64)) AS t(g)
+), merged AS (
+    SELECT day_num, reg,
+           MAX(r_day) OVER (PARTITION BY reg ORDER BY day_num
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS r
+    FROM grid LEFT JOIN regs USING (day_num, reg)
+), est AS (
+    SELECT day_num,
+           CAST(COUNT(*) AS BIGINT) AS n_regs_set,
+           ROUND(CAST({alpha!r} AS DOUBLE) * 64 * 64
+                 / (SUM(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << r))
+                    + (64 - COUNT(*))), 4) AS hll_est
+    FROM merged
+    WHERE r IS NOT NULL
+    GROUP BY day_num
+), activity AS (
+    SELECT DISTINCT user_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS day_num
+    FROM events
+), exact AS (
+    SELECT d.day_num AS d, COUNT(DISTINCT a.user_id) AS exact_users
+    FROM days d JOIN activity a
+      ON a.day_num >= d.day_num - 6 AND a.day_num <= d.day_num
+    GROUP BY d.day_num
+)
+SELECT est.day_num, exact.exact_users, est.n_regs_set, est.hll_est
+FROM est JOIN exact ON est.day_num = exact.d
+ORDER BY est.day_num
+""".replace("{alpha!r}", repr(0.7213 / (1 + 1.079 / 64)))
+
+
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival time distribution per event type: consecutive gaps
     within each user's own timeline (user-partitioned lag — sequences
@@ -1670,6 +1772,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "rollup_incremental_merge": QuerySpec(rollup_incremental_merge, INCR_MERGE_ORACLE),
     "events_changepoint_daily": QuerySpec(events_changepoint_daily, CHANGEPOINT_ORACLE),
     "events_interarrival_stats": QuerySpec(events_interarrival_stats, INTERARRIVAL_ORACLE),
+    "events_rolling_distinct_hll": QuerySpec(
+        events_rolling_distinct_hll, ROLLING_HLL_ORACLE
+    ),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
