@@ -1336,6 +1336,58 @@ ORDER BY day_num
 """
 
 
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP — the financial /
+    sensor-data aggregate): each observation holds until the user's next
+    event (step-function interpolation via a user-partitioned lead), and
+    values average weighted by holding duration — a plain AVG
+    overcounts bursts, TWAP doesn't. Closed intervals only (each user's
+    last observation has no duration); integer-second durations keep the
+    weighted sums deterministic under rounding. One window + one small
+    aggregate."""
+    ev = read_fixture(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    held = (
+        ev.withColumn("dur", F.lead(es).over(w) - es)
+        .filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+        .select("event_type", "value", "dur")
+    )
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("dur").cast("long").alias("total_sec"),
+            F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 4).alias(
+                "twap_value"
+            ),
+            F.round(F.avg("value"), 4).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TWAP_ORACLE = """
+WITH held AS (
+    SELECT event_type, value,
+           LEAD(CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT))
+               OVER (PARTITION BY event_type, user_id
+                     ORDER BY DATE_TRUNC('microsecond', ts), event_id)
+           - CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS dur
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_sec,
+       ROUND(SUM(value * dur) / SUM(dur), 4) AS twap_value,
+       ROUND(AVG(value), 4) AS plain_avg
+FROM held
+WHERE dur IS NOT NULL AND dur > 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users per day through HLL REGISTER ALGEBRA:
     the per-day sketches (64 md5 registers, one groupBy) merge across the
@@ -1774,6 +1826,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_interarrival_stats": QuerySpec(events_interarrival_stats, INTERARRIVAL_ORACLE),
     "events_rolling_distinct_hll": QuerySpec(
         events_rolling_distinct_hll, ROLLING_HLL_ORACLE
+    ),
+    "events_time_weighted_value": QuerySpec(
+        events_time_weighted_value, TWAP_ORACLE
     ),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
