@@ -1336,6 +1336,61 @@ ORDER BY day_num
 """
 
 
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars — the canonical financial/sensor downsample: per
+    (event type, hour), the opening value (first by event time), high,
+    low, close (last), event count, and summed volume. First/last
+    resolve through ONE (type, hour)-partitioned sort shared by the
+    row_number and the partition count (close = rn == n), with event_id
+    breaking timestamp ties so bars are deterministic under concurrent
+    events — the property exchange feeds actually require."""
+    ev = read_fixture(spark, sf_dir, "events")
+    hour = (F.expr("unix_timestamp(ts) DIV 3600") * 3600).alias("hour_start")
+    w = Window.partitionBy("event_type", "hour_start").orderBy("ts", "event_id")
+    marked = (
+        ev.select("event_type", hour, "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type", "hour_start")))
+    )
+    return (
+        marked.groupBy("event_type", "hour_start")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+OHLC_ORACLE = """
+WITH marked AS (
+    SELECT event_type,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 3600 * 3600 AS hour_start,
+           value,
+           ROW_NUMBER() OVER (PARTITION BY event_type,
+               CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 3600
+               ORDER BY DATE_TRUNC('microsecond', ts), event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type,
+               CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 3600) AS n
+    FROM events
+)
+SELECT event_type, hour_start,
+       MAX(CASE WHEN rn = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn = n THEN value END) AS close,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS volume
+FROM marked
+GROUP BY event_type, hour_start
+ORDER BY event_type, hour_start
+"""
+
+
 def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per event type (TWAP — the financial /
     sensor-data aggregate): each observation holds until the user's next
@@ -1830,6 +1885,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_time_weighted_value": QuerySpec(
         events_time_weighted_value, TWAP_ORACLE
     ),
+    "events_ohlc_hourly": QuerySpec(events_ohlc_hourly, OHLC_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
