@@ -1336,6 +1336,60 @@ ORDER BY day_num
 """
 
 
+def integrity_id_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit across the id-bearing fixture
+    tables: per table, the id range, row count, duplicate-id count, and
+    the number of MISSING ids in [min, max] — the dropped-batch detector
+    for ingest pipelines (a re-run that skipped a file shows up as a
+    contiguous hole; a double-run as duplicates). Pure aggregates —
+    expected span minus distinct count — so the check is one scan per
+    table regardless of scale, no windows, no self-joins."""
+    out = None
+    for table, id_col in (("events", "event_id"), ("documents", "doc_id"), ("orders", "o_orderkey")):
+        t = read_fixture(spark, sf_dir, table)
+        row = t.agg(
+            F.lit(table).alias("table_name"),
+            F.min(id_col).cast("long").alias("min_id"),
+            F.max(id_col).cast("long").alias("max_id"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct(id_col).alias("n_distinct"),
+        ).select(
+            "table_name",
+            "min_id",
+            "max_id",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_distinct")).alias("n_duplicate_ids"),
+            (F.col("max_id") - F.col("min_id") + 1 - F.col("n_distinct")).alias(
+                "n_missing_ids"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
+
+
+CONTINUITY_ORACLE = """
+WITH per_table AS (
+    SELECT 'events' AS table_name, CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'documents', CAST(MIN(doc_id) AS BIGINT), CAST(MAX(doc_id) AS BIGINT),
+           COUNT(*), COUNT(DISTINCT doc_id)
+    FROM documents
+    UNION ALL
+    SELECT 'orders', CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT),
+           COUNT(*), COUNT(DISTINCT o_orderkey)
+    FROM orders
+)
+SELECT table_name, min_id, max_id, n_rows,
+       CAST(n_rows - n_distinct AS BIGINT) AS n_duplicate_ids,
+       CAST(max_id - min_id + 1 - n_distinct AS BIGINT) AS n_missing_ids
+FROM per_table
+ORDER BY table_name
+"""
+
+
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars — the canonical financial/sensor downsample: per
     (event type, hour), the opening value (first by event time), high,
@@ -1886,6 +1940,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         events_time_weighted_value, TWAP_ORACLE
     ),
     "events_ohlc_hourly": QuerySpec(events_ohlc_hourly, OHLC_ORACLE),
+    "integrity_id_continuity": QuerySpec(integrity_id_continuity, CONTINUITY_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
