@@ -878,6 +878,129 @@ ORDER BY b.probe_id
 ANN_RECALL_ORACLE = _ann_recall_oracle_sql()
 
 
+_CV_FOLDS = 3
+_CV_ITER = 3
+
+
+def ml_logreg_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-fold cross-validation of the GD classifier: docs are
+    assigned to 3 folds by md5 (deterministic, engine-replayable); each
+    fold's model trains on the OTHER folds (3 rounds of full-batch GD,
+    fast-sigmoid link) and evaluates held-out MSE on its own — the
+    generalization estimate a quality-filter model ships with, not its
+    training loss. Per fold the cost is the usual per-round scan +
+    3-double exchange; the oracle unrolls all three fold chains
+    (MATERIALIZED) and replays the held-out scoring."""
+    from ..functions.cache import scoped_persist
+    from ..functions.texts import normalize, tokens
+    from ..operators.regression import logreg_fit, logreg_predict
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cv:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CV_FOLDS
+    )
+    feats = scoped_persist(
+        docs.select(
+            fold.alias("fold"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+            (F.col("n_chars") / 300.0).alias("x1"),
+            (F.size(tokens(normalize("text"))) / 50.0).alias("x2"),
+        )
+    )
+    out = None
+    for k in range(_CV_FOLDS):
+        train = feats.filter(F.col("fold") != k)
+        w = logreg_fit(
+            train, label_col="y", feature_cols=["x1", "x2"], iterations=_CV_ITER
+        )
+        ev = feats.filter(F.col("fold") == k)
+        p = logreg_predict(ev, w, ["x1", "x2"])
+        row = ev.agg(
+            F.lit(k).alias("fold"),
+            F.count("*").cast("long").alias("n_eval"),
+            F.round(F.lit(w[1]), 6).alias("w_chars"),
+            F.round(F.lit(w[2]), 6).alias("w_tokens"),
+            F.round(F.avg((p - F.col("y")) * (p - F.col("y"))), 6).alias("eval_mse"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fold")
+
+
+def _logreg_cv_oracle_sql(
+    folds: int = _CV_FOLDS, iterations: int = _CV_ITER, lr: float = _LOGREG_LR
+) -> str:
+    """Per fold: the GD chain over the fold's TRAIN rows, then held-out
+    scoring — all fold chains unrolled (MATERIALIZED) and UNION ALLed."""
+    nl = ",\n"
+    chains = []
+    parts = []
+    for k in range(folds):
+        p = f"k{k}"
+        rounds = [
+            f"{p}w0 AS (SELECT CAST(0 AS DOUBLE) AS b, "
+            f"CAST(0 AS DOUBLE) AS wa, CAST(0 AS DOUBLE) AS wb)"
+        ]
+        for r in range(1, iterations + 1):
+            rounds.append(
+                f"""{p}g{r} AS MATERIALIZED (
+    SELECT AVG(p - y) AS g0, AVG((p - y) * x1) AS gx1, AVG((p - y) * x2) AS gx2
+    FROM (SELECT y, x1, x2, 0.5 * (1 + z / (1 + ABS(z))) AS p
+          FROM (SELECT f.y, f.x1, f.x2,
+                       w.b + w.wa * f.x1 + w.wb * f.x2 AS z
+                FROM cvf f CROSS JOIN {p}w{r - 1} w
+                WHERE f.fold <> {k}))
+), {p}w{r} AS MATERIALIZED (
+    SELECT w.b - {lr!r} * g.g0 AS b,
+           w.wa - {lr!r} * g.gx1 AS wa,
+           w.wb - {lr!r} * g.gx2 AS wb
+    FROM {p}w{r - 1} w CROSS JOIN {p}g{r} g
+)"""
+            )
+        chains.append(nl.join(rounds))
+        parts.append(
+            f"""SELECT {k} AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(MAX(w.wa), 6) AS w_chars,
+       ROUND(MAX(w.wb), 6) AS w_tokens,
+       ROUND(AVG((0.5 * (1 + (w.b + w.wa * f.x1 + w.wb * f.x2)
+                         / (1 + ABS(w.b + w.wa * f.x1 + w.wb * f.x2))) - f.y)
+                 * (0.5 * (1 + (w.b + w.wa * f.x1 + w.wb * f.x2)
+                           / (1 + ABS(w.b + w.wa * f.x1 + w.wb * f.x2))) - f.y)), 6)
+           AS eval_mse
+FROM cvf f CROSS JOIN {p}w{iterations} w
+WHERE f.fold = {k}"""
+        )
+    all_chains = nl.join(chains)
+    union = "\nUNION ALL\n".join(parts)
+    backslash_s = "\\s+"
+    return f"""
+WITH cvf AS MATERIALIZED (
+    SELECT CAST(('0x' || SUBSTR(MD5('cv:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {folds} AS fold,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           n_chars / 300.0 AS x1,
+           LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text), '{backslash_s}', ' ', 'g')), ' '))
+               / 50.0 AS x2
+    FROM documents
+),
+{all_chains}
+SELECT * FROM (
+{union}
+)
+ORDER BY fold
+"""
+
+
+LOGREG_CV_ORACLE = _logreg_cv_oracle_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings, KMEANS_ORACLE),
     "sim_ivf_kmeans_topk": QuerySpec(sim_ivf_kmeans_topk, IVF_KMEANS_ORACLE),
@@ -897,4 +1020,5 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "ml_logreg_language": QuerySpec(ml_logreg_language, LOGREG_ORACLE),
     "ml_logreg_calibration": QuerySpec(ml_logreg_calibration, LOGREG_CALIBRATION_ORACLE),
     "sim_ann_recall_ivf": QuerySpec(sim_ann_recall_ivf, ANN_RECALL_ORACLE),
+    "ml_logreg_crossval": QuerySpec(ml_logreg_crossval, LOGREG_CV_ORACLE),
 }
