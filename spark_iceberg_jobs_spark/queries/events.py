@@ -1336,6 +1336,64 @@ ORDER BY day_num
 """
 
 
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user who signed up and
+    later purchased, the latency from FIRST signup to FIRST subsequent
+    purchase, summarized as count / mean / exact median / P90 — the
+    metric that turns events_funnel's counts into 'how long does the
+    funnel take'. Two conditional MINs over one user-partitioned
+    unordered frame (a single exchange, the funnel pattern), then a
+    one-group quantile aggregate on integer seconds."""
+    ev = read_fixture(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "t_signup", F.min(F.when(F.col("event_type") == "signup", es)).over(w)
+    ).withColumn(
+        "t_purchase",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (es > F.col("t_signup")), es)
+        ).over(w),
+    )
+    lat = (
+        staged.groupBy("user_id")
+        .agg((F.min("t_purchase") - F.min("t_signup")).alias("latency_sec"))
+        .filter(F.col("latency_sec").isNotNull())
+    )
+    pct = F.percentile("latency_sec", F.lit([0.5, 0.9]))
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.avg("latency_sec"), 2).alias("mean_sec"),
+        F.round(F.element_at(pct, 1), 2).alias("p50_sec"),
+        F.round(F.element_at(pct, 2), 2).alias("p90_sec"),
+    )
+
+
+CONVERSION_LATENCY_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+    FROM events
+), s AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN es END) AS t_signup
+    FROM e GROUP BY user_id
+), p AS (
+    SELECT e.user_id, MIN(es) AS t_purchase
+    FROM e JOIN s ON e.user_id = s.user_id
+    WHERE event_type = 'purchase' AND es > t_signup
+    GROUP BY e.user_id
+), lat AS (
+    SELECT p.t_purchase - s.t_signup AS latency_sec
+    FROM p JOIN s ON p.user_id = s.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(AVG(latency_sec), 2) AS mean_sec,
+       ROUND(QUANTILE_CONT(latency_sec, 0.5), 2) AS p50_sec,
+       ROUND(QUANTILE_CONT(latency_sec, 0.9), 2) AS p90_sec
+FROM lat
+"""
+
+
 def integrity_id_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surrogate-key continuity audit across the id-bearing fixture
     tables: per table, the id range, row count, duplicate-id count, and
@@ -1941,6 +1999,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "events_ohlc_hourly": QuerySpec(events_ohlc_hourly, OHLC_ORACLE),
     "integrity_id_continuity": QuerySpec(integrity_id_continuity, CONTINUITY_ORACLE),
+    "events_conversion_latency": QuerySpec(
+        events_conversion_latency, CONVERSION_LATENCY_ORACLE
+    ),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),

@@ -3079,6 +3079,76 @@ ORDER BY query_doc, final_rnk
 """
 
 
+def text_diversity_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (the NLG-eval metric family):
+    unique n-grams over total n-grams for n = 1, 2, 3 — degenerate or
+    templated generation collapses distinct-2/3 toward 0 while natural
+    text stays high. One tokenize pass feeds all three orders through
+    lead() columns on a shared doc-partitioned window; counts are
+    integer-exact so the ratios replay to the rounding digit."""
+    from ..functions.texts import tokens as _tokens
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.col("doc_id"), F.posexplode(_tokens("text")).alias("pos", "t1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok.withColumn("t2", F.lead("t1", 1).over(w)).withColumn(
+        "t3", F.lead("t1", 2).over(w)
+    )
+    per_n = grams.groupBy("source").agg(
+        F.count("t1").cast("long").alias("total_1"),
+        F.countDistinct("t1").alias("distinct_1"),
+        F.count(F.when(F.col("t2").isNotNull(), 1)).cast("long").alias("total_2"),
+        F.countDistinct(
+            F.when(F.col("t2").isNotNull(), F.concat_ws(" ", "t1", "t2"))
+        ).alias("distinct_2"),
+        F.count(F.when(F.col("t3").isNotNull(), 1)).cast("long").alias("total_3"),
+        F.countDistinct(
+            F.when(F.col("t3").isNotNull(), F.concat_ws(" ", "t1", "t2", "t3"))
+        ).alias("distinct_3"),
+    )
+    return per_n.select(
+        "source",
+        "total_1",
+        F.round(F.col("distinct_1") / F.col("total_1"), 4).alias("d1_ratio"),
+        F.round(F.col("distinct_2") / F.col("total_2"), 4).alias("d2_ratio"),
+        F.round(F.col("distinct_3") / F.col("total_3"), 4).alias("d3_ratio"),
+    ).orderBy("source")
+
+
+DIVERSITY_ORACLE = """
+WITH tok AS (
+    SELECT source, doc_id,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos,
+           UNNEST(STRING_SPLIT(text, ' ')) AS t1
+    FROM documents
+), grams AS (
+    SELECT source, t1,
+           LEAD(t1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+           LEAD(t1, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+    FROM tok
+), per_n AS (
+    SELECT source,
+           COUNT(t1) AS total_1,
+           COUNT(DISTINCT t1) AS distinct_1,
+           COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END) AS total_2,
+           COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN t1 || ' ' || t2 END) AS distinct_2,
+           COUNT(CASE WHEN t3 IS NOT NULL THEN 1 END) AS total_3,
+           COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN t1 || ' ' || t2 || ' ' || t3 END) AS distinct_3
+    FROM grams
+    GROUP BY source
+)
+SELECT source,
+       CAST(total_1 AS BIGINT) AS total_1,
+       ROUND(CAST(distinct_1 AS DOUBLE) / total_1, 4) AS d1_ratio,
+       ROUND(CAST(distinct_2 AS DOUBLE) / total_2, 4) AS d2_ratio,
+       ROUND(CAST(distinct_3 AS DOUBLE) / total_3, 4) AS d3_ratio
+FROM per_n
+ORDER BY source
+"""
+
+
 def retrieval_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion of the sparse and dense rankers — the
     calibration-free fusion standard (Cormack et al.): each of BM25's
@@ -4102,6 +4172,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         pipeline_hybrid_retrieval, HYBRID_ORACLE
     ),
     "retrieval_rank_fusion": QuerySpec(retrieval_rank_fusion, RRF_ORACLE),
+    "text_diversity_distinct_n": QuerySpec(
+        text_diversity_distinct_n, DIVERSITY_ORACLE
+    ),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
