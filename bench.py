@@ -54,10 +54,26 @@ def run() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
+    # the suite grows round-over-round, so the grand total is not
+    # cross-round comparable; these frozen subtotals are (same query sets
+    # as the r1/r2 BENCH files)
+    common_r1 = [
+        "q6_forecast_revenue", "q10_returned_items", "flagship_revenue_topk",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_regional_supplier_volume",
+        "copartitioned_join_agg", "pipeline_corpus_curation", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "sim_bruteforce_topk", "events_tumbling_hourly",
+        "events_asof_purchase_click", "events_sessionization",
+    ]
+    common_r2 = common_r1 + [
+        "dedup_embedding_cosine_bucketed", "multimodal_image_decode",
+        "sketch_cms_heavy_hitters", "q21_waiting_suppliers",
+    ]
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        "common_r1_seconds": round(sum(timings.get(q, 0.0) for q in common_r1), 3),
+        "common_r2_seconds": round(sum(timings.get(q, 0.0) for q in common_r2), 3),
         "queries": timings,
         "sf": sf,
     }
