@@ -1001,6 +1001,95 @@ ORDER BY fold
 LOGREG_CV_ORACLE = _logreg_cv_oracle_sql()
 
 
+def cluster_topic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic topic labels for embedding clusters: each k-means cell is
+    labeled by the 3 terms most over-represented in its member documents
+    (doc_id ↔ vec_id) versus the whole corpus — smoothed log-odds, the
+    same estimator as the per-language distinctive-terms screen — turning
+    an opaque cell id into something a curator can read. Composition:
+    projection-only k-means assignment → one token-count shuffle keyed by
+    (cell, term) → the log-odds projection over the count tables. The
+    oracle replays the fit (unrolled CTEs) and the scoring."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    from ..functions.texts import tokens as _tokens
+
+    cents = kmeans_fit(emb, k=_K, iterations=_ITERATIONS, dim=_DIM)
+    e = emb.select(F.col("vec_id").alias("cid"), as_double("embedding").alias("v"))
+    assigned = assign_cells(e, cents).select("cid", "cell")
+    tc = (
+        docs.join(assigned, docs.doc_id == assigned.cid)
+        .select("cell", F.explode(_tokens("text")).alias("term"))
+        .groupBy("cell", "term")
+        .agg(F.count("*").alias("y"))
+    )
+    totals = tc.groupBy("cell").agg(F.sum("y").alias("n_cell"))
+    term_tot = tc.groupBy("term").agg(F.sum("y").alias("y_all"))
+    corpus = tc.agg(F.sum("y").alias("n_all"))
+    j = (
+        tc.join(totals, "cell")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("y_rest", F.col("y_all") - F.col("y"))
+        .withColumn("n_rest", F.col("n_all") - F.col("n_cell"))
+    )
+    score = F.round(
+        F.log((F.col("y") + 1.0) / (F.col("n_cell") - F.col("y") + 1.0))
+        - F.log((F.col("y_rest") + 1.0) / (F.col("n_rest") - F.col("y_rest") + 1.0)),
+        4,
+    )
+    scored = j.select("cell", "term", F.col("y").cast("long").alias("n_in_cell"), score.alias("log_odds"))
+    w = Window.partitionBy("cell").orderBy(F.desc("log_odds"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("cell", "rnk", "term", "n_in_cell", "log_odds")
+        .orderBy("cell", "rnk")
+    )
+
+
+def _cluster_topics_oracle_sql(k: int = _K, iterations: int = _ITERATIONS) -> str:
+    return f"""
+WITH {_kmeans_chain(k, iterations, extra_assign=True)},
+tc AS (
+    SELECT a.cell, term, COUNT(*) AS y
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents) t
+    JOIN a{iterations + 1} a ON t.doc_id = a.vec_id
+    GROUP BY a.cell, term
+), totals AS (
+    SELECT cell, SUM(y) AS n_cell FROM tc GROUP BY cell
+), term_tot AS (
+    SELECT term, SUM(y) AS y_all FROM tc GROUP BY term
+), corpus AS (
+    SELECT SUM(y) AS n_all FROM tc
+), scored AS (
+    SELECT tc.cell, tc.term,
+           CAST(tc.y AS BIGINT) AS n_in_cell,
+           ROUND(LN((tc.y + 1.0) / (totals.n_cell - tc.y + 1.0))
+                 - LN((term_tot.y_all - tc.y + 1.0)
+                      / (corpus.n_all - totals.n_cell - (term_tot.y_all - tc.y) + 1.0)),
+                 4) AS log_odds
+    FROM tc
+    JOIN totals ON tc.cell = totals.cell
+    JOIN term_tot ON tc.term = term_tot.term
+    CROSS JOIN corpus
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                 ORDER BY log_odds DESC, term) AS rnk
+    FROM scored
+)
+SELECT cell, CAST(rnk AS INT) AS rnk, term, n_in_cell, log_odds
+FROM ranked
+WHERE rnk <= 3
+ORDER BY cell, rnk
+"""
+
+
+CLUSTER_TOPICS_ORACLE = _cluster_topics_oracle_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cluster_kmeans_embeddings": QuerySpec(cluster_kmeans_embeddings, KMEANS_ORACLE),
     "sim_ivf_kmeans_topk": QuerySpec(sim_ivf_kmeans_topk, IVF_KMEANS_ORACLE),
@@ -1021,4 +1110,5 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "ml_logreg_calibration": QuerySpec(ml_logreg_calibration, LOGREG_CALIBRATION_ORACLE),
     "sim_ann_recall_ivf": QuerySpec(sim_ann_recall_ivf, ANN_RECALL_ORACLE),
     "ml_logreg_crossval": QuerySpec(ml_logreg_crossval, LOGREG_CV_ORACLE),
+    "cluster_topic_labels": QuerySpec(cluster_topic_labels, CLUSTER_TOPICS_ORACLE),
 }
