@@ -3079,6 +3079,97 @@ ORDER BY query_doc, final_rnk
 """
 
 
+def report_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card — the one-screen datasheet a corpus release ships
+    with, computed as a single union of aggregates: row/char/token
+    totals, language and source cardinalities, exact-duplicate rate,
+    short-doc rate, and embedding coverage (docs with a vector). Each
+    metric is a corpus-wide aggregate the underlying tiers verify in
+    depth elsewhere; this query is the roll-up a reviewer actually
+    reads. Values are emitted as (metric, value) rows with DOUBLE values
+    so one schema carries counts and rates."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    from ..functions.texts import token_count
+    from ..operators.dedup import exact_dedup
+
+    dup_groups = exact_dedup(docs).agg(
+        F.count("*").alias("n_distinct"), F.sum("n_copies").alias("n_rows")
+    )
+    base = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.sum(token_count("text")).cast("double").alias("total_tokens"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.round(
+            F.sum(F.when(F.size(F.split("text", " ")) < 20, 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("short_doc_rate"),
+    )
+    emb_cov = (
+        docs.join(emb, docs.doc_id == emb.vec_id, "left_outer")
+        .agg(
+            F.round(F.count("vec_id") / F.count("*"), 4).alias("embedding_coverage")
+        )
+    )
+    dup_rate = dup_groups.select(
+        F.round(
+            (F.col("n_rows") - F.col("n_distinct")) / F.col("n_rows"), 4
+        ).alias("exact_dup_rate")
+    )
+    wide = base.crossJoin(F.broadcast(emb_cov)).crossJoin(F.broadcast(dup_rate))
+    metrics = [
+        "n_docs", "total_chars", "total_tokens", "n_langs", "n_sources",
+        "short_doc_rate", "embedding_coverage", "exact_dup_rate",
+    ]
+    stack_args = ", ".join(f"'{m}', {m}" for m in metrics)
+    return (
+        wide.select(
+            F.expr(f"stack({len(metrics)}, {stack_args}) AS (metric, value)")
+        )
+        .orderBy("metric")
+    )
+
+
+DATASET_CARD_ORACLE = """
+WITH base AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+           ROUND(SUM(CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 20 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS short_doc_rate
+    FROM documents
+), cov AS (
+    SELECT ROUND(COUNT(e.vec_id) / CAST(COUNT(*) AS DOUBLE), 4) AS embedding_coverage
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+), dup AS (
+    SELECT ROUND((SUM(n_copies) - COUNT(*)) / CAST(SUM(n_copies) AS DOUBLE), 4)
+               AS exact_dup_rate
+    FROM (
+        SELECT COUNT(*) AS n_copies
+        FROM (SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS h
+              FROM documents)
+        GROUP BY h
+    )
+)
+SELECT metric, value FROM (
+    SELECT 'n_docs' AS metric, n_docs AS value FROM base
+    UNION ALL SELECT 'total_chars', total_chars FROM base
+    UNION ALL SELECT 'total_tokens', total_tokens FROM base
+    UNION ALL SELECT 'n_langs', n_langs FROM base
+    UNION ALL SELECT 'n_sources', n_sources FROM base
+    UNION ALL SELECT 'short_doc_rate', short_doc_rate FROM base
+    UNION ALL SELECT 'embedding_coverage', embedding_coverage FROM cov
+    UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM dup
+)
+ORDER BY metric
+"""
+
+
 def text_diversity_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-n diversity per source (the NLG-eval metric family):
     unique n-grams over total n-grams for n = 1, 2, 3 — degenerate or
@@ -4175,6 +4266,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "text_diversity_distinct_n": QuerySpec(
         text_diversity_distinct_n, DIVERSITY_ORACLE
     ),
+    "report_dataset_card": QuerySpec(report_dataset_card, DATASET_CARD_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
