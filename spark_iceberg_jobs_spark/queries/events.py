@@ -1336,6 +1336,63 @@ ORDER BY day_num
 """
 
 
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/WAU) per day — the engagement ratio product teams
+    track: daily active users over trailing-7-day active users, both
+    exact. One (user, day) distinct pass feeds BOTH sides; the trailing
+    window is the same broadcast day-range join as the rolling-HLL
+    query's exact column (days are few; the distinct pass is the only
+    data-sized work). A ratio near 1 = the same users every day; near
+    1/7 = fully churning audience."""
+    from ..functions.cache import scoped_persist
+
+    ev = read_fixture(spark, sf_dir, "events")
+    day = F.expr("unix_timestamp(ts) DIV 86400")
+    activity = scoped_persist(ev.select("user_id", day.alias("day_num")).distinct())
+    dau = activity.groupBy("day_num").agg(F.countDistinct("user_id").alias("dau"))
+    days = activity.select("day_num").distinct()
+    wau = (
+        activity.join(
+            F.broadcast(days.select(F.col("day_num").alias("d"))),
+            (F.col("day_num") >= F.col("d") - 6) & (F.col("day_num") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day_num == wau.d)
+        .select(
+            "day_num",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day_num")
+    )
+
+
+STICKINESS_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS day_num
+    FROM events
+), dau AS (
+    SELECT day_num, COUNT(DISTINCT user_id) AS dau FROM activity GROUP BY day_num
+), days AS (
+    SELECT DISTINCT day_num FROM activity
+), wau AS (
+    SELECT d.day_num AS d, COUNT(DISTINCT a.user_id) AS wau
+    FROM days d JOIN activity a
+      ON a.day_num >= d.day_num - 6 AND a.day_num <= d.day_num
+    GROUP BY d.day_num
+)
+SELECT dau.day_num, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+FROM dau JOIN wau ON dau.day_num = wau.d
+ORDER BY dau.day_num
+"""
+
+
 def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: for every user who signed up and
     later purchased, the latency from FIRST signup to FIRST subsequent
@@ -2002,6 +2059,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_conversion_latency": QuerySpec(
         events_conversion_latency, CONVERSION_LATENCY_ORACLE
     ),
+    "events_stickiness_dau_wau": QuerySpec(events_stickiness_dau_wau, STICKINESS_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
