@@ -3079,6 +3079,108 @@ ORDER BY query_doc, final_rnk
 """
 
 
+def dedup_cascade_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup waterfall — the first table of every curation report:
+    documents surviving each cascade stage (exact content hash, then
+    near-dup Jaccard >= 0.8, then >= 0.5 among the remaining), with
+    per-stage entering/removed/remaining counts. Stage semantics are
+    ONE-SHOT: a doc is removed when it pairs (at that stage's threshold)
+    with a smaller-id doc that ENTERED the stage — deterministic,
+    order-free, and exactly what the oracle replays (the within-stage
+    cascade variant would depend on removal order). Each stage reuses
+    the verified pair machinery over a shrinking survivor set.
+
+    Unlike events_funnel (whose 4-action chain was fused — its stages
+    were all views of one frame), this report's per-stage actions are a
+    TRUE sequential dependency: stage k+1's pair generation consumes
+    stage k's anti-joined survivor set, so the counts cannot fuse into
+    one job without recomputing every stage inside it."""
+    from ..operators.dedup import exact_dedup, ngram_jaccard_pairs
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    n0 = docs.count()
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    s1 = docs.join(keepers, "doc_id")
+    n1 = s1.count()
+    rows = [("1_exact", n0, n0 - n1, n1)]
+    cur = s1
+    n_prev = n1
+    for stage, thr in (("2_jaccard_080", 0.8), ("3_jaccard_050", 0.5)):
+        pairs = ngram_jaccard_pairs(cur, threshold=thr)
+        removed = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        cur = cur.join(removed, "doc_id", "left_anti")
+        n_cur = cur.count()
+        rows.append((stage, n_prev, n_prev - n_cur, n_cur))
+        n_prev = n_cur
+    return spark.createDataFrame(
+        rows, "stage string, n_entering long, n_removed long, n_remaining long"
+    ).orderBy("stage")
+
+
+CASCADE_WATERFALL_ORACLE = """
+WITH keepers AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (SELECT doc_id,
+                 MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS h
+          FROM documents)
+    GROUP BY h
+), s1 AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+), sh1 AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM s1),
+         UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+), sz1 AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh1 GROUP BY doc_id
+), rm2 AS (
+    SELECT DISTINCT b.doc_id
+    FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+          FROM sh1 a JOIN sh1 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) c
+    JOIN sz1 sa ON c.da = sa.doc_id
+    JOIN sz1 sb ON c.db = sb.doc_id
+    JOIN s1 b ON b.doc_id = c.db
+    WHERE c.n_common::DOUBLE / (sa.n + sb.n - c.n_common) >= 0.8
+), s2 AS (
+    SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM rm2)
+), sh2 AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM s2),
+         UNNEST(RANGE(1, LEN(t) - 1)) AS r(i)
+), sz2 AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id
+), rm3 AS (
+    SELECT DISTINCT b.doc_id
+    FROM (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_common
+          FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) c
+    JOIN sz2 sa ON c.da = sa.doc_id
+    JOIN sz2 sb ON c.db = sb.doc_id
+    JOIN s2 b ON b.doc_id = c.db
+    WHERE c.n_common::DOUBLE / (sa.n + sb.n - c.n_common) >= 0.5
+), s3 AS (
+    SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM rm3)
+), counts AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n0,
+           (SELECT COUNT(*) FROM s1) AS n1,
+           (SELECT COUNT(*) FROM s2) AS n2,
+           (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT stage, n_entering, n_removed, n_remaining FROM (
+    SELECT '1_exact' AS stage, CAST(n0 AS BIGINT) AS n_entering,
+           CAST(n0 - n1 AS BIGINT) AS n_removed, CAST(n1 AS BIGINT) AS n_remaining
+    FROM counts
+    UNION ALL
+    SELECT '2_jaccard_080', CAST(n1 AS BIGINT), CAST(n1 - n2 AS BIGINT), CAST(n2 AS BIGINT)
+    FROM counts
+    UNION ALL
+    SELECT '3_jaccard_050', CAST(n2 AS BIGINT), CAST(n2 - n3 AS BIGINT), CAST(n3 AS BIGINT)
+    FROM counts
+)
+ORDER BY stage
+"""
+
+
 def report_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset card — the one-screen datasheet a corpus release ships
     with, computed as a single union of aggregates: row/char/token
@@ -4267,6 +4369,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         text_diversity_distinct_n, DIVERSITY_ORACLE
     ),
     "report_dataset_card": QuerySpec(report_dataset_card, DATASET_CARD_ORACLE),
+    "dedup_cascade_waterfall": QuerySpec(
+        dedup_cascade_waterfall, CASCADE_WATERFALL_ORACLE
+    ),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
