@@ -2189,6 +2189,45 @@ ORDER BY h.o_orderpriority
 """
 
 
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining over orders: the 10 part pairs most often
+    bought together (distinct parts per order, ordered self-join within
+    the order key), with each pair's support count — the co-purchase
+    signal behind 'frequently bought together'. The self-join is keyed
+    by l_orderkey, so pair work is Σ_order |basket|² — bounded by basket
+    width (TPC-H ~4), never corpus size; at retail scale you'd cap or
+    sample mega-baskets the same way the dedup tier caps hot shingles."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(10)
+    )
+
+
+BASKET_PAIRS_ORACLE = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 10
+"""
+
+
 def aqp_sample_estimate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate query processing by deterministic sampling: per return
     flag, total revenue estimated from a 10% md5-threshold row sample
@@ -2266,6 +2305,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "aqp_sample_estimate_revenue": QuerySpec(
         aqp_sample_estimate_revenue, AQP_SAMPLE_ORACLE
     ),
+    "basket_part_pairs": QuerySpec(basket_part_pairs, BASKET_PAIRS_ORACLE),
     "join_full_outer_nation_activity": QuerySpec(
         join_full_outer_nation_activity, FULL_OUTER_ORACLE
     ),

@@ -1336,6 +1336,95 @@ ORDER BY day_num
 """
 
 
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: signup → first click WITHIN 72h of the
+    signup → first purchase WITHIN 72h of that click — the conversion
+    window every growth team applies (the untimed events_funnel counts a
+    purchase months later as converted; this one doesn't). Identical
+    single-job shape to events_funnel — chained conditional MINs over
+    ONE user-partitioned unordered frame, a per-user rollup, one global
+    conditional-count aggregate, stack-unpivoted — with the window
+    predicate folded into each stage's eligibility condition."""
+    ev = read_fixture(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id")
+    lim = 72 * 3600
+    staged = (
+        ev.withColumn(
+            "t_signup", F.min(F.when(F.col("event_type") == "signup", es)).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (es > F.col("t_signup"))
+                    & (es <= F.col("t_signup") + lim),
+                    es,
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (es > F.col("t_click"))
+                    & (es <= F.col("t_click") + lim),
+                    es,
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_signup").alias("t_signup"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("*").alias("n_all"),
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(4, '1_all_users', n_all, '2_signed_up', n_signup, "
+            "'3_clicked_72h', n_click, '4_purchased_72h', n_purchase) "
+            "AS (stage, n_users)"
+        )
+    )
+
+
+FUNNEL_WINDOWED_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_type,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es
+    FROM events
+), s AS (
+    SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN es END) AS t_signup
+    FROM e GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(es) AS t_click
+    FROM e JOIN s ON e.user_id = s.user_id
+    WHERE event_type = 'click' AND es > t_signup AND es <= t_signup + 259200
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(es) AS t_purchase
+    FROM e JOIN c ON e.user_id = c.user_id
+    WHERE event_type = 'purchase' AND es > t_click AND es <= t_click + 259200
+    GROUP BY e.user_id
+)
+SELECT '1_all_users' AS stage, COUNT(DISTINCT user_id) AS n_users FROM e
+UNION ALL
+SELECT '2_signed_up', COUNT(*) FROM s WHERE t_signup IS NOT NULL
+UNION ALL
+SELECT '3_clicked_72h', COUNT(*) FROM c
+UNION ALL
+SELECT '4_purchased_72h', COUNT(*) FROM p
+"""
+
+
 def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stickiness (DAU/WAU) per day — the engagement ratio product teams
     track: daily active users over trailing-7-day active users, both
@@ -2060,6 +2149,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         events_conversion_latency, CONVERSION_LATENCY_ORACLE
     ),
     "events_stickiness_dau_wau": QuerySpec(events_stickiness_dau_wau, STICKINESS_ORACLE),
+    "events_funnel_windowed": QuerySpec(events_funnel_windowed, FUNNEL_WINDOWED_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
