@@ -2257,6 +2257,58 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image intensity entropy — the flat/blank-image quality screen
+    (a solid-color thumbnail carries ~0 bits; natural images near the
+    histogram's capacity): Shannon entropy over the verified 16-bin
+    histograms, i.e. the REAL decode→featurize dataflow (binary PGM →
+    numpy histogram in Arrow batches) finished with the same stable
+    H = ln(n) − (1/n)Σ c·ln c used by text char_entropy — integer bin
+    counts, so the oracle replays pixel-for-pixel."""
+    from ..operators.multimodal import attach_image_payload, image_histogram
+
+    docs = read_fixture(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    hist = image_histogram(attach_image_payload(docs), bins=16)
+    return (
+        hist.filter(F.col("cnt") > 0)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_pixels"),
+            F.count("*").cast("long").alias("bins_used"),
+            F.round(
+                F.log(F.sum("cnt")) - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+IMAGE_ENTROPY_ORACLE = """
+WITH hx AS (
+    SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) AS h
+    FROM documents, UNNEST(RANGE(16)) AS t(r)
+    WHERE doc_id < 100
+), px AS (
+    SELECT doc_id,
+           (STRPOS('0123456789abcdef', SUBSTR(h, 2 * i + 1, 1)) - 1) * 16
+           + (STRPOS('0123456789abcdef', SUBSTR(h, 2 * i + 2, 1)) - 1) AS pixel
+    FROM hx, UNNEST(RANGE(16)) AS s(i)
+), hist AS (
+    SELECT doc_id, pixel // 16 AS bin, COUNT(*) AS cnt
+    FROM px GROUP BY doc_id, pixel // 16
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_pixels,
+       CAST(COUNT(*) AS BIGINT) AS bins_used,
+       ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6) AS entropy_nats
+FROM hist
+WHERE cnt > 0
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus vocabulary: OLS slope of
     ln(freq) ~ ln(rank) over the top-500 terms — the canonical sanity
@@ -4371,6 +4423,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "report_dataset_card": QuerySpec(report_dataset_card, DATASET_CARD_ORACLE),
     "dedup_cascade_waterfall": QuerySpec(
         dedup_cascade_waterfall, CASCADE_WATERFALL_ORACLE
+    ),
+    "multimodal_image_entropy": QuerySpec(
+        multimodal_image_entropy, IMAGE_ENTROPY_ORACLE
     ),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
