@@ -2189,6 +2189,73 @@ ORDER BY h.o_orderpriority
 """
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per customer,
+    Recency (last order date), Frequency (order count), Monetary (total
+    spend), each split high/low at its exact MEDIAN threshold, yielding
+    8 segments with counts and average spend. Window-free at scale (the
+    ntile formulation ranks all customers through a global window; the
+    threshold formulation is one percentile aggregate + a broadcast
+    compare). High = strictly above the median, so the rule is exact and
+    engine-replayable."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp("o_orderdate")).alias("last_es"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("spend"),
+    )
+    from ..functions.cache import scoped_persist
+
+    per_cust = scoped_persist(per_cust)
+    med = per_cust.agg(
+        F.percentile("last_es", F.lit(0.5)).alias("m_r"),
+        F.percentile("freq", F.lit(0.5)).alias("m_f"),
+        F.percentile("spend", F.lit(0.5)).alias("m_m"),
+    )
+    seg = per_cust.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("last_es") > F.col("m_r"), "R+").otherwise("R-").alias("recency"),
+        F.when(F.col("freq") > F.col("m_f"), "F+").otherwise("F-").alias("frequency"),
+        F.when(F.col("spend") > F.col("m_m"), "M+").otherwise("M-").alias("monetary"),
+        "spend",
+    )
+    return (
+        seg.groupBy("recency", "frequency", "monetary")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.avg("spend"), 2).alias("avg_spend"),
+        )
+        .orderBy("recency", "frequency", "monetary")
+    )
+
+
+RFM_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           MAX(CAST(EPOCH(DATE_TRUNC('second', o_orderdate)) AS BIGINT)) AS last_es,
+           COUNT(*) AS freq,
+           SUM(o_totalprice) AS spend
+    FROM orders GROUP BY o_custkey
+), med AS (
+    SELECT QUANTILE_CONT(last_es, 0.5) AS m_r,
+           QUANTILE_CONT(freq, 0.5) AS m_f,
+           QUANTILE_CONT(spend, 0.5) AS m_m
+    FROM per_cust
+), seg AS (
+    SELECT CASE WHEN last_es > m_r THEN 'R+' ELSE 'R-' END AS recency,
+           CASE WHEN freq > m_f THEN 'F+' ELSE 'F-' END AS frequency,
+           CASE WHEN spend > m_m THEN 'M+' ELSE 'M-' END AS monetary,
+           spend
+    FROM per_cust, med
+)
+SELECT recency, frequency, monetary,
+       COUNT(*) AS n_customers,
+       ROUND(AVG(spend), 2) AS avg_spend
+FROM seg
+GROUP BY recency, frequency, monetary
+ORDER BY recency, frequency, monetary
+"""
+
+
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket mining over orders: the 10 part pairs most often
     bought together (distinct parts per order, ordered self-join within
@@ -2306,6 +2373,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         aqp_sample_estimate_revenue, AQP_SAMPLE_ORACLE
     ),
     "basket_part_pairs": QuerySpec(basket_part_pairs, BASKET_PAIRS_ORACLE),
+    "customer_rfm_segments": QuerySpec(customer_rfm_segments, RFM_ORACLE),
     "join_full_outer_nation_activity": QuerySpec(
         join_full_outer_nation_activity, FULL_OUTER_ORACLE
     ),

@@ -1336,6 +1336,65 @@ ORDER BY day_num
 """
 
 
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of activity: what share of all events comes
+    from the heaviest users (above the P90 / P99 per-user volume
+    thresholds) — the 80/20 diagnostic behind rate limiting, whale
+    analysis, and skew planning. Deliberately WINDOW-FREE at scale: the
+    per-user rollup is the only data-sized shuffle; thresholds come from
+    one exact-percentile aggregate (deterministic interpolation over
+    integer counts) and shares from one conditional sum against the
+    broadcast thresholds — no global rank over |users| rows."""
+    from ..functions.cache import scoped_persist
+
+    ev = read_fixture(spark, sf_dir, "events")
+    per_user = scoped_persist(
+        ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    pct = F.percentile("n", F.lit([0.9, 0.99]))
+    th = per_user.agg(
+        F.element_at(pct, 1).alias("p90"), F.element_at(pct, 2).alias("p99")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.max("p90"), 2).alias("p90_threshold"),
+            F.round(F.max("p99"), 2).alias("p99_threshold"),
+            F.round(
+                F.sum(F.when(F.col("n") > F.col("p90"), F.col("n")).otherwise(0))
+                / F.sum("n"),
+                4,
+            ).alias("share_above_p90"),
+            F.round(
+                F.sum(F.when(F.col("n") > F.col("p99"), F.col("n")).otherwise(0))
+                / F.sum("n"),
+                4,
+            ).alias("share_above_p99"),
+        )
+    )
+
+
+PARETO_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), th AS (
+    SELECT QUANTILE_CONT(n, 0.9) AS p90, QUANTILE_CONT(n, 0.99) AS p99
+    FROM per_user
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(MAX(p90), 2) AS p90_threshold,
+       ROUND(MAX(p99), 2) AS p99_threshold,
+       ROUND(SUM(CASE WHEN n > p90 THEN n ELSE 0 END) / CAST(SUM(n) AS DOUBLE), 4)
+           AS share_above_p90,
+       ROUND(SUM(CASE WHEN n > p99 THEN n ELSE 0 END) / CAST(SUM(n) AS DOUBLE), 4)
+           AS share_above_p99
+FROM per_user, th
+"""
+
+
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-constrained funnel: signup → first click WITHIN 72h of the
     signup → first purchase WITHIN 72h of that click — the conversion
@@ -2150,6 +2209,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "events_stickiness_dau_wau": QuerySpec(events_stickiness_dau_wau, STICKINESS_ORACLE),
     "events_funnel_windowed": QuerySpec(events_funnel_windowed, FUNNEL_WINDOWED_ORACLE),
+    "events_pareto_concentration": QuerySpec(
+        events_pareto_concentration, PARETO_ORACLE
+    ),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
