@@ -2189,6 +2189,119 @@ ORDER BY h.o_orderpriority
 """
 
 
+def cohort_ltv_by_first_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value curve by acquisition cohort: customers
+    grouped by FIRST-order year, spend accumulated at each year offset —
+    the LTV triangle finance models retention revenue with. Per-customer
+    first year is one partial-aggregated min; cumulative spend is a
+    (customer)-partitioned running sum over per-(customer, year) rollups
+    (bounded by a customer's active years, never corpus-wide); the final
+    matrix is |cohorts| x |offsets|. Integer year arithmetic; spend
+    sums rounded at the report edge only."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    yr = F.year("o_orderdate").cast("long")
+    per_cy = orders.groupBy("o_custkey", yr.alias("order_year")).agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    firsts = per_cy.groupBy("o_custkey").agg(F.min("order_year").alias("cohort_year"))
+    w = Window.partitionBy("o_custkey").orderBy("order_year").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        per_cy.join(firsts, "o_custkey")
+        .withColumn("cum_spend", F.sum("spend").over(w))
+        .withColumn("year_offset", F.col("order_year") - F.col("cohort_year"))
+    )
+    return (
+        cum.groupBy("cohort_year", "year_offset")
+        .agg(
+            F.count("*").cast("long").alias("n_active_customers"),
+            F.round(F.avg("cum_spend"), 2).alias("avg_cum_spend"),
+        )
+        .orderBy("cohort_year", "year_offset")
+    )
+
+
+LTV_ORACLE = """
+WITH per_cy AS (
+    SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           SUM(o_totalprice) AS spend
+    FROM orders GROUP BY 1, 2
+), firsts AS (
+    SELECT o_custkey, MIN(order_year) AS cohort_year FROM per_cy GROUP BY o_custkey
+), cum AS (
+    SELECT p.o_custkey, f.cohort_year,
+           p.order_year - f.cohort_year AS year_offset,
+           SUM(p.spend) OVER (PARTITION BY p.o_custkey ORDER BY p.order_year
+                              ROWS UNBOUNDED PRECEDING) AS cum_spend
+    FROM per_cy p JOIN firsts f ON p.o_custkey = f.o_custkey
+)
+SELECT cohort_year, year_offset,
+       COUNT(*) AS n_active_customers,
+       ROUND(AVG(cum_spend), 2) AS avg_cum_spend
+FROM cum
+GROUP BY cohort_year, year_offset
+ORDER BY cohort_year, year_offset
+"""
+
+
+def supplier_delivery_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier delivery SLA scorecard on order→ship lead time (the
+    driver's slimmed lineitem carries l_shipdate but not TPC-H's
+    commit/receipt dates): per supplier, shipped items, mean lead days
+    from order placement, and the >90-day late rate; the 10 worst
+    suppliers with at least 20 shipments (small-sample noise gated
+    out). One fact⋈orders join (orderkey-keyed, AQE-planned) + a
+    suppkey partial aggregation; the top-k is a TakeOrderedAndProject
+    on the rounded rate with id tie-break."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    j = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        t["lineitem"].l_orderkey == F.col("o_orderkey"),
+    )
+    lead_days = (
+        F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+    ) / 86400.0
+    late = lead_days > 90.0
+    scored = (
+        j.groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+            F.round(F.avg(lead_days), 4).alias("mean_lead_days"),
+        )
+        .filter(F.col("n_items") >= 20)
+        .withColumn("late_rate", F.round(F.col("n_late") / F.col("n_items"), 4))
+    )
+    return scored.orderBy(
+        F.desc("late_rate"), F.desc("n_items"), "l_suppkey"
+    ).limit(10)
+
+
+SLA_ORACLE = """
+WITH lead AS (
+    SELECT l.l_suppkey,
+           (CAST(EPOCH(DATE_TRUNC('second', l.l_shipdate)) AS BIGINT)
+            - CAST(EPOCH(DATE_TRUNC('second', o.o_orderdate)) AS BIGINT))
+           / 86400.0 AS lead_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), scored AS (
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN lead_days > 90.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           ROUND(AVG(lead_days), 4) AS mean_lead_days
+    FROM lead
+    GROUP BY l_suppkey
+    HAVING COUNT(*) >= 20
+)
+SELECT l_suppkey, n_items, n_late, mean_lead_days,
+       ROUND(CAST(n_late AS DOUBLE) / n_items, 4) AS late_rate
+FROM scored
+ORDER BY ROUND(CAST(n_late AS DOUBLE) / n_items, 4) DESC, n_items DESC, l_suppkey
+LIMIT 10
+"""
+
+
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic customer-value grid: per customer,
     Recency (last order date), Frequency (order count), Monetary (total
@@ -2374,6 +2487,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "basket_part_pairs": QuerySpec(basket_part_pairs, BASKET_PAIRS_ORACLE),
     "customer_rfm_segments": QuerySpec(customer_rfm_segments, RFM_ORACLE),
+    "cohort_ltv_by_first_year": QuerySpec(cohort_ltv_by_first_year, LTV_ORACLE),
+    "supplier_delivery_sla": QuerySpec(supplier_delivery_sla, SLA_ORACLE),
     "join_full_outer_nation_activity": QuerySpec(
         join_full_outer_nation_activity, FULL_OUTER_ORACLE
     ),
