@@ -2189,6 +2189,108 @@ ORDER BY h.o_orderpriority
 """
 
 
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the fulfillment-ops staple: unfilled
+    orders ('O'/'P' status) bucketed by age as of the DATA'S OWN latest
+    order date (never wall-clock 'now' — reruns must reproduce), with
+    count and value at risk per (status, age bucket). The as-of anchor
+    is a one-row broadcast aggregate; everything else is a single scan
+    with CASE bucketing."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    asof = orders.agg(F.max(F.unix_timestamp("o_orderdate")).alias("asof_es"))
+    age_days = (F.col("asof_es") - F.unix_timestamp("o_orderdate")) / 86400.0
+    bucket = (
+        F.when(age_days < 90, "0_under_90d")
+        .when(age_days < 365, "1_90d_to_1y")
+        .when(age_days < 730, "2_1y_to_2y")
+        .otherwise("3_over_2y")
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .groupBy("o_orderstatus", bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("value_at_risk"),
+        )
+        .orderBy("o_orderstatus", "age_bucket")
+    )
+
+
+BACKLOG_ORACLE = """
+WITH anchor AS (
+    SELECT MAX(CAST(EPOCH(DATE_TRUNC('second', o_orderdate)) AS BIGINT)) AS asof_es
+    FROM orders
+), aged AS (
+    SELECT o_orderstatus, o_totalprice,
+           (asof_es - CAST(EPOCH(DATE_TRUNC('second', o_orderdate)) AS BIGINT))
+           / 86400.0 AS age_days
+    FROM orders, anchor
+    WHERE o_orderstatus <> 'F'
+)
+SELECT o_orderstatus,
+       CASE WHEN age_days < 90 THEN '0_under_90d'
+            WHEN age_days < 365 THEN '1_90d_to_1y'
+            WHEN age_days < 730 THEN '2_1y_to_2y'
+            ELSE '3_over_2y' END AS age_bucket,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS value_at_risk
+FROM aged
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def part_substitutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitute-product candidates: part pairs sharing brand AND type
+    whose retail prices sit within 10% of each other — the attribute
+    blocking + tolerance predicate of entity matching (the (brand, type)
+    equi key bounds the pair space exactly like dedup's shingle
+    blocking; no all-pairs product). Top-20 tightest price gaps with
+    full id tie-break."""
+    part = load_tables(spark, sf_dir, "part")["part"]
+    a, b = part.alias("a"), part.alias("b")
+    rel_gap = F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")) / F.greatest(
+        F.col("a.p_retailprice"), F.col("b.p_retailprice")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .withColumn("_gap", rel_gap)
+        .filter(F.col("_gap") <= 0.10)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_type").alias("p_type"),
+            F.round("_gap", 6).alias("rel_price_gap"),
+        )
+    )
+    return pairs.orderBy("rel_price_gap", "part_a", "part_b").limit(20)
+
+
+SUBSTITUTES_ORACLE = """
+WITH pairs AS (
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_brand AS brand, a.p_type AS p_type,
+           ABS(a.p_retailprice - b.p_retailprice)
+           / GREATEST(a.p_retailprice, b.p_retailprice) AS gap
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+)
+SELECT part_a, part_b, brand, p_type, ROUND(gap, 6) AS rel_price_gap
+FROM pairs
+WHERE gap <= 0.10
+ORDER BY ROUND(gap, 6), part_a, part_b
+LIMIT 20
+"""
+
+
 def cohort_ltv_by_first_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime-value curve by acquisition cohort: customers
     grouped by FIRST-order year, spend accumulated at each year offset —
@@ -2488,6 +2590,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "basket_part_pairs": QuerySpec(basket_part_pairs, BASKET_PAIRS_ORACLE),
     "customer_rfm_segments": QuerySpec(customer_rfm_segments, RFM_ORACLE),
     "cohort_ltv_by_first_year": QuerySpec(cohort_ltv_by_first_year, LTV_ORACLE),
+    "orders_backlog_aging": QuerySpec(orders_backlog_aging, BACKLOG_ORACLE),
+    "part_substitutes": QuerySpec(part_substitutes, SUBSTITUTES_ORACLE),
     "supplier_delivery_sla": QuerySpec(supplier_delivery_sla, SLA_ORACLE),
     "join_full_outer_nation_activity": QuerySpec(
         join_full_outer_nation_activity, FULL_OUTER_ORACLE
