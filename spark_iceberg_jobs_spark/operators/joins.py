@@ -99,6 +99,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     strict: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` (``<`` when strict) per key — an operator Spark
@@ -108,8 +109,9 @@ def asof_join(
     (ts, then tag so equal timestamps resolve strictness), and carry the
     last-seen right-side attributes forward with ``last(ignorenulls)``.
     One shuffle + one sort, O(n log n) — never the per-left-row subquery
-    rescan a naive formulation costs. Rows with no prior match are dropped
-    (inner as-of).
+    rescan a naive formulation costs. ``how="inner"`` (default) drops
+    left rows with no prior match; ``how="left"`` keeps them with null
+    ``asof_*`` columns (DuckDB's ASOF LEFT JOIN semantics).
 
     Scale note: both sides shuffle once on the key; skew = hot keys, same
     remedies as any join. State per key during the sort-merge is one row.
@@ -164,8 +166,12 @@ def asof_join(
         *lcols,
         "_m",
     )
-    # inner as-of: no prior right row → null struct → dropped
-    return out.filter(F.col("_m").isNotNull()).select(
+    if how == "inner":
+        # inner as-of: no prior right row → null struct → dropped
+        out = out.filter(F.col("_m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return out.select(
         on,
         left_ts,
         *lcols,

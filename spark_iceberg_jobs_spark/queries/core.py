@@ -2189,6 +2189,73 @@ ORDER BY h.o_orderpriority
 """
 
 
+def integrity_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    foreign-key edge, total child rows and ORPHANS (children whose key
+    has no parent) via left-anti joins — the lakehouse has no FK
+    enforcement, so this query IS the constraint. Each edge is one
+    anti join keyed by the FK (broadcast where the parent is a dim);
+    a healthy release reads all zeros, which the oracle confirms rather
+    than assumes."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier", "part"
+    )
+    edges = [
+        ("lineitem.l_orderkey->orders", t["lineitem"].select(F.col("l_orderkey").alias("k")),
+         t["orders"].select(F.col("o_orderkey").alias("k"))),
+        ("lineitem.l_partkey->part", t["lineitem"].select(F.col("l_partkey").alias("k")),
+         t["part"].select(F.col("p_partkey").alias("k"))),
+        ("lineitem.l_suppkey->supplier", t["lineitem"].select(F.col("l_suppkey").alias("k")),
+         t["supplier"].select(F.col("s_suppkey").alias("k"))),
+        ("orders.o_custkey->customer", t["orders"].select(F.col("o_custkey").alias("k")),
+         t["customer"].select(F.col("c_custkey").alias("k"))),
+        ("customer.c_nationkey->nation", t["customer"].select(F.col("c_nationkey").alias("k")),
+         t["nation"].select(F.col("n_nationkey").alias("k"))),
+    ]
+    out = None
+    for name, child, parent in edges:
+        row = (
+            child.join(parent.distinct(), "k", "left_anti")
+            .agg(F.count("*").cast("long").alias("n_orphans"))
+            .crossJoin(child.agg(F.count("*").cast("long").alias("n_children")))
+            .select(F.lit(name).alias("fk_edge"), "n_children", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")
+
+
+FK_ORPHANS_ORACLE = """
+SELECT fk_edge, n_children, n_orphans FROM (
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_children,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+)
+ORDER BY fk_edge
+"""
+
+
 def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-order backlog aging — the fulfillment-ops staple: unfilled
     orders ('O'/'P' status) bucketed by age as of the DATA'S OWN latest
@@ -2592,6 +2659,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "cohort_ltv_by_first_year": QuerySpec(cohort_ltv_by_first_year, LTV_ORACLE),
     "orders_backlog_aging": QuerySpec(orders_backlog_aging, BACKLOG_ORACLE),
     "part_substitutes": QuerySpec(part_substitutes, SUBSTITUTES_ORACLE),
+    "integrity_fk_orphans": QuerySpec(integrity_fk_orphans, FK_ORPHANS_ORACLE),
     "supplier_delivery_sla": QuerySpec(supplier_delivery_sla, SLA_ORACLE),
     "join_full_outer_nation_activity": QuerySpec(
         join_full_outer_nation_activity, FULL_OUTER_ORACLE

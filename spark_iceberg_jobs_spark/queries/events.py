@@ -1336,6 +1336,67 @@ ORDER BY day_num
 """
 
 
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase's value is credited
+    to the hour-of-day of the same user's most recent preceding click
+    (the as-of join — marketing's default attribution model), plus an
+    'unattributed' bucket for purchases with no prior click. One as-of
+    join (the verified union-sweep operator) + a 25-group aggregate;
+    DuckDB's native ASOF JOIN replays the credit assignment."""
+    from ..operators.joins import asof_join
+
+    ev = read_fixture(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id"), us.alias("p_us"), F.col("value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("c_us")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_us",
+        right_ts="c_us",
+        right_cols=["c_us"],
+        strict=True,
+        how="left",
+    )
+    bucket = F.when(
+        F.col("asof_c_us").isNull(), F.lit(-1)
+    ).otherwise(F.expr("asof_c_us DIV 1000000 DIV 3600 % 24"))
+    return (
+        joined.groupBy(bucket.cast("long").alias("click_hour"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, event_type, value, EPOCH_US(ts) AS us FROM events
+), p AS (
+    SELECT event_id, user_id, us AS p_us, value FROM e WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, us AS c_us FROM e WHERE event_type = 'click'
+), j AS (
+    SELECT p.value, c.c_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_us > c.c_us
+)
+SELECT CASE WHEN c_us IS NULL THEN -1
+            ELSE c_us // 1000000 // 3600 % 24 END AS click_hour,
+       COUNT(*) AS n_purchases,
+       ROUND(SUM(value), 2) AS attributed_value
+FROM j
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration of activity: what share of all events comes
     from the heaviest users (above the P90 / P99 per-user volume
@@ -2211,6 +2272,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_funnel_windowed": QuerySpec(events_funnel_windowed, FUNNEL_WINDOWED_ORACLE),
     "events_pareto_concentration": QuerySpec(
         events_pareto_concentration, PARETO_ORACLE
+    ),
+    "events_attribution_last_touch": QuerySpec(
+        events_attribution_last_touch, ATTRIBUTION_ORACLE
     ),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),

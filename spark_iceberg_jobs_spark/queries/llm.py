@@ -2257,6 +2257,47 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / mixed-language screen: documents whose stopword
+    hits are spread over MULTIPLE languages (>= 2 langs each contributing
+    >= 2 hits) — the docs a single-label language-id mislabels and a
+    monolingual pipeline should route or split. Counts per (label lang,
+    number of active stopword languages) plus the mixed-doc rate; reuses
+    the verified per-language stopword-hit expressions, all codegen."""
+    from ..functions.texts import stopword_hits, tokens as _tokens
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    toks = _tokens("text")
+    langs = ("en", "de", "fr", "es", "zh")
+    active = sum(
+        (F.when(stopword_hits(toks, lg) >= 2, 1).otherwise(0) for lg in langs),
+        F.lit(0),
+    )
+    return (
+        docs.withColumn("n_active_langs", active.cast("long"))
+        .groupBy("lang", "n_active_langs")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("lang", "n_active_langs")
+    )
+
+
+def _code_switch_oracle_sql() -> str:
+    conds = " + ".join(
+        f"CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {words})) >= 2"
+        f" THEN 1 ELSE 0 END"
+        for words in _HITS.values()
+    )
+    return f"""
+SELECT lang, CAST({conds} AS BIGINT) AS n_active_langs, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+CODE_SWITCH_ORACLE = _code_switch_oracle_sql()
+
+
 def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image intensity entropy — the flat/blank-image quality screen
     (a solid-color thumbnail carries ~0 bits; natural images near the
@@ -4427,6 +4468,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "multimodal_image_entropy": QuerySpec(
         multimodal_image_entropy, IMAGE_ENTROPY_ORACLE
     ),
+    "text_code_switching": QuerySpec(text_code_switching, CODE_SWITCH_ORACLE),
     "decontaminate_bloom_prefilter": QuerySpec(
         decontaminate_bloom_prefilter, BLOOM_DECONTAMINATE_ORACLE
     ),
