@@ -2189,6 +2189,99 @@ ORDER BY h.o_orderpriority
 """
 
 
+def nation_trade_corridors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-corridor matrix — TPC-H Q7 generalized from one nation pair
+    to the full supplier-nation → customer-nation revenue matrix, top-10
+    corridors: the aggregate answers 'where does value flow' in one
+    fact pass with both dimension chains broadcast. Cross-border only
+    (supp nation ≠ cust nation), revenue rounded at the report edge."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_custkey"),
+              t["lineitem"].l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              t["lineitem"].l_suppkey == F.col("s_suppkey"))
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "supp_nation", "cust_nation")
+        .limit(10)
+    )
+
+
+TRADE_CORRIDORS_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name
+ORDER BY revenue DESC, supp_nation, cust_nation
+LIMIT 10
+"""
+
+
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price dispersion per brand — coefficient of variation of retail
+    prices (population std over mean, in the explicit E[x²]−E[x]² form
+    both engines replay identically), plus range: the catalog-hygiene
+    screen for inconsistent pricing within a brand line."""
+    part = load_tables(spark, sf_dir, "part")["part"]
+    var = F.avg(F.col("p_retailprice") * F.col("p_retailprice")) - F.avg(
+        "p_retailprice"
+    ) * F.avg("p_retailprice")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("mean_price"),
+            F.round(F.sqrt(var) / F.avg("p_retailprice"), 4).alias("cv"),
+            F.round(F.max("p_retailprice") - F.min("p_retailprice"), 2).alias(
+                "price_range"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PRICE_DISPERSION_ORACLE = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       ROUND(AVG(p_retailprice), 2) AS mean_price,
+       ROUND(SQRT(AVG(p_retailprice * p_retailprice)
+                  - AVG(p_retailprice) * AVG(p_retailprice))
+             / AVG(p_retailprice), 4) AS cv,
+       ROUND(MAX(p_retailprice) - MIN(p_retailprice), 2) AS price_range
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 def integrity_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema: for each
     foreign-key edge, total child rows and ORPHANS (children whose key
@@ -2660,6 +2753,8 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "orders_backlog_aging": QuerySpec(orders_backlog_aging, BACKLOG_ORACLE),
     "part_substitutes": QuerySpec(part_substitutes, SUBSTITUTES_ORACLE),
     "integrity_fk_orphans": QuerySpec(integrity_fk_orphans, FK_ORPHANS_ORACLE),
+    "nation_trade_corridors": QuerySpec(nation_trade_corridors, TRADE_CORRIDORS_ORACLE),
+    "part_price_dispersion": QuerySpec(part_price_dispersion, PRICE_DISPERSION_ORACLE),
     "supplier_delivery_sla": QuerySpec(supplier_delivery_sla, SLA_ORACLE),
     "join_full_outer_nation_activity": QuerySpec(
         join_full_outer_nation_activity, FULL_OUTER_ORACLE

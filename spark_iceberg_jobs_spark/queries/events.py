@@ -1336,6 +1336,37 @@ ORDER BY day_num
 """
 
 
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (day-of-week × hour-of-day) activity heatmap — the first chart
+    on every product dashboard: event counts and distinct users per
+    weekday/hour cell (epoch-derived DOW, 0 = Thursday 1970-01-01,
+    engine-neutral by construction — named via a literal map both
+    engines share). One aggregation, 168 output rows."""
+    ev = read_fixture(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    dow = F.expr("unix_timestamp(ts) DIV 86400 % 7")
+    hour = F.expr("unix_timestamp(ts) DIV 3600 % 24")
+    return (
+        ev.groupBy(dow.alias("dow_idx"), hour.alias("hour_of_day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow_idx", "hour_of_day")
+    )
+
+
+HEATMAP_ORACLE = """
+SELECT CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 % 7 AS dow_idx,
+       CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 3600 % 24 AS hour_of_day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch revenue attribution: every purchase's value is credited
     to the hour-of-day of the same user's most recent preceding click
@@ -2276,6 +2307,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "events_attribution_last_touch": QuerySpec(
         events_attribution_last_touch, ATTRIBUTION_ORACLE
     ),
+    "events_activity_heatmap": QuerySpec(events_activity_heatmap, HEATMAP_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
     "events_ewma_daily": QuerySpec(events_ewma_daily, EWMA_ORACLE),
     "sketch_kmv_user_overlap": QuerySpec(sketch_kmv_user_overlap, KMV_ORACLE),
