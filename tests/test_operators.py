@@ -1350,3 +1350,83 @@ def test_changepoint_finds_planted_level_shift(spark, monkeypatch):
     assert row.split_day == day0 + 15
     assert row.var_reduction > 0.99
     assert row.mean_before == 10.0 and row.mean_after == 100.0
+
+
+def test_asof_join_left_keeps_unmatched(spark):
+    from spark_iceberg_jobs_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p0"), (2, 10, "p2")], "k long, ts long, pid string"
+    )
+    right = spark.createDataFrame([(1, 60, 9.0)], "k long, ts long, v double")
+    inner = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["v"]
+    ).collect()
+    # only the 1@100 purchase has a prior right row (60 < 100)
+    assert [(r.k, r.ts, r.asof_v) for r in inner] == [(1, 100, 9.0)]
+
+    left_join = {
+        (r.k, r.ts): r.asof_v
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], how="left",
+        ).collect()
+    }
+    assert left_join == {(1, 100): 9.0, (1, 50): None, (2, 10): None}
+
+    with pytest.raises(ValueError, match="how"):
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], how="outer",
+        )
+
+
+def test_twap_weights_by_holding_duration(spark, monkeypatch):
+    """A value held 9x longer must dominate TWAP while the plain average
+    splits evenly; the user's final observation carries no duration."""
+    import datetime
+
+    import spark_iceberg_jobs_spark.queries.events as ev_mod
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # value 10 held 90s, value 100 held 10s, final value never held
+        (0, base, 1, "click", 10.0, "{}"),
+        (1, base + datetime.timedelta(seconds=90), 1, "click", 100.0, "{}"),
+        (2, base + datetime.timedelta(seconds=100), 1, "click", 55.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(ev_mod, "read_fixture", lambda s, d, t: events)
+    [row] = ev_mod.events_time_weighted_value(spark, "unused").collect()
+    assert row.n_intervals == 2 and row.total_sec == 100
+    assert row.twap_value == 19.0  # (10*90 + 100*10) / 100
+    assert row.plain_avg == 55.0  # (10 + 100) / 2
+
+
+def test_rolling_hll_merges_across_gap_days(spark, monkeypatch):
+    """A register seen only on day D must still contribute to day D+2's
+    trailing-7-day sketch even if it never fires again — the day x
+    register grid is what carries it across gap days."""
+    import datetime
+
+    import spark_iceberg_jobs_spark.queries.events as ev_mod
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 101, "click", 1.0, "{}"),  # day 0: user 101
+        (1, base + datetime.timedelta(days=2), 202, "click", 1.0, "{}"),  # day 2
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(ev_mod, "read_fixture", lambda s, d, t: events)
+    out = {r.day_num: r for r in ev_mod.events_rolling_distinct_hll(spark, "unused").collect()}
+    days = sorted(out)
+    # day 2's window covers both users: exact = 2, and the merged sketch
+    # must carry day 0's register (2 registers set unless they collide)
+    assert out[days[-1]].exact_users == 2
+    assert out[days[-1]].n_regs_set >= out[days[0]].n_regs_set
