@@ -90,3 +90,60 @@ def test_extra_queries_stay_outside_the_driver_window():
     assert extras, "EXTRA_QUERIES should exist"
     assert not (extras & window), f"extras leaked into the window: {extras & window}"
     assert "flagship_revenue_topk" in window
+
+
+def test_quality_rules_fire_on_corrupted_rows(spark, monkeypatch):
+    """The rules gate must detect planted violations — on the clean
+    fixture every count is zero, so this is the only place the DETECTION
+    side is exercised."""
+    import spark_iceberg_jobs_spark.queries.llm as llm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good text here", "en", "src1", 14),     # clean
+            (1, "", "en", "src2", 0),                    # empty text + len 0
+            (2, "mismatch", "en", "src3", 999),          # chars != len
+            (3, "weird lang", "xx", "src4", 10),         # unknown lang
+            (4, "bad source", "en", "feed-9", 10),       # source format
+            (-1, "negative id", "de", "src5", 11),       # id < 0
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(llm, "read_fixture", lambda s, d, t: docs)
+    out = {r.rule: r.n_violations for r in llm.quality_rule_violations(spark, "x").collect()}
+    assert out["nonempty_text"] == 1
+    assert out["chars_match_len"] == 1  # only the 999-vs-8 mismatch (0==len('') passes)
+    assert out["known_lang"] == 1
+    assert out["source_format"] == 1
+    assert out["id_nonnegative"] == 1
+    assert out["len_sane"] == 1  # n_chars 0 is out of [1, 10000]
+
+
+def test_fk_orphan_audit_fires_on_planted_orphan(spark, monkeypatch):
+    import spark_iceberg_jobs_spark.queries.core as core
+
+    tables = {
+        "lineitem": spark.createDataFrame(
+            [(1, 10, 100), (2, 20, 200), (3, 30, 999)],
+            "l_orderkey long, l_partkey long, l_suppkey long",
+        ),
+        "orders": spark.createDataFrame(
+            [(1, 7), (2, 7)], "o_orderkey long, o_custkey long"
+        ),  # orderkey 3 missing -> orphan
+        "part": spark.createDataFrame([(10,), (20,), (30,)], "p_partkey long"),
+        "supplier": spark.createDataFrame(
+            [(100, 5), (200, 5)], "s_suppkey long, s_nationkey long"
+        ),  # suppkey 999 missing -> orphan
+        "customer": spark.createDataFrame(
+            [(7, 0)], "c_custkey long, c_nationkey long"
+        ),
+        "nation": spark.createDataFrame([(0,)], "n_nationkey long"),
+    }
+    monkeypatch.setattr(
+        core, "load_tables", lambda s, d, *names: {n: tables[n] for n in names}
+    )
+    out = {r.fk_edge: r.n_orphans for r in core.integrity_fk_orphans(spark, "x").collect()}
+    assert out["lineitem.l_orderkey->orders"] == 1
+    assert out["lineitem.l_suppkey->supplier"] == 1
+    assert out["lineitem.l_partkey->part"] == 0
+    assert out["orders.o_custkey->customer"] == 0
