@@ -785,9 +785,12 @@ def tfidf_cosine_pairs(
     candidate shape as ``ngram_jaccard_pairs``, with ``max_term_df``
     bounding the hot-term worst case (at corpus scale the cap is also the
     prefix-filter: high-df terms carry near-zero idf weight, so dropping
-    them from CANDIDATE GENERATION loses almost nothing while removing the
-    quadratic heads). Dot products of unit vectors need no per-pair norm
-    join. cos >= threshold on the RAW value; reported rounded to 4.
+    the quadratic heads loses almost nothing). NOTE: the cap removes
+    capped terms from the WHOLE computation — weight vectors and L2 norms
+    as well as candidate generation — so reported cosine values (not just
+    pair coverage) change when it is set; scores are cosines over the
+    df-capped vocabulary. Dot products of unit vectors need no per-pair
+    norm join. cos >= threshold on the RAW value; reported rounded to 4.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

@@ -1343,7 +1343,6 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-neutral by construction — named via a literal map both
     engines share). One aggregation, 168 output rows."""
     ev = read_fixture(spark, sf_dir, "events")
-    es = F.unix_timestamp("ts")
     dow = F.expr("unix_timestamp(ts) DIV 86400 % 7")
     hour = F.expr("unix_timestamp(ts) DIV 3600 % 24")
     return (
@@ -2110,8 +2109,8 @@ ORDER BY event_type
 
 
 def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental continuous-aggregate maintenance, batch-side: the first
-    20 days' rollup is treated as the MATERIALIZED base (aggregated once,
+    """Incremental continuous-aggregate maintenance, batch-side: the head
+    of the day range is treated as the MATERIALIZED base (aggregated once,
     never rescanned); the tail arrives as a delta batch, is aggregated
     alone, and the two partial tables merge by re-aggregation — count and
     raw sum are mergeable state, so merge(base, delta) == full recompute,
@@ -2122,7 +2121,9 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw doubles — rounding partials would make merge ≠ recompute)."""
     ev = read_fixture(spark, sf_dir, "events")
     day = F.expr("unix_timestamp(ts) DIV 86400")
-    split_day = 19750  # 2024-01-21: first 20 fixture days are the base
+    # 19750 = 2024-01-28; fixture events span days 19723-19752, so the
+    # base covers the first 27 days and the delta the final 3.
+    split_day = 19750
 
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy(day.alias("day_num"), "event_type").agg(
