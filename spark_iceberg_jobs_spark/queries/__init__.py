@@ -37,26 +37,81 @@ class QuerySpec:
 #       flagship, and retain one llm representative per operator family
 #       (15). The 17 llm entries rotated out are r2-driver-green and stay
 #       re-verified every round by tools/verify_local.py.
+#   r4 (VERDICT r3 item 1): 45 never-driver-scored entries — the round-3
+#       retrieval/serving, corpus-forensics, PQ-ANN, ML-fit, sketch,
+#       governance, and business-analytics tiers — plus 5 regression
+#       representatives spanning the three prior windows. Everything
+#       rotated out stays re-verified per round by tools/verify_local.py
+#       (committed as VERIFY_sf0.01.json / VERIFY_sf0.1.json).
 DRIVER_WINDOW = 50
 
-# One representative per LLM-pipeline operator family stays in-window so a
-# regression in any family's shared machinery is still driver-visible.
-_LLM_WINDOW_KEEPS = [
-    "pipeline_corpus_curation",  # quality gate + dedup + anti-join composite
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",  # pointer-jumping connected components
-    "dedup_embedding_cosine_bucketed",  # SRP-bucketed embedding near-dup
-    "decontaminate_eval_overlap",
-    "dedup_incremental_batch",
-    "sim_bruteforce_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "text_tfidf_top_terms",  # shared tokenize/explode/agg machinery
-    "multimodal_image_decode",
-    "multimodal_audio_decode",
+# Five prior-driver-green representatives stay in-window as regression
+# proof — one per major prior-window family (flagship/core joins, events,
+# TPC-H tail, dedup, ANN).
+_R4_REGRESSION_KEEPS = [
+    "flagship_revenue_topk",  # r1+r3 driver-green; broadcast-join flagship
+    "events_funnel",  # events-tier machinery (windows, sessionless ordering)
+    "q9_product_type_profit",  # widest tpch_tail multiway join
+    "dedup_minhash_lsh",  # shared shingle/minhash machinery
+    "sim_ivf_kmeans_topk",  # kmeans + IVF ANN machinery
+]
+
+# Never-driver-scored round-3 tiers rotated into the r4 window.
+_R4_NEW_WINDOW = [
+    # retrieval / serving
+    "pipeline_rag_retrieval",
+    "text_bm25_topk",
+    "pipeline_hybrid_retrieval",
+    "retrieval_rank_fusion",
+    # corpus forensics / dedup completions
+    "dedup_repeated_substrings",
+    "dedup_tfidf_cosine",
+    "decontaminate_bloom_prefilter",
+    "decontaminate_semantic",
+    "dedup_semantic",
+    "dedup_cascade_waterfall",
+    "dedup_cluster_keep_best",
+    "dedup_embedding_cosine_bucketed_auto",
+    # PQ / ANN completions
+    "sim_pq_adc_topk",
+    "sim_ivfpq_adc_topk",
+    "sim_ann_recall_ivf",
+    # ML fits with replay oracles
+    "ml_logreg_language",
+    "ml_logreg_crossval",
+    "ml_logreg_calibration",
+    "ml_ols_price_model",
+    # sketches
+    "events_hll_distinct_users",
+    "events_rolling_distinct_hll",
+    "sketch_kmv_user_overlap",
+    "sketch_cms_heavy_hitters",
+    "sketch_histogram_median",
+    "streaming_hll_daily_users",
+    # governance / audits
+    "audit_provenance_fingerprint",
+    "quality_rule_violations",
+    "integrity_fk_orphans",
+    "integrity_id_continuity",
+    "report_dataset_card",
+    # business analytics
+    "customer_rfm_segments",
+    "cohort_ltv_by_first_year",
+    "basket_part_pairs",
+    "scd2_customer_priority",
+    "window_analytics_showcase",
+    "grouping_sets_order_stats",
+    "timeseries_gap_filled_monthly",
+    "pivot_revenue_by_priority",
+    # text-tier completions (incl. the r4 sample-fit BPE rework)
+    "text_bpe_merges",
+    "text_heaps_law",
+    "text_zipf_slope",
+    "text_unigram_logprob",
+    # pipelines / multimodal / streaming-state
+    "pipeline_pretraining_corpus",
+    "multimodal_image_resize",
+    "streaming_stateful_sessions",
 ]
 
 
@@ -72,13 +127,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = (
-        list(events.QUERIES)
-        + list(tpch_tail.QUERIES)
-        + list(ml.QUERIES)
-        + ["flagship_revenue_topk"]
-        + _LLM_WINDOW_KEEPS
-    )
+    head = _R4_NEW_WINDOW + _R4_REGRESSION_KEEPS
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")
