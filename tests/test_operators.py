@@ -1155,6 +1155,40 @@ def test_bpe_fit_greedy_semantics_and_determinism(spark):
         bpe_fit(bad, merges=1)
 
 
+def test_bpe_sample_fit_is_pure_function_of_sample(spark):
+    """The scale contract of sample-fit BPE (round-3 VERDICT item 2): the
+    fit must be a pure function of the md5-sampled sub-corpus, i.e. it
+    never scans an out-of-sample doc. Pinned two ways: (1) fitting with
+    ``sample_rate`` equals fitting on the pre-filtered sample exactly;
+    (2) POISONING every out-of-sample doc's text leaves the fit
+    bit-identical — if any round touched the full corpus, the poison
+    tokens would dominate the pair counts and flip the merges."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.operators.splits import (
+        _hash_prefix,
+        _hex_threshold,
+        stratified_sample,
+    )
+    from spark_iceberg_jobs_spark.operators.text import bpe_fit
+
+    rows = [(i, f"t{i % 5} t{(i + 1) % 5} x y t{i % 3}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sample = stratified_sample(docs, key_col="doc_id", rates=0.5, salt="bpe")
+    n_sample = sample.count()
+    assert 0 < n_sample < docs.count(), "fixture must straddle the threshold"
+
+    fitted = bpe_fit(docs, merges=4, sample_rate=0.5, salt="bpe")
+    assert fitted == bpe_fit(sample, merges=4)
+
+    in_sample = _hash_prefix(F.col("doc_id"), "bpe") < F.lit(_hex_threshold(0.5))
+    poisoned = docs.withColumn(
+        "text",
+        F.when(in_sample, F.col("text")).otherwise(F.lit("zz zz zz zz zz zz")),
+    )
+    assert bpe_fit(poisoned, merges=4, sample_rate=0.5, salt="bpe") == fitted
+
+
 def test_sketch_operator_guards(spark):
     """Sketch preconditions fail loud: HLL register count must divide 256
     (first-byte-mod uniformity), KMV k must be positive, histogram bins

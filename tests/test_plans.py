@@ -427,6 +427,26 @@ def test_events_funnel_builds_lazily_single_action(spark, sf_dir):
     assert vals == sorted(vals, reverse=True)
 
 
+def test_bm25_builds_lazily_single_action(spark, sf_dir):
+    """VERDICT r3 item 4: text_bm25_topk must not run a job during query
+    DEFINITION — the corpus stats (N, avg_dl) ride along as a broadcast
+    1-row crossJoin instead of an eager collect (the unigram_logprob
+    pattern; same standard as events_funnel)."""
+    from spark_iceberg_jobs_spark.queries.llm import text_bm25_topk
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = text_bm25_topk(spark, sf_dir)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    # the parquet schema/footer read submits one job; the old
+    # implementation eagerly collected the 1-row stats aggregate too
+    assert after - before <= 1, (
+        f"text_bm25_topk ran {after - before} Spark jobs during plan construction"
+    )
+    rows = df.collect()
+    assert len(rows) > 0 and all(r["rnk"] <= 5 for r in rows)
+
+
 def test_zorder_key_raises_on_out_of_range_input(spark):
     """ADVICE r2: inputs outside [0, 2^bits) used to silently alias onto
     another Morton cell, quietly destroying the clustering property — now
