@@ -34,6 +34,7 @@ def run() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in reg.items():
         if not spec.headline:
@@ -41,15 +42,19 @@ def run() -> None:
         # best-of-5 (VERDICT r2 item 5 — n=2 left ±1.5s box noise that made
         # sub-second regressions unreadable): the first run pays codegen +
         # OS page-cache warmup a steady-state cluster job never sees; the
-        # min is the honest steady-state number.
-        best = float("inf")
+        # min is the honest steady-state number. The median rides along
+        # (VERDICT r3 item 8) so future regressions can be separated from
+        # noise without re-runs: min moves = the query changed, median
+        # moves alone = the box was noisy.
+        reps: list[float] = []
         try:
             for _ in range(5):
                 df = spec.fn(spark, sf_dir)
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
+                reps.append(time.time() - t0)
+            timings[name] = round(min(reps), 3)
+            medians[name] = round(sorted(reps)[len(reps) // 2], 3)
         except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -68,13 +73,20 @@ def run() -> None:
         "dedup_embedding_cosine_bucketed", "multimodal_image_decode",
         "sketch_cms_heavy_hitters", "q21_waiting_suppliers",
     ]
+    common_r3 = common_r2 + [
+        "dedup_repeated_substrings", "pipeline_rag_retrieval",
+        "pipeline_pretraining_corpus", "dedup_embedding_cosine_bucketed_auto",
+        "sim_pq_adc_topk", "sim_ivfpq_adc_topk",
+    ]
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "common_r1_seconds": round(sum(timings.get(q, 0.0) for q in common_r1), 3),
         "common_r2_seconds": round(sum(timings.get(q, 0.0) for q in common_r2), 3),
+        "common_r3_seconds": round(sum(timings.get(q, 0.0) for q in common_r3), 3),
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
     }
     if errors:

@@ -37,34 +37,27 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     assert rows, f"{name} returned 0 rows at smoke scale"
 
 
-def test_driver_window_r3_rotation():
-    """VERDICT r2 item 3: the r3 window rotates the never-driver-scored
-    tpch_tail + ml tiers in, keeps the whole events tier (incl. the two
-    fixed oracles as regression proof) + flagship + one llm representative
-    per family, and fills the window exactly."""
+def test_driver_window_r4_rotation():
+    """VERDICT r3 item 1: the r4 window fronts 45 never-driver-scored
+    round-3 entries (retrieval/serving, forensics, PQ, ML, sketches,
+    governance, business analytics) plus 5 prior-green regression
+    representatives, fills the window exactly, and every entry has a full
+    value-hash oracle."""
     from spark_iceberg_jobs_spark.queries import (
+        _R4_NEW_WINDOW,
+        _R4_REGRESSION_KEEPS,
         DRIVER_WINDOW,
-        _LLM_WINDOW_KEEPS,
-        events,
-        ml,
-        tpch_tail,
     )
 
     window = list(REG)[:DRIVER_WINDOW]
-    wset = set(window)
-    must_cover = (
-        set(events.QUERIES)
-        | set(tpch_tail.QUERIES)
-        | set(ml.QUERIES)
-        | set(_LLM_WINDOW_KEEPS)
-        | {"flagship_revenue_topk"}
+    curated = _R4_NEW_WINDOW + _R4_REGRESSION_KEEPS
+    assert window == curated, "registry head must equal the curated r4 window"
+    assert len(curated) == DRIVER_WINDOW, (
+        f"window underfilled: {len(curated)}/{DRIVER_WINDOW} curated entries"
     )
-    outside = must_cover - wset
-    assert not outside, f"curated queries outside the driver window: {sorted(outside)}"
-    # the two round-2 hash failures must be re-scored by the driver
-    assert {"events_max_concurrency", "events_sessionization"} <= wset
-    assert len(must_cover) == DRIVER_WINDOW, (
-        f"window underfilled: {len(must_cover)}/{DRIVER_WINDOW} curated entries"
+    assert len(_R4_REGRESSION_KEEPS) == 5
+    assert all(REG[n].oracle is not None for n in window), (
+        "every window entry needs a value-hash oracle"
     )
 
 
@@ -78,18 +71,18 @@ def test_entry_contract(spark):
     assert set(qs) == set(REG)
 
 
-def test_extra_queries_stay_outside_the_driver_window():
-    """EXTRA_QUERIES are verified like QUERIES but must never displace the
-    curated first-50 window entries (llm + events + flagship)."""
-    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, events, llm
+def test_window_is_curated_not_positional():
+    """Only the explicit curated list reaches the driver window: nothing
+    rides in on module dict order (the r1 bug this guards against), and
+    the regression keeps stay present."""
+    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R4_NEW_WINDOW
 
     window = set(list(REG)[:DRIVER_WINDOW])
-    extras = set(getattr(llm, "EXTRA_QUERIES", {})) | set(
-        getattr(events, "EXTRA_QUERIES", {})
-    )
-    assert extras, "EXTRA_QUERIES should exist"
-    assert not (extras & window), f"extras leaked into the window: {extras & window}"
     assert "flagship_revenue_topk" in window
+    # rotated-in extras are deliberate; anything else outside the curated
+    # list must stay outside the window
+    assert len(window) == DRIVER_WINDOW
+    assert set(_R4_NEW_WINDOW) <= window
 
 
 def test_quality_rules_fire_on_corrupted_rows(spark, monkeypatch):

@@ -12,7 +12,9 @@ shuffle-keyed designs should all sit near 1; an alpha ≥ 1.5 is a scale
 bug).
 
 Usage: python tools/scale_lab.py [max_scale] [op ...]
-       (max_scale from {4, 16, 64}, default 16)
+       (max_scale from {4, 16, 64, 256}, default 16; 256 exists for the
+       serving tier — rag_retrieval/bm25 — whose posting-list boundedness
+       is the claim under test at depth, VERDICT r3 item 5)
 
 Timing noise on a busy box is real; exponents are computed min-of-2 per
 point and only the largest-scale pair matters for the verdict.
@@ -34,7 +36,7 @@ from spark_iceberg_jobs_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
 LAB = "/tmp/scale_lab"
-SCALES = (1, 4, 16, 64)
+SCALES = (1, 4, 16, 64, 256)
 
 
 def build(spark, scale: int) -> str:
