@@ -904,3 +904,133 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "rnk", "adc_dist")
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 3,
+    pool: int = 8,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998) —
+    the standard diversification pass a RAG/serving stack runs AFTER
+    nearest-neighbor retrieval: greedily pick ``k`` results where each
+    pick maximizes lam*sim(query, d) - (1-lam)*max_{s in picked}
+    sim(d, s), so near-duplicate neighbors don't crowd the context
+    window.
+
+    Scale shape — the part that matters at 100 TB: candidate GENERATION
+    is the distributed work (exact cosine top-``pool`` per probe over the
+    full corpus: broadcast probes, one scan, ranking window — identical
+    plan to ``bruteforce_topk``; swap in the IVF/PQ tiers for bigger
+    corpora). The rerank itself then touches only ``pool`` rows per
+    probe: the candidate pool and its pairwise cosines (≤ pool² per
+    probe) are probe-keyed and tiny BY CONSTRUCTION, so the greedy
+    selection unrolls into ``k`` fixed rounds of (anti-join remaining,
+    max-redundancy join against picked, per-probe argmax) — one lazy
+    JVM-side plan, no driver loop over data, no Python. The DuckDB
+    oracle replays the identical rounds as MATERIALIZED CTEs.
+
+    Round-1 score is the raw query similarity (the redundancy term is
+    empty); later rounds report the MMR score. Ties break on neighbor id
+    ascending, matching the oracle. Returns
+    (probe_id, rnk, neighbor_id, score rounded to 4).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k > pool:
+        raise ValueError(f"k ({k}) cannot exceed the candidate pool ({pool})")
+    p = probes.select(F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv"))
+    c = embeddings.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(p), F.col("cid") != F.col("probe_id")).select(
+        "probe_id", "cid", "cv", cosine(F.col("pv"), F.col("cv")).alias("sim")
+    )
+    w_pool = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cid"))
+    cand = scoped_persist(
+        scored.withColumn("_rn", F.row_number().over(w_pool))
+        .filter(F.col("_rn") <= pool)
+        .select("probe_id", "cid", "cv", "sim")
+    )
+    # pairwise cosines within each probe's pool: ≤ pool^2 rows per probe
+    a, b = cand.alias("a"), cand.alias("b")
+    pair = scoped_persist(
+        a.join(
+            b,
+            (F.col("a.probe_id") == F.col("b.probe_id"))
+            & (F.col("a.cid") != F.col("b.cid")),
+        ).select(
+            F.col("a.probe_id").alias("probe_id"),
+            F.col("a.cid").alias("ca"),
+            F.col("b.cid").alias("cb"),
+            cosine(F.col("a.cv"), F.col("b.cv")).alias("psim"),
+        )
+    )
+    slim = cand.select("probe_id", "cid", "sim")
+    w_pick = Window.partitionBy("probe_id").orderBy(F.desc("_mmr"), F.asc("cid"))
+    sel = (
+        slim.withColumn("_mmr", F.col("sim"))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select("probe_id", "cid", F.lit(1).alias("rnk"), F.col("_mmr").alias("score"))
+    )
+    for r in range(2, k + 1):
+        # every frame here descends from `cand`, so the joins are
+        # self-joins — string aliases + qualified refs keep the analyzer
+        # unambiguous about which lineage each column comes from
+        picked = sel.select(
+            F.col("probe_id").alias("sp"), F.col("cid").alias("sc")
+        ).alias(f"sl{r}")
+        rem = (
+            slim.alias(f"rm{r}")
+            .join(
+                picked,
+                (F.col(f"rm{r}.probe_id") == F.col(f"sl{r}.sp"))
+                & (F.col(f"rm{r}.cid") == F.col(f"sl{r}.sc")),
+                "left_anti",
+            )
+            .alias(f"rem{r}")
+        )
+        picked2 = sel.select(
+            F.col("probe_id").alias("sp"), F.col("cid").alias("sc")
+        ).alias(f"sm{r}")
+        red = (
+            rem.join(
+                pair.alias(f"pr{r}"),
+                (F.col(f"rem{r}.probe_id") == F.col(f"pr{r}.probe_id"))
+                & (F.col(f"rem{r}.cid") == F.col(f"pr{r}.ca")),
+            )
+            .join(
+                picked2,
+                (F.col(f"pr{r}.probe_id") == F.col(f"sm{r}.sp"))
+                & (F.col(f"pr{r}.cb") == F.col(f"sm{r}.sc")),
+            )
+            .groupBy(
+                F.col(f"rem{r}.probe_id").alias("probe_id"),
+                F.col(f"rem{r}.cid").alias("cid"),
+            )
+            .agg(
+                F.first(F.col(f"rem{r}.sim")).alias("sim"),
+                F.max(F.col(f"pr{r}.psim")).alias("redund"),
+            )
+        )
+        pick = (
+            red.withColumn(
+                "_mmr", F.lit(lam) * F.col("sim") - F.lit(1.0 - lam) * F.col("redund")
+            )
+            .withColumn("_rn", F.row_number().over(w_pick))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "probe_id", "cid", F.lit(r).alias("rnk"), F.col("_mmr").alias("score")
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "probe_id",
+        "rnk",
+        F.col("cid").alias("neighbor_id"),
+        F.round("score", 4).alias("score"),
+    )

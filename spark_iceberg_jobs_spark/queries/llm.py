@@ -4494,7 +4494,96 @@ ORDER BY doc_a, doc_b
 """
 
 
+_MMR_LAM = 0.7
+
+
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/similarity.mmr_rerank) — the
+    serving-tier pass between ANN and the context window: for each of the
+    first three vectors as queries, exact-cosine top-8 candidates, then 3
+    greedy MMR picks (lam=0.7) where each pick maximizes
+    lam*sim(query,d) - (1-lam)*max_{s in picked} sim(d,s). Candidate
+    generation is the distributed scan (broadcast probes, identical plan
+    to sim_bruteforce_topk); the rerank unrolls into 3 fixed JVM-side
+    rounds over probe-keyed pools of ≤8 rows — one lazy plan, no driver
+    loop. The oracle replays pool → pairwise cosines → the same 3 greedy
+    rounds as MATERIALIZED CTEs, with lam literals emitted at full float
+    repr so both engines score with bit-identical constants."""
+    from ..operators.similarity import mmr_rerank
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return mmr_rerank(emb, probes, k=3, pool=8, lam=_MMR_LAM).orderBy(
+        "probe_id", "rnk"
+    )
+
+
+def _mmr_oracle_sql(*, k: int = 3, pool: int = 8, lam: float = _MMR_LAM) -> str:
+    lam_r, one_minus_lam_r = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [
+        """p AS (
+    SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+    FROM embeddings WHERE vec_id < 3
+), c AS (
+    SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+    SELECT probe_id, cid, cv, LIST_COSINE_SIMILARITY(pv, cv) AS sim
+    FROM p, c WHERE cid <> probe_id
+), pool AS MATERIALIZED (
+    SELECT probe_id, cid, cv, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM scored
+    ) WHERE rn <= %d
+), pair AS MATERIALIZED (
+    SELECT a.probe_id, a.cid AS ca, b.cid AS cb,
+           LIST_COSINE_SIMILARITY(a.cv, b.cv) AS psim
+    FROM pool a JOIN pool b ON a.probe_id = b.probe_id AND a.cid <> b.cid
+), s1 AS MATERIALIZED (
+    SELECT probe_id, cid, 1 AS rnk, sim AS score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY sim DESC, cid) AS rn
+        FROM pool
+    ) WHERE rn = 1
+), sel1 AS (SELECT * FROM s1)"""
+        % pool
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""r{r} AS (
+    SELECT pool.probe_id, pool.cid, pool.sim, MAX(pair.psim) AS redund
+    FROM pool
+    JOIN pair ON pair.probe_id = pool.probe_id AND pair.ca = pool.cid
+    JOIN sel{r - 1} s ON s.probe_id = pair.probe_id AND s.cid = pair.cb
+    WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} x
+                      WHERE x.probe_id = pool.probe_id AND x.cid = pool.cid)
+    GROUP BY pool.probe_id, pool.cid, pool.sim
+), s{r} AS MATERIALIZED (
+    SELECT probe_id, cid, {r} AS rnk, mmr AS score FROM (
+        SELECT probe_id, cid,
+               {lam_r} * sim - {one_minus_lam_r} * redund AS mmr,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY {lam_r} * sim - {one_minus_lam_r} * redund DESC,
+                                           cid) AS rn
+        FROM r{r}
+    ) WHERE rn = 1
+), sel{r} AS (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r})"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, cid AS neighbor_id,
+       ROUND(score, 4) AS score
+FROM sel{k}
+ORDER BY probe_id, rnk
+"""
+
+
+MMR_ORACLE = _mmr_oracle_sql()
+
+
 EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "retrieval_mmr_rerank": QuerySpec(retrieval_mmr_rerank, MMR_ORACLE),
     "dedup_repeated_substrings": QuerySpec(
         dedup_repeated_substrings, REPEATED_SUBSTR_ORACLE, headline=True
     ),

@@ -1464,3 +1464,42 @@ def test_rolling_hll_merges_across_gap_days(spark, monkeypatch):
     # must carry day 0's register (2 registers set unless they collide)
     assert out[days[-1]].exact_users == 2
     assert out[days[-1]].n_regs_set >= out[days[0]].n_regs_set
+
+
+def test_mmr_rerank_diversifies_near_duplicate_neighbors(spark):
+    """MMR semantics on a hand-checkable case: the two closest neighbors
+    are near-duplicates of each other, so plain top-2 returns both, while
+    MMR's redundancy penalty (lam=0.5) makes the second pick the DIVERSE
+    moderate-similarity vector instead. Guards fail loud."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.operators.similarity import (
+        bruteforce_topk,
+        mmr_rerank,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),   # the query
+            (1, [1.0, 0.10, 0.0]),  # top neighbor
+            (2, [1.0, 0.11, 0.0]),  # near-duplicate of vec 1
+            (3, [0.6, 0.0, 0.8]),   # diverse, moderate similarity
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    probes = emb.filter(F.col("vec_id") == 0)
+    plain = [
+        r.neighbor_id
+        for r in bruteforce_topk(emb, probes, k=2).orderBy("rnk").collect()
+    ]
+    assert plain == [1, 2], "plain top-2 must return the near-dup pair"
+    mmr = [
+        r.neighbor_id
+        for r in mmr_rerank(emb, probes, k=2, pool=3, lam=0.5).orderBy("rnk").collect()
+    ]
+    assert mmr == [1, 3], "MMR must swap the near-dup for the diverse vector"
+
+    with pytest.raises(ValueError, match="cannot exceed"):
+        mmr_rerank(emb, probes, k=5, pool=3)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(emb, probes, k=1, pool=2, lam=1.5)
