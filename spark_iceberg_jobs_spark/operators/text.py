@@ -239,6 +239,57 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame, *, lam: float = 0.8) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram LM
+    fit on the corpus itself — the KenLM/CCNet-style perplexity quality
+    filter (one model order up from ``unigram_logprob``, catching
+    scrambled-but-plausible-vocabulary text the unigram score cannot):
+    p(w2|w1) = lam*c(w1 w2)/c(w1) + (1-lam)*c(w2)/N. The unigram backoff
+    makes every seen-word bigram scoreable; docs with < 2 tokens have no
+    bigrams and drop out.
+
+    Scale shape (same discipline as unigram_logprob/bigram_pmi): bigrams
+    aggregate to per-doc (doc_id, w1, w2, count) BEFORE any join, so the
+    model joins shuffle per-doc bigram vocabularies, never raw token
+    streams; the bigram/unigram tables are corpus-sized and shuffle-join
+    on their keys (never broadcast); only the 1-row corpus total rides a
+    broadcast cross join. One final doc_id shuffle for the mean.
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    t = tokens("text")
+    n = F.size(t)
+    pairs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = documents.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
+    corpus_bg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_b"))
+    tok = documents.select(F.explode(t).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("c_u"))
+    total = tok.groupBy().agg(F.count("*").alias("corpus_tokens"))
+    p = F.lit(lam) * F.col("c_b") / F.col("c_u1") + F.lit(1.0 - lam) * F.col(
+        "c_u2"
+    ) / F.col("corpus_tokens")
+    return (
+        doc_bg.join(corpus_bg, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_u").alias("c_u1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_u").alias("c_u2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * F.log(p)) / F.sum("c"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def chunk_with_overlap(
     documents: DataFrame, *, chunk_tokens: int = 64, overlap: int = 16
 ) -> DataFrame:

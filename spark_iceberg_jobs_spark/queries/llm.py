@@ -1899,6 +1899,50 @@ GROUP BY doc_id
 """
 
 
+_BIGRAM_LAM = 0.8
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM fluency scoring (operators/text.
+    bigram_logprob): every doc's mean bigram log-probability under the
+    corpus's own interpolated bigram model, p(w2|w1) = lam*c(w1 w2)/c(w1)
+    + (1-lam)*c(w2)/N with lam=0.8 — the KenLM/CCNet-style perplexity
+    filter every production curation pipeline runs. Interpolation
+    constants are emitted into the oracle at full float repr so both
+    engines score with bit-identical doubles."""
+    from ..operators.text import bigram_logprob
+
+    return bigram_logprob(read_fixture(spark, sf_dir, "documents"), lam=_BIGRAM_LAM)
+
+
+BIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+), bg AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+         UNNEST(RANGE(1, LEN(t))) AS r(i)
+), doc_bg AS (
+    SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, w2
+), corpus_bg AS (
+    SELECT w1, w2, COUNT(*) AS c_b FROM bg GROUP BY w1, w2
+), uni AS (
+    SELECT w, COUNT(*) AS c_u FROM tok GROUP BY w
+), total AS (SELECT COUNT(*) AS corpus_tokens FROM tok)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(c * LN({_BIGRAM_LAM!r} * c_b / u1.c_u
+                        + {1.0 - _BIGRAM_LAM!r} * u2.c_u / corpus_tokens))
+             / SUM(c), 4) AS avg_logprob
+FROM doc_bg
+JOIN corpus_bg USING (w1, w2)
+JOIN uni u1 ON doc_bg.w1 = u1.w
+JOIN uni u2 ON doc_bg.w2 = u2.w
+CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 1→N mapInPandas expansion shape (video frame sampling): one
     output row per sampled payload offset, summarized per doc. The payload
@@ -4654,6 +4698,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         dedup_embedding_cosine_bucketed_auto, EMBED_DEDUP_AUTO_ORACLE, headline=True
     ),
     "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_LOGPROB_ORACLE),
+    "text_bigram_logprob": QuerySpec(text_bigram_logprob, BIGRAM_LOGPROB_ORACLE),
     "text_chunk_overlap": QuerySpec(text_chunk_overlap, CHUNK_ORACLE),
     "sample_k_per_group": QuerySpec(sample_k_per_group, SAMPLE_K_ORACLE),
     "quality_outliers_mad": QuerySpec(quality_outliers_mad, MAD_ORACLE),

@@ -1503,3 +1503,34 @@ def test_mmr_rerank_diversifies_near_duplicate_neighbors(spark):
         mmr_rerank(emb, probes, k=5, pool=3)
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(emb, probes, k=1, pool=2, lam=1.5)
+
+
+def test_bigram_logprob_catches_scrambled_text_unigram_misses(spark):
+    """The claim that justifies the model order: a scrambled doc with the
+    IDENTICAL token multiset as the natural docs gets the same unigram
+    score (the unigram LM only sees the bag of words) but a strictly
+    lower bigram score (the transitions are improbable). Plus the lam
+    guard fails loud."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.operators.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d a b c d"),
+            (1, "a b c d a b c d"),
+            (2, "a b c d a b c d"),
+            (3, "a d b c c a d b"),  # same multiset {a:2,b:2,c:2,d:2}, scrambled
+        ],
+        "doc_id long, text string",
+    )
+    uni = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+    assert uni[3] == uni[0], "unigram LM must be blind to token order"
+    bi = {r.doc_id: r.avg_logprob for r in bigram_logprob(docs).collect()}
+    assert bi[3] < bi[0], "bigram LM must penalize the scrambled transitions"
+
+    with pytest.raises(ValueError, match="lam"):
+        bigram_logprob(docs, lam=0.0)
