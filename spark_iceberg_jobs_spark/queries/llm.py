@@ -3054,17 +3054,20 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctf = scoped_persist(ctf)
     df_tbl = ctf.groupBy("term").agg(F.countDistinct("doc_id", "chunk_id").alias("df"))
-    idf = df_tbl.select(
-        "term", F.log(F.lit(float(n_chunks)) / F.col("df")).alias("idf")
+    # idf feeds BOTH the chunk-weight and query-weight joins — persisted,
+    # the df aggregation over ctf runs once, not once per consumer
+    # (the round-4 bm25 lesson: benching exposed silent recomputes)
+    idf = scoped_persist(
+        df_tbl.select("term", F.log(F.lit(float(n_chunks)) / F.col("df")).alias("idf"))
     )
     wc = ctf.join(idf, "term").select(
         "doc_id", "chunk_id", "term", (F.col("tf") * F.col("idf")).alias("w")
     )
-    cnorm = wc.groupBy("doc_id", "chunk_id").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
-    )
+    # L2 norm as a window over the (doc, chunk) partition: one pass over
+    # wc instead of a groupBy + self-join that recomputes the weight join
+    wn = Window.partitionBy("doc_id", "chunk_id")
     uc = scoped_persist(
-        wc.join(cnorm, ["doc_id", "chunk_id"])
+        wc.withColumn("norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(wn)))
         .filter(F.col("norm") > 0)
         .select("doc_id", "chunk_id", "term", (F.col("w") / F.col("norm")).alias("u"))
     )
@@ -3887,7 +3890,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # dlen feeds the contrib join AND both stats references below —
+    # persisted, those are three scans of a tiny doc-keyed aggregate
+    # instead of three recomputed shuffles over tf
+    dlen = scoped_persist(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")))
     stats = dlen.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avg_dl"),
@@ -4627,7 +4633,7 @@ MMR_ORACLE = _mmr_oracle_sql()
 
 
 EXTRA_QUERIES: dict[str, QuerySpec] = {
-    "retrieval_mmr_rerank": QuerySpec(retrieval_mmr_rerank, MMR_ORACLE),
+    "retrieval_mmr_rerank": QuerySpec(retrieval_mmr_rerank, MMR_ORACLE, headline=True),
     "dedup_repeated_substrings": QuerySpec(
         dedup_repeated_substrings, REPEATED_SUBSTR_ORACLE, headline=True
     ),
@@ -4647,7 +4653,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "pipeline_rag_retrieval": QuerySpec(
         pipeline_rag_retrieval, RAG_ORACLE, headline=True
     ),
-    "text_bm25_topk": QuerySpec(text_bm25_topk, BM25_ORACLE),
+    "text_bm25_topk": QuerySpec(text_bm25_topk, BM25_ORACLE, headline=True),
     "embedding_outliers": QuerySpec(embedding_outliers, EMBEDDING_OUTLIERS_ORACLE),
     "mine_hard_negatives": QuerySpec(mine_hard_negatives, HARD_NEGATIVES_ORACLE),
     "text_distinctive_terms": QuerySpec(text_distinctive_terms, DISTINCTIVE_ORACLE),
