@@ -4544,6 +4544,180 @@ ORDER BY doc_a, doc_b
 """
 
 
+_PRF_FB_DOCS = 3  # feedback depth: round-1 top docs mined for terms
+_PRF_EXP_TERMS = 2  # expansion width: new terms appended per query
+
+
+def retrieval_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-lite) — the
+    classic two-round sparse-retrieval loop: BM25 round 1 retrieves each
+    query's top-3 docs; their strongest tf·idf terms NOT already in the
+    query (top-2, ties by term) join the query with weight 1; BM25 round
+    2 scores the expanded query and returns the final top-5. The vocab
+    mismatch between query and corpus is THE failure mode of sparse
+    retrieval, and PRF is its standard cheap fix — no model needed.
+
+    Scale shape: both rounds are the tuned text_bm25_topk plan (persisted
+    tf/dlen, idf persisted because both rounds consume it, 1-row stats as
+    a broadcast crossJoin, posting-list joins bounded by query terms);
+    the feedback mining touches only fb_docs×queries rows. One lazy plan,
+    no eager actions. The oracle replays both rounds plus the term-mining
+    argmax with identical tie-breaks."""
+    from pyspark.sql import Window
+
+    from ..functions.cache import scoped_persist
+    from ..functions.texts import tokens
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tf = scoped_persist(
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dlen = scoped_persist(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    stats = dlen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    idf = scoped_persist(
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+
+    def bm25_scores(qterms: DataFrame) -> DataFrame:
+        contrib = (
+            tf.join(dlen, "doc_id")
+            .join(idf, "term")
+            .join(F.broadcast(qterms), "term")
+            .crossJoin(F.broadcast(stats.select("avg_dl")))
+            .filter(F.col("doc_id") != F.col("query_doc"))
+            .select(
+                "query_doc",
+                "doc_id",
+                (
+                    F.col("qtf")
+                    * F.col("idf")
+                    * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl")))
+                ).alias("c"),
+            )
+        )
+        return contrib.groupBy("query_doc", "doc_id").agg(
+            F.round(F.sum("c"), 4).alias("bm25")
+        )
+
+    qtf0 = tf.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc"), "term", F.col("tf").alias("qtf")
+    )
+    w_rank = Window.partitionBy("query_doc").orderBy(F.desc("bm25"), "doc_id")
+    fb = (
+        bm25_scores(qtf0)
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _PRF_FB_DOCS)
+        .select("query_doc", "doc_id")
+    )
+    mined = (
+        fb.alias("fb")
+        .join(tf.alias("ft"), F.col("fb.doc_id") == F.col("ft.doc_id"))
+        .join(idf, "term")
+        .groupBy(F.col("fb.query_doc").alias("query_doc"), "term")
+        .agg(F.sum(F.col("ft.tf") * F.col("idf")).alias("w"))
+    )
+    w_term = Window.partitionBy("query_doc").orderBy(F.desc("w"), "term")
+    expansion = (
+        mined.join(qtf0.select("query_doc", "term"), ["query_doc", "term"], "left_anti")
+        .withColumn("rn", F.row_number().over(w_term))
+        .filter(F.col("rn") <= _PRF_EXP_TERMS)
+        .select("query_doc", "term", F.lit(1).cast("long").alias("qtf"))
+    )
+    qtf1 = qtf0.unionByName(expansion)
+    return (
+        bm25_scores(qtf1)
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+        .select("query_doc", "rnk", "doc_id", "bm25")
+        .orderBy("query_doc", "rnk")
+    )
+
+
+QUERY_EXPANSION_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+), dlen AS (
+    SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM dlen
+), idf AS (
+    SELECT term, LN((n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+    FROM tf, stats GROUP BY term, n_docs
+), qtf0 AS (
+    SELECT doc_id AS query_doc, term, tf AS qtf FROM tf WHERE doc_id < 3
+), c1 AS (
+    SELECT q.query_doc, tf.doc_id,
+           q.qtf * idf.idf * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dlen.dl / stats.avg_dl)) AS c
+    FROM tf
+    JOIN dlen ON tf.doc_id = dlen.doc_id
+    JOIN idf ON tf.term = idf.term
+    JOIN qtf0 q ON tf.term = q.term
+    CROSS JOIN stats
+    WHERE tf.doc_id <> q.query_doc
+), s1 AS (
+    SELECT query_doc, doc_id, ROUND(SUM(c), 4) AS bm25 FROM c1 GROUP BY 1, 2
+), fb AS (
+    SELECT query_doc, doc_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                     ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM s1
+    ) WHERE rnk <= {_PRF_FB_DOCS}
+), mined AS (
+    SELECT fb.query_doc, tf.term, SUM(tf.tf * idf.idf) AS w
+    FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+    JOIN idf ON idf.term = tf.term
+    GROUP BY fb.query_doc, tf.term
+), expansion AS (
+    SELECT query_doc, term, CAST(1 AS BIGINT) AS qtf FROM (
+        SELECT m.*, ROW_NUMBER() OVER (PARTITION BY m.query_doc
+                                       ORDER BY m.w DESC, m.term) AS rn
+        FROM mined m
+        WHERE NOT EXISTS (SELECT 1 FROM qtf0
+                          WHERE qtf0.query_doc = m.query_doc
+                            AND qtf0.term = m.term)
+    ) WHERE rn <= {_PRF_EXP_TERMS}
+), qtf1 AS (
+    SELECT * FROM qtf0 UNION ALL SELECT * FROM expansion
+), c2 AS (
+    SELECT q.query_doc, tf.doc_id,
+           q.qtf * idf.idf * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dlen.dl / stats.avg_dl)) AS c
+    FROM tf
+    JOIN dlen ON tf.doc_id = dlen.doc_id
+    JOIN idf ON tf.term = idf.term
+    JOIN qtf1 q ON tf.term = q.term
+    CROSS JOIN stats
+    WHERE tf.doc_id <> q.query_doc
+), s2 AS (
+    SELECT query_doc, doc_id, ROUND(SUM(c), 4) AS bm25 FROM c2 GROUP BY 1, 2
+)
+SELECT query_doc, CAST(rnk AS BIGINT) AS rnk, doc_id, bm25 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                 ORDER BY bm25 DESC, doc_id) AS rnk
+    FROM s2
+) WHERE rnk <= 5
+ORDER BY query_doc, rnk
+"""
+
+
 _MMR_LAM = 0.7
 
 
@@ -4634,6 +4808,9 @@ MMR_ORACLE = _mmr_oracle_sql()
 
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "retrieval_mmr_rerank": QuerySpec(retrieval_mmr_rerank, MMR_ORACLE, headline=True),
+    "retrieval_query_expansion": QuerySpec(
+        retrieval_query_expansion, QUERY_EXPANSION_ORACLE
+    ),
     "dedup_repeated_substrings": QuerySpec(
         dedup_repeated_substrings, REPEATED_SUBSTR_ORACLE, headline=True
     ),

@@ -1099,9 +1099,105 @@ QUERIES: dict[str, QuerySpec] = {
     ),
 }
 
+_TRUNC_DIM = 32  # of the fixture's 64 — the MRL "half the bytes" point
+
+
+def sim_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: per-probe
+    recall@5 of exact cosine search over the embeddings TRUNCATED to the
+    first 32 of 64 dims, against the full-dimension brute-force top-5 —
+    the measurement behind every 'store half the vector bytes' decision
+    (MRL-trained embeddings front-load information, so truncation recall
+    is the go/no-go metric; at 100 TB of vectors, halving dims halves
+    every ANN index, shuffle, and cache in this engine). Same dataflow
+    shape as sim_ann_recall_ivf: two broadcast-probe scans + ranking
+    windows, id-only join for the intersection. The truncation itself is
+    a zero-cost slice projection; the oracle replays both rankings with
+    list slicing and joins them — recall is exact, not approximate."""
+    from ..operators.similarity import bruteforce_topk
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+
+    def trunc(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", F.slice("embedding", 1, _TRUNC_DIM).alias("embedding")
+        )
+
+    probes = emb.filter(F.col("vec_id") < 10)
+    full = bruteforce_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    tr = bruteforce_topk(trunc(emb), trunc(probes), k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    hits = full.join(tr, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        full.groupBy("probe_id")
+        .agg(F.count("*").cast("long").alias("k"))
+        .join(hits, "probe_id", "left_outer")
+        .select(
+            "probe_id",
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4).alias(
+                "recall"
+            ),
+        )
+        .orderBy("probe_id")
+    )
+
+
+DIM_TRUNCATION_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), t AS (
+    SELECT vec_id, v[1:{_TRUNC_DIM}] AS v FROM e
+), fscored AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           LIST_COSINE_SIMILARITY(p.v, c.v) AS sim
+    FROM e p JOIN e c ON c.vec_id <> p.vec_id
+    WHERE p.vec_id < 10
+), fullk AS (
+    SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM fscored
+    ) WHERE rnk <= 5
+), tscored AS (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           LIST_COSINE_SIMILARITY(p.v, c.v) AS sim
+    FROM t p JOIN t c ON c.vec_id <> p.vec_id
+    WHERE p.vec_id < 10
+), trunck AS (
+    SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM tscored
+    ) WHERE rnk <= 5
+), hits AS (
+    SELECT f.probe_id, COUNT(*) AS n_hits
+    FROM fullk f JOIN trunck t2
+      ON f.probe_id = t2.probe_id AND f.neighbor_id = t2.neighbor_id
+    GROUP BY f.probe_id
+)
+SELECT f.probe_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(MAX(h.n_hits), 0) AS DOUBLE) / COUNT(*), 4) AS recall
+FROM fullk f LEFT JOIN hits h ON f.probe_id = h.probe_id
+GROUP BY f.probe_id
+ORDER BY f.probe_id
+"""
+
+
 #: Outside the driver window (queries/__init__ head is curated); verified by
 #: tools/verify_local.py every round.
 EXTRA_QUERIES: dict[str, QuerySpec] = {
+    "sim_dim_truncation_recall": QuerySpec(
+        sim_dim_truncation_recall, DIM_TRUNCATION_ORACLE
+    ),
     "sim_pq_adc_topk": QuerySpec(sim_pq_adc_topk, PQ_ADC_ORACLE, headline=True),
     "sim_ivfpq_adc_topk": QuerySpec(sim_ivfpq_adc_topk, IVFPQ_ADC_ORACLE, headline=True),
     "dedup_semantic": QuerySpec(dedup_semantic, SEMANTIC_DEDUP_ORACLE),
