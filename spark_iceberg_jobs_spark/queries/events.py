@@ -1427,6 +1427,112 @@ ORDER BY 1
 """
 
 
+def events_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the other
+    standard marketing model next to last-touch: every purchase's value
+    splits across ALL of the same user's clicks in the 24h lookback
+    (40% first touch, 40% last touch, 20% spread over the middle;
+    1 touch → 100%, 2 touches → 50/50), credited to each click's
+    hour-of-day, with an 'unattributed' −1 bucket for purchases with no
+    click in the window.
+
+    Scale shape: the (click, purchase) pairs come from the verified
+    banded range join — fan-out bounded by rows-per-24h-bucket, never a
+    per-user cross product over full histories (the lookback bound IS
+    the skew control for whale users); the position weights are windows
+    PARTITIONED BY the purchase, so state is one purchase's touch list.
+    Tie safety: clicks tying on the same second share an hour bucket, so
+    the hour-level credit sums are invariant to their rank order —
+    which is what the oracle's replay relies on."""
+    from pyspark.sql import Window
+
+    from ..operators.joins import banded_range_join
+
+    ev = read_fixture(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    lookback = 86400  # 24h
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", es.alias("p_s"), "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", es.alias("c_s")
+    )
+    pairs = banded_range_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_es="c_s",
+        right_es="p_s",
+        max_gap_sec=lookback,
+    )
+    wn = Window.partitionBy("event_id")
+    wr = Window.partitionBy("event_id").orderBy("c_s")
+    weighted = pairs.withColumn("n", F.count("*").over(wn)).withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credited = weighted.select(
+        F.expr("c_s DIV 3600 % 24").cast("long").alias("click_hour"),
+        (F.col("value") * credit).alias("credit"),
+    )
+    unattributed = purchases.join(
+        pairs.select("event_id"), "event_id", "left_anti"
+    ).select(F.lit(-1).cast("long").alias("click_hour"), F.col("value").alias("credit"))
+    return (
+        credited.unionByName(unattributed)
+        .groupBy("click_hour")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.round(F.sum("credit"), 2).alias("attributed_value"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+U_SHAPED_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, event_type, value,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS s
+    FROM events
+), p AS (
+    SELECT event_id, user_id, s AS p_s, value FROM e WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, s AS c_s FROM e WHERE event_type = 'click'
+), pairs AS (
+    SELECT p.event_id, p.value, c.c_s
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND p.p_s > c.c_s AND p.p_s <= c.c_s + 86400
+), w AS (
+    SELECT *,
+           COUNT(*) OVER (PARTITION BY event_id) AS n,
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY c_s) AS rn
+    FROM pairs
+), credited AS (
+    SELECT c_s // 3600 % 24 AS click_hour,
+           value * (CASE WHEN n = 1 THEN 1.0
+                         WHEN n = 2 THEN 0.5
+                         WHEN rn = 1 OR rn = n THEN 0.4
+                         ELSE 0.2 / (n - 2) END) AS credit
+    FROM w
+), unattributed AS (
+    SELECT CAST(-1 AS BIGINT) AS click_hour, value AS credit
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.event_id = p.event_id)
+)
+SELECT click_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(SUM(credit), 2) AS attributed_value
+FROM (SELECT * FROM credited UNION ALL SELECT * FROM unattributed)
+GROUP BY click_hour
+ORDER BY click_hour
+"""
+
+
 def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration of activity: what share of all events comes
     from the heaviest users (above the P90 / P99 per-user volume
@@ -2307,6 +2413,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "events_attribution_last_touch": QuerySpec(
         events_attribution_last_touch, ATTRIBUTION_ORACLE
+    ),
+    "events_attribution_u_shaped": QuerySpec(
+        events_attribution_u_shaped, U_SHAPED_ORACLE
     ),
     "events_activity_heatmap": QuerySpec(events_activity_heatmap, HEATMAP_ORACLE),
     "events_hll_distinct_users": QuerySpec(events_hll_distinct_users, HLL_ORACLE),
