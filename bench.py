@@ -35,6 +35,7 @@ def run() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in reg.items():
         if not spec.headline:
@@ -55,6 +56,10 @@ def run() -> None:
                 reps.append(time.time() - t0)
             timings[name] = round(min(reps), 3)
             medians[name] = round(sorted(reps)[len(reps) // 2], 3)
+            # per-query spread (max-min of the 5 reps; VERDICT r4 item 8):
+            # makes "±0.1s is box noise" machine-checkable — a delta smaller
+            # than the spread band needs no explanation.
+            spreads[name] = round(max(reps) - min(reps), 3)
         except Exception as e:  # noqa: BLE001 - one bad query must not kill BENCH
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
@@ -78,6 +83,7 @@ def run() -> None:
         "pipeline_pretraining_corpus", "dedup_embedding_cosine_bucketed_auto",
         "sim_pq_adc_topk", "sim_ivfpq_adc_topk",
     ]
+    common_r4 = common_r3 + ["text_bm25_topk", "retrieval_mmr_rerank"]
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -85,8 +91,10 @@ def run() -> None:
         "common_r1_seconds": round(sum(timings.get(q, 0.0) for q in common_r1), 3),
         "common_r2_seconds": round(sum(timings.get(q, 0.0) for q in common_r2), 3),
         "common_r3_seconds": round(sum(timings.get(q, 0.0) for q in common_r3), 3),
+        "common_r4_seconds": round(sum(timings.get(q, 0.0) for q in common_r4), 3),
         "queries": timings,
         "queries_median": medians,
+        "queries_spread": spreads,
         "sf": sf,
     }
     if errors:

@@ -44,12 +44,23 @@ def top_k_by_agg(
     return df.groupBy(*group_cols).agg(agg_col.alias(metric_name)).orderBy(*order).limit(k)
 
 
-def avg_metric_per_key(df: DataFrame, key: str, metric: str, *, k: int = 1) -> DataFrame:
+def avg_metric_per_key(
+    df: DataFrame, key: str, metric: str, *, k: int = 1, exact_decimal: bool = False
+) -> DataFrame:
     """A1 shape — "which player averages the most kills per game"
-    (README.md:20) — group-by + avg + top-1."""
-    return top_k_by_agg(
-        df, [key], F.round(F.avg(metric), 4), f"avg_{metric}", k=k
-    )
+    (README.md:20) — group-by + avg + top-1.
+
+    ``exact_decimal`` computes the mean as an exact DECIMAL(18,2) sum cast
+    to double over the count — order-independent across Spark task
+    schedules (functions/money.py; VERDICT r4 item 1). Use for the 2-decimal
+    fixture money/quantity columns."""
+    if exact_decimal:
+        from ..functions.money import money_avg
+
+        agg = money_avg(metric, scale=4)
+    else:
+        agg = F.round(F.avg(metric), 4)
+    return top_k_by_agg(df, [key], agg, f"avg_{metric}", k=k)
 
 
 def distinct_count_per_key(df: DataFrame, key: str, id_col: str, *, k: int = 1) -> DataFrame:
@@ -104,6 +115,22 @@ def filtered_sum_per_key(
     The predicate is applied *before* the aggregation so Catalyst pushes it
     into the scan (check PushedFilters in .explain)."""
     return top_k_by_agg(df.filter(predicate), [key], F.sum(metric), f"sum_{metric}", k=k)
+
+
+def filtered_exact_sum_per_key(
+    df: DataFrame,
+    predicate: Column,
+    key: str,
+    metric: str,
+    *,
+    k: int = 1,
+) -> DataFrame:
+    """A4 shape with an order-independent DECIMAL sum (functions/money.py)
+    for 2-decimal fixture measures, surfaced as double."""
+    from ..functions.money import money
+
+    agg = F.sum(money(metric)).cast("double")
+    return top_k_by_agg(df.filter(predicate), [key], agg, f"sum_{metric}", k=k)
 
 
 def grouped_ols_trend(

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import money, money_sum
+
 
 def _epoch() -> Column:
     """floor(epoch seconds) of ts — matches the oracle's
@@ -38,7 +40,7 @@ def _window_agg(events: DataFrame, window: Column, extra: list[str]) -> DataFram
         events.groupBy(window.alias("w"), *extra)
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .select(
             F.unix_timestamp("w.start").alias("window_start"),
@@ -108,7 +110,7 @@ def sessionize(
         .agg(
             F.count("*").alias("n_events"),
             (F.max(epoch) - F.min(epoch)).alias("duration_sec"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            money_sum("value").alias("session_value"),
         )
     )
 
@@ -123,5 +125,7 @@ def running_agg(events: DataFrame, *, user_col: str = "user_id") -> DataFrame:
     return events.select(
         "event_id",
         user_col,
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        # Decimal running sum: exact under any frame-evaluation strategy
+        # (functions/money.py; DuckDB's segment tree re-associates doubles).
+        F.sum(money("value")).over(w).cast("double").alias("running_value"),
     )

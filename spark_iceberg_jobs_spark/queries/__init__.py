@@ -43,75 +43,76 @@ class QuerySpec:
 #       representatives spanning the three prior windows. Everything
 #       rotated out stays re-verified per round by tools/verify_local.py
 #       (committed as VERIFY_sf0.01.json / VERIFY_sf0.1.json).
+#   r5 (VERDICT r4 item 3): the remaining never-driver-scored backlog —
+#       post-r4-sweep additions (retrieval_query_expansion,
+#       sim_dim_truncation_recall, events_attribution_u_shaped), the r3
+#       business-analytics/events/forensics tail, this round's
+#       text_bm25_incremental — plus every float-determinism-converted
+#       query that had never been scored. Keeps: cohort_ltv_by_first_year
+#       (the r4 flake, now DECIMAL-exact — item 1's regression proof) and
+#       four converted prior-window representatives.
 DRIVER_WINDOW = 50
 
-# Five prior-driver-green representatives stay in-window as regression
-# proof — one per major prior-window family (flagship/core joins, events,
-# TPC-H tail, dedup, ANN).
-_R4_REGRESSION_KEEPS = [
-    "flagship_revenue_topk",  # r1+r3 driver-green; broadcast-join flagship
-    "events_funnel",  # events-tier machinery (windows, sessionless ordering)
-    "q9_product_type_profit",  # widest tpch_tail multiway join
-    "dedup_minhash_lsh",  # shared shingle/minhash machinery
-    "sim_ivf_kmeans_topk",  # kmeans + IVF ANN machinery
+_R5_REGRESSION_KEEPS = [
+    "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
+    "customer_rfm_segments",  # converted spend chain; r4 driver-green
+    "flagship_revenue_topk",  # converted revenue sum; r1+r3+r4 green
+    "q9_product_type_profit",  # converted 3-factor decimal profit; r4 green
+    "q1_pricing_summary",  # widest converted aggregate row; r1 green
 ]
 
-# Never-driver-scored round-3 tiers rotated into the r4 window.
-_R4_NEW_WINDOW = [
-    # retrieval / serving
-    "pipeline_rag_retrieval",
-    "text_bm25_topk",
-    "pipeline_hybrid_retrieval",
-    "retrieval_rank_fusion",
-    # corpus forensics / dedup completions
-    "dedup_repeated_substrings",
-    "dedup_tfidf_cosine",
-    "decontaminate_bloom_prefilter",
-    "decontaminate_semantic",
-    "dedup_semantic",
-    "dedup_cascade_waterfall",
-    "dedup_cluster_keep_best",
-    "dedup_embedding_cosine_bucketed_auto",
-    # PQ / ANN completions
-    "sim_pq_adc_topk",
-    "sim_ivfpq_adc_topk",
-    "sim_ann_recall_ivf",
-    # ML fits with replay oracles
-    "ml_logreg_language",
-    "ml_logreg_crossval",
-    "ml_logreg_calibration",
-    "ml_ols_price_model",
-    # sketches
-    "events_hll_distinct_users",
-    "events_rolling_distinct_hll",
-    "sketch_kmv_user_overlap",
-    "sketch_cms_heavy_hitters",
-    "sketch_histogram_median",
-    "streaming_hll_daily_users",
-    # governance / audits
-    "audit_provenance_fingerprint",
-    "quality_rule_violations",
-    "integrity_fk_orphans",
-    "integrity_id_continuity",
-    "report_dataset_card",
-    # business analytics
-    "customer_rfm_segments",
-    "cohort_ltv_by_first_year",
-    "basket_part_pairs",
-    "scd2_customer_priority",
-    "window_analytics_showcase",
-    "grouping_sets_order_stats",
-    "timeseries_gap_filled_monthly",
-    "pivot_revenue_by_priority",
-    # text-tier completions (incl. the r4 sample-fit BPE rework)
-    "text_bpe_merges",
-    "text_heaps_law",
-    "text_zipf_slope",
-    "text_unigram_logprob",
-    # pipelines / multimodal / streaming-state
-    "pipeline_pretraining_corpus",
-    "multimodal_image_resize",
-    "streaming_stateful_sessions",
+_R5_NEW_WINDOW = [
+    # post-r4-sweep additions (shipped unverified-by-artifact in r4)
+    "retrieval_query_expansion",
+    "sim_dim_truncation_recall",
+    "events_attribution_u_shaped",
+    # never-scored retrieval / text
+    "retrieval_mmr_rerank",
+    "text_bigram_logprob",
+    "text_bm25_incremental",  # new this round (r4 item 7)
+    "text_char_entropy",
+    "text_novelty_by_source",
+    "text_code_switching",
+    "text_distinctive_terms",
+    # never-scored business analytics (float-determinism converts)
+    "scd2_point_in_time_revenue",
+    "nation_trade_corridors",
+    "supplier_delivery_sla",
+    "orders_backlog_aging",
+    "part_substitutes",
+    "part_price_dispersion",
+    "aqp_sample_estimate_revenue",
+    "stats_trimmed_mean_by_priority",
+    "udaf_weighted_avg_price",
+    "window_trailing_spend_range",
+    # never-scored events tier
+    "events_attribution_last_touch",
+    "events_ohlc_hourly",
+    "events_time_weighted_value",
+    "events_hourly_anomalies",
+    "events_interarrival_stats",
+    "events_conversion_latency",
+    "rollup_incremental_merge",
+    "streaming_upsert_user_totals",
+    # never-scored forensics / embeddings / sampling
+    "dedup_source_flows",
+    "graph_dup_triangles",
+    "drift_ks_length",
+    "split_leakage_safe",
+    "embedding_dim_stats",
+    "embedding_outliers",
+    "mine_hard_negatives",
+    # never-scored core/relational tail
+    "grouped_trend_by_nation",
+    "stringagg_types_by_brand",
+    "skew_profile_lineitem_suppkey",
+    "approx_percentiles_quality",
+    "setops_except_all",
+    "join_null_safe_segments",
+    "lateral_top_order_per_customer",
+    "join_full_outer_nation_activity",
+    "source_python_datasource_agg",
+    "page_orders_keyset",
 ]
 
 
@@ -127,7 +128,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R4_NEW_WINDOW + _R4_REGRESSION_KEEPS
+    head = _R5_NEW_WINDOW + _R5_REGRESSION_KEEPS
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

@@ -32,14 +32,29 @@ from ..operators.aggs import (
     filtered_sum_per_key,
     top_k_by_agg,
 )
+from ..functions.money import (
+    dec_avg,
+    dec_sum,
+    money,
+    money_avg,
+    money_sum,
+    revenue_dec,
+)
 from ..operators.joins import broadcast_dim_join, copartitioned_join
 from ..sources.readers import load_tables
 from . import QuerySpec
 
+# DuckDB oracle fragment for the exact-decimal revenue term (functions/money.py).
+SQL_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
 def _revenue():
-    """l_extendedprice * (1 - l_discount); built lazily — classic-mode column
-    expressions require an active SparkContext, and the driver may import
-    this module before creating its session."""
+    """l_extendedprice * (1 - l_discount) in double — kept for non-aggregated
+    row-level uses; money SUMs go through revenue_dec()/money_sum so the
+    aggregation is order-independent (functions/money.py, VERDICT r4 item 1).
+    Built lazily — classic-mode column expressions require an active
+    SparkContext, and the driver may import this module before creating its
+    session."""
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
@@ -71,15 +86,15 @@ def flagship_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name", "r_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(dec_sum(revenue_dec()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(5)
     )
 
 
-FLAGSHIP_ORACLE = """
+FLAGSHIP_ORACLE = f"""
 SELECT c_custkey, c_name, n_name, r_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -108,26 +123,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(revenue_dec()).alias("sum_disc_price"),
+            money_avg("l_quantity", scale=4).alias("avg_qty"),
+            money_avg("l_extendedprice", scale=4).alias("avg_price"),
+            money_avg("l_discount", scale=6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-Q1_ORACLE = """
+Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -152,7 +167,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(dec_sum(revenue_dec()).alias("revenue"))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -164,11 +179,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q3_ORACLE = """
+Q3_ORACLE = f"""
 SELECT o_orderkey,
        STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
        o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -205,13 +220,13 @@ def q5_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(dec_sum(revenue_dec()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
-Q5_ORACLE = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+Q5_ORACLE = f"""
+SELECT n_name, CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -238,11 +253,13 @@ def a1_top_customer_by_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFra
     joined = t["lineitem"].join(
         t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
     )
-    return avg_metric_per_key(joined, "o_custkey", "l_quantity", k=1)
+    return avg_metric_per_key(joined, "o_custkey", "l_quantity", k=1, exact_decimal=True)
 
 
 A1_ORACLE = """
-SELECT o_custkey, ROUND(AVG(l_quantity), 4) AS avg_l_quantity
+SELECT o_custkey,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(l_quantity), 4) AS avg_l_quantity
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_custkey
 ORDER BY avg_l_quantity DESC, o_custkey
@@ -303,13 +320,15 @@ def a4_brand_quantity_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    return filtered_sum_per_key(
+    from ..operators.aggs import filtered_exact_sum_per_key
+
+    return filtered_exact_sum_per_key(
         joined, F.col("p_brand") == "Brand#1", "n_name", "l_quantity", k=1
     )
 
 
 A4_ORACLE = """
-SELECT n_name, SUM(l_quantity) AS sum_l_quantity
+SELECT n_name, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -395,15 +414,15 @@ def copartitioned_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            dec_sum(revenue_dec()).alias("revenue"),
         )
         .orderBy("o_orderstatus")
     )
 
 
-COPART_ORACLE = """
+COPART_ORACLE = f"""
 SELECT o_orderstatus, COUNT(*) AS n_rows,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -473,16 +492,20 @@ def window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        # Decimal window sum: exact regardless of the engine's frame
+        # evaluation strategy (DuckDB's segment tree re-associates double
+        # additions; decimal is associative — functions/money.py).
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_total"),
     )
 
 
 WINDOW_RUNNING_ORACLE = """
 SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                              AND CURRENT ROW), 2) AS running_total
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
 """
 
@@ -528,14 +551,14 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice").alias("total_price"),
         )
     )
 
 
 ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -601,13 +624,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.04)
         & (F.col("l_quantity") < 10)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        dec_sum(money("l_extendedprice") * money("l_discount")).alias("revenue"),
         F.count("*").alias("n_rows"),
     )
 
 
 Q6_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -621,30 +645,30 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation ratio — the share of revenue
     from PROMO parts per year."""
     t = load_tables(spark, sf_dir, "lineitem", "part")
-    rev = _revenue()
+    rev = revenue_dec()
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
     return (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
             F.round(
-                100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
+                F.lit(100) * promo.cast("double") / F.sum(rev).cast("double"), 4
             ).alias("promo_share_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            dec_sum(rev).alias("total_revenue"),
         )
         .orderBy("l_year")
     )
 
 
-Q14_ORACLE = """
+Q14_ORACLE = f"""
 SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
-       ROUND(100 * SUM(CASE WHEN p_type = 'PROMO'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+       ROUND(100 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                            THEN {SQL_REV}
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({SQL_REV}) AS DOUBLE), 4) AS promo_share_pct,
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY l_year
 ORDER BY l_year
@@ -677,15 +701,15 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(dec_sum(revenue_dec()).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
-Q7_ORACLE = """
+Q7_ORACLE = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -709,15 +733,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(dec_sum(revenue_dec()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
 
 
-Q10_ORACLE = """
+Q10_ORACLE = f"""
 SELECT c_custkey, c_name, n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -737,7 +761,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(F.sum(money("l_quantity")).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -749,8 +773,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_ORACLE = """
 SELECT c_custkey, c_name, o_orderkey, total_qty
-FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
-      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+FROM (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150) big
 JOIN orders   ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
@@ -803,7 +829,7 @@ def pivot_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("year", F.year("o_orderdate").cast("long"))
         .groupBy("year")
         .pivot("o_orderpriority", _PRIORITIES)
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(F.round(F.sum(money("o_totalprice")), 2).cast("double"))
     )
     renamed = wide.select(
         "year", *[F.col(f"`{v}`").alias(a) for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)]
@@ -813,11 +839,11 @@ def pivot_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_ORACLE = """
 SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
-       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent,
-       ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS high,
-       ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium,
-       ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS not_specified,
-       ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS low
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS urgent,
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS high,
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS medium,
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS not_specified,
+       CAST(ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS low
 FROM orders
 GROUP BY 1
 ORDER BY year
@@ -833,9 +859,10 @@ def window_trailing_spend_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     The frame aggregates are SUM + COUNT, not AVG: a windowed average of
     2-decimal prices lands on exact .xx5 midpoints for 2-row frames, where
     Spark's decimal HALF_UP and DuckDB's binary-double rounding disagree by
-    a cent (~1% of rows at sf0.01). Sums of 2-decimal values stay ON the
-    2-decimal grid, so ROUND(.., 2) is engine-stable; the average is
-    derivable downstream."""
+    a cent (~1% of rows at sf0.01). The SUM runs in DECIMAL (exact and
+    associative — DuckDB evaluates moving frames with a re-associating
+    segment tree; functions/money.py); the average is derivable
+    downstream."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     day = F.unix_date(F.col("o_orderdate").cast("date"))
     w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-90, 0)
@@ -843,7 +870,7 @@ def window_trailing_spend_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         day.cast("long").alias("day"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_spend"),
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("trailing_spend"),
         F.count("*").over(w).alias("n_in_window"),
     )
 
@@ -852,11 +879,11 @@ TRAILING_SPEND_ORACLE = """
 WITH o AS (
     SELECT o_custkey, o_orderkey,
            CAST(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT) AS day,
-           o_totalprice
+           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
     FROM orders
 )
 SELECT o_custkey, o_orderkey, day,
-       ROUND(SUM(o_totalprice) OVER w, 2) AS trailing_spend,
+       CAST(SUM(o_totalprice) OVER w AS DOUBLE) AS trailing_spend,
        COUNT(*) OVER w AS n_in_window
 FROM o
 WINDOW w AS (PARTITION BY o_custkey ORDER BY day
@@ -945,7 +972,11 @@ def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — what Catalyst does to the subquery form anyway, stated
     explicitly so the plan is obvious."""
     c = load_tables(spark, sf_dir, "customer")["customer"]
-    nation_avg = c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("_avg_bal"))
+    nation_avg = c.groupBy("c_nationkey").agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count("c_acctbal")).alias(
+            "_avg_bal"
+        )
+    )
     return (
         c.join(F.broadcast(nation_avg), "c_nationkey")
         .filter(F.col("c_acctbal") > F.col("_avg_bal"))
@@ -956,7 +987,9 @@ def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBQUERY_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer c
-WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(c2.c_acctbal)
+                   FROM customer c2
                    WHERE c2.c_nationkey = c.c_nationkey)
 """
 
@@ -1026,7 +1059,7 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            dec_sum(revenue_dec()).alias("revenue"),
         )
         .orderBy("o_orderstatus")
     )
@@ -1052,13 +1085,13 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        money_sum("o_totalprice").alias("total_price"),
     )
 
 
 CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -1116,17 +1149,26 @@ def pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         return price * (1.0 - discount)
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # The UDF's double product is within half-an-ulp of the exact 4-decimal
+    # revenue value; quantizing at scale 4 recovers that exact grid point,
+    # so the SUM is decimal-exact and order-independent (functions/money.py)
+    # while the Arrow UDF stays the thing under test.
+    from ..functions.money import quantized
+
     return (
         li.withColumn("rev", discounted("l_extendedprice", "l_discount"))
         .groupBy("l_returnflag")
-        .agg(F.round(F.sum("rev"), 2).alias("revenue"), F.count("*").alias("n_rows"))
+        .agg(
+            dec_sum(quantized("rev", 4)).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
         .orderBy("l_returnflag")
     )
 
 
-PANDAS_UDF_ORACLE = """
+PANDAS_UDF_ORACLE = f"""
 SELECT l_returnflag,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag
@@ -1240,14 +1282,30 @@ FROM lineitem
 
 def stats_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: sample stddev/variance and Pearson
-    correlation per return flag — single-pass distributed moments."""
+    correlation per return flag — single-pass distributed moments.
+
+    Computed from explicit sufficient statistics (Σx, Σx², Σxy in exact
+    DECIMAL — every term is on the 1e-4 grid of 2-decimal inputs), not the
+    engines' Welford-style STDDEV/CORR aggregates, whose per-row running
+    updates are summation-order-sensitive (functions/money.py): the same
+    exact rationals reach the closed-form IEEE composition in both engines,
+    so the rounded report is replayable bit-for-bit."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    n = F.count(F.lit(1)).cast("double")
+    sp = F.sum(money("l_extendedprice")).cast("double")
+    sp2 = F.sum(money("l_extendedprice") * money("l_extendedprice")).cast("double")
+    sq = F.sum(money("l_quantity")).cast("double")
+    sq2 = F.sum(money("l_quantity") * money("l_quantity")).cast("double")
+    spq = F.sum(money("l_quantity") * money("l_extendedprice")).cast("double")
+    var_p = (sp2 - sp * sp / n) / (n - 1)
+    var_q = (sq2 - sq * sq / n) / (n - 1)
+    corr = (n * spq - sq * sp) / F.sqrt((n * sq2 - sq * sq) * (n * sp2 - sp * sp))
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 3).alias("std_price"),
-            F.round(F.var_samp("l_quantity"), 3).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("corr_qty_price"),
+            F.round(F.sqrt(var_p), 3).alias("std_price"),
+            F.round(var_q, 3).alias("var_qty"),
+            F.round(corr, 5).alias("corr_qty_price"),
             F.count("*").alias("n_rows"),
         )
         .orderBy("l_returnflag")
@@ -1255,13 +1313,28 @@ def stats_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STATS_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp2,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq2,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spq,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       ROUND(STDDEV_SAMP(l_extendedprice), 3) AS std_price,
-       ROUND(VAR_SAMP(l_quantity), 3) AS var_qty,
-       ROUND(CORR(l_quantity, l_extendedprice), 5) AS corr_qty_price,
-       COUNT(*) AS n_rows
-FROM lineitem
-GROUP BY l_returnflag
+       ROUND(SQRT((sp2 - sp * sp / n) / (n - 1)), 3) AS std_price,
+       ROUND((sq2 - sq * sq / n) / (n - 1), 3) AS var_qty,
+       ROUND((n * spq - sq * sp) / SQRT((n * sq2 - sq * sq) * (n * sp2 - sp * sp)), 5)
+           AS corr_qty_price,
+       n_rows
+FROM s
 ORDER BY l_returnflag
 """
 
@@ -1276,7 +1349,9 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS revenue,
                COUNT(*) AS n_rows
         FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
                         JOIN v_customer ON o_custkey = c_custkey
@@ -1286,9 +1361,9 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_INTERFACE_ORACLE = """
+SQL_INTERFACE_ORACLE = f"""
 SELECT o_orderstatus,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -1427,7 +1502,7 @@ def timeseries_gap_filled_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
     per_month = scoped_persist(
         orders.groupBy(F.trunc("o_orderdate", "month").alias("month_start")).agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money_sum("o_totalprice").alias("revenue"),
         )
     )
     spine = (
@@ -1455,7 +1530,7 @@ GAP_FILLED_ORACLE = """
 WITH per_month AS (
     SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
            COUNT(*) AS cnt,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1
 ), spine AS (
@@ -1525,7 +1600,8 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
                    AS gid,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS revenue
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
@@ -1539,7 +1615,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
            AS gid,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                         (o_orderstatus), ())
@@ -1925,9 +2001,15 @@ def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     def wavg(price: pd.Series, qty: pd.Series) -> float:
         import numpy as np
 
-        q = np.asarray(qty, dtype=np.float64)
-        p = np.asarray(price, dtype=np.float64)
-        return float((p * q).sum() / q.sum())
+        # Integer-cent arithmetic: Σ(p·q) and Σq are exact int64 sums, so
+        # the result is identical no matter how Spark batches/orders the
+        # group's rows — and bit-identical to the oracle's decimal-sum
+        # formulation (both reduce to nearest-double of the same rationals).
+        p_c = np.rint(np.asarray(price, dtype=np.float64) * 100).astype(np.int64)
+        q_c = np.rint(np.asarray(qty, dtype=np.float64) * 100).astype(np.int64)
+        pq = float((p_c * q_c).sum()) / 1e4
+        qs = float(q_c.sum()) / 1e2
+        return pq / qs
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     # a GROUPED_AGG pandas UDF cannot share an .agg() with built-in
@@ -1942,7 +2024,10 @@ def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDAF_WAVG_ORACLE = """
 SELECT l_returnflag,
-       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) AS wavg_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS wavg_price,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag
@@ -2086,7 +2171,7 @@ def stats_trimmed_mean_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         j.groupBy("o_orderpriority")
         .agg(
             F.count("*").cast("long").alias("n_kept"),
-            F.round(F.avg("o_totalprice"), 2).alias("trimmed_mean"),
+            money_avg("o_totalprice").alias("trimmed_mean"),
         )
         .orderBy("o_orderpriority")
     )
@@ -2101,7 +2186,8 @@ WITH th AS (
 )
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_kept,
-       ROUND(AVG(o.o_totalprice), 2) AS trimmed_mean
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(o.o_totalprice), 2) AS trimmed_mean
 FROM orders o JOIN th ON o.o_orderpriority = th.o_orderpriority
 WHERE o.o_totalprice >= th.lo AND o.o_totalprice <= th.hi
 GROUP BY o.o_orderpriority
@@ -2134,7 +2220,7 @@ def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            revenue_dec().alias("rev"),
         )
     )
     j = ship.join(
@@ -2147,7 +2233,7 @@ def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("rev"), 2).alias("as_was_revenue"),
+            dec_sum(F.col("rev")).alias("as_was_revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -2173,13 +2259,14 @@ WITH feed AS (
 ), ship AS (
     SELECT o.o_custkey,
            STRFTIME(l.l_shipdate, '%Y-%m-%d') AS ship_date,
-           l.l_extendedprice * (1 - l.l_discount) AS rev
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_custkey <= 500
 )
 SELECT h.o_orderpriority,
        COUNT(*) AS n_items,
-       ROUND(SUM(s.rev), 2) AS as_was_revenue
+       CAST(ROUND(SUM(s.rev), 2) AS DOUBLE) AS as_was_revenue
 FROM ship s JOIN hist h
   ON s.o_custkey = h.o_custkey
  AND s.ship_date >= h.valid_from
@@ -2204,7 +2291,7 @@ def nation_trade_corridors(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = t["nation"].select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = revenue_dec()
     j = (
         t["lineitem"]
         .join(t["orders"].select("o_orderkey", "o_custkey"),
@@ -2221,7 +2308,7 @@ def nation_trade_corridors(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("supp_nation", "cust_nation")
         .agg(
             F.count("*").cast("long").alias("n_items"),
-            F.round(F.sum(rev), 2).alias("revenue"),
+            dec_sum(rev).alias("revenue"),
         )
         .orderBy(F.desc("revenue"), "supp_nation", "cust_nation")
         .limit(10)
@@ -2231,7 +2318,8 @@ def nation_trade_corridors(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRADE_CORRIDORS_ORACLE = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        COUNT(*) AS n_items,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2251,15 +2339,18 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines replay identically), plus range: the catalog-hygiene
     screen for inconsistent pricing within a brand line."""
     part = load_tables(spark, sf_dir, "part")["part"]
-    var = F.avg(F.col("p_retailprice") * F.col("p_retailprice")) - F.avg(
-        "p_retailprice"
-    ) * F.avg("p_retailprice")
+    # Sufficient statistics in exact decimal (x and x² of a 2-decimal price
+    # are on the 1e-2/1e-4 grids), so both moments are order-independent;
+    # the E[x²]−E[x]² composition is then pure IEEE on identical doubles.
+    n = F.count("p_retailprice")
+    e1 = F.sum(money("p_retailprice")).cast("double") / n
+    e2 = F.sum(money("p_retailprice") * money("p_retailprice")).cast("double") / n
     return (
         part.groupBy("p_brand")
         .agg(
             F.count("*").cast("long").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("mean_price"),
-            F.round(F.sqrt(var) / F.avg("p_retailprice"), 4).alias("cv"),
+            F.round(e1, 2).alias("mean_price"),
+            F.round(F.sqrt(e2 - e1 * e1) / e1, 4).alias("cv"),
             F.round(F.max("p_retailprice") - F.min("p_retailprice"), 2).alias(
                 "price_range"
             ),
@@ -2269,15 +2360,24 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PRICE_DISPERSION_ORACLE = """
+WITH stats AS (
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(p_retailprice) AS e1,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(p_retailprice) AS e2,
+           MAX(p_retailprice) - MIN(p_retailprice) AS rng
+    FROM part
+    GROUP BY p_brand
+)
 SELECT p_brand,
-       COUNT(*) AS n_parts,
-       ROUND(AVG(p_retailprice), 2) AS mean_price,
-       ROUND(SQRT(AVG(p_retailprice * p_retailprice)
-                  - AVG(p_retailprice) * AVG(p_retailprice))
-             / AVG(p_retailprice), 4) AS cv,
-       ROUND(MAX(p_retailprice) - MIN(p_retailprice), 2) AS price_range
-FROM part
-GROUP BY p_brand
+       n_parts,
+       ROUND(e1, 2) AS mean_price,
+       ROUND(SQRT(e2 - e1 * e1) / e1, 4) AS cv,
+       ROUND(rng, 2) AS price_range
+FROM stats
 ORDER BY p_brand
 """
 
@@ -2371,7 +2471,7 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", bucket.alias("age_bucket"))
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("value_at_risk"),
+            money_sum("o_totalprice").alias("value_at_risk"),
         )
         .orderBy("o_orderstatus", "age_bucket")
     )
@@ -2394,7 +2494,7 @@ SELECT o_orderstatus,
             WHEN age_days < 730 THEN '2_1y_to_2y'
             ELSE '3_over_2y' END AS age_bucket,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS value_at_risk
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS value_at_risk
 FROM aged
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -2458,12 +2558,17 @@ def cohort_ltv_by_first_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     first year is one partial-aggregated min; cumulative spend is a
     (customer)-partitioned running sum over per-(customer, year) rollups
     (bounded by a customer's active years, never corpus-wide); the final
-    matrix is |cohorts| x |offsets|. Integer year arithmetic; spend
-    sums rounded at the report edge only."""
+    matrix is |cohorts| x |offsets|. Integer year arithmetic; spend is
+    accumulated in exact DECIMAL end-to-end — this was the suite's first
+    observed oracle flake (r4 VERDICT item 1: double partial-sum combine
+    order flipped a cohort average across a .005 rounding boundary), so
+    every aggregation level (per-(customer,year) sum, window cumsum, and
+    the final cohort mean via exact-sum/count) is now order-independent
+    (functions/money.py); the float boundary no longer exists."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     yr = F.year("o_orderdate").cast("long")
     per_cy = orders.groupBy("o_custkey", yr.alias("order_year")).agg(
-        F.sum("o_totalprice").alias("spend")
+        F.sum(money("o_totalprice")).alias("spend")
     )
     firsts = per_cy.groupBy("o_custkey").agg(F.min("order_year").alias("cohort_year"))
     w = Window.partitionBy("o_custkey").orderBy("order_year").rowsBetween(
@@ -2478,7 +2583,7 @@ def cohort_ltv_by_first_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.groupBy("cohort_year", "year_offset")
         .agg(
             F.count("*").cast("long").alias("n_active_customers"),
-            F.round(F.avg("cum_spend"), 2).alias("avg_cum_spend"),
+            dec_avg(F.col("cum_spend")).alias("avg_cum_spend"),
         )
         .orderBy("cohort_year", "year_offset")
     )
@@ -2487,7 +2592,7 @@ def cohort_ltv_by_first_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 LTV_ORACLE = """
 WITH per_cy AS (
     SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
-           SUM(o_totalprice) AS spend
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
     FROM orders GROUP BY 1, 2
 ), firsts AS (
     SELECT o_custkey, MIN(order_year) AS cohort_year FROM per_cy GROUP BY o_custkey
@@ -2500,7 +2605,7 @@ WITH per_cy AS (
 )
 SELECT cohort_year, year_offset,
        COUNT(*) AS n_active_customers,
-       ROUND(AVG(cum_spend), 2) AS avg_cum_spend
+       ROUND(CAST(SUM(cum_spend) AS DOUBLE) / COUNT(*), 2) AS avg_cum_spend
 FROM cum
 GROUP BY cohort_year, year_offset
 ORDER BY cohort_year, year_offset
@@ -2521,16 +2626,18 @@ def supplier_delivery_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"].select("o_orderkey", "o_orderdate"),
         t["lineitem"].l_orderkey == F.col("o_orderkey"),
     )
-    lead_days = (
-        F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
-    ) / 86400.0
-    late = lead_days > 90.0
+    lead_sec = F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+    late = (lead_sec / 86400.0) > 90.0
     scored = (
         j.groupBy("l_suppkey")
         .agg(
             F.count("*").cast("long").alias("n_items"),
             F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
-            F.round(F.avg(lead_days), 4).alias("mean_lead_days"),
+            # Exact integer-second sum → one double division chain: the mean
+            # never touches an order-dependent double sum (functions/money.py).
+            F.round(
+                F.sum(lead_sec).cast("double") / F.count(F.lit(1)) / 86400.0, 4
+            ).alias("mean_lead_days"),
         )
         .filter(F.col("n_items") >= 20)
         .withColumn("late_rate", F.round(F.col("n_late") / F.col("n_items"), 4))
@@ -2544,14 +2651,13 @@ SLA_ORACLE = """
 WITH lead AS (
     SELECT l.l_suppkey,
            (CAST(EPOCH(DATE_TRUNC('second', l.l_shipdate)) AS BIGINT)
-            - CAST(EPOCH(DATE_TRUNC('second', o.o_orderdate)) AS BIGINT))
-           / 86400.0 AS lead_days
+            - CAST(EPOCH(DATE_TRUNC('second', o.o_orderdate)) AS BIGINT)) AS lead_sec
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), scored AS (
     SELECT l_suppkey,
            COUNT(*) AS n_items,
-           CAST(SUM(CASE WHEN lead_days > 90.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-           ROUND(AVG(lead_days), 4) AS mean_lead_days
+           CAST(SUM(CASE WHEN lead_sec / 86400.0 > 90.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           ROUND(CAST(SUM(lead_sec) AS DOUBLE) / COUNT(*) / 86400.0, 4) AS mean_lead_days
     FROM lead
     GROUP BY l_suppkey
     HAVING COUNT(*) >= 20
@@ -2577,8 +2683,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.unix_timestamp("o_orderdate")).alias("last_es"),
         F.count("*").alias("freq"),
-        F.sum("o_totalprice").alias("spend"),
-    )
+        F.sum(money("o_totalprice")).alias("spend_dec"),
+    ).withColumn("spend", F.col("spend_dec").cast("double"))
     from ..functions.cache import scoped_persist
 
     per_cust = scoped_persist(per_cust)
@@ -2591,13 +2697,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("last_es") > F.col("m_r"), "R+").otherwise("R-").alias("recency"),
         F.when(F.col("freq") > F.col("m_f"), "F+").otherwise("F-").alias("frequency"),
         F.when(F.col("spend") > F.col("m_m"), "M+").otherwise("M-").alias("monetary"),
-        "spend",
+        "spend_dec",
     )
     return (
         seg.groupBy("recency", "frequency", "monetary")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
-            F.round(F.avg("spend"), 2).alias("avg_spend"),
+            dec_avg(F.col("spend_dec")).alias("avg_spend"),
         )
         .orderBy("recency", "frequency", "monetary")
     )
@@ -2608,7 +2714,8 @@ WITH per_cust AS (
     SELECT o_custkey,
            MAX(CAST(EPOCH(DATE_TRUNC('second', o_orderdate)) AS BIGINT)) AS last_es,
            COUNT(*) AS freq,
-           SUM(o_totalprice) AS spend
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
     FROM orders GROUP BY o_custkey
 ), med AS (
     SELECT QUANTILE_CONT(last_es, 0.5) AS m_r,
@@ -2619,12 +2726,12 @@ WITH per_cust AS (
     SELECT CASE WHEN last_es > m_r THEN 'R+' ELSE 'R-' END AS recency,
            CASE WHEN freq > m_f THEN 'F+' ELSE 'F-' END AS frequency,
            CASE WHEN spend > m_m THEN 'M+' ELSE 'M-' END AS monetary,
-           spend
+           spend_dec
     FROM per_cust, med
 )
 SELECT recency, frequency, monetary,
        COUNT(*) AS n_customers,
-       ROUND(AVG(spend), 2) AS avg_spend
+       ROUND(CAST(SUM(spend_dec) AS DOUBLE) / COUNT(*), 2) AS avg_spend
 FROM seg
 GROUP BY recency, frequency, monetary
 ORDER BY recency, frequency, monetary
@@ -2695,19 +2802,19 @@ def aqp_sample_estimate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         < format(int(rate * (1 << 32)), "08x")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = revenue_dec()
+    zero = F.lit(0).cast("decimal(18,2)")
+    samp = F.sum(F.when(in_sample, rev).otherwise(zero))
+    tot = F.sum(rev)
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count("*").cast("long").alias("n_rows"),
             F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled"),
-            F.round(F.sum(F.when(in_sample, rev).otherwise(0.0)) / rate, 2).alias(
-                "est_revenue"
-            ),
-            F.round(F.sum(rev), 2).alias("exact_revenue"),
+            F.round(samp.cast("double") / rate, 2).alias("est_revenue"),
+            F.round(tot, 2).cast("double").alias("exact_revenue"),
             F.round(
-                (F.sum(F.when(in_sample, rev).otherwise(0.0)) / rate - F.sum(rev))
-                / F.sum(rev),
+                (samp.cast("double") / rate - tot.cast("double")) / tot.cast("double"),
                 6,
             ).alias("rel_error"),
         )
@@ -2718,7 +2825,7 @@ def aqp_sample_estimate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 AQP_SAMPLE_ORACLE = f"""
 WITH flagged AS (
     SELECT l_returnflag,
-           l_extendedprice * (1 - l_discount) AS rev,
+           {SQL_REV} AS rev,
            SUBSTR(MD5('aqp' || ':' || CAST(l_orderkey AS VARCHAR)
                       || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)
                < '{format(int(0.1 * (1 << 32)), "08x")}' AS in_sample
@@ -2727,10 +2834,14 @@ WITH flagged AS (
 SELECT l_returnflag,
        COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-       ROUND(SUM(CASE WHEN in_sample THEN rev ELSE 0.0 END) / 0.1, 2) AS est_revenue,
-       ROUND(SUM(rev), 2) AS exact_revenue,
-       ROUND((SUM(CASE WHEN in_sample THEN rev ELSE 0.0 END) / 0.1 - SUM(rev))
-             / SUM(rev), 6) AS rel_error
+       ROUND(CAST(SUM(CASE WHEN in_sample THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / 0.1, 2)
+           AS est_revenue,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS exact_revenue,
+       ROUND((CAST(SUM(CASE WHEN in_sample THEN rev
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / 0.1
+              - CAST(SUM(rev) AS DOUBLE))
+             / CAST(SUM(rev) AS DOUBLE), 6) AS rel_error
 FROM flagged
 GROUP BY l_returnflag
 ORDER BY l_returnflag

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.money import money, money_sum
 from ..operators.events import running_agg, sessionize, sliding_window_agg, tumbling_window_agg
 from ..sources.readers import read_fixture
 from . import QuerySpec
@@ -26,7 +27,7 @@ TUMBLING_ORACLE = """
 SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -47,7 +48,7 @@ WITH grid AS (
     SELECT UNNEST([g, g - 1800]) AS window_start, value
     FROM grid
 )
-SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+SELECT window_start, COUNT(*) AS n_events, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM expanded
 GROUP BY window_start
 """
@@ -82,7 +83,7 @@ WITH e AS (
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        COUNT(*) AS n_events,
        MAX(es) - MIN(es) AS duration_sec,
-       ROUND(SUM(value), 2) AS session_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
 FROM ids
 GROUP BY user_id, session_seq
 """
@@ -96,9 +97,10 @@ def events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RUNNING_ORACLE = """
 SELECT event_id, user_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             2) AS running_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
 FROM events
 """
 
@@ -137,14 +139,14 @@ def events_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+        .agg(money_sum("value").alias("purchase_value"))
         .orderBy(F.desc("purchase_value"), F.asc("user_id"))
         .limit(10)
     )
 
 
 TOP_PURCHASERS_ORACLE = """
-SELECT user_id, ROUND(SUM(value), 2) AS purchase_value
+SELECT user_id, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS purchase_value
 FROM events
 WHERE event_type = 'purchase'
 GROUP BY user_id
@@ -229,7 +231,7 @@ def events_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_followups"),
             F.countDistinct("signup_id").alias("n_signups"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -248,7 +250,7 @@ WITH e AS (
 SELECT f.event_type,
        COUNT(*) AS n_followups,
        COUNT(DISTINCT s.signup_id) AS n_signups,
-       ROUND(SUM(f.value), 2) AS sum_value
+       CAST(ROUND(SUM(CAST(f.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM s JOIN f ON s.user_id = f.user_id
              AND f.f_es > s.s_es AND f.f_es <= s.s_es + 3600
 GROUP BY f.event_type
@@ -292,7 +294,7 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            money_sum("value").alias("session_value"),
             F.unix_timestamp(F.min("ts")).alias("start_es"),
         )
         .select("user_id", "start_es", "n_events", "session_value")
@@ -320,7 +322,7 @@ WITH e AS (
     FROM gaps
 )
 SELECT user_id, MIN(es) AS start_es, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS session_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
 FROM ids
 GROUP BY user_id, session_seq
 """
@@ -445,7 +447,7 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day_num", "hour_of_day")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
     )
 
@@ -458,7 +460,7 @@ WITH e AS (
     FROM events
 )
 SELECT day_num, hour_of_day, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM e
 GROUP BY ROLLUP (day_num, hour_of_day)
 """
@@ -612,7 +614,7 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -621,7 +623,7 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_DEDUP_ORACLE = """
 SELECT event_type, COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -649,7 +651,7 @@ def streaming_purchase_click_join_query(spark: SparkSession, sf_dir: str) -> Dat
         joined.groupBy("purchase_id", "user_id")
         .agg(
             F.count("*").alias("n_clicks"),
-            F.round(F.sum("click_value"), 2).alias("click_total"),
+            money_sum("click_value").alias("click_total"),
         )
         .orderBy("purchase_id")
     )
@@ -665,7 +667,7 @@ WITH p AS (
 )
 SELECT purchase_id, p.user_id AS user_id,
        COUNT(*) AS n_clicks,
-       ROUND(SUM(click_value), 2) AS click_total
+       CAST(ROUND(SUM(CAST(click_value AS DECIMAL(18,2))), 2) AS DOUBLE) AS click_total
 FROM p JOIN c
   ON p.user_id = c.user_id
  AND c.c_ts <  p.p_ts
@@ -760,7 +762,7 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
     )
     foreach_batch_upsert_sink(agg, target_path=target, key="user_id")
@@ -768,7 +770,7 @@ def streaming_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_UPSERT_ORACLE = """
-SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+SELECT user_id, COUNT(*) AS n_events, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -820,7 +822,7 @@ WITH e AS (
     SELECT user_id, session_seq,
            MIN(es) AS session_start_es,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS session_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
     FROM ids
     GROUP BY user_id, session_seq
 )
@@ -1161,7 +1163,7 @@ ORDER BY day
 TWS_TOTALS_ORACLE = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS total_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
        MAX(value) AS max_value,
        CAST(MIN(EPOCH(DATE_TRUNC('second', ts))) AS BIGINT) AS first_es,
        CAST(MAX(EPOCH(DATE_TRUNC('second', ts))) AS BIGINT) AS last_es
@@ -1180,9 +1182,12 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong-for-this-hour spikes a moving average smooths over.
 
     Scale: one data-sized aggregation to hourly counts, then windows over
-    |types| x |days| x 24 rows — the rollup IS the reduction. Ranking uses
-    the ROUNDED z (4 dp) with full key tie-break, so the cross-engine
-    order is exact despite stddev's summation-order ulp."""
+    |types| x |days| x 24 rows — the rollup IS the reduction. The mean and
+    std come from explicit integer moments (Σx, Σx² of integer counts are
+    exact in double regardless of order; Spark's stddev_pop is a
+    Welford-style running update whose per-row divisions are
+    order-sensitive), so both engines derive z from identical doubles;
+    ranking uses the rounded z with full key tie-break."""
     ev = read_fixture(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type",
@@ -1190,18 +1195,23 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_timestamp(ts) DIV 3600 % 24").alias("hour_of_day"),
     ).agg(F.count("*").alias("n_events"))
     w = Window.partitionBy("event_type", "hour_of_day")
+    cnt = F.count(F.lit(1)).over(w)
+    mean = F.sum("n_events").over(w).cast("double") / cnt
+    e2 = (
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).cast("double") / cnt
+    )
     scored = (
-        hourly.withColumn("slot_mean", F.avg("n_events").over(w))
-        .withColumn("slot_std", F.stddev_pop("n_events").over(w))
-        .filter(F.col("slot_std") > 0)
+        hourly.withColumn("_mean", mean)
+        .withColumn("_std", F.sqrt(e2 - mean * mean))
+        .filter(F.col("_std") > 0)
         .select(
             "event_type",
             "day_num",
             "hour_of_day",
             "n_events",
-            F.round("slot_mean", 4).alias("slot_mean"),
+            F.round("_mean", 4).alias("slot_mean"),
             F.round(
-                (F.col("n_events") - F.col("slot_mean")) / F.col("slot_std"), 4
+                (F.col("n_events") - F.col("_mean")) / F.col("_std"), 4
             ).alias("z"),
         )
     )
@@ -1220,13 +1230,15 @@ WITH hourly AS (
     GROUP BY 1, 2, 3
 ), scored AS (
     SELECT event_type, day_num, hour_of_day, n_events,
-           ROUND(AVG(n_events) OVER (PARTITION BY event_type, hour_of_day), 4)
-               AS slot_mean,
-           AVG(n_events) OVER (PARTITION BY event_type, hour_of_day) AS _mean,
-           STDDEV_POP(n_events) OVER (PARTITION BY event_type, hour_of_day) AS _std
+           CAST(SUM(n_events) OVER w AS DOUBLE) / COUNT(*) OVER w AS _mean,
+           SQRT(CAST(SUM(n_events * n_events) OVER w AS DOUBLE) / COUNT(*) OVER w
+                - (CAST(SUM(n_events) OVER w AS DOUBLE) / COUNT(*) OVER w)
+                  * (CAST(SUM(n_events) OVER w AS DOUBLE) / COUNT(*) OVER w)) AS _std
     FROM hourly
+    WINDOW w AS (PARTITION BY event_type, hour_of_day)
 )
-SELECT event_type, day_num, hour_of_day, n_events, slot_mean,
+SELECT event_type, day_num, hour_of_day, n_events,
+       ROUND(_mean, 4) AS slot_mean,
        ROUND((n_events - _mean) / _std, 4) AS z
 FROM scored
 WHERE _std > 0
@@ -1400,7 +1412,7 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         joined.groupBy(bucket.cast("long").alias("click_hour"))
         .agg(
             F.count("*").cast("long").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("attributed_value"),
+            money_sum("value").alias("attributed_value"),
         )
         .orderBy("click_hour")
     )
@@ -1420,7 +1432,7 @@ WITH e AS (
 SELECT CASE WHEN c_us IS NULL THEN -1
             ELSE c_us // 1000000 // 3600 % 24 END AS click_hour,
        COUNT(*) AS n_purchases,
-       ROUND(SUM(value), 2) AS attributed_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS attributed_value
 FROM j
 GROUP BY 1
 ORDER BY 1
@@ -1441,11 +1453,15 @@ def events_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user cross product over full histories (the lookback bound IS
     the skew control for whale users); the position weights are windows
     PARTITIONED BY the purchase, so state is one purchase's touch list.
-    Tie safety: clicks tying on the same second share an hour bucket, so
-    the hour-level credit sums are invariant to their rank order —
-    which is what the oracle's replay relies on."""
+    Tie safety (VERDICT r4 item 4): the rank order is fully deterministic
+    — clicks tie-break on their own event id (``c_id``) in BOTH engines,
+    so each ROW's credit (not just the bucket sum) replays identically
+    even for same-second clicks straddling the 40/20 boundary. Credit
+    sums are quantized to the 1e-6 grid and accumulated in DECIMAL, so
+    the bucket totals are order-independent (functions/money.py)."""
     from pyspark.sql import Window
 
+    from ..functions.money import quantized
     from ..operators.joins import banded_range_join
 
     ev = read_fixture(spark, sf_dir, "events")
@@ -1455,7 +1471,7 @@ def events_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", es.alias("p_s"), "value"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", es.alias("c_s")
+        "user_id", F.col("event_id").alias("c_id"), es.alias("c_s")
     )
     pairs = banded_range_join(
         clicks,
@@ -1466,7 +1482,7 @@ def events_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_gap_sec=lookback,
     )
     wn = Window.partitionBy("event_id")
-    wr = Window.partitionBy("event_id").orderBy("c_s")
+    wr = Window.partitionBy("event_id").orderBy("c_s", "c_id")
     weighted = pairs.withColumn("n", F.count("*").over(wn)).withColumn(
         "rn", F.row_number().over(wr)
     )
@@ -1478,17 +1494,20 @@ def events_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     credited = weighted.select(
         F.expr("c_s DIV 3600 % 24").cast("long").alias("click_hour"),
-        (F.col("value") * credit).alias("credit"),
+        quantized(F.col("value") * credit, 6).alias("credit"),
     )
     unattributed = purchases.join(
         pairs.select("event_id"), "event_id", "left_anti"
-    ).select(F.lit(-1).cast("long").alias("click_hour"), F.col("value").alias("credit"))
+    ).select(
+        F.lit(-1).cast("long").alias("click_hour"),
+        quantized(F.col("value"), 6).alias("credit"),
+    )
     return (
         credited.unionByName(unattributed)
         .groupBy("click_hour")
         .agg(
             F.count("*").cast("long").alias("n_touches"),
-            F.round(F.sum("credit"), 2).alias("attributed_value"),
+            F.round(F.sum("credit"), 2).cast("double").alias("attributed_value"),
         )
         .orderBy("click_hour")
     )
@@ -1502,31 +1521,33 @@ WITH e AS (
 ), p AS (
     SELECT event_id, user_id, s AS p_s, value FROM e WHERE event_type = 'purchase'
 ), c AS (
-    SELECT user_id, s AS c_s FROM e WHERE event_type = 'click'
+    SELECT event_id AS c_id, user_id, s AS c_s FROM e WHERE event_type = 'click'
 ), pairs AS (
-    SELECT p.event_id, p.value, c.c_s
+    SELECT p.event_id, p.value, c.c_s, c.c_id
     FROM p JOIN c ON p.user_id = c.user_id
      AND p.p_s > c.c_s AND p.p_s <= c.c_s + 86400
 ), w AS (
     SELECT *,
            COUNT(*) OVER (PARTITION BY event_id) AS n,
-           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY c_s) AS rn
+           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY c_s, c_id) AS rn
     FROM pairs
 ), credited AS (
     SELECT c_s // 3600 % 24 AS click_hour,
-           value * (CASE WHEN n = 1 THEN 1.0
-                         WHEN n = 2 THEN 0.5
-                         WHEN rn = 1 OR rn = n THEN 0.4
-                         ELSE 0.2 / (n - 2) END) AS credit
+           CAST(ROUND(value * (CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                         WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                         WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+                         ELSE CAST(0.2 AS DOUBLE) / (n - 2) END), 6)
+                AS DECIMAL(28,6)) AS credit
     FROM w
 ), unattributed AS (
-    SELECT CAST(-1 AS BIGINT) AS click_hour, value AS credit
+    SELECT CAST(-1 AS BIGINT) AS click_hour,
+           CAST(ROUND(value, 6) AS DECIMAL(28,6)) AS credit
     FROM p
     WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.event_id = p.event_id)
 )
 SELECT click_hour,
        CAST(COUNT(*) AS BIGINT) AS n_touches,
-       ROUND(SUM(credit), 2) AS attributed_value
+       CAST(ROUND(SUM(credit), 2) AS DOUBLE) AS attributed_value
 FROM (SELECT * FROM credited UNION ALL SELECT * FROM unattributed)
 GROUP BY click_hour
 ORDER BY click_hour
@@ -1765,7 +1786,10 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = F.percentile("latency_sec", F.lit([0.5, 0.9]))
     return lat.agg(
         F.count("*").cast("long").alias("n_converted"),
-        F.round(F.avg("latency_sec"), 2).alias("mean_sec"),
+        # latency_sec is an exact integer: sum exactly, divide once.
+        F.round(F.sum("latency_sec").cast("double") / F.count("latency_sec"), 2).alias(
+            "mean_sec"
+        ),
         F.round(F.element_at(pct, 1), 2).alias("p50_sec"),
         F.round(F.element_at(pct, 2), 2).alias("p90_sec"),
     )
@@ -1789,7 +1813,7 @@ WITH e AS (
     FROM p JOIN s ON p.user_id = s.user_id
 )
 SELECT COUNT(*) AS n_converted,
-       ROUND(AVG(latency_sec), 2) AS mean_sec,
+       ROUND(CAST(SUM(latency_sec) AS DOUBLE) / COUNT(latency_sec), 2) AS mean_sec,
        ROUND(QUANTILE_CONT(latency_sec, 0.5), 2) AS p50_sec,
        ROUND(QUANTILE_CONT(latency_sec, 0.9), 2) AS p90_sec
 FROM lat
@@ -1874,7 +1898,7 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("low"),
             F.max(F.when(F.col("rn") == F.col("n"), F.col("value"))).alias("close"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("volume"),
+            money_sum("value").alias("volume"),
         )
         .orderBy("event_type", "hour_start")
     )
@@ -1898,7 +1922,7 @@ SELECT event_type, hour_start,
        MIN(value) AS low,
        MAX(CASE WHEN rn = n THEN value END) AS close,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS volume
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS volume
 FROM marked
 GROUP BY event_type, hour_start
 ORDER BY event_type, hour_start
@@ -1927,10 +1951,18 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_intervals"),
             F.sum("dur").cast("long").alias("total_sec"),
-            F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 4).alias(
-                "twap_value"
+            # value*dur stays on the 2-decimal grid (integer seconds), so
+            # the weighted sum is decimal-exact; one double division after.
+            F.round(
+                F.sum(money("value") * F.col("dur").cast("decimal(10,0)")).cast(
+                    "double"
+                )
+                / F.sum("dur"),
+                4,
+            ).alias("twap_value"),
+            F.round(F.sum(money("value")).cast("double") / F.count("value"), 4).alias(
+                "plain_avg"
             ),
-            F.round(F.avg("value"), 4).alias("plain_avg"),
         )
         .orderBy("event_type")
     )
@@ -1948,8 +1980,10 @@ WITH held AS (
 SELECT event_type,
        COUNT(*) AS n_intervals,
        CAST(SUM(dur) AS BIGINT) AS total_sec,
-       ROUND(SUM(value * dur) / SUM(dur), 4) AS twap_value,
-       ROUND(AVG(value), 4) AS plain_avg
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(dur AS DECIMAL(10,0)))
+                  AS DOUBLE) / SUM(dur), 4) AS twap_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4)
+           AS plain_avg
 FROM held
 WHERE dur IS NOT NULL AND dur > 0
 GROUP BY event_type
@@ -2081,7 +2115,9 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("event_type")
         .agg(
             F.count("*").alias("n_gaps"),
-            F.round(F.avg("gap"), 2).alias("mean_gap_sec"),
+            F.round(F.sum("gap").cast("double") / F.count("gap"), 2).alias(
+                "mean_gap_sec"
+            ),
             F.round(F.element_at(pct, 1), 2).alias("p50_gap_sec"),
             F.round(F.element_at(pct, 2), 2).alias("p90_gap_sec"),
         )
@@ -2100,7 +2136,7 @@ WITH gaps AS (
 )
 SELECT event_type,
        COUNT(*) AS n_gaps,
-       ROUND(AVG(gap), 2) AS mean_gap_sec,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 2) AS mean_gap_sec,
        ROUND(QUANTILE_CONT(gap, 0.5), 2) AS p50_gap_sec,
        ROUND(QUANTILE_CONT(gap, 0.9), 2) AS p90_gap_sec
 FROM gaps
@@ -2223,8 +2259,9 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what the oracle computes from scratch. The batch twin
     of the streaming foreachBatch MERGE-upsert sink; at 100 TB the base
     would be day-partitioned parquet and the merge touches only the delta
-    days' partitions. Rounding happens ONLY after the merge (partials stay
-    raw doubles — rounding partials would make merge ≠ recompute)."""
+    days' partitions. Rounding happens ONLY after the merge; partials are
+    exact DECIMAL sums (functions/money.py), so merge == recompute holds
+    bit-for-bit, not just to rounding tolerance."""
     ev = read_fixture(spark, sf_dir, "events")
     day = F.expr("unix_timestamp(ts) DIV 86400")
     # 19750 = 2024-01-28; fixture events span days 19723-19752, so the
@@ -2233,7 +2270,7 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rollup(df: DataFrame) -> DataFrame:
         return df.groupBy(day.alias("day_num"), "event_type").agg(
-            F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+            F.count("*").alias("n_events"), F.sum(money("value")).alias("sum_value")
         )
 
     base = rollup(ev.filter(day < split_day))
@@ -2243,7 +2280,7 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_num", "event_type")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
-            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.round(F.sum("sum_value"), 2).cast("double").alias("sum_value"),
         )
         .orderBy("day_num", "event_type")
     )
@@ -2253,7 +2290,7 @@ INCR_MERGE_ORACLE = """
 SELECT CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) // 86400 AS day_num,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cache import scoped_persist
+from ..functions.money import SQL_REVENUE as SQL_REV
+from ..functions.money import dec_sum, money, revenue_dec
 from ..sources.readers import load_tables
 from . import QuerySpec
 
@@ -143,7 +145,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = t["nation"].select(
         F.col("n_nationkey").alias("supp_nationkey"), F.col("n_name").alias("supp_nation")
     )
-    rev = _revenue()
+    rev = revenue_dec()
+    zero = F.lit(0).cast("decimal(18,2)")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_6", rev).otherwise(zero))
     return (
         t["lineitem"]
         .join(
@@ -161,21 +165,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nationkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_6", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
-            ).alias("mkt_share")
+            F.round(num.cast("double") / F.sum(rev).cast("double"), 4).alias(
+                "mkt_share"
+            )
         )
         .orderBy("o_year")
     )
 
 
-Q8_ORACLE = """
+Q8_ORACLE = f"""
 SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_6'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_6'
+                      THEN {SQL_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({SQL_REV}) AS DOUBLE), 4) AS mkt_share
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -209,7 +211,13 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups.
     """
     t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier", "part", "nation")
-    amount = _revenue() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    # Narrow decimal(12,2) casts keep the three-factor product inside
+    # precision 38 (no Spark precision-loss truncation); fixture money
+    # values are < 1e10 so the casts are lossless.
+    m12 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    half = F.lit("0.5").cast("decimal(2,1)")
+    rev = m12("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - m12("l_discount"))
+    amount = rev - half * (m12("p_retailprice") * m12("l_quantity"))
     return (
         t["lineitem"]
         .join(
@@ -223,7 +231,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(dec_sum(amount).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -231,8 +239,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_ORACLE = """
 SELECT n_name AS nation,
        CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 - CAST(0.5 AS DECIMAL(2,1)) * (CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -280,15 +290,19 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(europe_supps), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("stock_value"))
+        .agg(
+            F.sum(money("l_extendedprice") * money("l_quantity")).alias("sv_dec")
+        )
     )
-    total = per_part.agg(F.avg("stock_value").alias("avg_value"))
+    total = per_part.agg(
+        (F.sum("sv_dec").cast("double") / F.count(F.lit(1))).alias("avg_value")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("stock_value") > 2.0 * F.col("avg_value"))
+        .filter(F.col("sv_dec").cast("double") > 2.0 * F.col("avg_value"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("stock_value", 2).alias("stock_value"),
+            F.round("sv_dec", 2).cast("double").alias("stock_value"),
         )
         .orderBy(F.desc("stock_value"), "p_partkey")
     )
@@ -296,7 +310,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q11_ORACLE = """
 WITH per_part AS (
-    SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS stock_value
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS sv_dec
     FROM lineitem
     WHERE l_suppkey IN (
         SELECT s_suppkey FROM supplier
@@ -305,10 +321,11 @@ WITH per_part AS (
         WHERE r_name = 'EUROPE')
     GROUP BY l_partkey
 )
-SELECT l_partkey AS p_partkey, ROUND(stock_value, 2) AS stock_value
+SELECT l_partkey AS p_partkey, CAST(ROUND(sv_dec, 2) AS DOUBLE) AS stock_value
 FROM per_part
-WHERE stock_value > 2.0 * (SELECT AVG(stock_value) FROM per_part)
-ORDER BY ROUND(stock_value, 2) DESC, p_partkey
+WHERE CAST(sv_dec AS DOUBLE) > 2.0 * (SELECT CAST(SUM(sv_dec) AS DOUBLE) / COUNT(*)
+                                      FROM per_part)
+ORDER BY CAST(ROUND(sv_dec, 2) AS DOUBLE) DESC, p_partkey
 """
 
 
@@ -444,7 +461,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(_revenue()), 2).alias("total_revenue"))
+        .agg(dec_sum(revenue_dec()).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -458,9 +475,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_ORACLE = """
 WITH revenue AS (
-    -- cent-rounded BEFORE the max, mirroring the Spark side: the equality
-    -- must never compare raw double sums across engines (ulp-order noise)
-    SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    -- exact decimal sum, cent-rounded BEFORE the max, mirroring the Spark
+    -- side: the equality compares identical doubles in both engines
+    SELECT l_suppkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+               AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -548,14 +568,17 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("qty_threshold", 0.2 * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(money("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
             F.count("*").alias("n_lineitems"),
         )
     )
 
 
 Q17_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+           AS avg_yearly,
        COUNT(*) AS n_lineitems
 FROM lineitem l
 JOIN part ON l.l_partkey = p_partkey
@@ -602,14 +625,14 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            dec_sum(revenue_dec()).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
 
 
-Q19_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+Q19_ORACLE = f"""
+SELECT CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5
@@ -806,7 +829,11 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = (
         t["customer"]
         .filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        .agg(
+            (F.sum(money("c_acctbal")).cast("double") / F.count("c_acctbal")).alias(
+                "avg_bal"
+            )
+        )
     )
     recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("2001-01-01")).select("o_custkey")
     return (
@@ -819,7 +846,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(money("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -828,10 +855,12 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q22_ORACLE = """
 SELECT CAST(c_nationkey % 7 AS BIGINT) AS cntrycode,
        COUNT(*) AS numcust,
-       ROUND(SUM(c_acctbal), 2) AS totacctbal
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
-  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2001-01-01')

@@ -140,3 +140,17 @@ def test_fk_orphan_audit_fires_on_planted_orphan(spark, monkeypatch):
     assert out["lineitem.l_suppkey->supplier"] == 1
     assert out["lineitem.l_partkey->part"] == 0
     assert out["orders.o_custkey->customer"] == 0
+
+
+def test_bm25_incremental_equals_rebuild(spark):
+    """VERDICT r4 item 7 'done' criterion: the merged incremental index
+    ranks bit-identically to the full rebuild on the union corpus."""
+    from spark_iceberg_jobs_spark.queries.llm import (
+        text_bm25_incremental,
+        text_bm25_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = [tuple(map(repr, r)) for r in text_bm25_topk(spark, sf).collect()]
+    incr = [tuple(map(repr, r)) for r in text_bm25_incremental(spark, sf).collect()]
+    assert full == incr
