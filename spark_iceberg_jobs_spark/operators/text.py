@@ -51,14 +51,15 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
-    """Per-document quality features + a composite score, aggregated per source.
+def quality_score_per_doc(documents: DataFrame) -> DataFrame:
+    """Per-document quality features + a composite score (one row per doc).
 
     Features (all cheap JVM expressions): token count, mean word length,
     English-stopword ratio. Score favors mid-length docs with natural
     function-word density — the standard cheap pre-filter before expensive
-    model-based quality classifiers in a training-data pipeline.
-    """
+    model-based quality classifiers in a training-data pipeline. Consumed
+    by the per-source rollup (quality_scores) and the curriculum scheduler
+    (queries/llm.curriculum_quality_phases)."""
     toks = tokens("text")
     n_tok = F.size(toks)
     stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / n_tok
@@ -68,7 +69,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
         + F.when((avg_word_len >= 3) & (avg_word_len <= 8), 0.2).otherwise(0.0)
     )
-    per_doc = documents.select(
+    return documents.select(
         "doc_id",
         "source",
         n_tok.alias("n_tokens"),
@@ -76,12 +77,26 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality_score"),
     )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Per-source quality rollup over quality_score_per_doc."""
+    per_doc = quality_score_per_doc(documents)
     return (
         per_doc.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
-            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            # per-doc scores sit on the 1e-4 grid (rounded above), so the
+            # decimal sum is exact and the mean is order-independent
+            # (functions/money.py rationale); token counts are integers.
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(28,4)")).cast("double")
+                / F.count("quality_score"),
+                4,
+            ).alias("avg_quality"),
+            F.round(F.sum("n_tokens").cast("double") / F.count("n_tokens"), 2).alias(
+                "avg_tokens"
+            ),
         )
         .orderBy("source")
     )

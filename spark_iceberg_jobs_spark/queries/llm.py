@@ -546,8 +546,9 @@ WITH feats AS (
     FROM feats
 )
 SELECT source, COUNT(*) AS n_docs,
-       ROUND(AVG(quality_score), 4) AS avg_quality,
-       ROUND(AVG(n_tokens), 2) AS avg_tokens
+       ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(28,4))) AS DOUBLE)
+             / COUNT(quality_score), 4) AS avg_quality,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(n_tokens), 2) AS avg_tokens
 FROM scored
 GROUP BY source
 ORDER BY source
@@ -3916,21 +3917,26 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     return _bm25_rank(tf, dlen, idf, stats, qtf, k)
 
 
-def _bm25_rank(tf, dlen, idf, stats, qtf, k: int):
+def _bm25_rank(tf, dlen, idf, stats, qtf, k: int, *, exclude_self: bool = True):
     """Shared BM25 scoring tail: posting-list join bounded by the broadcast
     query terms, contribution sum, per-query top-k. Takes the INDEX tables
     (tf, dlen, idf, 1-row stats) as inputs so the full-rebuild
-    (text_bm25_topk) and incremental-merge (text_bm25_incremental) paths
+    (text_bm25_topk), incremental-merge (text_bm25_incremental), and
+    known-item-eval (retrieval_known_item_mrr, exclude_self=False) paths
     rank through literally the same plan."""
     from pyspark.sql import Window
 
     k1, b = _BM25_K1, _BM25_B
-    contrib = (
+    scored = (
         tf.join(dlen, "doc_id")
         .join(idf, "term")
         .join(F.broadcast(qtf), "term")
         .crossJoin(F.broadcast(stats.select("avg_dl")))
-        .filter(F.col("doc_id") != F.col("query_doc"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("doc_id") != F.col("query_doc"))
+    contrib = (
+        scored
         .select(
             "query_doc",
             "doc_id",
@@ -4074,6 +4080,250 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
         F.col("doc_id").alias("query_doc"), "term", F.col("tf").alias("qtf")
     )
     return _bm25_rank(tf, dlen, idf, stats, qtf, k)
+
+
+def mixture_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning by TOKEN budget — the per-source companion to
+    ml.mixture_temperature_weights (which weights LANGUAGES by doc count):
+    per source,
+    raw document and token counts, then the temperature-adjusted sampling
+    probability p_i ∝ tokens_i^α (α=0.3, the standard upsample-the-tail
+    exponent) and the expected epochs each source sustains under a fixed
+    1M-token sampling budget (epochs > 1 ⇒ the source repeats; the
+    overfit-risk signal). Token counts are exact integer sums; the α-powers
+    are snapped to a 1e-9 grid and totaled in DECIMAL so the normalizer is
+    order-independent (functions/money.py rationale); each probability is
+    then one identical IEEE division chain in both engines.
+
+    Scale shape: one scan → |sources| rows; the normalizer is a 1-row
+    broadcast crossJoin. At 100 TB the per-source token census is the only
+    data-sized aggregation, and it is partial-aggregated."""
+    from ..functions.texts import token_count
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+    )
+    w = F.round(F.pow(F.col("n_tokens").cast("double"), 0.3), 9).cast("decimal(38,9)")
+    weighted = per_src.withColumn("w", w)
+    tot = weighted.agg(F.sum("w").alias("tot"))
+    p = F.col("w").cast("double") / F.col("tot").cast("double")
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("sample_prob"),
+            F.round(p * 1000000 / F.col("n_tokens"), 4).alias("expected_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_EPOCHS_ORACLE = """
+WITH per_src AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY source
+), weighted AS (
+    SELECT *,
+           CAST(ROUND(POWER(CAST(n_tokens AS DOUBLE), 0.3), 9) AS DECIMAL(38,9)) AS w
+    FROM per_src
+), tot AS (
+    SELECT SUM(w) AS tot FROM weighted
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS sample_prob,
+       ROUND(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 / n_tokens, 4)
+           AS expected_epochs
+FROM weighted, tot
+ORDER BY source
+"""
+
+
+def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling by data quality — split the corpus into three
+    training phases at the exact quality-score tertiles (phase 1 = the
+    highest-quality third trains first), reporting each phase's document
+    count, token budget, and score range. Window-free at scale: the
+    per-doc score is a pure JVM expression, the tertile thresholds are ONE
+    exact-percentile aggregate broadcast back over the scan (the
+    RFM-segmentation shape), never a global ntile sort. Per-doc scores sit
+    on the 1e-4 grid, so the per-phase mean is an exact decimal sum.
+    """
+    from ..operators.text import quality_score_per_doc
+
+    scored = quality_score_per_doc(read_fixture(spark, sf_dir, "documents"))
+    th = scored.agg(
+        F.percentile("quality_score", F.lit([1.0 / 3.0, 2.0 / 3.0])).alias("t")
+    ).select(F.element_at("t", 1).alias("t1"), F.element_at("t", 2).alias("t2"))
+    phase = (
+        F.when(F.col("quality_score") > F.col("t2"), "1_high")
+        .when(F.col("quality_score") > F.col("t1"), "2_mid")
+        .otherwise("3_low")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("token_budget"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(28,4)")).cast("double")
+                / F.count("quality_score"),
+                4,
+            ).alias("mean_score"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
+        .orderBy("phase")
+    )
+
+
+CURRICULUM_ORACLE = """
+WITH feats AS (
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           (LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1))
+               / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS awl,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+               / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS stop_ratio
+    FROM documents
+), scored AS (
+    SELECT doc_id, n_tokens,
+           ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+                 + LEAST(stop_ratio * 5, 1.0) * 0.3
+                 + CASE WHEN awl >= 3 AND awl <= 8 THEN 0.2 ELSE 0.0 END,
+                 4) AS quality_score
+    FROM feats
+), th AS (
+    SELECT QUANTILE_CONT(quality_score, 1.0/3.0) AS t1,
+           QUANTILE_CONT(quality_score, 2.0/3.0) AS t2
+    FROM scored
+)
+SELECT CASE WHEN quality_score > t2 THEN '1_high'
+            WHEN quality_score > t1 THEN '2_mid'
+            ELSE '3_low' END AS phase,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS token_budget,
+       ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(28,4))) AS DOUBLE)
+             / COUNT(quality_score), 4) AS mean_score,
+       MIN(quality_score) AS min_score,
+       MAX(quality_score) AS max_score
+FROM scored, th
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def retrieval_known_item_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: known-item search MRR. Each of the
+    first ten documents issues its own 30-token PREFIX as the query (the
+    title-query simulation), the full corpus is ranked by BM25 with the
+    query document left IN the candidate set, and the metric is the rank
+    at which the document retrieves ITSELF — self_rank 1 and reciprocal
+    rank 1.0 mean the index is lossless for known-item lookup; deeper
+    ranks quantify how much the prefix under-specifies the document. The
+    eval harness that should accompany any retrieval serving tier
+    (pairs with sim_ann_recall_ivf / sim_dim_truncation_recall on the
+    dense side).
+
+    Reuses the exact text_bm25_topk index tables and the shared _bm25_rank
+    scoring tail (exclude_self=False) — the eval measures the REAL serving
+    plan, not a simplified replica. Rank ties break on doc_id in both
+    engines."""
+    from ..functions.cache import scoped_persist
+    from ..functions.texts import tokens
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tf = scoped_persist(
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dlen = scoped_persist(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    stats = dlen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+    )
+    qtf = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            F.explode(F.slice(tokens("text"), 1, 30)).alias("term"),
+        )
+        .groupBy("query_doc", "term")
+        .agg(F.count("*").alias("qtf"))
+    )
+    ranked = _bm25_rank(tf, dlen, idf, stats, qtf, k=1 << 30, exclude_self=False)
+    return (
+        ranked.filter(F.col("doc_id") == F.col("query_doc"))
+        .select(
+            "query_doc",
+            F.col("rnk").cast("long").alias("self_rank"),
+            F.round(F.lit(1.0) / F.col("rnk"), 6).alias("reciprocal_rank"),
+        )
+        .orderBy("query_doc")
+    )
+
+
+KNOWN_ITEM_MRR_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+    GROUP BY doc_id, term
+), dlen AS (
+    SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avg_dl FROM dlen
+), idf AS (
+    SELECT term, LN((n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+    FROM tf, stats GROUP BY term, n_docs
+), qtf AS (
+    SELECT doc_id AS query_doc, term, COUNT(*) AS qtf
+    FROM (SELECT doc_id, UNNEST(LIST_SLICE(STRING_SPLIT(text, ' '), 1, 30)) AS term
+          FROM documents WHERE doc_id < 10)
+    GROUP BY doc_id, term
+), contrib AS (
+    SELECT q.query_doc, tf.doc_id,
+           q.qtf * idf.idf * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dlen.dl / stats.avg_dl)) AS c
+    FROM tf
+    JOIN dlen ON tf.doc_id = dlen.doc_id
+    JOIN idf ON tf.term = idf.term
+    JOIN qtf q ON tf.term = q.term
+    CROSS JOIN stats
+), scores AS (
+    SELECT query_doc, doc_id, ROUND(SUM(c), 4) AS bm25
+    FROM contrib GROUP BY query_doc, doc_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                 ORDER BY bm25 DESC, doc_id) AS rnk
+    FROM scores
+)
+SELECT query_doc,
+       CAST(rnk AS BIGINT) AS self_rank,
+       ROUND(CAST(1.0 AS DOUBLE) / rnk, 6) AS reciprocal_rank
+FROM ranked
+WHERE doc_id = query_doc
+ORDER BY query_doc
+"""
 
 
 def audit_provenance_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4902,6 +5152,15 @@ MMR_ORACLE = _mmr_oracle_sql()
 
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "retrieval_mmr_rerank": QuerySpec(retrieval_mmr_rerank, MMR_ORACLE, headline=True),
+    "mixture_token_budget_epochs": QuerySpec(
+        mixture_token_budget_epochs, MIXTURE_EPOCHS_ORACLE
+    ),
+    "curriculum_quality_phases": QuerySpec(
+        curriculum_quality_phases, CURRICULUM_ORACLE
+    ),
+    "retrieval_known_item_mrr": QuerySpec(
+        retrieval_known_item_mrr, KNOWN_ITEM_MRR_ORACLE
+    ),
     "retrieval_query_expansion": QuerySpec(
         retrieval_query_expansion, QUERY_EXPANSION_ORACLE
     ),
