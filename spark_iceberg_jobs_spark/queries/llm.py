@@ -4326,6 +4326,187 @@ ORDER BY query_doc
 """
 
 
+def pii_detect_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus — the compliance pass every
+    training-data pipeline runs before release. The synthetic fixture text
+    contains no organic PII (verified: zero digits corpus-wide), so the
+    query PLANTS deterministic needles first — an email on every 7th doc,
+    a phone number on every 11th (the decontamination tier's
+    construct-the-eval-from-the-corpus pattern) — then runs the real
+    machinery: regex detection (`regexp_count`), redaction
+    (`regexp_replace` → '[EMAIL]'/'[PHONE]'), and a ROUND-TRIP assertion
+    that zero matches survive redaction (`clean` must be TRUE on every
+    row, which the oracle also demands). Patterns stay in the
+    RE2 ∩ java.util.regex common subset so both engines match identically.
+
+    Per source: docs carrying each PII class, total matches, characters
+    removed by redaction, and the post-redaction cleanliness flag.
+
+    Scale shape: one scan, all-JVM regex (no Python), |sources| output
+    rows; at 100 TB this is scan-bound with partial aggregation — exactly
+    the cost profile of a real PII sweep."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    email = F.concat(
+        F.lit("contact"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    phone = F.lit("555-0142")
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" "), email)).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.lit(" call "), phone)).otherwise(
+            F.lit("")
+        ),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "[0-9]{3}-[0-9]{4}"
+    seeded = docs.select("doc_id", "source", seeded_text.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    scanned = seeded.select(
+        "source",
+        F.regexp_count(F.col("t"), F.lit(email_re)).alias("n_email"),
+        F.regexp_count(F.col("t"), F.lit(phone_re)).alias("n_phone"),
+        (F.length("t") - F.length(redacted)).alias("chars_removed"),
+        (
+            (F.regexp_count(redacted, F.lit(email_re)) == 0)
+            & (F.regexp_count(redacted, F.lit(phone_re)) == 0)
+        ).alias("clean"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("n_email") > 0).cast("long")).alias("docs_with_email"),
+            F.sum((F.col("n_phone") > 0).cast("long")).alias("docs_with_phone"),
+            F.sum("n_email").cast("long").alias("total_emails"),
+            F.sum("n_phone").cast("long").alias("total_phones"),
+            F.sum("chars_removed").cast("long").alias("chars_removed"),
+            F.min("clean").alias("all_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_ORACLE = r"""
+WITH seeded AS (
+    SELECT doc_id, source,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142' ELSE '' END AS t
+    FROM documents
+), redacted AS (
+    SELECT source, t,
+           REGEXP_REPLACE(
+               REGEXP_REPLACE(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '[EMAIL]', 'g'),
+               '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS r
+    FROM seeded
+), scanned AS (
+    SELECT source,
+           LEN(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_email,
+           LEN(REGEXP_EXTRACT_ALL(t, '[0-9]{3}-[0-9]{4}')) AS n_phone,
+           LENGTH(t) - LENGTH(r) AS chars_removed,
+           LEN(REGEXP_EXTRACT_ALL(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+           AND LEN(REGEXP_EXTRACT_ALL(r, '[0-9]{3}-[0-9]{4}')) = 0 AS clean
+    FROM redacted
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(SUM(n_email) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+       CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+       MIN(clean) AS all_clean
+FROM scanned
+GROUP BY source
+ORDER BY source
+"""
+
+
+def quality_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filter: per document, the share
+    of tokens covered by its single most frequent BIGRAM (top-2-gram
+    fraction — 2·max_count/n_tokens); per source, the mean share and how
+    many documents exceed the 0.1 repetition threshold a pretraining
+    filter would drop. High values flag boilerplate/keyword-stuffing that
+    per-token stats miss.
+
+    Scale shape: explode to (doc, bigram) pairs → two partial-aggregated
+    reductions (pair counts, then per-doc max) — the shuffles carry
+    distinct bigrams per doc, not tokens; the report is |sources| rows.
+    Shares land on an exact rational grid and are quantized before the
+    decimal mean (functions/money.py rationale)."""
+    from ..functions.money import quantized
+    from ..functions.texts import tokens, word_shingles
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    toks = tokens("text")
+    pairs = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.explode(word_shingles(toks, 2)).alias("bigram"),
+    )
+    per_doc = (
+        pairs.groupBy("doc_id", "source", "n_tokens", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "source", "n_tokens")
+        .agg(F.max("c").alias("max_c"))
+        .select(
+            "doc_id",
+            "source",
+            (F.lit(2.0) * F.col("max_c") / F.col("n_tokens")).alias("share"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(quantized("share", 9)).cast("double") / F.count("share"), 6
+            ).alias("mean_top2gram_share"),
+            F.sum((F.col("share") > 0.1).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+REPETITION_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, source,
+           STRING_SPLIT(text, ' ') AS ts,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+    FROM documents
+), bigrams AS (
+    SELECT doc_id, source, n_tokens,
+           ts[i] || ' ' || ts[i + 1] AS bigram
+    FROM toks, UNNEST(GENERATE_SERIES(1, n_tokens - 1)) AS g(i)
+), per_doc AS (
+    SELECT doc_id, source, n_tokens, MAX(c) AS max_c
+    FROM (SELECT doc_id, source, n_tokens, bigram, COUNT(*) AS c
+          FROM bigrams GROUP BY 1, 2, 3, 4)
+    GROUP BY 1, 2, 3
+), shares AS (
+    SELECT source, CAST(2.0 AS DOUBLE) * max_c / n_tokens AS share FROM per_doc
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(ROUND(share, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(share), 6) AS mean_top2gram_share,
+       CAST(SUM(CASE WHEN share > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM shares
+GROUP BY source
+ORDER BY source
+"""
+
+
 def audit_provenance_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance audit for a training-data release: per (input file,
     lang), the row count, char volume, and an ORDER-INDEPENDENT content
@@ -5160,6 +5341,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "retrieval_known_item_mrr": QuerySpec(
         retrieval_known_item_mrr, KNOWN_ITEM_MRR_ORACLE
+    ),
+    "pii_detect_redact": QuerySpec(pii_detect_redact, PII_ORACLE),
+    "quality_repetition_topgram": QuerySpec(
+        quality_repetition_topgram, REPETITION_ORACLE
     ),
     "retrieval_query_expansion": QuerySpec(
         retrieval_query_expansion, QUERY_EXPANSION_ORACLE

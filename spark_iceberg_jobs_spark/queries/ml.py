@@ -51,7 +51,7 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_chain(k: int, iterations: int, *, extra_assign: bool) -> str:
+def _kmeans_chain(k: int, iterations: int, *, extra_assign: bool, where: str = "") -> str:
     """The WITH-body CTE chain replaying kmeans_fit in exploded space.
 
     Round r: d{r} = squared-L2 of every (vector, cell) pair against c{r-1};
@@ -99,12 +99,12 @@ def _kmeans_chain(k: int, iterations: int, *, extra_assign: bool) -> str:
     SELECT vec_id,
            UNNEST(CAST(embedding AS DOUBLE[])) AS val,
            GENERATE_SUBSCRIPTS(CAST(embedding AS DOUBLE[]), 1) AS dim
-    FROM embeddings
+    FROM embeddings{where}
 ), init AS (
     SELECT vec_id, rn - 1 AS cell FROM (
         SELECT vec_id,
                ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM embeddings
+        FROM embeddings{where}
     ) WHERE rn <= {k}
 ), c0 AS (
     SELECT i.cell, e.dim, e.val AS cval
@@ -145,12 +145,18 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_oracle_sql(k: int = _K, iterations: int = _ITERATIONS, nprobe: int = 3) -> str:
+def _ivf_kmeans_oracle_sql(
+    k: int = _K,
+    iterations: int = _ITERATIONS,
+    nprobe: int = 3,
+    fit_where: str = "",
+) -> str:
     """kmeans_fit replay → centroid arrays → the same IVF search replay as
     SIM_IVF_ORACLE (queries/llm.py), cosine ranking with (sim, id)
-    tie-breaks."""
+    tie-breaks. ``fit_where`` restricts the FIT input (incremental-index
+    variant: centroids frozen on the base corpus, search over everything)."""
     return f"""
-WITH {_kmeans_chain(k, iterations, extra_assign=False)},
+WITH {_kmeans_chain(k, iterations, extra_assign=False, where=fit_where)},
 cent AS (
     SELECT cell, LIST(cval ORDER BY dim) AS centv
     FROM c{iterations} GROUP BY cell
@@ -206,6 +212,38 @@ WHERE rnk <= 5
 
 
 IVF_KMEANS_ORACLE = _ivf_kmeans_oracle_sql()
+
+
+def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-side incremental index maintenance — the IVF twin of
+    text_bm25_incremental: centroids are fitted ONCE on the base corpus
+    (vec_id % 10 != 0) and then FROZEN; the delta batch folds into the
+    index by pure assignment (the projection-only ``assign_cells`` inside
+    ivf_topk — one scan, no shuffle, no refit), which is exactly how
+    production IVF serves streaming inserts between periodic refits.
+    Probes search the MERGED corpus, so delta vectors are retrievable
+    immediately. The oracle replays the base-only fit and the
+    full-corpus assignment/search; queries return (probe, neighbor, rank,
+    sim) like the full-refit twin — diffing the two quantifies the
+    assignment drift a refit would repair.
+
+    Scale shape: fit cost is O(base · rounds) once and amortized; each
+    delta fold-in is one literal-centroid projection over the delta only;
+    search stays nprobe-bounded."""
+    from ..operators.similarity import centroids_df, ivf_topk
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    cents = kmeans_fit(base, k=_K, iterations=_ITERATIONS, dim=_DIM)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, probes, k=5, nprobe=3, centroids=centroids_df(spark, cents)
+    )
+
+
+IVF_INCREMENTAL_ORACLE = _ivf_kmeans_oracle_sql(
+    fit_where=" WHERE vec_id % 10 != 0"
+)
 
 
 def corpus_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1235,9 @@ ORDER BY f.probe_id
 EXTRA_QUERIES: dict[str, QuerySpec] = {
     "sim_dim_truncation_recall": QuerySpec(
         sim_dim_truncation_recall, DIM_TRUNCATION_ORACLE
+    ),
+    "sim_ivf_incremental_topk": QuerySpec(
+        sim_ivf_incremental_topk, IVF_INCREMENTAL_ORACLE
     ),
     "sim_pq_adc_topk": QuerySpec(sim_pq_adc_topk, PQ_ADC_ORACLE, headline=True),
     "sim_ivfpq_adc_topk": QuerySpec(sim_ivfpq_adc_topk, IVFPQ_ADC_ORACLE, headline=True),
