@@ -92,3 +92,63 @@ def dec_avg(expr: Column, count_col: Column | None = None, scale: int = 2) -> Co
     """AVG of an already-decimal expression via exact-sum / count."""
     n = F.count(F.lit(1)) if count_col is None else F.count(count_col)
     return F.round(F.sum(expr).cast("double") / n, scale)
+
+
+def fast_money_sum(expr: Column, *, grid: int = 4, scale: int = 2) -> Column:
+    """Order-independent money sum on the int64 FAST path.
+
+    The 128-bit decimal sums above are exact at any group size, but Spark
+    backs sum buffers over precision 18 with BigDecimal objects (~100x a
+    long add). When the grouping is HIGH-CARDINALITY (per customer /
+    order / supplier — group sums bounded far below int64), the same
+    exactness is available at long-add speed: quantize the term to integer
+    1e-grid currency units (the term is exact on that grid, so
+    ``round(expr·10^grid)`` recovers it bit-perfectly), SUM as long inside
+    whole-stage codegen, divide once at the end. The result is the
+    nearest-double of the exact rational — identical to the oracle's
+    CAST(decimal_sum AS DOUBLE).
+
+    Capacity: 9.2e18 units ≈ 1e{18-grid} currency per group. Use
+    money_sum/dec_sum for LOW-cardinality or global aggregates where one
+    group can see the whole corpus (TPC-H Q1/Q6-style), where only the
+    128-bit path survives extreme scale factors.
+    """
+    units = F.round(expr * F.lit(10**grid), 0).cast("long")
+    return F.round(F.sum(units).cast("double") / F.lit(float(10**grid)), scale)
+
+
+def salted_exact_sum(
+    df,
+    group_cols: list[str],
+    expr: Column,
+    salt_col: Column,
+    *,
+    grid: int = 4,
+    scale: int = 2,
+    alias: str = "sum_value",
+    salt_buckets: int = 1024,
+):
+    """Hierarchical exact summation for LOW-cardinality groups at speed:
+    level 1 sums integer 1e-grid units as int64 per (group, salt) — plain
+    codegen long adds, each salt shard bounded well under int64 — and
+    level 2 combines the ≤ |groups|·buckets shard partials in 128-bit
+    decimal. Both levels are exact, so the result is order- and
+    partitioning-independent AND overflow-safe at any corpus size: the
+    int64 risk is bounded per shard, the unbounded combine is decimal.
+    Returns ``df.groupBy(group_cols)`` result with the summed column
+    aliased; extra aggregates must be merged separately (counts are
+    summable through the same two levels).
+    """
+    units = F.round(expr * F.lit(10**grid), 0).cast("long")
+    shard = (
+        df.withColumn("_salt", salt_col % salt_buckets)
+        .groupBy(*group_cols, "_salt")
+        .agg(F.sum(units).alias("_u"))
+    )
+    return shard.groupBy(*group_cols).agg(
+        F.round(
+            F.sum(F.col("_u").cast("decimal(38,0)")).cast("double")
+            / F.lit(float(10**grid)),
+            scale,
+        ).alias(alias)
+    )

@@ -35,6 +35,7 @@ from ..operators.aggs import (
 from ..functions.money import (
     dec_avg,
     dec_sum,
+    fast_money_sum,
     money,
     money_avg,
     money_sum,
@@ -86,7 +87,10 @@ def flagship_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name", "r_name")
-        .agg(dec_sum(revenue_dec()).alias("revenue"))
+        # per-customer groups: int64 unit-sum fast path — exact and
+        # order-independent like the decimal path, ~70% cheaper (see
+        # functions/money.fast_money_sum capacity note)
+        .agg(fast_money_sum(_revenue()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(5)
     )
@@ -167,7 +171,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dec_sum(revenue_dec()).alias("revenue"))
+        .agg(fast_money_sum(_revenue()).alias("revenue"))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -733,7 +737,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dec_sum(revenue_dec()).alias("revenue"))
+        .agg(fast_money_sum(_revenue()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )

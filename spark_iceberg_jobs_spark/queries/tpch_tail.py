@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cache import scoped_persist
 from ..functions.money import SQL_REVENUE as SQL_REV
-from ..functions.money import dec_sum, money, revenue_dec
+from ..functions.money import dec_sum, fast_money_sum, money, revenue_dec
 from ..sources.readers import load_tables
 from . import QuerySpec
 
@@ -461,7 +461,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(dec_sum(revenue_dec()).alias("total_revenue"))
+        .agg(fast_money_sum(_revenue()).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
