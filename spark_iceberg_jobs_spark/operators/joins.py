@@ -218,6 +218,55 @@ def banded_range_join(
     ).drop("_bucket")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Interval overlap join — all (left, right) pairs whose CLOSED
+    intervals intersect: ``l.start <= r.end AND r.start <= l.end``.
+
+    The naive form is a full cross product with a post-filter. Banding
+    instead explodes EACH side into the fixed-width time buckets its
+    interval covers (``sequence(floor(start/w), floor(end/w))`` — fan-out
+    bounded by interval length / width + 1), equi-joins on the bucket, and
+    re-checks the exact predicate; ``dropDuplicates`` collapses pairs that
+    met in several shared buckets. Plan: two bounded explodes + ONE
+    shuffled equi join on the bucket key — the same scale discipline as
+    banded_range_join, with bucket width the skew/fan-out dial (set it
+    near the typical interval length).
+    """
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / bucket_sec).cast("long"),
+                F.floor(F.col(left_end) / bucket_sec).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / bucket_sec).cast("long"),
+                F.floor(F.col(right_end) / bucket_sec).cast("long"),
+            )
+        ),
+    )
+    joined = lb.join(rb, "_bucket").filter(
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+    )
+    pair_cols = [c for c in joined.columns if c != "_bucket"]
+    return joined.drop("_bucket").dropDuplicates(pair_cols)
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

@@ -1554,6 +1554,133 @@ ORDER BY click_hour
 """
 
 
+def events_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join — the relational pattern range/as-of joins
+    don't cover: two interval sets (user sessions vs system 'hot hours' —
+    hours whose event volume exceeds the corpus P90) matched on
+    ``a.start <= b.end AND b.start <= a.end``, answering "how much of each
+    user's session time ran during load incidents". Per user: session
+    count, sessions touching ≥1 hot hour, and total overlapped seconds;
+    top-20 by overlap. All arithmetic is exact integer seconds.
+
+    Scale shape (operators/joins.interval_overlap_join): each side
+    explodes into the hour buckets its interval covers (session fan-out
+    bounded by duration/1h + 1), ONE shuffled equi join on the bucket —
+    never a cross product (plan-linted); the hot-hour side is tiny by
+    construction (P90 filter) and the session table is scope-persisted
+    because the total-count aggregate and the join both consume it."""
+    from ..functions.cache import scoped_persist
+    from ..operators.joins import interval_overlap_join
+
+    ev = read_fixture(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = es - F.lag(es).over(w)
+    marked = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    with_id = marked.withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = scoped_persist(
+        with_id.groupBy("user_id", "session_seq").agg(
+            F.min(es).alias("s_start"), F.max(es).alias("s_end")
+        )
+    )
+    hourly = ev.groupBy(F.floor(es / 3600).cast("long").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    th = hourly.agg(F.percentile("n", F.lit(0.9)).alias("p90"))
+    hot = (
+        hourly.crossJoin(F.broadcast(th))
+        .filter(F.col("n") > F.col("p90"))
+        .select(
+            (F.col("hour") * 3600).alias("h_start"),
+            (F.col("hour") * 3600 + 3599).alias("h_end"),
+        )
+    )
+    pairs = interval_overlap_join(
+        sessions,
+        hot,
+        left_start="s_start",
+        left_end="s_end",
+        right_start="h_start",
+        right_end="h_end",
+        bucket_sec=3600,
+    )
+    per_user_hot = (
+        pairs.select(
+            "user_id",
+            "session_seq",
+            (
+                F.least("s_end", "h_end") - F.greatest("s_start", "h_start") + 1
+            ).alias("osec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_seq").alias("n_hot_sessions"),
+            F.sum("osec").cast("long").alias("overlap_sec"),
+        )
+    )
+    totals = sessions.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    return (
+        totals.join(per_user_hot, "user_id")
+        .select("user_id", "n_sessions", "n_hot_sessions", "overlap_sec")
+        .orderBy(F.desc("overlap_sec"), "user_id")
+        .limit(20)
+    )
+
+
+SESSION_INCIDENT_OVERLAP_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS es,
+           ts
+    FROM events
+), gaps AS (
+    SELECT *,
+           CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id) > 1800
+                  OR LAG(es) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM e
+), ids AS (
+    SELECT *,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY DATE_TRUNC('microsecond', ts), event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM gaps
+), sessions AS (
+    SELECT user_id, session_seq, MIN(es) AS s_start, MAX(es) AS s_end
+    FROM ids GROUP BY user_id, session_seq
+), hourly AS (
+    SELECT es // 3600 AS hour, COUNT(*) AS n FROM e GROUP BY 1
+), th AS (
+    SELECT QUANTILE_CONT(n, 0.9) AS p90 FROM hourly
+), hot AS (
+    SELECT hour * 3600 AS h_start, hour * 3600 + 3599 AS h_end
+    FROM hourly, th WHERE n > p90
+), pairs AS (
+    SELECT s.user_id, s.session_seq,
+           LEAST(s.s_end, h.h_end) - GREATEST(s.s_start, h.h_start) + 1 AS osec
+    FROM sessions s JOIN hot h
+      ON s.s_start <= h.h_end AND h.h_start <= s.s_end
+), per_user_hot AS (
+    SELECT user_id,
+           COUNT(DISTINCT session_seq) AS n_hot_sessions,
+           CAST(SUM(osec) AS BIGINT) AS overlap_sec
+    FROM pairs GROUP BY user_id
+), totals AS (
+    SELECT user_id, COUNT(*) AS n_sessions FROM sessions GROUP BY user_id
+)
+SELECT t.user_id, t.n_sessions, p.n_hot_sessions, p.overlap_sec
+FROM totals t JOIN per_user_hot p ON t.user_id = p.user_id
+ORDER BY p.overlap_sec DESC, t.user_id
+LIMIT 20
+"""
+
+
 def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration of activity: what share of all events comes
     from the heaviest users (above the P90 / P99 per-user volume
@@ -2445,6 +2572,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "events_stickiness_dau_wau": QuerySpec(events_stickiness_dau_wau, STICKINESS_ORACLE),
     "events_funnel_windowed": QuerySpec(events_funnel_windowed, FUNNEL_WINDOWED_ORACLE),
+    "events_session_incident_overlap": QuerySpec(
+        events_session_incident_overlap, SESSION_INCIDENT_OVERLAP_ORACLE
+    ),
     "events_pareto_concentration": QuerySpec(
         events_pareto_concentration, PARETO_ORACLE
     ),

@@ -4507,6 +4507,104 @@ ORDER BY source
 """
 
 
+def drift_js_tokens(spark: SparkSession, sf_dir: str, vocab_k: int = 200) -> DataFrame:
+    """Jensen-Shannon divergence of each source's TOKEN distribution from
+    the corpus distribution — the distributional-drift completion next to
+    drift_psi_length (binned lengths) and drift_ks_length (length CDF):
+    PSI/KS see document SHAPE drift, JS sees content drift. Distributions
+    live on the deterministic top-200 corpus vocabulary (count-desc,
+    term-asc tie-break) with add-one smoothing, so JS is finite and both
+    engines evaluate the identical closed form; per-term contributions are
+    quantized to a 1e-12 grid and summed in decimal (functions/money.py),
+    making the 200-term reduction order-independent outright.
+
+    Scale shape: one explode → (source, term) partial-aggregated counts
+    restricted by a broadcast vocab semi join; the (source x vocab)
+    densification grid is |sources|·K rows via a broadcast nested-loop
+    cross (both sides tiny by construction — never a data-sized
+    CartesianProduct); everything downstream is K-row-per-source math."""
+    from ..functions.money import quantized
+    from ..functions.texts import tokens
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    corpus = tok.groupBy("term").agg(F.count("*").alias("c_all"))
+    vocab = corpus.orderBy(F.desc("c_all"), "term").limit(vocab_k)
+    per_src = (
+        tok.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c_s"))
+    )
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(vocab))
+        .join(per_src, ["source", "term"], "left")
+        .withColumn("c_s", F.coalesce("c_s", F.lit(0)))
+    )
+    n_s = Window.partitionBy("source")
+    n_all = vocab.agg(F.sum("c_all").cast("double").alias("n_all"))
+    k = float(vocab_k)
+    with_p = (
+        grid.withColumn("n_s", F.sum("c_s").over(n_s).cast("double"))
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("p", (F.col("c_s") + 1) / (F.col("n_s") + k))
+        .withColumn("q", (F.col("c_all") + 1) / (F.col("n_all") + k))
+        .withColumn("m", (F.col("p") + F.col("q")) / 2)
+    )
+    contrib = 0.5 * (F.col("p") * F.log(F.col("p") / F.col("m"))) + 0.5 * (
+        F.col("q") * F.log(F.col("q") / F.col("m"))
+    )
+    return (
+        with_p.withColumn("contrib", contrib)
+        .groupBy("source")
+        .agg(
+            F.sum("c_s").cast("long").alias("n_vocab_tokens"),
+            F.round(F.sum(quantized("contrib", 12)), 6).cast("double").alias(
+                "js_divergence"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DRIFT_JS_ORACLE = """
+WITH tok AS (
+    SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+), corpus AS (
+    SELECT term, COUNT(*) AS c_all FROM tok GROUP BY term
+), vocab AS (
+    SELECT term, c_all FROM corpus ORDER BY c_all DESC, term LIMIT 200
+), per_src AS (
+    SELECT source, t.term, COUNT(*) AS c_s
+    FROM tok t JOIN vocab v ON t.term = v.term
+    GROUP BY source, t.term
+), grid AS (
+    SELECT s.source, v.term, v.c_all, COALESCE(p.c_s, 0) AS c_s
+    FROM (SELECT DISTINCT source FROM documents) s
+    CROSS JOIN vocab v
+    LEFT JOIN per_src p ON p.source = s.source AND p.term = v.term
+), with_p AS (
+    SELECT source, c_s,
+           (c_s + 1) / (SUM(c_s) OVER (PARTITION BY source) + 200.0) AS p,
+           (c_all + 1) / ((SELECT CAST(SUM(c_all) AS DOUBLE) FROM vocab) + 200.0) AS q
+    FROM grid
+), contribs AS (
+    SELECT source, c_s,
+           0.5 * (p * LN(p / ((p + q) / 2))) + 0.5 * (q * LN(q / ((p + q) / 2)))
+               AS contrib
+    FROM with_p
+)
+SELECT source,
+       CAST(SUM(c_s) AS BIGINT) AS n_vocab_tokens,
+       CAST(ROUND(SUM(CAST(ROUND(contrib, 12) AS DECIMAL(28,12))), 6) AS DOUBLE)
+           AS js_divergence
+FROM contribs
+GROUP BY source
+ORDER BY source
+"""
+
+
 def audit_provenance_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance audit for a training-data release: per (input file,
     lang), the row count, char volume, and an ORDER-INDEPENDENT content
@@ -5343,6 +5441,7 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
         retrieval_known_item_mrr, KNOWN_ITEM_MRR_ORACLE
     ),
     "pii_detect_redact": QuerySpec(pii_detect_redact, PII_ORACLE),
+    "drift_js_tokens": QuerySpec(drift_js_tokens, DRIFT_JS_ORACLE),
     "quality_repetition_topgram": QuerySpec(
         quality_repetition_topgram, REPETITION_ORACLE
     ),

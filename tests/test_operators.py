@@ -1534,3 +1534,31 @@ def test_bigram_logprob_catches_scrambled_text_unigram_misses(spark):
 
     with pytest.raises(ValueError, match="lam"):
         bigram_logprob(docs, lam=0.0)
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Closed-interval overlap: touching endpoints match, disjoint don't,
+    nesting matches once even when the pair shares several buckets."""
+    from spark_iceberg_jobs_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [("a", 0, 100), ("b", 200, 300), ("c", 1000, 9000)],
+        "lid string, s_start long, s_end long",
+    )
+    right = spark.createDataFrame(
+        [("x", 100, 150), ("y", 301, 400), ("z", 2000, 2100)],
+        "rid string, h_start long, h_end long",
+    )
+    pairs = interval_overlap_join(
+        left,
+        right,
+        left_start="s_start",
+        left_end="s_end",
+        right_start="h_start",
+        right_end="h_end",
+        bucket_sec=1000,
+    )
+    got = sorted((r.lid, r.rid) for r in pairs.collect())
+    # a-x touch at 100 (closed intervals), b-y are adjacent-but-disjoint
+    # (300 < 301), c fully contains z and spans buckets 1..9 — exactly once.
+    assert got == [("a", "x"), ("c", "z")]
