@@ -244,6 +244,14 @@ def probes():
         "bm25_topk": lambda s, d: __import__(
             "spark_iceberg_jobs_spark.queries.llm", fromlist=["text_bm25_topk"]
         ).text_bm25_topk(s, d),
+        # incremental-index serving (round-5): rep 1 builds + persists the
+        # base artifact, rep 2 (the min) reuses it and pays ONLY delta
+        # indexing + partial merge + rank — the claim is that the warm
+        # path's cost tracks the DELTA (10% of corpus) plus the
+        # posting-bounded rank, i.e. ~1/10th of bm25_topk's rebuild slope
+        "bm25_incremental": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.queries.llm", fromlist=["text_bm25_incremental"]
+        ).text_bm25_incremental(s, d),
         # RAG capstone: chunk expansion (codegen) + chunk-index build
         # (term-keyed) + 3-query retrieval — linear index cost dominates
         "rag_retrieval": lambda s, d: __import__(
