@@ -1554,6 +1554,68 @@ ORDER BY click_hour
 """
 
 
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the enrichment form the stream-stream and
+    batch joins don't cover: a live event stream broadcast-joined to a
+    slowly-changing user dimension (spend tier: total historical value
+    above/below the P75 threshold, computed batch-side), then aggregated
+    per (tier, event_type). This is the canonical serving enrichment —
+    dimension in memory, facts streaming past it; Spark re-plans the
+    static side per micro-batch, so a dimension refresh is picked up
+    without restarting the query. Bounded input (AvailableNow) ⇒ equals
+    the batch join, which is what the oracle replays.
+
+    Scale shape: the dimension is |users| rows (broadcast); stream state
+    is |tiers|x|types| running aggregates — no per-key explosion; the
+    threshold is one exact-percentile aggregate."""
+    from ..functions.money import money
+    from ..streaming.events_stream import run_available_now, stream_events
+
+    ev = read_fixture(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(money("value")).cast("double").alias("tot")
+    )
+    th = per_user.agg(F.percentile("tot", F.lit(0.75)).alias("p75"))
+    dim = per_user.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        F.when(F.col("tot") > F.col("p75"), "high").otherwise("standard").alias(
+            "tier"
+        ),
+    )
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.orderBy("tier", "event_type")
+
+
+STREAMING_STATIC_ENRICHMENT_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tot
+    FROM events GROUP BY user_id
+), th AS (
+    SELECT QUANTILE_CONT(tot, 0.75) AS p75 FROM per_user
+), dim AS (
+    SELECT user_id,
+           CASE WHEN tot > p75 THEN 'high' ELSE 'standard' END AS tier
+    FROM per_user, th
+)
+SELECT tier, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def events_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval OVERLAP join — the relational pattern range/as-of joins
     don't cover: two interval sets (user sessions vs system 'hot hours' —
@@ -2572,6 +2634,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "events_stickiness_dau_wau": QuerySpec(events_stickiness_dau_wau, STICKINESS_ORACLE),
     "events_funnel_windowed": QuerySpec(events_funnel_windowed, FUNNEL_WINDOWED_ORACLE),
+    "streaming_static_enrichment": QuerySpec(
+        streaming_static_enrichment, STREAMING_STATIC_ENRICHMENT_ORACLE
+    ),
     "events_session_incident_overlap": QuerySpec(
         events_session_incident_overlap, SESSION_INCIDENT_OVERLAP_ORACLE
     ),
