@@ -133,6 +133,91 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {est_threshold}
 DEDUP_MINHASH_ORACLE = _minhash_oracle_sql()
 
 
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: MinHash-LSH candidate pairs scored
+    against the exact n-gram-Jaccard ground truth — the measured
+    precision/recall answer to "can we trust the sketch at 100 TB, where
+    the exact join is unaffordable?". Truth = exact Jaccard ≥ 0.8;
+    candidates = the production LSH config (est ≥ 0.7). One row:
+    pair counts, hits, precision, recall (ratios of exact integers — no
+    float-order hazard). The full-outer merge of the two pair sets keeps
+    the whole evaluation one lazy plan; both sides reuse the verified
+    operators, so the eval measures the REAL pipeline, and the oracle
+    replays truth AND sketch from scratch."""
+    docs = read_fixture(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(docs, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .withColumn("in_truth", F.lit(1))
+    )
+    cands = (
+        minhash_lsh_pairs(docs, est_threshold=0.7)
+        .select("doc_a", "doc_b")
+        .withColumn("in_cand", F.lit(1))
+    )
+    merged = truth.join(cands, ["doc_a", "doc_b"], "full_outer").fillna(
+        0, subset=["in_truth", "in_cand"]
+    )
+    n_true = F.sum("in_truth").cast("long")
+    n_cand = F.sum("in_cand").cast("long")
+    n_hit = F.sum(F.col("in_truth") * F.col("in_cand")).cast("long")
+    return merged.agg(
+        n_true.alias("n_true_pairs"),
+        n_cand.alias("n_candidates"),
+        n_hit.alias("n_hits"),
+        F.round(n_hit.cast("double") / n_cand, 6).alias("precision"),
+        F.round(n_hit.cast("double") / n_true, 6).alias("recall"),
+    )
+
+
+def _minhash_quality_oracle_sql() -> str:
+    """Truth chain (exact Jaccard ≥ 0.8) + the minhash replay, merged into
+    the one-row precision/recall report. sh is MATERIALIZED — it feeds
+    four consumers and DuckDB would otherwise re-expand the shingle
+    explode per reference (the BPE-chain lesson)."""
+    minhash_body = _minhash_oracle_sql()
+    # reuse the sig/banded/cands/est chain; strip its WITH prefix and
+    # final SELECT, then append the eval tail
+    inner = minhash_body.split("WITH", 1)[1].rsplit("SELECT doc_a", 1)[0].rstrip()
+    inner = inner.rstrip()
+    assert inner.endswith(")"), "unexpected minhash oracle shape"
+    # sh feeds four consumers here (sig, sizes, jpairs x2) — materialize it
+    inner = inner.replace("), sh AS (", "), sh AS MATERIALIZED (", 1)
+    assert "sh AS MATERIALIZED" in inner
+    return f"""
+WITH {inner},
+lsh AS (
+    SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.7
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), jpairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), truth AS (
+    SELECT doc_a, doc_b
+    FROM jpairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.8
+), counts AS (
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           (SELECT COUNT(*) FROM lsh) AS n_candidates,
+           (SELECT COUNT(*) FROM truth t JOIN lsh l
+             ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b) AS n_hits
+)
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision,
+       ROUND(CAST(n_hits AS DOUBLE) / n_true_pairs, 6) AS recall
+FROM counts
+"""
+
+
+DEDUP_MINHASH_QUALITY_ORACLE = _minhash_quality_oracle_sql()
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-hash SimHash (md5-bit token hashes → DuckDB recomputes the
     identical 64-bit fingerprints, pigeonhole bands, and hamming filter)."""
@@ -5463,6 +5548,9 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     ),
     "pii_detect_redact": QuerySpec(pii_detect_redact, PII_ORACLE),
     "drift_js_tokens": QuerySpec(drift_js_tokens, DRIFT_JS_ORACLE),
+    "dedup_minhash_quality": QuerySpec(
+        dedup_minhash_quality, DEDUP_MINHASH_QUALITY_ORACLE
+    ),
     "quality_repetition_topgram": QuerySpec(
         quality_repetition_topgram, REPETITION_ORACLE
     ),
