@@ -257,6 +257,23 @@ def probes():
         "rag_retrieval": lambda s, d: __import__(
             "spark_iceberg_jobs_spark.queries.llm", fromlist=["pipeline_rag_retrieval"]
         ).pipeline_rag_retrieval(s, d),
+        # round-5 ops: PII sweep is one JVM-regex scan + |sources| agg —
+        # expected cleanly linear in corpus bytes
+        "pii_scan": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.queries.llm", fromlist=["pii_detect_redact"]
+        ).pii_detect_redact(s, d),
+        # top-bigram repetition: explode to (doc, bigram) + two partial
+        # aggs — shuffle carries distinct bigrams per doc, linear expected
+        "repetition_topgram": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.queries.llm",
+            fromlist=["quality_repetition_topgram"],
+        ).quality_repetition_topgram(s, d),
+        # JS drift: explode + vocab-semi-join counts; the top-K vocab and
+        # |sources|xK grid are size-invariant, so the token census is the
+        # only data-sized stage
+        "drift_js": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.queries.llm", fromlist=["drift_js_tokens"]
+        ).drift_js_tokens(s, d),
     }
 
 
