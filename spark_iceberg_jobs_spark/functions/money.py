@@ -45,8 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# DuckDB-side building blocks, for oracle SQL strings.
-SQL_MONEY = "CAST({col} AS DECIMAL(18,2))"
+# DuckDB-side building block, for oracle SQL strings.
 SQL_REVENUE = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 )

@@ -45,8 +45,10 @@ from ..operators.joins import broadcast_dim_join, copartitioned_join
 from ..sources.readers import load_tables
 from . import QuerySpec
 
-# DuckDB oracle fragment for the exact-decimal revenue term (functions/money.py).
-SQL_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+# DuckDB oracle fragment for the exact-decimal revenue term — single
+# canonical copy in functions/money.py (review finding: a local literal
+# here would drift if the canonical expression ever changes).
+from ..functions.money import SQL_REVENUE as SQL_REV  # noqa: E402
 
 
 def _revenue():
@@ -2008,11 +2010,14 @@ def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Integer-cent arithmetic: Σ(p·q) and Σq are exact int64 sums, so
         # the result is identical no matter how Spark batches/orders the
         # group's rows — and bit-identical to the oracle's decimal-sum
-        # formulation (both reduce to nearest-double of the same rationals).
+        # formulation. The sums pass through PYTHON ints before dividing:
+        # int/int division is correctly rounded for any magnitude, whereas
+        # float(sum)/1e4 would double-round once the cent-unit sum passes
+        # 2^53 (reachable at sf >= 1; review finding, round 5).
         p_c = np.rint(np.asarray(price, dtype=np.float64) * 100).astype(np.int64)
         q_c = np.rint(np.asarray(qty, dtype=np.float64) * 100).astype(np.int64)
-        pq = float((p_c * q_c).sum()) / 1e4
-        qs = float(q_c.sum()) / 1e2
+        pq = int((p_c * q_c).sum()) / 10**4
+        qs = int(q_c.sum()) / 10**2
         return pq / qs
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]

@@ -1568,12 +1568,17 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the dimension is |users| rows (broadcast); stream state
     is |tiers|x|types| running aggregates — no per-key explosion; the
     threshold is one exact-percentile aggregate."""
+    from ..functions.cache import scoped_persist
     from ..functions.money import money
     from ..streaming.events_stream import run_available_now, stream_events
 
     ev = read_fixture(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(money("value")).cast("double").alias("tot")
+    # per_user feeds the threshold aggregate AND the dim projection —
+    # persist or the batch rollup scan runs twice (review finding, r5)
+    per_user = scoped_persist(
+        ev.groupBy("user_id").agg(
+            F.sum(money("value")).cast("double").alias("tot")
+        )
     )
     th = per_user.agg(F.percentile("tot", F.lit(0.75)).alias("p75"))
     dim = per_user.crossJoin(F.broadcast(th)).select(

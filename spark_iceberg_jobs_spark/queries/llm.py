@@ -4100,11 +4100,15 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     - idf recomputes from the merged df — a |vocab|-sized table, not a
       corpus scan.
 
-    Because every merged statistic is an exact integer sum, the merged
-    index is BIT-IDENTICAL to a full rebuild — which is what the oracle
-    (the full-rebuild SQL) and test_bm25_incremental_equals_rebuild both
-    assert. Ranking runs through _bm25_rank, literally the same plan as
-    text_bm25_topk.
+    Every merged INDEX statistic (tf, dl, df, N, total length) is an
+    exact integer sum, so the merged index is BIT-IDENTICAL to a full
+    rebuild — asserted by the full-rebuild oracle and
+    test_bm25_incremental_equals_rebuild. The final score sum itself is a
+    double reduction over the ≤|query terms| per-term contributions
+    (identical inputs either way); its rounding margin is ~1e10x the ulp
+    noise of a 50-term sum (the triage rule in docs/ROUND5.md), the same
+    envelope text_bm25_topk has carried driver-green since r4. Ranking
+    runs through _bm25_rank, literally the same plan as text_bm25_topk.
 
     Scale shape: incremental cost is O(delta tokens) + O(vocab) — the
     base corpus is read zero times once its index artifact exists (the
@@ -4142,12 +4146,20 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
         return tf, dlen, df, stats
 
     is_delta = F.col("doc_id") % 10 == 0
-    # v1 index-format key: corpus-path-addressed so repeat calls (and the
-    # scale lab's min-of-N timing) reuse the artifact instead of
-    # re-indexing the base.
-    key = hashlib.md5(f"bm25idx-v1|{sf_dir}".encode()).hexdigest()[:12]
+    # v1 index-format key: addressed by corpus path AND the source file's
+    # (size, mtime) fingerprint, so a regenerated fixture invalidates the
+    # artifact instead of silently serving a stale index; the build lands
+    # in a process-unique staging dir and PUBLISHES via atomic rename, so
+    # concurrent first callers (bench + verify) race safely — the loser's
+    # staging dir is discarded (review findings, round 5).
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"bm25idx-v1|{sf_dir}|{st.st_size}|{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
     base_dir = f"/tmp/bm25_index_{key}"
     if not os.path.exists(f"{base_dir}/_OK"):
+        staging = f"{base_dir}.staging.{os.getpid()}"
         b_tf, b_dlen, b_df, b_stats = batch_index(docs.filter(~is_delta))
         for name, frame in (
             ("tf", b_tf),
@@ -4155,8 +4167,14 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
             ("df", b_df),
             ("stats", b_stats),
         ):
-            frame.write.mode("overwrite").parquet(f"{base_dir}/{name}")
-        open(f"{base_dir}/_OK", "w").close()
+            frame.write.mode("overwrite").parquet(f"{staging}/{name}")
+        open(f"{staging}/_OK", "w").close()
+        try:
+            os.rename(staging, base_dir)
+        except OSError:  # lost the publish race — use the winner's artifact
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     # From here on the BASE exists only as its persisted index artifact.
     b_tf = spark.read.parquet(f"{base_dir}/tf")
     b_dlen = spark.read.parquet(f"{base_dir}/dlen")
@@ -4261,9 +4279,14 @@ def curriculum_quality_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     RFM-segmentation shape), never a global ntile sort. Per-doc scores sit
     on the 1e-4 grid, so the per-phase mean is an exact decimal sum.
     """
+    from ..functions.cache import scoped_persist
     from ..operators.text import quality_score_per_doc
 
-    scored = quality_score_per_doc(read_fixture(spark, sf_dir, "documents"))
+    # scored feeds the tertile aggregate AND the phase rollup — persist
+    # or the tokenize+score scan runs twice (review finding, round 5)
+    scored = scoped_persist(
+        quality_score_per_doc(read_fixture(spark, sf_dir, "documents"))
+    )
     th = scored.agg(
         F.percentile("quality_score", F.lit([1.0 / 3.0, 2.0 / 3.0])).alias("t")
     ).select(F.element_at("t", 1).alias("t1"), F.element_at("t", 2).alias("t2"))
@@ -4632,8 +4655,14 @@ def drift_js_tokens(spark: SparkSession, sf_dir: str, vocab_k: int = 200) -> Dat
     from ..functions.money import quantized
     from ..functions.texts import tokens
 
+    from ..functions.cache import scoped_persist
+
     docs = read_fixture(spark, sf_dir, "documents")
-    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    # tok feeds the corpus census AND the per-source counts — persist or
+    # the explode runs twice (review finding, round 5)
+    tok = scoped_persist(
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+    )
     corpus = tok.groupBy("term").agg(F.count("*").alias("c_all"))
     vocab = corpus.orderBy(F.desc("c_all"), "term").limit(vocab_k)
     per_src = (

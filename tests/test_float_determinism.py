@@ -63,3 +63,40 @@ def test_repeated_runs_identical(spark):
     spec = registry()["cohort_ltv_by_first_year"]
     runs = [_rows(spec.fn(spark, SF_SMOKE)) for _ in range(5)]
     assert all(r == runs[0] for r in runs[1:])
+
+
+def test_salted_exact_sum_equals_decimal_sum(spark):
+    """The documented escape hatch for low-cardinality money sums
+    (functions/money.salted_exact_sum): the two-level int64-shard +
+    decimal-combine path must equal the single-level DECIMAL sum
+    bit-for-bit, under varied salt widths."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.functions.money import (
+        money_sum,
+        salted_exact_sum,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    ref = {
+        r["o_orderstatus"]: r["total"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(money_sum("o_totalprice").alias("total"))
+        .collect()
+    }
+    for buckets in (8, 1024):
+        got = {
+            r["o_orderstatus"]: r["total"]
+            for r in salted_exact_sum(
+                orders,
+                ["o_orderstatus"],
+                F.col("o_totalprice"),
+                F.col("o_orderkey"),
+                grid=2,
+                alias="total",
+                salt_buckets=buckets,
+            ).collect()
+        }
+        assert {k: repr(v) for k, v in got.items()} == {
+            k: repr(v) for k, v in ref.items()
+        }, f"salt_buckets={buckets}"

@@ -636,32 +636,3 @@ def test_logreg_round_is_scan_plus_aggregate(spark):
     assert "Join" not in plan, plan
     assert "windowspecdefinition" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
-
-
-def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
-    """Dynamic partition pruning (SURVEY.md §4 'partition pruning — free'):
-    when the fact is disk-partitioned on the join key's column and the dim
-    side carries a selective filter, Catalyst injects a runtime subquery
-    that prunes fact partitions BEFORE the scan. This is the optimizer
-    feature Iceberg identity partitions buy (job1:256,273); demonstrated
-    here on partitioned parquet since the Iceberg runtime is env-absent."""
-    from spark_iceberg_jobs_spark.sources.readers import read_fixture
-
-    orders = read_fixture(spark, "/root/testdata/sf0.001", "orders")
-    fact_dir = str(tmp_path / "orders_by_status")
-    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(fact_dir)
-    fact = spark.read.parquet(fact_dir)
-    dim = spark.createDataFrame(
-        [("F", "finished")], "o_orderstatus string, label string"
-    )
-    q = (
-        fact.join(dim, "o_orderstatus")
-        .filter(F.col("label") == "finished")
-        .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"))
-    )
-    # force execution so AQE finalizes, then inspect the executed plan
-    rows = q.collect()
-    assert rows and rows[0]["o_orderstatus"] == "F"
-    plan = q._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan, plan[:2000]
