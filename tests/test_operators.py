@@ -1562,3 +1562,117 @@ def test_interval_overlap_join_semantics(spark):
     # a-x touch at 100 (closed intervals), b-y are adjacent-but-disjoint
     # (300 < 301), c fully contains z and spans buckets 1..9 — exactly once.
     assert got == [("a", "x"), ("c", "z")]
+
+
+def test_pii_redaction_roundtrip_on_planted_needles(spark, monkeypatch):
+    """Detection counts match the planted needles exactly and redaction
+    leaves zero surviving matches."""
+    import spark_iceberg_jobs_spark.queries.llm as llm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain words only", "en", "s1", 16),   # %7==0 → email; %11==0 → phone
+            (7, "more words", "en", "s1", 10),          # %7==0 → email
+            (11, "other words", "en", "s2", 11),        # %11==0 → phone
+            (13, "nothing here", "en", "s2", 12),       # clean
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(llm, "read_fixture", lambda s, d, n: docs)
+    rows = {r["source"]: r for r in llm.pii_detect_redact(spark, "unused").collect()}
+    assert rows["s1"]["total_emails"] == 2 and rows["s1"]["total_phones"] == 1
+    assert rows["s2"]["total_phones"] == 1 and rows["s2"]["total_emails"] == 0
+    assert all(r["all_clean"] for r in rows.values())
+    # doc 0 carries both an email and a phone
+    assert rows["s1"]["docs_with_email"] == 2 and rows["s1"]["docs_with_phone"] == 1
+
+
+def test_repetition_topgram_flags_repetitive_doc(spark, monkeypatch):
+    """A doc dominated by one repeated bigram scores near 1 and is flagged;
+    an all-distinct doc scores low and is not."""
+    import spark_iceberg_jobs_spark.queries.llm as llm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam ham " * 10, "en", "rep", 0),     # 'spam ham' dominates
+            # the metric's floor is 2/n_tokens, so the distinct doc must
+            # carry >20 tokens to sit under the 0.1 threshold
+            (1, " ".join(f"w{i}" for i in range(30)), "en", "uniq", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = docs.withColumn("text", F.rtrim("text"))
+    monkeypatch.setattr(llm, "read_fixture", lambda s, d, n: docs)
+    rows = {
+        r["source"]: r
+        for r in llm.quality_repetition_topgram(spark, "unused").collect()
+    }
+    assert rows["rep"]["n_flagged"] == 1 and rows["rep"]["mean_top2gram_share"] > 0.9
+    assert rows["uniq"]["n_flagged"] == 0 and rows["uniq"]["mean_top2gram_share"] < 0.1
+
+
+def test_curriculum_phases_split_at_tertiles(spark, monkeypatch):
+    """Nine docs with strictly increasing quality scores split 3/3/3 with
+    the highest scores in phase 1."""
+    import spark_iceberg_jobs_spark.queries.llm as llm
+    import spark_iceberg_jobs_spark.operators.text as text_ops
+
+    # scores 0.1 .. 0.9 via a stub scorer — the split logic is under test
+    scored = spark.createDataFrame(
+        [(i, "s", 10, 0.0, 0.0, round(0.1 * (i + 1), 4)) for i in range(9)],
+        "doc_id long, source string, n_tokens int, avg_word_len double,"
+        " stopword_ratio double, quality_score double",
+    )
+    monkeypatch.setattr(llm, "read_fixture", lambda s, d, n: scored)
+    monkeypatch.setattr(text_ops, "quality_score_per_doc", lambda df: df)
+    rows = {r["phase"]: r for r in llm.curriculum_quality_phases(spark, "unused").collect()}
+    assert [rows[p]["n_docs"] for p in ("1_high", "2_mid", "3_low")] == [3, 3, 3]
+    assert rows["1_high"]["min_score"] > rows["2_mid"]["max_score"]
+
+
+def test_mixture_epochs_tiny_case(spark, monkeypatch):
+    """Two sources, 3:1 token ratio, alpha=0.3: probabilities follow
+    (n^0.3)/Z and epochs = p*budget/n — hand-checked."""
+    import math
+
+    import spark_iceberg_jobs_spark.queries.llm as llm
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f", "en", "big", 0), (1, "a b", "en", "small", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(llm, "read_fixture", lambda s, d, n: docs)
+    rows = {
+        r["source"]: r
+        for r in llm.mixture_token_budget_epochs(spark, "unused").collect()
+    }
+    w_big, w_small = round(6**0.3, 9), round(2**0.3, 9)
+    z = w_big + w_small
+    assert math.isclose(rows["big"]["sample_prob"], round(w_big / z, 6), abs_tol=1e-6)
+    assert math.isclose(
+        rows["small"]["expected_epochs"],
+        round(w_small / z * 1000000 / 2, 4),
+        rel_tol=1e-6,
+    )
+
+
+def test_js_divergence_zero_for_identical_distributions(spark, monkeypatch):
+    """Sources with identical token distributions sit at (near-)zero JS;
+    a source with disjoint tokens scores strictly higher."""
+    import spark_iceberg_jobs_spark.queries.llm as llm
+
+    same = "x y z x y z"
+    docs = spark.createDataFrame(
+        [
+            (0, same, "en", "a", 0),
+            (1, same, "en", "b", 0),
+            (2, "q r s q r s", "en", "c", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(llm, "read_fixture", lambda s, d, n: docs)
+    rows = {r["source"]: r for r in llm.drift_js_tokens(spark, "unused").collect()}
+    # a and b each hold 1/3 of every shared token's mass: identical small
+    # positive JS vs the pooled corpus; c's disjoint vocabulary is farther
+    assert rows["a"]["js_divergence"] == rows["b"]["js_divergence"]
+    assert rows["c"]["js_divergence"] > rows["a"]["js_divergence"]
