@@ -4740,6 +4740,141 @@ ORDER BY source
 """
 
 
+def dataset_shard_balance(spark: SparkSession, sf_dir: str, shards: int = 64) -> DataFrame:
+    """Training-shard assignment audit: documents hash-assigned to 64
+    shards (md5 of doc_id — deterministic, append-stable, the same
+    discipline as the split/stratified tier), with the balance report a
+    distributed-training job plans around: per-shard doc and token
+    counts won't fit one screen, so the output is the 5-number summary
+    PLUS the imbalance ratios (max/mean) for docs and tokens and the
+    count of shards >10% over mean token load. Straggler shards are THE
+    wall-clock killer in data-parallel training; this is the pre-flight
+    check. All integer arithmetic over one scan + |shards| rows."""
+    from ..functions.cache import scoped_persist
+    from ..functions.texts import token_count
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % shards
+    )
+    # per_shard feeds the summary, the mean, and the hot-shard count —
+    # persisted (64 rows) so the scan runs once
+    per_shard = scoped_persist(
+        docs.select(shard.alias("shard"), token_count("text").alias("n_tok"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("toks"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    mean_toks_df = per_shard.agg(
+        (F.sum("toks").cast("double") / F.count(F.lit(1))).alias("mean_toks")
+    )
+    hot = (
+        per_shard.crossJoin(F.broadcast(mean_toks_df))
+        .agg(
+            F.sum(
+                (F.col("toks") > F.lit(1.1) * F.col("mean_toks")).cast("long")
+            ).alias("n_hot_shards")
+        )
+    )
+    summary = per_shard.agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.min("docs").cast("long").alias("min_docs"),
+        F.max("docs").cast("long").alias("max_docs"),
+        F.min("toks").cast("long").alias("min_tokens"),
+        F.max("toks").cast("long").alias("max_tokens"),
+        F.round(F.max("docs") / (F.sum("docs").cast("double") / n), 4).alias(
+            "doc_imbalance"
+        ),
+        F.round(F.max("toks") / (F.sum("toks").cast("double") / n), 4).alias(
+            "token_imbalance"
+        ),
+    )
+    return summary.crossJoin(F.broadcast(hot))
+
+
+SHARD_BALANCE_ORACLE = """
+WITH per_shard AS (
+    SELECT CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64
+               AS shard,
+           COUNT(*) AS docs,
+           SUM(LEN(STRING_SPLIT(text, ' '))) AS toks
+    FROM documents
+    GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+       CAST(MIN(docs) AS BIGINT) AS min_docs,
+       CAST(MAX(docs) AS BIGINT) AS max_docs,
+       CAST(MIN(toks) AS BIGINT) AS min_tokens,
+       CAST(MAX(toks) AS BIGINT) AS max_tokens,
+       ROUND(MAX(docs) / (CAST(SUM(docs) AS DOUBLE) / COUNT(*)), 4) AS doc_imbalance,
+       ROUND(MAX(toks) / (CAST(SUM(toks) AS DOUBLE) / COUNT(*)), 4) AS token_imbalance,
+       CAST(SUM(CASE WHEN toks > CAST(1.1 AS DOUBLE)
+                                 * (SELECT CAST(SUM(toks) AS DOUBLE) / COUNT(*)
+                                    FROM per_shard)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_shards
+FROM per_shard
+"""
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the budgeting metric multilingual
+    pipelines live by: whitespace tokens and BPE-ish regex tokens per
+    document, chars-per-token for both tokenizers per language (a language
+    whose chars/token is half another's costs twice the context window per
+    character of content). Exact integer sums; one scan; |langs| rows."""
+    from ..functions.texts import token_count
+
+    docs = read_fixture(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), 0)
+    )
+    per = docs.select(
+        "lang",
+        F.length("text").alias("chars"),
+        token_count("text").alias("ws"),
+        bpe.alias("bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("n_chars"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            F.round(F.sum("chars").cast("double") / F.sum("ws"), 4).alias(
+                "chars_per_ws_token"
+            ),
+            F.round(F.sum("chars").cast("double") / F.sum("bpe"), 4).alias(
+                "chars_per_bpe_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKENIZER_FERTILITY_ORACLE = r"""
+WITH per AS (
+    SELECT lang,
+           LENGTH(text) AS chars,
+           LEN(STRING_SPLIT(text, ' ')) AS ws,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS bpe
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(ws), 4) AS chars_per_ws_token,
+       ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 4) AS chars_per_bpe_token
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def audit_provenance_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance audit for a training-data release: per (input file,
     lang), the row count, char volume, and an ORDER-INDEPENDENT content
@@ -5579,6 +5714,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "drift_js_tokens": QuerySpec(drift_js_tokens, DRIFT_JS_ORACLE),
     "dedup_minhash_quality": QuerySpec(
         dedup_minhash_quality, DEDUP_MINHASH_QUALITY_ORACLE
+    ),
+    "dataset_shard_balance": QuerySpec(dataset_shard_balance, SHARD_BALANCE_ORACLE),
+    "text_tokenizer_fertility": QuerySpec(
+        text_tokenizer_fertility, TOKENIZER_FERTILITY_ORACLE
     ),
     "quality_repetition_topgram": QuerySpec(
         quality_repetition_topgram, REPETITION_ORACLE
