@@ -84,21 +84,29 @@ def run() -> None:
         "sim_pq_adc_topk", "sim_ivfpq_adc_topk",
     ]
     common_r4 = common_r3 + ["text_bm25_topk", "retrieval_mmr_rerank"]
+    # r5's full 27-query headline set, frozen as the r5 comparison basis.
+    common_r5 = common_r4 + ["text_bm25_incremental"]
+    # KEY ORDER MATTERS (VERDICT r5 item 2): the driver's committed artifact
+    # keeps only the LAST 2000 chars of stdout, and the per-query dicts can
+    # exceed that. The frozen cross-round subtotals and the headline total
+    # therefore print AFTER the per-query dicts, so the captured tail always
+    # retains the numbers the judge compares round-over-round.
     out = {
         "metric": "headline_suite_seconds",
-        "value": total,
         "unit": "sec",
-        "common_r1_seconds": round(sum(timings.get(q, 0.0) for q in common_r1), 3),
-        "common_r2_seconds": round(sum(timings.get(q, 0.0) for q in common_r2), 3),
-        "common_r3_seconds": round(sum(timings.get(q, 0.0) for q in common_r3), 3),
-        "common_r4_seconds": round(sum(timings.get(q, 0.0) for q in common_r4), 3),
+        "sf": sf,
         "queries": timings,
         "queries_median": medians,
         "queries_spread": spreads,
-        "sf": sf,
     }
     if errors:
         out["errors"] = errors
+    out["common_r1_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r1), 3)
+    out["common_r2_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r2), 3)
+    out["common_r3_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r3), 3)
+    out["common_r4_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r4), 3)
+    out["common_r5_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r5), 3)
+    out["value"] = total
     print(json.dumps(out))
     spark.stop()
 

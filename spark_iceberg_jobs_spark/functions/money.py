@@ -107,13 +107,28 @@ def fast_money_sum(expr: Column, *, grid: int = 4, scale: int = 2) -> Column:
     nearest-double of the exact rational — identical to the oracle's
     CAST(decimal_sum AS DOUBLE).
 
-    Capacity: 9.2e18 units ≈ 1e{18-grid} currency per group. Use
-    money_sum/dec_sum for LOW-cardinality or global aggregates where one
-    group can see the whole corpus (TPC-H Q1/Q6-style), where only the
-    128-bit path survives extreme scale factors.
+    Capacity: 9.2e18 units ≈ 1e{18-grid} currency per group; past it the
+    long SUM raises ARITHMETIC_OVERFLOW under ANSI mode (session default)
+    rather than silently wrapping. Use money_sum/dec_sum for
+    LOW-cardinality or global aggregates where one group can see the
+    whole corpus (TPC-H Q1/Q6-style), where only the 128-bit path
+    survives extreme scale factors.
+
+    The FINISH (divide + round) runs in the decimal domain: casting the
+    long unit-sum straight to double is only exact while it stays below
+    2^53 (~9e11 currency at grid=4 — three orders of magnitude under the
+    int64 capacity), and past that the long→double rounding plus a
+    double-domain ROUND can double-round away from the decimal oracle by
+    a cent. ``decimal(38,0) / 10^grid`` is exact at any representable
+    unit-sum (Spark widens the quotient to scale ≥ 6 > grid), the ROUND
+    happens on exact digits, and only the final ≤ scale-digit value is
+    cast to double — single rounding, identical to the oracle's
+    ``CAST(ROUND(decimal_sum / 10^grid, scale) AS DOUBLE)`` at every
+    magnitude the int64 accumulator can hold.
     """
     units = F.round(expr * F.lit(10**grid), 0).cast("long")
-    return F.round(F.sum(units).cast("double") / F.lit(float(10**grid)), scale)
+    total = F.sum(units).cast("decimal(38,0)")
+    return F.round(total / F.lit(10**grid), scale).cast("double")
 
 
 def salted_exact_sum(

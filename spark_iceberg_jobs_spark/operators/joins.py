@@ -235,13 +235,25 @@ def interval_overlap_join(
     instead explodes EACH side into the fixed-width time buckets its
     interval covers (``sequence(floor(start/w), floor(end/w))`` — fan-out
     bounded by interval length / width + 1), equi-joins on the bucket, and
-    re-checks the exact predicate; ``dropDuplicates`` collapses pairs that
-    met in several shared buckets. Plan: two bounded explodes + ONE
-    shuffled equi join on the bucket key — the same scale discipline as
-    banded_range_join, with bucket width the skew/fan-out dial (set it
-    near the typical interval length).
+    re-checks the exact predicate. A pair that shares several buckets is
+    emitted exactly once by keeping only the FIRST shared bucket — the one
+    holding the overlap's start, ``floor(max(l_start, r_start)/w)``, which
+    both sides' bucket lists provably contain (floor is monotone, so it
+    equals ``greatest(floor(l_start/w), floor(r_start/w))``). Unlike a
+    full-row ``dropDuplicates``, this preserves legitimately duplicate
+    input rows: two identical intervals on either side yield two output
+    pairs, exactly matching cross-product-plus-filter semantics. Plan: two
+    bounded explodes + ONE shuffled equi join on the bucket key — the same
+    scale discipline as banded_range_join, with bucket width the
+    skew/fan-out dial (set it near the typical interval length), and no
+    post-join dedup shuffle at all.
+
+    Precondition: ``start <= end`` on both sides (closed, well-formed
+    intervals). Malformed rows (end < start) are dropped — ``sequence``
+    with end < start would otherwise emit a DESCENDING bucket list (pure
+    fan-out waste), and an empty interval has no overlap semantics here.
     """
-    lb = left.withColumn(
+    lb = left.filter(F.col(left_start) <= F.col(left_end)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
@@ -250,7 +262,7 @@ def interval_overlap_join(
             )
         ),
     )
-    rb = right.withColumn(
+    rb = right.filter(F.col(right_start) <= F.col(right_end)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
@@ -262,9 +274,16 @@ def interval_overlap_join(
     joined = lb.join(rb, "_bucket").filter(
         (F.col(left_start) <= F.col(right_end))
         & (F.col(right_start) <= F.col(left_end))
+        # first-shared-bucket: dedupe multi-bucket pairs without a shuffle
+        & (
+            F.col("_bucket")
+            == F.greatest(
+                F.floor(F.col(left_start) / bucket_sec).cast("long"),
+                F.floor(F.col(right_start) / bucket_sec).cast("long"),
+            )
+        )
     )
-    pair_cols = [c for c in joined.columns if c != "_bucket"]
-    return joined.drop("_bucket").dropDuplicates(pair_cols)
+    return joined.drop("_bucket")
 
 
 def salted_join(

@@ -2016,8 +2016,27 @@ def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2^53 (reachable at sf >= 1; review finding, round 5).
         p_c = np.rint(np.asarray(price, dtype=np.float64) * 100).astype(np.int64)
         q_c = np.rint(np.asarray(qty, dtype=np.float64) * 100).astype(np.int64)
-        pq = int((p_c * q_c).sum()) / 10**4
-        qs = int(q_c.sum()) / 10**2
+        # The int64 SUM itself can wrap silently (numpy never promotes):
+        # Σ(p·q) passes 2^63 around 1.8e8 rows/group at TPC-H magnitudes
+        # (~sf200; round-5 ADVICE). Chunk the reduction so each numpy
+        # partial is provably below 2^62 (chunk size derived from the
+        # batch's actual max |p·q|) and accumulate the chunk partials in
+        # Python ints — exact at any group size, still vectorized.
+        prod = p_c * q_c  # per-element ≤ max|p|·max|q|, guarded below
+        pmax = int(np.abs(p_c).max(initial=0)) * int(np.abs(q_c).max(initial=0))
+        if pmax >= 2**62:  # even one product near int64: go full Python-int
+            total_pq = sum(int(a) * int(b) for a, b in zip(p_c.tolist(), q_c.tolist()))
+        else:
+            chunk = max(1, (2**62) // max(pmax, 1))
+            total_pq = 0
+            for i in range(0, len(prod), chunk):
+                total_pq += int(prod[i : i + chunk].sum())
+        qchunk = 2**48  # |q_c| ≤ 2^14 here ⇒ 2^48-row chunks stay < 2^62
+        total_q = 0
+        for i in range(0, len(q_c), qchunk):
+            total_q += int(q_c[i : i + qchunk].sum())
+        pq = total_pq / 10**4
+        qs = total_q / 10**2
         return pq / qs
 
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]

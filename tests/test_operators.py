@@ -1542,11 +1542,11 @@ def test_interval_overlap_join_semantics(spark):
     from spark_iceberg_jobs_spark.operators.joins import interval_overlap_join
 
     left = spark.createDataFrame(
-        [("a", 0, 100), ("b", 200, 300), ("c", 1000, 9000)],
+        [("a", 0, 100), ("b", 200, 300), ("c", 1000, 9000), ("m", 500, 400)],
         "lid string, s_start long, s_end long",
     )
     right = spark.createDataFrame(
-        [("x", 100, 150), ("y", 301, 400), ("z", 2000, 2100)],
+        [("x", 100, 150), ("y", 301, 400), ("z", 2000, 2100), ("z", 2000, 2100)],
         "rid string, h_start long, h_end long",
     )
     pairs = interval_overlap_join(
@@ -1560,8 +1560,11 @@ def test_interval_overlap_join_semantics(spark):
     )
     got = sorted((r.lid, r.rid) for r in pairs.collect())
     # a-x touch at 100 (closed intervals), b-y are adjacent-but-disjoint
-    # (300 < 301), c fully contains z and spans buckets 1..9 — exactly once.
-    assert got == [("a", "x"), ("c", "z")]
+    # (300 < 301), c fully contains z and spans buckets 1..9 — exactly once
+    # PER INPUT ROW: the duplicated z row must yield two pairs (cross-
+    # product-plus-filter semantics; round-5 ADVICE), and the malformed
+    # m row (end < start) is dropped, never exploded descending.
+    assert got == [("a", "x"), ("c", "z"), ("c", "z")]
 
 
 def test_pii_redaction_roundtrip_on_planted_needles(spark, monkeypatch):
