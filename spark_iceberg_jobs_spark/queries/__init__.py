@@ -51,68 +51,76 @@ class QuerySpec:
 #       query that had never been scored. Keeps: cohort_ltv_by_first_year
 #       (the r4 flake, now DECIMAL-exact — item 1's regression proof) and
 #       four converted prior-window representatives.
+#   r6 (VERDICT r5 item 1): the FINAL rotation — all 38 remaining
+#       never-driver-scored entries (the 12 round-5 additions plus the
+#       r3/r4 multimodal / sampling / events-monitoring tail; computed as
+#       registry keys minus the union of CORRECTNESS_r01–r05 keys) plus
+#       12 regression keeps spanning every prior window. Green r6 means
+#       the cross-round driver-scored union covers the whole registry.
+#       Keeps bias toward THIS round's code changes: the fast_money_sum
+#       decimal-finish consumers (flagship, q3, q10, q15), the chunked
+#       udaf_weighted_avg_price, and the reworked BM25 index pair.
 DRIVER_WINDOW = 50
 
-_R5_REGRESSION_KEEPS = [
+_R6_REGRESSION_KEEPS = [
     "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
-    "customer_rfm_segments",  # converted spend chain; r4 driver-green
-    "flagship_revenue_topk",  # converted revenue sum; r1+r3+r4 green
-    "q9_product_type_profit",  # converted 3-factor decimal profit; r4 green
-    "q1_pricing_summary",  # widest converted aggregate row; r1 green
+    "flagship_revenue_topk",  # r1..r5 green; fast_money_sum finish changed r6
+    "q1_pricing_summary",  # r1+r5; widest money aggregate row
+    "q3_shipping_priority",  # r1; fast_money_sum finish changed r6
+    "q10_returned_items",  # r1; fast_money_sum finish changed r6
+    "q15_top_supplier",  # r3; fast_money_sum finish changed r6
+    "udaf_weighted_avg_price",  # r5; overflow-chunked reduction changed r6
+    "text_bm25_incremental",  # r5; index artifact reworked r6 (item 3)
+    "text_bm25_topk",  # r4; shares _bm25_rank with the reworked index
+    "q9_product_type_profit",  # r3+r4+r5; decimal profit representative
+    "dedup_minhash_lsh",  # r2 window representative (dedup tier)
+    "retrieval_mmr_rerank",  # r5; dense serving-tier representative
 ]
 
-_R5_NEW_WINDOW = [
-    # post-r4-sweep additions (shipped unverified-by-artifact in r4)
-    "retrieval_query_expansion",
-    "sim_dim_truncation_recall",
-    "events_attribution_u_shaped",
-    # never-scored retrieval / text
-    "retrieval_mmr_rerank",
-    "text_bigram_logprob",
-    "text_bm25_incremental",  # new this round (r4 item 7)
-    "text_char_entropy",
-    "text_novelty_by_source",
-    "text_code_switching",
-    "text_distinctive_terms",
-    # never-scored business analytics (float-determinism converts)
-    "scd2_point_in_time_revenue",
-    "nation_trade_corridors",
-    "supplier_delivery_sla",
-    "orders_backlog_aging",
-    "part_substitutes",
-    "part_price_dispersion",
-    "aqp_sample_estimate_revenue",
-    "stats_trimmed_mean_by_priority",
-    "udaf_weighted_avg_price",
-    "window_trailing_spend_range",
-    # never-scored events tier
-    "events_attribution_last_touch",
-    "events_ohlc_hourly",
-    "events_time_weighted_value",
-    "events_hourly_anomalies",
-    "events_interarrival_stats",
-    "events_conversion_latency",
-    "rollup_incremental_merge",
-    "streaming_upsert_user_totals",
-    # never-scored forensics / embeddings / sampling
-    "dedup_source_flows",
-    "graph_dup_triangles",
-    "drift_ks_length",
-    "split_leakage_safe",
-    "embedding_dim_stats",
-    "embedding_outliers",
-    "mine_hard_negatives",
-    # never-scored core/relational tail
-    "grouped_trend_by_nation",
-    "stringagg_types_by_brand",
-    "skew_profile_lineitem_suppkey",
-    "approx_percentiles_quality",
-    "setops_except_all",
-    "join_null_safe_segments",
-    "lateral_top_order_per_customer",
-    "join_full_outer_nation_activity",
-    "source_python_datasource_agg",
-    "page_orders_keyset",
+_R6_NEW_WINDOW = [
+    # round-5 additions, never driver-scored
+    "mixture_token_budget_epochs",
+    "curriculum_quality_phases",
+    "retrieval_known_item_mrr",
+    "pii_detect_redact",
+    "drift_js_tokens",
+    "dedup_minhash_quality",
+    "dataset_shard_balance",
+    "text_tokenizer_fertility",
+    "quality_repetition_topgram",
+    "sim_ivf_incremental_topk",
+    "events_session_incident_overlap",
+    "streaming_static_enrichment",
+    # r3/r4 multimodal tail
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_entropy",
+    "multimodal_image_histogram",
+    # r3/r4 sampling / dataset-assembly tail
+    "sample_k_per_group",
+    "sample_weighted_reservoir",
+    "snapshot_diff_by_lang",
+    # r3/r4 events-monitoring tail
+    "events_activity_heatmap",
+    "events_changepoint_daily",
+    "events_ewma_daily",
+    "events_funnel_windowed",
+    "events_growth_accounting",
+    "events_pareto_concentration",
+    "events_props_variant",
+    "events_stickiness_dau_wau",
+    "events_top_paths",
+    "events_type_affinity",
+    "streaming_purchase_click_join",
+    "streaming_trending_types",
+    # r3/r4 text / quality / drift / alignment tail
+    "align_mutual_nearest",
+    "cluster_topic_labels",
+    "drift_psi_length",
+    "quality_outliers_mad",
+    "text_bpe_compression",
+    "text_chunk_overlap",
+    "text_diversity_distinct_n",
 ]
 
 
@@ -128,7 +136,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R5_NEW_WINDOW + _R5_REGRESSION_KEEPS
+    head = _R6_NEW_WINDOW + _R6_REGRESSION_KEEPS
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

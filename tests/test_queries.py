@@ -37,30 +37,52 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     assert rows, f"{name} returned 0 rows at smoke scale"
 
 
-def test_driver_window_r5_rotation():
-    """VERDICT r4 item 3: the r5 window fronts 45 never-driver-scored
-    entries (the post-r4-sweep additions, the business/events/forensics
-    tail, this round's text_bm25_incremental) plus 5 regression keeps led
-    by the decimal-converted flake query, fills the window exactly, and
-    every entry has a full value-hash oracle."""
+def test_driver_window_r6_rotation():
+    """VERDICT r5 item 1: the FINAL rotation. The r6 window fronts the 38
+    remaining never-driver-scored entries plus 12 regression keeps
+    spanning all five prior windows, fills the window exactly, every
+    entry has a full value-hash oracle, and — the point of the rotation —
+    the union of all driver-scored keys (r1–r5 artifacts plus this head)
+    covers the ENTIRE registry."""
+    import glob
+    import json
+    import os
+
     from spark_iceberg_jobs_spark.queries import (
-        _R5_NEW_WINDOW,
-        _R5_REGRESSION_KEEPS,
+        _R6_NEW_WINDOW,
+        _R6_REGRESSION_KEEPS,
         DRIVER_WINDOW,
     )
 
     window = list(REG)[:DRIVER_WINDOW]
-    curated = _R5_NEW_WINDOW + _R5_REGRESSION_KEEPS
-    assert window == curated, "registry head must equal the curated r5 window"
+    curated = _R6_NEW_WINDOW + _R6_REGRESSION_KEEPS
+    assert window == curated, "registry head must equal the curated r6 window"
     assert len(curated) == DRIVER_WINDOW, (
         f"window underfilled: {len(curated)}/{DRIVER_WINDOW} curated entries"
     )
-    assert len(_R5_REGRESSION_KEEPS) == 5
-    assert "cohort_ltv_by_first_year" in _R5_REGRESSION_KEEPS, (
+    assert len(_R6_REGRESSION_KEEPS) == 12
+    assert "cohort_ltv_by_first_year" in _R6_REGRESSION_KEEPS, (
         "the r4 flake query must be re-scored as regression proof"
     )
+    assert "flagship_revenue_topk" in _R6_REGRESSION_KEEPS
     assert all(REG[n].oracle is not None for n in window), (
         "every window entry needs a value-hash oracle"
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scored: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        with open(f) as fh:
+            scored |= set(json.load(fh).keys())
+    assert set(_R6_NEW_WINDOW).isdisjoint(scored), (
+        "new-window slots are reserved for never-driver-scored entries"
+    )
+    assert set(_R6_REGRESSION_KEEPS) <= scored, (
+        "every regression keep must already be driver-green"
+    )
+    uncovered = set(REG) - scored - set(window)
+    assert not uncovered, (
+        f"registered queries that would stay never-driver-scored: {sorted(uncovered)}"
     )
 
 
@@ -78,14 +100,14 @@ def test_window_is_curated_not_positional():
     """Only the explicit curated list reaches the driver window: nothing
     rides in on module dict order (the r1 bug this guards against), and
     the regression keeps stay present."""
-    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R5_NEW_WINDOW
+    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R6_NEW_WINDOW
 
     window = set(list(REG)[:DRIVER_WINDOW])
     assert "flagship_revenue_topk" in window
     # rotated-in extras are deliberate; anything else outside the curated
     # list must stay outside the window
     assert len(window) == DRIVER_WINDOW
-    assert set(_R5_NEW_WINDOW) <= window
+    assert set(_R6_NEW_WINDOW) <= window
 
 
 def test_quality_rules_fire_on_corrupted_rows(spark, monkeypatch):
