@@ -126,6 +126,16 @@ def fast_money_sum(expr: Column, *, grid: int = 4, scale: int = 2) -> Column:
     ``CAST(ROUND(decimal_sum / 10^grid, scale) AS DOUBLE)`` at every
     magnitude the int64 accumulator can hold.
     """
+    # The single-rounding claim above relies on the decimal quotient
+    # carrying MORE fractional digits than the grid: decimal(38,0)/int
+    # lands at scale 6, so grid ≥ 7 would sneak in a hidden pre-round
+    # before the final ROUND — the exact double-rounding bug this finish
+    # exists to prevent (round-6 ADVICE). Enforce the precondition.
+    if grid > 6:
+        raise ValueError(
+            f"fast_money_sum grid={grid} exceeds the scale-6 decimal "
+            "quotient; the finish would double-round. Use money_sum/dec_sum."
+        )
     units = F.round(expr * F.lit(10**grid), 0).cast("long")
     total = F.sum(units).cast("decimal(38,0)")
     return F.round(total / F.lit(10**grid), scale).cast("double")

@@ -55,12 +55,100 @@ class QuerySpec:
 #       never-driver-scored entries (the 12 round-5 additions plus the
 #       r3/r4 multimodal / sampling / events-monitoring tail; computed as
 #       registry keys minus the union of CORRECTNESS_r01–r05 keys) plus
-#       12 regression keeps spanning every prior window. Green r6 means
-#       the cross-round driver-scored union covers the whole registry.
-#       Keeps bias toward THIS round's code changes: the fast_money_sum
-#       decimal-finish consumers (flagship, q3, q10, q15), the chunked
-#       udaf_weighted_avg_price, and the reworked BM25 index pair.
+#       12 regression keeps spanning every prior window. Green r6 meant
+#       the cross-round driver-scored union covers the whole registry —
+#       which CORRECTNESS_r06 confirmed (50/50; union = 233/233).
+#       Correction (VERDICT r6 item 2): the r6 keep comments claimed the
+#       BM25 index artifact was "reworked r6" — it was not; that work
+#       (term-bucketed posting tables) actually landed in ROUND 7.
+#   r7+ POST-ROTATION POLICY (VERDICT r6 item 6): with zero never-scored
+#       entries left, each round's window is composed as
+#         (a) permanent keeps: flagship_revenue_topk and
+#             cohort_ltv_by_first_year (the r4 flake) — every round;
+#         (b) every query whose plan changed since its last driver
+#             verdict (this round: the BM25 index rework touches
+#             text_bm25_topk/_incremental, retrieval_known_item_mrr,
+#             pipeline_hybrid_retrieval, retrieval_rank_fusion; the
+#             persisted-IVF rework touches sim_ivf_incremental_topk; the
+#             UDAF chunk-order fix touches udaf_weighted_avg_price);
+#         (c) the STALEST driver verdicts, oldest round first,
+#             alphabetical within a round, until the window fills —
+#             for r7 that is all 35 r1-scored entries (including
+#             layout_compression_lab and approx_distinct_custkeys, whose
+#             only driver rows are pre-oracle r1 "no_oracle" — VERDICT r6
+#             item 5: this gives them their first driver HASH verdicts)
+#             plus the first 6 of the 17 r2-scored entries.
+#       Staleness is evaluated against the artifacts that existed at
+#       composition time (CORRECTNESS_r01..r06) so the test pinning this
+#       window cannot be invalidated by the round's own artifact — the
+#       exact failure mode of the retired r6 disjointness assert.
 DRIVER_WINDOW = 50
+
+_R7_PERMANENT_KEEPS = [
+    "flagship_revenue_topk",  # README.md:17 headline; r1..r6 green
+    "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
+]
+
+_R7_CHANGED = [
+    # BM25 index artifact v2 (term-bucketed postings, content fingerprint,
+    # single side-table read — VERDICT r6 item 2) + the _bm25_rank join
+    # reorder shared by every consumer:
+    "text_bm25_incremental",
+    "text_bm25_topk",
+    "retrieval_known_item_mrr",
+    "pipeline_hybrid_retrieval",
+    "retrieval_rank_fusion",
+    # persisted dense-side IVF index artifact (VERDICT r6 item 3):
+    "sim_ivf_incremental_topk",
+    # ADVICE r6: wasted-multiply moved into the guarded branch:
+    "udaf_weighted_avg_price",
+]
+
+_R7_STALE_REFRESH = [
+    # all 35 entries whose last driver verdict is round 1
+    "a1_top_customer_by_avg_quantity",
+    "a2_top_orderpriority",
+    "a3_top_region_by_orders",
+    "a4_brand_quantity_by_nation",
+    "approx_distinct_custkeys",  # r1 row was rows-only; first hash verdict
+    "argmax_customer_per_nation",
+    "copartitioned_join_agg",
+    "cube_order_stats",
+    "grouped_zscore_extremes",
+    "having_frequent_customers",
+    "join_anti_customers_no_urgent",
+    "join_left_outer_order_counts",
+    "join_semi_urgent_customers",
+    "layout_compression_lab",  # r1 row was rows-only; first hash verdict
+    "pandas_udf_revenue",
+    "percentiles_by_priority",
+    "profile_lineitem",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "q4_late_shipment_priority",
+    "q5_regional_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "rollup_order_stats",
+    "salted_join_agg",
+    "scalar_functions_showcase",
+    "setops_intersect",
+    "setops_segments",
+    "sort_global_topk",
+    "sql_interface_revenue",
+    "stats_moments_by_flag",
+    "subquery_above_nation_avg",
+    "window_lag_order_gaps",
+    "window_running_order_total",
+    "window_top3_orders_per_customer",
+    # first 6 (alphabetical) of the 17 entries last scored in round 2
+    "dedup_embedding_cosine",
+    "embedding_quantization_error",
+    "graph_pagerank_suppliers",
+    "multimodal_payload_features",
+    "pack_sequences_stats",
+    "sim_centroid_per_label",
+]
 
 _R6_REGRESSION_KEEPS = [
     "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
@@ -70,8 +158,11 @@ _R6_REGRESSION_KEEPS = [
     "q10_returned_items",  # r1; fast_money_sum finish changed r6
     "q15_top_supplier",  # r3; fast_money_sum finish changed r6
     "udaf_weighted_avg_price",  # r5; overflow-chunked reduction changed r6
-    "text_bm25_incremental",  # r5; index artifact reworked r6 (item 3)
-    "text_bm25_topk",  # r4; shares _bm25_rank with the reworked index
+    # r5; kept because _bm25_rank consumers were regression-relevant. NOTE
+    # (VERDICT r6 item 2): the original comment here claimed the index
+    # artifact was "reworked r6" — it was NOT; that rework landed in r7.
+    "text_bm25_incremental",
+    "text_bm25_topk",  # r4; shares _bm25_rank with text_bm25_incremental
     "q9_product_type_profit",  # r3+r4+r5; decimal profit representative
     "dedup_minhash_lsh",  # r2 window representative (dedup tier)
     "retrieval_mmr_rerank",  # r5; dense serving-tier representative
@@ -136,7 +227,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R6_NEW_WINDOW + _R6_REGRESSION_KEEPS
+    head = _R7_PERMANENT_KEEPS + _R7_CHANGED + _R7_STALE_REFRESH
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

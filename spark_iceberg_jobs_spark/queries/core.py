@@ -2022,11 +2022,14 @@ def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partial is provably below 2^62 (chunk size derived from the
         # batch's actual max |p·q|) and accumulate the chunk partials in
         # Python ints — exact at any group size, still vectorized.
-        prod = p_c * q_c  # per-element ≤ max|p|·max|q|, guarded below
         pmax = int(np.abs(p_c).max(initial=0)) * int(np.abs(q_c).max(initial=0))
         if pmax >= 2**62:  # even one product near int64: go full Python-int
             total_pq = sum(int(a) * int(b) for a, b in zip(p_c.tolist(), q_c.tolist()))
         else:
+            # vectorized multiply only on the guarded path — on the
+            # Python-int branch above it would be wasted work on values
+            # that can silently wrap (round-6 ADVICE)
+            prod = p_c * q_c  # per-element ≤ pmax < 2^62 here
             chunk = max(1, (2**62) // max(pmax, 1))
             total_pq = 0
             for i in range(0, len(prod), chunk):

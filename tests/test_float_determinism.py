@@ -100,3 +100,18 @@ def test_salted_exact_sum_equals_decimal_sum(spark):
         assert {k: repr(v) for k, v in got.items()} == {
             k: repr(v) for k, v in ref.items()
         }, f"salt_buckets={buckets}"
+
+
+def test_fast_money_sum_rejects_grid_past_decimal_scale():
+    """Round-6 ADVICE: the decimal finish's single-rounding proof only
+    holds while the scale-6 quotient out-resolves the grid. grid ≥ 7 must
+    refuse loudly instead of silently double-rounding."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.functions.money import fast_money_sum
+
+    with pytest.raises(ValueError, match="double-round"):
+        fast_money_sum(F.col("x"), grid=7)
+    # the supported grids still build a Column without touching a session
+    for grid in (0, 2, 4, 6):
+        fast_money_sum(F.col("x"), grid=grid)

@@ -37,52 +37,59 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     assert rows, f"{name} returned 0 rows at smoke scale"
 
 
-def test_driver_window_r6_rotation():
-    """VERDICT r5 item 1: the FINAL rotation. The r6 window fronts the 38
-    remaining never-driver-scored entries plus 12 regression keeps
-    spanning all five prior windows, fills the window exactly, every
-    entry has a full value-hash oracle, and — the point of the rotation —
-    the union of all driver-scored keys (r1–r5 artifacts plus this head)
-    covers the ENTIRE registry."""
+def test_driver_window_r7_policy():
+    """VERDICT r6 item 6: the post-rotation window policy. The rotation
+    program completed in r6 (union of CORRECTNESS_r01–r06 = registry), so
+    from r7 on the window is: permanent keeps + queries whose plan changed
+    since their last driver verdict + the STALEST prior verdicts (oldest
+    round first). Staleness is evaluated ONLY against the artifacts that
+    existed at window-composition time (r01–r06, pinned below) — the r6
+    lesson: a glob that matches the current round's own artifact makes the
+    test self-invalidating the moment the driver commits results."""
     import glob
     import json
     import os
 
     from spark_iceberg_jobs_spark.queries import (
-        _R6_NEW_WINDOW,
-        _R6_REGRESSION_KEEPS,
+        _R7_CHANGED,
+        _R7_PERMANENT_KEEPS,
+        _R7_STALE_REFRESH,
         DRIVER_WINDOW,
     )
 
     window = list(REG)[:DRIVER_WINDOW]
-    curated = _R6_NEW_WINDOW + _R6_REGRESSION_KEEPS
-    assert window == curated, "registry head must equal the curated r6 window"
+    curated = _R7_PERMANENT_KEEPS + _R7_CHANGED + _R7_STALE_REFRESH
+    assert window == curated, "registry head must equal the curated r7 window"
     assert len(curated) == DRIVER_WINDOW, (
-        f"window underfilled: {len(curated)}/{DRIVER_WINDOW} curated entries"
+        f"window misfilled: {len(curated)}/{DRIVER_WINDOW} curated entries"
     )
-    assert len(_R6_REGRESSION_KEEPS) == 12
-    assert "cohort_ltv_by_first_year" in _R6_REGRESSION_KEEPS, (
-        "the r4 flake query must be re-scored as regression proof"
-    )
-    assert "flagship_revenue_topk" in _R6_REGRESSION_KEEPS
+    assert "cohort_ltv_by_first_year" in _R7_PERMANENT_KEEPS
+    assert "flagship_revenue_topk" in _R7_PERMANENT_KEEPS
     assert all(REG[n].oracle is not None for n in window), (
         "every window entry needs a value-hash oracle"
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    scored: set[str] = set()
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    # Composition-time baseline: r01–r06 ONLY (frozen — later artifacts
+    # must never change what this test asserts).
+    last_scored: dict[str, int] = {}
+    baseline = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-6].json")))
+    assert len(baseline) == 6, "r01..r06 artifacts are part of the repo"
+    for f in baseline:
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         with open(f) as fh:
-            scored |= set(json.load(fh).keys())
-    assert set(_R6_NEW_WINDOW).isdisjoint(scored), (
-        "new-window slots are reserved for never-driver-scored entries"
-    )
-    assert set(_R6_REGRESSION_KEEPS) <= scored, (
-        "every regression keep must already be driver-green"
-    )
-    uncovered = set(REG) - scored - set(window)
-    assert not uncovered, (
-        f"registered queries that would stay never-driver-scored: {sorted(uncovered)}"
+            for k in json.load(fh):
+                last_scored[k] = max(last_scored.get(k, 0), rnd)
+    # Invariant 1 (monotone): the completed rotation covers the registry.
+    uncovered = set(REG) - set(last_scored)
+    assert not uncovered, f"never-driver-scored entries: {sorted(uncovered)}"
+    # Invariant 2: every stale-refresh slot really is stale — last scored
+    # in r1 or r2 against the frozen baseline (the 35 r1 entries + the
+    # alphabetically-first 6 of the r2 entries).
+    assert all(last_scored[n] <= 2 for n in _R7_STALE_REFRESH)
+    r1_all = {n for n in REG if last_scored[n] == 1}
+    assert r1_all <= set(_R7_STALE_REFRESH), (
+        "every r1-stale entry must be in the refresh set"
     )
 
 
@@ -100,14 +107,14 @@ def test_window_is_curated_not_positional():
     """Only the explicit curated list reaches the driver window: nothing
     rides in on module dict order (the r1 bug this guards against), and
     the regression keeps stay present."""
-    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R6_NEW_WINDOW
+    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R7_CHANGED
 
     window = set(list(REG)[:DRIVER_WINDOW])
     assert "flagship_revenue_topk" in window
     # rotated-in extras are deliberate; anything else outside the curated
     # list must stay outside the window
     assert len(window) == DRIVER_WINDOW
-    assert set(_R6_NEW_WINDOW) <= window
+    assert set(_R7_CHANGED) <= window
 
 
 def test_quality_rules_fire_on_corrupted_rows(spark, monkeypatch):
