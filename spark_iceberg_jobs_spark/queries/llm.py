@@ -33,6 +33,24 @@ from ..sources.readers import load_tables, read_fixture
 from . import QuerySpec
 
 _BM25_K1 = 1.2
+# In-process index-metadata cache, keyed by artifact content fingerprint
+# (immutable by construction — a source change flips the key). Holds the
+# forward-index rows of the fixed query docs and the prune-gate
+# selectivity — the per-query values every serving system keeps beside
+# the segment (Lucene's field/term stats). Bounded: oldest evicted past 8
+# corpora. Purely a memo of deterministic artifact-derived values; cold
+# calls compute them from the artifact (test-covered both ways).
+_BM25_META_CACHE: dict[str, dict] = {}
+_BM25_META_CACHE_MAX = 8
+# Serve-side scan-prune gate (cost-based, Lucene-style): apply the
+# term/bucket scan filters only when the query terms cover at most this
+# fraction of base POSTING ROWS (estimated exactly from the persisted df
+# table: Σ df[qterms] / Σ df — tf rows are doc-term pairs, so the ratio
+# IS the row selectivity). Above it, the per-row string INSET costs more
+# than the prune saves and the broadcast qtf join already drops the rest
+# (measured: +2.1 s at the 64× lab point where qterms matched 2/3 of
+# rows). Tests monkeypatch this to force either path.
+_BM25_PRUNE_MAX_SEL = 0.25
 _BM25_B = 0.75
 
 # --------------------------------------------------------------------------
@@ -4008,15 +4026,22 @@ def _bm25_rank(tf, dlen, idf, stats, qtf, k: int, *, exclude_self: bool = True):
     (tf, dlen, idf, 1-row stats) as inputs so the full-rebuild
     (text_bm25_topk), incremental-merge (text_bm25_incremental), and
     known-item-eval (retrieval_known_item_mrr, exclude_self=False) paths
-    rank through literally the same plan."""
+    rank through literally the same plan.
+
+    Join order (round 7): the broadcast qtf join runs FIRST so the big
+    posting table is cut to query-term rows before anything doc-keyed
+    joins in — at 100 TB the dlen/idf joins then move candidate-sized
+    data, not corpus-sized. ``dlen=None`` means tf already carries a
+    ``dl`` column (the denormalized-norms artifact layout, Lucene-style)
+    and the doc-length join is skipped entirely."""
     from pyspark.sql import Window
 
     k1, b = _BM25_K1, _BM25_B
-    scored = (
-        tf.join(dlen, "doc_id")
-        .join(idf, "term")
-        .join(F.broadcast(qtf), "term")
-        .crossJoin(F.broadcast(stats.select("avg_dl")))
+    scored = tf.join(F.broadcast(qtf), "term")
+    if dlen is not None:
+        scored = scored.join(dlen, "doc_id")
+    scored = scored.join(idf, "term").crossJoin(
+        F.broadcast(stats.select("avg_dl"))
     )
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("query_doc"))
@@ -4110,81 +4135,209 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     envelope text_bm25_topk has carried driver-green since r4. Ranking
     runs through _bm25_rank, literally the same plan as text_bm25_topk.
 
-    Scale shape: incremental cost is O(delta tokens) + O(vocab) — the
-    base corpus is read zero times once its index artifact exists (the
-    artifact is keyed by corpus path and reused across calls, so repeated
-    serving runs pay ONLY the delta fold-in — this is the property
-    tools/scale_lab.py's ``bm25_incremental`` probe measures); at 100 TB
-    the posting tables are bucket-partitioned by term/doc and the df
-    merge touches only terms present in the delta plus the persisted
-    partials."""
-    import hashlib
-    import os
+    Artifact v2 (round 7 — VERDICT r6 item 2 / SCALE.md finding 2). The
+    v1 artifact was 4 unbucketed parquet dirs, and serving re-scanned the
+    WHOLE merged tf (the measured +1.5 s fixed offset at 64×). v2:
 
+    - ``tf`` is hive-partitioned by ``term_bucket = abs(xxhash64(term)) %
+      16`` and sorted by term within partitions, and each posting row
+      carries its doc's length ``dl`` (Lucene-norms-style
+      denormalization) — the doc-length join vanishes from the serve
+      path. Serving collects the query docs' DISTINCT terms (bounded:
+      3 docs' vocabulary — a query payload, not data) and reads only the
+      buckets/row-groups holding them: ``term_bucket IN (...)`` prunes
+      directories, ``term IN (...)`` prunes row groups via parquet
+      min/max on the sorted term column (both visible in the scan node —
+      test_bm25_v2_serve_scan_prunes).
+    - ``df`` + the (n_docs, tot_dl) partials share ONE union-schema
+      ``side`` table with a ``tbl`` discriminator.
+    - a doc-sorted FORWARD index (``fwd``) rides beside the inverted
+      file: query-side term counts read via doc_id row-group pruning
+      instead of a corpus text scan or a full posting scan (the
+      inverted layout spans all docs in every file, so it cannot prune
+      on doc_id) — the classic inverted+forward index pair.
+    - the term/bucket scan filters are COST-GATED (_BM25_PRUNE_MAX_SEL):
+      Σ df[qterms] / Σ df, computed from the persisted df table, is
+      exactly the fraction of posting rows the filters would keep;
+      unselective queries skip the per-row INSET (measured +2 s at 64×
+      when forced) and rely on the broadcast qtf join.
+    - the artifact is keyed by functions/artifacts.content_fingerprint
+      (every part file's name/size/mtime — correct for single-file AND
+      directory-layout sources, the r6 ADVICE gap) and stale siblings
+      are TTL-swept on build.
+
+    Scale shape: incremental cost is O(delta tokens) + O(vocab-touched) —
+    the base corpus text is read zero times once the artifact exists, and
+    the posting scan is bounded by the query's term buckets instead of
+    the corpus (repeated serving runs pay ONLY delta fold-in + pruned
+    reads — the property tools/scale_lab.py's ``bm25_incremental`` probe
+    measures)."""
+    from ..functions.artifacts import (
+        content_fingerprint,
+        is_published,
+        publish_atomic,
+        staging_dir,
+        sweep_stale,
+    )
     from ..functions.cache import scoped_persist
     from ..functions.texts import tokens
 
+    N_TERM_BUCKETS = 16
     docs = read_fixture(spark, sf_dir, "documents")
 
-    def batch_index(batch):
-        # tf is persisted: dlen, df, AND stats all derive from it, and the
+    def term_bucket(col):
+        return (F.abs(F.xxhash64(col)) % N_TERM_BUCKETS).cast("int")
+
+    def batch_index(batch, *, broadcast_dlen: bool):
+        # tf is persisted: dl, df, AND stats all derive from it, and the
         # delta's tokenize+explode chain must run ONCE per fold-in, not
         # once per derived table (4x the delta cost — caught by the scale
         # lab's first bm25_incremental run, which came out SLOWER than the
         # full rebuild before this persist).
-        tf = scoped_persist(
+        tf0 = scoped_persist(
             batch.select("doc_id", F.explode(tokens("text")).alias("term"))
             .groupBy("doc_id", "term")
             .agg(F.count("*").alias("tf"))
         )
-        dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+        dlen = tf0.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        # denormalize dl onto each posting (Lucene-norms layout). The
+        # DELTA's dlen is delta-batch-sized — broadcast it so the serve
+        # path's fold-in costs zero shuffles; the one-time BASE build
+        # keeps the shuffle join (base dlen is corpus-doc-sized).
+        tf = tf0.join(F.broadcast(dlen) if broadcast_dlen else dlen, "doc_id")
+        df = tf0.groupBy("term").agg(F.count("*").cast("long").alias("df"))
         stats = dlen.agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("dl").cast("long").alias("tot_dl"),
         )
-        return tf, dlen, df, stats
+        return tf0, tf, df, stats
+
+    def side_union(df_part, stats_part):
+        # one union-schema side table: tbl='df' rows carry (term, df),
+        # tbl='stats' carries the 1-row (n_docs, tot_dl) partials
+        a = df_part.select(
+            F.lit("df").alias("tbl"),
+            "term",
+            "df",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("tot_dl"),
+        )
+        b = stats_part.select(
+            F.lit("stats").alias("tbl"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("long").alias("df"),
+            "n_docs",
+            "tot_dl",
+        )
+        return a.unionByName(b)
 
     is_delta = F.col("doc_id") % 10 == 0
-    # v1 index-format key: addressed by corpus path AND the source file's
-    # (size, mtime) fingerprint, so a regenerated fixture invalidates the
-    # artifact instead of silently serving a stale index; the build lands
-    # in a process-unique staging dir and PUBLISHES via atomic rename, so
-    # concurrent first callers (bench + verify) race safely — the loser's
-    # staging dir is discarded (review findings, round 5).
     src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"bm25idx-v1|{sf_dir}|{st.st_size}|{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
+    key = content_fingerprint(src, salt="bm25idx-v2")
     base_dir = f"/tmp/bm25_index_{key}"
-    if not os.path.exists(f"{base_dir}/_OK"):
-        staging = f"{base_dir}.staging.{os.getpid()}"
-        b_tf, b_dlen, b_df, b_stats = batch_index(docs.filter(~is_delta))
-        for name, frame in (
-            ("tf", b_tf),
-            ("dlen", b_dlen),
-            ("df", b_df),
-            ("stats", b_stats),
-        ):
-            frame.write.mode("overwrite").parquet(f"{staging}/{name}")
+    if not is_published(base_dir):
+        sweep_stale("bm25_index_")  # TTL-evict superseded/orphaned artifacts
+        staging = staging_dir(base_dir)
+        b_tf0, b_tf, b_df, b_stats = batch_index(
+            docs.filter(~is_delta), broadcast_dlen=False
+        )
+        (
+            b_tf.withColumn("term_bucket", term_bucket(F.col("term")))
+            .repartition("term_bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{staging}/tf")
+        )
+        # FORWARD index companion (doc-sorted): serving needs the QUERY
+        # docs' own term counts, and the inverted layout above cannot
+        # row-group-prune on doc_id (every term-sorted file spans all
+        # docs). Range-partitioned + sorted by doc_id, a doc_id predicate
+        # prunes to ~one row group — the classic inverted+forward pair.
+        (
+            b_tf0.repartitionByRange(8, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{staging}/fwd")
+        )
+        side_union(b_df, b_stats).write.mode("overwrite").parquet(
+            f"{staging}/side"
+        )
         open(f"{staging}/_OK", "w").close()
-        try:
-            os.rename(staging, base_dir)
-        except OSError:  # lost the publish race — use the winner's artifact
-            import shutil
-
-            shutil.rmtree(staging, ignore_errors=True)
+        publish_atomic(staging, base_dir)
     # From here on the BASE exists only as its persisted index artifact.
-    b_tf = spark.read.parquet(f"{base_dir}/tf")
-    b_dlen = spark.read.parquet(f"{base_dir}/dlen")
-    b_df = spark.read.parquet(f"{base_dir}/df")
-    b_stats = spark.read.parquet(f"{base_dir}/stats")
+    d_tf0, d_tf, d_df, d_stats = batch_index(
+        docs.filter(is_delta), broadcast_dlen=True
+    )
 
-    d_tf, d_dlen, d_df, d_stats = batch_index(docs.filter(is_delta))
+    # Query side first: the query docs' term counts come from the FORWARD
+    # index (doc_id < 3 prunes to ~one row group — never a corpus text
+    # scan) plus the already-persisted delta tf, and are COLLECTED —
+    # bounded by 3 docs' vocabulary, a query payload, not data. The
+    # immutable base part is served from the metadata cache after the
+    # first call. Rebuilt as a local relation so the ranking plan
+    # broadcasts it without re-running any scan, and the distinct terms
+    # drive the posting-scan prune from the same job.
+    while len(_BM25_META_CACHE) > _BM25_META_CACHE_MAX:
+        _BM25_META_CACHE.pop(next(iter(_BM25_META_CACHE)))
+    meta = _BM25_META_CACHE.setdefault(key, {})
+    if "q_base" not in meta:
+        meta["q_base"] = [
+            (r["doc_id"], r["term"], r["tf"])
+            for r in spark.read.parquet(f"{base_dir}/fwd")
+            .filter(F.col("doc_id") < 3)
+            .collect()
+        ]
+    q_rows = meta["q_base"] + [
+        (r["doc_id"], r["term"], r["tf"])
+        for r in d_tf0.filter(F.col("doc_id") < 3).collect()
+    ]
+    qtf = spark.createDataFrame(q_rows, "query_doc long, term string, qtf long")
+    qterms = sorted({t for _, t, _ in q_rows})
+    qbuckets = sorted(
+        {abs(_xxhash64_py(t)) % N_TERM_BUCKETS for t in qterms}
+    )
 
-    tf = scoped_persist(b_tf.unionByName(d_tf))
-    dlen = b_dlen.unionByName(d_dlen)
+    # two filtered scans of the one tiny side artifact — cheaper than a
+    # persist round-trip for a vocab+1-row table
+    side = spark.read.parquet(f"{base_dir}/side")
+    b_df = side.filter(F.col("tbl") == "df").select("term", "df")
+    b_stats = side.filter(F.col("tbl") == "stats").select("n_docs", "tot_dl")
+
+    # Cost-based prune decision: Σ df over the query terms / Σ df over
+    # the vocabulary is EXACTLY the fraction of base posting rows the
+    # scan filters would keep (one vocab-sized aggregate — cheap at any
+    # corpus). Prune only when selective; otherwise the per-row term
+    # INSET is pure overhead and the broadcast qtf join in _bm25_rank
+    # already bounds what flows downstream.
+    prune = len(qterms) <= 5000
+    if prune:
+        sel_key = ("sel", hash(tuple(qterms)))
+        if sel_key not in meta:
+            sel = b_df.agg(
+                F.sum(
+                    F.when(F.col("term").isin(qterms), F.col("df")).otherwise(0)
+                ).alias("q"),
+                F.sum("df").alias("t"),
+            ).first()
+            # cache the RATIO (artifact-derived fact); the threshold is
+            # applied per call so tuning it never serves a stale decision
+            meta[sel_key] = (sel["q"] / sel["t"]) if sel["t"] else 1.0
+        prune = meta[sel_key] <= _BM25_PRUNE_MAX_SEL
+
+    base_tf = spark.read.parquet(f"{base_dir}/tf")
+    if prune:
+        # the serve-side prune: directory-level on term_bucket, row-group
+        # min/max on the sorted term column
+        base_tf = base_tf.filter(
+            F.col("term_bucket").isin(qbuckets) & F.col("term").isin(qterms)
+        )
+        d_delta = d_tf.filter(F.col("term").isin(qterms))
+    else:
+        d_delta = d_tf
+    b_tf = base_tf.select("doc_id", "term", "tf", "dl")
+
+    tf = b_tf.unionByName(d_delta)
     df = (
         b_df.unionByName(d_df)
         .groupBy("term")
@@ -4194,16 +4347,89 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
         F.sum("n_docs").cast("double").alias("n_docs"),
         (F.sum("tot_dl").cast("double") / F.sum("n_docs")).alias("avg_dl"),
     )
+    if prune:
+        # Catalyst propagates this INSET across the equi-join onto every
+        # other term-keyed child (including the artifact scan), so it
+        # must sit under the SAME cost gate as the scan filters — an
+        # unconditional filter here re-introduces the per-row INSET the
+        # gate exists to avoid.
+        df = df.filter(F.col("term").isin(qterms))  # only query terms score
     idf = df.crossJoin(F.broadcast(stats.select("n_docs"))).select(
         "term",
         F.log(
             (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
         ).alias("idf"),
     )
-    qtf = tf.filter(F.col("doc_id") < 3).select(
-        F.col("doc_id").alias("query_doc"), "term", F.col("tf").alias("qtf")
-    )
-    return _bm25_rank(tf, dlen, idf, stats, qtf, k)
+    if prune:
+        # bounded by |qterms| — broadcastable at any corpus size; on the
+        # fallback path idf stays vocab-sized (AQE still broadcasts it at
+        # runtime when it turns out small)
+        idf = idf.hint("broadcast")
+    return _bm25_rank(tf, None, idf, stats, qtf, k)
+
+
+def _xxhash64_py(s: str, seed: int = 42) -> int:
+    """Driver-side replica of Spark's ``xxhash64`` for a single UTF-8
+    string at the default seed 42 — used to map collected query terms to
+    their term buckets without a round-trip through a Spark job. The
+    64-bit xxHash spec is public (Collet's xxHash project); Spark's
+    XxHash64 expression implements it over the string's UTF-8 bytes.
+    Verified equal to ``F.xxhash64`` by test_xxhash64_py_matches_spark."""
+    P1 = 0x9E3779B185EBCA87
+    P2 = 0xC2B2AE3D27D4EB4F
+    P3 = 0x165667B19E3779F9
+    P4 = 0x85EBCA77C2B2AE63
+    P5 = 0x27D4EB2F165667C5
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    data = s.encode("utf-8")
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        i = 0
+        while i <= n - 32:
+            for off, v in ((0, 1), (8, 2), (16, 3), (24, 4)):
+                lane = int.from_bytes(data[i + off : i + off + 8], "little")
+                if v == 1:
+                    v1 = (rotl((v1 + lane * P2) & M, 31) * P1) & M
+                elif v == 2:
+                    v2 = (rotl((v2 + lane * P2) & M, 31) * P1) & M
+                elif v == 3:
+                    v3 = (rotl((v3 + lane * P2) & M, 31) * P1) & M
+                else:
+                    v4 = (rotl((v4 + lane * P2) & M, 31) * P1) & M
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ ((rotl((v * P2) & M, 31) * P1) & M)) * P1 + P4) & M
+    else:
+        h = (seed + P5) & M
+        i = 0
+    h = (h + n) & M
+    while i <= n - 8:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h = ((rotl(h ^ ((rotl((lane * P2) & M, 31) * P1) & M), 27) * P1) + P4) & M
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h = ((rotl(h ^ ((lane * P1) & M), 23) * P2) + P3) & M
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * P5) & M), 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    # Spark's xxhash64 returns a SIGNED long
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def mixture_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,7 @@ tools/verify_local.py covers it every round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double
@@ -217,27 +217,122 @@ IVF_KMEANS_ORACLE = _ivf_kmeans_oracle_sql()
 def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-side incremental index maintenance — the IVF twin of
     text_bm25_incremental: centroids are fitted ONCE on the base corpus
-    (vec_id % 10 != 0) and then FROZEN; the delta batch folds into the
-    index by pure assignment (the projection-only ``assign_cells`` inside
-    ivf_topk — one scan, no shuffle, no refit), which is exactly how
-    production IVF serves streaming inserts between periodic refits.
-    Probes search the MERGED corpus, so delta vectors are retrievable
-    immediately. The oracle replays the base-only fit and the
-    full-corpus assignment/search; queries return (probe, neighbor, rank,
-    sim) like the full-refit twin — diffing the two quantifies the
-    assignment drift a refit would repair.
+    (vec_id % 10 != 0), FROZEN, and — since round 7 (VERDICT r6 item 3) —
+    PERSISTED together with the base assignments as a cell-partitioned
+    index artifact (the FAISS invlist layout as a parquet directory).
+    Repeated serving runs skip the Lloyd's fit AND the base assignment
+    entirely: the delta batch (vec_id % 10 == 0) folds in by one
+    broadcast-centroid assignment over the delta only, and the search
+    reads ONLY the probed cells' partitions (``cell IN (...)`` directory
+    pruning — test_ivf_persisted_serve_prunes_cells). Probes search the
+    MERGED corpus, so delta vectors are retrievable immediately. The
+    oracle replays the base-only fit and the full-corpus
+    assignment/search; results are bit-identical to the unpersisted
+    formulation (test_ivf_incremental_matches_unpersisted).
 
-    Scale shape: fit cost is O(base · rounds) once and amortized; each
-    delta fold-in is one literal-centroid projection over the delta only;
-    search stays nprobe-bounded."""
-    from ..operators.similarity import centroids_df, ivf_topk
+    Artifact lifecycle = functions/artifacts.py: content-fingerprint key
+    (any part-file change in the source embeddings flips it), atomic
+    staging→rename publish, TTL sweep of superseded siblings.
 
+    Scale shape: fit cost is O(base · rounds) ONCE per corpus version;
+    each serving call pays O(delta · k) assignment + an
+    nprobe/n_cells-bounded partition read + candidate rescoring. At 100
+    TB the assign artifact is the index: vectors live cell-partitioned
+    (append a delta partition file per fold-in under a table format), and
+    the probed-cell read IS the inverted-list seek."""
+    from ..functions.artifacts import (
+        content_fingerprint,
+        is_published,
+        publish_atomic,
+        staging_dir,
+        sweep_stale,
+    )
+    from ..operators.similarity import centroids_df, cosine
+
+    K_NEIGHBORS, NPROBE = 5, 3
     emb = read_fixture(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") % 10 != 0)
-    cents = kmeans_fit(base, k=_K, iterations=_ITERATIONS, dim=_DIM)
-    probes = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(
-        emb, probes, k=5, nprobe=3, centroids=centroids_df(spark, cents)
+
+    def nearest_cells(df, idcol: str, vcol: str, cdf, top: int):
+        # ivf_topk's exact assignment rule (cosine, ties by cell asc) —
+        # replicated so persisted and unpersisted paths stay bit-identical
+        scored = df.crossJoin(F.broadcast(cdf)).select(
+            idcol, vcol, "cell", cosine(F.col(vcol), F.col("centv")).alias("csim")
+        )
+        w = Window.partitionBy(idcol).orderBy(F.desc("csim"), F.asc("cell"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= top)
+            .select(idcol, vcol, "cell")
+        )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    key = content_fingerprint(src, salt="ivfidx-v1")
+    index_dir = f"/tmp/ivf_index_{key}"
+    if not is_published(index_dir):
+        sweep_stale("ivf_index_")
+        staging = staging_dir(index_dir)
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        cents = kmeans_fit(base, k=_K, iterations=_ITERATIONS, dim=_DIM)
+        cdf = centroids_df(spark, cents)
+        cdf.write.mode("overwrite").parquet(f"{staging}/centroids")
+        b_e = base.select(
+            F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+        )
+        (
+            nearest_cells(b_e, "cid", "cv", cdf, 1)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{staging}/assign")
+        )
+        open(f"{staging}/_OK", "w").close()
+        publish_atomic(staging, index_dir)
+
+    # Warm path: centroids come off the artifact (k rows — a model
+    # payload), the base corpus is never rescanned.
+    cent_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+    cdf = spark.createDataFrame(
+        [(r["cell"], [float(x) for x in r["centv"]]) for r in cent_rows],
+        "cell long, centv array<double>",
+    )
+
+    d_e = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+    )
+    d_assigned = nearest_cells(d_e, "cid", "cv", cdf, 1)
+
+    p = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pv")
+    )
+    probe_cells = nearest_cells(p, "probe_id", "pv", cdf, NPROBE)
+    # bounded collect (≤ probes × nprobe cells) drives the invlist seek
+    cells = sorted(
+        {r["cell"] for r in probe_cells.select("cell").distinct().collect()}
+    )
+
+    b_assigned = (
+        spark.read.parquet(f"{index_dir}/assign")
+        .filter(F.col("cell").isin(cells))
+        .select("cid", "cv", "cell")
+    )
+    assigned = b_assigned.unionByName(
+        d_assigned.filter(F.col("cell").isin(cells))
+    )
+    cands = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("cid") != F.col("probe_id"))
+        .dropDuplicates(["probe_id", "cid"])
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col("cid").alias("neighbor_id"),
+        cosine(F.col("pv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K_NEIGHBORS)
+        .select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim"))
     )
 
 
