@@ -80,9 +80,14 @@ def test_driver_window_r7_policy():
         with open(f) as fh:
             for k in json.load(fh):
                 last_scored[k] = max(last_scored.get(k, 0), rnd)
-    # Invariant 1 (monotone): the completed rotation covers the registry.
+    # Invariant 1 (monotone): the completed rotation covers the registry;
+    # entries added AFTER the rotation must ride the current window so
+    # they get their first verdict this round.
     uncovered = set(REG) - set(last_scored)
-    assert not uncovered, f"never-driver-scored entries: {sorted(uncovered)}"
+    assert uncovered <= set(window), (
+        f"never-driver-scored entries outside the window: "
+        f"{sorted(uncovered - set(window))}"
+    )
     # Invariant 2: every stale-refresh slot really is stale — last scored
     # in r1 or r2 against the frozen baseline (the 35 r1 entries + the
     # alphabetically-first 6 of the r2 entries).

@@ -138,6 +138,45 @@ def build_tpch(spark, scale: int) -> str:
     return out
 
 
+def build_events(spark, scale: int) -> str:
+    """Replicate the sf0.1 events x{scale} with user_ids remapped per
+    replica — the user population grows, per-user session structure is
+    preserved, and every replica lands in the SAME 30-day window, so the
+    hot hours stay hot and deepen x{scale}: exactly the bucket-fanout x
+    hot-hour-skew interaction the interval-overlap probe measures
+    (VERDICT r6 item 4). event_ids are remapped too (they tie-break the
+    sessionization window sort)."""
+    out = f"{LAB}/x{scale}"
+    if os.path.exists(f"{out}/_OK_EVENTS"):
+        return out
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_user = ev.agg(F.max("user_id")).first()[0] + 1
+    n_eid = ev.agg(F.max("event_id")).first()[0] + 1
+    reps = spark.range(scale).withColumnRenamed("id", "rep")
+    e = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("rep") * n_eid).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * n_user).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    e.repartition(max(1, scale)).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    open(f"{out}/_OK_EVENTS", "w").close()
+    return out
+
+
+def _interval_overlap_probe(s, d):
+    from spark_iceberg_jobs_spark.queries.events import (
+        events_session_incident_overlap,
+    )
+
+    build_events(s, int(os.path.basename(d)[1:]))
+    return events_session_incident_overlap(s, d)
+
+
 def probes():
     from spark_iceberg_jobs_spark.operators.dedup import (
         exact_dedup,
@@ -257,6 +296,12 @@ def probes():
         "rag_retrieval": lambda s, d: __import__(
             "spark_iceberg_jobs_spark.queries.llm", fromlist=["pipeline_rag_retrieval"]
         ).pipeline_rag_retrieval(s, d),
+        # interval-overlap join (round-6 rework): both sides explode into
+        # hour buckets, one equi join, first-shared-bucket dedup filter —
+        # replicas deepen the SAME hot hours, so per-bucket rows grow
+        # linearly on both sides and the join output grows linearly (the
+        # P90 hot-hour side stays bounded by 720 hours)
+        "interval_overlap": _interval_overlap_probe,
         # round-5 ops: PII sweep is one JVM-regex scan + |sources| agg —
         # expected cleanly linear in corpus bytes
         "pii_scan": lambda s, d: __import__(
