@@ -237,6 +237,15 @@ def probes():
         # round and the encode are single scans; serving joins the encoded
         # corpus against 10 broadcast probes — expected linear
         "ivfpq_serve": _ivfpq_probe,
+        # persisted-IVF serving (round 7): rep 1 fits + persists the
+        # cell-partitioned index, rep 2 (the min) pays only delta
+        # assignment + the probed-cells partition read — the warm slope
+        # should track the DELTA (10% of corpus) + candidate rescoring,
+        # not the base fit
+        "ivf_incremental": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.queries.ml",
+            fromlist=["sim_ivf_incremental_topk"],
+        ).sim_ivf_incremental_topk(s, d),
         # fixed k with the hot-cell cap: production scales k ~ n/const to
         # hold cell occupancy (and with it the n²/k pair work) constant;
         # here the cap is the guard against replica-clustered cells going
