@@ -52,24 +52,37 @@ def content_fingerprint(*paths: str, salt: str = "") -> str:
     for path in paths:
         if os.path.isfile(path):
             st = os.stat(path)
-            entries.append(f"{os.path.basename(path)}|{st.st_size}|{int(st.st_mtime)}")
+            # mtime at ns resolution: a same-size in-place rewrite within
+            # one second must still flip the key (review finding, r7)
+            entries.append(
+                f"{os.path.basename(path)}|{st.st_size}|{st.st_mtime_ns}"
+            )
         else:
             for root, _dirs, files in os.walk(path):
                 for name in files:
                     full = os.path.join(root, name)
                     st = os.stat(full)
                     rel = os.path.relpath(full, path)
-                    entries.append(f"{rel}|{st.st_size}|{int(st.st_mtime)}")
+                    entries.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
     entries.sort()
     payload = salt + "||" + "\n".join(entries) + "||" + "|".join(sorted(paths))
     return hashlib.md5(payload.encode()).hexdigest()[:12]
 
 
-def sweep_stale(prefix: str, *, ttl_hours: float = DEFAULT_TTL_HOURS) -> int:
+def sweep_stale(
+    prefix: str,
+    *,
+    ttl_hours: float = DEFAULT_TTL_HOURS,
+    keep: set[str] | None = None,
+) -> int:
     """Remove artifact dirs ``{ARTIFACT_ROOT}/{prefix}*`` older than the
     TTL, and any orphaned staging dirs regardless of age when their
-    owning pid is gone. Returns the number of dirs removed. Errors are
-    swallowed per-dir (a concurrent sweep may win the race)."""
+    owning pid is gone. ``keep`` names dirs that must survive regardless
+    of age — callers pass the key(s) currently derivable from live
+    sources, so an old-but-still-current artifact is never evicted out
+    from under a serving path (review finding, r7). Returns the number
+    of dirs removed. Errors are swallowed per-dir (a concurrent sweep
+    may win the race)."""
     removed = 0
     now = time.time()
     try:
@@ -77,7 +90,7 @@ def sweep_stale(prefix: str, *, ttl_hours: float = DEFAULT_TTL_HOURS) -> int:
     except OSError:
         return 0
     for name in names:
-        if not name.startswith(prefix):
+        if not name.startswith(prefix) or name in (keep or ()):
             continue
         full = os.path.join(ARTIFACT_ROOT, name)
         try:
@@ -103,12 +116,33 @@ def staging_dir(final_dir: str) -> str:
 
 
 def publish_atomic(staging: str, final_dir: str) -> None:
-    """Atomically publish ``staging`` as ``final_dir``; if another
-    process already published, keep the winner and discard ours."""
+    """Atomically publish ``staging`` as ``final_dir``. Three outcomes:
+
+    - rename succeeds: we published.
+    - rename fails AND ``final_dir`` is published (has ``_OK``): another
+      process won the race — discard our staging, use the winner's.
+    - rename fails and ``final_dir`` is NOT published: a corpse (e.g. an
+      interrupted sweep deleted ``_OK`` but not the dir) is wedging the
+      key — remove it and retry once; re-raise if the retry fails, since
+      silently reading a half-deleted artifact would serve wrong results
+      (review finding, r7).
+    """
+    try:
+        os.rename(staging, final_dir)
+        return
+    except OSError:
+        if is_published(final_dir):
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+    shutil.rmtree(final_dir, ignore_errors=True)
     try:
         os.rename(staging, final_dir)
     except OSError:
+        if is_published(final_dir):  # lost a second race — fine
+            shutil.rmtree(staging, ignore_errors=True)
+            return
         shutil.rmtree(staging, ignore_errors=True)
+        raise
 
 
 def is_published(final_dir: str) -> bool:

@@ -268,24 +268,35 @@ def ivf_topk(
             .limit(n_cells)
             .select(F.col("cid").alias("cell"), F.col("cv").alias("centv"))
         )
-    else:
-        centroids = centroids.select("cell", "centv")
-
-    def nearest_cells(df: DataFrame, vcol: str, idcol: str, top: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            idcol, vcol, "cell", cosine(F.col(vcol), F.col("centv")).alias("csim")
-        )
-        w = Window.partitionBy(idcol).orderBy(F.desc("csim"), F.asc("cell"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= top)
-            .select(idcol, vcol, "cell")
-        )
-
-    assigned = nearest_cells(e, "cv", "cid", 1)
+    assigned = ivf_nearest_cells(e, centroids, "cid", "cv", 1)
     p = probes.select(F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv"))
-    probe_cells = nearest_cells(p, "pv", "probe_id", nprobe)
+    probe_cells = ivf_nearest_cells(p, centroids, "probe_id", "pv", nprobe)
+    return ivf_search(assigned, probe_cells, k=k)
 
+
+def ivf_nearest_cells(
+    df: DataFrame, centroids: DataFrame, idcol: str, vcol: str, top: int
+) -> DataFrame:
+    """The IVF assignment rule — nearest ``top`` centroids by cosine,
+    ties broken by cell asc — shared by ``ivf_topk`` and the
+    persisted-index serving path (queries/ml.sim_ivf_incremental_topk) so
+    their bit-equality contract has exactly one implementation."""
+    scored = df.crossJoin(F.broadcast(centroids.select("cell", "centv"))).select(
+        idcol, vcol, "cell", cosine(F.col(vcol), F.col("centv")).alias("csim")
+    )
+    w = Window.partitionBy(idcol).orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top)
+        .select(idcol, vcol, "cell")
+    )
+
+
+def ivf_search(assigned: DataFrame, probe_cells: DataFrame, *, k: int) -> DataFrame:
+    """The IVF search tail: co-celled candidates (broadcast probe side),
+    self-exclusion, exact-cosine rescoring, per-probe top-k with the
+    (sim desc, neighbor asc) tie-break. ``assigned`` carries (cid, cv,
+    cell); ``probe_cells`` carries (probe_id, pv, cell)."""
     cands = (
         assigned.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("cid") != F.col("probe_id"))

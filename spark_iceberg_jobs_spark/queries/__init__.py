@@ -150,70 +150,6 @@ _R7_STALE_REFRESH = [
     "sim_centroid_per_label",
 ]
 
-_R6_REGRESSION_KEEPS = [
-    "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
-    "flagship_revenue_topk",  # r1..r5 green; fast_money_sum finish changed r6
-    "q1_pricing_summary",  # r1+r5; widest money aggregate row
-    "q3_shipping_priority",  # r1; fast_money_sum finish changed r6
-    "q10_returned_items",  # r1; fast_money_sum finish changed r6
-    "q15_top_supplier",  # r3; fast_money_sum finish changed r6
-    "udaf_weighted_avg_price",  # r5; overflow-chunked reduction changed r6
-    # r5; kept because _bm25_rank consumers were regression-relevant. NOTE
-    # (VERDICT r6 item 2): the original comment here claimed the index
-    # artifact was "reworked r6" — it was NOT; that rework landed in r7.
-    "text_bm25_incremental",
-    "text_bm25_topk",  # r4; shares _bm25_rank with text_bm25_incremental
-    "q9_product_type_profit",  # r3+r4+r5; decimal profit representative
-    "dedup_minhash_lsh",  # r2 window representative (dedup tier)
-    "retrieval_mmr_rerank",  # r5; dense serving-tier representative
-]
-
-_R6_NEW_WINDOW = [
-    # round-5 additions, never driver-scored
-    "mixture_token_budget_epochs",
-    "curriculum_quality_phases",
-    "retrieval_known_item_mrr",
-    "pii_detect_redact",
-    "drift_js_tokens",
-    "dedup_minhash_quality",
-    "dataset_shard_balance",
-    "text_tokenizer_fertility",
-    "quality_repetition_topgram",
-    "sim_ivf_incremental_topk",
-    "events_session_incident_overlap",
-    "streaming_static_enrichment",
-    # r3/r4 multimodal tail
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "multimodal_image_entropy",
-    "multimodal_image_histogram",
-    # r3/r4 sampling / dataset-assembly tail
-    "sample_k_per_group",
-    "sample_weighted_reservoir",
-    "snapshot_diff_by_lang",
-    # r3/r4 events-monitoring tail
-    "events_activity_heatmap",
-    "events_changepoint_daily",
-    "events_ewma_daily",
-    "events_funnel_windowed",
-    "events_growth_accounting",
-    "events_pareto_concentration",
-    "events_props_variant",
-    "events_stickiness_dau_wau",
-    "events_top_paths",
-    "events_type_affinity",
-    "streaming_purchase_click_join",
-    "streaming_trending_types",
-    # r3/r4 text / quality / drift / alignment tail
-    "align_mutual_nearest",
-    "cluster_topic_labels",
-    "drift_psi_length",
-    "quality_outliers_mad",
-    "text_bpe_compression",
-    "text_chunk_overlap",
-    "text_diversity_distinct_n",
-]
-
 
 def _merged() -> dict[str, QuerySpec]:
     from . import core, events, llm, ml, tpch_tail  # local import to avoid cycles

@@ -4172,6 +4172,8 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     the corpus (repeated serving runs pay ONLY delta fold-in + pruned
     reads — the property tools/scale_lab.py's ``bm25_incremental`` probe
     measures)."""
+    import os
+
     from ..functions.artifacts import (
         content_fingerprint,
         is_published,
@@ -4236,7 +4238,9 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     key = content_fingerprint(src, salt="bm25idx-v2")
     base_dir = f"/tmp/bm25_index_{key}"
     if not is_published(base_dir):
-        sweep_stale("bm25_index_")  # TTL-evict superseded/orphaned artifacts
+        # TTL-evict superseded/orphaned artifacts; the CURRENT key is
+        # kept regardless of age (it is still derivable from the source)
+        sweep_stale("bm25_index_", keep={os.path.basename(base_dir)})
         staging = staging_dir(base_dir)
         b_tf0, b_tf, b_df, b_stats = batch_index(
             docs.filter(~is_delta), broadcast_dlen=False

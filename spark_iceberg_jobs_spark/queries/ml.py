@@ -15,7 +15,7 @@ tools/verify_local.py covers it every round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double
@@ -247,29 +247,18 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         staging_dir,
         sweep_stale,
     )
-    from ..operators.similarity import centroids_df, cosine
+    from ..operators.similarity import centroids_df, ivf_nearest_cells, ivf_search
 
     K_NEIGHBORS, NPROBE = 5, 3
     emb = read_fixture(spark, sf_dir, "embeddings")
-
-    def nearest_cells(df, idcol: str, vcol: str, cdf, top: int):
-        # ivf_topk's exact assignment rule (cosine, ties by cell asc) —
-        # replicated so persisted and unpersisted paths stay bit-identical
-        scored = df.crossJoin(F.broadcast(cdf)).select(
-            idcol, vcol, "cell", cosine(F.col(vcol), F.col("centv")).alias("csim")
-        )
-        w = Window.partitionBy(idcol).orderBy(F.desc("csim"), F.asc("cell"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= top)
-            .select(idcol, vcol, "cell")
-        )
 
     src = f"{sf_dir}/embeddings.parquet"
     key = content_fingerprint(src, salt="ivfidx-v1")
     index_dir = f"/tmp/ivf_index_{key}"
     if not is_published(index_dir):
-        sweep_stale("ivf_index_")
+        import os
+
+        sweep_stale("ivf_index_", keep={os.path.basename(index_dir)})
         staging = staging_dir(index_dir)
         base = emb.filter(F.col("vec_id") % 10 != 0)
         cents = kmeans_fit(base, k=_K, iterations=_ITERATIONS, dim=_DIM)
@@ -279,7 +268,7 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
         )
         (
-            nearest_cells(b_e, "cid", "cv", cdf, 1)
+            ivf_nearest_cells(b_e, cdf, "cid", "cv", 1)
             .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
@@ -299,12 +288,12 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_e = emb.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
     )
-    d_assigned = nearest_cells(d_e, "cid", "cv", cdf, 1)
+    d_assigned = ivf_nearest_cells(d_e, cdf, "cid", "cv", 1)
 
     p = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pv")
     )
-    probe_cells = nearest_cells(p, "probe_id", "pv", cdf, NPROBE)
+    probe_cells = ivf_nearest_cells(p, cdf, "probe_id", "pv", NPROBE)
     # bounded collect (≤ probes × nprobe cells) drives the invlist seek
     cells = sorted(
         {r["cell"] for r in probe_cells.select("cell").distinct().collect()}
@@ -318,22 +307,7 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = b_assigned.unionByName(
         d_assigned.filter(F.col("cell").isin(cells))
     )
-    cands = (
-        assigned.join(F.broadcast(probe_cells), "cell")
-        .filter(F.col("cid") != F.col("probe_id"))
-        .dropDuplicates(["probe_id", "cid"])
-    )
-    scored = cands.select(
-        "probe_id",
-        F.col("cid").alias("neighbor_id"),
-        cosine(F.col("pv"), F.col("cv")).alias("sim"),
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= K_NEIGHBORS)
-        .select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim"))
-    )
+    return ivf_search(assigned, probe_cells, k=K_NEIGHBORS)
 
 
 IVF_INCREMENTAL_ORACLE = _ivf_kmeans_oracle_sql(

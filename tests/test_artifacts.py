@@ -71,3 +71,47 @@ def test_publish_atomic_loser_discards(tmp_path):
     artifacts.publish_atomic(str(s2), str(final))  # loser
     assert artifacts.is_published(str(final))
     assert not s2.exists()
+
+
+def test_publish_atomic_recovers_wedged_unpublished_dir(tmp_path):
+    """Review finding (r7): a half-deleted final dir without _OK must not
+    wedge the key forever — publish removes the corpse and retries."""
+    final = tmp_path / "idx"
+    final.mkdir()
+    (final / "leftover-part.parquet").write_bytes(b"x")  # corpse, no _OK
+    s = tmp_path / "idx.staging.1"
+    s.mkdir()
+    (s / "_OK").touch()
+    (s / "data").write_bytes(b"y")
+    artifacts.publish_atomic(str(s), str(final))
+    assert artifacts.is_published(str(final))
+    assert (final / "data").exists()
+    assert not (final / "leftover-part.parquet").exists()
+
+
+def test_sweep_spares_kept_keys(monkeypatch, tmp_path):
+    """Review finding (r7): the CURRENT fingerprint's artifact survives
+    the TTL sweep even when old by mtime."""
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path))
+    cur = tmp_path / "kidx_current"
+    cur.mkdir()
+    old_ts = time.time() - 48 * 3600
+    os.utime(cur, (old_ts, old_ts))
+    stale = tmp_path / "kidx_stale"
+    stale.mkdir()
+    os.utime(stale, (old_ts, old_ts))
+    removed = artifacts.sweep_stale("kidx_", ttl_hours=12, keep={"kidx_current"})
+    assert removed == 1
+    assert cur.exists() and not stale.exists()
+
+
+def test_fingerprint_subsecond_rewrite_flips_key(tmp_path):
+    """Review finding (r7): ns-resolution mtimes — a same-size rewrite
+    within one second must change the key."""
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"abcd")
+    os.utime(f, ns=(1_000_000_000_000_000_000, 1_700_000_000_123_000_000))
+    k1 = artifacts.content_fingerprint(str(f))
+    os.utime(f, ns=(1_000_000_000_000_000_000, 1_700_000_000_456_000_000))
+    k2 = artifacts.content_fingerprint(str(f))
+    assert k1 != k2

@@ -102,16 +102,17 @@ def test_salted_exact_sum_equals_decimal_sum(spark):
         }, f"salt_buckets={buckets}"
 
 
-def test_fast_money_sum_rejects_grid_past_decimal_scale():
+def test_fast_money_sum_rejects_grid_past_decimal_scale(spark):
     """Round-6 ADVICE: the decimal finish's single-rounding proof only
     holds while the scale-6 quotient out-resolves the grid. grid ≥ 7 must
-    refuse loudly instead of silently double-rounding."""
+    refuse loudly instead of silently double-rounding. (Column
+    construction needs an active SparkContext, hence the fixture —
+    review finding, r7.)"""
     from pyspark.sql import functions as F
 
     from spark_iceberg_jobs_spark.functions.money import fast_money_sum
 
     with pytest.raises(ValueError, match="double-round"):
         fast_money_sum(F.col("x"), grid=7)
-    # the supported grids still build a Column without touching a session
-    for grid in (0, 2, 4, 6):
+    for grid in (0, 2, 4, 6):  # the supported grids still build a Column
         fast_money_sum(F.col("x"), grid=grid)

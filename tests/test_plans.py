@@ -657,14 +657,12 @@ def test_bm25_v2_serve_scan_prunes(spark, monkeypatch):
     scans = [ln for ln in plan.splitlines() if "bm25_index_" in ln and "FileScan" in ln]
     assert scans, "serve plan must read the persisted posting artifact"
     tf_scan = next(ln for ln in scans if "/tf" in ln)
-    assert "PartitionFilters: [term_bucket" in tf_scan.replace("#", "").replace(
-        "term_bucket", "term_bucket"
-    ) or "term_bucket" in tf_scan.split("PartitionFilters:")[1].split("]")[0], (
-        "term_bucket directory prune missing from the tf scan"
-    )
-    assert "In(term" in tf_scan.split("PushedFilters:")[1], (
-        "term IN row-group prune missing from the tf scan"
-    )
+    assert "PartitionFilters:" in tf_scan and "term_bucket" in tf_scan.split(
+        "PartitionFilters:", 1
+    )[1].split("]", 1)[0], f"term_bucket directory prune missing: {tf_scan}"
+    assert "PushedFilters:" in tf_scan and "In(term" in tf_scan.split(
+        "PushedFilters:", 1
+    )[1], f"term IN row-group prune missing: {tf_scan}"
     # denormalized norms: no scan of a dlen artifact, and dl is read from tf
     assert not any("/dlen" in ln for ln in scans)
     assert "dl:bigint" in tf_scan

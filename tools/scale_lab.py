@@ -416,9 +416,12 @@ def main() -> int:
     spark = get_spark("scale-lab")
     selected = [n for n in probes() if not only or n in only]
     # the documents/embeddings replica build is the lab's most expensive
-    # step — skip it when every selected probe is a TPC-H one (those build
-    # their own tables lazily via build_tpch)
-    needs_corpus = any(not n.startswith("tpch_") for n in selected)
+    # step — skip it when every selected probe builds its own tables
+    # (tpch_* via build_tpch, interval_overlap via build_events)
+    self_building = ("interval_overlap",)
+    needs_corpus = any(
+        not n.startswith("tpch_") and n not in self_building for n in selected
+    )
     dirs = {s: (build(spark, s) if needs_corpus else f"{LAB}/x{s}") for s in scales}
     results = {}
     for name, fn in probes().items():
