@@ -78,6 +78,11 @@ class QuerySpec:
 #             only driver rows are pre-oracle r1 "no_oracle" — VERDICT r6
 #             item 5: this gives them their first driver HASH verdicts)
 #             plus the first 6 of the 17 r2-scored entries.
+#         (d) entries ADDED to the registry after the completed rotation
+#             (never driver-scored by construction) — they must ride the
+#             current window for their first verdict, displacing the
+#             newest stale tier first (this round: the 4-query lakehouse
+#             maintenance tier displaced 4 of the 6 r2-stale slots).
 #       Staleness is evaluated against the artifacts that existed at
 #       composition time (CORRECTNESS_r01..r06) so the test pinning this
 #       window cannot be invalidated by the round's own artifact — the
@@ -141,21 +146,30 @@ _R7_STALE_REFRESH = [
     "window_lag_order_gaps",
     "window_running_order_total",
     "window_top3_orders_per_customer",
-    # first 6 (alphabetical) of the 17 entries last scored in round 2
+    # first 2 (alphabetical) of the 17 entries last scored in round 2 —
+    # four r2 slots were displaced late in the round by _R7_NEW below
+    # (policy: entries added after the completed rotation must ride the
+    # current window for their first verdict, and the r1-stale set may
+    # not shrink, so the newest stale tier gives way)
     "dedup_embedding_cosine",
     "embedding_quantization_error",
-    "graph_pagerank_suppliers",
-    "multimodal_payload_features",
-    "pack_sequences_stats",
-    "sim_centroid_per_label",
+]
+
+_R7_NEW = [
+    # lakehouse table-maintenance tier, added this round (never
+    # driver-scored — must ride this window per Invariant 1)
+    "cdc_merge_latest",
+    "layout_zorder_lab",
+    "maintenance_compaction_bins",
+    "maintenance_partition_health",
 ]
 
 
 def _merged() -> dict[str, QuerySpec]:
-    from . import core, events, llm, ml, tpch_tail  # local import to avoid cycles
+    from . import core, events, llm, maintenance, ml, tpch_tail  # local import to avoid cycles
 
     pool: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events, ml, tpch_tail):
+    for mod in (core, llm, events, ml, tpch_tail, maintenance):
         # EXTRA_QUERIES: verified like QUERIES, but never head-eligible
         for queries in (mod.QUERIES, getattr(mod, "EXTRA_QUERIES", {})):
             dup = pool.keys() & queries.keys()
@@ -163,7 +177,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R7_PERMANENT_KEEPS + _R7_CHANGED + _R7_STALE_REFRESH
+    head = _R7_PERMANENT_KEEPS + _R7_CHANGED + _R7_STALE_REFRESH + _R7_NEW
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

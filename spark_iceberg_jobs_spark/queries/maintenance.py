@@ -1,0 +1,403 @@
+"""Lakehouse table-maintenance tier — the ops side of an Iceberg deployment.
+
+The reference repo's whole premise is Spark jobs maintaining Iceberg tables
+(README.md:1; job1-DDL_Load_Data_Spark_Iceberg.py:186-274 creates the
+partitioned/bucketed layouts this tier audits and plans against). The jobs a
+real 100 TB lakehouse runs *between* the analytics — small-file compaction
+planning, partition-health audits, sort-order (z-order) effectiveness
+checks, CDC changelog materialization — are Spark dataflow over table
+METADATA (file inventories, zone maps, changelogs), so they stay cheap at
+any data scale: every query here aggregates the fact table down to
+file/partition grain first and only then plans.
+
+All four queries are exact (integer arithmetic + bounded rounded doubles)
+and DuckDB-replayable; none uses an unpartitioned window (the compaction
+running sum is partitioned by the table partition, exactly like Iceberg's
+per-partition binpack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_fixture
+from . import QuerySpec
+
+#: Simulated physical layout constants. The fixtures carry no real file
+#: metadata, so a deterministic proxy stands in: each row contributes a
+#: fixed ROW_BYTES, one "file" per day (orders) / computed per month
+#: (lineitem). Production swaps the proxy for the table's real manifest
+#: columns (file_size_in_bytes, record_count) — the planning dataflow is
+#: unchanged.
+_ROW_BYTES = 128
+_COMPACT_TARGET = 64 * 1024  # compaction bin target (prod: 512 MB)
+_FILE_TARGET = 32 * 1024  # partition-health target file size (prod: 512 MB)
+
+
+# ---------------------------------------------------------------------------
+# maintenance_compaction_bins
+# ---------------------------------------------------------------------------
+
+
+def maintenance_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: greedy bin-packing of per-day order
+    files into target-size rewrite groups, WITHIN each table partition
+    (year) — the same shape as Iceberg's binpack rewrite, which never
+    merges files across partitions.
+
+    Bin rule: files ordered by day; a file joins bin ``cum_bytes_before
+    div target`` — the classic running-sum binpack where a bin may
+    overflow by at most one file.
+
+    Scale: the fact scan collapses to file grain (one row per day) in the
+    first aggregate; the running sum is a window PARTITIONED by year, so
+    even a million-file table shuffles only metadata rows and no partition
+    serializes the whole inventory through one task.
+    """
+    from pyspark.sql.window import Window
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    files = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("file_day"))
+        .agg((F.count("*") * _ROW_BYTES).alias("file_bytes"))
+        .withColumn("part_year", F.substring("file_day", 1, 4).cast("long"))
+    )
+    w = (
+        Window.partitionBy("part_year")
+        .orderBy("file_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("file_bytes").over(w), F.lit(0))
+    binned = files.withColumn(
+        "bin_id", F.floor(cum_before / _COMPACT_TARGET).cast("long")
+    )
+    return (
+        binned.groupBy("part_year", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("file_bytes").alias("total_bytes"),
+            F.min("file_day").alias("first_day"),
+            F.max("file_day").alias("last_day"),
+        )
+        .orderBy("part_year", "bin_id")
+    )
+
+
+COMPACTION_BINS_ORACLE = f"""
+WITH files AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS file_day,
+           CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS file_bytes,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS part_year
+    FROM orders
+    GROUP BY 1, 3
+), binned AS (
+    SELECT part_year, file_day, file_bytes,
+           CAST(COALESCE(SUM(file_bytes) OVER (
+               PARTITION BY part_year ORDER BY file_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_COMPACT_TARGET} AS BIGINT) AS bin_id
+    FROM files
+)
+SELECT part_year, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(file_bytes) AS BIGINT) AS total_bytes,
+       MIN(file_day) AS first_day,
+       MAX(file_day) AS last_day
+FROM binned
+GROUP BY part_year, bin_id
+ORDER BY part_year, bin_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# maintenance_partition_health
+# ---------------------------------------------------------------------------
+
+
+def maintenance_partition_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-health audit of the lineitem table partitioned by ship
+    month: per partition, the simulated file count, fill ratio against the
+    target file size, and size skew versus the mean partition — the report
+    that decides which partitions need compaction or splitting before they
+    skew the next big join.
+
+    Scale: one month-grain aggregate (fact scan → O(partitions) rows),
+    then the global mean joins back via a broadcast of a 1-row aggregate —
+    no window over the partition inventory, no second fact scan.
+    """
+    li = read_fixture(spark, sf_dir, "lineitem")
+    parts = li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("part_month")).agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") * _ROW_BYTES).alias("part_bytes"),
+    )
+    mean = parts.agg(F.avg("part_bytes").alias("mean_bytes"))
+    h = (
+        parts.crossJoin(F.broadcast(mean))
+        .withColumn(
+            "n_files",
+            F.greatest(F.lit(1), F.ceil(F.col("part_bytes") / _FILE_TARGET)).cast("long"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("part_bytes") / (F.col("n_files") * _FILE_TARGET), 4),
+        )
+        .withColumn("skew_vs_mean", F.round(F.col("part_bytes") / F.col("mean_bytes"), 4))
+    )
+    return h.select(
+        "part_month",
+        "n_rows",
+        "part_bytes",
+        "n_files",
+        "fill_ratio",
+        "skew_vs_mean",
+        ((F.col("fill_ratio") < 0.5) | (F.col("skew_vs_mean") > 2.0)).alias("needs_attention"),
+    ).orderBy("part_month")
+
+
+PARTITION_HEALTH_ORACLE = f"""
+WITH parts AS (
+    SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS part_bytes
+    FROM lineitem
+    GROUP BY 1
+), m AS (
+    SELECT AVG(part_bytes) AS mean_bytes FROM parts
+), h AS (
+    SELECT p.*,
+           GREATEST(1, CAST(CEIL(CAST(part_bytes AS DOUBLE) / {_FILE_TARGET}) AS BIGINT))
+               AS n_files
+    FROM parts p
+)
+SELECT part_month, n_rows, part_bytes, n_files,
+       ROUND(CAST(part_bytes AS DOUBLE) / (n_files * {_FILE_TARGET}), 4) AS fill_ratio,
+       ROUND(CAST(part_bytes AS DOUBLE) / mean_bytes, 4) AS skew_vs_mean,
+       (ROUND(CAST(part_bytes AS DOUBLE) / (n_files * {_FILE_TARGET}), 4) < 0.5
+        OR ROUND(CAST(part_bytes AS DOUBLE) / mean_bytes, 4) > 2.0) AS needs_attention
+FROM h CROSS JOIN m
+ORDER BY part_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder_lab
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit Morton code, 256 z-files
+_Z_FILES = 256
+# Probe dims: a = l_partkey % 256 (dense at every SF: part count scales
+# with SF and smoke scale already has 200 parts); b = floor(price cents)
+# % 256 (uniform at every SF — suppkey would collapse to 0..9 at smoke
+# scale and the box probe would match nothing). floor() of the double is
+# engine-portable; a bare CAST is not (Spark truncates, DuckDB rounds).
+_A_LO, _A_HI = 64, 127  # box on a — exactly Morton blocks 4..7
+_B_LO, _B_HI = 32, 95  # box on b — exactly Morton blocks 2..5
+
+
+def _morton_expr(a: str, b: str, intdiv: str) -> str:
+    """Textual Morton-interleave expression shared by the Spark plan and
+    the DuckDB oracle (only the integer-division operator differs). Pure
+    arithmetic — ``((x div 2^i) % 2) * 2^k`` — so both engines evaluate it
+    in whole-stage-codegen-able integer math, no bit intrinsics needed."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({a} {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({b} {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def layout_zorder_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning effectiveness: natural (insert-order) layout vs
+    z-order layout for the same box probe on (l_partkey % 256,
+    floor(price cents) % 256).
+
+    Both layouts carve lineitem into 256 files; per file the lab
+    computes the (min,max) zone map of each probe dimension, then counts
+    how many files a reader could SKIP for the box probe — the exact
+    arithmetic an Iceberg/parquet reader does against column stats. The
+    natural layout clusters by orderkey (uncorrelated with either probe
+    key), so nearly every file's zone map straddles the box; the z-order
+    layout confines both keys to a 2^(8-4)=16-wide range per file, so the
+    probe touches only the Morton blocks intersecting the box.
+
+    Scale: two fact-scan aggregates to file grain (O(files) rows each) and
+    a 1-row broadcast for the orderkey range — zone-map math never touches
+    row-grain data again. At 100 TB the same query runs off the manifest's
+    per-file column stats with no fact scan at all.
+    """
+    li = read_fixture(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_partkey") % 256).alias("a"),
+        (F.floor(F.col("l_extendedprice") * 100) % 256).cast("long").alias("b"),
+        "l_orderkey",
+    )
+    maxk = keyed.agg(F.max("l_orderkey").alias("max_ok"))
+    nat = (
+        keyed.crossJoin(F.broadcast(maxk))
+        .select(
+            "a",
+            "b",
+            F.least(
+                F.lit(_Z_FILES - 1),
+                F.expr(f"(l_orderkey * {_Z_FILES}) div (max_ok + 1)"),
+            ).alias("file_id"),
+        )
+        .withColumn("layout", F.lit("natural"))
+    )
+    zord = keyed.select(
+        "a",
+        "b",
+        F.expr(f"({_morton_expr('a', 'b', 'div')}) div {1 << (2 * _Z_BITS - 8)}").alias(
+            "file_id"
+        ),
+    ).withColumn("layout", F.lit("zorder"))
+    both = nat.unionByName(zord)
+    zonemaps = both.groupBy("layout", "file_id").agg(
+        F.min("a").alias("min_a"),
+        F.max("a").alias("max_a"),
+        F.min("b").alias("min_b"),
+        F.max("b").alias("max_b"),
+        F.sum(
+            (
+                F.col("a").between(_A_LO, _A_HI) & F.col("b").between(_B_LO, _B_HI)
+            ).cast("long")
+        ).alias("rows_in_box"),
+    )
+    scanned = (
+        (F.col("max_a") >= _A_LO)
+        & (F.col("min_a") <= _A_HI)
+        & (F.col("max_b") >= _B_LO)
+        & (F.col("min_b") <= _B_HI)
+    ).cast("long")
+    return (
+        zonemaps.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(scanned).alias("files_scanned"),
+            F.round(1 - F.sum(scanned) / F.count("*"), 4).alias("skip_ratio"),
+            F.sum("rows_in_box").alias("rows_matched"),
+        )
+        .orderBy("layout")
+    )
+
+
+ZORDER_LAB_ORACLE = f"""
+WITH keyed AS (
+    SELECT l_partkey % 256 AS a,
+           CAST(FLOOR(l_extendedprice * 100) AS BIGINT) % 256 AS b,
+           l_orderkey
+    FROM lineitem
+), m AS (
+    SELECT MAX(l_orderkey) AS max_ok FROM keyed
+), placed AS (
+    SELECT a, b,
+           LEAST({_Z_FILES - 1}, (l_orderkey * {_Z_FILES}) // (max_ok + 1)) AS file_id,
+           'natural' AS layout
+    FROM keyed CROSS JOIN m
+    UNION ALL
+    SELECT a, b,
+           ({_morton_expr("a", "b", "//")}) // {1 << (2 * _Z_BITS - 8)} AS file_id,
+           'zorder' AS layout
+    FROM keyed
+), zonemaps AS (
+    SELECT layout, file_id,
+           MIN(a) AS min_a, MAX(a) AS max_a,
+           MIN(b) AS min_b, MAX(b) AS max_b,
+           SUM(CASE WHEN a BETWEEN {_A_LO} AND {_A_HI}
+                     AND b BETWEEN {_B_LO} AND {_B_HI} THEN 1 ELSE 0 END) AS rows_in_box
+    FROM placed
+    GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN max_a >= {_A_LO} AND min_a <= {_A_HI}
+                      AND max_b >= {_B_LO} AND min_b <= {_B_HI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       ROUND(1 - CAST(SUM(CASE WHEN max_a >= {_A_LO} AND min_a <= {_A_HI}
+                                AND max_b >= {_B_LO} AND min_b <= {_B_HI}
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS skip_ratio,
+       CAST(SUM(rows_in_box) AS BIGINT) AS rows_matched
+FROM zonemaps
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdc_merge_latest
+# ---------------------------------------------------------------------------
+
+
+def cdc_materialize(ev: DataFrame) -> DataFrame:
+    """Latest-wins changelog materialization: one row per user_id — the
+    most recent event by (ts, event_id) — with ``live`` False when that
+    event is the ``error`` tombstone. This is the merge kernel; callers
+    decide whether to filter tombstones or audit them."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("live", F.col("event_type") != "error")
+    )
+
+
+def cdc_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog materialization — the batch equivalent of Iceberg's
+    MERGE INTO upsert compaction. The events table is read as a per-user
+    changelog: every event upserts the user's state except ``error``,
+    which is a tombstone (delete). Latest-wins by (ts, event_id); the
+    materialized state is then summarized per last event type, with the
+    tombstoned (dead) keys reported on their own ``live = false`` row.
+
+    Scale: one shuffle on the merge key (user_id) for the per-key
+    latest-wins window — the minimum any MERGE does — then a tiny
+    aggregate. No join back to the fact, no global window; skewed keys
+    fall out of AQE's skew-join handling because the heavy operation is a
+    partitioned window, not a join.
+    """
+    ev = read_fixture(spark, sf_dir, "events")
+    latest = cdc_materialize(ev)
+    return (
+        latest.groupBy(F.col("event_type").alias("last_event_type"), "live")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("last_event_type")
+    )
+
+
+CDC_MERGE_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+), latest AS (
+    SELECT event_type AS last_event_type,
+           (event_type <> 'error') AS live,
+           value
+    FROM ranked WHERE rn = 1
+)
+SELECT last_event_type, live,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 2) AS total_value
+FROM latest
+GROUP BY last_event_type, live
+ORDER BY last_event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "maintenance_compaction_bins": QuerySpec(
+        maintenance_compaction_bins, COMPACTION_BINS_ORACLE
+    ),
+    "maintenance_partition_health": QuerySpec(
+        maintenance_partition_health, PARTITION_HEALTH_ORACLE
+    ),
+    "layout_zorder_lab": QuerySpec(layout_zorder_lab, ZORDER_LAB_ORACLE, headline=True),
+    "cdc_merge_latest": QuerySpec(cdc_merge_latest, CDC_MERGE_ORACLE),
+}

@@ -52,13 +52,14 @@ def test_driver_window_r7_policy():
 
     from spark_iceberg_jobs_spark.queries import (
         _R7_CHANGED,
+        _R7_NEW,
         _R7_PERMANENT_KEEPS,
         _R7_STALE_REFRESH,
         DRIVER_WINDOW,
     )
 
     window = list(REG)[:DRIVER_WINDOW]
-    curated = _R7_PERMANENT_KEEPS + _R7_CHANGED + _R7_STALE_REFRESH
+    curated = _R7_PERMANENT_KEEPS + _R7_CHANGED + _R7_STALE_REFRESH + _R7_NEW
     assert window == curated, "registry head must equal the curated r7 window"
     assert len(curated) == DRIVER_WINDOW, (
         f"window misfilled: {len(curated)}/{DRIVER_WINDOW} curated entries"
@@ -90,9 +91,13 @@ def test_driver_window_r7_policy():
     )
     # Invariant 2: every stale-refresh slot really is stale — last scored
     # in r1 or r2 against the frozen baseline (the 35 r1 entries + the
-    # alphabetically-first 6 of the r2 entries).
+    # alphabetically-first 2 of the r2 entries; 4 r2 slots gave way to the
+    # _R7_NEW maintenance tier, which Invariant 1 forces into the window).
     assert all(last_scored[n] <= 2 for n in _R7_STALE_REFRESH)
-    r1_all = {n for n in REG if last_scored[n] == 1}
+    assert all(n not in last_scored for n in _R7_NEW), (
+        "_R7_NEW is for entries with no prior driver verdict"
+    )
+    r1_all = {n for n in REG if last_scored.get(n) == 1}
     assert r1_all <= set(_R7_STALE_REFRESH), (
         "every r1-stale entry must be in the refresh set"
     )
