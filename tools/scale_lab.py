@@ -177,6 +177,19 @@ def _interval_overlap_probe(s, d):
     return events_session_incident_overlap(s, d)
 
 
+def _maintenance_probe(qname, builder):
+    """Maintenance-tier probe riding a self-built fact replica (build_tpch
+    for orders/lineitem probes, build_events for the CDC merge)."""
+
+    def run(s, d):
+        from spark_iceberg_jobs_spark.queries import maintenance
+
+        builder(s, int(os.path.basename(d)[1:]))
+        return getattr(maintenance, qname)(s, d)
+
+    return run
+
+
 def probes():
     from spark_iceberg_jobs_spark.operators.dedup import (
         exact_dedup,
@@ -328,6 +341,21 @@ def probes():
         "drift_js": lambda s, d: __import__(
             "spark_iceberg_jobs_spark.queries.llm", fromlist=["drift_js_tokens"]
         ).drift_js_tokens(s, d),
+        # lakehouse maintenance tier (round 7): each collapses the fact to
+        # file/partition grain in its FIRST aggregate, so everything after
+        # the scan is metadata-sized — expected alpha ~1 set by the scan.
+        # build_tpch deepens rows per day/month while the date window (and
+        # with it the simulated file/partition inventory) stays fixed —
+        # exactly how a growing table behaves under a fixed partition spec.
+        "zorder_lab": _maintenance_probe("layout_zorder_lab", build_tpch),
+        "compaction_bins": _maintenance_probe(
+            "maintenance_compaction_bins", build_tpch
+        ),
+        # CDC merge is the tier's only row-grain shuffle (latest-wins
+        # window keyed by user_id); build_events grows the user population
+        # x{scale} with per-user history preserved, so state size grows
+        # linearly with the changelog
+        "cdc_merge": _maintenance_probe("cdc_merge_latest", build_events),
     }
 
 
@@ -418,7 +446,7 @@ def main() -> int:
     # the documents/embeddings replica build is the lab's most expensive
     # step — skip it when every selected probe builds its own tables
     # (tpch_* via build_tpch, interval_overlap via build_events)
-    self_building = ("interval_overlap",)
+    self_building = ("interval_overlap", "zorder_lab", "compaction_bins", "cdc_merge")
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
     )
