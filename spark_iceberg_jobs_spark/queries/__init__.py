@@ -77,12 +77,13 @@ class QuerySpec:
 #             layout_compression_lab and approx_distinct_custkeys, whose
 #             only driver rows are pre-oracle r1 "no_oracle" — VERDICT r6
 #             item 5: this gives them their first driver HASH verdicts)
-#             plus the first 6 of the 17 r2-scored entries.
+#             plus as many of the 17 r2-scored entries as fit.
 #         (d) entries ADDED to the registry after the completed rotation
 #             (never driver-scored by construction) — they must ride the
 #             current window for their first verdict, displacing the
-#             newest stale tier first (this round: the 4-query lakehouse
-#             maintenance tier displaced 4 of the 6 r2-stale slots).
+#             newest stale tier first (this round: the 6-query lakehouse
+#             maintenance tier displaced all 6 r2-stale slots the window
+#             originally carried).
 #       Staleness is evaluated against the artifacts that existed at
 #       composition time (CORRECTNESS_r01..r06) so the test pinning this
 #       window cannot be invalidated by the round's own artifact — the
@@ -146,13 +147,14 @@ _R7_STALE_REFRESH = [
     "window_lag_order_gaps",
     "window_running_order_total",
     "window_top3_orders_per_customer",
-    # first 2 (alphabetical) of the 17 entries last scored in round 2 —
-    # four r2 slots were displaced late in the round by _R7_NEW below
-    # (policy: entries added after the completed rotation must ride the
-    # current window for their first verdict, and the r1-stale set may
-    # not shrink, so the newest stale tier gives way)
-    "dedup_embedding_cosine",
-    "embedding_quantization_error",
+    # all 6 r2-stale slots this window originally carried were displaced
+    # by _R7_NEW below (policy: entries added after the completed rotation
+    # must ride the current window for their first verdict, the r1-stale
+    # set may not shrink, so the newest stale tier gives way — first the
+    # 4-query maintenance tier took 4, then the expiry/orphan pair took
+    # the remaining 2, dedup_embedding_cosine and
+    # embedding_quantization_error, both r2-green and re-verified every
+    # round by tools/verify_local.py)
 ]
 
 _R7_NEW = [
@@ -162,6 +164,10 @@ _R7_NEW = [
     "layout_zorder_lab",
     "maintenance_compaction_bins",
     "maintenance_partition_health",
+    # the remaining two legs of the Iceberg maintenance trio, added after
+    # the tier's first close-out
+    "maintenance_snapshot_expiry",
+    "maintenance_orphan_files",
 ]
 
 

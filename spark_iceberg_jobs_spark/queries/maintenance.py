@@ -391,6 +391,307 @@ ORDER BY last_event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# maintenance_snapshot_expiry / maintenance_orphan_files
+#
+# The remaining two legs of Iceberg's maintenance trio (rewrite_data_files
+# is maintenance_compaction_bins above): expire_snapshots and
+# remove_orphan_files. Both run over the same simulated commit log — one
+# snapshot per o_orderdate day, each appending that day's file; the first
+# commit of every month also compacts the PREVIOUS month's daily files into
+# one monthly file (so a completed month's dailies are referenced only by
+# snapshots up to that month's last day).
+# ---------------------------------------------------------------------------
+
+_RETAIN_LAST = 30  # expire_snapshots(retain_last => N): always keep newest N
+_EXPIRE_AGE_DAYS = 365  # expire_snapshots(older_than => now - 365 days)
+_ORPHAN_GRACE_DAYS = 30  # remove_orphan_files(older_than): in-flight-write grace
+
+
+def _daily_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One simulated data file / snapshot per order day: (dt, month,
+    file_bytes). Shared commit-log model of the expiry and orphan planners;
+    production swaps this for the table's real snapshot + manifest metadata.
+
+    scoped_persist: both planners fan this frame into 3+ consumers
+    (scalars, month roll-up, listing/manifest sides); persisting the
+    day-grain result keeps the fact table scanned ONCE per query instead
+    of once per branch — the difference between one and four 100 TB scans.
+    """
+    from ..functions.cache import scoped_persist
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    return scoped_persist(
+        orders.groupBy(F.to_date("o_orderdate").alias("dt"))
+        .agg((F.count("*") * _ROW_BYTES).alias("file_bytes"))
+        .withColumn("month", F.date_format("dt", "yyyy-MM"))
+    )
+
+
+def snapshot_expiry_classify(
+    snaps: DataFrame, retain_last: int = _RETAIN_LAST, max_age_days: int = _EXPIRE_AGE_DAYS
+) -> DataFrame:
+    """Classify each snapshot of a (dt, month, file_bytes) commit log under
+    Iceberg expire_snapshots semantics: a snapshot is EXPIRED iff it is
+    older than ``max_age_days`` before the newest snapshot AND not among the
+    newest ``retain_last`` (retain_last is a floor — the rule that keeps
+    more snapshots wins, so ``keep_from = LEAST(age_cutoff, nth_newest)``).
+
+    File reclamation: the daily file added by a snapshot in month M is
+    SUPERSEDED once M's compaction runs (the first commit of the next
+    month), so its last referencing snapshot is M's last snapshot; it is
+    RECLAIMABLE iff that last reference is itself expired. The current
+    (max) month is never superseded.
+
+    Scale: the input is snapshot-grain metadata (one row per commit —
+    thousands, not billions); the scalars ride one 1-row broadcast and the
+    month roll-up is a broadcast dim join, so the plan stays metadata-sized
+    no matter how big the table's data is. The ``collect_list`` feeding the
+    nth-newest scalar aggregates the snapshot-grain frame only — bounded by
+    the commit count, never by table rows.
+    """
+    scal = snaps.agg(
+        F.max("dt").alias("max_dt"),
+        F.min("dt").alias("min_dt"),
+        F.max("month").alias("max_month"),
+        F.try_element_at(
+            F.sort_array(F.collect_list("dt"), asc=False), F.lit(retain_last)
+        ).alias("nth_dt"),
+    ).select(
+        F.least(
+            F.date_sub("max_dt", max_age_days), F.coalesce("nth_dt", "min_dt")
+        ).alias("keep_from"),
+        "max_month",
+    )
+    mons = snaps.groupBy("month").agg(F.max("dt").alias("month_last_dt"))
+    return (
+        snaps.join(F.broadcast(mons), "month")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "dt",
+            "month",
+            "file_bytes",
+            (F.col("dt") < F.col("keep_from")).alias("expired"),
+            (F.col("month") < F.col("max_month")).alias("superseded"),
+            (
+                (F.col("month") < F.col("max_month"))
+                & (F.col("month_last_dt") < F.col("keep_from"))
+            ).alias("reclaimable"),
+        )
+    )
+
+
+def maintenance_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry plan — the batch equivalent of Iceberg's
+    ``expire_snapshots(older_than => …, retain_last => …)`` (the maintenance
+    job a real deployment of the reference's tables runs nightly;
+    job1-DDL_Load_Data_Spark_Iceberg.py:186-274 creates those tables). Per
+    year: how many snapshots exist / expire, how many data files the
+    month-compaction model has superseded, and how many of those — plus how
+    many bytes — expiry actually unpins for deletion.
+
+    Scale: see snapshot_expiry_classify — everything after the first
+    aggregate is commit-log-grain metadata.
+    """
+    cls = snapshot_expiry_classify(_daily_files(spark, sf_dir))
+    return (
+        cls.groupBy(F.substring("month", 1, 4).cast("long").alias("part_year"))
+        .agg(
+            F.count("*").alias("n_snapshots"),
+            F.sum(F.col("expired").cast("long")).alias("n_expired"),
+            F.sum(F.col("superseded").cast("long")).alias("n_files_superseded"),
+            F.sum(F.col("reclaimable").cast("long")).alias("n_files_reclaimable"),
+            F.sum(
+                F.when(F.col("reclaimable"), F.col("file_bytes")).otherwise(F.lit(0))
+            ).alias("reclaim_bytes"),
+        )
+        .orderBy("part_year")
+    )
+
+
+SNAPSHOT_EXPIRY_ORACLE = f"""
+WITH snaps AS (
+    SELECT CAST(o_orderdate AS DATE) AS dt,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS file_bytes
+    FROM orders
+    GROUP BY 1, 2
+), keep AS (
+    SELECT LEAST(
+               MAX(dt) - {_EXPIRE_AGE_DAYS},
+               COALESCE((SELECT dt FROM snaps ORDER BY dt DESC
+                         LIMIT 1 OFFSET {_RETAIN_LAST - 1}), MIN(dt))
+           ) AS keep_from,
+           MAX(month) AS max_month
+    FROM snaps
+), mons AS (
+    SELECT month, MAX(dt) AS month_last_dt FROM snaps GROUP BY month
+), cls AS (
+    SELECT s.month, s.file_bytes,
+           (s.dt < k.keep_from) AS expired,
+           (s.month < k.max_month) AS superseded,
+           (s.month < k.max_month AND m.month_last_dt < k.keep_from) AS reclaimable
+    FROM snaps s
+    JOIN mons m USING (month)
+    CROSS JOIN keep k
+)
+SELECT CAST(SUBSTR(month, 1, 4) AS BIGINT) AS part_year,
+       CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+       CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+       CAST(SUM(CASE WHEN superseded THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_files_superseded,
+       CAST(SUM(CASE WHEN reclaimable THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_files_reclaimable,
+       CAST(SUM(CASE WHEN reclaimable THEN file_bytes ELSE 0 END) AS BIGINT)
+           AS reclaim_bytes
+FROM cls
+GROUP BY 1
+ORDER BY part_year
+"""
+
+
+def orphan_files_classify(daily: DataFrame, grace_days: int = _ORPHAN_GRACE_DAYS) -> DataFrame:
+    """Storage-listing vs metadata-reference reconciliation — Iceberg's
+    ``remove_orphan_files``. The listing contains every daily file plus the
+    monthly compacted file of each completed month; live metadata references
+    the monthly files and only the CURRENT month's dailies (completed
+    months' dailies were superseded by their compaction and, once the
+    covering snapshots expire, nothing references them). An orphan is
+    DELETABLE only when older than the grace period — the guard against
+    deleting files an in-flight commit wrote but has not yet referenced.
+
+    Scale: the join key is the file path and both sides are file-grain
+    metadata; at 100 TB (millions of objects) this is a sort-merge on path
+    with the age filter pushed to the listing scan — no fact-table columns
+    survive past the first aggregate. The left join + IS NULL flag is the
+    anti-join shape that also keeps the referenced rows countable in the
+    same pass.
+    """
+    scal = daily.agg(
+        F.max("dt").alias("max_dt"), F.max("month").alias("max_month")
+    )
+    monthly = (
+        daily.groupBy("month")
+        .agg(F.sum("file_bytes").alias("file_bytes"), F.max("dt").alias("dt"))
+        .crossJoin(F.broadcast(scal))
+        .filter(F.col("month") < F.col("max_month"))
+        .select(
+            F.concat(F.lit("data/m-"), F.col("month"), F.lit(".parquet")).alias("path"),
+            "dt",
+            "month",
+            "file_bytes",
+            F.lit("monthly").alias("kind"),
+        )
+    )
+    dailies = daily.select(
+        F.concat(F.lit("data/d-"), F.col("dt").cast("string"), F.lit(".parquet")).alias(
+            "path"
+        ),
+        "dt",
+        "month",
+        "file_bytes",
+        F.lit("daily").alias("kind"),
+    )
+    listing = dailies.unionByName(monthly)
+    manifest = monthly.select("path").unionByName(
+        dailies.join(F.broadcast(scal), F.col("month") == F.col("max_month"))
+        .select("path")
+    ).withColumn("referenced", F.lit(True))
+    return (
+        listing.join(manifest, "path", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "path",
+            "dt",
+            "month",
+            "file_bytes",
+            "kind",
+            F.col("referenced").isNull().alias("orphan"),
+            (
+                F.col("referenced").isNull()
+                & (F.col("dt") <= F.date_sub("max_dt", grace_days))
+            ).alias("deletable"),
+        )
+    )
+
+
+def maintenance_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file report — Iceberg's ``remove_orphan_files(older_than =>
+    now - grace)`` over the same commit-log model as
+    maintenance_snapshot_expiry: per year, files listed in storage, orphans
+    (listed but unreferenced), and the age-gated deletable subset with its
+    reclaimable bytes.
+    """
+    cls = orphan_files_classify(_daily_files(spark, sf_dir))
+    return (
+        cls.groupBy(F.substring("month", 1, 4).cast("long").alias("part_year"))
+        .agg(
+            F.count("*").alias("n_listed"),
+            F.sum("file_bytes").alias("listed_bytes"),
+            F.sum(F.col("orphan").cast("long")).alias("n_orphans"),
+            F.sum(
+                F.when(F.col("orphan"), F.col("file_bytes")).otherwise(F.lit(0))
+            ).alias("orphan_bytes"),
+            F.sum(F.col("deletable").cast("long")).alias("n_deletable"),
+            F.sum(
+                F.when(F.col("deletable"), F.col("file_bytes")).otherwise(F.lit(0))
+            ).alias("deletable_bytes"),
+        )
+        .orderBy("part_year")
+    )
+
+
+ORPHAN_FILES_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS dt,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS file_bytes
+    FROM orders
+    GROUP BY 1, 2
+), scal AS (
+    SELECT MAX(dt) AS max_dt, MAX(month) AS max_month FROM daily
+), monthly AS (
+    SELECT 'data/m-' || month || '.parquet' AS path,
+           MAX(dt) AS dt, month,
+           CAST(SUM(file_bytes) AS BIGINT) AS file_bytes
+    FROM daily CROSS JOIN scal
+    WHERE month < max_month
+    GROUP BY month, max_month
+), dailies AS (
+    SELECT 'data/d-' || CAST(dt AS VARCHAR) || '.parquet' AS path,
+           dt, month, file_bytes
+    FROM daily
+), listing AS (
+    SELECT path, dt, month, file_bytes FROM dailies
+    UNION ALL
+    SELECT path, dt, month, file_bytes FROM monthly
+), manifest AS (
+    SELECT path FROM monthly
+    UNION ALL
+    SELECT d.path FROM dailies d CROSS JOIN scal s WHERE d.month = s.max_month
+), cls AS (
+    SELECT l.month, l.file_bytes,
+           (m.path IS NULL) AS orphan,
+           (m.path IS NULL AND l.dt <= s.max_dt - {_ORPHAN_GRACE_DAYS}) AS deletable
+    FROM listing l
+    LEFT JOIN manifest m ON l.path = m.path
+    CROSS JOIN scal s
+)
+SELECT CAST(SUBSTR(month, 1, 4) AS BIGINT) AS part_year,
+       CAST(COUNT(*) AS BIGINT) AS n_listed,
+       CAST(SUM(file_bytes) AS BIGINT) AS listed_bytes,
+       CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(SUM(CASE WHEN orphan THEN file_bytes ELSE 0 END) AS BIGINT)
+           AS orphan_bytes,
+       CAST(SUM(CASE WHEN deletable THEN 1 ELSE 0 END) AS BIGINT) AS n_deletable,
+       CAST(SUM(CASE WHEN deletable THEN file_bytes ELSE 0 END) AS BIGINT)
+           AS deletable_bytes
+FROM cls
+GROUP BY 1
+ORDER BY part_year
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "maintenance_compaction_bins": QuerySpec(
         maintenance_compaction_bins, COMPACTION_BINS_ORACLE
@@ -400,4 +701,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "layout_zorder_lab": QuerySpec(layout_zorder_lab, ZORDER_LAB_ORACLE, headline=True),
     "cdc_merge_latest": QuerySpec(cdc_merge_latest, CDC_MERGE_ORACLE),
+    "maintenance_snapshot_expiry": QuerySpec(
+        maintenance_snapshot_expiry, SNAPSHOT_EXPIRY_ORACLE
+    ),
+    "maintenance_orphan_files": QuerySpec(maintenance_orphan_files, ORPHAN_FILES_ORACLE),
 }

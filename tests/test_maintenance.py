@@ -101,3 +101,161 @@ def test_cdc_materialize_planted_changelog(spark):
     assert out[10].event_type == "error" and out[10].live is False
     assert out[20].event_type == "click" and out[20].live is True
     assert out[30].event_type == "view" and out[30].event_id == 6
+
+
+def _snaps_df(spark, days):
+    """(dt, month, file_bytes) commit-log frame from a list of dates."""
+    rows = [
+        (d, d.strftime("%Y-%m"), (i + 1) * 100)
+        for i, d in enumerate(sorted(days))
+    ]
+    return spark.createDataFrame(rows, "dt date, month string, file_bytes long")
+
+
+_PLANTED_DAYS = [
+    datetime.date(2023, 1, 1),
+    datetime.date(2023, 1, 15),
+    datetime.date(2023, 1, 31),
+    datetime.date(2023, 2, 10),
+    datetime.date(2023, 2, 28),
+    datetime.date(2023, 3, 5),
+    datetime.date(2023, 3, 20),
+]
+
+
+def _expected_expiry(days, retain_last, max_age_days):
+    """Pure-python replica of snapshot_expiry_classify's rules."""
+    days = sorted(days)
+    max_dt, min_dt = days[-1], days[0]
+    desc = sorted(days, reverse=True)
+    nth = desc[retain_last - 1] if retain_last <= len(desc) else min_dt
+    keep_from = min(max_dt - datetime.timedelta(days=max_age_days), nth)
+    max_month = max_dt.strftime("%Y-%m")
+    last_in_month = {}
+    for d in days:
+        m = d.strftime("%Y-%m")
+        last_in_month[m] = max(last_in_month.get(m, d), d)
+    out = {}
+    for d in days:
+        m = d.strftime("%Y-%m")
+        superseded = m < max_month
+        out[d] = (
+            d < keep_from,
+            superseded,
+            superseded and last_in_month[m] < keep_from,
+        )
+    return keep_from, out
+
+
+def test_snapshot_expiry_planted_retain_last_binds(spark):
+    """retain_last is a FLOOR: with retain_last=4 the age rule alone
+    (max_age=10d) would expire 2023-02-10, but the 4th-newest snapshot IS
+    02-10, so keep_from moves back and exactly 4 snapshots survive.
+    February is superseded but NOT reclaimable (its last snapshot 02-28 is
+    retained); January is fully reclaimable."""
+    from spark_iceberg_jobs_spark.queries.maintenance import snapshot_expiry_classify
+
+    got = {
+        r.dt: (r.expired, r.superseded, r.reclaimable)
+        for r in snapshot_expiry_classify(
+            _snaps_df(spark, _PLANTED_DAYS), retain_last=4, max_age_days=10
+        ).collect()
+    }
+    keep_from, want = _expected_expiry(_PLANTED_DAYS, 4, 10)
+    assert keep_from == datetime.date(2023, 2, 10)  # retain-last, not age
+    assert got == want
+    assert sum(not e for e, _, _ in got.values()) == 4  # exactly retain_last kept
+    feb = [got[d] for d in _PLANTED_DAYS if d.month == 2]
+    assert all(s and not r for _, s, r in feb), "Feb superseded, not reclaimable"
+    jan = [got[d] for d in _PLANTED_DAYS if d.month == 1]
+    assert all(e and s and r for e, s, r in jan), "Jan expired + reclaimable"
+    mar = [got[d] for d in _PLANTED_DAYS if d.month == 3]
+    assert all(not s and not r for _, s, r in mar), "current month never superseded"
+
+
+def test_snapshot_expiry_planted_age_binds_and_small_log(spark):
+    """With a generous retain_last the age rule binds; and when the log is
+    smaller than retain_last the nth-newest scalar is NULL and every
+    snapshot is retained (the coalesce-to-min_dt path)."""
+    from spark_iceberg_jobs_spark.queries.maintenance import snapshot_expiry_classify
+
+    got = {
+        r.dt: (r.expired, r.superseded, r.reclaimable)
+        for r in snapshot_expiry_classify(
+            _snaps_df(spark, _PLANTED_DAYS), retain_last=2, max_age_days=30
+        ).collect()
+    }
+    keep_from, want = _expected_expiry(_PLANTED_DAYS, 2, 30)
+    assert keep_from == datetime.date(2023, 2, 18)  # age rule (03-20 - 30d)
+    assert got == want
+    assert [d for d, (e, _, _) in sorted(got.items()) if e] == [
+        datetime.date(2023, 1, 1),
+        datetime.date(2023, 1, 15),
+        datetime.date(2023, 1, 31),
+        datetime.date(2023, 2, 10),
+    ]
+    # small-log path: retain_last exceeds the commit count -> keep all
+    tiny = {
+        r.dt: r.expired
+        for r in snapshot_expiry_classify(
+            _snaps_df(spark, _PLANTED_DAYS[:3]), retain_last=99, max_age_days=1
+        ).collect()
+    }
+    assert not any(tiny.values()), "nth-newest NULL must retain everything"
+
+
+def test_orphan_files_planted(spark):
+    """Orphans are exactly the completed months' superseded dailies; the
+    monthly compacted files and the current month's dailies stay
+    referenced; the grace gate (inclusive at the cutoff day) holds back
+    young orphans."""
+    from spark_iceberg_jobs_spark.queries.maintenance import orphan_files_classify
+
+    # grace 38d from max 2023-03-20 -> cutoff 2023-02-10 EXACTLY on a file
+    cls = orphan_files_classify(_snaps_df(spark, _PLANTED_DAYS), grace_days=38)
+    rows = {r.path: r for r in cls.collect()}
+    dailies = {p for p in rows if p.startswith("data/d-")}
+    monthlies = {p for p in rows if p.startswith("data/m-")}
+    assert monthlies == {"data/m-2023-01.parquet", "data/m-2023-02.parquet"}
+    assert len(dailies) == len(_PLANTED_DAYS)
+    # referenced: both monthlies + the 2 current-month dailies
+    assert all(not rows[p].orphan for p in monthlies)
+    assert not rows["data/d-2023-03-05.parquet"].orphan
+    assert not rows["data/d-2023-03-20.parquet"].orphan
+    orphans = {p for p, r in rows.items() if r.orphan}
+    assert orphans == {
+        "data/d-2023-01-01.parquet",
+        "data/d-2023-01-15.parquet",
+        "data/d-2023-01-31.parquet",
+        "data/d-2023-02-10.parquet",
+        "data/d-2023-02-28.parquet",
+    }
+    deletable = {p for p, r in rows.items() if r.deletable}
+    # 02-10 == cutoff -> deletable (inclusive); 02-28 too young
+    assert deletable == orphans - {"data/d-2023-02-28.parquet"}
+    # monthly bytes = sum of that month's dailies
+    jan_daily_bytes = sum(
+        rows[f"data/d-2023-01-{dd:02d}.parquet"].file_bytes for dd in (1, 15, 31)
+    )
+    assert rows["data/m-2023-01.parquet"].file_bytes == jan_daily_bytes
+
+
+def test_expiry_orphan_fixture_consistency(spark, sf_dir):
+    """On the shared fixture commit log the two planners must agree:
+    orphan candidates are the superseded dailies, and expiry's reclaimable
+    set is a subset of them (reclaim additionally requires the covering
+    snapshots to be expired)."""
+    from spark_iceberg_jobs_spark.queries.maintenance import (
+        maintenance_orphan_files,
+        maintenance_snapshot_expiry,
+    )
+
+    exp = {r.part_year: r for r in maintenance_snapshot_expiry(spark, sf_dir).collect()}
+    orp = {r.part_year: r for r in maintenance_orphan_files(spark, sf_dir).collect()}
+    assert set(exp) == set(orp)
+    for y in exp:
+        assert orp[y].n_orphans == exp[y].n_files_superseded
+        assert exp[y].n_files_reclaimable <= orp[y].n_orphans
+        assert orp[y].n_deletable <= orp[y].n_orphans
+        # listing = dailies + monthly rollups, so counts reconcile
+        assert orp[y].n_listed >= exp[y].n_snapshots

@@ -90,9 +90,9 @@ def test_driver_window_r7_policy():
         f"{sorted(uncovered - set(window))}"
     )
     # Invariant 2: every stale-refresh slot really is stale — last scored
-    # in r1 or r2 against the frozen baseline (the 35 r1 entries + the
-    # alphabetically-first 2 of the r2 entries; 4 r2 slots gave way to the
-    # _R7_NEW maintenance tier, which Invariant 1 forces into the window).
+    # in r1 or r2 against the frozen baseline (the 35 r1 entries; all 6
+    # r2 slots the window originally carried gave way to the _R7_NEW
+    # maintenance tier, which Invariant 1 forces into the window).
     assert all(last_scored[n] <= 2 for n in _R7_STALE_REFRESH)
     assert all(n not in last_scored for n in _R7_NEW), (
         "_R7_NEW is for entries with no prior driver verdict"

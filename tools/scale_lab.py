@@ -356,6 +356,15 @@ def probes():
         # x{scale} with per-user history preserved, so state size grows
         # linearly with the changelog
         "cdc_merge": _maintenance_probe("cdc_merge_latest", build_events),
+        # expire_snapshots / remove_orphan_files planners: the commit log
+        # (one snapshot per order day) is FIXED size under build_tpch —
+        # replicas deepen per-day bytes, not the date window — so past the
+        # shared day-grain aggregate (persisted once per query) both plans
+        # are constant-size metadata; expected alpha set by the one scan
+        "snapshot_expiry": _maintenance_probe(
+            "maintenance_snapshot_expiry", build_tpch
+        ),
+        "orphan_files": _maintenance_probe("maintenance_orphan_files", build_tpch),
     }
 
 
@@ -446,7 +455,14 @@ def main() -> int:
     # the documents/embeddings replica build is the lab's most expensive
     # step — skip it when every selected probe builds its own tables
     # (tpch_* via build_tpch, interval_overlap via build_events)
-    self_building = ("interval_overlap", "zorder_lab", "compaction_bins", "cdc_merge")
+    self_building = (
+        "interval_overlap",
+        "zorder_lab",
+        "compaction_bins",
+        "cdc_merge",
+        "snapshot_expiry",
+        "orphan_files",
+    )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
     )
