@@ -10,10 +10,12 @@ METADATA (file inventories, zone maps, changelogs), so they stay cheap at
 any data scale: every query here aggregates the fact table down to
 file/partition grain first and only then plans.
 
-All four queries are exact (integer arithmetic + bounded rounded doubles)
-and DuckDB-replayable; none uses an unpartitioned window (the compaction
-running sum is partitioned by the table partition, exactly like Iceberg's
-per-partition binpack).
+All six queries (the four above plus the expire_snapshots /
+remove_orphan_files planners that complete Iceberg's maintenance trio
+with the binpack rewrite) are exact (integer arithmetic + bounded rounded
+doubles) and DuckDB-replayable; none uses an unpartitioned window (the
+compaction running sum is partitioned by the table partition, exactly
+like Iceberg's per-partition binpack).
 """
 
 from __future__ import annotations
@@ -428,6 +430,29 @@ def _daily_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retention_scalars(
+    snaps: DataFrame, retain_last: int, max_age_days: int
+) -> DataFrame:
+    """1-row frame of the retention decision shared by BOTH planners:
+    ``keep_from`` (snapshots at/after this date survive expiry — the
+    LEAST of the age cutoff and the nth-newest commit, so retain_last is
+    a floor), plus the max commit date and current month."""
+    return snaps.agg(
+        F.max("dt").alias("max_dt"),
+        F.min("dt").alias("min_dt"),
+        F.max("month").alias("max_month"),
+        F.try_element_at(
+            F.sort_array(F.collect_list("dt"), asc=False), F.lit(retain_last)
+        ).alias("nth_dt"),
+    ).select(
+        F.least(
+            F.date_sub("max_dt", max_age_days), F.coalesce("nth_dt", "min_dt")
+        ).alias("keep_from"),
+        "max_month",
+        "max_dt",
+    )
+
+
 def snapshot_expiry_classify(
     snaps: DataFrame, retain_last: int = _RETAIN_LAST, max_age_days: int = _EXPIRE_AGE_DAYS
 ) -> DataFrame:
@@ -450,19 +475,7 @@ def snapshot_expiry_classify(
     nth-newest scalar aggregates the snapshot-grain frame only — bounded by
     the commit count, never by table rows.
     """
-    scal = snaps.agg(
-        F.max("dt").alias("max_dt"),
-        F.min("dt").alias("min_dt"),
-        F.max("month").alias("max_month"),
-        F.try_element_at(
-            F.sort_array(F.collect_list("dt"), asc=False), F.lit(retain_last)
-        ).alias("nth_dt"),
-    ).select(
-        F.least(
-            F.date_sub("max_dt", max_age_days), F.coalesce("nth_dt", "min_dt")
-        ).alias("keep_from"),
-        "max_month",
-    )
+    scal = _retention_scalars(snaps, retain_last, max_age_days).drop("max_dt")
     mons = snaps.groupBy("month").agg(F.max("dt").alias("month_last_dt"))
     return (
         snaps.join(F.broadcast(mons), "month")
@@ -550,15 +563,25 @@ ORDER BY part_year
 """
 
 
-def orphan_files_classify(daily: DataFrame, grace_days: int = _ORPHAN_GRACE_DAYS) -> DataFrame:
+def orphan_files_classify(
+    daily: DataFrame,
+    grace_days: int = _ORPHAN_GRACE_DAYS,
+    retain_last: int = _RETAIN_LAST,
+    max_age_days: int = _EXPIRE_AGE_DAYS,
+) -> DataFrame:
     """Storage-listing vs metadata-reference reconciliation — Iceberg's
-    ``remove_orphan_files``. The listing contains every daily file plus the
-    monthly compacted file of each completed month; live metadata references
-    the monthly files and only the CURRENT month's dailies (completed
-    months' dailies were superseded by their compaction and, once the
-    covering snapshots expire, nothing references them). An orphan is
-    DELETABLE only when older than the grace period — the guard against
-    deleting files an in-flight commit wrote but has not yet referenced.
+    ``remove_orphan_files``, run AFTER expire_snapshots. A file is
+    referenced while ANY valid (unexpired) snapshot reaches it: the
+    monthly compacted files and the current month's dailies always are,
+    and a completed month's superseded dailies stay referenced as long as
+    any snapshot of their month survives the retention rule (its last —
+    and therefore every — covering snapshot expires only when
+    ``month_last_dt < keep_from``). Orphans are exactly the files expiry
+    has unpinned but no vacuum has removed yet — by construction the same
+    set snapshot_expiry_classify reports ``reclaimable`` (the
+    cross-planner test pins the equality). An orphan is DELETABLE only
+    when older than the grace period — the guard against deleting files
+    an in-flight commit wrote but has not yet referenced.
 
     Scale: the join key is the file path and both sides are file-grain
     metadata; at 100 TB (millions of objects) this is a sort-merge on path
@@ -567,9 +590,8 @@ def orphan_files_classify(daily: DataFrame, grace_days: int = _ORPHAN_GRACE_DAYS
     anti-join shape that also keeps the referenced rows countable in the
     same pass.
     """
-    scal = daily.agg(
-        F.max("dt").alias("max_dt"), F.max("month").alias("max_month")
-    )
+    scal = _retention_scalars(daily, retain_last, max_age_days)
+    mons = daily.groupBy("month").agg(F.max("dt").alias("month_last_dt"))
     monthly = (
         daily.groupBy("month")
         .agg(F.sum("file_bytes").alias("file_bytes"), F.max("dt").alias("dt"))
@@ -593,13 +615,23 @@ def orphan_files_classify(daily: DataFrame, grace_days: int = _ORPHAN_GRACE_DAYS
         F.lit("daily").alias("kind"),
     )
     listing = dailies.unionByName(monthly)
-    manifest = monthly.select("path").unionByName(
-        dailies.join(F.broadcast(scal), F.col("month") == F.col("max_month"))
+    live_dailies = (
+        dailies.join(F.broadcast(mons), "month")
+        .crossJoin(F.broadcast(scal))
+        .filter(
+            (F.col("month") == F.col("max_month"))
+            | (F.col("month_last_dt") >= F.col("keep_from"))
+        )
         .select("path")
-    ).withColumn("referenced", F.lit(True))
+    )
+    manifest = (
+        monthly.select("path")
+        .unionByName(live_dailies)
+        .withColumn("referenced", F.lit(True))
+    )
     return (
         listing.join(manifest, "path", "left")
-        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(scal.select("max_dt")))
         .select(
             "path",
             "dt",
@@ -617,10 +649,11 @@ def orphan_files_classify(daily: DataFrame, grace_days: int = _ORPHAN_GRACE_DAYS
 
 def maintenance_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan-file report — Iceberg's ``remove_orphan_files(older_than =>
-    now - grace)`` over the same commit-log model as
-    maintenance_snapshot_expiry: per year, files listed in storage, orphans
-    (listed but unreferenced), and the age-gated deletable subset with its
-    reclaimable bytes.
+    now - grace)`` run after expire_snapshots, over the same commit-log
+    model and retention constants as maintenance_snapshot_expiry: per
+    year, files listed in storage, orphans (unreachable from any RETAINED
+    snapshot — exactly the files expiry unpinned), and the age-gated
+    deletable subset with its reclaimable bytes.
     """
     cls = orphan_files_classify(_daily_files(spark, sf_dir))
     return (
@@ -649,7 +682,15 @@ WITH daily AS (
     FROM orders
     GROUP BY 1, 2
 ), scal AS (
-    SELECT MAX(dt) AS max_dt, MAX(month) AS max_month FROM daily
+    SELECT MAX(dt) AS max_dt, MAX(month) AS max_month,
+           LEAST(
+               MAX(dt) - {_EXPIRE_AGE_DAYS},
+               COALESCE((SELECT dt FROM daily ORDER BY dt DESC
+                         LIMIT 1 OFFSET {_RETAIN_LAST - 1}), MIN(dt))
+           ) AS keep_from
+    FROM daily
+), mons AS (
+    SELECT month, MAX(dt) AS month_last_dt FROM daily GROUP BY month
 ), monthly AS (
     SELECT 'data/m-' || month || '.parquet' AS path,
            MAX(dt) AS dt, month,
@@ -668,7 +709,11 @@ WITH daily AS (
 ), manifest AS (
     SELECT path FROM monthly
     UNION ALL
-    SELECT d.path FROM dailies d CROSS JOIN scal s WHERE d.month = s.max_month
+    SELECT d.path
+    FROM dailies d
+    JOIN mons mo USING (month)
+    CROSS JOIN scal s
+    WHERE d.month = s.max_month OR mo.month_last_dt >= s.keep_from
 ), cls AS (
     SELECT l.month, l.file_bytes,
            (m.path IS NULL) AS orphan,

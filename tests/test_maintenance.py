@@ -205,34 +205,43 @@ def test_snapshot_expiry_planted_age_binds_and_small_log(spark):
 
 
 def test_orphan_files_planted(spark):
-    """Orphans are exactly the completed months' superseded dailies; the
-    monthly compacted files and the current month's dailies stay
-    referenced; the grace gate (inclusive at the cutoff day) holds back
-    young orphans."""
+    """Orphans are exactly the dailies whose EVERY covering snapshot the
+    retention rule expires (post-expire_snapshots reachability): with
+    retain_last=4 / max_age=10d, keep_from = 2023-02-10, so January's
+    dailies are unpinned but February's stay referenced (Feb's last
+    snapshot 02-28 survives). Monthlies and current-month dailies are
+    always referenced; the grace gate (inclusive at the cutoff day) holds
+    back young orphans."""
     from spark_iceberg_jobs_spark.queries.maintenance import orphan_files_classify
 
-    # grace 38d from max 2023-03-20 -> cutoff 2023-02-10 EXACTLY on a file
-    cls = orphan_files_classify(_snaps_df(spark, _PLANTED_DAYS), grace_days=38)
+    cls = orphan_files_classify(
+        _snaps_df(spark, _PLANTED_DAYS), grace_days=60, retain_last=4, max_age_days=10
+    )
     rows = {r.path: r for r in cls.collect()}
     dailies = {p for p in rows if p.startswith("data/d-")}
     monthlies = {p for p in rows if p.startswith("data/m-")}
     assert monthlies == {"data/m-2023-01.parquet", "data/m-2023-02.parquet"}
     assert len(dailies) == len(_PLANTED_DAYS)
-    # referenced: both monthlies + the 2 current-month dailies
+    # referenced: both monthlies, the retained-snapshot months' dailies,
+    # and the current month's dailies
     assert all(not rows[p].orphan for p in monthlies)
-    assert not rows["data/d-2023-03-05.parquet"].orphan
-    assert not rows["data/d-2023-03-20.parquet"].orphan
+    for dd in ("02-10", "02-28", "03-05", "03-20"):
+        assert not rows[f"data/d-2023-{dd}.parquet"].orphan
     orphans = {p for p, r in rows.items() if r.orphan}
     assert orphans == {
         "data/d-2023-01-01.parquet",
         "data/d-2023-01-15.parquet",
         "data/d-2023-01-31.parquet",
-        "data/d-2023-02-10.parquet",
-        "data/d-2023-02-28.parquet",
     }
+    # grace 60d from max 2023-03-20 -> cutoff 2023-01-19: 01-31 too young
     deletable = {p for p, r in rows.items() if r.deletable}
-    # 02-10 == cutoff -> deletable (inclusive); 02-28 too young
-    assert deletable == orphans - {"data/d-2023-02-28.parquet"}
+    assert deletable == orphans - {"data/d-2023-01-31.parquet"}
+    # boundary is INCLUSIVE: grace 48d -> cutoff exactly 2023-01-31
+    cls48 = orphan_files_classify(
+        _snaps_df(spark, _PLANTED_DAYS), grace_days=48, retain_last=4, max_age_days=10
+    )
+    deletable48 = {r.path for r in cls48.collect() if r.deletable}
+    assert deletable48 == orphans
     # monthly bytes = sum of that month's dailies
     jan_daily_bytes = sum(
         rows[f"data/d-2023-01-{dd:02d}.parquet"].file_bytes for dd in (1, 15, 31)
@@ -241,10 +250,11 @@ def test_orphan_files_planted(spark):
 
 
 def test_expiry_orphan_fixture_consistency(spark, sf_dir):
-    """On the shared fixture commit log the two planners must agree:
-    orphan candidates are the superseded dailies, and expiry's reclaimable
-    set is a subset of them (reclaim additionally requires the covering
-    snapshots to be expired)."""
+    """The two planners compose: remove_orphan_files runs after
+    expire_snapshots, so on the shared commit-log model (same retention
+    constants) the orphan set must EQUAL expiry's reclaimable set — the
+    files whose every covering snapshot the retention rule expires —
+    byte-for-byte, per year."""
     from spark_iceberg_jobs_spark.queries.maintenance import (
         maintenance_orphan_files,
         maintenance_snapshot_expiry,
@@ -254,8 +264,10 @@ def test_expiry_orphan_fixture_consistency(spark, sf_dir):
     orp = {r.part_year: r for r in maintenance_orphan_files(spark, sf_dir).collect()}
     assert set(exp) == set(orp)
     for y in exp:
-        assert orp[y].n_orphans == exp[y].n_files_superseded
-        assert exp[y].n_files_reclaimable <= orp[y].n_orphans
+        assert orp[y].n_orphans == exp[y].n_files_reclaimable
+        assert orp[y].orphan_bytes == exp[y].reclaim_bytes
         assert orp[y].n_deletable <= orp[y].n_orphans
+        # every file the model lists is still pinned or already orphaned
+        assert orp[y].n_orphans <= exp[y].n_files_superseded
         # listing = dailies + monthly rollups, so counts reconcile
         assert orp[y].n_listed >= exp[y].n_snapshots

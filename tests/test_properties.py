@@ -311,3 +311,63 @@ def test_tfidf_cosine_bounds_and_symmetry(spark, docs):
     # idf 0 (i.e. appears in all docs) — then its weight vector is empty
     if dup_pair:
         assert dup_pair[0].cos_sim == 1.0
+
+
+# --- snapshot retention / orphan reachability ------------------------------
+
+_retention_days = st.lists(
+    st.dates(
+        min_value=__import__("datetime").date(2020, 1, 1),
+        max_value=__import__("datetime").date(2024, 12, 28),
+    ),
+    min_size=1,
+    max_size=32,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(days=_retention_days, retain_last=st.integers(1, 40), max_age=st.integers(0, 500))
+def test_retention_planners_match_python_reference(spark, days, retain_last, max_age):
+    """Both maintenance planners against the naive reference on random
+    commit logs: expiry flags match rule-by-rule, exactly
+    min-floored-retain_last snapshots survive, and the orphan set is
+    EXACTLY the reclaimable dailies (post-expiry reachability) — monthly
+    rollups and retained-month dailies are never orphaned."""
+    from test_maintenance import _expected_expiry, _snaps_df
+
+    from spark_iceberg_jobs_spark.queries.maintenance import (
+        orphan_files_classify,
+        snapshot_expiry_classify,
+    )
+
+    keep_from, want = _expected_expiry(days, retain_last, max_age)
+    got = {
+        r.dt: (r.expired, r.superseded, r.reclaimable)
+        for r in snapshot_expiry_classify(
+            _snaps_df(spark, days), retain_last=retain_last, max_age_days=max_age
+        ).collect()
+    }
+    assert got == want
+    n_retained = sum(not e for e, _, _ in got.values())
+    assert n_retained >= min(retain_last, len(days))
+    assert n_retained == sum(1 for d in days if d >= keep_from)
+
+    orphan_rows = orphan_files_classify(
+        _snaps_df(spark, days),
+        grace_days=0,
+        retain_last=retain_last,
+        max_age_days=max_age,
+    ).collect()
+    orphans = {r.path for r in orphan_rows if r.orphan}
+    want_orphans = {
+        f"data/d-{d.isoformat()}.parquet" for d, (_, _, rec) in want.items() if rec
+    }
+    assert orphans == want_orphans
+    assert not any(r.orphan for r in orphan_rows if r.kind == "monthly")
+    # grace_days=0: every orphan is at/past the cutoff -> deletable
+    assert all(r.deletable for r in orphan_rows if r.orphan)
