@@ -271,3 +271,92 @@ def test_expiry_orphan_fixture_consistency(spark, sf_dir):
         assert orp[y].n_orphans <= exp[y].n_files_superseded
         # listing = dailies + monthly rollups, so counts reconcile
         assert orp[y].n_listed >= exp[y].n_snapshots
+
+
+def test_procedure_calls_render_and_link_to_planners(spark, sf_dir):
+    """The CALL builders render Iceberg's documented procedure syntax
+    from the SAME constants the planners use: expire_snapshots at the
+    planners' keep_from, remove_orphan_files at the grace cutoff,
+    binpack at the compaction target."""
+    from spark_iceberg_jobs_spark.plans.procedures import maintenance_calls
+    from spark_iceberg_jobs_spark.queries.maintenance import (
+        _COMPACT_TARGET,
+        _RETAIN_LAST,
+        snapshot_expiry_classify,
+        _daily_files,
+    )
+
+    calls = maintenance_calls(spark, sf_dir, table="bootcamp.orders")
+    assert set(calls) == {
+        "expire_snapshots",
+        "remove_orphan_files",
+        "rewrite_data_files",
+        "rewrite_manifests",
+    }
+    # keep_from linkage: the rendered older_than equals the boundary the
+    # expiry planner classifies against — the earliest RETAINED snapshot
+    # is >= it and the latest EXPIRED one is < it
+    cls = snapshot_expiry_classify(_daily_files(spark, sf_dir)).collect()
+    retained_min = min(r.dt for r in cls if not r.expired)
+    expired_max = max(r.dt for r in cls if r.expired)
+    ts = calls["expire_snapshots"].split("TIMESTAMP '")[1].split("'")[0]
+    keep_from = ts.split(" ")[0]
+    assert str(expired_max) < keep_from <= str(retained_min)
+    assert f"retain_last => {_RETAIN_LAST})" in calls["expire_snapshots"]
+    assert calls["expire_snapshots"].startswith(
+        "CALL spark_catalog.system.expire_snapshots(table => 'bootcamp.orders', "
+    )
+    assert "dry_run => true" in calls["remove_orphan_files"]
+    assert (
+        f"map('target-file-size-bytes', '{_COMPACT_TARGET}')"
+        in calls["rewrite_data_files"]
+    )
+    assert "strategy => 'binpack'" in calls["rewrite_data_files"]
+    assert calls["rewrite_manifests"] == (
+        "CALL spark_catalog.system.rewrite_manifests(table => 'bootcamp.orders')"
+    )
+
+
+def test_procedure_call_guards():
+    """Identifier/literal guards reject anything that is not a plain
+    dotted name or a well-formed timestamp; the where clause escapes
+    single quotes rather than trusting the caller."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.plans.procedures import (
+        expire_snapshots_call,
+        remove_orphan_files_call,
+        rewrite_data_files_call,
+    )
+
+    with pytest.raises(ValueError, match="identifier"):
+        expire_snapshots_call(
+            "db.t; DROP TABLE x", older_than="2024-01-01", retain_last=3
+        )
+    with pytest.raises(ValueError, match="identifier"):
+        remove_orphan_files_call("db.t", older_than="2024-01-01", catalog="c'--")
+    with pytest.raises(ValueError, match="timestamp"):
+        expire_snapshots_call("db.t", older_than="not-a-date", retain_last=3)
+    with pytest.raises(ValueError, match="retain_last"):
+        expire_snapshots_call("db.t", older_than="2024-01-01", retain_last=0)
+    with pytest.raises(ValueError, match="positive"):
+        rewrite_data_files_call("db.t", target_file_size_bytes=0)
+    got = rewrite_data_files_call(
+        "db.t", target_file_size_bytes=512, where="year = '1995'"
+    )
+    assert "where => 'year = ''1995'''" in got
+
+
+def test_procedure_execute_gates_loudly(spark):
+    """Without the Iceberg runtime, execute_calls must raise up-front —
+    never half-run a maintenance pass (mirrors execute_ddls). With a
+    runtime present this test would need a real catalog target instead."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.plans.procedures import execute_calls
+    from spark_iceberg_jobs_spark.session import iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("iceberg runtime present: execution path needs a real catalog")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        execute_calls(spark, {"noop": "CALL spark_catalog.system.rewrite_manifests(table => 'x')"})
