@@ -371,3 +371,74 @@ def test_retention_planners_match_python_reference(spark, days, retain_last, max
     assert not any(r.orphan for r in orphan_rows if r.kind == "monthly")
     # grace_days=0: every orphan is at/past the cutoff -> deletable
     assert all(r.deletable for r in orphan_rows if r.orphan)
+
+
+# --- compaction binpack ------------------------------------------------------
+
+_binpack_files = st.lists(
+    st.tuples(
+        st.dates(
+            min_value=__import__("datetime").date(2022, 1, 1),
+            max_value=__import__("datetime").date(2023, 12, 28),
+        ),
+        st.integers(1, 4_000),  # file bytes: from tiny to multi-bin
+    ),
+    min_size=1,
+    max_size=24,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(files=_binpack_files)
+def test_compaction_binpack_matches_python_reference(spark, files):
+    """The running-sum binpack on random file inventories vs a naive
+    per-partition greedy replica: identical (year, bin) totals, full
+    coverage, contiguous bins, and the one-file overflow bound."""
+    from spark_iceberg_jobs_spark.queries.maintenance import _COMPACT_TARGET
+
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(d.isoformat(), b, d.year) for d, b in files],
+        "file_day string, file_bytes long, part_year long",
+    )
+    w = (
+        Window.partitionBy("part_year")
+        .orderBy("file_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("file_bytes").over(w), F.lit(0))
+    got = {
+        (r.part_year, r.bin_id): (r.n_files, r.total_bytes)
+        for r in df.withColumn(
+            "bin_id", F.floor(cum_before / _COMPACT_TARGET).cast("long")
+        )
+        .groupBy("part_year", "bin_id")
+        .agg(F.count("*").alias("n_files"), F.sum("file_bytes").alias("total_bytes"))
+        .collect()
+    }
+    # naive replica: per year in day order, file joins bin cum_before//target
+    want: dict[tuple[int, int], list[int]] = {}
+    by_year: dict[int, list[tuple[str, int]]] = {}
+    for d, b in sorted(files):
+        by_year.setdefault(d.year, []).append((d.isoformat(), b))
+    for year, fs in by_year.items():
+        cum = 0
+        for _, b in fs:
+            k = (year, cum // _COMPACT_TARGET)
+            n, t = want.get(k, (0, 0))
+            want[k] = (n + 1, t + b)
+            cum += b
+    assert got == want
+    max_file = max(b for _, b in files)
+    for year, fs in by_year.items():
+        ids = sorted(bid for (y, bid) in got if y == year)
+        assert ids == list(range(len(ids))), "bins must be contiguous from 0"
+        for (y, bid), (n, t) in got.items():
+            if y == year:
+                assert t < _COMPACT_TARGET + max_file, "overflow bound: one file max"

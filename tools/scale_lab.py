@@ -365,6 +365,11 @@ def probes():
             "maintenance_snapshot_expiry", build_tpch
         ),
         "orphan_files": _maintenance_probe("maintenance_orphan_files", build_tpch),
+        # partition-health audit: one month-grain aggregate of lineitem +
+        # a broadcast 1-row mean — completes the tier's measurement
+        "partition_health": _maintenance_probe(
+            "maintenance_partition_health", build_tpch
+        ),
     }
 
 
@@ -462,6 +467,7 @@ def main() -> int:
         "cdc_merge",
         "snapshot_expiry",
         "orphan_files",
+        "partition_health",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
