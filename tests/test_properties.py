@@ -442,3 +442,52 @@ def test_compaction_binpack_matches_python_reference(spark, files):
         for (y, bid), (n, t) in got.items():
             if y == year:
                 assert t < _COMPACT_TARGET + max_file, "overflow bound: one file max"
+
+
+# --- CDC latest-wins materialization ----------------------------------------
+
+_cdc_events = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # user_id: few users -> deep per-key histories
+        st.integers(0, 3),  # ts slot: coarse -> frequent (ts, event_id) ties
+        st.sampled_from(["purchase", "click", "view", "error"]),
+        st.floats(0, 100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_cdc_events)
+def test_cdc_materialize_matches_python_reference(spark, rows):
+    """cdc_materialize vs a naive dict replay on random changelogs with
+    planted ts ties: one row per user, latest by (ts, event_id) with
+    event_id breaking ties, live == (last event is not the tombstone)."""
+    import datetime as _dt
+
+    from spark_iceberg_jobs_spark.queries.maintenance import cdc_materialize
+
+    data = [
+        (i, _dt.datetime(2024, 1, 1) + _dt.timedelta(hours=slot), uid, typ, float(v), "{}")
+        for i, (uid, slot, typ, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r.user_id: (r.event_id, r.event_type, r.live)
+        for r in cdc_materialize(df).collect()
+    }
+    want = {}
+    for eid, ts, uid, typ, _v, _p in data:
+        cur = want.get(uid)
+        if cur is None or (ts, eid) > (cur[0], cur[1]):
+            want[uid] = (ts, eid, typ)
+    want = {u: (eid, typ, typ != "error") for u, (ts, eid, typ) in want.items()}
+    assert got == want
