@@ -667,10 +667,13 @@ def test_bm25_v2_serve_scan_prunes(spark, monkeypatch):
     assert not any("/dlen" in ln for ln in scans)
     assert "dl:bigint" in tf_scan
     # v2 collapses the side tables (df + stats partials) into one
-    # persisted union-schema read: the side FileScan only appears as the
-    # build plan of an InMemoryRelation (both consumers hit the cache)
+    # persisted union-schema read
     assert any("/side" in ln for ln in scans)
-    assert "InMemoryTableScan" in plan
+    # late-r7: the delta segment is itself a published artifact, so the
+    # serve plan reads bm25_delta_* and touches the corpus text ZERO
+    # times — no tokenize stage, no documents scan, warm or cold
+    assert any("bm25_delta_" in ln and "FileScan" in ln for ln in plan.splitlines())
+    assert "documents.parquet" not in plan
 
 
 def test_xxhash64_py_matches_spark(spark):
