@@ -147,3 +147,12 @@ def publish_atomic(staging: str, final_dir: str) -> None:
 
 def is_published(final_dir: str) -> bool:
     return os.path.exists(os.path.join(final_dir, "_OK"))
+
+
+def published_version(final_dir: str) -> int:
+    """Identity of the published artifact INSTANCE — the ``_OK`` marker's
+    mtime_ns. A delete + rebuild lands new part files under the same
+    fingerprint key, so any cached resolved reader (whose file index
+    pinned the old part names) must be invalidated; callers stamp their
+    caches with this and rebuild on mismatch."""
+    return os.stat(os.path.join(final_dir, "_OK")).st_mtime_ns

@@ -4189,6 +4189,7 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
         content_fingerprint,
         is_published,
         publish_atomic,
+        published_version,
         staging_dir,
         sweep_stale,
     )
@@ -4353,16 +4354,19 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     # ~0.5 s/call of pure driver overhead on immutable segments; a
     # catalog-backed table would cache its file index the same way
     # (Spark's own CatalogFileIndex). The session guard is an identity
-    # check so a restarted session never serves another JVM's plan.
+    # check so a restarted session never serves another JVM's plan; the
+    # published_version stamp invalidates on a delete + rebuild landing
+    # new part files under the same fingerprint key.
+    ver = (published_version(base_dir), published_version(delta_dir))
     cached = meta.get("scans")
-    if cached is None or cached[0] is not spark:
+    if cached is None or cached[0] is not spark or cached[1] != ver:
         side = spark.read.parquet(f"{base_dir}/side", f"{delta_dir}/side")
         tf_seg = spark.read.parquet(f"{base_dir}/tf").unionByName(
             spark.read.parquet(f"{delta_dir}/tf")
         )
-        cached = (spark, side, tf_seg)
+        cached = (spark, ver, side, tf_seg)
         meta["scans"] = cached
-    _, side, tf_seg = cached
+    side, tf_seg = cached[2], cached[3]
     all_df = side.filter(F.col("tbl") == "df").select("term", "df")
 
     # The (n_docs, tot_dl) partials are two tiny rows of the immutable

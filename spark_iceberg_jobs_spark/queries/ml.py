@@ -27,6 +27,12 @@ _K = 8
 _ITERATIONS = 3
 _DIM = 64
 
+# Per-corpus-fingerprint serving cache for the persisted IVF index —
+# bounded model payloads (centroid rows, probe assignments) plus the
+# session-guarded resolved readers, mirroring llm._BM25_META_CACHE.
+_IVF_META_CACHE: dict[str, dict] = {}
+_IVF_META_CACHE_MAX = 8
+
 
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster profile of the embeddings corpus: per cell, the
@@ -221,11 +227,17 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERSISTED together with the base assignments as a cell-partitioned
     index artifact (the FAISS invlist layout as a parquet directory).
     Repeated serving runs skip the Lloyd's fit AND the base assignment
-    entirely: the delta batch (vec_id % 10 == 0) folds in by one
-    broadcast-centroid assignment over the delta only, and the search
-    reads ONLY the probed cells' partitions (``cell IN (...)`` directory
-    pruning — test_ivf_persisted_serve_prunes_cells). Probes search the
-    MERGED corpus, so delta vectors are retrievable immediately. The
+    entirely; since late round 7 the delta batch (vec_id % 10 == 0) is
+    ALSO a persisted cell-partitioned segment (``/tmp/ivf_delta_*`` —
+    the bm25 delta-segment recipe), so its broadcast-centroid assignment
+    is paid once per delta VERSION, and warm serving is pruned reads of
+    both segments + the search tail: the probed cells' partitions only
+    (``cell IN (...)`` directory pruning on BOTH segment scans —
+    test_ivf_persisted_serve_prunes_cells). Centroid rows and probe
+    assignments are bounded model payloads cached once per corpus
+    fingerprint; resolved readers are cached per (key, session) like a
+    catalog's file index. Probes search the MERGED corpus, so delta
+    vectors are retrievable immediately. The
     oracle replays the base-only fit and the full-corpus
     assignment/search; results are bit-identical to the unpersisted
     formulation (test_ivf_incremental_matches_unpersisted).
@@ -244,6 +256,7 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_fingerprint,
         is_published,
         publish_atomic,
+        published_version,
         staging_dir,
         sweep_stale,
     )
@@ -277,35 +290,82 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(f"{staging}/_OK", "w").close()
         publish_atomic(staging, index_dir)
 
-    # Warm path: centroids come off the artifact (k rows — a model
-    # payload), the base corpus is never rescanned.
-    cent_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
-    cdf = spark.createDataFrame(
-        [(r["cell"], [float(x) for x in r["centv"]]) for r in cent_rows],
-        "cell long, centv array<double>",
-    )
+    # Warm path: centroids come off the artifact ONCE per key (k rows —
+    # a model payload, cached as plain data), the base corpus is never
+    # rescanned.
+    while len(_IVF_META_CACHE) > _IVF_META_CACHE_MAX:
+        _IVF_META_CACHE.pop(next(iter(_IVF_META_CACHE)))
+    meta = _IVF_META_CACHE.setdefault(key, {})
+    if "cent" not in meta:
+        meta["cent"] = [
+            (r["cell"], [float(x) for x in r["centv"]])
+            for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+        ]
+    cdf = spark.createDataFrame(meta["cent"], "cell long, centv array<double>")
 
-    d_e = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
-    )
-    d_assigned = ivf_nearest_cells(d_e, cdf, "cid", "cv", 1)
+    # The DELTA assignment is persisted as its own cell-partitioned
+    # segment (the bm25_delta_ recipe): the O(delta·k) broadcast-centroid
+    # projection is paid once per delta VERSION, not per serve, and the
+    # probed-cell directory prune below applies to BOTH segments. Own
+    # salt — the delta segment format versions independently of the base.
+    delta_key = content_fingerprint(src, salt="ivfdelta-v1")
+    delta_dir = f"/tmp/ivf_delta_{delta_key}"
+    if not is_published(delta_dir):
+        import os
 
-    p = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pv")
-    )
-    probe_cells = ivf_nearest_cells(p, cdf, "probe_id", "pv", NPROBE)
-    # bounded collect (≤ probes × nprobe cells) drives the invlist seek
-    cells = sorted(
-        {r["cell"] for r in probe_cells.select("cell").distinct().collect()}
-    )
+        sweep_stale("ivf_delta_", keep={os.path.basename(delta_dir)})
+        staging = staging_dir(delta_dir)
+        d_e = emb.filter(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+        )
+        (
+            ivf_nearest_cells(d_e, cdf, "cid", "cv", 1)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{staging}/assign")
+        )
+        open(f"{staging}/_OK", "w").close()
+        publish_atomic(staging, delta_dir)
 
-    b_assigned = (
-        spark.read.parquet(f"{index_dir}/assign")
-        .filter(F.col("cell").isin(cells))
+    # Probe assignments derive from the same immutable (source, artifact)
+    # pair — one bounded collect per key (≤ probes × nprobe rows with
+    # their vectors), rebuilt as a local relation so the search plan
+    # broadcasts it without re-running the assignment window per serve.
+    if "probes" not in meta:
+        p = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pv")
+        )
+        meta["probes"] = [
+            (r["probe_id"], [float(x) for x in r["pv"]], r["cell"])
+            for r in ivf_nearest_cells(p, cdf, "probe_id", "pv", NPROBE).collect()
+        ]
+    probe_cells = spark.createDataFrame(
+        meta["probes"], "probe_id long, pv array<double>, cell long"
+    )
+    cells = sorted({c for _, _, c in meta["probes"]})
+
+    # Resolved readers cached per (key, session, artifact instance) — the
+    # catalog-style file-index cache; the session identity check guards
+    # against a restarted session, the published_version stamp against a
+    # delete + rebuild landing new part files under the same key.
+    ver = (published_version(index_dir), published_version(delta_dir))
+    cached = meta.get("scans")
+    if cached is None or cached[0] is not spark or cached[1] != ver:
+        cached = (
+            spark,
+            ver,
+            spark.read.parquet(f"{index_dir}/assign"),
+            spark.read.parquet(f"{delta_dir}/assign"),
+        )
+        meta["scans"] = cached
+    b_reader, d_reader = cached[2], cached[3]
+    assigned = (
+        b_reader.filter(F.col("cell").isin(cells))
         .select("cid", "cv", "cell")
-    )
-    assigned = b_assigned.unionByName(
-        d_assigned.filter(F.col("cell").isin(cells))
+        .unionByName(
+            d_reader.filter(F.col("cell").isin(cells)).select("cid", "cv", "cell")
+        )
     )
     return ivf_search(assigned, probe_cells, k=K_NEIGHBORS)
 

@@ -704,30 +704,25 @@ def test_xxhash64_py_matches_spark(spark):
 
 def test_ivf_persisted_serve_prunes_cells(spark):
     """Round-7 persisted IVF artifact (VERDICT r6 item 3): the serve path
-    must read the cell-partitioned assign artifact with directory pruning
-    on the probed cells (PartitionFilters cell IN ...) and never rescan
-    the base embeddings for assignment."""
+    must read BOTH cell-partitioned assign segments (base index + the
+    late-r7 persisted delta segment) with directory pruning on the probed
+    cells (PartitionFilters cell IN ...), and — since the delta fold-in
+    and probe assignments are paid once per version/key — never scan the
+    source embeddings at all."""
     from spark_iceberg_jobs_spark.queries.ml import sim_ivf_incremental_topk
 
     df = sim_ivf_incremental_topk(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    scans = [
-        ln for ln in plan.splitlines() if "ivf_index_" in ln and "FileScan" in ln
-    ]
-    assign = [ln for ln in scans if "/assign" in ln]
-    assert assign, "serve plan must read the persisted assign artifact"
-    part = assign[0].split("PartitionFilters:")[1].split("]")[0]
-    assert "cell" in part, f"cell partition prune missing: {assign[0]}"
-    # the base embeddings appear in the plan only for the DELTA (%10==0)
-    # and probe (<10) slices, never as a full-corpus assignment scan
-    emb_scans = [
-        ln
-        for ln in plan.splitlines()
-        if "embeddings.parquet" in ln and "FileScan" in ln
-    ]
-    assert emb_scans and all(
-        "PushedFilters: [" in ln and "IsNotNull" in ln for ln in emb_scans
-    )
+    for marker in ("ivf_index_", "ivf_delta_"):
+        assign = [
+            ln
+            for ln in plan.splitlines()
+            if marker in ln and "FileScan" in ln and "/assign" in ln
+        ]
+        assert assign, f"serve plan must read the {marker} assign segment"
+        part = assign[0].split("PartitionFilters:")[1].split("]")[0]
+        assert "cell" in part, f"cell partition prune missing: {assign[0]}"
+    assert "embeddings.parquet" not in plan
 
 
 def test_ivf_incremental_matches_unpersisted(spark):
@@ -752,7 +747,7 @@ def test_ivf_incremental_matches_unpersisted(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    for d in glob.glob("/tmp/ivf_index_*"):
+    for d in glob.glob("/tmp/ivf_index_*") + glob.glob("/tmp/ivf_delta_*"):
         shutil.rmtree(d, ignore_errors=True)
 
     def rows(df):
