@@ -156,3 +156,69 @@ def published_version(final_dir: str) -> int:
     pinned the old part names) must be invalidated; callers stamp their
     caches with this and rebuild on mismatch."""
     return os.stat(os.path.join(final_dir, "_OK")).st_mtime_ns
+
+
+def ensure_published_version(final_dir: str, build) -> int:
+    """Build-if-absent, then return the published instance version — with
+    ONE retry when a concurrent process's TTL sweep deletes the artifact
+    between the existence check and the stat (concurrent callers are a
+    supported case — see publish_atomic; a sweeping process keeps only
+    ITS current key, so another corpus's old-but-current artifact can be
+    evicted under a live reader; one rebuild round restores it)."""
+    for attempt in (0, 1):
+        if not is_published(final_dir):
+            build()
+        try:
+            return published_version(final_dir)
+        except OSError:
+            if attempt:
+                raise
+    raise AssertionError("unreachable")
+
+
+def meta_cache(cache: dict[str, dict], key: str, spark, *, max_entries: int = 8) -> dict:
+    """Bounded per-fingerprint serving-cache entry (FIFO eviction).
+
+    Entries hold plain-data payloads (collected index stats — session-free,
+    valid across rebuilds because a same-key rebuild is deterministic) plus
+    optionally a ``scans`` reader tuple from cached_readers. Reader tuples
+    bound to a session OTHER than ``spark`` are dropped eagerly, so cycling
+    sessions cannot accumulate plans pinned to stopped JVM state."""
+    for m in cache.values():
+        sc = m.get("scans")
+        if sc is not None and sc[0] is not spark:
+            m.pop("scans", None)
+    while len(cache) > max_entries:
+        cache.pop(next(iter(cache)))
+    return cache.setdefault(key, {})
+
+
+def cached_readers(meta: dict, spark, versions: tuple, build):
+    """Resolved readers per (fingerprint entry, session, artifact
+    instance) — the catalog-style file-index cache (Spark's own
+    CatalogFileIndex plays this role for a real table). Re-resolution
+    costs ~0.5 s/serve of pure driver overhead on immutable segments; the
+    session identity check guards a restarted session, and ``versions``
+    (the segments' published_version tuple) invalidates on a delete +
+    rebuild landing new part files under the same key."""
+    cached = meta.get("scans")
+    if cached is None or cached[0] is not spark or cached[1] != versions:
+        cached = (spark, versions, *build())
+        meta["scans"] = cached
+    return cached[2:]
+
+
+def backfill_empty_partitioned(spark, schema, out_dir: str) -> None:
+    """A dynamic-partition write of ZERO rows emits no part files at all,
+    and a later read of the published segment then fails schema inference
+    (UNABLE_TO_INFER_SCHEMA) — permanently, since the ``_OK`` marker makes
+    the broken artifact durable. When that happens, land one empty
+    schema-bearing file with the partition column INLINE: the segment
+    then reads as a normal empty parquet with the same column set, and
+    unionByName coerces it against the partition-inferred sibling."""
+    for _root, _dirs, files in os.walk(out_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return
+    spark.createDataFrame([], schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(out_dir)

@@ -4177,19 +4177,25 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     re-deriving it per query.
 
     Segment merge-on-read (late r7, second cut): the delta segment is
-    written in the SAME term-bucketed + term-sorted layout as the base,
-    so serving reads base+delta as ONE multi-path FileScan per table
-    (tf and side) — a Lucene-style multi-segment read. Halves the
-    per-call read resolutions (4 scans → 2) and extends the
-    term_bucket directory prune to the delta segment, which the
-    unbucketed v1 delta could not take."""
+    written in the SAME term-bucketed + term-sorted layout as the base —
+    a Lucene-style multi-segment layout. The unpartitioned side tables
+    merge into ONE multi-path FileScan; the hive-partitioned tf segments
+    cannot share a root (Spark's CONFLICTING_DIRECTORY_STRUCTURES rule)
+    and stay a two-scan union, with the term_bucket directory prune now
+    applying to BOTH segments (the unbucketed v1 delta could not take
+    it). Resolved readers, query-doc forward rows, and the 2-row stats
+    partials are cached per corpus fingerprint
+    (functions/artifacts.meta_cache / cached_readers), so a warm serve
+    is the rank plan plus nothing."""
     import os
 
     from ..functions.artifacts import (
+        backfill_empty_partitioned,
+        cached_readers,
         content_fingerprint,
-        is_published,
+        ensure_published_version,
+        meta_cache,
         publish_atomic,
-        published_version,
         staging_dir,
         sweep_stale,
     )
@@ -4247,71 +4253,72 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
 
     is_delta = F.col("doc_id") % 10 == 0
     src = f"{sf_dir}/documents.parquet"
-    key = content_fingerprint(src, salt="bm25idx-v2")
-    base_dir = f"/tmp/bm25_index_{key}"
-    if not is_published(base_dir):
-        # TTL-evict superseded/orphaned artifacts; the CURRENT key is
-        # kept regardless of age (it is still derivable from the source)
-        sweep_stale("bm25_index_", keep={os.path.basename(base_dir)})
-        staging = staging_dir(base_dir)
-        b_tf0, b_tf, b_df, b_stats = batch_index(
-            docs.filter(~is_delta), broadcast_dlen=False
+
+    def build_segment(final_dir, prefix, batch_filter, *, broadcast_dlen, fwd_parts):
+        # ONE implementation for both segments (the base index and the
+        # per-version delta): TTL-evict superseded/orphaned siblings (the
+        # CURRENT key is kept regardless of age — still derivable from
+        # the source), stage, write the three tables, publish atomically.
+        sweep_stale(prefix, keep={os.path.basename(final_dir)})
+        staging = staging_dir(final_dir)
+        tf0, tf, df_part, stats_part = batch_index(
+            docs.filter(batch_filter), broadcast_dlen=broadcast_dlen
         )
+        bucketed = tf.withColumn("term_bucket", term_bucket(F.col("term")))
         (
-            b_tf.withColumn("term_bucket", term_bucket(F.col("term")))
-            .repartition("term_bucket")
+            bucketed.repartition("term_bucket")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(f"{staging}/tf")
         )
+        # a zero-row batch (possible for the delta) emits NO part files
+        # under partitionBy — land the schema-bearing empty file so the
+        # published segment stays readable (review finding, late r7)
+        backfill_empty_partitioned(spark, bucketed.schema, f"{staging}/tf")
         # FORWARD index companion (doc-sorted): serving needs the QUERY
         # docs' own term counts, and the inverted layout above cannot
         # row-group-prune on doc_id (every term-sorted file spans all
         # docs). Range-partitioned + sorted by doc_id, a doc_id predicate
         # prunes to ~one row group — the classic inverted+forward pair.
         (
-            b_tf0.repartitionByRange(8, "doc_id")
+            tf0.repartitionByRange(fwd_parts, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(f"{staging}/fwd")
         )
-        side_union(b_df, b_stats).write.mode("overwrite").parquet(
+        backfill_empty_partitioned(spark, tf0.schema, f"{staging}/fwd")
+        side_union(df_part, stats_part).write.mode("overwrite").parquet(
             f"{staging}/side"
         )
         open(f"{staging}/_OK", "w").close()
-        publish_atomic(staging, base_dir)
+        publish_atomic(staging, final_dir)
+
+    key = content_fingerprint(src, salt="bm25idx-v2")
+    base_dir = f"/tmp/bm25_index_{key}"
+    base_ver = ensure_published_version(
+        base_dir,
+        lambda: build_segment(
+            base_dir, "bm25_index_", ~is_delta, broadcast_dlen=False, fwd_parts=8
+        ),
+    )
     # From here on the BASE exists only as its persisted index artifact.
     # The DELTA index is persisted the same way (late r7): fold-in
     # tokenization is paid ONCE PER DELTA VERSION and published as a
     # sibling artifact — production index versioning, where "serve the
     # incremental index" means reading the published delta segment, not
     # re-deriving it per query. Written in the SAME term-bucketed layout
-    # as the base so serving merges the segments in one multi-path scan
+    # as the base so the serve-side prunes apply to both segments
     # (own salt: the delta segment format versions independently of the
     # base artifact, and bumping it must orphan only delta dirs).
     delta_key = content_fingerprint(src, salt="bm25delta-v2")
     delta_dir = f"/tmp/bm25_delta_{delta_key}"
-    if not is_published(delta_dir):
-        sweep_stale("bm25_delta_", keep={os.path.basename(delta_dir)})
-        staging = staging_dir(delta_dir)
-        d_tf0, d_tf, d_df, d_stats = batch_index(
-            docs.filter(is_delta), broadcast_dlen=True
-        )
-        (
-            d_tf.withColumn("term_bucket", term_bucket(F.col("term")))
-            .repartition("term_bucket")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(f"{staging}/tf")
-        )
-        d_tf0.repartitionByRange(2, "doc_id").sortWithinPartitions(
-            "doc_id"
-        ).write.mode("overwrite").parquet(f"{staging}/fwd")
-        side_union(d_df, d_stats).write.mode("overwrite").parquet(f"{staging}/side")
-        open(f"{staging}/_OK", "w").close()
-        publish_atomic(staging, delta_dir)
+    delta_ver = ensure_published_version(
+        delta_dir,
+        lambda: build_segment(
+            delta_dir, "bm25_delta_", is_delta, broadcast_dlen=True, fwd_parts=2
+        ),
+    )
 
     # Query side first: the query docs' term counts come from the FORWARD
     # indexes (doc_id < 3 prunes to ~one row group — never a corpus text
@@ -4320,9 +4327,7 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     # metadata cache after the first call. Rebuilt as a local relation so
     # the ranking plan broadcasts it without re-running any scan, and the
     # distinct terms drive the posting-scan prune from the same job.
-    while len(_BM25_META_CACHE) > _BM25_META_CACHE_MAX:
-        _BM25_META_CACHE.pop(next(iter(_BM25_META_CACHE)))
-    meta = _BM25_META_CACHE.setdefault(key, {})
+    meta = meta_cache(_BM25_META_CACHE, key, spark, max_entries=_BM25_META_CACHE_MAX)
     if "q_base" not in meta:
         meta["q_base"] = [
             (r["doc_id"], r["term"], r["tf"])
@@ -4349,35 +4354,29 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     # hive-partitioned tf segments cannot (Spark requires a single
     # partition-table root — CONFLICTING_DIRECTORY_STRUCTURES), so tf
     # stays a two-scan union, with every prune below applied uniformly
-    # to both segments. The RESOLVED readers are cached per (key,
-    # session) — resolution re-lists the artifact and re-reads footers,
-    # ~0.5 s/call of pure driver overhead on immutable segments; a
-    # catalog-backed table would cache its file index the same way
-    # (Spark's own CatalogFileIndex). The session guard is an identity
-    # check so a restarted session never serves another JVM's plan; the
-    # published_version stamp invalidates on a delete + rebuild landing
-    # new part files under the same fingerprint key.
-    ver = (published_version(base_dir), published_version(delta_dir))
-    cached = meta.get("scans")
-    if cached is None or cached[0] is not spark or cached[1] != ver:
-        side = spark.read.parquet(f"{base_dir}/side", f"{delta_dir}/side")
-        tf_seg = spark.read.parquet(f"{base_dir}/tf").unionByName(
-            spark.read.parquet(f"{delta_dir}/tf")
-        )
-        cached = (spark, ver, side, tf_seg)
-        meta["scans"] = cached
-    side, tf_seg = cached[2], cached[3]
+    # to both segments.
+    side, tf_seg = cached_readers(
+        meta,
+        spark,
+        (base_ver, delta_ver),
+        lambda: (
+            spark.read.parquet(f"{base_dir}/side", f"{delta_dir}/side"),
+            spark.read.parquet(f"{base_dir}/tf").unionByName(
+                spark.read.parquet(f"{delta_dir}/tf")
+            ),
+        ),
+    )
     all_df = side.filter(F.col("tbl") == "df").select("term", "df")
 
     # The (n_docs, tot_dl) partials are two tiny rows of the immutable
     # artifact: fold them ONCE per key into driver scalars (exact integer
-    # sums — a bounded model artifact, not data) instead of re-scanning +
-    # cross-joining the side table on every serve.
+    # sums, null partials from an empty segment skipped like F.sum does)
+    # instead of re-scanning + cross-joining the side table on every serve.
     if "stats" not in meta:
         srows = side.filter(F.col("tbl") == "stats").collect()
         meta["stats"] = (
-            sum(r["n_docs"] for r in srows),
-            sum(r["tot_dl"] for r in srows),
+            sum(r["n_docs"] or 0 for r in srows),
+            sum(r["tot_dl"] or 0 for r in srows),
         )
     n_docs_tot, tot_dl_tot = meta["stats"]
 
@@ -4415,11 +4414,16 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str, k: int = 5) -> DataF
     tf = tf_scan.select("doc_id", "term", "tf", "dl")
 
     df = all_df.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
-    # same arithmetic the old 1-row aggregate ran (double cast, then the
-    # double division), now on the driver scalars — bit-identical avg_dl
+    # same arithmetic the old 1-row aggregate ran — each long CAST to
+    # double FIRST, then the double division (int/int true division would
+    # round once instead of twice and drift an ulp past 2^53), so avg_dl
+    # is bit-identical to the rebuild oracle's; an empty corpus yields 0.0
+    # over an empty tf (the old SQL gave null over zero rows — no rows
+    # score either way)
     n_docs_dbl = float(n_docs_tot)
+    avg_dl = float(tot_dl_tot) / n_docs_dbl if n_docs_tot else 0.0
     stats = spark.createDataFrame(
-        [(n_docs_dbl, tot_dl_tot / n_docs_tot)], "n_docs double, avg_dl double"
+        [(n_docs_dbl, avg_dl)], "n_docs double, avg_dl double"
     )
     if prune:
         # Catalyst propagates this INSET across the equi-join onto every

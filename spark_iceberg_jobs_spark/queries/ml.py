@@ -252,11 +252,15 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TB the assign artifact is the index: vectors live cell-partitioned
     (append a delta partition file per fold-in under a table format), and
     the probed-cell read IS the inverted-list seek."""
+    import os
+
     from ..functions.artifacts import (
+        backfill_empty_partitioned,
+        cached_readers,
         content_fingerprint,
-        is_published,
+        ensure_published_version,
+        meta_cache,
         publish_atomic,
-        published_version,
         staging_dir,
         sweep_stale,
     )
@@ -265,37 +269,45 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     K_NEIGHBORS, NPROBE = 5, 3
     emb = read_fixture(spark, sf_dir, "embeddings")
 
-    src = f"{sf_dir}/embeddings.parquet"
-    key = content_fingerprint(src, salt="ivfidx-v1")
-    index_dir = f"/tmp/ivf_index_{key}"
-    if not is_published(index_dir):
-        import os
-
-        sweep_stale("ivf_index_", keep={os.path.basename(index_dir)})
-        staging = staging_dir(index_dir)
-        base = emb.filter(F.col("vec_id") % 10 != 0)
-        cents = kmeans_fit(base, k=_K, iterations=_ITERATIONS, dim=_DIM)
-        cdf = centroids_df(spark, cents)
-        cdf.write.mode("overwrite").parquet(f"{staging}/centroids")
-        b_e = base.select(
-            F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
-        )
+    def write_assign(batch_e, cdf_local, staging):
+        assigned = ivf_nearest_cells(batch_e, cdf_local, "cid", "cv", 1)
         (
-            ivf_nearest_cells(b_e, cdf, "cid", "cv", 1)
-            .repartition("cell")
+            assigned.repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{staging}/assign")
         )
+        # a zero-row batch (possible for the delta) emits NO part files
+        # under partitionBy — land the schema-bearing empty file so the
+        # published segment stays readable (review finding, late r7)
+        backfill_empty_partitioned(spark, assigned.schema, f"{staging}/assign")
+
+    def build_base():
+        sweep_stale("ivf_index_", keep={os.path.basename(index_dir)})
+        staging = staging_dir(index_dir)
+        base = emb.filter(F.col("vec_id") % 10 != 0)
+        cents = kmeans_fit(base, k=_K, iterations=_ITERATIONS, dim=_DIM)
+        cdf_fit = centroids_df(spark, cents)
+        cdf_fit.write.mode("overwrite").parquet(f"{staging}/centroids")
+        write_assign(
+            base.select(
+                F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+            ),
+            cdf_fit,
+            staging,
+        )
         open(f"{staging}/_OK", "w").close()
         publish_atomic(staging, index_dir)
+
+    src = f"{sf_dir}/embeddings.parquet"
+    key = content_fingerprint(src, salt="ivfidx-v1")
+    index_dir = f"/tmp/ivf_index_{key}"
+    base_ver = ensure_published_version(index_dir, build_base)
 
     # Warm path: centroids come off the artifact ONCE per key (k rows —
     # a model payload, cached as plain data), the base corpus is never
     # rescanned.
-    while len(_IVF_META_CACHE) > _IVF_META_CACHE_MAX:
-        _IVF_META_CACHE.pop(next(iter(_IVF_META_CACHE)))
-    meta = _IVF_META_CACHE.setdefault(key, {})
+    meta = meta_cache(_IVF_META_CACHE, key, spark, max_entries=_IVF_META_CACHE_MAX)
     if "cent" not in meta:
         meta["cent"] = [
             (r["cell"], [float(x) for x in r["centv"]])
@@ -308,25 +320,22 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection is paid once per delta VERSION, not per serve, and the
     # probed-cell directory prune below applies to BOTH segments. Own
     # salt — the delta segment format versions independently of the base.
-    delta_key = content_fingerprint(src, salt="ivfdelta-v1")
-    delta_dir = f"/tmp/ivf_delta_{delta_key}"
-    if not is_published(delta_dir):
-        import os
-
+    def build_delta():
         sweep_stale("ivf_delta_", keep={os.path.basename(delta_dir)})
         staging = staging_dir(delta_dir)
-        d_e = emb.filter(F.col("vec_id") % 10 == 0).select(
-            F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
-        )
-        (
-            ivf_nearest_cells(d_e, cdf, "cid", "cv", 1)
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(f"{staging}/assign")
+        write_assign(
+            emb.filter(F.col("vec_id") % 10 == 0).select(
+                F.col("vec_id").alias("cid"), as_double("embedding").alias("cv")
+            ),
+            cdf,
+            staging,
         )
         open(f"{staging}/_OK", "w").close()
         publish_atomic(staging, delta_dir)
+
+    delta_key = content_fingerprint(src, salt="ivfdelta-v1")
+    delta_dir = f"/tmp/ivf_delta_{delta_key}"
+    delta_ver = ensure_published_version(delta_dir, build_delta)
 
     # Probe assignments derive from the same immutable (source, artifact)
     # pair — one bounded collect per key (≤ probes × nprobe rows with
@@ -345,21 +354,15 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = sorted({c for _, _, c in meta["probes"]})
 
-    # Resolved readers cached per (key, session, artifact instance) — the
-    # catalog-style file-index cache; the session identity check guards
-    # against a restarted session, the published_version stamp against a
-    # delete + rebuild landing new part files under the same key.
-    ver = (published_version(index_dir), published_version(delta_dir))
-    cached = meta.get("scans")
-    if cached is None or cached[0] is not spark or cached[1] != ver:
-        cached = (
-            spark,
-            ver,
+    b_reader, d_reader = cached_readers(
+        meta,
+        spark,
+        (base_ver, delta_ver),
+        lambda: (
             spark.read.parquet(f"{index_dir}/assign"),
             spark.read.parquet(f"{delta_dir}/assign"),
-        )
-        meta["scans"] = cached
-    b_reader, d_reader = cached[2], cached[3]
+        ),
+    )
     assigned = (
         b_reader.filter(F.col("cell").isin(cells))
         .select("cid", "cv", "cell")

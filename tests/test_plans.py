@@ -771,6 +771,73 @@ def test_ivf_incremental_matches_unpersisted(spark):
     assert cold == warm == ref
 
 
+def test_bm25_incremental_empty_delta(spark, tmp_path):
+    """A corpus with NO delta rows (no doc_id % 10 == 0) must still build,
+    publish, and serve: the zero-row partitioned delta segment lands one
+    schema-bearing empty file (backfill_empty_partitioned — a dynamic
+    partitionBy write of 0 rows otherwise emits no files and every later
+    serve dies on schema inference), and the served ranking equals the
+    full rebuild over the same base-only corpus."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.queries.llm import (
+        text_bm25_incremental,
+        text_bm25_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "documents.parquet")
+    docs.filter(F.col("doc_id") % 10 != 0).coalesce(1).write.parquet(out)
+
+    def rows(df):
+        return sorted(tuple(map(repr, r)) for r in df.collect())
+
+    inc = rows(text_bm25_incremental(spark, str(tmp_path)))
+    assert inc == rows(text_bm25_incremental(spark, str(tmp_path)))  # warm
+    assert inc == rows(text_bm25_topk(spark, str(tmp_path)))
+    assert inc
+
+
+def test_ivf_incremental_empty_delta(spark, tmp_path):
+    """Same empty-delta regression for the IVF twin: no vec_id % 10 == 0
+    means a zero-row cell-partitioned delta segment; serving must still
+    work and match the direct formulation on the base-only corpus."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.operators.similarity import (
+        centroids_df,
+        ivf_topk,
+        kmeans_fit,
+    )
+    from spark_iceberg_jobs_spark.queries.ml import (
+        _DIM,
+        _ITERATIONS,
+        _K,
+        sim_ivf_incremental_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "embeddings.parquet")
+    emb.filter(F.col("vec_id") % 10 != 0).coalesce(1).write.parquet(out)
+
+    def rows(df):
+        return sorted(tuple(map(repr, r)) for r in df.collect())
+
+    got = rows(sim_ivf_incremental_topk(spark, str(tmp_path)))
+    emb2 = spark.read.parquet(out)
+    cents = kmeans_fit(emb2, k=_K, iterations=_ITERATIONS, dim=_DIM)
+    ref = rows(
+        ivf_topk(
+            emb2,
+            emb2.filter(F.col("vec_id") < 10),
+            k=5,
+            nprobe=3,
+            centroids=centroids_df(spark, cents),
+        )
+    )
+    assert got == ref and got
+
+
 def test_bm25_v2_prune_gate_is_cost_based(spark):
     """On the smoke fixture the 3 query docs cover ~all posting rows, so
     the cost-based gate must SKIP the scan filters (no term INSET on the
