@@ -115,3 +115,90 @@ def test_fingerprint_subsecond_rewrite_flips_key(tmp_path):
     os.utime(f, ns=(1_000_000_000_000_000_000, 1_700_000_000_456_000_000))
     k2 = artifacts.content_fingerprint(str(f))
     assert k1 != k2
+
+
+def test_ensure_published_version_builds_then_stamps(tmp_path):
+    """Absent artifact → build runs exactly once and the instance version
+    (the _OK marker's mtime_ns) comes back; present artifact → build is
+    not called again and the version is stable."""
+    final = tmp_path / "seg_a"
+    calls = []
+
+    def build():
+        calls.append(1)
+        final.mkdir()
+        (final / "_OK").touch()
+
+    v1 = artifacts.ensure_published_version(str(final), build)
+    v2 = artifacts.ensure_published_version(str(final), build)
+    assert calls == [1] and v1 == v2 == os.stat(final / "_OK").st_mtime_ns
+
+
+def test_ensure_published_version_retries_swept_artifact(monkeypatch, tmp_path):
+    """Review finding (late r7): a concurrent process's TTL sweep can
+    delete the artifact between the existence check and the stat; one
+    rebuild round must restore it instead of crashing the serve."""
+    final = tmp_path / "seg_b"
+
+    def build():
+        final.mkdir(exist_ok=True)
+        (final / "_OK").touch()
+
+    build()
+    real = artifacts.published_version
+    raised = []
+
+    def flaky(d):
+        if not raised:
+            raised.append(1)
+            # simulate the sweep landing between is_published and the stat
+            (final / "_OK").unlink()
+            final.rmdir()
+            return real(d)  # raises FileNotFoundError (an OSError)
+        return real(d)
+
+    monkeypatch.setattr(artifacts, "published_version", flaky)
+    v = artifacts.ensure_published_version(str(final), build)
+    assert v == os.stat(final / "_OK").st_mtime_ns
+
+
+def test_meta_cache_bounds_and_drops_foreign_session_scans(tmp_path):
+    """The serving cache is FIFO-bounded, and reader tuples bound to a
+    session other than the live one are dropped eagerly (review finding:
+    cycling sessions must not pin stopped JVM state), while plain-data
+    payloads survive."""
+    sess_a, sess_b = object(), object()
+    cache: dict[str, dict] = {}
+    m1 = artifacts.meta_cache(cache, "k1", sess_a, max_entries=2)
+    m1["stats"] = (1, 2)
+    m1["scans"] = (sess_a, (7,), "reader")
+    # same session: scans survive
+    assert artifacts.meta_cache(cache, "k1", sess_a, max_entries=2) is m1
+    assert "scans" in m1
+    # another session: k1's reader tuple is dropped, plain data stays
+    artifacts.meta_cache(cache, "k2", sess_b, max_entries=2)
+    assert "scans" not in m1 and m1["stats"] == (1, 2)
+    # FIFO bound: oldest key evicted once the cache exceeds max_entries
+    artifacts.meta_cache(cache, "k3", sess_b, max_entries=2)
+    artifacts.meta_cache(cache, "k4", sess_b, max_entries=2)
+    assert "k1" not in cache and len(cache) <= 3
+
+
+def test_cached_readers_rebuild_on_session_or_version(tmp_path):
+    """Readers rebuild exactly when the session or the artifact instance
+    changes — otherwise the resolved tuple is served from the cache."""
+    sess_a, sess_b = object(), object()
+    builds = []
+
+    def build():
+        builds.append(1)
+        return (f"reader{len(builds)}",)
+
+    meta: dict = {}
+    (r1,) = artifacts.cached_readers(meta, sess_a, (1, 1), build)
+    (r2,) = artifacts.cached_readers(meta, sess_a, (1, 1), build)
+    assert r1 == r2 == "reader1" and len(builds) == 1
+    (r3,) = artifacts.cached_readers(meta, sess_a, (1, 2), build)  # rebuild
+    assert r3 == "reader2"
+    (r4,) = artifacts.cached_readers(meta, sess_b, (1, 2), build)  # rebuild
+    assert r4 == "reader3" and len(builds) == 3
