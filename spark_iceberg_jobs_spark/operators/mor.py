@@ -1,0 +1,59 @@
+"""Merge-on-read with equality deletes — the Iceberg v2 read path.
+
+The maintenance tier plans the WRITE side of a lakehouse table's
+lifecycle (compaction bins, snapshot expiry, orphan files, CDC merge —
+queries/maintenance.py); this operator is the READ side that makes
+row-level deletes cheap between compactions. An Iceberg v2 reader
+applies each equality-delete file to data files with a LOWER data
+sequence number — rows whose delete-key columns match any delete row are
+dropped from the base scan — and data files written AFTER the delete
+(higher sequence number) are served untouched, so a re-insert of a
+deleted key survives. Reference: the job1 tables are ``USING iceberg``
+candidates (job1-DDL_Load_Data_Spark_Iceberg.py:186-274); their
+row-level delete/update path under Spark executes exactly this plan.
+
+Spark-first shape: ONE left-anti equi join on the delete key columns,
+broadcast while the delete set is small (the common case between
+compactions — delete files accumulate only since the last
+rewrite_data_files), then ``unionByName`` for the newer appends. At
+100 TB the anti join moves delete KEYS only, never payload rows; when a
+table outruns the broadcast threshold AQE falls back to a shuffled anti
+join on the same key, and ``maintenance_compaction_bins`` (the
+rewrite_data_files planner) is the pressure valve that folds
+accumulated deletes back into data files and restores the pure scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mor_read_equality_deletes(
+    base: DataFrame,
+    deletes: DataFrame,
+    appends: DataFrame | None = None,
+    *,
+    key_cols: list[str],
+    broadcast_deletes: bool = True,
+) -> DataFrame:
+    """Serve the live rows of a MOR table snapshot.
+
+    - ``base``: the data files the delete files apply to (lower data
+      sequence number).
+    - ``deletes``: the equality-delete files — any extra columns beyond
+      ``key_cols`` are ignored, duplicate delete rows are idempotent, and
+      keys absent from ``base`` are no-ops (all Iceberg spec semantics).
+    - ``appends``: data files newer than every delete (higher sequence
+      number) — served verbatim, even when their keys are in the delete
+      set (delete-then-reinsert must resurrect the row).
+
+    ``broadcast_deletes=False`` drops the hint for delete sets known to
+    outrun the broadcast threshold; the join key is unchanged, so AQE
+    plans the same anti join as a shuffle.
+    """
+    keys = deletes.select(*key_cols).distinct()
+    if broadcast_deletes:
+        keys = F.broadcast(keys)
+    live = base.join(keys, on=list(key_cols), how="left_anti")
+    return live.unionByName(appends) if appends is not None else live

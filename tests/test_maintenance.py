@@ -360,3 +360,107 @@ def test_procedure_execute_gates_loudly(spark):
         pytest.skip("iceberg runtime present: execution path needs a real catalog")
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         execute_calls(spark, {"noop": "CALL spark_catalog.system.rewrite_manifests(table => 'x')"})
+
+
+def test_mor_equality_deletes_semantics(spark):
+    """Iceberg v2 MOR read semantics on a planted snapshot: equality
+    deletes drop EVERY matching base row (duplicate delete rows are
+    idempotent, unknown keys are no-ops, extra delete-file columns are
+    ignored), and appends — data files with a higher sequence number than
+    the deletes — are served verbatim, so delete-then-reinsert
+    resurrects the key."""
+    from spark_iceberg_jobs_spark.operators.mor import mor_read_equality_deletes
+
+    base = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "b", 20),
+            (2, "b2", 21),  # same key twice: both must die
+            (3, "c", 30),
+            (4, "d", 40),
+        ],
+        "k int, payload string, v int",
+    )
+    deletes = spark.createDataFrame(
+        [(2, "x"), (2, "x"), (4, "y"), (99, "z")],  # dup, and unknown 99
+        "k int, junk string",
+    )
+    appends = spark.createDataFrame(
+        [(4, "d-reborn", 41), (5, "e", 50)], "k int, payload string, v int"
+    )
+    got = sorted(
+        tuple(r)
+        for r in mor_read_equality_deletes(
+            base, deletes, appends, key_cols=["k"]
+        ).collect()
+    )
+    assert got == [
+        (1, "a", 10),
+        (3, "c", 30),
+        (4, "d-reborn", 41),  # higher sequence number: delete cannot touch it
+        (5, "e", 50),
+    ]
+    # no appends → just the anti join
+    live = sorted(
+        tuple(r)
+        for r in mor_read_equality_deletes(base, deletes, key_cols=["k"]).collect()
+    )
+    assert live == [(1, "a", 10), (3, "c", 30)]
+
+
+def test_mor_equality_deletes_multi_column_key(spark):
+    """Multi-column equality deletes match on the full key tuple, not on
+    any single column."""
+    from spark_iceberg_jobs_spark.operators.mor import mor_read_equality_deletes
+
+    base = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0), (2, "x", 3.0)], "a int, b string, v double"
+    )
+    deletes = spark.createDataFrame([(1, "x")], "a int, b string")
+    got = sorted(
+        tuple(r)
+        for r in mor_read_equality_deletes(base, deletes, key_cols=["a", "b"]).collect()
+    )
+    assert got == [(1, "y", 2.0), (2, "x", 3.0)]
+
+
+def test_mor_read_plan_is_broadcast_anti_join(spark, sf_dir):
+    """The MOR read at fixture scale: base = orders, delete file = a
+    derived key set, appends = corrected rows. The plan must be ONE
+    broadcast left-anti hash join on the delete keys (delete files are
+    small between compactions) plus the append union — no Cartesian, no
+    nested loop."""
+    from spark_iceberg_jobs_spark.operators.mor import mor_read_equality_deletes
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 5).select("o_orderkey")
+    appends = orders.filter(F.col("o_orderkey") % 26 == 5).withColumn(
+        "o_orderpriority", F.lit("1-URGENT")
+    )
+    live = mor_read_equality_deletes(
+        orders, deletes, appends, key_cols=["o_orderkey"]
+    )
+    agg = live.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # replay the MOR semantics row-exactly in plain python
+    okeys = [r["o_orderkey"] for r in orders.select("o_orderkey").collect()]
+    status = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in orders.select("o_orderkey", "o_orderstatus").collect()
+    }
+    from collections import Counter
+
+    live_keys = [k for k in okeys if k % 13 != 5] + [k for k in okeys if k % 26 == 5]
+    want_n = Counter(status[k] for k in live_keys)
+    want_sum = Counter()
+    for k in live_keys:
+        want_sum[status[k]] += k
+    got = {r["o_orderstatus"]: (r["n_orders"], r["key_sum"]) for r in agg.collect()}
+    assert got == {s: (want_n[s], want_sum[s]) for s in want_n}
