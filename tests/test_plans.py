@@ -855,3 +855,59 @@ def test_bm25_v2_prune_gate_is_cost_based(spark):
     assert all("In(term" not in ln for ln in tf_scans), (
         "unselective query must not pay the row-level term INSET"
     )
+
+
+def test_dpp_prunes_partitioned_fact(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning (SPARK-11150): when the fact table is
+    hive-partitioned on the join key and the dim side carries a selective
+    filter, the fact scan's PartitionFilters must gain a
+    dynamicpruningexpression — the join-carried predicate reaches the
+    directory level at runtime — and the result must equal the
+    direct-filter formulation row-for-row."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.plans.runtime_filters import (
+        dpp_probe,
+        write_partitioned,
+    )
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    orders = read_fixture(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    fact_dir = write_partitioned(
+        orders.select("o_orderkey", "o_totalprice", "order_year"),
+        "order_year",
+        str(tmp_path / "fact"),
+    )
+    years = orders.select("order_year").distinct().withColumn(
+        "is_recent", F.col("order_year") >= 1997
+    )
+    dim = years.filter(F.col("is_recent"))
+
+    joined = dpp_probe(spark, fact_dir, dim, join_col="order_year")
+    agg = joined.groupBy("order_year").agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    got = {r["order_year"]: r["n_orders"] for r in agg.collect()}
+
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    fact_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "fact" in ln and "order_year" in ln
+    ]
+    assert any(
+        "dynamicpruningexpression" in ln.split("PartitionFilters:", 1)[1]
+        for ln in fact_scans
+        if "PartitionFilters:" in ln
+    ), f"DPP filter missing from the fact scan: {fact_scans}"
+
+    want = {
+        r["order_year"]: r["n_orders"]
+        for r in orders.filter(F.col("order_year") >= 1997)
+        .groupBy("order_year")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .collect()
+    }
+    assert got == want and got
