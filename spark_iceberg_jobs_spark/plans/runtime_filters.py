@@ -25,7 +25,10 @@ join key, re-read it, and join it to a pre-filtered dim.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(fact: DataFrame, partition_col: str, out_dir: str) -> str:
@@ -50,3 +53,59 @@ def dpp_probe(
     in the fact scan's PartitionFilters."""
     fact = spark.read.parquet(fact_dir)
     return fact.join(dim, on=join_col, how="inner")
+
+
+@dataclass(frozen=True)
+class BloomProbeResult:
+    rows: int  # join row count (must equal the unfiltered formulation)
+    injected: bool  # bloom_filter_agg built + might_contain applied
+    plan: str  # executed plan text, for assertions/inspection
+
+
+def bloom_join_probe(
+    spark: SparkSession,
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_key: str,
+    dim_key: str,
+) -> BloomProbeResult:
+    """Runtime bloom-filter join pruning (SPARK-32268) — DPP's sibling
+    for NON-partition join keys: before the fact side shuffles for a
+    sort-merge/shuffled-hash join, Catalyst builds a bloom filter over
+    the (selectively filtered) dim side's join keys and injects
+    ``might_contain(<subquery>, xxhash64(fact.key))`` into the fact
+    scan's post-scan filter, dropping most fact rows BEFORE the shuffle
+    — the semijoin reduction classic OLAP engines apply by hand.
+
+    Self-contained probe: injection happens at optimization time, so the
+    confs must bracket the action — staged here and restored after. Two
+    stagings, both the point at lab scale: the application-side scan
+    threshold defaults to 10 GB (the mechanism exists for fact scans that
+    dwarf the dim — a 100 TB fact passes naturally; the fixture must
+    stage it down so the INJECTION is what's probed, not the threshold
+    arithmetic), and autoBroadcast is disabled because the filter
+    protects the shuffle join a production-sized fact is forced into
+    anyway. Results carry the executed plan for pinning.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, fact[fact_key] == dim[dim_key])
+        total = joined.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        rows = total.collect()[0]["n"]
+        plan = total._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    return BloomProbeResult(
+        rows=rows,
+        injected=("might_contain" in plan and "bloom_filter_agg" in plan),
+        plan=plan,
+    )

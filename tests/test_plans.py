@@ -911,3 +911,33 @@ def test_dpp_prunes_partitioned_fact(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
+    """SPARK-32268, DPP's sibling for non-partition join keys: with a
+    selective dim-side filter and a shuffle join, the probe must report a
+    bloom filter built over the dim keys (bloom_filter_agg) and applied
+    to the fact scan (might_contain) BEFORE the shuffle — and the row
+    count must equal the plain formulation's."""
+    from pyspark.sql import functions as F
+
+    from spark_iceberg_jobs_spark.plans.runtime_filters import bloom_join_probe
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    li = read_fixture(spark, sf_dir, "lineitem")
+    urgent = read_fixture(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    res = bloom_join_probe(
+        spark, li, urgent, fact_key="l_orderkey", dim_key="o_orderkey"
+    )
+    assert res.injected, res.plan
+    # the filter lands on the FACT side, keyed by the fact's join column
+    assert any(
+        "might_contain" in ln and "l_orderkey" in ln
+        for ln in res.plan.splitlines()
+    ), res.plan
+    want = (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey).count()
+    )
+    assert res.rows == want and res.rows > 0
