@@ -170,7 +170,9 @@ def ensure_published_version(final_dir: str, build) -> int:
             build()
         try:
             return published_version(final_dir)
-        except OSError:
+        except FileNotFoundError:
+            # the only error the documented sweep race produces; any other
+            # OSError (EACCES, EIO) must surface, not trigger a rebuild
             if attempt:
                 raise
     raise AssertionError("unreachable")
@@ -188,9 +190,17 @@ def meta_cache(cache: dict[str, dict], key: str, spark, *, max_entries: int = 8)
         sc = m.get("scans")
         if sc is not None and sc[0] is not spark:
             m.pop("scans", None)
+    # LRU: re-insert the accessed key at the end, THEN bound — the hot
+    # key can never evict itself, and the cache holds exactly
+    # max_entries (review finding: evict-before-insert held
+    # max_entries+1 and thrashed the oldest key's own payload)
+    entry = cache.pop(key, None)
+    if entry is None:
+        entry = {}
+    cache[key] = entry
     while len(cache) > max_entries:
         cache.pop(next(iter(cache)))
-    return cache.setdefault(key, {})
+    return entry
 
 
 def cached_readers(meta: dict, spark, versions: tuple, build):

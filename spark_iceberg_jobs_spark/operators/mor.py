@@ -42,8 +42,11 @@ def mor_read_equality_deletes(
     - ``base``: the data files the delete files apply to (lower data
       sequence number).
     - ``deletes``: the equality-delete files — any extra columns beyond
-      ``key_cols`` are ignored, duplicate delete rows are idempotent, and
-      keys absent from ``base`` are no-ops (all Iceberg spec semantics).
+      ``key_cols`` are ignored, duplicate delete rows are idempotent,
+      keys absent from ``base`` are no-ops, and key values are compared
+      NULL-SAFELY (a null delete key deletes the null-keyed base rows —
+      Iceberg compares equality-delete values with null equality, which
+      a plain equi join would silently drop).
     - ``appends``: data files newer than every delete (higher sequence
       number) — served verbatim, even when their keys are in the delete
       set (delete-then-reinsert must resurrect the row).
@@ -55,5 +58,14 @@ def mor_read_equality_deletes(
     keys = deletes.select(*key_cols).distinct()
     if broadcast_deletes:
         keys = F.broadcast(keys)
-    live = base.join(keys, on=list(key_cols), how="left_anti")
+    # null-safe (<=>) join condition: Iceberg equality deletes match null
+    # key values; a name-list equi join is null-rejecting and would leave
+    # null-keyed rows undeletable. <=> remains a valid hash-join key, so
+    # the plan is still a (broadcast) hash LeftAnti.
+    b, d = base.alias("__mor_base"), keys.alias("__mor_deletes")
+    cond = None
+    for c in key_cols:
+        term = F.col(f"__mor_base.{c}").eqNullSafe(F.col(f"__mor_deletes.{c}"))
+        cond = term if cond is None else cond & term
+    live = b.join(d, cond, "left_anti")
     return live.unionByName(appends) if appends is not None else live

@@ -163,25 +163,28 @@ def test_ensure_published_version_retries_swept_artifact(monkeypatch, tmp_path):
 
 
 def test_meta_cache_bounds_and_drops_foreign_session_scans(tmp_path):
-    """The serving cache is FIFO-bounded, and reader tuples bound to a
-    session other than the live one are dropped eagerly (review finding:
-    cycling sessions must not pin stopped JVM state), while plain-data
-    payloads survive."""
+    """The serving cache is LRU-bounded at EXACTLY max_entries (review
+    finding: evict-before-insert held one extra and thrashed the oldest
+    key's own payload), the accessed key can never evict itself, and
+    reader tuples bound to a session other than the live one are dropped
+    eagerly while plain-data payloads survive."""
     sess_a, sess_b = object(), object()
     cache: dict[str, dict] = {}
     m1 = artifacts.meta_cache(cache, "k1", sess_a, max_entries=2)
     m1["stats"] = (1, 2)
     m1["scans"] = (sess_a, (7,), "reader")
-    # same session: scans survive
+    # same session: scans survive, same entry object returned
     assert artifacts.meta_cache(cache, "k1", sess_a, max_entries=2) is m1
     assert "scans" in m1
     # another session: k1's reader tuple is dropped, plain data stays
     artifacts.meta_cache(cache, "k2", sess_b, max_entries=2)
     assert "scans" not in m1 and m1["stats"] == (1, 2)
-    # FIFO bound: oldest key evicted once the cache exceeds max_entries
+    # LRU: re-accessing k1 refreshes it, so k2 (now oldest) is evicted
+    assert artifacts.meta_cache(cache, "k1", sess_b, max_entries=2) is m1
     artifacts.meta_cache(cache, "k3", sess_b, max_entries=2)
-    artifacts.meta_cache(cache, "k4", sess_b, max_entries=2)
-    assert "k1" not in cache and len(cache) <= 3
+    assert set(cache) == {"k1", "k3"} and len(cache) == 2
+    # the hot key keeps its payload through repeated access at the bound
+    assert artifacts.meta_cache(cache, "k1", sess_b, max_entries=2)["stats"] == (1, 2)
 
 
 def test_cached_readers_rebuild_on_session_or_version(tmp_path):

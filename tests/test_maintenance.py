@@ -464,3 +464,38 @@ def test_mor_read_plan_is_broadcast_anti_join(spark, sf_dir):
         want_sum[status[k]] += k
     got = {r["o_orderstatus"]: (r["n_orders"], r["key_sum"]) for r in agg.collect()}
     assert got == {s: (want_n[s], want_sum[s]) for s in want_n}
+
+
+def test_mor_equality_deletes_null_safe_keys(spark):
+    """Iceberg compares equality-delete values null-safely: a delete row
+    with a null key column must delete the null-keyed base rows (a plain
+    equi join is null-rejecting and would leave them undeletable), and a
+    null-keyed base row survives when no null delete exists."""
+    from spark_iceberg_jobs_spark.operators.mor import mor_read_equality_deletes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (None, "null-1"), (None, "null-2"), (2, "b")],
+        "k int, payload string",
+    )
+    with_null_delete = spark.createDataFrame([(None,), (2,)], "k int")
+    got = sorted(
+        [
+            (r["k"], r["payload"])
+            for r in mor_read_equality_deletes(
+                base, with_null_delete, key_cols=["k"]
+            ).collect()
+        ],
+        key=repr,
+    )
+    assert got == [(1, "a")]
+    without_null_delete = spark.createDataFrame([(2,)], "k int")
+    kept = sorted(
+        [
+            (r["k"], r["payload"])
+            for r in mor_read_equality_deletes(
+                base, without_null_delete, key_cols=["k"]
+            ).collect()
+        ],
+        key=repr,
+    )
+    assert kept == [(1, "a"), (None, "null-1"), (None, "null-2")]
