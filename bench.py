@@ -20,6 +20,28 @@ from spark_iceberg_jobs_spark.queries import registry  # noqa: E402
 from spark_iceberg_jobs_spark.session import get_spark  # noqa: E402
 
 
+def calibrate(spark) -> float:
+    """Fixed pure-CPU probe (no I/O, no data dependence): min-of-3 timing
+    of a deterministic in-memory hash+sum over 20M rows across all cores.
+    Run before AND after the suite; cross-round subtotal comparisons can
+    then be load-normalized (subtotal / calib ratio) instead of guessed —
+    the r7 VERDICT's '+22% drift, probably box load' gap, now arithmetic.
+    Three same-code runs at r8 open measured common_r1 5.96-6.18 s on a
+    box whose r7-close-out measurement of identical code was 5.28 s, so
+    ±15% cross-session wall-clock drift is real and must be calibrated
+    out, not eyeballed."""
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        # pmod keeps the long sum bounded (~2e13) — the raw xxhash64 sum
+        # overflows int64 under the session's ANSI mode
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "sum(pmod(xxhash64(id), 1000000)) AS h", "count(1) AS n"
+        ).write.format("noop").mode("overwrite").save()
+        reps.append(time.time() - t0)
+    return round(min(reps), 3)
+
+
 def run() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -32,6 +54,7 @@ def run() -> None:
     reg["flagship_revenue_topk"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    calib_before = calibrate(spark)
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -101,13 +124,37 @@ def run() -> None:
     }
     if errors:
         out["errors"] = errors
-    out["common_r1_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r1), 3)
-    out["common_r2_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r2), 3)
-    out["common_r3_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r3), 3)
-    out["common_r4_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r4), 3)
-    out["common_r5_seconds"] = round(sum(timings.get(q, 0.0) for q in common_r5), 3)
+    calib_after = calibrate(spark)
+    subtotals = {
+        f"common_r{i}_seconds": round(sum(timings.get(q, 0.0) for q in qs), 3)
+        for i, qs in enumerate(
+            (common_r1, common_r2, common_r3, common_r4, common_r5), start=1
+        )
+    }
+    out.update(subtotals)
+    out["calib_before_sec"] = calib_before
+    out["calib_after_sec"] = calib_after
     out["value"] = total
     print(json.dumps(out))
+    # SECOND, short record printed LAST (VERDICT r7 item 1b): the driver's
+    # artifact keeps only the final 2000 chars of stdout, and the full
+    # per-query line above has exceeded that since r5 — so the machine-
+    # parseable object ("parsed") has been null for three rounds. This
+    # compact line (calibration + frozen subtotals + total) always fits
+    # inside the tail capture in full, so BENCH_r{N}.json regains a
+    # complete parseable record whichever line the driver's parser finds
+    # last.
+    summary = {
+        "metric": "headline_suite_summary",
+        "unit": "sec",
+        "sf": sf,
+        "calib_before_sec": calib_before,
+        "calib_after_sec": calib_after,
+        **subtotals,
+        "n_errors": len(errors),
+        "value": total,
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 
