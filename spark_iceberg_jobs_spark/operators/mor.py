@@ -29,6 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _quote(name: str) -> str:
+    """Backtick-quote a column NAME so dataset-bound ``df[...]`` resolution
+    never misparses dots as nested-field paths (embedded backticks escaped
+    by doubling)."""
+    return f"`{name.replace('`', '``')}`"
+
+
 def mor_read_equality_deletes(
     base: DataFrame,
     deletes: DataFrame,
@@ -55,17 +62,23 @@ def mor_read_equality_deletes(
     outrun the broadcast threshold; the join key is unchanged, so AQE
     plans the same anti join as a shuffle.
     """
-    keys = deletes.select(*key_cols).distinct()
+    keys = deletes.select(*[deletes[_quote(c)] for c in key_cols]).distinct()
     if broadcast_deletes:
         keys = F.broadcast(keys)
     # null-safe (<=>) join condition: Iceberg equality deletes match null
     # key values; a name-list equi join is null-rejecting and would leave
     # null-keyed rows undeletable. <=> remains a valid hash-join key, so
     # the plan is still a (broadcast) hash LeftAnti.
+    #
+    # Columns are referenced via df[`name`] on the two aliased frames, not
+    # string-interpolated F.col("alias.name") paths (ADVICE r7): a key
+    # column whose NAME contains a dot would misparse as a nested path.
+    # The backtick quoting keeps dataset-bound resolution exact for any
+    # column name (embedded backticks escaped by doubling).
     b, d = base.alias("__mor_base"), keys.alias("__mor_deletes")
     cond = None
     for c in key_cols:
-        term = F.col(f"__mor_base.{c}").eqNullSafe(F.col(f"__mor_deletes.{c}"))
+        term = b[_quote(c)].eqNullSafe(d[_quote(c)])
         cond = term if cond is None else cond & term
     live = b.join(d, cond, "left_anti")
     return live.unionByName(appends) if appends is not None else live

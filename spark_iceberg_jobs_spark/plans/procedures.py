@@ -27,11 +27,15 @@ from ..session import iceberg_available
 #: builders interpolate table names into SQL text, so anything else is
 #: rejected up-front (injection guard, same posture as schemas.py's
 #: explicit types).
-_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*")
 
 
 def _check_ident(name: str, what: str) -> str:
-    if not _IDENT.match(name):
+    # fullmatch, not match-with-$: $ also matches before a trailing
+    # newline, so 'tbl\n' would validate and the newline would land in
+    # the rendered CALL text (ADVICE r7 — malformed output, not injection;
+    # the charset still cannot escape the quotes)
+    if not _IDENT.fullmatch(name):
         raise ValueError(f"{what} {name!r} is not a plain dotted identifier")
     return name
 
@@ -41,7 +45,7 @@ def _ts_literal(ts: datetime.date | datetime.datetime | str) -> str:
     older_than compares snapshot commit timestamps)."""
     if isinstance(ts, str):
         # accept pre-formatted 'YYYY-MM-DD[ HH:MM:SS]' strings only
-        if not re.match(r"^\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2})?$", ts):
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2})?", ts):
             raise ValueError(f"timestamp literal {ts!r} not in YYYY-MM-DD[ HH:MM:SS] form")
         text = ts if " " in ts else f"{ts} 00:00:00"
     elif isinstance(ts, datetime.datetime):

@@ -105,6 +105,32 @@ def test_sweep_spares_kept_keys(monkeypatch, tmp_path):
     assert cur.exists() and not stale.exists()
 
 
+def test_sweep_spares_recently_served_artifact(monkeypatch, tmp_path):
+    """ADVICE r7 / VERDICT r7 item 5: every warm serve refreshes the
+    artifact DIR's mtime (touch_served, called inside
+    ensure_published_version), so a continuously-served artifact never
+    ages past the TTL and cannot be evicted under a live reader even by a
+    sweep whose keep set names a DIFFERENT key. The _OK marker's mtime —
+    the published-instance identity — must stay untouched by the serve."""
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path))
+    served = tmp_path / "kidx_served"
+    served.mkdir()
+    (served / "_OK").touch()
+    old_ts = time.time() - 48 * 3600
+    os.utime(served / "_OK", (old_ts, old_ts))
+    os.utime(served, (old_ts, old_ts))
+    ok_ver_before = os.stat(served / "_OK").st_mtime_ns
+
+    v = artifacts.ensure_published_version(
+        str(served), lambda: (_ for _ in ()).throw(AssertionError("no rebuild"))
+    )
+    assert v == ok_ver_before, "serve must not disturb the instance identity"
+    assert os.stat(served / "_OK").st_mtime_ns == ok_ver_before
+    # another corpus's sweep (keep names only its own key) now spares it
+    removed = artifacts.sweep_stale("kidx_", ttl_hours=12, keep={"kidx_other"})
+    assert removed == 0 and served.exists()
+
+
 def test_fingerprint_subsecond_rewrite_flips_key(tmp_path):
     """Review finding (r7): ns-resolution mtimes — a same-size rewrite
     within one second must change the key."""

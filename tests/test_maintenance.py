@@ -499,3 +499,34 @@ def test_mor_equality_deletes_null_safe_keys(spark):
         key=repr,
     )
     assert kept == [(1, "a"), (None, "null-1"), (None, "null-2")]
+
+
+def test_mor_equality_deletes_dotted_key_column(spark):
+    """ADVICE r7: key columns whose NAMES contain dots (or backticks) must
+    resolve as literal names, not nested-field paths — the old
+    F.col("alias.name") interpolation misparsed them."""
+    from spark_iceberg_jobs_spark.operators.mor import mor_read_equality_deletes
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["the.key", "payload"])
+    deletes = spark.createDataFrame([(2,)], ["the.key"])
+    got = [
+        tuple(r)
+        for r in mor_read_equality_deletes(
+            base, deletes, key_cols=["the.key"]
+        ).collect()
+    ]
+    assert got == [(1, "a")]
+
+
+def test_procedure_guards_reject_trailing_newline():
+    """ADVICE r7: $-anchored regexes match before a trailing newline, so
+    'tbl\\n' validated and the newline landed inside the rendered CALL
+    text. fullmatch closes that."""
+    import pytest
+
+    from spark_iceberg_jobs_spark.plans.procedures import expire_snapshots_call
+
+    with pytest.raises(ValueError, match="identifier"):
+        expire_snapshots_call("db.t\n", older_than="2024-01-01", retain_last=3)
+    with pytest.raises(ValueError, match="timestamp"):
+        expire_snapshots_call("db.t", older_than="2024-01-01\n", retain_last=3)
