@@ -110,6 +110,21 @@ def sweep_stale(
     return removed
 
 
+def dir_bytes(path: str) -> int:
+    """Total bytes of regular files under ``path`` — the driver-side
+    segment-size metadata the minor-compaction trigger compares
+    (delta/base size ratio). A table format reads this from manifest
+    metadata; either way it is O(#files) stats, no data reads."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            try:
+                total += os.stat(os.path.join(root, name)).st_size
+            except OSError:
+                continue
+    return total
+
+
 def staging_dir(final_dir: str) -> str:
     """Process-unique staging path beside the final artifact dir."""
     return f"{final_dir}.staging.{os.getpid()}"

@@ -88,86 +88,81 @@ class QuerySpec:
 #       composition time (CORRECTNESS_r01..r06) so the test pinning this
 #       window cannot be invalidated by the round's own artifact — the
 #       exact failure mode of the retired r6 disjointness assert.
+#   r8 window (the documented policy, staleness frozen at r01–r07):
+#       keeps + plan-changed (the minor-compaction rework + ADVICE pmod
+#       bucket fix touch the two incremental-index serves) + the 3 new
+#       entries (mor_equality_deletes + the two compaction legs) + ALL
+#       17 r2-stale entries + the 26 oldest r3-stale, alphabetical.
 DRIVER_WINDOW = 50
 
-_R7_PERMANENT_KEEPS = [
-    "flagship_revenue_topk",  # README.md:17 headline; r1..r6 green
+_R8_PERMANENT_KEEPS = [
+    "flagship_revenue_topk",  # README.md:17 headline; r1..r7 green
     "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
 ]
 
-_R7_CHANGED = [
-    # BM25 index artifact v2 (term-bucketed postings, content fingerprint,
-    # single side-table read — VERDICT r6 item 2) + the _bm25_rank join
-    # reorder shared by every consumer:
+_R8_CHANGED = [
+    # minor compaction (VERDICT r7 item 3) reworked the segment-serve
+    # section of both incremental indexes, and the ADVICE r7 pmod bucket
+    # fix bumped the BM25 artifact salts (bm25idx-v3/bm25delta-v3):
     "text_bm25_incremental",
-    "text_bm25_topk",
-    "retrieval_known_item_mrr",
-    "pipeline_hybrid_retrieval",
-    "retrieval_rank_fusion",
-    # persisted dense-side IVF index artifact (VERDICT r6 item 3):
     "sim_ivf_incremental_topk",
-    # ADVICE r6: wasted-multiply moved into the guarded branch:
-    "udaf_weighted_avg_price",
 ]
 
-_R7_STALE_REFRESH = [
-    # all 35 entries whose last driver verdict is round 1
-    "a1_top_customer_by_avg_quantity",
-    "a2_top_orderpriority",
-    "a3_top_region_by_orders",
-    "a4_brand_quantity_by_nation",
-    "approx_distinct_custkeys",  # r1 row was rows-only; first hash verdict
-    "argmax_customer_per_nation",
-    "copartitioned_join_agg",
-    "cube_order_stats",
-    "grouped_zscore_extremes",
-    "having_frequent_customers",
-    "join_anti_customers_no_urgent",
-    "join_left_outer_order_counts",
-    "join_semi_urgent_customers",
-    "layout_compression_lab",  # r1 row was rows-only; first hash verdict
-    "pandas_udf_revenue",
-    "percentiles_by_priority",
-    "profile_lineitem",
-    "q14_promo_revenue_share",
-    "q18_large_orders",
-    "q4_late_shipment_priority",
-    "q5_regional_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "rollup_order_stats",
-    "salted_join_agg",
-    "scalar_functions_showcase",
-    "setops_intersect",
-    "setops_segments",
-    "sort_global_topk",
-    "sql_interface_revenue",
-    "stats_moments_by_flag",
-    "subquery_above_nation_avg",
-    "window_lag_order_gaps",
-    "window_running_order_total",
-    "window_top3_orders_per_customer",
-    # all 6 r2-stale slots this window originally carried were displaced
-    # by _R7_NEW below (policy: entries added after the completed rotation
-    # must ride the current window for their first verdict, the r1-stale
-    # set may not shrink, so the newest stale tier gives way — first the
-    # 4-query maintenance tier took 4, then the expiry/orphan pair took
-    # the remaining 2, dedup_embedding_cosine and
-    # embedding_quantization_error, both r2-green and re-verified every
-    # round by tools/verify_local.py)
+_R8_NEW = [
+    # entries added after the completed rotation — never driver-scored,
+    # must ride the current window per Invariant 1
+    "mor_equality_deletes",  # the Iceberg v2 MOR read path (operators/mor.py)
+    "text_bm25_compacted",  # compaction ≡ segments ≡ rebuild, driver-pinned
+    "sim_ivf_compacted_topk",
 ]
 
-_R7_NEW = [
-    # lakehouse table-maintenance tier, added this round (never
-    # driver-scored — must ride this window per Invariant 1)
-    "cdc_merge_latest",
-    "layout_zorder_lab",
-    "maintenance_compaction_bins",
-    "maintenance_partition_health",
-    # the remaining two legs of the Iceberg maintenance trio, added after
-    # the tier's first close-out
-    "maintenance_snapshot_expiry",
-    "maintenance_orphan_files",
+_R8_STALE_REFRESH = [
+    # all 17 entries whose last driver verdict is round 2
+    "dedup_embedding_cosine",
+    "embedding_quantization_error",
+    "graph_pagerank_suppliers",
+    "multimodal_payload_features",
+    "pack_sequences_stats",
+    "sim_centroid_per_label",
+    "split_train_val_test",
+    "stratified_sample_by_lang",
+    "text_bigram_pmi",
+    "text_edit_distance_probe",
+    "text_fingerprints",
+    "text_lang_profile",
+    "text_language_id",
+    "text_quality_by_source",
+    "text_repetition_stats",
+    "text_token_counts",
+    "text_top_terms",
+    # the 26 oldest r3-scored entries (alphabetical; r3 has 44 — the
+    # remaining 18 lead the r9 refresh tier)
+    "cluster_kmeans_embeddings",
+    "corpus_cluster_profile",
+    "decontaminate_eval_overlap",
+    "dedup_clusters",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_exact",
+    "dedup_incremental_batch",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_asof_purchase_click",
+    "events_max_concurrency",
+    "events_pivot_type_counts",
+    "events_props_extract",
+    "events_range_join_followups",
+    "events_retention_cohorts",
+    "events_running_value",
+    "events_session_window_native",
+    "events_sessionization",
+    "events_sliding_1h_30m",
+    "events_time_rollup",
+    "events_top_purchasers",
+    "events_tumbling_hourly",
+    "mixture_temperature_weights",
+    "multimodal_audio_decode",
+    "multimodal_image_decode",
+    "pipeline_corpus_curation",
 ]
 
 
@@ -183,7 +178,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R7_PERMANENT_KEEPS + _R7_CHANGED + _R7_STALE_REFRESH + _R7_NEW
+    head = _R8_PERMANENT_KEEPS + _R8_CHANGED + _R8_NEW + _R8_STALE_REFRESH
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

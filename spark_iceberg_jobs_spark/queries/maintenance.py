@@ -737,9 +737,83 @@ ORDER BY part_year
 """
 
 
+# ---------------------------------------------------------------------------
+# mor_equality_deletes
+# ---------------------------------------------------------------------------
+
+
+def mor_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read read path (operators/mor.py) over a
+    simulated orders snapshot — the row-level-delete serving plan the
+    reference's ``USING iceberg`` tables (job1:186-274) execute between
+    compactions:
+
+    - base data files (lower data sequence number): orders with
+      ``o_orderkey % 4 != 3``;
+    - one equality-delete file on key ``o_custkey``: every customer that
+      placed an order with ``o_orderkey % 97 == 0`` — deleting a customer
+      drops ALL their base rows, the classic GDPR-style equality delete;
+    - appends (data files newer than the delete): ``o_orderkey % 4 == 3``
+      — served verbatim even for deleted customers (delete-then-reinsert
+      resurrects the key).
+
+    The read is ONE broadcast left-anti hash join on the delete keys plus
+    a unionByName — delete keys move, payload rows never do — then the
+    live snapshot aggregates per order status (exact DECIMAL money sum).
+
+    Scale: the anti join broadcasts the delete-key set (small between
+    compactions — that is the MOR contract); when deletes outgrow the
+    threshold the same plan degrades to a shuffled anti join and
+    maintenance_compaction_bins is the pressure valve that folds them
+    back into data files."""
+    from ..functions.money import money_sum
+    from ..operators.mor import mor_read_equality_deletes
+
+    orders = read_fixture(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 != 3)
+    appends = orders.filter(F.col("o_orderkey") % 4 == 3)
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 0).select("o_custkey")
+    live = mor_read_equality_deletes(base, deletes, appends, key_cols=["o_custkey"])
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_live"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MOR_EQUALITY_DELETES_ORACLE = """
+WITH dels AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 97 = 0
+), live AS (
+    SELECT * FROM orders b
+    WHERE b.o_orderkey % 4 <> 3
+      AND NOT EXISTS (
+          SELECT 1 FROM dels d
+          WHERE d.o_custkey IS NOT DISTINCT FROM b.o_custkey)
+    UNION ALL
+    SELECT * FROM orders WHERE o_orderkey % 4 = 3
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM live
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "maintenance_compaction_bins": QuerySpec(
         maintenance_compaction_bins, COMPACTION_BINS_ORACLE
+    ),
+    "mor_equality_deletes": QuerySpec(
+        mor_equality_deletes, MOR_EQUALITY_DELETES_ORACLE
     ),
     "maintenance_partition_health": QuerySpec(
         maintenance_partition_health, PARTITION_HEALTH_ORACLE

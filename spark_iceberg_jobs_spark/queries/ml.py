@@ -220,7 +220,9 @@ WHERE rnk <= 5
 IVF_KMEANS_ORACLE = _ivf_kmeans_oracle_sql()
 
 
-def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_incremental_topk(
+    spark: SparkSession, sf_dir: str, *, compact_ratio: float | None = None
+) -> DataFrame:
     """Dense-side incremental index maintenance — the IVF twin of
     text_bm25_incremental: centroids are fitted ONCE on the base corpus
     (vec_id % 10 != 0), FROZEN, and — since round 7 (VERDICT r6 item 3) —
@@ -251,13 +253,26 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/n_cells-bounded partition read + candidate rescoring. At 100
     TB the assign artifact is the index: vectors live cell-partitioned
     (append a delta partition file per fold-in under a table format), and
-    the probed-cell read IS the inverted-list seek."""
+    the probed-cell read IS the inverted-list seek.
+
+    Minor compaction (round 8 — VERDICT r7 item 3, the bm25 recipe): when
+    ``compact_ratio`` is set and the delta/base on-disk size ratio
+    exceeds it, the delta assignments fold into a new cell-partitioned
+    base artifact (``/tmp/ivf_compact_*``) built from the published
+    segments only — cells are already assigned, so the fold is a pure
+    partitioned rewrite plus a centroid copy, never an embedding rescan
+    or re-fit. Serving from the compacted artifact reads ONE probed-cell
+    segment (the union disappears) and is row-identical to the
+    two-segment serve (test_ivf_compaction_matches_segments). Default
+    ``None`` keeps the two-segment merge-on-read; the ``sim_ivf_compacted_topk``
+    registry entry forces the fold for its driver hash verdict."""
     import os
 
     from ..functions.artifacts import (
         backfill_empty_partitioned,
         cached_readers,
         content_fingerprint,
+        dir_bytes,
         ensure_published_version,
         meta_cache,
         publish_atomic,
@@ -337,6 +352,42 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_dir = f"/tmp/ivf_delta_{delta_key}"
     delta_ver = ensure_published_version(delta_dir, build_delta)
 
+    def build_compacted(comp_dir: str) -> None:
+        # Minor compaction: cells are already assigned in both published
+        # segments, so the fold is a pure cell-partitioned rewrite of
+        # their union plus a centroid copy — no embedding rescan, no
+        # re-fit, row-identical to the two-segment view by construction.
+        sweep_stale("ivf_compact_", keep={os.path.basename(comp_dir)})
+        staging = staging_dir(comp_dir)
+        merged = spark.read.parquet(f"{index_dir}/assign").unionByName(
+            spark.read.parquet(f"{delta_dir}/assign")
+        )
+        (
+            merged.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{staging}/assign")
+        )
+        backfill_empty_partitioned(spark, merged.schema, f"{staging}/assign")
+        spark.read.parquet(f"{index_dir}/centroids").write.mode(
+            "overwrite"
+        ).parquet(f"{staging}/centroids")
+        open(f"{staging}/_OK", "w").close()
+        publish_atomic(staging, comp_dir)
+
+    # Compaction trigger on driver-side segment-size metadata (manifest
+    # numbers under a table format) — the bm25 recipe.
+    serve_segs = [(index_dir, base_ver), (delta_dir, delta_ver)]
+    if compact_ratio is not None and dir_bytes(delta_dir) > compact_ratio * dir_bytes(
+        index_dir
+    ):
+        comp_key = content_fingerprint(src, salt="ivfcompact-v1")
+        comp_dir = f"/tmp/ivf_compact_{comp_key}"
+        comp_ver = ensure_published_version(
+            comp_dir, lambda: build_compacted(comp_dir)
+        )
+        serve_segs = [(comp_dir, comp_ver)]
+
     # Probe assignments derive from the same immutable (source, artifact)
     # pair — one bounded collect per key (≤ probes × nprobe rows with
     # their vectors), rebuilt as a local relation so the search plan
@@ -354,23 +405,33 @@ def sim_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = sorted({c for _, _, c in meta["probes"]})
 
-    b_reader, d_reader = cached_readers(
+    readers = cached_readers(
         meta,
         spark,
-        (base_ver, delta_ver),
-        lambda: (
-            spark.read.parquet(f"{index_dir}/assign"),
-            spark.read.parquet(f"{delta_dir}/assign"),
+        tuple(v for _, v in serve_segs),
+        lambda: tuple(
+            spark.read.parquet(f"{d}/assign") for d, _ in serve_segs
         ),
     )
-    assigned = (
-        b_reader.filter(F.col("cell").isin(cells))
-        .select("cid", "cv", "cell")
-        .unionByName(
-            d_reader.filter(F.col("cell").isin(cells)).select("cid", "cv", "cell")
-        )
-    )
+    pruned = [
+        r.filter(F.col("cell").isin(cells)).select("cid", "cv", "cell")
+        for r in readers
+    ]
+    assigned = pruned[0]
+    for p in pruned[1:]:
+        assigned = assigned.unionByName(p)
     return ivf_search(assigned, probe_cells, k=K_NEIGHBORS)
+
+
+def sim_ivf_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minor-compaction leg of the IVF index lifecycle (VERDICT r7 item
+    3): serve the SAME incremental IVF search after folding the delta
+    assignment segment into a new cell-partitioned base artifact
+    (``compact_ratio=0.0`` forces the fold). The fold is a partitioned
+    rewrite of the published segments plus a centroid copy — embeddings
+    are never rescanned — so this entry's driver hash verdict pins
+    compaction ≡ two-segment serve ≡ the replayed full formulation."""
+    return sim_ivf_incremental_topk(spark, sf_dir, compact_ratio=0.0)
 
 
 IVF_INCREMENTAL_ORACLE = _ivf_kmeans_oracle_sql(
@@ -1371,6 +1432,10 @@ EXTRA_QUERIES: dict[str, QuerySpec] = {
     "sim_ivf_incremental_topk": QuerySpec(
         sim_ivf_incremental_topk, IVF_INCREMENTAL_ORACLE
     ),
+    # minor compaction folds the delta assignments into a new base-layout
+    # artifact from the published segments only; same oracle (row-identical
+    # by construction)
+    "sim_ivf_compacted_topk": QuerySpec(sim_ivf_compacted_topk, IVF_INCREMENTAL_ORACLE),
     "sim_pq_adc_topk": QuerySpec(sim_pq_adc_topk, PQ_ADC_ORACLE, headline=True),
     "sim_ivfpq_adc_topk": QuerySpec(sim_ivfpq_adc_topk, IVFPQ_ADC_ORACLE, headline=True),
     "dedup_semantic": QuerySpec(dedup_semantic, SEMANTIC_DEDUP_ORACLE),

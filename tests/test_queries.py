@@ -37,45 +37,45 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     assert rows, f"{name} returned 0 rows at smoke scale"
 
 
-def test_driver_window_r7_policy():
-    """VERDICT r6 item 6: the post-rotation window policy. The rotation
-    program completed in r6 (union of CORRECTNESS_r01–r06 = registry), so
-    from r7 on the window is: permanent keeps + queries whose plan changed
-    since their last driver verdict + the STALEST prior verdicts (oldest
-    round first). Staleness is evaluated ONLY against the artifacts that
-    existed at window-composition time (r01–r06, pinned below) — the r6
-    lesson: a glob that matches the current round's own artifact makes the
-    test self-invalidating the moment the driver commits results."""
+def test_driver_window_r8_policy():
+    """The post-rotation window policy (documented in queries/__init__.py):
+    permanent keeps + queries whose plan changed since their last driver
+    verdict + never-scored new entries + the STALEST prior verdicts
+    (oldest round first, alphabetical within a round). Staleness is
+    evaluated ONLY against the artifacts that existed at window-composition
+    time (r01–r07, pinned below) — the r6 lesson: a glob matching the
+    current round's own artifact makes the test self-invalidating the
+    moment the driver commits results."""
     import glob
     import json
     import os
 
     from spark_iceberg_jobs_spark.queries import (
-        _R7_CHANGED,
-        _R7_NEW,
-        _R7_PERMANENT_KEEPS,
-        _R7_STALE_REFRESH,
+        _R8_CHANGED,
+        _R8_NEW,
+        _R8_PERMANENT_KEEPS,
+        _R8_STALE_REFRESH,
         DRIVER_WINDOW,
     )
 
     window = list(REG)[:DRIVER_WINDOW]
-    curated = _R7_PERMANENT_KEEPS + _R7_CHANGED + _R7_STALE_REFRESH + _R7_NEW
-    assert window == curated, "registry head must equal the curated r7 window"
+    curated = _R8_PERMANENT_KEEPS + _R8_CHANGED + _R8_NEW + _R8_STALE_REFRESH
+    assert window == curated, "registry head must equal the curated r8 window"
     assert len(curated) == DRIVER_WINDOW, (
         f"window misfilled: {len(curated)}/{DRIVER_WINDOW} curated entries"
     )
-    assert "cohort_ltv_by_first_year" in _R7_PERMANENT_KEEPS
-    assert "flagship_revenue_topk" in _R7_PERMANENT_KEEPS
+    assert "cohort_ltv_by_first_year" in _R8_PERMANENT_KEEPS
+    assert "flagship_revenue_topk" in _R8_PERMANENT_KEEPS
     assert all(REG[n].oracle is not None for n in window), (
         "every window entry needs a value-hash oracle"
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # Composition-time baseline: r01–r06 ONLY (frozen — later artifacts
+    # Composition-time baseline: r01–r07 ONLY (frozen — later artifacts
     # must never change what this test asserts).
     last_scored: dict[str, int] = {}
-    baseline = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-6].json")))
-    assert len(baseline) == 6, "r01..r06 artifacts are part of the repo"
+    baseline = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-7].json")))
+    assert len(baseline) == 7, "r01..r07 artifacts are part of the repo"
     for f in baseline:
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         with open(f) as fh:
@@ -89,17 +89,16 @@ def test_driver_window_r7_policy():
         f"never-driver-scored entries outside the window: "
         f"{sorted(uncovered - set(window))}"
     )
-    # Invariant 2: every stale-refresh slot really is stale — last scored
-    # in r1 or r2 against the frozen baseline (the 35 r1 entries; all 6
-    # r2 slots the window originally carried gave way to the _R7_NEW
-    # maintenance tier, which Invariant 1 forces into the window).
-    assert all(last_scored[n] <= 2 for n in _R7_STALE_REFRESH)
-    assert all(n not in last_scored for n in _R7_NEW), (
-        "_R7_NEW is for entries with no prior driver verdict"
+    # Invariant 2: every stale-refresh slot really is stale against the
+    # frozen baseline — the 17 r2-scored entries plus the oldest of r3's
+    # 44; no refresh slot may be fresher than r3.
+    assert all(last_scored[n] <= 3 for n in _R8_STALE_REFRESH)
+    assert all(n not in last_scored for n in _R8_NEW), (
+        "_R8_NEW is for entries with no prior driver verdict"
     )
-    r1_all = {n for n in REG if last_scored.get(n) == 1}
-    assert r1_all <= set(_R7_STALE_REFRESH), (
-        "every r1-stale entry must be in the refresh set"
+    r2_all = {n for n in REG if last_scored.get(n) == 2}
+    assert r2_all <= set(_R8_STALE_REFRESH), (
+        "every r2-stale entry must be in the refresh set"
     )
 
 
@@ -117,14 +116,14 @@ def test_window_is_curated_not_positional():
     """Only the explicit curated list reaches the driver window: nothing
     rides in on module dict order (the r1 bug this guards against), and
     the regression keeps stay present."""
-    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R7_CHANGED
+    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R8_CHANGED
 
     window = set(list(REG)[:DRIVER_WINDOW])
     assert "flagship_revenue_topk" in window
     # rotated-in extras are deliberate; anything else outside the curated
     # list must stay outside the window
     assert len(window) == DRIVER_WINDOW
-    assert set(_R7_CHANGED) <= window
+    assert set(_R8_CHANGED) <= window
 
 
 def test_quality_rules_fire_on_corrupted_rows(spark, monkeypatch):
@@ -186,8 +185,11 @@ def test_fk_orphan_audit_fires_on_planted_orphan(spark, monkeypatch):
 
 def test_bm25_incremental_equals_rebuild(spark):
     """VERDICT r4 item 7 'done' criterion: the merged incremental index
-    ranks bit-identically to the full rebuild on the union corpus."""
+    ranks bit-identically to the full rebuild on the union corpus — and
+    (VERDICT r7 item 3) so does serving AFTER minor compaction folds the
+    delta segment into a new base artifact."""
     from spark_iceberg_jobs_spark.queries.llm import (
+        text_bm25_compacted,
         text_bm25_incremental,
         text_bm25_topk,
     )
@@ -195,4 +197,5 @@ def test_bm25_incremental_equals_rebuild(spark):
     sf = "/root/testdata/sf0.001"
     full = [tuple(map(repr, r)) for r in text_bm25_topk(spark, sf).collect()]
     incr = [tuple(map(repr, r)) for r in text_bm25_incremental(spark, sf).collect()]
-    assert full == incr
+    comp = [tuple(map(repr, r)) for r in text_bm25_compacted(spark, sf).collect()]
+    assert full == incr == comp
