@@ -313,6 +313,20 @@ def probes():
         "bm25_incremental": lambda s, d: __import__(
             "spark_iceberg_jobs_spark.queries.llm", fromlist=["text_bm25_incremental"]
         ).text_bm25_incremental(s, d),
+        # minor compaction (round-8): rep 1 folds delta→base into the
+        # compacted artifact (segment reads only — never the corpus),
+        # rep 2 (the min) serves from ONE segment — the claim under test
+        # is that post-compaction serve time returns to the base-only
+        # floor (vs bm25_incremental's two-segment serve at the same
+        # scale), i.e. compaction is what stops serve cost growing with
+        # the segment list
+        "bm25_compacted": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.queries.llm", fromlist=["text_bm25_compacted"]
+        ).text_bm25_compacted(s, d),
+        "ivf_compacted": lambda s, d: __import__(
+            "spark_iceberg_jobs_spark.queries.ml",
+            fromlist=["sim_ivf_compacted_topk"],
+        ).sim_ivf_compacted_topk(s, d),
         # RAG capstone: chunk expansion (codegen) + chunk-index build
         # (term-keyed) + 3-query retrieval — linear index cost dominates
         "rag_retrieval": lambda s, d: __import__(
