@@ -90,9 +90,10 @@ class QuerySpec:
 #       exact failure mode of the retired r6 disjointness assert.
 #   r8 window (the documented policy, staleness frozen at r01–r07):
 #       keeps + plan-changed (the minor-compaction rework + ADVICE pmod
-#       bucket fix touch the two incremental-index serves) + the 3 new
-#       entries (mor_equality_deletes + the two compaction legs) + ALL
-#       17 r2-stale entries + the 26 oldest r3-stale, alphabetical.
+#       bucket fix touch the two incremental-index serves) + the 5 new
+#       entries (mor_equality_deletes, the two compaction legs, SCD2,
+#       MV refresh) + ALL 17 r2-stale entries + the 24 oldest r3-stale,
+#       alphabetical (the new entries displaced the two newest r3 slots).
 DRIVER_WINDOW = 50
 
 _R8_PERMANENT_KEEPS = [
@@ -110,10 +111,15 @@ _R8_CHANGED = [
 
 _R8_NEW = [
     # entries added after the completed rotation — never driver-scored,
-    # must ride the current window per Invariant 1
+    # must ride the current window per Invariant 1 (they displace the
+    # newest stale slots: the last two alphabetical r3 entries,
+    # multimodal_image_decode and pipeline_corpus_curation, lead r9's
+    # refresh tier instead)
     "mor_equality_deletes",  # the Iceberg v2 MOR read path (operators/mor.py)
     "text_bm25_compacted",  # compaction ≡ segments ≡ rebuild, driver-pinned
     "sim_ivf_compacted_topk",
+    "cdc_scd2_history",  # SCD Type 2 validity intervals (MERGE's other half)
+    "mv_incremental_refresh",  # exact partial-aggregate MV fold-in
 ]
 
 _R8_STALE_REFRESH = [
@@ -161,8 +167,6 @@ _R8_STALE_REFRESH = [
     "events_tumbling_hourly",
     "mixture_temperature_weights",
     "multimodal_audio_decode",
-    "multimodal_image_decode",
-    "pipeline_corpus_curation",
 ]
 
 

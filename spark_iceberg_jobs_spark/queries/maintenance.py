@@ -738,6 +738,153 @@ ORDER BY part_year
 
 
 # ---------------------------------------------------------------------------
+# cdc_scd2_history
+# ---------------------------------------------------------------------------
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 materialization over the events
+    changelog — the OTHER standard MERGE pattern next to
+    cdc_merge_latest's latest-wins upsert: instead of keeping only each
+    key's current row, every change opens a VERSION with a validity
+    interval [valid_from, valid_to), closed by the key's next change;
+    the newest version per key stays open (valid_to null = current).
+    Under Iceberg this is the MERGE INTO ... WHEN MATCHED THEN UPDATE
+    (close the interval) / WHEN NOT MATCHED THEN INSERT (open the next)
+    dimension-history recipe.
+
+    Dataflow: ONE user_id-partitioned window (ts, event_id ordering —
+    event_id breaks timestamp ties deterministically) computes each
+    version's close timestamp via lead(); the summary reports, per event
+    type, how many versions that type opened, how many are still
+    current, and the exact total dwell time of the CLOSED versions
+    (integer epoch-micros arithmetic end-to-end — no float time math).
+
+    Scale: one shuffle on the history key (user_id) for the window —
+    the same minimum any MERGE pays — then a |event_types| aggregate.
+    No self-join (the naive SCD2 formulation joins the table to itself
+    on "next change"; lead() is the window-native form of exactly that).
+    """
+    from pyspark.sql.window import Window
+
+    ev = read_fixture(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+    )
+    return (
+        hist.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum(F.col("valid_to_us").isNull().cast("long")).alias("n_current"),
+            F.sum(
+                F.when(
+                    F.col("valid_to_us").isNotNull(),
+                    F.col("valid_to_us") - F.col("valid_from_us"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("closed_dwell_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SCD2_HISTORY_ORACLE = """
+WITH hist AS (
+    SELECT event_type,
+           epoch_us(ts) AS valid_from_us,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS valid_to_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_current,
+       CAST(SUM(CASE WHEN valid_to_us IS NOT NULL
+                     THEN valid_to_us - valid_from_us ELSE 0 END) AS BIGINT)
+           AS closed_dwell_us
+FROM hist
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# mv_incremental_refresh
+# ---------------------------------------------------------------------------
+
+
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the relational twin of
+    the index-segment merge (text_bm25_incremental): a monthly-revenue MV
+    is materialized from the BASE batch (o_orderkey % 10 != 0) as
+    per-month PARTIAL aggregates, the DELTA batch (o_orderkey % 10 == 0)
+    is aggregated ALONE, and the refreshed MV merges the two partial sets
+    by summing — never rescanning the base. Every partial is an exact
+    integer/DECIMAL sum, so the merged MV is bit-identical to a full
+    recompute over the union (which is exactly what the oracle runs) —
+    the algebraic-aggregate property (sum/count decompose; any avg
+    derives exactly from the merged sum/count downstream — emitted as
+    SUM + COUNT per the repo's determinism rule, since a rounded
+    sum/count quotient lands on cross-engine .xxx5 midpoints) that makes
+    incremental view maintenance exact.
+
+    Scale: refresh cost is O(delta) + O(|months|) merge — at 100 TB the
+    base partials live as a table (one row per month) and each delta
+    fold-in touches only the months the delta contains, the standard
+    streaming-MV upkeep shape (foreachBatch MERGE INTO in
+    streaming/events_stream.py runs the same algebra continuously).
+    """
+    from ..functions.money import money
+
+    orders = read_fixture(spark, sf_dir, "orders")
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(money("o_totalprice")).alias("rev_dec"),
+        )
+
+    base_mv = partials(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta_mv = partials(orders.filter(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base_mv.unionByName(delta_mv)
+        .groupBy("order_month")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_dec").alias("rev_merged"),
+        )
+    )
+    # emit the exact merged SUM + COUNT, not a rounded average: any
+    # downstream avg derives from these exactly, while ROUND(sum/count)
+    # lands on .xxx5 midpoints where Spark HALF_UP and DuckDB binary
+    # rounding disagree (hit immediately at sf0.01: 41891909.05/184 =
+    # 227673.41875 — the repo-wide determinism rule, docs/ROUND5.md)
+    return merged.select(
+        "order_month",
+        "n_orders",
+        F.round(F.col("rev_merged"), 2).cast("double").alias("revenue"),
+    ).orderBy("order_month")
+
+
+MV_INCREMENTAL_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
+# ---------------------------------------------------------------------------
 # mor_equality_deletes
 # ---------------------------------------------------------------------------
 
@@ -815,6 +962,10 @@ QUERIES: dict[str, QuerySpec] = {
     "mor_equality_deletes": QuerySpec(
         mor_equality_deletes, MOR_EQUALITY_DELETES_ORACLE
     ),
+    "cdc_scd2_history": QuerySpec(cdc_scd2_history, SCD2_HISTORY_ORACLE),
+    # merged partials vs the oracle's full recompute — the equality IS the
+    # incremental-view-maintenance claim
+    "mv_incremental_refresh": QuerySpec(mv_incremental_refresh, MV_INCREMENTAL_ORACLE),
     "maintenance_partition_health": QuerySpec(
         maintenance_partition_health, PARTITION_HEALTH_ORACLE
     ),

@@ -491,3 +491,72 @@ def test_cdc_materialize_matches_python_reference(spark, rows):
             want[uid] = (ts, eid, typ)
     want = {u: (eid, typ, typ != "error") for u, (ts, eid, typ) in want.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# plan_binpack (round 8): pure-python greedy rule — no Spark per example
+# ---------------------------------------------------------------------------
+
+_binpack_inventory = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),  # path
+        st.integers(min_value=0, max_value=5_000),  # bytes
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(inv=_binpack_inventory, target=st.integers(min_value=1, max_value=4_000))
+def test_plan_binpack_invariants(inv, target):
+    """The greedy running-sum rule's invariants, for any inventory:
+    partition (every file in exactly one bin), path-order contiguity
+    (bin ids are non-decreasing over the sorted inventory, starting at
+    0 with no gaps), and the overflow bound (every bin's bytes < target
+    + its largest file; a bin overflows by at most its last member)."""
+    from spark_iceberg_jobs_spark.plans.maintenance import plan_binpack
+
+    plan = plan_binpack(inv, target)
+    assert sorted(p for _b, p, _s in plan) == sorted(p for p, _s in inv)
+    bins = [b for b, _p, _s in plan]
+    # bin ids are non-decreasing over the sorted inventory and start at 0;
+    # they may legitimately SKIP ids — a file larger than k targets jumps
+    # the running sum past k bin boundaries (hypothesis found the gap case
+    # immediately: [('a', 2), ('b', 0)] at target 1 → bins [0, 2])
+    assert bins == sorted(bins) and (not bins or bins[0] == 0)
+    per_bin: dict[int, list[int]] = {}
+    for b, _p, s in plan:
+        per_bin.setdefault(b, []).append(s)
+    for b, sizes in per_bin.items():
+        # a bin's bytes-before-its-last-file fit under the target
+        assert sum(sizes) - sizes[-1] < target or len(sizes) == 1
+        assert sum(sizes) < target + max(sizes) or sum(sizes) == 0
+
+
+def test_scd2_dwell_conservation(spark):
+    """SCD2 identity on the real fixture: summed CLOSED dwell across all
+    event types equals Σ_users (last_ts − first_ts) — validity intervals
+    tile each user's history exactly, no gap and no overlap."""
+    from spark_iceberg_jobs_spark.queries.maintenance import cdc_scd2_history
+
+    sf = "/root/testdata/sf0.001"
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    got = sum(
+        r["closed_dwell_us"]
+        for r in cdc_scd2_history(spark, sf).collect()
+    )
+    # read_fixture, not a raw parquet read: the raw reader yields
+    # TIMESTAMP_NTZ, which unix_micros rejects
+    ev = read_fixture(spark, sf, "events")
+    spans = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("span")
+        )
+        .agg(F.sum("span").alias("total"))
+        .first()
+    )
+    assert got == spans["total"]
