@@ -90,10 +90,11 @@ class QuerySpec:
 #       exact failure mode of the retired r6 disjointness assert.
 #   r8 window (the documented policy, staleness frozen at r01–r07):
 #       keeps + plan-changed (the minor-compaction rework + ADVICE pmod
-#       bucket fix touch the two incremental-index serves) + the 5 new
+#       bucket fix touch the two incremental-index serves) + the 6 new
 #       entries (mor_equality_deletes, the two compaction legs, SCD2,
-#       MV refresh) + ALL 17 r2-stale entries + the 24 oldest r3-stale,
-#       alphabetical (the new entries displaced the two newest r3 slots).
+#       MV refresh, time travel) + ALL 17 r2-stale entries + the 23
+#       oldest r3-stale, alphabetical (the new entries displaced the
+#       three newest r3 slots, which lead the r9 refresh tier).
 DRIVER_WINDOW = 50
 
 _R8_PERMANENT_KEEPS = [
@@ -120,6 +121,7 @@ _R8_NEW = [
     "sim_ivf_compacted_topk",
     "cdc_scd2_history",  # SCD Type 2 validity intervals (MERGE's other half)
     "mv_incremental_refresh",  # exact partial-aggregate MV fold-in
+    "maintenance_time_travel",  # AS-OF file-set reconstruction (read side)
 ]
 
 _R8_STALE_REFRESH = [
@@ -166,7 +168,6 @@ _R8_STALE_REFRESH = [
     "events_top_purchasers",
     "events_tumbling_hourly",
     "mixture_temperature_weights",
-    "multimodal_audio_decode",
 ]
 
 

@@ -738,6 +738,144 @@ ORDER BY part_year
 
 
 # ---------------------------------------------------------------------------
+# maintenance_time_travel
+# ---------------------------------------------------------------------------
+
+_TIME_TRAVEL_AGE_DAYS = 200  # AS OF snapshot: newest commit - 200 days
+
+
+def maintenance_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel — ``SELECT ... FOR VERSION AS OF`` over the
+    same simulated commit log the expiry/orphan planners share
+    (_daily_files: one snapshot per order day; the first commit of each
+    month compacts the previous month's dailies into one monthly file).
+    Reconstructs the LIVE FILE SET at the as-of snapshot (newest commit −
+    200 days — corpus-relative, so the query scales with the data rather
+    than selecting a constant slice) and compares it with the current
+    snapshot's, per year: at the as-of point every completed month serves
+    its single compacted file and the in-flight month serves dailies up
+    to the snapshot; file counts and bytes differ exactly where commits
+    and compactions happened since.
+
+    This is the READ side of the snapshot model whose WRITE/retire sides
+    maintenance_snapshot_expiry and maintenance_orphan_files plan — under
+    Iceberg the file reconstruction is a manifest-list walk keyed by
+    snapshot id, which is why time travel is free there and why this
+    whole query stays metadata-sized: everything after _daily_files'
+    first aggregate is commit-log grain.
+
+    Scale: one fact scan collapses to day grain (shared, scoped-
+    persisted); the as-of scalars ride a 1-row broadcast; the month
+    roll-up and classification are |months|-sized.
+    """
+    snaps = _daily_files(spark, sf_dir)
+    scal = (
+        snaps.agg(F.max("dt").alias("max_dt"))
+        .select(
+            F.date_sub("max_dt", _TIME_TRAVEL_AGE_DAYS).alias("asof_dt"),
+            F.date_format(
+                F.date_sub("max_dt", _TIME_TRAVEL_AGE_DAYS), "yyyy-MM"
+            ).alias("asof_month"),
+            F.date_format("max_dt", "yyyy-MM").alias("max_month"),
+        )
+    )
+    per_mon = snaps.groupBy("month").agg(
+        F.count("*").alias("n_days"),
+        F.sum("file_bytes").alias("mon_bytes"),
+    )
+    asof_dailies = (
+        snaps.crossJoin(F.broadcast(scal))
+        .filter(
+            (F.col("month") == F.col("asof_month"))
+            & (F.col("dt") <= F.col("asof_dt"))
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("asof_files"),
+            F.sum("file_bytes").alias("asof_bytes"),
+        )
+    )
+    cls = (
+        per_mon.join(asof_dailies, "month", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "month",
+            F.when(F.col("month") < F.col("asof_month"), F.lit(1))
+            .when(F.col("month") == F.col("asof_month"), F.coalesce("asof_files", F.lit(0)))
+            .otherwise(F.lit(0))
+            .alias("files_asof"),
+            F.when(F.col("month") < F.col("asof_month"), F.col("mon_bytes"))
+            .when(F.col("month") == F.col("asof_month"), F.coalesce("asof_bytes", F.lit(0)))
+            .otherwise(F.lit(0))
+            .alias("bytes_asof"),
+            # the current snapshot serves every completed month compacted
+            # and the newest month's dailies
+            F.when(F.col("month") < F.col("max_month"), F.lit(1))
+            .otherwise(F.col("n_days"))
+            .alias("files_now"),
+            F.col("mon_bytes").alias("bytes_now"),
+        )
+    )
+    return (
+        cls.groupBy(F.substring("month", 1, 4).cast("long").alias("part_year"))
+        .agg(
+            F.sum("files_asof").cast("long").alias("n_files_asof"),
+            F.sum("bytes_asof").cast("long").alias("bytes_asof"),
+            F.sum("files_now").cast("long").alias("n_files_now"),
+            F.sum("bytes_now").cast("long").alias("bytes_now"),
+        )
+        .orderBy("part_year")
+    )
+
+
+TIME_TRAVEL_ORACLE = f"""
+WITH snaps AS (
+    SELECT CAST(o_orderdate AS DATE) AS dt,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS file_bytes
+    FROM orders
+    GROUP BY 1, 2
+), scal AS (
+    SELECT MAX(dt) - {_TIME_TRAVEL_AGE_DAYS} AS asof_dt,
+           strftime(MAX(dt) - {_TIME_TRAVEL_AGE_DAYS}, '%Y-%m') AS asof_month,
+           strftime(MAX(dt), '%Y-%m') AS max_month
+    FROM snaps
+), per_mon AS (
+    SELECT month, COUNT(*) AS n_days,
+           CAST(SUM(file_bytes) AS BIGINT) AS mon_bytes
+    FROM snaps GROUP BY month
+), asof_dailies AS (
+    SELECT s.month, COUNT(*) AS asof_files,
+           CAST(SUM(s.file_bytes) AS BIGINT) AS asof_bytes
+    FROM snaps s CROSS JOIN scal k
+    WHERE s.month = k.asof_month AND s.dt <= k.asof_dt
+    GROUP BY s.month
+), cls AS (
+    SELECT p.month,
+           CASE WHEN p.month < k.asof_month THEN 1
+                WHEN p.month = k.asof_month THEN COALESCE(a.asof_files, 0)
+                ELSE 0 END AS files_asof,
+           CASE WHEN p.month < k.asof_month THEN p.mon_bytes
+                WHEN p.month = k.asof_month THEN COALESCE(a.asof_bytes, 0)
+                ELSE 0 END AS bytes_asof,
+           CASE WHEN p.month < k.max_month THEN 1 ELSE p.n_days END AS files_now,
+           p.mon_bytes AS bytes_now
+    FROM per_mon p
+    LEFT JOIN asof_dailies a USING (month)
+    CROSS JOIN scal k
+)
+SELECT CAST(SUBSTR(month, 1, 4) AS BIGINT) AS part_year,
+       CAST(SUM(files_asof) AS BIGINT) AS n_files_asof,
+       CAST(SUM(bytes_asof) AS BIGINT) AS bytes_asof,
+       CAST(SUM(files_now) AS BIGINT) AS n_files_now,
+       CAST(SUM(bytes_now) AS BIGINT) AS bytes_now
+FROM cls
+GROUP BY 1
+ORDER BY part_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # cdc_scd2_history
 # ---------------------------------------------------------------------------
 
@@ -963,6 +1101,7 @@ QUERIES: dict[str, QuerySpec] = {
         mor_equality_deletes, MOR_EQUALITY_DELETES_ORACLE
     ),
     "cdc_scd2_history": QuerySpec(cdc_scd2_history, SCD2_HISTORY_ORACLE),
+    "maintenance_time_travel": QuerySpec(maintenance_time_travel, TIME_TRAVEL_ORACLE),
     # merged partials vs the oracle's full recompute — the equality IS the
     # incremental-view-maintenance claim
     "mv_incremental_refresh": QuerySpec(mv_incremental_refresh, MV_INCREMENTAL_ORACLE),
