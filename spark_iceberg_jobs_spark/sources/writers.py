@@ -95,3 +95,56 @@ def overwrite_iceberg(df: DataFrame, table: str, *, create: bool = True) -> None
         df.writeTo(table).createOrReplace()
     else:
         df.writeTo(table).overwritePartitions()
+
+
+def wap_write_parquet(
+    df: DataFrame,
+    final_dir: str,
+    *,
+    audits: list,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Write-Audit-Publish (WAP) — the Iceberg branch-commit discipline on
+    the parquet fallback: the batch lands in a process-unique STAGING
+    directory, every audit runs against a reader OVER THE STAGED FILES
+    (never the in-memory frame — what was written is what is audited),
+    and only if all audits pass does the staging directory publish
+    atomically as the final table. A failed audit tears the staging down
+    and raises, so readers of ``final_dir`` can never observe a
+    half-written or audit-failing batch.
+
+    ``audits``: callables ``(DataFrame) -> bool | None`` — False fails
+    the audit by return value, and any exception fails it loudly (an
+    audit that cannot run must not pass). Under Iceberg this exact flow
+    is ``spark.wap.branch`` + ``fast_forward``; the staging dir plays the
+    branch, ``publish_atomic`` plays the fast-forward, and the audit
+    reader plays the branch scan.
+
+    Returns the published path. Scale: one extra directory rename over
+    the plain write; audits cost whatever they scan — point them at
+    aggregates, not full-table collects.
+    """
+    import shutil
+
+    from ..functions.artifacts import publish_atomic, staging_dir
+
+    staging = staging_dir(final_dir)
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        spark = df.sparkSession
+        staged = spark.read.parquet(staging)
+        for i, audit in enumerate(audits):
+            try:
+                ok = audit(staged)
+            except Exception as e:  # noqa: BLE001 - audit errors must FAIL the publish
+                raise ValueError(f"WAP audit #{i} errored: {e}") from e
+            if ok is False:
+                raise ValueError(f"WAP audit #{i} failed; staging discarded")
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    publish_atomic(staging, final_dir)
+    return final_dir

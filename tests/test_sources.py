@@ -197,3 +197,50 @@ def test_python_datasource_partitions_and_determinism(spark):
     rows8 = sorted(map(tuple, df8.collect()))
     rows3 = sorted(map(tuple, load(3).collect()))
     assert rows8 == rows3 and len(rows8) == 1000
+
+
+def test_wap_write_publishes_only_after_audits(spark, tmp_path):
+    """Write-Audit-Publish: audits run against the STAGED files; a failing
+    or erroring audit discards the staging and leaves the table path
+    unobservable, a passing run publishes atomically."""
+    import os
+
+    import pytest
+
+    from spark_iceberg_jobs_spark.sources.writers import wap_write_parquet
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -1.0), (3, "c", 20.0)],
+        "id long, k string, v double",
+    )
+    final = str(tmp_path / "wap_table")
+
+    # audit failure (negative value present) -> no publish, staging gone
+    with pytest.raises(ValueError, match="audit #1 failed"):
+        wap_write_parquet(
+            df,
+            final,
+            audits=[
+                lambda s: s.count() == 3,
+                lambda s: s.filter("v < 0").isEmpty(),
+            ],
+        )
+    assert not os.path.exists(final)
+    assert not any(".staging." in n for n in os.listdir(tmp_path))
+
+    # erroring audit must fail loudly, not pass silently
+    with pytest.raises(ValueError, match="audit #0 errored"):
+        wap_write_parquet(df, final, audits=[lambda s: s.select("nope").count()])
+    assert not os.path.exists(final)
+
+    # clean batch publishes; the audit saw the staged files, and readers
+    # see exactly the written rows
+    clean = df.filter("v >= 0")
+    out = wap_write_parquet(
+        clean,
+        final,
+        audits=[lambda s: s.count() == 2, lambda s: s.filter("v < 0").isEmpty()],
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a", 10.0), (3, "c", 20.0)]
+    assert not any(".staging." in n for n in os.listdir(tmp_path))
