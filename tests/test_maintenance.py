@@ -530,3 +530,31 @@ def test_procedure_guards_reject_trailing_newline():
         expire_snapshots_call("db.t\n", older_than="2024-01-01", retain_last=3)
     with pytest.raises(ValueError, match="timestamp"):
         expire_snapshots_call("db.t", older_than="2024-01-01\n", retain_last=3)
+
+
+def test_time_travel_planted_commit_log(spark, monkeypatch):
+    """Hand-computable commit log for maintenance_time_travel: 6 commits
+    across 4 months spanning > 200 days. asof = max(dt) - 200 =
+    2024-06-03, so at the as-of snapshot Jan and Mar serve their single
+    compacted files, June's only daily (06-15) is after the snapshot, and
+    Dec doesn't exist yet; now, Jan/Mar/Jun are compacted and Dec serves
+    its two dailies."""
+    import datetime
+
+    import spark_iceberg_jobs_spark.queries.maintenance as m
+
+    days = {
+        datetime.date(2024, 1, 5): 2,
+        datetime.date(2024, 1, 20): 1,
+        datetime.date(2024, 3, 10): 1,
+        datetime.date(2024, 6, 15): 3,
+        datetime.date(2024, 12, 1): 1,
+        datetime.date(2024, 12, 20): 1,
+    }
+    rows = [(d,) for d, n in days.items() for _ in range(n)]
+    orders = spark.createDataFrame(rows, "o_orderdate date")
+    monkeypatch.setattr(m, "read_fixture", lambda s, sf, t: orders)
+    got = [tuple(r) for r in m.maintenance_time_travel(spark, "x").collect()]
+    # asof: Jan compacted (384B) + Mar compacted (128B); Jun/Dec invisible
+    # now: Jan+Mar+Jun compacted (1+1+1) + Dec's 2 dailies; all bytes
+    assert got == [(2024, 2, 512, 5, 1152)]
