@@ -113,9 +113,9 @@ _R8_CHANGED = [
 _R8_NEW = [
     # entries added after the completed rotation — never driver-scored,
     # must ride the current window per Invariant 1 (they displace the
-    # newest stale slots: the last two alphabetical r3 entries,
-    # multimodal_image_decode and pipeline_corpus_curation, lead r9's
-    # refresh tier instead)
+    # newest stale slots: the last THREE alphabetical r3 entries —
+    # multimodal_audio_decode, multimodal_image_decode,
+    # pipeline_corpus_curation — lead r9's refresh tier instead)
     "mor_equality_deletes",  # the Iceberg v2 MOR read path (operators/mor.py)
     "text_bm25_compacted",  # compaction ≡ segments ≡ rebuild, driver-pinned
     "sim_ivf_compacted_topk",
@@ -143,8 +143,9 @@ _R8_STALE_REFRESH = [
     "text_repetition_stats",
     "text_token_counts",
     "text_top_terms",
-    # the 26 oldest r3-scored entries (alphabetical; r3 has 44 — the
-    # remaining 18 lead the r9 refresh tier)
+    # the 23 oldest r3-scored entries (alphabetical; r3 has 44 — the
+    # remaining 21, starting with the three displaced by _R8_NEW, lead
+    # the r9 refresh tier)
     "cluster_kmeans_embeddings",
     "corpus_cluster_profile",
     "decontaminate_eval_overlap",

@@ -752,10 +752,19 @@ def maintenance_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reconstructs the LIVE FILE SET at the as-of snapshot (newest commit −
     200 days — corpus-relative, so the query scales with the data rather
     than selecting a constant slice) and compares it with the current
-    snapshot's, per year: at the as-of point every completed month serves
-    its single compacted file and the in-flight month serves dailies up
-    to the snapshot; file counts and bytes differ exactly where commits
-    and compactions happened since.
+    snapshot's, per year.
+
+    The supersession rule is taken from the model's COMMITS, not from
+    calendar position (review finding, round 8): month M's pending
+    compaction is performed by the first commit of a LATER month
+    (``sup_dt = MIN(first_dt) over following months``), so M serves its
+    single compacted file at time R iff ``sup_dt <= R`` and its dailies
+    up to R otherwise. A completed month whose next-month commit
+    postdates the as-of snapshot therefore correctly serves its daily
+    files at as-of — the first formulation counted every
+    calendar-earlier month as compacted and misread exactly that case
+    (on the dense fixture the two agree; the planted sparse-log test
+    pins the difference).
 
     This is the READ side of the snapshot model whose WRITE/retire sides
     maintenance_snapshot_expiry and maintenance_orphan_files plan — under
@@ -768,27 +777,30 @@ def maintenance_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted); the as-of scalars ride a 1-row broadcast; the month
     roll-up and classification are |months|-sized.
     """
+    from pyspark.sql.window import Window
+
     snaps = _daily_files(spark, sf_dir)
-    scal = (
-        snaps.agg(F.max("dt").alias("max_dt"))
-        .select(
-            F.date_sub("max_dt", _TIME_TRAVEL_AGE_DAYS).alias("asof_dt"),
-            F.date_format(
-                F.date_sub("max_dt", _TIME_TRAVEL_AGE_DAYS), "yyyy-MM"
-            ).alias("asof_month"),
-            F.date_format("max_dt", "yyyy-MM").alias("max_month"),
-        )
+    scal = snaps.agg(F.max("dt").alias("max_dt")).select(
+        F.date_sub("max_dt", _TIME_TRAVEL_AGE_DAYS).alias("asof_dt")
     )
     per_mon = snaps.groupBy("month").agg(
         F.count("*").alias("n_days"),
         F.sum("file_bytes").alias("mon_bytes"),
+        F.min("dt").alias("first_dt"),
     )
+    # sup_dt: the commit that performs month M's pending compaction — the
+    # first commit of any LATER month (dense logs: the first commit of
+    # M+1, the documented model; sparse logs: the next month that commits
+    # at all). Unpartitioned window BY DESIGN: it runs over the
+    # month-grain frame (one row per month — metadata, never fact rows);
+    # allowlisted in tools/plan_lint.py with this reason.
+    w = Window.orderBy(F.desc("month")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mons = per_mon.withColumn("sup_dt", F.min("first_dt").over(w))
     asof_dailies = (
         snaps.crossJoin(F.broadcast(scal))
-        .filter(
-            (F.col("month") == F.col("asof_month"))
-            & (F.col("dt") <= F.col("asof_dt"))
-        )
+        .filter(F.col("dt") <= F.col("asof_dt"))
         .groupBy("month")
         .agg(
             F.count("*").alias("asof_files"),
@@ -796,21 +808,22 @@ def maintenance_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cls = (
-        per_mon.join(asof_dailies, "month", "left")
+        mons.join(asof_dailies, "month", "left")
         .crossJoin(F.broadcast(scal))
         .select(
             "month",
-            F.when(F.col("month") < F.col("asof_month"), F.lit(1))
-            .when(F.col("month") == F.col("asof_month"), F.coalesce("asof_files", F.lit(0)))
-            .otherwise(F.lit(0))
+            # compacted at as-of iff the superseding commit predates it;
+            # a null sup_dt (newest month) falls through to dailies
+            F.when(F.col("sup_dt") <= F.col("asof_dt"), F.lit(1))
+            .otherwise(F.coalesce("asof_files", F.lit(0)))
             .alias("files_asof"),
-            F.when(F.col("month") < F.col("asof_month"), F.col("mon_bytes"))
-            .when(F.col("month") == F.col("asof_month"), F.coalesce("asof_bytes", F.lit(0)))
-            .otherwise(F.lit(0))
+            F.when(F.col("sup_dt") <= F.col("asof_dt"), F.col("mon_bytes"))
+            .otherwise(F.coalesce("asof_bytes", F.lit(0)))
             .alias("bytes_asof"),
-            # the current snapshot serves every completed month compacted
-            # and the newest month's dailies
-            F.when(F.col("month") < F.col("max_month"), F.lit(1))
+            # now = as-of at R = max_dt: every superseded month is
+            # compacted (sup_dt <= max_dt by construction), the rest
+            # serve dailies
+            F.when(F.col("sup_dt").isNotNull(), F.lit(1))
             .otherwise(F.col("n_days"))
             .alias("files_now"),
             F.col("mon_bytes").alias("bytes_now"),
@@ -836,31 +849,32 @@ WITH snaps AS (
     FROM orders
     GROUP BY 1, 2
 ), scal AS (
-    SELECT MAX(dt) - {_TIME_TRAVEL_AGE_DAYS} AS asof_dt,
-           strftime(MAX(dt) - {_TIME_TRAVEL_AGE_DAYS}, '%Y-%m') AS asof_month,
-           strftime(MAX(dt), '%Y-%m') AS max_month
-    FROM snaps
+    SELECT MAX(dt) - {_TIME_TRAVEL_AGE_DAYS} AS asof_dt FROM snaps
 ), per_mon AS (
     SELECT month, COUNT(*) AS n_days,
-           CAST(SUM(file_bytes) AS BIGINT) AS mon_bytes
+           CAST(SUM(file_bytes) AS BIGINT) AS mon_bytes,
+           MIN(dt) AS first_dt
     FROM snaps GROUP BY month
+), mons AS (
+    SELECT *, MIN(first_dt) OVER (ORDER BY month DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS sup_dt
+    FROM per_mon
 ), asof_dailies AS (
     SELECT s.month, COUNT(*) AS asof_files,
            CAST(SUM(s.file_bytes) AS BIGINT) AS asof_bytes
     FROM snaps s CROSS JOIN scal k
-    WHERE s.month = k.asof_month AND s.dt <= k.asof_dt
+    WHERE s.dt <= k.asof_dt
     GROUP BY s.month
 ), cls AS (
-    SELECT p.month,
-           CASE WHEN p.month < k.asof_month THEN 1
-                WHEN p.month = k.asof_month THEN COALESCE(a.asof_files, 0)
-                ELSE 0 END AS files_asof,
-           CASE WHEN p.month < k.asof_month THEN p.mon_bytes
-                WHEN p.month = k.asof_month THEN COALESCE(a.asof_bytes, 0)
-                ELSE 0 END AS bytes_asof,
-           CASE WHEN p.month < k.max_month THEN 1 ELSE p.n_days END AS files_now,
-           p.mon_bytes AS bytes_now
-    FROM per_mon p
+    SELECT m.month,
+           CASE WHEN m.sup_dt <= k.asof_dt THEN 1
+                ELSE COALESCE(a.asof_files, 0) END AS files_asof,
+           CASE WHEN m.sup_dt <= k.asof_dt THEN m.mon_bytes
+                ELSE COALESCE(a.asof_bytes, 0) END AS bytes_asof,
+           CASE WHEN m.sup_dt IS NOT NULL THEN 1 ELSE m.n_days END AS files_now,
+           m.mon_bytes AS bytes_now
+    FROM mons m
     LEFT JOIN asof_dailies a USING (month)
     CROSS JOIN scal k
 )

@@ -405,8 +405,21 @@ def sim_ivf_incremental_topk(
     )
     cells = sorted({c for _, _, c in meta["probes"]})
 
+    # Resolved readers live in a SEGMENT-SET-MODE-keyed cache entry (the
+    # bm25 recipe): both registry entries — two-segment incremental and
+    # forced-compacted — run back-to-back under verify/bench, and a
+    # shared entry would thrash the file-index readers on every mode
+    # flip, re-paying the driver re-resolution the cache exists to
+    # avoid. cent/probes stay in the base-keyed entry above: they are
+    # mode-independent model payloads.
+    scan_meta = meta_cache(
+        _IVF_META_CACHE,
+        f"{key}|{len(serve_segs)}",
+        spark,
+        max_entries=_IVF_META_CACHE_MAX,
+    )
     readers = cached_readers(
-        meta,
+        scan_meta,
         spark,
         tuple(v for _, v in serve_segs),
         lambda: tuple(

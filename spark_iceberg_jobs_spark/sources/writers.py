@@ -117,16 +117,27 @@ def wap_write_parquet(
     the audit by return value, and any exception fails it loudly (an
     audit that cannot run must not pass). Under Iceberg this exact flow
     is ``spark.wap.branch`` + ``fast_forward``; the staging dir plays the
-    branch, ``publish_atomic`` plays the fast-forward, and the audit
-    reader plays the branch scan.
+    branch and the audit reader the branch scan.
 
-    Returns the published path. Scale: one extra directory rename over
+    Publish semantics: a FIRST publish is one atomic rename; a
+    RE-publish to an existing table is a rename-aside swap (old →
+    ``.wap_old``, staging → final, drop old — the compact_parquet
+    pattern; a real lake replaces this with a metadata commit), so the
+    previously published table is RESTORED if the swap fails rather
+    than destroyed (review finding, round 8 — the keyed-immutable
+    ``publish_atomic`` protocol is wrong for a replaceable table: its
+    corpse-recovery would rmtree the live publish, and under its ``_OK``
+    convention a re-publish would discard the NEW batch). Single-writer
+    per table path, like any path-based table without a catalog.
+
+    Returns the published path. Scale: one or two directory renames over
     the plain write; audits cost whatever they scan — point them at
     aggregates, not full-table collects.
     """
+    import os
     import shutil
 
-    from ..functions.artifacts import publish_atomic, staging_dir
+    from ..functions.artifacts import staging_dir
 
     staging = staging_dir(final_dir)
     try:
@@ -146,5 +157,20 @@ def wap_write_parquet(
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    publish_atomic(staging, final_dir)
+    bak = f"{final_dir.rstrip('/')}.wap_old.{os.getpid()}"
+    had_old = os.path.exists(final_dir)
+    if had_old:
+        os.rename(final_dir, bak)
+    try:
+        os.rename(staging, final_dir)
+    except OSError:
+        if had_old:
+            try:
+                os.rename(bak, final_dir)  # restore the previous publish
+            except OSError:
+                pass
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if had_old:
+        shutil.rmtree(bak, ignore_errors=True)
     return final_dir

@@ -533,12 +533,14 @@ def test_procedure_guards_reject_trailing_newline():
 
 
 def test_time_travel_planted_commit_log(spark, monkeypatch):
-    """Hand-computable commit log for maintenance_time_travel: 6 commits
-    across 4 months spanning > 200 days. asof = max(dt) - 200 =
-    2024-06-03, so at the as-of snapshot Jan and Mar serve their single
-    compacted files, June's only daily (06-15) is after the snapshot, and
-    Dec doesn't exist yet; now, Jan/Mar/Jun are compacted and Dec serves
-    its two dailies."""
+    """Hand-computable SPARSE commit log for maintenance_time_travel,
+    asof = max(dt) - 200 = 2024-06-03. The load-bearing case (review
+    finding, round 8): May's compacting commit is June 15 — AFTER the
+    as-of snapshot — so at as-of May must serve its TWO daily files, not
+    a compacted one (supersession follows commits, not calendar
+    position). Jan/Mar are compacted at as-of (a later-month commit
+    precedes it), June's daily postdates the snapshot, Dec doesn't exist
+    yet. Now: Jan/Mar/May/Jun compacted, Dec serves its two dailies."""
     import datetime
 
     import spark_iceberg_jobs_spark.queries.maintenance as m
@@ -547,6 +549,8 @@ def test_time_travel_planted_commit_log(spark, monkeypatch):
         datetime.date(2024, 1, 5): 2,
         datetime.date(2024, 1, 20): 1,
         datetime.date(2024, 3, 10): 1,
+        datetime.date(2024, 5, 1): 1,
+        datetime.date(2024, 5, 2): 1,
         datetime.date(2024, 6, 15): 3,
         datetime.date(2024, 12, 1): 1,
         datetime.date(2024, 12, 20): 1,
@@ -555,6 +559,7 @@ def test_time_travel_planted_commit_log(spark, monkeypatch):
     orders = spark.createDataFrame(rows, "o_orderdate date")
     monkeypatch.setattr(m, "read_fixture", lambda s, sf, t: orders)
     got = [tuple(r) for r in m.maintenance_time_travel(spark, "x").collect()]
-    # asof: Jan compacted (384B) + Mar compacted (128B); Jun/Dec invisible
-    # now: Jan+Mar+Jun compacted (1+1+1) + Dec's 2 dailies; all bytes
-    assert got == [(2024, 2, 512, 5, 1152)]
+    # asof: Jan compacted (384B, sup=Mar-10) + Mar compacted (128B,
+    # sup=May-01) + May's 2 dailies (256B, sup=Jun-15 > asof) = 4 files
+    # now: Jan+Mar+May+Jun compacted (4) + Dec's 2 dailies = 6 files
+    assert got == [(2024, 4, 768, 6, 1408)]

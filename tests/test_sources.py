@@ -244,3 +244,18 @@ def test_wap_write_publishes_only_after_audits(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got == [(1, "a", 10.0), (3, "c", 20.0)]
     assert not any(".staging." in n for n in os.listdir(tmp_path))
+
+    # RE-publish replaces the table (rename-aside swap, review finding:
+    # the first cut routed through publish_atomic, whose corpse-recovery
+    # rmtree'd the live publish and whose _OK convention would have
+    # discarded the new batch)
+    batch2 = spark.createDataFrame([(9, "z", 1.0)], "id long, k string, v double")
+    wap_write_parquet(batch2, final, audits=[lambda s: s.count() == 1])
+    got2 = [tuple(r) for r in spark.read.parquet(final).collect()]
+    assert got2 == [(9, "z", 1.0)]
+    # and a FAILED re-publish attempt leaves the previous table intact
+    with pytest.raises(ValueError, match="audit #0 failed"):
+        wap_write_parquet(df, final, audits=[lambda s: False])
+    assert [tuple(r) for r in spark.read.parquet(final).collect()] == [(9, "z", 1.0)]
+    leftovers = [n for n in os.listdir(tmp_path) if ".staging." in n or ".wap_old." in n]
+    assert leftovers == []
