@@ -39,34 +39,85 @@ ARTIFACT_ROOT = "/tmp"
 DEFAULT_TTL_HOURS = 12.0
 
 
+def _raise_walk_error(err: OSError) -> None:
+    """os.walk swallows directory-listing errors by default (onerror=None)
+    — a transient EACCES/EIO would silently TRUNCATE the inventory, the
+    truncated inventory can reproduce a pre-append key, and the stale
+    artifact would be served as current (review finding, r8). Fingerprint
+    failures must be loud."""
+    raise err
+
+
+def _inventory(paths: tuple[str, ...]) -> str:
+    """Sorted, source-index-tagged file inventory of ``paths``.
+
+    Tagged with the source's index so multi-path fingerprints cannot
+    collide when file metadata is swapped BETWEEN sources (review
+    finding, r8). One retry on FileNotFoundError: a concurrent rewrite
+    (Spark overwrite deleting part files mid-walk) settles by the second
+    pass; a truncated inventory is never returned."""
+    for attempt in (0, 1):
+        try:
+            entries: list[str] = []
+            for i, path in enumerate(paths):
+                if os.path.isfile(path):
+                    st = os.stat(path)
+                    # mtime at ns resolution: a same-size in-place rewrite
+                    # within one second must still flip the key (review
+                    # finding, r7)
+                    entries.append(
+                        f"{i}:{os.path.basename(path)}|{st.st_size}|{st.st_mtime_ns}"
+                    )
+                else:
+                    for root, _dirs, files in os.walk(
+                        path, onerror=_raise_walk_error
+                    ):
+                        for name in files:
+                            full = os.path.join(root, name)
+                            st = os.stat(full)
+                            rel = os.path.relpath(full, path)
+                            entries.append(
+                                f"{i}:{rel}|{st.st_size}|{st.st_mtime_ns}"
+                            )
+            entries.sort()
+            return "\n".join(entries)
+        except FileNotFoundError:
+            if attempt:
+                raise
+    raise AssertionError("unreachable")
+
+
 def content_fingerprint(*paths: str, salt: str = "") -> str:
     """Stable 12-hex-digit key over the full file inventory of ``paths``.
 
     Handles single-file and directory-layout parquet identically: every
-    regular file's (relative path, size, mtime) contributes, sorted, so
-    the key is independent of walk order. ``salt`` versions the artifact
-    FORMAT — bump it when the layout changes so old artifacts are
-    orphaned (and TTL-swept) instead of misread.
-    """
-    entries: list[str] = []
-    for path in paths:
-        if os.path.isfile(path):
-            st = os.stat(path)
-            # mtime at ns resolution: a same-size in-place rewrite within
-            # one second must still flip the key (review finding, r7)
-            entries.append(
-                f"{os.path.basename(path)}|{st.st_size}|{st.st_mtime_ns}"
-            )
-        else:
-            for root, _dirs, files in os.walk(path):
-                for name in files:
-                    full = os.path.join(root, name)
-                    st = os.stat(full)
-                    rel = os.path.relpath(full, path)
-                    entries.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
-    entries.sort()
-    payload = salt + "||" + "\n".join(entries) + "||" + "|".join(sorted(paths))
-    return hashlib.md5(payload.encode()).hexdigest()[:12]
+    regular file's (source index, relative path, size, mtime)
+    contributes, sorted, so the key is independent of walk order.
+    ``salt`` versions the artifact FORMAT — bump it when the layout
+    changes so old artifacts are orphaned (and TTL-swept) instead of
+    misread. For several salted keys over the SAME sources use
+    ``content_fingerprints`` — one inventory walk instead of one per
+    salt."""
+    return content_fingerprints(*paths, salts=(salt,))[salt]
+
+
+def content_fingerprints(*paths: str, salts: tuple[str, ...]) -> dict[str, str]:
+    """Fingerprint the same sources under several salts with ONE
+    inventory walk (a serve that keys base + delta + compacted segments
+    otherwise stats the whole source tree once per salt)."""
+    tail = "||" + _inventory(paths) + "||" + "|".join(sorted(paths))
+    return {
+        s: hashlib.md5((s + tail).encode()).hexdigest()[:12] for s in salts
+    }
+
+
+def artifact_path(prefix: str, key: str) -> str:
+    """Compose an artifact dir under ARTIFACT_ROOT. Call sites must not
+    hardcode the root: sweep_stale lists ARTIFACT_ROOT, and a hardcoded
+    "/tmp/..." at the call site silently decouples eviction from the
+    real artifact locations the moment the root moves (review finding,
+    r8)."""
+    return os.path.join(ARTIFACT_ROOT, f"{prefix}{key}")
 
 
 def sweep_stale(
@@ -96,18 +147,44 @@ def sweep_stale(
         try:
             if ".staging." in name:
                 pid = name.rsplit(".staging.", 1)[1]
-                stale_staging = not (
-                    pid.isdigit() and os.path.exists(f"/proc/{pid}")
-                )
+                stale_staging = not (pid.isdigit() and _pid_alive(int(pid)))
                 if stale_staging or now - os.stat(full).st_mtime > ttl_hours * 3600:
-                    shutil.rmtree(full, ignore_errors=True)
-                    removed += 1
+                    removed += _remove_entry(full)
             elif now - os.stat(full).st_mtime > ttl_hours * 3600:
-                shutil.rmtree(full, ignore_errors=True)
-                removed += 1
+                removed += _remove_entry(full)
         except OSError:
             continue
     return removed
+
+
+def _pid_alive(pid: int) -> bool:
+    """Portable liveness probe — os.kill(pid, 0) instead of /proc (which
+    exists only on Linux; elsewhere every live builder's staging dir
+    would classify as orphaned and be deleted mid-build — review
+    finding, r8). EPERM means the pid exists under another user."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _remove_entry(full: str) -> int:
+    """Remove a swept entry — rmtree for dirs, unlink otherwise
+    (rmtree(ignore_errors=True) on a regular FILE silently does nothing,
+    so a prefix-matching stray file was never evicted AND was counted as
+    removed on every sweep — review finding, r8). Returns 1 only when
+    the entry is actually gone, so the sweep count is honest."""
+    if os.path.isdir(full):
+        shutil.rmtree(full, ignore_errors=True)
+    else:
+        try:
+            os.unlink(full)
+        except OSError:
+            pass
+    return 0 if os.path.exists(full) else 1
 
 
 def dir_bytes(path: str) -> int:
@@ -147,23 +224,54 @@ def publish_atomic(staging: str, final_dir: str) -> None:
         return
     except OSError:
         pass
-    # Re-check IMMEDIATELY before the corpse rmtree (ADVICE r7): a
-    # concurrent process may have published between our failed rename and
-    # this point; deleting ITS live artifact would fail a reader whose
-    # file index is already resolved. The re-check narrows the race to
-    # the filesystem-instant between this stat and the rmtree.
-    if is_published(final_dir):
+    # Corpse recovery is SERIALIZED with an O_EXCL sidecar lock (review
+    # finding, r8 — the bare is_published re-check only narrowed the
+    # two-recoverer race: both could pass it, then the slower rmtree
+    # deletes the faster one's just-published live artifact). Non-holders
+    # wait for the holder's outcome; a lock older than the takeover age
+    # is an orphan from a dead holder and is claimed. The residual window
+    # vs a NORMAL first publish (which never takes the lock) is the
+    # filesystem-instant between the under-lock check and the rmtree — a
+    # real table format closes even that with a catalog commit.
+    lock = f"{final_dir}.recovery.lock"
+    fd = -1
+    for _ in range(100):  # bounded: ~10 s worst case
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if is_published(final_dir):  # the other recoverer won
+                shutil.rmtree(staging, ignore_errors=True)
+                return
+            try:
+                if time.time() - os.stat(lock).st_mtime > 30:
+                    os.unlink(lock)  # orphaned lock: dead holder
+                    continue
+            except OSError:
+                continue  # lock vanished — retry the acquire
+            time.sleep(0.1)
+    else:
         shutil.rmtree(staging, ignore_errors=True)
-        return
-    shutil.rmtree(final_dir, ignore_errors=True)
+        raise OSError(f"recovery lock {lock!r} held too long")
     try:
-        os.rename(staging, final_dir)
-    except OSError:
-        if is_published(final_dir):  # lost a second race — fine
+        if is_published(final_dir):  # re-check under the lock
             shutil.rmtree(staging, ignore_errors=True)
             return
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
+        shutil.rmtree(final_dir, ignore_errors=True)
+        try:
+            os.rename(staging, final_dir)
+        except OSError:
+            if is_published(final_dir):  # lost to a normal publish — fine
+                shutil.rmtree(staging, ignore_errors=True)
+                return
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+    finally:
+        try:
+            os.close(fd)
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def is_published(final_dir: str) -> bool:
@@ -216,7 +324,9 @@ def ensure_published_version(final_dir: str, build) -> int:
 
 
 def meta_cache(cache: dict[str, dict], key: str, spark, *, max_entries: int = 8) -> dict:
-    """Bounded per-fingerprint serving-cache entry (FIFO eviction).
+    """Bounded per-fingerprint serving-cache entry (true LRU eviction —
+    the accessed key re-inserts at the end; docstring previously said
+    FIFO, stale since the r7 fix).
 
     Entries hold plain-data payloads (collected index stats — session-free,
     valid across rebuilds because a same-key rebuild is deterministic) plus

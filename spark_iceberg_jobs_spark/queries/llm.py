@@ -4213,9 +4213,10 @@ def text_bm25_incremental(
     import os
 
     from ..functions.artifacts import (
+        artifact_path,
         backfill_empty_partitioned,
         cached_readers,
-        content_fingerprint,
+        content_fingerprints,
         dir_bytes,
         ensure_published_version,
         meta_cache,
@@ -4324,8 +4325,14 @@ def text_bm25_incremental(
         open(f"{staging}/_OK", "w").close()
         publish_atomic(staging, final_dir)
 
-    key = content_fingerprint(src, salt="bm25idx-v3")
-    base_dir = f"/tmp/bm25_index_{key}"
+    # one inventory walk derives all three segment keys (the per-salt
+    # walks were 3x redundant stat I/O per serve — review finding, r8);
+    # artifact_path keeps the dirs under the SAME root sweep_stale lists
+    keys = content_fingerprints(
+        src, salts=("bm25idx-v3", "bm25delta-v3", "bm25compact-v3")
+    )
+    key = keys["bm25idx-v3"]
+    base_dir = artifact_path("bm25_index_", key)
     base_ver = ensure_published_version(
         base_dir,
         lambda: build_segment(
@@ -4341,8 +4348,7 @@ def text_bm25_incremental(
     # as the base so the serve-side prunes apply to both segments
     # (own salt: the delta segment format versions independently of the
     # base artifact, and bumping it must orphan only delta dirs).
-    delta_key = content_fingerprint(src, salt="bm25delta-v3")
-    delta_dir = f"/tmp/bm25_delta_{delta_key}"
+    delta_dir = artifact_path("bm25_delta_", keys["bm25delta-v3"])
     delta_ver = ensure_published_version(
         delta_dir,
         lambda: build_segment(
@@ -4397,8 +4403,7 @@ def text_bm25_incremental(
     if compact_ratio is not None and dir_bytes(delta_dir) > compact_ratio * dir_bytes(
         base_dir
     ):
-        comp_key = content_fingerprint(src, salt="bm25compact-v3")
-        comp_dir = f"/tmp/bm25_compact_{comp_key}"
+        comp_dir = artifact_path("bm25_compact_", keys["bm25compact-v3"])
         comp_ver = ensure_published_version(
             comp_dir, lambda: build_compacted(comp_dir)
         )

@@ -269,9 +269,10 @@ def sim_ivf_incremental_topk(
     import os
 
     from ..functions.artifacts import (
+        artifact_path,
         backfill_empty_partitioned,
         cached_readers,
-        content_fingerprint,
+        content_fingerprints,
         dir_bytes,
         ensure_published_version,
         meta_cache,
@@ -315,8 +316,13 @@ def sim_ivf_incremental_topk(
         publish_atomic(staging, index_dir)
 
     src = f"{sf_dir}/embeddings.parquet"
-    key = content_fingerprint(src, salt="ivfidx-v1")
-    index_dir = f"/tmp/ivf_index_{key}"
+    # one inventory walk for all three segment keys; dirs composed under
+    # the root sweep_stale lists (review findings, r8)
+    keys = content_fingerprints(
+        src, salts=("ivfidx-v1", "ivfdelta-v1", "ivfcompact-v1")
+    )
+    key = keys["ivfidx-v1"]
+    index_dir = artifact_path("ivf_index_", key)
     base_ver = ensure_published_version(index_dir, build_base)
 
     # Warm path: centroids come off the artifact ONCE per key (k rows —
@@ -348,8 +354,7 @@ def sim_ivf_incremental_topk(
         open(f"{staging}/_OK", "w").close()
         publish_atomic(staging, delta_dir)
 
-    delta_key = content_fingerprint(src, salt="ivfdelta-v1")
-    delta_dir = f"/tmp/ivf_delta_{delta_key}"
+    delta_dir = artifact_path("ivf_delta_", keys["ivfdelta-v1"])
     delta_ver = ensure_published_version(delta_dir, build_delta)
 
     def build_compacted(comp_dir: str) -> None:
@@ -381,8 +386,7 @@ def sim_ivf_incremental_topk(
     if compact_ratio is not None and dir_bytes(delta_dir) > compact_ratio * dir_bytes(
         index_dir
     ):
-        comp_key = content_fingerprint(src, salt="ivfcompact-v1")
-        comp_dir = f"/tmp/ivf_compact_{comp_key}"
+        comp_dir = artifact_path("ivf_compact_", keys["ivfcompact-v1"])
         comp_ver = ensure_published_version(
             comp_dir, lambda: build_compacted(comp_dir)
         )

@@ -231,3 +231,103 @@ def test_cached_readers_rebuild_on_session_or_version(tmp_path):
     assert r3 == "reader2"
     (r4,) = artifacts.cached_readers(meta, sess_b, (1, 2), build)  # rebuild
     assert r4 == "reader3" and len(builds) == 3
+
+
+def test_multi_path_fingerprint_disambiguates_sources(tmp_path):
+    """Review finding (r8): entries are tagged with their source index,
+    so swapping file metadata BETWEEN sources must change the key."""
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    (a / "x").write_bytes(b"1234567890")
+    (b / "x").write_bytes(b"12345678901234567890")
+    ts = (1_000_000_000_000_000_000, 1_700_000_000_000_000_000)
+    for f in (a / "x", b / "x"):
+        os.utime(f, ns=ts)
+    k1 = artifacts.content_fingerprint(str(a), str(b))
+    # swap the sizes between sources
+    (a / "x").write_bytes(b"12345678901234567890")
+    (b / "x").write_bytes(b"1234567890")
+    for f in (a / "x", b / "x"):
+        os.utime(f, ns=ts)
+    k2 = artifacts.content_fingerprint(str(a), str(b))
+    assert k1 != k2
+
+
+def test_content_fingerprints_single_walk_matches_per_salt(tmp_path):
+    """The multi-salt helper must produce exactly the per-salt keys."""
+    f = tmp_path / "t.parquet"
+    f.write_bytes(b"abc")
+    multi = artifacts.content_fingerprints(str(f), salts=("s1", "s2"))
+    assert multi["s1"] == artifacts.content_fingerprint(str(f), salt="s1")
+    assert multi["s2"] == artifacts.content_fingerprint(str(f), salt="s2")
+    assert multi["s1"] != multi["s2"]
+
+
+def test_sweep_unlinks_prefix_matching_regular_file(monkeypatch, tmp_path):
+    """Review finding (r8): rmtree(ignore_errors=True) on a regular FILE
+    silently does nothing — the sweep must unlink files and count only
+    entries actually removed."""
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path))
+    stray = tmp_path / "kidx_stray.log"
+    stray.write_text("x")
+    old_ts = time.time() - 48 * 3600
+    os.utime(stray, (old_ts, old_ts))
+    removed = artifacts.sweep_stale("kidx_", ttl_hours=12)
+    assert removed == 1 and not stray.exists()
+
+
+def test_publish_recovery_takes_over_orphaned_lock(tmp_path):
+    """Review finding (r8): corpse recovery is serialized by a sidecar
+    lock; a lock older than the takeover age (dead holder) is claimed
+    and publish proceeds; the lock is cleaned up afterwards."""
+    final = tmp_path / "seg_lock"
+    # wedged corpse: dir exists but is not published
+    final.mkdir()
+    (final / "junk").write_text("corpse")
+    lock = tmp_path / "seg_lock.recovery.lock"
+    lock.touch()
+    old_ts = time.time() - 120
+    os.utime(lock, (old_ts, old_ts))
+
+    staging = tmp_path / "seg_lock.staging.1"
+    staging.mkdir()
+    (staging / "_OK").touch()
+    (staging / "data").write_text("good")
+    artifacts.publish_atomic(str(staging), str(final))
+    assert artifacts.is_published(str(final))
+    assert (final / "data").read_text() == "good"
+    assert not lock.exists() and not staging.exists()
+
+
+def test_publish_recovery_yields_to_live_lock_holder_that_publishes(tmp_path):
+    """A FRESH lock (live holder) makes the second recoverer wait; when
+    the holder's publish lands, the waiter discards its staging instead
+    of touching the published artifact."""
+    import threading
+
+    final = tmp_path / "seg_lock2"
+    final.mkdir()
+    (final / "junk").write_text("corpse")
+    lock = tmp_path / "seg_lock2.recovery.lock"
+    lock.touch()  # fresh: holder is "alive"
+
+    staging = tmp_path / "seg_lock2.staging.9"
+    staging.mkdir()
+    (staging / "data").write_text("loser")
+
+    def holder_publishes():
+        time.sleep(0.3)
+        import shutil
+
+        shutil.rmtree(final)
+        final.mkdir()
+        (final / "data").write_text("winner")
+        (final / "_OK").touch()
+        lock.unlink()
+
+    t = threading.Thread(target=holder_publishes)
+    t.start()
+    artifacts.publish_atomic(str(staging), str(final))
+    t.join()
+    assert (final / "data").read_text() == "winner"
+    assert not staging.exists()
