@@ -175,6 +175,106 @@ def read_jsonl(
     return df.alias(alias) if alias else df
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    pattern: str | None = None,
+    recursive: bool = False,
+    alias: str | None = None,
+) -> DataFrame:
+    """Directory-of-blobs source (Spark's built-in ``binaryFile``) — the
+    arrival format of raw multimodal corpora: each image/audio/video file
+    becomes one row of (path, modificationTime, length, content binary),
+    feeding operators/multimodal.py's decode/feature tier directly (the
+    ``content`` column IS the opaque binary payload that tier consumes).
+
+    ``pattern`` is a pathGlobFilter (e.g. ``*.pgm``) applied at LISTING
+    time — non-matching blobs are never opened; ``recursive`` descends
+    partition-style subtrees. Scale notes: the source is
+    one-row-per-file, so it is the right tool for millions of modest
+    blobs; shard multi-GB archives upstream (tar/parquet-packed) because
+    one file = one row = one task's memory. Column pruning applies —
+    selecting only ``path``/``length`` never reads file contents."""
+    reader = spark.read.format("binaryFile")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    return df.alias(alias) if alias else df
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    row_tag: str,
+    infer_schema: bool = False,
+    alias: str | None = None,
+) -> DataFrame:
+    """XML corpus reader (Spark 4 built-in ``xml`` source — the donated
+    spark-xml): one row per ``row_tag`` element. Wikipedia/patent/PubMed
+    style corpora arrive as giant XML; this is their ingestion leg.
+
+    Same explicit-schema posture as read_csv: inference costs a full
+    extra pass over the input (and XML inference is the most expensive
+    of all the text formats), so production paths pass ``schema`` and
+    exploration opts in with ``infer_schema=True``."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif not infer_schema:
+        raise ValueError("pass an explicit schema, or opt in with infer_schema=True")
+    df = reader.load(path)
+    return df.alias(alias) if alias else df
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the external spark-avro module is on the classpath.
+    Avro is Spark-supported but ships as a SEPARATE jar
+    (org.apache.spark:spark-avro); this container does not carry it, so
+    the reader below gates loudly and the probe test skips — the same
+    posture as the Iceberg runtime (session.iceberg_available)."""
+    # Probe ACTUAL data-source resolution: neither a lazy _jvm
+    # package-path access (never fails) nor Class.forName (this distro
+    # ships the class in the assembly WITHOUT registering the source)
+    # answers the real question. A load of a nonexistent path classifies
+    # cleanly: source missing → FAILED_TO_FIND_DATA_SOURCE; source
+    # present → PATH_NOT_FOUND.
+    try:
+        spark.read.format("avro").schema("probe int").load(
+            "/nonexistent/__avro_probe__"
+        )
+        return True
+    except Exception as e:  # noqa: BLE001 - classify the analysis error
+        return "Failed to find data source" not in str(e)
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    alias: str | None = None,
+) -> DataFrame:
+    """Avro reader — the row-oriented interchange format Kafka pipelines
+    land. Gated on ``avro_available`` with a LOUD error (never a silent
+    empty frame); flips live the day the spark-avro jar ships, like the
+    Iceberg DDL path."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro module not on the classpath: add "
+            "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+        )
+    reader = spark.read.format("avro")
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    return df.alias(alias) if alias else df
+
+
 def read_orc(
     spark: SparkSession,
     path: str,
