@@ -274,6 +274,68 @@ def publish_atomic(staging: str, final_dir: str) -> None:
             pass
 
 
+def swap_publish(staging: str, final_dir: str) -> None:
+    """Publish a REPLACEABLE table directory (single writer per path):
+    fresh targets get one atomic rename; existing targets get a
+    rename-aside swap (old → ``.swap_old.<pid>``, staging → final, drop
+    old) with the previous publish RESTORED when the swap fails — never
+    destroyed. Distinct from ``publish_atomic``, which serves
+    KEYED-IMMUTABLE artifacts: there a re-publish under the same key
+    rightly discards the newcomer, which is exactly wrong for a table
+    that must replace (review finding, r8 — wap_write_parquet and
+    compact_parquet each hand-rolled this and had diverged).
+
+    Crash recovery (review finding, r8): a kill between the two renames
+    strands the table at ``.swap_old.<pid>`` with final_dir missing; on
+    entry, that state is repaired by restoring the newest stray, and
+    strays whose owning pid is dead are dropped. The reader-visible gap
+    between the two renames is inherent to a path-based table — a real
+    lake replaces this whole function with a metadata commit.
+
+    On any failure the staging directory is removed and the error
+    re-raised, so callers never leak staging trees."""
+    parent = os.path.dirname(final_dir) or "."
+    base = os.path.basename(final_dir)
+    try:
+        strays = [
+            n
+            for n in os.listdir(parent)
+            if n.startswith(f"{base}.swap_old.")
+        ]
+    except OSError:
+        strays = []
+    if strays and not os.path.exists(final_dir):
+        newest = max(
+            strays,
+            key=lambda n: os.stat(os.path.join(parent, n)).st_mtime,
+        )
+        try:
+            os.rename(os.path.join(parent, newest), final_dir)
+            strays.remove(newest)
+        except OSError:
+            pass
+    for n in strays:
+        pid = n.rsplit(".swap_old.", 1)[1]
+        if not (pid.isdigit() and _pid_alive(int(pid))):
+            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+    bak = f"{final_dir}.swap_old.{os.getpid()}"
+    had_old = os.path.exists(final_dir)
+    try:
+        if had_old:
+            os.rename(final_dir, bak)
+        os.rename(staging, final_dir)
+    except OSError:
+        if had_old and not os.path.exists(final_dir):
+            try:
+                os.rename(bak, final_dir)  # restore the previous publish
+            except OSError:
+                pass
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if had_old:
+        shutil.rmtree(bak, ignore_errors=True)
+
+
 def is_published(final_dir: str) -> bool:
     return os.path.exists(os.path.join(final_dir, "_OK"))
 

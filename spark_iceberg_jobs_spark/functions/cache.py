@@ -22,19 +22,34 @@ a lazily-held DataFrame re-computes its lineage after the caches drop
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_SCOPES: list[list[DataFrame]] = []
+# Thread-LOCAL scope stack (review finding, r8): concurrent driver
+# threads submitting parallel jobs — a normal Spark pattern — must not
+# cross-register into each other's scopes, or thread B's scope exit
+# unpersists thread A's still-in-use intermediate mid-query (forcing a
+# full lineage recompute) and pops the wrong scope off a shared stack.
+_LOCAL = threading.local()
+
+
+def _scopes() -> list[list[DataFrame]]:
+    scopes = getattr(_LOCAL, "scopes", None)
+    if scopes is None:
+        scopes = _LOCAL.scopes = []
+    return scopes
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """persist() that the innermost cache_scope will unpersist on exit."""
+    """persist() that the innermost cache_scope OF THIS THREAD will
+    unpersist on exit (no scope on this thread → plain persist())."""
     df = df.persist()
-    if _SCOPES:
-        _SCOPES[-1].append(df)
+    scopes = _scopes()
+    if scopes:
+        scopes[-1].append(df)
     return df
 
 
@@ -42,19 +57,20 @@ def release(df: DataFrame) -> None:
     """Unpersist now and drop the scope registration (for intermediates
     whose last consumer has already materialized, e.g. loop iterations)."""
     df.unpersist()
-    for scope in _SCOPES:
+    for scope in _scopes():
         if any(d is df for d in scope):
             scope[:] = [d for d in scope if d is not df]
 
 
 @contextmanager
 def cache_scope() -> Iterator[None]:
+    scopes = _scopes()
     scope: list[DataFrame] = []
-    _SCOPES.append(scope)
+    scopes.append(scope)
     try:
         yield
     finally:
-        _SCOPES.pop()
+        scopes.pop()
         for df in scope:
             try:
                 df.unpersist(blocking=True)

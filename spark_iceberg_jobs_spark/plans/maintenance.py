@@ -161,15 +161,16 @@ def compact_parquet(
         shaped = shaped.sortWithinPartitions(*sort_within)
     import shutil
 
+    from ..functions.artifacts import swap_publish
+
     tmp = path.rstrip("/") + "__compacting"
     try:
         shaped.write.mode("overwrite").parquet(tmp)
-        # rename-aside swap (real lakes do this via metadata commit): the
-        # original stays recoverable at __old until the new tree is in place
-        bak = path.rstrip("/") + "__old"
-        os.rename(path, bak)
-        os.rename(tmp, path)
-        shutil.rmtree(bak)
+        # shared rename-aside swap (functions/artifacts.swap_publish —
+        # review finding, r8: this hand-rolled copy lacked the
+        # restore-on-failed-rename hardening, stranding the table at
+        # __old if the second rename failed)
+        swap_publish(tmp, path.rstrip("/"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return before, count_files(path)

@@ -15,9 +15,11 @@ This factory bakes in the settings we want on a real cluster:
   UDFs move batches, not rows).
 - **UTC session timezone** so timestamp semantics are stable across the
   driver, executors, and the DuckDB oracle.
-- **Shuffle partitions** default to ``max(2 x cores, 32)`` locally; on a
-  1000-executor cluster you would size this to ~2-3x total cores and let
-  AQE coalesce down. Exposed as a parameter.
+- **Shuffle partitions** default to ``max(cores, 32)`` locally (the
+  docstring previously claimed 2x cores — review finding, r8: the code
+  is the benched truth, the doc was wrong); on a 1000-executor cluster
+  you would size this to ~2-3x total cores and let AQE coalesce down.
+  Exposed as a parameter.
 - Optional **Iceberg catalog** wiring (the runtime jar is not bundled in
   this environment; ``enable_iceberg`` is a no-op with a warning unless the
   jar is on the classpath — every query in this repo runs on plain parquet
@@ -129,6 +131,16 @@ def get_spark(
         b = b.config(k, v)
 
     spark = b.getOrCreate()
+    if enable_iceberg and not iceberg_available(spark):
+        # the module docstring promises this warning (review finding, r8:
+        # it was never emitted): Spark silently skips a missing extensions
+        # class, and the first `local.*` query would otherwise fail later
+        # with an opaque ClassNotFoundException
+        logger.warning(
+            "enable_iceberg=True but iceberg-spark-runtime is not on the "
+            "classpath: the 'local' catalog confs are set but inert, and "
+            "catalog queries will fail"
+        )
     return spark
 
 

@@ -84,11 +84,16 @@ def write_bucketed_table(
     w.saveAsTable(table)
 
 
-def overwrite_iceberg(df: DataFrame, table: str, *, create: bool = True) -> None:
+def overwrite_iceberg(df: DataFrame, table: str, *, create: bool = False) -> None:
     """DataFrameWriterV2 path for Iceberg catalogs (fixes the §1.3 bug).
 
-    ``createOrReplace`` installs the DataFrame schema; to preserve a
-    pre-declared DDL spec use ``overwritePartitions`` on the existing table.
+    Default is the SAFE path: ``overwritePartitions`` against the
+    existing table, which preserves a pre-declared DDL schema/partition
+    spec. ``create=True`` opts in to ``createOrReplace``, which installs
+    the DataFrame-inferred schema — i.e. it re-introduces the §1.3
+    replace-table clobber on a DDL-declared table, so it must be the
+    explicit choice, never the default (review finding, r8: the default
+    was create=True, silently destroying a declared bucket spec).
     Requires iceberg-spark-runtime on the classpath.
     """
     if create:
@@ -113,31 +118,29 @@ def wap_write_parquet(
     and raises, so readers of ``final_dir`` can never observe a
     half-written or audit-failing batch.
 
-    ``audits``: callables ``(DataFrame) -> bool | None`` — False fails
-    the audit by return value, and any exception fails it loudly (an
-    audit that cannot run must not pass). Under Iceberg this exact flow
-    is ``spark.wap.branch`` + ``fast_forward``; the staging dir plays the
-    branch and the audit reader the branch scan.
+    ``audits``: callables ``(DataFrame) -> bool | None``. ``None`` counts
+    as PASS (assert-style audits that raise on failure); ANY falsy
+    return fails — truth-tested, not ``is False`` (review finding, r8:
+    an audit written with pandas/numpy returns ``numpy.bool_(False)``,
+    which is not the ``False`` singleton, and the identity check would
+    have published the failing batch). Any exception fails loudly — an
+    audit that cannot run must not pass. Under Iceberg this exact flow
+    is ``spark.wap.branch`` + ``fast_forward``; the staging dir plays
+    the branch and the audit reader the branch scan.
 
-    Publish semantics: a FIRST publish is one atomic rename; a
-    RE-publish to an existing table is a rename-aside swap (old →
-    ``.wap_old``, staging → final, drop old — the compact_parquet
-    pattern; a real lake replaces this with a metadata commit), so the
-    previously published table is RESTORED if the swap fails rather
-    than destroyed (review finding, round 8 — the keyed-immutable
-    ``publish_atomic`` protocol is wrong for a replaceable table: its
-    corpse-recovery would rmtree the live publish, and under its ``_OK``
-    convention a re-publish would discard the NEW batch). Single-writer
-    per table path, like any path-based table without a catalog.
+    Publish = functions/artifacts.swap_publish (shared with
+    compact_parquet): fresh targets one atomic rename; re-publish a
+    rename-aside swap with restore-on-failure and crash recovery of
+    stranded ``.swap_old`` dirs. Single-writer per table path, like any
+    path-based table without a catalog.
 
     Returns the published path. Scale: one or two directory renames over
     the plain write; audits cost whatever they scan — point them at
     aggregates, not full-table collects.
     """
-    import os
     import shutil
 
-    from ..functions.artifacts import staging_dir
+    from ..functions.artifacts import staging_dir, swap_publish
 
     staging = staging_dir(final_dir)
     try:
@@ -152,25 +155,10 @@ def wap_write_parquet(
                 ok = audit(staged)
             except Exception as e:  # noqa: BLE001 - audit errors must FAIL the publish
                 raise ValueError(f"WAP audit #{i} errored: {e}") from e
-            if ok is False:
+            if ok is not None and not ok:
                 raise ValueError(f"WAP audit #{i} failed; staging discarded")
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    bak = f"{final_dir.rstrip('/')}.wap_old.{os.getpid()}"
-    had_old = os.path.exists(final_dir)
-    if had_old:
-        os.rename(final_dir, bak)
-    try:
-        os.rename(staging, final_dir)
-    except OSError:
-        if had_old:
-            try:
-                os.rename(bak, final_dir)  # restore the previous publish
-            except OSError:
-                pass
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    if had_old:
-        shutil.rmtree(bak, ignore_errors=True)
+    swap_publish(staging, final_dir)
     return final_dir

@@ -331,3 +331,60 @@ def test_publish_recovery_yields_to_live_lock_holder_that_publishes(tmp_path):
     t.join()
     assert (final / "data").read_text() == "winner"
     assert not staging.exists()
+
+
+def test_swap_publish_replaces_restores_and_recovers(tmp_path):
+    """The shared replaceable-table swap (review finding r8): fresh
+    publish, replace, restore-on-failed-swap, and crash recovery of a
+    stranded .swap_old dir."""
+    final = tmp_path / "tbl"
+
+    def mk(name, content):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "data").write_text(content)
+        return d
+
+    # fresh publish = one rename
+    artifacts.swap_publish(str(mk("s1", "v1")), str(final))
+    assert (final / "data").read_text() == "v1"
+    # replace
+    artifacts.swap_publish(str(mk("s2", "v2")), str(final))
+    assert (final / "data").read_text() == "v2"
+    assert not any(".swap_old." in n for n in os.listdir(tmp_path))
+    # failed swap (staging vanished) restores the previous publish
+    ghost = tmp_path / "ghost"
+    try:
+        artifacts.swap_publish(str(ghost), str(final))
+    except OSError:
+        pass
+    assert (final / "data").read_text() == "v2", "previous publish restored"
+    # crash recovery: simulate a kill between the two renames — the table
+    # stranded at .swap_old.<dead pid>, final missing
+    stranded = tmp_path / "tbl.swap_old.999999999"
+    os.rename(final, stranded)
+    artifacts.swap_publish(str(mk("s3", "v3")), str(final))
+    assert (final / "data").read_text() == "v3"
+    assert not any(".swap_old." in n for n in os.listdir(tmp_path))
+
+
+def test_swap_publish_entry_recovery_without_new_publish(tmp_path):
+    """Entry-time recovery restores the NEWEST stranded swap_old when the
+    final dir is missing, then the new staging replaces it normally."""
+    final = tmp_path / "t2"
+    old1 = tmp_path / "t2.swap_old.111111111"
+    old1.mkdir()
+    (old1 / "data").write_text("older")
+    os.utime(old1, (time.time() - 100, time.time() - 100))
+    old2 = tmp_path / "t2.swap_old.222222222"
+    old2.mkdir()
+    (old2 / "data").write_text("newer")
+
+    staging = tmp_path / "s"
+    staging.mkdir()
+    (staging / "data").write_text("incoming")
+    artifacts.swap_publish(str(staging), str(final))
+    # the newer stray was restored, then replaced by the incoming batch;
+    # the older dead stray was dropped
+    assert (final / "data").read_text() == "incoming"
+    assert not any(".swap_old." in n for n in os.listdir(tmp_path))

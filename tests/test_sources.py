@@ -253,11 +253,23 @@ def test_wap_write_publishes_only_after_audits(spark, tmp_path):
     wap_write_parquet(batch2, final, audits=[lambda s: s.count() == 1])
     got2 = [tuple(r) for r in spark.read.parquet(final).collect()]
     assert got2 == [(9, "z", 1.0)]
-    # and a FAILED re-publish attempt leaves the previous table intact
+    # a FAILED re-publish attempt leaves the previous table intact
     with pytest.raises(ValueError, match="audit #0 failed"):
         wap_write_parquet(df, final, audits=[lambda s: False])
     assert [tuple(r) for r in spark.read.parquet(final).collect()] == [(9, "z", 1.0)]
-    leftovers = [n for n in os.listdir(tmp_path) if ".staging." in n or ".wap_old." in n]
+    # FALSY non-bool returns fail too (review finding: numpy.bool_(False)
+    # is not the False singleton and an `is False` check published the
+    # failing batch)
+    import numpy as np
+
+    with pytest.raises(ValueError, match="audit #0 failed"):
+        wap_write_parquet(
+            df, final, audits=[lambda s: np.bool_(s.filter("v < 0").isEmpty())]
+        )
+    assert [tuple(r) for r in spark.read.parquet(final).collect()] == [(9, "z", 1.0)]
+    leftovers = [
+        n for n in os.listdir(tmp_path) if ".staging." in n or ".swap_old." in n
+    ]
     assert leftovers == []
 
 
