@@ -90,11 +90,13 @@ class QuerySpec:
 #       exact failure mode of the retired r6 disjointness assert.
 #   r8 window (the documented policy, staleness frozen at r01–r07):
 #       keeps + plan-changed (the minor-compaction rework + ADVICE pmod
-#       bucket fix touch the two incremental-index serves) + the 6 new
-#       entries (mor_equality_deletes, the two compaction legs, SCD2,
-#       MV refresh, time travel) + ALL 17 r2-stale entries + the 23
-#       oldest r3-stale, alphabetical (the new entries displaced the
-#       three newest r3 slots, which lead the r9 refresh tier).
+#       bucket fix touch the two incremental-index serves; the late-r8
+#       streaming determinism fixes touch the three streaming entries
+#       whose aggregation arithmetic changed) + the 6 new entries
+#       (mor_equality_deletes, the two compaction legs, SCD2, MV
+#       refresh, time travel) + ALL 17 r2-stale entries + the 20 oldest
+#       r3-stale, alphabetical (the new + changed entries displaced the
+#       six newest stale slots, which lead the r9 refresh tier).
 DRIVER_WINDOW = 50
 
 _R8_PERMANENT_KEEPS = [
@@ -108,6 +110,19 @@ _R8_CHANGED = [
     # fix bumped the BM25 artifact salts (bm25idx-v3/bm25delta-v3):
     "text_bm25_incremental",
     "sim_ivf_incremental_topk",
+    # late-r8 review fixes changed these queries' AGGREGATION ARITHMETIC
+    # (exact-DECIMAL money sums replacing round(sum(double)) — the r5
+    # conversion had missed the streaming twins — and the stateful
+    # sessionizer's cross-chunk global sort + integer-cent fold), so they
+    # ride per policy. The round's value-identical mechanical rewrites
+    # (run_available_now materialization, the events-ts floor-division
+    # fix — identity on every fixture timestamp, schema derivation) are
+    # instead covered by the full 245/245 re-verification at both SFs;
+    # the window already carries 12 events-family entries as that
+    # family's representatives.
+    "streaming_tumbling_hourly",
+    "streaming_sliding_1h_30m",
+    "streaming_stateful_sessions",
 ]
 
 _R8_NEW = [
@@ -166,9 +181,6 @@ _R8_STALE_REFRESH = [
     "events_sessionization",
     "events_sliding_1h_30m",
     "events_time_rollup",
-    "events_top_purchasers",
-    "events_tumbling_hourly",
-    "mixture_temperature_weights",
 ]
 
 

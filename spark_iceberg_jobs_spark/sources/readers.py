@@ -80,7 +80,16 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     """
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # FLOOR division, not DIV (truncation toward zero): a pre-1970
+        # negative nanos value must round DOWN into the earlier µs, or it
+        # moves forward across second/window boundaries (review finding,
+        # r8 — the same defect class banded_range_join fixed with F.floor
+        # in r1). floor(ts/1000.0) is unsafe (ns epochs exceed 2^53), so
+        # subtract the non-negative pmod remainder first — exact integer
+        # arithmetic, identical to DIV for ts >= 0 (all driver fixtures).
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000"))
+        )
     if isinstance(ts_type, TimestampNTZType):
         return df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
@@ -166,10 +175,16 @@ def read_jsonl(
         raise ValueError(f"unknown JSON parse mode: {mode}")
     reader = spark.read.option("mode", mode)
     if corrupt_col is not None:
-        from pyspark.sql.types import StringType
+        from pyspark.sql.types import StringType, StructField
 
         if corrupt_col not in schema.fieldNames():
-            schema = schema.add(corrupt_col, StringType())
+            # copy before extending: StructType.add MUTATES self, so the
+            # bare add would permanently append the corrupt column to the
+            # CALLER'S schema object (review finding, r8 — a module-level
+            # schema constant would silently grow a trailing field)
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_col, StringType())]
+            )
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     df = reader.schema(schema).json(path)
     return df.alias(alias) if alias else df
@@ -241,15 +256,21 @@ def avro_available(spark: SparkSession) -> bool:
     # package-path access (never fails) nor Class.forName (this distro
     # ships the class in the assembly WITHOUT registering the source)
     # answers the real question. A load of a nonexistent path classifies
-    # cleanly: source missing → FAILED_TO_FIND_DATA_SOURCE; source
-    # present → PATH_NOT_FOUND.
+    # cleanly, and on the ERROR CONDITION rather than message text
+    # (review finding, r8 — wording varies across versions): a PRESENT
+    # source fails with the stable PATH_NOT_FOUND; anything else
+    # (FAILED_TO_FIND_DATA_SOURCE, the _LEGACY_ERROR_TEMP_1139 this
+    # distro emits, or future variants) means the source did not
+    # resolve — defaulting to "unavailable" keeps the loud gate and can
+    # never silently pass a raw analysis error through.
     try:
         spark.read.format("avro").schema("probe int").load(
             "/nonexistent/__avro_probe__"
         )
         return True
     except Exception as e:  # noqa: BLE001 - classify the analysis error
-        return "Failed to find data source" not in str(e)
+        cond = getattr(e, "getCondition", lambda: None)()
+        return cond == "PATH_NOT_FOUND"
 
 
 def read_avro(

@@ -62,14 +62,16 @@ def _events_file_schema(spark: SparkSession, sf_dir: str) -> StructType:
     if key not in _TS_TYPE_CACHE:
         _TS_TYPE_CACHE[key] = spark.read.parquet(path).schema["ts"].dataType
     ts_type = _TS_TYPE_CACHE[key]
+    # derive from the canonical fixture schema with only the ts field
+    # swapped to the probed on-disk type (review finding, r8: the
+    # hand-duplicated field list could silently drift from schemas.py,
+    # and a drifted stream schema returns nulls instead of failing)
+    from ..schemas import FIXTURE_SCHEMAS
+
     return StructType(
         [
-            StructField("event_id", LongType()),
-            StructField("ts", ts_type),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
+            StructField("ts", ts_type) if f.name == "ts" else f
+            for f in FIXTURE_SCHEMAS["events"].fields
         ]
     )
 
@@ -96,13 +98,20 @@ def windowed_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation (streaming twin of
-    operators.events.tumbling_window_agg — identical output schema)."""
+    operators.events.tumbling_window_agg — identical output schema).
+
+    Money sums go through money_sum (exact DECIMAL — review finding, r8:
+    the r5 float-determinism conversion updated the batch twin but
+    missed this one; round(sum(double), 2) can flip across task
+    orderings, breaking the byte-identical-with-batch claim)."""
+    from ..functions.money import money_sum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .select(
             F.unix_timestamp("w.start").alias("window_start"),
@@ -132,7 +141,19 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return result.sparkSession.table(name)
+    # Materialize and DROP the memory-sink table (review finding, r8):
+    # leaving the uuid-named table registered leaks the full result in
+    # driver memory for the session's lifetime, and the verify sweeps
+    # drive hundreds of these per session. Results here are bounded
+    # (windowed aggregates / fixture-scale event sets), so the local
+    # relation is cheap; it also freezes the result against any later
+    # writer reusing the name.
+    spark = result.sparkSession
+    sink = spark.table(name)
+    rows = sink.collect()
+    schema = sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def sliding_counts(
@@ -144,13 +165,15 @@ def sliding_counts(
 ) -> DataFrame:
     """Watermarked SLIDING-window aggregation (streaming twin of
     operators.events.sliding_window_agg — same output schema, no
-    per-type grouping)."""
+    per-type grouping; exact-DECIMAL money sum like the batch twin)."""
+    from ..functions.money import money_sum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration, slide).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .select(
             F.unix_timestamp("w.start").alias("window_start"),
@@ -245,14 +268,21 @@ def foreach_batch_upsert_sink(
     *,
     target_path: str,
     key: str,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming → lake-table sink via foreachBatch + merge_upsert: each
     micro-batch MERGEs into the parquet target instead of blind-appending —
     the streaming upsert pattern (Iceberg: MERGE INTO inside foreachBatch).
     Runs to completion with AvailableNow.
-    """
-    import os
 
+    ``checkpoint_dir`` persists source offsets + batch ids across runs —
+    REQUIRED for incremental/exactly-once semantics on a growing source
+    (review finding, r8: without it Spark uses a throwaway temp
+    checkpoint, so every invocation reprocesses ALL input and a crash
+    replays already-merged batches). The bounded single-shot fixture
+    replays are idempotent through the MERGE, which is why the default
+    stays None for them; production callers must pass a stable dir.
+    """
     from ..plans.maintenance import merge_upsert
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -292,12 +322,14 @@ def foreach_batch_upsert_sink(
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    q = (
+    w = (
         result.writeStream.foreachBatch(apply_batch)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     q.awaitTermination()
 
 
@@ -332,26 +364,39 @@ def sessionize_stream(
             StructField("start_es", LongType()),
             StructField("last_es", LongType()),
             StructField("n", LongType()),
-            StructField("val", DoubleType()),
+            # exact integer cents, not a float accumulator (see update)
+            StructField("val_cents", LongType()),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
         sessions: list[tuple] = []
+        # state carries value as exact integer CENTS (events.value is an
+        # exact 2-decimal money column): float accumulation + Python
+        # round() is half-EVEN over an order-dependent sum, while the
+        # DECIMAL oracle rounds HALF_UP — integer cents make the fold
+        # exact and order-independent (review finding, r8)
         cur = list(state.get) if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("es")
-            for es, value in zip(pdf["es"], pdf["value"]):
-                es = int(es)
-                if cur is None:
-                    cur = [es, es, 0, 0.0]
-                elif es - cur[1] > gap_sec:
-                    sessions.append((int(user_id), cur[0], cur[2], round(cur[3], 2)))
-                    cur = [es, es, 0, 0.0]
-                cur[1] = es
-                cur[2] += 1
-                cur[3] += float(value)
+        # one GLOBAL sort across the key's chunks (review finding, r8):
+        # applyInPandasWithState delivers a key's rows as multiple Arrow
+        # chunks in shuffle-arrival order, and the fold state carries
+        # across chunks — per-chunk sorting let a later chunk's earlier
+        # timestamps fold into the wrong session
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("es")
+        for es, value in zip(batch["es"], batch["value"]):
+            es = int(es)
+            cents = int(round(float(value) * 100))
+            if cur is None:
+                cur = [es, es, 0, 0]
+            elif es - cur[1] > gap_sec:
+                sessions.append((int(user_id), cur[0], cur[2], cur[3] / 100.0))
+                cur = [es, es, 0, 0]
+            cur[1] = es
+            cur[2] += 1
+            cur[3] += cents
         if cur is not None:
             state.update(tuple(cur))
         yield pd.DataFrame(
@@ -393,7 +438,8 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
     lifetime row — the classic upsert-feed shape. Over the bounded
     AvailableNow replay every user emits once, which is exactly the batch
     per-user aggregate: that equivalence is this operator's oracle
-    (value sums rounded at emission, both engines).
+    (value accumulates as exact integer cents, so the emitted total is
+    bit-identical to the oracle's DECIMAL sum).
 
     Scale: state is one fixed-width row per user, RocksDB-backed in prod
     config; rows arrive grouped by user so the update is a per-key fold —
@@ -420,28 +466,34 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
                 "totals",
-                "n bigint, total double, max_value double, first_es bigint, last_es bigint",
+                "n bigint, total_cents bigint, max_value double, "
+                "first_es bigint, last_es bigint",
             )
 
         def handleInputRows(self, key, rows, timerValues):
             (user_id,) = key
             if self._state.exists():
-                n, total, mx, first_es, last_es = self._state.get()
+                n, total_cents, mx, first_es, last_es = self._state.get()
             else:
-                n, total, mx, first_es, last_es = 0, 0.0, float("-inf"), None, None
+                n, total_cents, mx, first_es, last_es = 0, 0, float("-inf"), None, None
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
+                # exact integer cents (2-decimal money column) — a float
+                # accumulator + round() is half-even over an
+                # order-dependent sum, diverging from the DECIMAL oracle
+                total_cents += int(
+                    sum(int(round(float(v) * 100)) for v in pdf["value"])
+                )
                 mx = max(mx, float(pdf["value"].max()))
                 lo, hi = int(pdf["es"].min()), int(pdf["es"].max())
                 first_es = lo if first_es is None else min(first_es, lo)
                 last_es = hi if last_es is None else max(last_es, hi)
-            self._state.update((n, total, mx, first_es, last_es))
+            self._state.update((n, total_cents, mx, first_es, last_es))
             yield pd.DataFrame(
                 {
                     "user_id": pd.Series([int(user_id)], dtype="int64"),
                     "n_events": pd.Series([n], dtype="int64"),
-                    "total_value": pd.Series([round(total, 2)], dtype="float64"),
+                    "total_value": pd.Series([total_cents / 100.0], dtype="float64"),
                     "max_value": pd.Series([mx], dtype="float64"),
                     "first_es": pd.Series([first_es], dtype="int64"),
                     "last_es": pd.Series([last_es], dtype="int64"),
