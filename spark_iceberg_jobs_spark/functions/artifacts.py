@@ -30,6 +30,7 @@ expiry/orphan-file cleanup (Iceberg's ``expire_snapshots``).
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import os
 import shutil
@@ -143,6 +144,11 @@ def sweep_stale(
     for name in names:
         if not name.startswith(prefix) or name in (keep or ()):
             continue
+        if name.endswith(".recovery.lock"):
+            # flock sidecars are never unlinked (publish_atomic): removing
+            # one would hand a newcomer a fresh inode while a waiter still
+            # holds the old one — two concurrent "holders"
+            continue
         full = os.path.join(ARTIFACT_ROOT, name)
         try:
             if ".staging." in name:
@@ -224,36 +230,36 @@ def publish_atomic(staging: str, final_dir: str) -> None:
         return
     except OSError:
         pass
-    # Corpse recovery is SERIALIZED with an O_EXCL sidecar lock (review
-    # finding, r8 — the bare is_published re-check only narrowed the
-    # two-recoverer race: both could pass it, then the slower rmtree
-    # deletes the faster one's just-published live artifact). Non-holders
-    # wait for the holder's outcome; a lock older than the takeover age
-    # is an orphan from a dead holder and is claimed. The residual window
-    # vs a NORMAL first publish (which never takes the lock) is the
+    # Corpse recovery is SERIALIZED with a kernel flock on a sidecar file
+    # (review finding, r8; redesigned per ADVICE r8 — the previous O_EXCL
+    # lock FILE plus 30s-mtime orphan takeover had a TOCTOU: two waiters
+    # could both judge the same lock stale, and the slower unlink removed
+    # the faster claimant's freshly created lock, re-admitting the
+    # two-concurrent-recoverers race; its 10 s wait budget was also
+    # shorter than the 30 s takeover age, wedging the key when a holder
+    # died young). flock has neither problem: the lock dies WITH its
+    # holder (no staleness heuristic, no takeover, no unlink), and
+    # because the sidecar file is never unlinked every claimant locks the
+    # same inode. Non-holders poll is_published while waiting so a
+    # successful recovery releases them early. The residual window vs a
+    # NORMAL first publish (which never takes the lock) is the
     # filesystem-instant between the under-lock check and the rmtree — a
     # real table format closes even that with a catalog commit.
     lock = f"{final_dir}.recovery.lock"
-    fd = -1
-    for _ in range(100):  # bounded: ~10 s worst case
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            if is_published(final_dir):  # the other recoverer won
-                shutil.rmtree(staging, ignore_errors=True)
-                return
-            try:
-                if time.time() - os.stat(lock).st_mtime > 30:
-                    os.unlink(lock)  # orphaned lock: dead holder
-                    continue
-            except OSError:
-                continue  # lock vanished — retry the acquire
-            time.sleep(0.1)
-    else:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise OSError(f"recovery lock {lock!r} held too long")
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
     try:
+        for _ in range(600):  # bounded: ~60 s of a LIVE slow holder
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if is_published(final_dir):  # the holder's publish landed
+                    shutil.rmtree(staging, ignore_errors=True)
+                    return
+                time.sleep(0.1)
+        else:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise OSError(f"recovery lock {lock!r} held too long")
         if is_published(final_dir):  # re-check under the lock
             shutil.rmtree(staging, ignore_errors=True)
             return
@@ -267,11 +273,10 @@ def publish_atomic(staging: str, final_dir: str) -> None:
             shutil.rmtree(staging, ignore_errors=True)
             raise
     finally:
-        try:
-            os.close(fd)
-            os.unlink(lock)
-        except OSError:
-            pass
+        # close() releases the flock; the sidecar FILE stays in place by
+        # design (unlinking would let a waiter holding the old inode and a
+        # newcomer on a fresh one both "acquire")
+        os.close(fd)
 
 
 def swap_publish(staging: str, final_dir: str) -> None:

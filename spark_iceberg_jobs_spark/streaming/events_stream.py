@@ -382,11 +382,18 @@ def sessionize_stream(
         # applyInPandasWithState delivers a key's rows as multiple Arrow
         # chunks in shuffle-arrival order, and the fold state carries
         # across chunks — per-chunk sorting let a later chunk's earlier
-        # timestamps fold into the wrong session
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if len(batch):
-            batch = batch.sort_values("es")
-        for es, value in zip(batch["es"], batch["value"]):
+        # timestamps fold into the wrong session.
+        # Materialize BEFORE concat (ADVICE r8): a state-only invocation
+        # (zero chunks — what an EventTimeTimeout config delivers on a
+        # group timeout) must not crash pd.concat; it just re-persists the
+        # open session unchanged.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("es")
+            rows = zip(batch["es"], batch["value"])
+        else:
+            rows = ()
+        for es, value in rows:
             es = int(es)
             cents = int(round(float(value) * 100))
             if cur is None:

@@ -276,16 +276,19 @@ def test_sweep_unlinks_prefix_matching_regular_file(monkeypatch, tmp_path):
     assert removed == 1 and not stray.exists()
 
 
-def test_publish_recovery_takes_over_orphaned_lock(tmp_path):
-    """Review finding (r8): corpse recovery is serialized by a sidecar
-    lock; a lock older than the takeover age (dead holder) is claimed
-    and publish proceeds; the lock is cleaned up afterwards."""
+def test_publish_recovery_claims_dead_holders_lock_file(tmp_path):
+    """Corpse recovery is serialized by a kernel flock (ADVICE r8 — the
+    O_EXCL file + mtime-age takeover had a TOCTOU between two waiters).
+    A lock FILE left by a dead holder carries no flock, so recovery
+    acquires immediately — no staleness age to outwait — and the sidecar
+    file deliberately persists (unlinking would split waiters across
+    inodes)."""
     final = tmp_path / "seg_lock"
     # wedged corpse: dir exists but is not published
     final.mkdir()
     (final / "junk").write_text("corpse")
     lock = tmp_path / "seg_lock.recovery.lock"
-    lock.touch()
+    lock.touch()  # dead holder's leftover: file exists, flock released
     old_ts = time.time() - 120
     os.utime(lock, (old_ts, old_ts))
 
@@ -296,20 +299,22 @@ def test_publish_recovery_takes_over_orphaned_lock(tmp_path):
     artifacts.publish_atomic(str(staging), str(final))
     assert artifacts.is_published(str(final))
     assert (final / "data").read_text() == "good"
-    assert not lock.exists() and not staging.exists()
+    assert not staging.exists()
 
 
 def test_publish_recovery_yields_to_live_lock_holder_that_publishes(tmp_path):
-    """A FRESH lock (live holder) makes the second recoverer wait; when
+    """A HELD flock (live holder) makes the second recoverer wait; when
     the holder's publish lands, the waiter discards its staging instead
     of touching the published artifact."""
+    import fcntl
     import threading
 
     final = tmp_path / "seg_lock2"
     final.mkdir()
     (final / "junk").write_text("corpse")
     lock = tmp_path / "seg_lock2.recovery.lock"
-    lock.touch()  # fresh: holder is "alive"
+    fd = os.open(str(lock), os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)  # live holder mid-recovery
 
     staging = tmp_path / "seg_lock2.staging.9"
     staging.mkdir()
@@ -323,7 +328,7 @@ def test_publish_recovery_yields_to_live_lock_holder_that_publishes(tmp_path):
         final.mkdir()
         (final / "data").write_text("winner")
         (final / "_OK").touch()
-        lock.unlink()
+        os.close(fd)  # release the flock
 
     t = threading.Thread(target=holder_publishes)
     t.start()
@@ -331,6 +336,18 @@ def test_publish_recovery_yields_to_live_lock_holder_that_publishes(tmp_path):
     t.join()
     assert (final / "data").read_text() == "winner"
     assert not staging.exists()
+
+
+def test_sweep_never_unlinks_recovery_lock_sidecars(monkeypatch, tmp_path):
+    """flock sidecars persist by design; a TTL sweep removing one would
+    hand a newcomer a fresh inode while a waiter holds the old one."""
+    monkeypatch.setattr(artifacts, "ARTIFACT_ROOT", str(tmp_path))
+    lock = tmp_path / "kidx_seg.recovery.lock"
+    lock.touch()
+    old_ts = time.time() - 48 * 3600
+    os.utime(lock, (old_ts, old_ts))
+    removed = artifacts.sweep_stale("kidx_", ttl_hours=12)
+    assert removed == 0 and lock.exists()
 
 
 def test_swap_publish_replaces_restores_and_recovers(tmp_path):
