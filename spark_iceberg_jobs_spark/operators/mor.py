@@ -82,3 +82,37 @@ def mor_read_equality_deletes(
         cond = term if cond is None else cond & term
     live = b.join(d, cond, "left_anti")
     return live.unionByName(appends) if appends is not None else live
+
+
+def mor_apply_deletes_by_sequence(
+    data: DataFrame,
+    deletes: DataFrame,
+    *,
+    key_cols: list[str],
+    seq_col: str,
+    delete_seq: int,
+    broadcast_deletes: bool = True,
+) -> DataFrame:
+    """Sequence-aware MOR read: split ``data`` by the Iceberg v2 rule —
+    an equality delete applies to data files whose data sequence number
+    is STRICTLY LESS than the delete's own (Iceberg spec: "equality
+    delete files are applied to data files with a sequence number less
+    than the delete file's"). A data file whose sequence number TIES the
+    delete's was written by the SAME commit and is NOT affected — the
+    rule that makes single-commit MERGE upserts work, where one commit
+    writes both the equality delete for the old row and the replacement
+    row under one sequence number. The plausible wrong rule (``<=``)
+    would kill the replacement row of exactly that commit; the planted
+    sequence-tie test pins the difference.
+
+    Scale: one filter split (no extra shuffle) feeding the same
+    broadcast-anti-join read as mor_read_equality_deletes."""
+    base = data.filter(F.col(seq_col) < delete_seq)
+    appends = data.filter(F.col(seq_col) >= delete_seq)
+    return mor_read_equality_deletes(
+        base,
+        deletes,
+        appends,
+        key_cols=key_cols,
+        broadcast_deletes=broadcast_deletes,
+    )

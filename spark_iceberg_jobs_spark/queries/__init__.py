@@ -89,98 +89,91 @@ class QuerySpec:
 #       window cannot be invalidated by the round's own artifact — the
 #       exact failure mode of the retired r6 disjointness assert.
 #   r8 window (the documented policy, staleness frozen at r01–r07):
-#       keeps + plan-changed (the minor-compaction rework + ADVICE pmod
-#       bucket fix touch the two incremental-index serves; the late-r8
-#       streaming determinism fixes touch the three streaming entries
-#       whose aggregation arithmetic changed) + the 6 new entries
-#       (mor_equality_deletes, the two compaction legs, SCD2, MV
+#       keeps + plan-changed (minor compaction + pmod bucket fix on the
+#       two incremental-index serves; the three streaming entries whose
+#       aggregation arithmetic the late-r8 determinism fixes changed) +
+#       the 6 new entries (MOR, the two compaction legs, SCD2, MV
 #       refresh, time travel) + ALL 17 r2-stale entries + the 20 oldest
-#       r3-stale, alphabetical (the new + changed entries displaced the
-#       six newest stale slots, which lead the r9 refresh tier).
+#       r3-stale, alphabetical. CORRECTNESS_r08: 50/50 green.
+#   r9 window (staleness frozen at r01–r08): keeps + plan-changed
+#       (mv_incremental_refresh — its delta batch is now DERIVED from
+#       the incremental append scan instead of a modulo split, VERDICT
+#       r8 item 1) + 1 new entry (maintenance_incremental_scan, the
+#       CDF-style snapshot-range read) + the remaining 22 r3-stale
+#       entries (frozen-artifact truth; the r8 comments' "21"/"23"
+#       counts were both wrong — ADVICE r8 item 4) + the 24 oldest
+#       r4-stale entries, alphabetical within each round.
 DRIVER_WINDOW = 50
 
-_R8_PERMANENT_KEEPS = [
-    "flagship_revenue_topk",  # README.md:17 headline; r1..r7 green
+_R9_PERMANENT_KEEPS = [
+    "flagship_revenue_topk",  # README.md:17 headline; r1..r8 green
     "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
 ]
 
-_R8_CHANGED = [
-    # minor compaction (VERDICT r7 item 3) reworked the segment-serve
-    # section of both incremental indexes, and the ADVICE r7 pmod bucket
-    # fix bumped the BM25 artifact salts (bm25idx-v3/bm25delta-v3):
-    "text_bm25_incremental",
-    "sim_ivf_incremental_topk",
-    # late-r8 review fixes changed these queries' AGGREGATION ARITHMETIC
-    # (exact-DECIMAL money sums replacing round(sum(double)) — the r5
-    # conversion had missed the streaming twins — and the stateful
-    # sessionizer's cross-chunk global sort + integer-cent fold), so they
-    # ride per policy. The round's value-identical mechanical rewrites
-    # (run_available_now materialization, the events-ts floor-division
-    # fix — identity on every fixture timestamp, schema derivation) are
-    # instead covered by the full 245/245 re-verification at both SFs;
-    # the window already carries 12 events-family entries as that
-    # family's representatives.
-    "streaming_tumbling_hourly",
-    "streaming_sliding_1h_30m",
-    "streaming_stateful_sessions",
+_R9_CHANGED = [
+    # the delta batch is now derived from incremental_append_scan over
+    # the shared commit-log model (snapshot range (max-90d, max]) with a
+    # broadcast semi-join file read, replacing the o_orderkey % 10
+    # split — same output, different plan, so it rides per policy.
+    "mv_incremental_refresh",
 ]
 
-_R8_NEW = [
-    # entries added after the completed rotation — never driver-scored,
-    # must ride the current window per Invariant 1 (they displace the
-    # newest stale slots: the last THREE alphabetical r3 entries —
-    # multimodal_audio_decode, multimodal_image_decode,
-    # pipeline_corpus_curation — lead r9's refresh tier instead)
-    "mor_equality_deletes",  # the Iceberg v2 MOR read path (operators/mor.py)
-    "text_bm25_compacted",  # compaction ≡ segments ≡ rebuild, driver-pinned
-    "sim_ivf_compacted_topk",
-    "cdc_scd2_history",  # SCD Type 2 validity intervals (MERGE's other half)
-    "mv_incremental_refresh",  # exact partial-aggregate MV fold-in
-    "maintenance_time_travel",  # AS-OF file-set reconstruction (read side)
+_R9_NEW = [
+    # never driver-scored, must ride per Invariant 1
+    "maintenance_incremental_scan",  # incremental snapshot-range (CDF) read
 ]
 
-_R8_STALE_REFRESH = [
-    # all 17 entries whose last driver verdict is round 2
-    "dedup_embedding_cosine",
-    "embedding_quantization_error",
-    "graph_pagerank_suppliers",
-    "multimodal_payload_features",
-    "pack_sequences_stats",
-    "sim_centroid_per_label",
-    "split_train_val_test",
-    "stratified_sample_by_lang",
-    "text_bigram_pmi",
-    "text_edit_distance_probe",
-    "text_fingerprints",
-    "text_lang_profile",
-    "text_language_id",
-    "text_quality_by_source",
-    "text_repetition_stats",
-    "text_token_counts",
-    "text_top_terms",
-    # the 23 oldest r3-scored entries (alphabetical; r3 has 44 — the
-    # remaining 21, starting with the three displaced by _R8_NEW, lead
-    # the r9 refresh tier)
-    "cluster_kmeans_embeddings",
-    "corpus_cluster_profile",
-    "decontaminate_eval_overlap",
-    "dedup_clusters",
-    "dedup_embedding_cosine_bucketed",
-    "dedup_exact",
-    "dedup_incremental_batch",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_asof_purchase_click",
-    "events_max_concurrency",
-    "events_pivot_type_counts",
-    "events_props_extract",
-    "events_range_join_followups",
-    "events_retention_cohorts",
-    "events_running_value",
-    "events_session_window_native",
-    "events_sessionization",
-    "events_sliding_1h_30m",
-    "events_time_rollup",
+_R9_STALE_REFRESH = [
+    # all 22 entries whose last driver verdict is round 3 (alphabetical;
+    # led by the six the r8 new/changed tiers displaced)
+    "events_top_purchasers",
+    "events_tumbling_hourly",
+    "mixture_temperature_weights",
+    "multimodal_audio_decode",
+    "multimodal_image_decode",
+    "pipeline_corpus_curation",
+    "q11_important_stock",
+    "q12_shipping_delay_classes",
+    "q13_customer_order_distribution",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_concentrated_shippers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "streaming_dedup_redelivery",
+    "text_tfidf_top_terms",
+    # the 24 oldest r4-scored entries (alphabetical; r4 has 41 — the
+    # remaining 17 lead the r10 refresh tier)
+    "audit_provenance_fingerprint",
+    "basket_part_pairs",
+    "decontaminate_bloom_prefilter",
+    "decontaminate_semantic",
+    "dedup_cascade_waterfall",
+    "dedup_cluster_keep_best",
+    "dedup_embedding_cosine_bucketed_auto",
+    "dedup_repeated_substrings",
+    "dedup_semantic",
+    "dedup_tfidf_cosine",
+    "events_funnel",
+    "events_hll_distinct_users",
+    "events_rolling_distinct_hll",
+    "grouping_sets_order_stats",
+    "integrity_fk_orphans",
+    "integrity_id_continuity",
+    "ml_logreg_calibration",
+    "ml_logreg_crossval",
+    "ml_logreg_language",
+    "ml_ols_price_model",
+    "multimodal_image_resize",
+    "pipeline_pretraining_corpus",
+    "pipeline_rag_retrieval",
+    "pivot_revenue_by_priority",
 ]
 
 
@@ -196,7 +189,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R8_PERMANENT_KEEPS + _R8_CHANGED + _R8_NEW + _R8_STALE_REFRESH
+    head = _R9_PERMANENT_KEEPS + _R9_CHANGED + _R9_NEW + _R9_STALE_REFRESH
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

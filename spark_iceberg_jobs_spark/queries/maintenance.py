@@ -890,8 +890,200 @@ ORDER BY part_year
 
 
 # ---------------------------------------------------------------------------
+# maintenance_incremental_scan
+# ---------------------------------------------------------------------------
+
+#: Snapshot range for the registry query, corpus-relative: (newest commit
+#: - 550 days, newest commit - 60 days] — wide enough to span a year
+#: boundary (so the report exercises cross-year rewrite attribution) and
+#: interior enough that compaction commits fall INSIDE the range.
+_INCR_LO_AGE_DAYS = 550
+_INCR_HI_AGE_DAYS = 60
+
+
+def incremental_scan_bounds(
+    daily: DataFrame, lo_age_days: int, hi_age_days: int
+) -> DataFrame:
+    """1-row (lo_dt, hi_dt) frame — the snapshot range ``(lo_dt, hi_dt]``,
+    both bounds corpus-relative to the newest commit so the scan scales
+    with the data instead of selecting a constant slice."""
+    return daily.agg(F.max("dt").alias("max_dt")).select(
+        F.date_sub("max_dt", lo_age_days).alias("lo_dt"),
+        F.date_sub("max_dt", hi_age_days).alias("hi_dt"),
+    )
+
+
+def incremental_append_scan(daily: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Incremental append scan — Iceberg's changelog/CDF read between two
+    snapshots: the data files APPENDED by commits in ``(lo_dt, hi_dt]``,
+    and nothing else. In the shared commit-log model every commit appends
+    exactly its day's daily file, so the added set is the dailies whose
+    commit date lies in the range; the monthly files that compaction
+    commits inside the range produce are REWRITES of rows that already
+    existed (or that this same scan already returns as dailies) and are
+    never emitted — re-emitting them is exactly the double-count a naive
+    "all files written by commits in range" reader hits
+    (``rewrites_in_range`` reports what was skipped; the planted
+    compaction-inside-range test pins the exclusion).
+
+    Scale: commit-log-grain metadata filtered by a 1-row broadcast — under
+    Iceberg this is the manifest-walk of the snapshots in the range with
+    ``ADDED`` entry status, no data scan at all.
+    """
+    return (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter((F.col("dt") > F.col("lo_dt")) & (F.col("dt") <= F.col("hi_dt")))
+        .select("dt", "month", "file_bytes")
+    )
+
+
+def rewrites_in_range(daily: DataFrame, bounds: DataFrame) -> DataFrame:
+    """The months whose compaction commit lies in ``(lo_dt, hi_dt]`` —
+    the rewrite outputs an incremental consumer must SKIP. Supersession
+    follows COMMITS, not calendar position (the round-8 time-travel rule):
+    month M's compacting commit is ``sup_dt = MIN(first_dt)`` over later
+    months. Returns (month, mon_bytes, sup_dt) per skipped rewrite.
+
+    The window is unpartitioned BY DESIGN: it runs over the month-grain
+    frame (one row per month — metadata, never fact rows); allowlisted in
+    tools/plan_lint.py with this reason."""
+    from pyspark.sql.window import Window
+
+    per_mon = daily.groupBy("month").agg(
+        F.sum("file_bytes").alias("mon_bytes"), F.min("dt").alias("first_dt")
+    )
+    w = Window.orderBy(F.desc("month")).rowsBetween(Window.unboundedPreceding, -1)
+    mons = per_mon.withColumn("sup_dt", F.min("first_dt").over(w))
+    return (
+        mons.crossJoin(F.broadcast(bounds))
+        .filter((F.col("sup_dt") > F.col("lo_dt")) & (F.col("sup_dt") <= F.col("hi_dt")))
+        .select("month", "mon_bytes", "sup_dt")
+    )
+
+
+def maintenance_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot-range read (VERDICT r8 item 1) — the missing
+    leg of the snapshot lifecycle next to point-read (time travel),
+    retire (expiry/orphans), and rewrite (binpack): given snapshots
+    ``(A, B]`` of the shared commit-log model, report exactly what a
+    changelog consumer sees — per COMMIT year, the files/bytes appended,
+    and the compaction rewrites inside the range that the scan skipped
+    (attributed to the year of the compacting commit, so a January commit
+    compacting December reports under January's year — the commit is
+    what's in-range, not the data it rewrote).
+
+    This is Iceberg's incremental append scan — the capability every
+    downstream MV or stream bootstrap needs; ``mv_incremental_refresh``'s
+    delta batch is DERIVED from this scan rather than given.
+
+    Scale: everything after _daily_files' first aggregate is
+    commit-log-grain metadata behind 1-row broadcasts; under Iceberg the
+    whole query is a manifest walk keyed by the two snapshot ids.
+    """
+    daily = _daily_files(spark, sf_dir)
+    bounds = incremental_scan_bounds(daily, _INCR_LO_AGE_DAYS, _INCR_HI_AGE_DAYS)
+    adds = (
+        incremental_append_scan(daily, bounds)
+        .groupBy(F.substring("month", 1, 4).cast("long").alias("part_year"))
+        .agg(
+            F.count("*").alias("n_files_added"),
+            F.sum("file_bytes").alias("bytes_added"),
+        )
+    )
+    rews = (
+        rewrites_in_range(daily, bounds)
+        .groupBy(F.year("sup_dt").cast("long").alias("part_year"))
+        .agg(
+            F.count("*").alias("n_rewrites_skipped"),
+            F.sum("mon_bytes").alias("bytes_rewritten_skipped"),
+        )
+    )
+    return (
+        adds.join(rews, "part_year", "full_outer")
+        .select(
+            "part_year",
+            F.coalesce("n_files_added", F.lit(0)).cast("long").alias("n_files_added"),
+            F.coalesce("bytes_added", F.lit(0)).cast("long").alias("bytes_added"),
+            F.coalesce("n_rewrites_skipped", F.lit(0))
+            .cast("long")
+            .alias("n_rewrites_skipped"),
+            F.coalesce("bytes_rewritten_skipped", F.lit(0))
+            .cast("long")
+            .alias("bytes_rewritten_skipped"),
+        )
+        .orderBy("part_year")
+    )
+
+
+INCREMENTAL_SCAN_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS dt,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS file_bytes
+    FROM orders
+    GROUP BY 1, 2
+), scal AS (
+    SELECT MAX(dt) - {_INCR_LO_AGE_DAYS} AS lo_dt,
+           MAX(dt) - {_INCR_HI_AGE_DAYS} AS hi_dt
+    FROM daily
+), adds AS (
+    SELECT CAST(SUBSTR(month, 1, 4) AS BIGINT) AS part_year,
+           CAST(COUNT(*) AS BIGINT) AS n_files_added,
+           CAST(SUM(file_bytes) AS BIGINT) AS bytes_added
+    FROM daily CROSS JOIN scal
+    WHERE dt > lo_dt AND dt <= hi_dt
+    GROUP BY 1
+), per_mon AS (
+    SELECT month, CAST(SUM(file_bytes) AS BIGINT) AS mon_bytes,
+           MIN(dt) AS first_dt
+    FROM daily GROUP BY month
+), mons AS (
+    SELECT month, mon_bytes,
+           MIN(first_dt) OVER (ORDER BY month DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS sup_dt
+    FROM per_mon
+), rews AS (
+    SELECT CAST(EXTRACT(YEAR FROM sup_dt) AS BIGINT) AS part_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rewrites_skipped,
+           CAST(SUM(mon_bytes) AS BIGINT) AS bytes_rewritten_skipped
+    FROM mons CROSS JOIN scal
+    WHERE sup_dt > lo_dt AND sup_dt <= hi_dt
+    GROUP BY 1
+)
+SELECT COALESCE(a.part_year, r.part_year) AS part_year,
+       CAST(COALESCE(a.n_files_added, 0) AS BIGINT) AS n_files_added,
+       CAST(COALESCE(a.bytes_added, 0) AS BIGINT) AS bytes_added,
+       CAST(COALESCE(r.n_rewrites_skipped, 0) AS BIGINT) AS n_rewrites_skipped,
+       CAST(COALESCE(r.bytes_rewritten_skipped, 0) AS BIGINT)
+           AS bytes_rewritten_skipped
+FROM adds a FULL JOIN rews r ON a.part_year = r.part_year
+ORDER BY part_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # cdc_scd2_history
 # ---------------------------------------------------------------------------
+
+
+def scd2_intervals(ev: DataFrame) -> DataFrame:
+    """SCD2 interval kernel: per (user_id, change) version row with
+    ``valid_from_us`` and ``valid_to_us`` (null = current) via ONE
+    user_id-partitioned lead() window ordered by (ts, event_id). The
+    event_id tiebreak is load-bearing: two changes in the same timestamp
+    micro must still order deterministically — ordering by ts alone
+    leaves lead() free to close either version against the other, so the
+    dwell attribution flips run to run (the planted same-ts test pins
+    this against that wrong rule)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+    )
 
 
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,26 +1098,19 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-history recipe.
 
     Dataflow: ONE user_id-partitioned window (ts, event_id ordering —
-    event_id breaks timestamp ties deterministically) computes each
-    version's close timestamp via lead(); the summary reports, per event
-    type, how many versions that type opened, how many are still
-    current, and the exact total dwell time of the CLOSED versions
-    (integer epoch-micros arithmetic end-to-end — no float time math).
+    event_id breaks timestamp ties deterministically; scd2_intervals)
+    computes each version's close timestamp via lead(); the summary
+    reports, per event type, how many versions that type opened, how
+    many are still current, and the exact total dwell time of the CLOSED
+    versions (integer epoch-micros arithmetic end-to-end — no float time
+    math).
 
     Scale: one shuffle on the history key (user_id) for the window —
     the same minimum any MERGE pays — then a |event_types| aggregate.
     No self-join (the naive SCD2 formulation joins the table to itself
     on "next change"; lead() is the window-native form of exactly that).
     """
-    from pyspark.sql.window import Window
-
-    ev = read_fixture(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    hist = ev.select(
-        "event_type",
-        F.unix_micros("ts").alias("valid_from_us"),
-        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
-    )
+    hist = scd2_intervals(read_fixture(spark, sf_dir, "events"))
     return (
         hist.groupBy("event_type")
         .agg(
@@ -970,42 +1155,25 @@ ORDER BY event_type
 # ---------------------------------------------------------------------------
 
 
-def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-view maintenance — the relational twin of
-    the index-segment merge (text_bm25_incremental): a monthly-revenue MV
-    is materialized from the BASE batch (o_orderkey % 10 != 0) as
-    per-month PARTIAL aggregates, the DELTA batch (o_orderkey % 10 == 0)
-    is aggregated ALONE, and the refreshed MV merges the two partial sets
-    by summing — never rescanning the base. Every partial is an exact
-    integer/DECIMAL sum, so the merged MV is bit-identical to a full
-    recompute over the union (which is exactly what the oracle runs) —
-    the algebraic-aggregate property (sum/count decompose; any avg
-    derives exactly from the merged sum/count downstream — emitted as
-    SUM + COUNT per the repo's determinism rule, since a rounded
-    sum/count quotient lands on cross-engine .xxx5 midpoints) that makes
-    incremental view maintenance exact.
+#: The base MV's materialization snapshot: newest commit - 90 days. The
+#: delta is everything the incremental scan returns for (that snapshot,
+#: current]; base ∪ delta = the whole table, so the oracle is the full
+#: recompute — the equality IS the incremental-view-maintenance claim.
+_MV_SNAPSHOT_AGE_DAYS = 90
 
-    Scale: refresh cost is O(delta) + O(|months|) merge — at 100 TB the
-    base partials live as a table (one row per month) and each delta
-    fold-in touches only the months the delta contains, the standard
-    streaming-MV upkeep shape (foreachBatch MERGE INTO in
-    streaming/events_stream.py runs the same algebra continuously).
-    """
-    from ..functions.money import money
 
-    orders = read_fixture(spark, sf_dir, "orders")
-
-    def partials(batch: DataFrame) -> DataFrame:
-        return batch.groupBy(
-            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
-        ).agg(
-            F.count("*").alias("n_orders"),
-            F.sum(money("o_totalprice")).alias("rev_dec"),
-        )
-
-    base_mv = partials(orders.filter(F.col("o_orderkey") % 10 != 0))
-    delta_mv = partials(orders.filter(F.col("o_orderkey") % 10 == 0))
-    merged = (
+def merge_mv_partials(base_mv: DataFrame, delta_mv: DataFrame) -> DataFrame:
+    """Merge two per-month partial-aggregate sets by UNION + re-sum —
+    the algebraic-aggregate fold that makes incremental view maintenance
+    exact. Union-shaped by necessity: a month present only in the delta
+    must appear and a base-only month must pass through unchanged (a
+    join-shaped merge silently drops one side; a delta-overwrites-base
+    merge loses the base partial of a month both touch — the planted
+    disjoint/overlap test kills both wrong rules). Expects columns
+    (order_month, n_orders, rev_dec); every input is an exact
+    integer/DECIMAL partial, so the merge commutes with a full recompute
+    bit-for-bit."""
+    return (
         base_mv.unionByName(delta_mv)
         .groupBy("order_month")
         .agg(
@@ -1013,6 +1181,66 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_dec").alias("rev_merged"),
         )
     )
+
+
+def mv_partials(batch: DataFrame) -> DataFrame:
+    """Per-month PARTIAL aggregates of an orders batch (exact DECIMAL
+    revenue sum + count) — the stored representation of the monthly
+    revenue MV."""
+    from ..functions.money import money
+
+    return batch.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(money("o_totalprice")).alias("rev_dec"),
+    )
+
+
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the relational twin of
+    the index-segment merge (text_bm25_incremental): a monthly-revenue MV
+    is materialized at snapshot A (newest commit - 90 days) as per-month
+    PARTIAL aggregates; the DELTA batch is DERIVED from the snapshot
+    range (A, current] by the incremental append scan (r9, VERDICT r8
+    item 1 — the read-side twin this query previously lacked: the scan
+    returns the file list appended since A, and the delta read prunes
+    the fact to exactly those files via a broadcast semi join, the
+    partition-pruning shape an Iceberg changelog consumer executes).
+    The refreshed MV merges the two partial sets by summing
+    (merge_mv_partials) — never rescanning the base. Every partial is an
+    exact integer/DECIMAL sum, so the merged MV is bit-identical to a
+    full recompute over the union (exactly what the oracle runs) — the
+    algebraic-aggregate property (sum/count decompose; any avg derives
+    exactly from the merged sum/count downstream — emitted as SUM +
+    COUNT per the repo's determinism rule, since a rounded sum/count
+    quotient lands on cross-engine .xxx5 midpoints) that makes
+    incremental view maintenance exact.
+
+    Scale: refresh cost is O(delta) + O(|months|) merge — at 100 TB the
+    base partials live as a table (one row per month), the scan is a
+    manifest walk, and each delta fold-in touches only the months the
+    delta contains, the standard streaming-MV upkeep shape (foreachBatch
+    MERGE INTO in streaming/events_stream.py runs the same algebra
+    continuously).
+    """
+    orders = read_fixture(spark, sf_dir, "orders")
+    daily = _daily_files(spark, sf_dir)
+    bounds = incremental_scan_bounds(daily, _MV_SNAPSHOT_AGE_DAYS, 0)
+    # the scan's file (day) list drives the delta read: broadcast semi
+    # join = "read only the files added in (A, current]"
+    added_days = incremental_append_scan(daily, bounds).select("dt")
+    base_rows = (
+        orders.crossJoin(F.broadcast(bounds))
+        .filter(F.to_date("o_orderdate") <= F.col("lo_dt"))
+        .drop("lo_dt", "hi_dt")
+    )
+    delta_rows = orders.join(
+        F.broadcast(added_days),
+        F.to_date(orders["o_orderdate"]) == added_days["dt"],
+        "left_semi",
+    )
+    merged = merge_mv_partials(mv_partials(base_rows), mv_partials(delta_rows))
     # emit the exact merged SUM + COUNT, not a rounded average: any
     # downstream avg derives from these exactly, while ROUND(sum/count)
     # lands on .xxx5 midpoints where Spark HALF_UP and DuckDB binary
@@ -1116,6 +1344,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cdc_scd2_history": QuerySpec(cdc_scd2_history, SCD2_HISTORY_ORACLE),
     "maintenance_time_travel": QuerySpec(maintenance_time_travel, TIME_TRAVEL_ORACLE),
+    # the incremental consumer leg of the snapshot lifecycle (r9)
+    "maintenance_incremental_scan": QuerySpec(
+        maintenance_incremental_scan, INCREMENTAL_SCAN_ORACLE
+    ),
     # merged partials vs the oracle's full recompute — the equality IS the
     # incremental-view-maintenance claim
     "mv_incremental_refresh": QuerySpec(mv_incremental_refresh, MV_INCREMENTAL_ORACLE),

@@ -563,3 +563,223 @@ def test_time_travel_planted_commit_log(spark, monkeypatch):
     # sup=May-01) + May's 2 dailies (256B, sup=Jun-15 > asof) = 4 files
     # now: Jan+Mar+May+Jun compacted (4) + Dec's 2 dailies = 6 files
     assert got == [(2024, 4, 768, 6, 1408)]
+
+
+# ---------------------------------------------------------------------------
+# Round-9 adversarial-fixture program (VERDICT r8 item 3): each planted
+# test names the plausible WRONG rule it kills, so a replay oracle that
+# hash-pins shared arithmetic can never green that rule silently.
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_scan_skips_rewrites_inside_range(spark):
+    """CDF semantics on a sparse log: the range (2024-01-31, 2024-02-28]
+    contains the 2024-02-03 commit, which appends its own 70-byte daily
+    AND performs January's compaction (sup_dt(Jan) = 2024-02-03). The
+    incremental append scan must emit ONLY the daily; the 150-byte
+    January monthly rewrite is reported by rewrites_in_range, never
+    added. WRONG RULE KILLED: "emit every file written by commits in the
+    range" — it would re-emit the 150-byte rewrite (bytes_added 220),
+    double-counting rows that already existed at the range start."""
+    from spark_iceberg_jobs_spark.queries.maintenance import (
+        incremental_append_scan,
+        rewrites_in_range,
+    )
+
+    daily = _snaps_df(
+        spark,
+        [
+            datetime.date(2024, 1, 5),
+            datetime.date(2024, 1, 20),
+            datetime.date(2024, 2, 3),
+            datetime.date(2024, 3, 10),
+        ],
+    )
+    bounds = spark.createDataFrame(
+        [(datetime.date(2024, 1, 31), datetime.date(2024, 2, 28))],
+        "lo_dt date, hi_dt date",
+    )
+    adds = [tuple(r) for r in incremental_append_scan(daily, bounds).collect()]
+    assert adds == [(datetime.date(2024, 2, 3), "2024-02", 300)]
+    rews = [tuple(r) for r in rewrites_in_range(daily, bounds).collect()]
+    # January's two dailies (100 + 200 planted bytes) fold into one
+    # skipped rewrite performed by the in-range 2024-02-03 commit
+    assert rews == [("2024-01", 300, datetime.date(2024, 2, 3))]
+    # range ending before the compaction commit: nothing is rewritten yet
+    early = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), datetime.date(2024, 1, 31))],
+        "lo_dt date, hi_dt date",
+    )
+    assert rewrites_in_range(daily, early).count() == 0
+    assert incremental_append_scan(daily, early).count() == 2
+
+
+def test_mv_merge_partials_union_not_join(spark):
+    """A month present ONLY in the delta must appear, a base-only month
+    must pass through, and a month BOTH touch must sum. WRONG RULES
+    KILLED: join-shaped merge (drops base-only 2023-10 or delta-only
+    2024-01) and delta-overwrites-base (loses 2023-12's base partial)."""
+    from decimal import Decimal
+
+    from spark_iceberg_jobs_spark.queries.maintenance import merge_mv_partials
+
+    schema = "order_month string, n_orders long, rev_dec decimal(18,2)"
+    base = spark.createDataFrame(
+        [("2023-10", 2, Decimal("3.00")), ("2023-12", 1, Decimal("32.00"))], schema
+    )
+    delta = spark.createDataFrame(
+        [("2023-12", 1, Decimal("64.00")), ("2024-01", 1, Decimal("4.00"))], schema
+    )
+    got = {
+        r.order_month: (r.n_orders, r.rev_merged)
+        for r in merge_mv_partials(base, delta).collect()
+    }
+    assert got == {
+        "2023-10": (2, Decimal("3.00")),
+        "2023-12": (2, Decimal("96.00")),
+        "2024-01": (1, Decimal("4.00")),
+    }
+
+
+def test_mv_refresh_delta_derived_from_snapshot_range(spark, monkeypatch):
+    """End-to-end on a planted log: the delta batch is DERIVED from the
+    incremental scan of (max_dt - 90d, max_dt] — 2023-12 straddles the
+    snapshot (12-01 in base, 12-25 in delta) and 2024-01..03 exist ONLY
+    in the delta. The merged MV must equal the full recompute. WRONG
+    RULES KILLED: a merge that drops either side's exclusive months, and
+    a delta that re-reads rewritten (compacted) files — the delta read
+    consumes exactly the scan's appended-file list."""
+    import spark_iceberg_jobs_spark.queries.maintenance as m
+
+    rows = [
+        (datetime.date(2023, 10, 1), 1.00),
+        (datetime.date(2023, 10, 15), 2.00),
+        (datetime.date(2023, 12, 1), 32.00),   # base side of the straddle
+        (datetime.date(2023, 12, 25), 64.00),  # delta side (within 90d)
+        (datetime.date(2024, 1, 1), 4.00),
+        (datetime.date(2024, 2, 20), 8.00),
+        (datetime.date(2024, 3, 5), 16.00),    # max_dt -> lo_dt = 2023-12-06
+    ]
+    orders = spark.createDataFrame(rows, "o_orderdate date, o_totalprice double")
+    monkeypatch.setattr(m, "read_fixture", lambda s, sf, t: orders)
+    got = [tuple(r) for r in m.mv_incremental_refresh(spark, "x").collect()]
+    assert got == [
+        ("2023-10", 2, 3.0),
+        ("2023-12", 2, 96.0),
+        ("2024-01", 1, 4.0),
+        ("2024-02", 1, 8.0),
+        ("2024-03", 1, 16.0),
+    ]
+
+
+def test_scd2_two_changes_in_same_timestamp(spark, monkeypatch):
+    """Two changes of one key in the SAME timestamp must order by
+    event_id: version 'a' (id 1) closes at its own open instant (dwell
+    0), 'b' (id 2) closes 10s later, 'c' stays current. WRONG RULE
+    KILLED: ordering the lead() window by ts alone — with a tie it may
+    close either version against the other, flipping the 10s dwell
+    between 'a' and 'b' run to run (nondeterministic history)."""
+    import spark_iceberg_jobs_spark.queries.maintenance as m
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 7, "a"),
+            (2, t0, 7, "b"),
+            (3, t0 + datetime.timedelta(seconds=10), 7, "c"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    monkeypatch.setattr(m, "read_fixture", lambda s, sf, t: ev)
+    got = {r.event_type: tuple(r)[1:] for r in m.cdc_scd2_history(spark, "x").collect()}
+    assert got == {
+        "a": (1, 0, 0),
+        "b": (1, 0, 10_000_000),
+        "c": (1, 1, 0),
+    }
+
+
+def test_expiry_boundary_commit_at_keep_from_survives(spark):
+    """A commit EXACTLY at the retention cutoff survives: keep_from =
+    max(2023-03-01) - 50d = 2023-01-10, which is itself a commit —
+    expire_snapshots keeps snapshots at/after the cutoff. WRONG RULE
+    KILLED: ``dt <= keep_from`` (expiring the boundary commit), which on
+    the dense fixture is indistinguishable because no commit lands
+    exactly on the cutoff."""
+    from spark_iceberg_jobs_spark.queries.maintenance import snapshot_expiry_classify
+
+    days = [
+        datetime.date(2023, 1, 1),
+        datetime.date(2023, 1, 10),
+        datetime.date(2023, 3, 1),
+    ]
+    got = {
+        r.dt: r.expired
+        for r in snapshot_expiry_classify(
+            _snaps_df(spark, days), retain_last=1, max_age_days=50
+        ).collect()
+    }
+    assert got == {
+        datetime.date(2023, 1, 1): True,
+        datetime.date(2023, 1, 10): False,  # boundary commit survives
+        datetime.date(2023, 3, 1): False,
+    }
+
+
+def test_orphan_month_closing_exactly_at_keep_from_stays_referenced(spark):
+    """A superseded month whose LAST snapshot sits exactly at keep_from
+    (2023-01-10 with retain_last=1 / max_age=50) keeps every daily
+    referenced — its covering snapshot survives expiry. WRONG RULES
+    KILLED: "superseded implies orphan" (January and February are both
+    superseded, yet nothing is orphaned) and a strict
+    ``month_last_dt > keep_from`` reference rule (which would orphan
+    January's dailies)."""
+    from spark_iceberg_jobs_spark.queries.maintenance import orphan_files_classify
+
+    days = [
+        datetime.date(2023, 1, 5),
+        datetime.date(2023, 1, 10),
+        datetime.date(2023, 2, 20),
+        datetime.date(2023, 3, 1),
+    ]
+    cls = orphan_files_classify(
+        _snaps_df(spark, days), grace_days=0, retain_last=1, max_age_days=50
+    )
+    rows = {r.path: r for r in cls.collect()}
+    assert {p for p in rows if p.startswith("data/m-")} == {
+        "data/m-2023-01.parquet",
+        "data/m-2023-02.parquet",
+    }, "Jan and Feb are superseded (compacted) months"
+    assert not any(r.orphan for r in rows.values())
+
+
+def test_mor_delete_sequence_tie_spares_same_commit_data(spark):
+    """Iceberg v2 sequence rule: an equality delete applies to data files
+    with sequence number STRICTLY LESS than its own — a data file whose
+    sequence TIES the delete's was written by the same commit (the
+    single-commit MERGE upsert: delete old row + write replacement under
+    one sequence number) and must survive. WRONG RULE KILLED: ``<=``,
+    which deletes the replacement row of exactly that commit."""
+    from spark_iceberg_jobs_spark.operators.mor import mor_apply_deletes_by_sequence
+
+    data = spark.createDataFrame(
+        [
+            (1, "old-1", 1),
+            (2, "old-2", 1),
+            (2, "replacement-2", 2),  # same commit as the delete (tie)
+            (3, "newer-3", 3),
+        ],
+        "k int, payload string, seq int",
+    )
+    deletes = spark.createDataFrame([(2,), (3,)], "k int")
+    got = sorted(
+        (r.k, r.payload)
+        for r in mor_apply_deletes_by_sequence(
+            data, deletes, key_cols=["k"], seq_col="seq", delete_seq=2
+        ).collect()
+    )
+    assert got == [
+        (1, "old-1"),            # seq 1 < 2, key not deleted
+        (2, "replacement-2"),    # tie: same-commit replacement survives
+        (3, "newer-3"),          # seq 3 > 2: delete cannot reach forward
+    ]

@@ -48,6 +48,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "text_zipf_slope": "rank window over the vocabulary frequency table (reduced before ranking; head capped at 500)",
     "drift_ks_length": "CDF cumsums over one row per distinct document length (bounded domain)",
     "maintenance_time_travel": "supersession-commit window over one row per month (commit-log metadata)",
+    "maintenance_incremental_scan": "supersession-commit window over one row per month (commit-log metadata)",
 }
 
 _UNPARTITIONED = re.compile(r"windowspecdefinition\([^,()]*\s(ASC|DESC)\s")
