@@ -20,24 +20,41 @@ from spark_iceberg_jobs_spark.queries import registry  # noqa: E402
 from spark_iceberg_jobs_spark.session import get_spark  # noqa: E402
 
 
+#: Pinned reference calibration (BENCH_r08 calib_after_sec on the r8
+#: box): the denominator of the load-normalization ratio, so normalized
+#: subtotals are comparable round-over-round without reading round notes
+#: (VERDICT r8 item 4).
+_REF_CALIB_SEC = 0.073
+
+
 def calibrate(spark) -> float:
     """Fixed pure-CPU probe (no I/O, no data dependence): min-of-3 timing
-    of a deterministic in-memory hash+sum over 20M rows across all cores.
-    Run before AND after the suite; cross-round subtotal comparisons can
-    then be load-normalized (subtotal / calib ratio) instead of guessed —
+    of a deterministic in-memory hash+sum over 20M rows across all cores,
+    after ONE untimed warmup rep (VERDICT r8 item 4: the r8 before-probe
+    read 0.163 vs the after-probe's 0.073 in the same run — the first
+    probe of a session pays the probe's own codegen/JIT, so the two
+    readings weren't comparable; warming both makes them measure the same
+    steady state). Run before AND after the suite; cross-round subtotal
+    comparisons are load-normalized (x REF/calib) instead of guessed —
     the r7 VERDICT's '+22% drift, probably box load' gap, now arithmetic.
     Three same-code runs at r8 open measured common_r1 5.96-6.18 s on a
     box whose r7-close-out measurement of identical code was 5.28 s, so
     ±15% cross-session wall-clock drift is real and must be calibrated
     out, not eyeballed."""
-    reps = []
-    for _ in range(3):
-        t0 = time.time()
+
+    def probe() -> None:
         # pmod keeps the long sum bounded (~2e13) — the raw xxhash64 sum
         # overflows int64 under the session's ANSI mode
         spark.range(0, 20_000_000, 1, 32).selectExpr(
             "sum(pmod(xxhash64(id), 1000000)) AS h", "count(1) AS n"
         ).write.format("noop").mode("overwrite").save()
+
+    probe()  # untimed x2: absorb the probe's own first-run codegen AND
+    probe()  # the background C2 compilation the first execution triggers
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        probe()
         reps.append(time.time() - t0)
     return round(min(reps), 3)
 
@@ -144,13 +161,27 @@ def run() -> None:
     # inside the tail capture in full, so BENCH_r{N}.json regains a
     # complete parseable record whichever line the driver's parser finds
     # last.
+    # Load-normalized subtotals (VERDICT r8 item 4): subtotal x
+    # (REF_CALIB / calib_after) rescales this run to the pinned r8
+    # reference box speed, so a judge reads regressions off the artifact
+    # without doing round-notes arithmetic. calib_after is the
+    # normalizer (same warm state as the suite it follows);
+    # calib_before's job is only to bracket in-run load drift.
+    ratio = _REF_CALIB_SEC / calib_after if calib_after > 0 else 1.0
+    normalized = {
+        k.replace("_seconds", "_norm_sec"): round(v * ratio, 3)
+        for k, v in subtotals.items()
+    }
     summary = {
         "metric": "headline_suite_summary",
         "unit": "sec",
         "sf": sf,
         "calib_before_sec": calib_before,
         "calib_after_sec": calib_after,
+        "calib_ref_sec": _REF_CALIB_SEC,
         **subtotals,
+        **normalized,
+        "total_norm_sec": round(total * ratio, 3),
         "n_errors": len(errors),
         "value": total,
     }

@@ -286,6 +286,14 @@ def interval_overlap_join(
     return joined.drop("_bucket")
 
 
+def salt_column(salt_buckets: int) -> F.Column:
+    """The salt assignment shared by salted_join and the skew lab
+    (plans/skew.py): uniform over ``[0, salt_buckets)``, deterministic
+    per partition layout (seeded rand), independent of the join key — a
+    hot key's rows scatter across all ``salt_buckets`` sub-keys."""
+    return (F.rand(seed=42) * salt_buckets).cast("int")
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,
@@ -308,7 +316,7 @@ def salted_join(
     """
     if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
         raise ValueError(f"salted_join cannot preserve the exploded right side (how={how!r})")
-    salted_l = skewed.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted_l = skewed.withColumn("__salt", salt_column(salt_buckets))
     salted_r = small.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))
     )

@@ -243,3 +243,71 @@ def test_transform_with_state_env_probe(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_upsert_sink_checkpoint_resumes_without_replaying_batches(spark, tmp_path):
+    """VERDICT r8 item 5: the checkpoint_dir parameter (landed r8,
+    untested) must give restart-resume semantics — a second run with the
+    SAME checkpoint processes only files that arrived since the first
+    run, never re-applying an already-merged batch. Pinned by a sentinel:
+    after run 1 the target's key-1 row is mutated out-of-band; run 2 (new
+    file touching keys 2,3 only) must leave the mutation intact — a
+    replayed batch 1 would overwrite it. The no-checkpoint contrast run
+    shows exactly that replay, which is why production callers must pass
+    a stable dir."""
+    import os
+
+    from spark_iceberg_jobs_spark.streaming.events_stream import (
+        foreach_batch_upsert_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name: str, rows: list[tuple[int, int]]) -> None:
+        spark.createDataFrame(rows, "k long, v long").coalesce(1).write.parquet(
+            str(tmp_path / "stage" / name)
+        )
+        part = next(
+            p
+            for p in os.listdir(tmp_path / "stage" / name)
+            if p.endswith(".parquet")
+        )
+        os.rename(tmp_path / "stage" / name / part, src / f"{name}.parquet")
+
+    def run() -> None:
+        stream = spark.readStream.schema("k long, v long").parquet(str(src))
+        foreach_batch_upsert_sink(
+            stream, target_path=target, key="k", checkpoint_dir=ckpt
+        )
+
+    def table() -> dict[int, int]:
+        return {r.k: r.v for r in spark.read.parquet(target).collect()}
+
+    write_file("a", [(1, 1), (2, 1)])
+    run()
+    assert table() == {1: 1, 2: 1}
+
+    # out-of-band mutation: survives iff batch A is never re-applied
+    mutated = spark.createDataFrame([(1, 99), (2, 1)], "k long, v long")
+    mutated.write.mode("overwrite").parquet(target)
+
+    write_file("b", [(2, 2), (3, 2)])
+    run()
+    assert table() == {1: 99, 2: 2, 3: 2}, (
+        "restart must resume from the checkpointed offset: key 1's "
+        "out-of-band value proves batch A was not replayed"
+    )
+
+    # third restart with no new input: a no-op
+    run()
+    assert table() == {1: 99, 2: 2, 3: 2}
+
+    # CONTRAST: no checkpoint_dir -> throwaway checkpoint -> full replay
+    # (batch A re-merged, key 1 reverts) — the failure mode the
+    # parameter exists to prevent
+    stream = spark.readStream.schema("k long, v long").parquet(str(src))
+    foreach_batch_upsert_sink(stream, target_path=target, key="k")
+    assert table()[1] == 1, "without a checkpoint every file is reprocessed"
