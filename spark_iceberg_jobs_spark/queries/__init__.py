@@ -98,11 +98,14 @@ class QuerySpec:
 #   r9 window (staleness frozen at r01–r08): keeps + plan-changed
 #       (mv_incremental_refresh — its delta batch is now DERIVED from
 #       the incremental append scan instead of a modulo split, VERDICT
-#       r8 item 1) + 1 new entry (maintenance_incremental_scan, the
-#       CDF-style snapshot-range read) + the remaining 22 r3-stale
-#       entries (frozen-artifact truth; the r8 comments' "21"/"23"
-#       counts were both wrong — ADVICE r8 item 4) + the 24 oldest
-#       r4-stale entries, alphabetical within each round.
+#       r8 item 1) + 4 new entries (maintenance_incremental_scan, the
+#       CDF-style snapshot-range read; cdc_changelog_diff, the row-level
+#       CDF view; maintenance_rollback_plan; maintenance_partition_
+#       evolution) + the remaining 22 r3-stale entries (frozen-artifact
+#       truth; the r8 comments' "21"/"23" counts were both wrong —
+#       ADVICE r8 item 4) + the 21 oldest r4-stale entries, alphabetical
+#       within each round (the 3 extra new entries displaced the newest
+#       three r4 slots, which lead r10's refresh tier).
 DRIVER_WINDOW = 50
 
 _R9_PERMANENT_KEEPS = [
@@ -121,6 +124,9 @@ _R9_CHANGED = [
 _R9_NEW = [
     # never driver-scored, must ride per Invariant 1
     "maintenance_incremental_scan",  # incremental snapshot-range (CDF) read
+    "cdc_changelog_diff",  # row-level insert/update/delete CDF view
+    "maintenance_rollback_plan",  # rollback_to_snapshot file-set delta
+    "maintenance_partition_evolution",  # per-spec pruning after spec evolution
 ]
 
 _R9_STALE_REFRESH = [
@@ -148,8 +154,9 @@ _R9_STALE_REFRESH = [
     "sim_lsh_topk",
     "streaming_dedup_redelivery",
     "text_tfidf_top_terms",
-    # the 24 oldest r4-scored entries (alphabetical; r4 has 41 — the
-    # remaining 17 lead the r10 refresh tier)
+    # the 21 oldest r4-scored entries (alphabetical; r4 has 41 — the
+    # remaining 20, led by the slots the r9 new entries displaced,
+    # lead the r10 refresh tier)
     "audit_provenance_fingerprint",
     "basket_part_pairs",
     "decontaminate_bloom_prefilter",
@@ -171,9 +178,6 @@ _R9_STALE_REFRESH = [
     "ml_logreg_language",
     "ml_ols_price_model",
     "multimodal_image_resize",
-    "pipeline_pretraining_corpus",
-    "pipeline_rag_retrieval",
-    "pivot_revenue_by_priority",
 ]
 
 

@@ -1151,6 +1151,414 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# maintenance_partition_evolution
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_AGE_DAYS = 365  # spec evolves (month -> day) at newest - 365d
+_PROBE_LO_AGE_DAYS = 380  # probe window [newest-380, newest-350]: straddles
+_PROBE_HI_AGE_DAYS = 350  # the evolution boundary so BOTH specs participate
+
+
+def partition_evolution_classify(daily: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Partition-spec evolution read planning — Iceberg evolves a table's
+    partition spec WITHOUT rewriting data: files written before the
+    evolution keep their old spec, and the planner prunes EACH file under
+    the spec it was written with. Model: files committed at ``dt <=
+    evo_dt`` carry spec 0 (partitioned by MONTH — their partition value
+    is month(dt)), later files carry spec 1 (by DAY). For the probe range
+    [probe_lo, probe_hi]:
+
+    - spec-0 file: scanned iff its MONTH overlaps the probe
+      (``month_start <= probe_hi AND month_end >= probe_lo``) — coarse:
+      a file whose actual day lies outside the probe still scans when its
+      month straddles it (``false_positive`` marks these — the scan cost
+      evolution exists to remove);
+    - spec-1 file: scanned iff its day is inside the probe — exact.
+
+    The plausible wrong rule — pruning spec-0 files by exact day — reads
+    the OLD files as if they carried the NEW spec and SKIPS files the
+    probe must scan (their month partition can contain in-probe rows);
+    the planted test pins the difference. ``bounds`` is a 1-row (evo_dt,
+    probe_lo, probe_hi) frame.
+
+    Scale: pure manifest math — one broadcast of three scalars over the
+    file-grain frame; at 100 TB this is the planner walking per-file
+    partition tuples, no data touched."""
+    scanned = F.when(
+        F.col("dt") <= F.col("evo_dt"),
+        (F.trunc("dt", "month") <= F.col("probe_hi"))
+        & (F.last_day("dt") >= F.col("probe_lo")),
+    ).otherwise(F.col("dt").between(F.col("probe_lo"), F.col("probe_hi")))
+    in_probe = F.col("dt").between(F.col("probe_lo"), F.col("probe_hi"))
+    return (
+        daily.crossJoin(F.broadcast(bounds))
+        .select(
+            "dt",
+            "month",
+            "file_bytes",
+            F.when(F.col("dt") <= F.col("evo_dt"), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("spec"),
+            scanned.alias("scanned"),
+            (scanned & ~in_probe).alias("false_positive"),
+        )
+    )
+
+
+def maintenance_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-evolution pruning report: per spec version, how many
+    files the date probe scans, the bytes it reads, and the
+    false-positive share the OLD (month) spec forces — the number that
+    justifies the evolution. Probe and boundary are corpus-relative; the
+    probe straddles the evolution date so both specs participate.
+    """
+    daily = _daily_files(spark, sf_dir)
+    bounds = daily.agg(F.max("dt").alias("max_dt")).select(
+        F.date_sub("max_dt", _EVOLUTION_AGE_DAYS).alias("evo_dt"),
+        F.date_sub("max_dt", _PROBE_LO_AGE_DAYS).alias("probe_lo"),
+        F.date_sub("max_dt", _PROBE_HI_AGE_DAYS).alias("probe_hi"),
+    )
+    cls = partition_evolution_classify(daily, bounds)
+    return (
+        cls.groupBy("spec")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.col("scanned").cast("long")).alias("n_scanned"),
+            F.sum(F.when(F.col("scanned"), F.col("file_bytes")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("bytes_scanned"),
+            F.sum(F.col("false_positive").cast("long")).alias("n_false_positive"),
+            F.sum(
+                F.when(F.col("false_positive"), F.col("file_bytes")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("false_positive_bytes"),
+        )
+        .orderBy("spec")
+    )
+
+
+PARTITION_EVOLUTION_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS dt,
+           CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS file_bytes
+    FROM orders
+    GROUP BY 1
+), scal AS (
+    SELECT MAX(dt) - {_EVOLUTION_AGE_DAYS} AS evo_dt,
+           MAX(dt) - {_PROBE_LO_AGE_DAYS} AS probe_lo,
+           MAX(dt) - {_PROBE_HI_AGE_DAYS} AS probe_hi
+    FROM daily
+), cls AS (
+    SELECT CASE WHEN dt <= evo_dt THEN 0 ELSE 1 END AS spec,
+           file_bytes,
+           CASE WHEN dt <= evo_dt
+                THEN (date_trunc('month', dt) <= probe_hi
+                      AND last_day(dt) >= probe_lo)
+                ELSE dt BETWEEN probe_lo AND probe_hi
+           END AS scanned,
+           dt BETWEEN probe_lo AND probe_hi AS in_probe
+    FROM daily CROSS JOIN scal
+)
+SELECT CAST(spec AS BIGINT) AS spec,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+       CAST(SUM(CASE WHEN scanned THEN file_bytes ELSE 0 END) AS BIGINT)
+           AS bytes_scanned,
+       CAST(SUM(CASE WHEN scanned AND NOT in_probe THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positive,
+       CAST(SUM(CASE WHEN scanned AND NOT in_probe THEN file_bytes ELSE 0 END)
+            AS BIGINT) AS false_positive_bytes
+FROM cls
+GROUP BY 1
+ORDER BY spec
+"""
+
+
+# ---------------------------------------------------------------------------
+# cdc_changelog_diff
+# ---------------------------------------------------------------------------
+
+_CHANGELOG_AGE_DAYS = 7  # diff window: (newest event - 7 days, newest]
+
+
+def cdc_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level changelog between two snapshots of the keyed table —
+    Iceberg's ``create_changelog_view`` / Delta's CDF ``_change_type``
+    column, over the latest-wins user-state model cdc_merge_latest
+    materializes: per user, compare the state at snapshot A (newest
+    event − 7 days, corpus-relative — the fixture spans 30 days, so A
+    keeps ~3 weeks of history and the last week is the delta) with the state at B (newest), and
+    emit ``insert`` (not live at A, live at B), ``delete`` (live at A,
+    tombstoned at B — ``error`` is the tombstone), or ``update`` (live
+    at both, different last event). Unchanged keys emit nothing. The
+    report aggregates per (change_type, last event type — the POST state
+    for inserts/updates, the PRE state for deletes): key count and exact
+    DECIMAL value sum.
+
+    Dataflow: ONE shuffle on the key — a single groupBy(user_id) with
+    two conditional struct-MAX aggregates (struct ordering is
+    lexicographic on (ts, event_id), exactly latest-wins with the
+    deterministic tiebreak), so BOTH snapshots' states materialize in
+    one pass with no self-join and no window. The diff is then a
+    per-row CASE — under Iceberg the same view is computed from commit
+    metadata instead of a two-state scan, which is the optimization this
+    model's incremental_append_scan represents at file grain.
+
+    Scale: one key-partitioned aggregate over the fact, then a
+    |change_types × event_types| summary. No second fact scan: snapshot
+    A's state folds inside the same aggregate via the conditional
+    struct.
+    """
+    from ..functions.money import money
+
+    ev = read_fixture(spark, sf_dir, "events")
+    scal = ev.agg(F.max("ts").alias("max_ts")).select(
+        (F.col("max_ts") - F.expr(f"INTERVAL {_CHANGELOG_AGE_DAYS} DAYS")).alias("cutoff_ts")
+    )
+    snap = F.struct("ts", "event_id", "event_type", money("value").alias("value"))
+    states = (
+        ev.crossJoin(F.broadcast(scal))
+        .groupBy("user_id")
+        .agg(
+            F.max(snap).alias("b"),
+            F.max(F.when(F.col("ts") <= F.col("cutoff_ts"), snap)).alias("a"),
+        )
+    )
+    a_live = F.col("a").isNotNull() & (F.col("a.event_type") != "error")
+    b_live = F.col("b.event_type") != "error"
+    ch = states.select(
+        F.when(~a_live & b_live, F.lit("insert"))
+        .when(a_live & ~b_live, F.lit("delete"))
+        .when(a_live & b_live & (F.col("a.event_id") != F.col("b.event_id")), F.lit("update"))
+        .alias("change_type"),
+        F.when(b_live, F.col("b.event_type"))
+        .otherwise(F.col("a.event_type"))
+        .alias("last_event_type"),
+        F.when(b_live, F.col("b.value")).otherwise(F.col("a.value")).alias("value"),
+    ).filter(F.col("change_type").isNotNull())
+    return (
+        ch.groupBy("change_type", "last_event_type")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.round(F.sum("value"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("change_type", "last_event_type")
+    )
+
+
+CDC_CHANGELOG_ORACLE = f"""
+WITH scal AS (
+    SELECT MAX(ts) - INTERVAL {_CHANGELOG_AGE_DAYS} DAY AS cutoff_ts FROM events
+), ranked_b AS (
+    SELECT user_id, event_id, event_type,
+           CAST(value AS DECIMAL(18,2)) AS value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+), state_b AS (
+    SELECT user_id, event_id, event_type, value FROM ranked_b WHERE rn = 1
+), ranked_a AS (
+    SELECT user_id, event_id, event_type,
+           CAST(value AS DECIMAL(18,2)) AS value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, scal WHERE ts <= cutoff_ts
+), state_a AS (
+    SELECT user_id, event_id, event_type, value FROM ranked_a WHERE rn = 1
+), j AS (
+    SELECT b.event_id AS b_id, b.event_type AS b_type, b.value AS b_val,
+           a.event_id AS a_id, a.event_type AS a_type, a.value AS a_val
+    FROM state_b b LEFT JOIN state_a a USING (user_id)
+), ch AS (
+    SELECT CASE
+             WHEN (a_id IS NULL OR a_type = 'error') AND b_type <> 'error'
+               THEN 'insert'
+             WHEN a_id IS NOT NULL AND a_type <> 'error' AND b_type = 'error'
+               THEN 'delete'
+             WHEN a_id IS NOT NULL AND a_type <> 'error' AND b_type <> 'error'
+                  AND a_id <> b_id
+               THEN 'update'
+           END AS change_type,
+           CASE WHEN b_type <> 'error' THEN b_type ELSE a_type END
+               AS last_event_type,
+           CASE WHEN b_type <> 'error' THEN b_val ELSE a_val END AS value
+    FROM j
+)
+SELECT change_type, last_event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total_value
+FROM ch
+WHERE change_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY change_type, last_event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# maintenance_rollback_plan
+# ---------------------------------------------------------------------------
+
+_ROLLBACK_AGE_DAYS = 120  # rollback target: newest commit - 120 days
+
+
+def rollback_classify(daily: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Rollback plan kernel over the shared commit-log model —
+    ``rollback_to_snapshot(R)`` with ``bounds`` a 1-row (rb_dt) frame:
+    the file-set delta between the CURRENT snapshot and snapshot R, per
+    month:
+
+    - ``removed``: files live now but not at R — the dailies committed
+      after R in months never compacted (sup_dt null), and the monthly
+      rewrite files of months whose compaction commit postdates R
+      (``R < sup_dt``). Supersession follows COMMITS (sup_dt =
+      MIN(first_dt) over later months — the r8 time-travel rule): a
+      month wholly earlier than R by calendar but compacted AFTER R has
+      its monthly file removed, the planted test's load-bearing case.
+    - ``restored``: files live at R but not now — the dailies ≤ R of
+      those same late-compacted months, which rollback re-references.
+    - months with ``sup_dt <= R`` serve the same monthly file in both
+      snapshots: no change.
+
+    Returns per-month (month, n_removed, bytes_removed, n_restored,
+    bytes_restored). Commit-log-grain metadata end to end; the
+    unpartitioned window runs over one row per month (allowlisted).
+    """
+    from pyspark.sql.window import Window
+
+    per_mon = daily.groupBy("month").agg(
+        F.count("*").alias("n_days"),
+        F.sum("file_bytes").alias("mon_bytes"),
+        F.min("dt").alias("first_dt"),
+    )
+    w = Window.orderBy(F.desc("month")).rowsBetween(Window.unboundedPreceding, -1)
+    mons = per_mon.withColumn("sup_dt", F.min("first_dt").over(w))
+    upto_r = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter(F.col("dt") <= F.col("rb_dt"))
+        .groupBy("month")
+        .agg(F.count("*").alias("n_upto"), F.sum("file_bytes").alias("bytes_upto"))
+    )
+    return (
+        mons.join(upto_r, "month", "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "month",
+            F.when(
+                F.col("sup_dt").isNull(),
+                F.col("n_days") - F.coalesce("n_upto", F.lit(0)),
+            )
+            .when(F.col("sup_dt") > F.col("rb_dt"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.when(
+                F.col("sup_dt").isNull(),
+                F.col("mon_bytes") - F.coalesce("bytes_upto", F.lit(0)),
+            )
+            .when(F.col("sup_dt") > F.col("rb_dt"), F.col("mon_bytes"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bytes_removed"),
+            F.when(
+                F.col("sup_dt") > F.col("rb_dt"), F.coalesce("n_upto", F.lit(0))
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_restored"),
+            F.when(
+                F.col("sup_dt") > F.col("rb_dt"), F.coalesce("bytes_upto", F.lit(0))
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bytes_restored"),
+        )
+    )
+
+
+def maintenance_rollback_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback plan — Iceberg's ``rollback_to_snapshot`` over
+    the shared commit-log model, completing the lifecycle next to
+    point-read (time travel), incremental read (incremental scan),
+    retire (expiry/orphans), and rewrite (binpack): per year, the files
+    and bytes the rollback UNREFERENCES (committed after the target
+    snapshot R = newest commit − 120 days, including monthly rewrites
+    whose compaction commit postdates R) and the superseded dailies it
+    RESTORES to the live set. Under Iceberg this is one metadata commit
+    repointing the table at snapshot R; the plan is what the operator
+    reviews before running it.
+
+    Scale: commit-log-grain metadata after _daily_files' first
+    aggregate, same as the rest of the tier."""
+    daily = _daily_files(spark, sf_dir)
+    bounds = daily.agg(F.max("dt").alias("max_dt")).select(
+        F.date_sub("max_dt", _ROLLBACK_AGE_DAYS).alias("rb_dt")
+    )
+    cls = rollback_classify(daily, bounds)
+    return (
+        cls.groupBy(F.substring("month", 1, 4).cast("long").alias("part_year"))
+        .agg(
+            F.sum("n_removed").cast("long").alias("n_files_removed"),
+            F.sum("bytes_removed").cast("long").alias("bytes_removed"),
+            F.sum("n_restored").cast("long").alias("n_files_restored"),
+            F.sum("bytes_restored").cast("long").alias("bytes_restored"),
+        )
+        .orderBy("part_year")
+    )
+
+
+ROLLBACK_PLAN_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS dt,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS file_bytes
+    FROM orders
+    GROUP BY 1, 2
+), scal AS (
+    SELECT MAX(dt) - {_ROLLBACK_AGE_DAYS} AS rb_dt FROM daily
+), per_mon AS (
+    SELECT month, COUNT(*) AS n_days,
+           CAST(SUM(file_bytes) AS BIGINT) AS mon_bytes,
+           MIN(dt) AS first_dt
+    FROM daily GROUP BY month
+), mons AS (
+    SELECT *, MIN(first_dt) OVER (ORDER BY month DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS sup_dt
+    FROM per_mon
+), upto_r AS (
+    SELECT month, COUNT(*) AS n_upto,
+           CAST(SUM(file_bytes) AS BIGINT) AS bytes_upto
+    FROM daily CROSS JOIN scal
+    WHERE dt <= rb_dt
+    GROUP BY month
+), cls AS (
+    SELECT m.month,
+           CASE WHEN m.sup_dt IS NULL THEN m.n_days - COALESCE(u.n_upto, 0)
+                WHEN m.sup_dt > k.rb_dt THEN 1 ELSE 0 END AS n_removed,
+           CASE WHEN m.sup_dt IS NULL THEN m.mon_bytes - COALESCE(u.bytes_upto, 0)
+                WHEN m.sup_dt > k.rb_dt THEN m.mon_bytes ELSE 0 END AS bytes_removed,
+           CASE WHEN m.sup_dt > k.rb_dt THEN COALESCE(u.n_upto, 0)
+                ELSE 0 END AS n_restored,
+           CASE WHEN m.sup_dt > k.rb_dt THEN COALESCE(u.bytes_upto, 0)
+                ELSE 0 END AS bytes_restored
+    FROM mons m
+    LEFT JOIN upto_r u USING (month)
+    CROSS JOIN scal k
+)
+SELECT CAST(SUBSTR(month, 1, 4) AS BIGINT) AS part_year,
+       CAST(SUM(n_removed) AS BIGINT) AS n_files_removed,
+       CAST(SUM(bytes_removed) AS BIGINT) AS bytes_removed,
+       CAST(SUM(n_restored) AS BIGINT) AS n_files_restored,
+       CAST(SUM(bytes_restored) AS BIGINT) AS bytes_restored
+FROM cls
+GROUP BY 1
+ORDER BY part_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # mv_incremental_refresh
 # ---------------------------------------------------------------------------
 
@@ -1347,6 +1755,14 @@ QUERIES: dict[str, QuerySpec] = {
     # the incremental consumer leg of the snapshot lifecycle (r9)
     "maintenance_incremental_scan": QuerySpec(
         maintenance_incremental_scan, INCREMENTAL_SCAN_ORACLE
+    ),
+    # row-level CDF view + snapshot rollback: the remaining lifecycle legs (r9)
+    "cdc_changelog_diff": QuerySpec(cdc_changelog_diff, CDC_CHANGELOG_ORACLE),
+    "maintenance_rollback_plan": QuerySpec(
+        maintenance_rollback_plan, ROLLBACK_PLAN_ORACLE
+    ),
+    "maintenance_partition_evolution": QuerySpec(
+        maintenance_partition_evolution, PARTITION_EVOLUTION_ORACLE
     ),
     # merged partials vs the oracle's full recompute — the equality IS the
     # incremental-view-maintenance claim

@@ -333,43 +333,15 @@ def foreach_batch_upsert_sink(
     q.awaitTermination()
 
 
-def sessionize_stream(
-    events: DataFrame,
-    *,
-    gap_sec: int = 1800,
-) -> DataFrame:
-    """Custom stateful streaming operator: per-user gap-based sessions via
-    ``applyInPandasWithState`` (state = open session aggregate; a session
-    closes when the inactivity gap exceeds ``gap_sec`` or the group times
-    out at a watermark).
-
-    Emits closed sessions (user_id, session_start_es, n_events,
-    session_value). This is the template for any custom per-key streaming
-    state machine that Spark's built-in windows can't express.
-    """
+def make_session_updater(gap_sec: int):
+    """Build the per-key state-update function sessionize_stream hands to
+    ``applyInPandasWithState``. Module-level factory (r9) so the
+    zero-chunk / state-only invocation path — what an EventTimeTimeout
+    config delivers on a group timeout (ADVICE r8) — is unit-testable
+    directly, without orchestrating a streaming timeout."""
     import pandas as pd  # local import: only the executors need it
 
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    out_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("session_start_es", LongType()),
-            StructField("n_events", LongType()),
-            StructField("session_value", DoubleType()),
-        ]
-    )
-    state_schema = StructType(
-        [
-            StructField("start_es", LongType()),
-            StructField("last_es", LongType()),
-            StructField("n", LongType()),
-            # exact integer cents, not a float accumulator (see update)
-            StructField("val_cents", LongType()),
-        ]
-    )
-
-    def update(key, pdfs, state: GroupState):
+    def update(key, pdfs, state):
         (user_id,) = key
         sessions: list[tuple] = []
         # state carries value as exact integer CENTS (events.value is an
@@ -415,6 +387,43 @@ def sessionize_stream(
             }
         )
 
+    return update
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap-based sessions via
+    ``applyInPandasWithState`` (state = open session aggregate; a session
+    closes when the inactivity gap exceeds ``gap_sec`` or the group times
+    out at a watermark).
+
+    Emits closed sessions (user_id, session_start_es, n_events,
+    session_value). This is the template for any custom per-key streaming
+    state machine that Spark's built-in windows can't express.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_es", LongType()),
+            StructField("n_events", LongType()),
+            StructField("session_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_es", LongType()),
+            StructField("last_es", LongType()),
+            StructField("n", LongType()),
+            # exact integer cents, not a float accumulator (see update)
+            StructField("val_cents", LongType()),
+        ]
+    )
+    update = make_session_updater(gap_sec)
     prepared = events.select(
         "user_id", F.unix_timestamp("ts").alias("es"), "value"
     )

@@ -783,3 +783,121 @@ def test_mor_delete_sequence_tie_spares_same_commit_data(spark):
         (2, "replacement-2"),    # tie: same-commit replacement survives
         (3, "newer-3"),          # seq 3 > 2: delete cannot reach forward
     ]
+
+
+def test_rollback_restores_dailies_of_late_compacted_month(spark):
+    """rollback_to_snapshot(R) on a sparse log where R = 2024-02-10 falls
+    BETWEEN February's last daily (02-03) and the commit that compacts
+    February (March 10): rollback must remove Feb's monthly rewrite and
+    RESTORE its daily — at R the compaction had not happened yet, even
+    though February is calendar-complete before R. WRONG RULE KILLED:
+    calendar-position supersession ("months before R's month were already
+    compacted at R"), the exact bug class the r8 time-travel review
+    caught — it would report Feb as unchanged. Jan (compacted 02-03 <= R)
+    really is unchanged; March's post-R daily is removed."""
+    import datetime as dt
+
+    from spark_iceberg_jobs_spark.queries.maintenance import rollback_classify
+
+    daily = _snaps_df(
+        spark,
+        [
+            dt.date(2024, 1, 5),
+            dt.date(2024, 1, 20),
+            dt.date(2024, 2, 3),
+            dt.date(2024, 3, 10),
+        ],
+    )
+    bounds = spark.createDataFrame([(dt.date(2024, 2, 10),)], "rb_dt date")
+    got = {
+        r.month: (r.n_removed, r.bytes_removed, r.n_restored, r.bytes_restored)
+        for r in rollback_classify(daily, bounds).collect()
+    }
+    assert got == {
+        "2024-01": (0, 0, 0, 0),      # compacted before R: same file both sides
+        "2024-02": (1, 300, 1, 300),  # monthly removed, pre-R daily restored
+        "2024-03": (1, 400, 0, 0),    # post-R daily unreferenced
+    }
+
+
+def test_changelog_diff_planted_insert_update_delete(spark, monkeypatch):
+    """Row-level CDF semantics on a planted changelog (cutoff = max ts -
+    7d = 2024-01-23): update keeps the POST state, delete reports the
+    PRE state, tombstone-then-reinsert is an INSERT (not an update), and
+    keys unchanged since A — or dead at both snapshots — emit nothing.
+    WRONG RULES KILLED: an inner-join diff (drops user 3, which has no A
+    state), and treating any key present at both snapshots as an update
+    regardless of event identity (would emit user 5)."""
+    import datetime as dt
+
+    import spark_iceberg_jobs_spark.queries.maintenance as m
+
+    t = dt.datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: update (pre purchase -> post click)
+            (1, t(2024, 1, 10), 1, "purchase", 5.0),
+            (2, t(2024, 1, 28), 1, "click", 1.0),
+            # user 2: delete (pre view -> post tombstone)
+            (3, t(2024, 1, 11), 2, "view", 2.0),
+            (4, t(2024, 1, 29), 2, "error", None),
+            # user 3: insert (no pre state)
+            (5, t(2024, 1, 29), 3, "purchase", 7.0),
+            # user 4: insert via resurrection (pre tombstone -> post purchase)
+            (6, t(2024, 1, 12), 4, "error", None),
+            (7, t(2024, 1, 30), 4, "purchase", 3.0),
+            # user 5: unchanged (same last event at both snapshots)
+            (8, t(2024, 1, 13), 5, "purchase", 4.0),
+            # user 6: dead at both snapshots -> nothing
+            (9, t(2024, 1, 14), 6, "error", None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    monkeypatch.setattr(m, "read_fixture", lambda s, sf, t_: ev)
+    got = {
+        (r.change_type, r.last_event_type): (r.n_keys, r.total_value)
+        for r in m.cdc_changelog_diff(spark, "x").collect()
+    }
+    assert got == {
+        ("insert", "purchase"): (2, 10.0),
+        ("update", "click"): (1, 1.0),
+        ("delete", "view"): (1, 2.0),
+    }
+
+
+def test_partition_evolution_old_spec_prunes_at_month_grain(spark):
+    """Files written before the spec evolution keep the OLD (month) spec:
+    a spec-0 file whose day is OUTSIDE the probe but whose month overlaps
+    it MUST scan (its month partition can hold in-probe rows — it is the
+    false positive the evolution exists to remove). WRONG RULE KILLED:
+    pruning old files by exact day as if they carried the new spec —
+    it would skip the 2024-02-10 file. Spec-1 files prune exactly."""
+    import datetime as dt
+
+    from spark_iceberg_jobs_spark.queries.maintenance import (
+        partition_evolution_classify,
+    )
+
+    daily = _snaps_df(
+        spark,
+        [
+            dt.date(2024, 1, 10),  # spec 0, month disjoint from probe -> skip
+            dt.date(2024, 2, 10),  # spec 0, month overlaps, day outside -> FP scan
+            dt.date(2024, 2, 25),  # spec 1, in probe -> exact scan
+            dt.date(2024, 3, 10),  # spec 1, outside -> skip
+        ],
+    )
+    bounds = spark.createDataFrame(
+        [(dt.date(2024, 2, 15), dt.date(2024, 2, 20), dt.date(2024, 3, 5))],
+        "evo_dt date, probe_lo date, probe_hi date",
+    )
+    got = {
+        (r.spec, r.dt): (r.scanned, r.false_positive)
+        for r in partition_evolution_classify(daily, bounds).collect()
+    }
+    assert got == {
+        (0, dt.date(2024, 1, 10)): (False, False),
+        (0, dt.date(2024, 2, 10)): (True, True),  # the load-bearing case
+        (1, dt.date(2024, 2, 25)): (True, False),
+        (1, dt.date(2024, 3, 10)): (False, False),
+    }

@@ -311,3 +311,59 @@ def test_upsert_sink_checkpoint_resumes_without_replaying_batches(spark, tmp_pat
     stream = spark.readStream.schema("k long, v long").parquet(str(src))
     foreach_batch_upsert_sink(stream, target_path=target, key="k")
     assert table()[1] == 1, "without a checkpoint every file is reprocessed"
+
+
+def test_session_updater_zero_chunk_invocation_preserves_state():
+    """ADVICE r8: a state-only invocation (zero Arrow chunks — what an
+    EventTimeTimeout config delivers on a group timeout) must re-persist
+    the open session unchanged, not crash pd.concat. Drives the updater
+    directly via the module-level factory — no streaming orchestration
+    needed. Also pins the fold itself: cross-chunk global sort and the
+    integer-cent exact accumulation."""
+    import pandas as pd
+
+    from spark_iceberg_jobs_spark.streaming.events_stream import make_session_updater
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+            self.updated = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+            self._v = v
+
+    update = make_session_updater(gap_sec=100)
+
+    # zero chunks, open session in state: no output, state re-persisted
+    st = FakeState((1000, 1010, 2, 350))
+    out = list(update((7,), iter(()), st))
+    assert len(out) == 1 and out[0].empty
+    assert st.updated == (1000, 1010, 2, 350)
+
+    # zero chunks, NO state: no output, nothing persisted
+    st2 = FakeState()
+    out2 = list(update((7,), iter(()), st2))
+    assert out2[0].empty and st2.updated is None
+
+    # two chunks arriving out of order: the later chunk carries the
+    # EARLIER timestamps — the global sort must interleave them before
+    # folding (the r8 per-chunk-sort bug); 0.1+0.2 accumulates in exact
+    # cents (30), not binary floats (0.30000000000000004)
+    c1 = pd.DataFrame({"es": [1500], "value": [0.2]})
+    c2 = pd.DataFrame({"es": [1120, 1300], "value": [0.1, 5.0]})
+    st3 = FakeState((1000, 1010, 2, 350))
+    out3 = list(update((7,), iter((c1, c2)), st3))
+    # 1120 - 1010 > 100 closes the open session (3.50); 1300/1500 chain
+    # onto the new one (gaps 180/200 > 100 -> each closes the previous)
+    rows = [tuple(r) for r in out3[0].itertuples(index=False)]
+    assert rows == [(7, 1000, 2, 3.5), (7, 1120, 1, 0.1), (7, 1300, 1, 5.0)]
+    assert st3.updated == (1500, 1500, 1, 20)

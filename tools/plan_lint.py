@@ -49,6 +49,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "drift_ks_length": "CDF cumsums over one row per distinct document length (bounded domain)",
     "maintenance_time_travel": "supersession-commit window over one row per month (commit-log metadata)",
     "maintenance_incremental_scan": "supersession-commit window over one row per month (commit-log metadata)",
+    "maintenance_rollback_plan": "supersession-commit window over one row per month (commit-log metadata)",
 }
 
 _UNPARTITIONED = re.compile(r"windowspecdefinition\([^,()]*\s(ASC|DESC)\s")
