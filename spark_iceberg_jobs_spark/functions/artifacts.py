@@ -246,13 +246,21 @@ def publish_atomic(staging: str, final_dir: str) -> None:
     # filesystem-instant between the under-lock check and the rmtree — a
     # real table format closes even that with a catalog commit.
     lock = f"{final_dir}.recovery.lock"
-    fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
+    except OSError:
+        # can't even open the sidecar (ENOSPC/EACCES): don't leak staging
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     try:
         for _ in range(600):  # bounded: ~60 s of a LIVE slow holder
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
-            except OSError:
+            # BlockingIOError ONLY: contention is the one retryable case —
+            # a real flock failure (ENOLCK, EBADF) must surface, not spin
+            # the full budget and raise a misleading "held too long"
+            except BlockingIOError:
                 if is_published(final_dir):  # the holder's publish landed
                     shutil.rmtree(staging, ignore_errors=True)
                     return

@@ -104,8 +104,13 @@ def salted_join_lab(
     *,
     key: str,
     salt_buckets: int = 16,
+    fact_payload: str = "pay",
+    dim_payload: str = "payload",
 ) -> SkewJoinLabResult:
-    """Run the three-leg skew comparison. Confs are staged and restored:
+    """Run the three-leg skew comparison. ``fact``/``dim`` must carry the
+    named payload columns (hot_key_fixture's defaults) — the timed
+    aggregate consumes both so the payloads actually cross the shuffle.
+    Confs are staged and restored:
     autoBroadcast off for ALL legs (a broadcastable dim has no skew
     problem — the lab probes the forced-shuffle regime a 100 TB dim side
     lives in), AQE skew-join off for the naive/salted legs and ON with
@@ -139,8 +144,8 @@ def salted_join_lab(
         # only 8-byte keys has no skew for anyone to fix (first-cut bug)
         agg = df.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.length("pay")).cast("long").alias("paybytes"),
-            F.count("payload").cast("long").alias("np"),
+            F.sum(F.length(fact_payload)).cast("long").alias("paybytes"),
+            F.count(dim_payload).cast("long").alias("np"),
         )
         t0 = time.time()
         row = agg.collect()[0]

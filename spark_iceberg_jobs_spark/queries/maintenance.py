@@ -1757,7 +1757,11 @@ QUERIES: dict[str, QuerySpec] = {
         maintenance_incremental_scan, INCREMENTAL_SCAN_ORACLE
     ),
     # row-level CDF view + snapshot rollback: the remaining lifecycle legs (r9)
-    "cdc_changelog_diff": QuerySpec(cdc_changelog_diff, CDC_CHANGELOG_ORACLE),
+    # headline: the tier's fact-scan representative in bench.py (the rest
+    # of the lifecycle queries are metadata-grain after the first agg)
+    "cdc_changelog_diff": QuerySpec(
+        cdc_changelog_diff, CDC_CHANGELOG_ORACLE, headline=True
+    ),
     "maintenance_rollback_plan": QuerySpec(
         maintenance_rollback_plan, ROLLBACK_PLAN_ORACLE
     ),
