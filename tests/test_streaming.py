@@ -367,3 +367,67 @@ def test_session_updater_zero_chunk_invocation_preserves_state():
     rows = [tuple(r) for r in out3[0].itertuples(index=False)]
     assert rows == [(7, 1000, 2, 3.5), (7, 1120, 1, 0.1), (7, 1300, 1, 5.0)]
     assert st3.updated == (1500, 1500, 1, 20)
+
+
+def test_windowed_aggregation_state_survives_restart(spark, tmp_path):
+    """Streaming STATE recovery across restarts (the companion to the
+    upsert-sink offset test): a windowed count runs with a checkpoint,
+    stops, new files arrive, and the restarted query folds the new
+    events into the RESTORED window state. Batch ids prove the second
+    run resumed the offset log (it starts at batch 1, not 0) — so the
+    window reaching 3 can only come from restored state plus the one new
+    event, never from a replay of the first file."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1).write.parquet(
+            str(tmp_path / "stage" / name)
+        )
+        part = next(
+            p for p in os.listdir(tmp_path / "stage" / name) if p.endswith(".parquet")
+        )
+        os.rename(tmp_path / "stage" / name / part, src / f"{name}.parquet")
+
+    def run():
+        captured = []
+
+        def cap(df, bid):
+            captured.append((bid, {r.ws: r.n for r in df.collect()}))
+
+        agg = (
+            spark.readStream.schema("ts timestamp, v long")
+            .parquet(str(src))
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(cap)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return captured
+
+    t = dt.datetime
+    w1, w2 = t(2024, 1, 1, 10, 0), t(2024, 1, 1, 11, 0)
+    write_file("a", [(t(2024, 1, 1, 10, 5), 1), (t(2024, 1, 1, 10, 20), 1)])
+    run1 = run()
+    assert run1[-1][1] == {w1: 2}
+    assert run1[0][0] == 0, "first run starts at batch 0"
+
+    write_file("b", [(t(2024, 1, 1, 10, 40), 1), (t(2024, 1, 1, 11, 10), 1)])
+    run2 = run()
+    assert run2[0][0] >= 1, "restart must resume the offset log, not replay"
+    assert run2[-1][1] == {w1: 3, w2: 1}, (
+        "restored window state (2) must fold the one new in-window event"
+    )

@@ -384,6 +384,22 @@ def probes():
         "partition_health": _maintenance_probe(
             "maintenance_partition_health", build_tpch
         ),
+        # round-9 lifecycle legs: all commit-log-grain after the shared
+        # day-grain aggregate (expected flat-to-scan, like expiry/orphans)
+        "incremental_scan": _maintenance_probe(
+            "maintenance_incremental_scan", build_tpch
+        ),
+        "rollback_plan": _maintenance_probe("maintenance_rollback_plan", build_tpch),
+        "partition_evolution": _maintenance_probe(
+            "maintenance_partition_evolution", build_tpch
+        ),
+        # rewired r9: delta derived from the incremental scan — one fact
+        # scan for partials + the persisted day-grain commit log
+        "mv_refresh": _maintenance_probe("mv_incremental_refresh", build_tpch),
+        # row-grain CDF diff: ONE user_id shuffle with conditional
+        # struct-MAX partials — the tier's only data-sized r9 stage;
+        # build_events grows users x{scale} with history preserved
+        "changelog_diff": _maintenance_probe("cdc_changelog_diff", build_events),
     }
 
 
@@ -482,6 +498,11 @@ def main() -> int:
         "snapshot_expiry",
         "orphan_files",
         "partition_health",
+        "incremental_scan",
+        "rollback_plan",
+        "partition_evolution",
+        "mv_refresh",
+        "changelog_diff",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
