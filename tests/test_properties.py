@@ -560,3 +560,228 @@ def test_scd2_dwell_conservation(spark):
         .first()
     )
     assert got == spans["total"]
+
+
+# --- r9 snapshot-lifecycle kernels vs a python commit-model replica ---------
+
+_lifecycle_days = st.lists(
+    st.dates(
+        min_value=__import__("datetime").date(2022, 1, 1),
+        max_value=__import__("datetime").date(2023, 12, 28),
+    ),
+    min_size=1,
+    max_size=14,
+    unique=True,
+)
+_any_day = st.dates(
+    min_value=__import__("datetime").date(2021, 11, 1),
+    max_value=__import__("datetime").date(2024, 2, 1),
+)
+
+
+def _live_files(days_bytes, r):
+    """Python replica of the commit model's live file set at snapshot R:
+    month M serves its single compacted monthly file iff the commit that
+    compacts it (the first commit of any LATER month) is <= R, else its
+    dailies with dt <= R. Within-month dailies always precede later
+    months' commits, so a compacted-at-R month never has post-R dailies."""
+    months: dict[str, list] = {}
+    for d in sorted(days_bytes):
+        months.setdefault(d.strftime("%Y-%m"), []).append(d)
+    mkeys = sorted(months)
+    out = {}
+    for i, m in enumerate(mkeys):
+        later_firsts = [min(months[m2]) for m2 in mkeys[i + 1 :]]
+        sup = min(later_firsts) if later_firsts else None
+        if sup is not None and sup <= r:
+            out[(m, f"m-{m}")] = sum(days_bytes[d] for d in months[m])
+        else:
+            for d in months[m]:
+                if d <= r:
+                    out[(m, f"d-{d.isoformat()}")] = days_bytes[d]
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(days=_lifecycle_days, rb=_any_day)
+def test_rollback_plan_is_exactly_the_live_set_diff(spark, days, rb):
+    """rollback_to_snapshot(R)'s plan on random sparse logs must equal the
+    set difference of the python replica's live file sets: removed =
+    live(now) − live(R), restored = live(R) − live(now), per month, in
+    both counts and bytes. This is the cross-kernel identity that ties
+    the rollback planner to the time-travel read model — a wrong
+    supersession rule in either breaks the equality."""
+    import datetime as dt
+
+    from test_maintenance import _snaps_df
+
+    from spark_iceberg_jobs_spark.queries.maintenance import rollback_classify
+
+    days = sorted(days)
+    days_bytes = {d: (i + 1) * 100 for i, d in enumerate(days)}  # _snaps_df rule
+    live_now = _live_files(days_bytes, max(days))
+    live_r = _live_files(days_bytes, rb)
+    want: dict[str, list] = {}
+    for (m, path), b in live_now.items():
+        if (m, path) not in live_r:
+            e = want.setdefault(m, [0, 0, 0, 0])
+            e[0] += 1
+            e[1] += b
+    for (m, path), b in live_r.items():
+        if (m, path) not in live_now:
+            e = want.setdefault(m, [0, 0, 0, 0])
+            e[2] += 1
+            e[3] += b
+
+    bounds = spark.createDataFrame([(rb,)], "rb_dt date")
+    got = {
+        r.month: [r.n_removed, r.bytes_removed, r.n_restored, r.bytes_restored]
+        for r in rollback_classify(_snaps_df(spark, days), bounds).collect()
+        if (r.n_removed, r.n_restored) != (0, 0)
+    }
+    assert got == want
+    # conservation: |live(R)| == |live(now)| − removed + restored
+    n_rem = sum(v[0] for v in got.values())
+    n_res = sum(v[2] for v in got.values())
+    assert len(live_r) == len(live_now) - n_rem + n_res
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(days=_lifecycle_days, cuts=st.tuples(_any_day, _any_day, _any_day))
+def test_incremental_scan_additivity_and_python_reference(spark, days, cuts):
+    """Incremental reads compose: adds(A,B] ⊎ adds(B,C] == adds(A,C] and
+    the same for skipped rewrites (the ranges partition the commit
+    stream, so a changelog consumer reading in two hops sees exactly the
+    one-hop result — Iceberg's incremental-scan contract). Both legs also
+    match the python replica directly."""
+    from test_maintenance import _snaps_df
+
+    from spark_iceberg_jobs_spark.queries.maintenance import (
+        incremental_append_scan,
+        rewrites_in_range,
+    )
+
+    a, b, c = sorted(cuts)
+    days = sorted(days)
+    days_bytes = {d: (i + 1) * 100 for i, d in enumerate(days)}
+    daily = _snaps_df(spark, days)
+
+    def run(lo, hi):
+        bounds = spark.createDataFrame([(lo, hi)], "lo_dt date, hi_dt date")
+        adds = {
+            r.dt: r.file_bytes
+            for r in incremental_append_scan(daily, bounds).collect()
+        }
+        rews = {
+            r.month: (r.mon_bytes, r.sup_dt)
+            for r in rewrites_in_range(daily, bounds).collect()
+        }
+        return adds, rews
+
+    adds_ab, rews_ab = run(a, b)
+    adds_bc, rews_bc = run(b, c)
+    adds_ac, rews_ac = run(a, c)
+    assert set(adds_ab) & set(adds_bc) == set()
+    assert {**adds_ab, **adds_bc} == adds_ac
+    assert set(rews_ab) & set(rews_bc) == set()
+    assert {**rews_ab, **rews_bc} == rews_ac
+    # python reference for the one-hop read
+    assert adds_ac == {d: days_bytes[d] for d in days if a < d <= c}
+    months: dict[str, list] = {}
+    for d in days:
+        months.setdefault(d.strftime("%Y-%m"), []).append(d)
+    mkeys = sorted(months)
+    want_rews = {}
+    for i, m in enumerate(mkeys):
+        later = [min(months[m2]) for m2 in mkeys[i + 1 :]]
+        sup = min(later) if later else None
+        if sup is not None and a < sup <= c:
+            want_rews[m] = (sum(days_bytes[d] for d in months[m]), sup)
+    assert rews_ac == want_rews
+
+
+_changelog_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # user_id
+        st.integers(0, 9 * 86400),  # offset seconds within a 10-day span
+        st.sampled_from(["click", "view", "purchase", "error"]),
+        st.integers(0, 10_000),  # value in cents
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=_changelog_events)
+def test_changelog_diff_matches_python_replay(spark, rows, monkeypatch):
+    """cdc_changelog_diff on random changelogs vs a python replica of the
+    two-snapshot latest-wins diff (cutoff = max ts − 7d, ties broken by
+    event_id, tombstone = 'error', values exact cents). Conservation: the
+    diff emits each changed key exactly once, and unchanged/dead-at-both
+    keys never appear."""
+    import datetime as dt
+
+    import spark_iceberg_jobs_spark.queries.maintenance as m
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev_rows = [
+        (eid, t0 + dt.timedelta(seconds=off), uid, typ, None if typ == "error" else cents / 100.0)
+        for eid, (uid, off, typ, cents) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    monkeypatch.setattr(m, "read_fixture", lambda s, sf, t_: ev)
+    got = {
+        (r.change_type, r.last_event_type): (r.n_keys, r.total_value)
+        for r in m.cdc_changelog_diff(spark, "x").collect()
+    }
+
+    cutoff = max(r[1] for r in ev_rows) - dt.timedelta(days=7)
+    agg: dict[tuple, list] = {}
+    changed_keys = 0
+    for uid in {r[2] for r in ev_rows}:
+        mine = [r for r in ev_rows if r[2] == uid]
+        b = max(mine, key=lambda r: (r[1], r[0]))
+        pre = [r for r in mine if r[1] <= cutoff]
+        a = max(pre, key=lambda r: (r[1], r[0])) if pre else None
+        a_live = a is not None and a[3] != "error"
+        b_live = b[3] != "error"
+        if not a_live and b_live:
+            ct = "insert"
+        elif a_live and not b_live:
+            ct = "delete"
+        elif a_live and b_live and a[0] != b[0]:
+            ct = "update"
+        else:
+            continue
+        changed_keys += 1
+        last_type = b[3] if b_live else a[3]
+        val = b[4] if b_live else a[4]
+        e = agg.setdefault((ct, last_type), [0, 0])
+        e[0] += 1
+        e[1] += int(round((val or 0.0) * 100))
+    want = {k: (n, round(cents / 100.0, 2)) for k, (n, cents) in agg.items()}
+    # counts exactly; sums in exact cents — a Spark NULL sum means every
+    # contributing value was NULL (tombstone-kept pre-values), i.e. 0 cents
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+    for k, (_n, s) in got.items():
+        if s is None:
+            assert want[k][1] == 0.0, (k, want[k])
+        else:
+            assert abs(s - want[k][1]) < 1e-9, (k, s, want[k])
+    assert sum(v[0] for v in got.values()) == changed_keys
