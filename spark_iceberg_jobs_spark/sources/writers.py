@@ -162,3 +162,125 @@ def wap_write_parquet(
         raise
     swap_publish(staging, final_dir)
     return final_dir
+
+
+# ---------------------------------------------------------------------------
+# Versioned table directory — the HadoopTables version-hint commit protocol
+# ---------------------------------------------------------------------------
+
+_VERSION_HINT = "version-hint.text"
+
+
+def _versions(table_dir: str) -> list[int]:
+    import os
+
+    try:
+        names = os.listdir(table_dir)
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("v") and n[1:].isdigit():
+            out.append(int(n[1:]))
+    return sorted(out)
+
+
+def current_version(table_dir: str) -> int | None:
+    """The committed version per the hint file, or None for an empty/
+    uninitialized table. A hint pointing at a missing version directory
+    raises — serving an arbitrary other version would be silent wrong
+    results."""
+    import os
+
+    hint = os.path.join(table_dir, _VERSION_HINT)
+    try:
+        with open(hint) as f:
+            v = int(f.read().strip())
+    except FileNotFoundError:
+        return None
+    if v not in _versions(table_dir):
+        raise ValueError(f"version hint {v} points at a missing directory in {table_dir!r}")
+    return v
+
+
+def versioned_write(df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as the table's next immutable version — Iceberg
+    HadoopTables' ``version-hint.text`` protocol on the parquet fallback,
+    the EXECUTED twin of maintenance_rollback_plan's planning model:
+
+    1. the batch lands in a brand-new ``v{n}`` directory (``n`` = one
+       past the MAX existing version — versions are never reused, so a
+       rollback followed by a new commit branches forward exactly like
+       Iceberg's rollback_to_snapshot + append);
+    2. the hint file repoints via write-tmp + ``os.replace`` — atomic on
+       POSIX, so a reader resolves either the old or the new version,
+       never a torn hint;
+    3. a crash before the repoint leaves the previous version current
+       and the new directory unreferenced (reclaimable by
+       ``expire_versions`` — the orphan-file story at the version grain).
+
+    Single writer per table path, like every path-based table here; a
+    real catalog serializes the hint swap with a CAS commit. Returns the
+    committed version number."""
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    nxt = (_versions(table_dir) or [0])[-1] + 1
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{nxt:06d}"))
+    _repoint(table_dir, nxt)
+    return nxt
+
+
+def _repoint(table_dir: str, version: int) -> None:
+    import os
+
+    hint = os.path.join(table_dir, _VERSION_HINT)
+    tmp = f"{hint}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, hint)  # atomic commit point
+
+
+def read_current_version(spark, table_dir: str) -> DataFrame:
+    """Read the committed version (hint-resolved), exactly what an
+    Iceberg reader does with version-hint.text."""
+    import os
+
+    v = current_version(table_dir)
+    if v is None:
+        raise ValueError(f"{table_dir!r} has no committed version")
+    return spark.read.parquet(os.path.join(table_dir, f"v{v:06d}"))
+
+
+def rollback_version(table_dir: str, to_version: int) -> int:
+    """Execute rollback_to_snapshot at the storage layer: repoint the
+    hint at an EXISTING earlier version (one atomic file replace — no
+    data moves, which is why rollback is free in a table format). The
+    rolled-back-over versions stay on disk, still readable by explicit
+    version until ``expire_versions`` reclaims them. Returns the version
+    now current."""
+    if to_version not in _versions(table_dir):
+        raise ValueError(f"version {to_version} does not exist in {table_dir!r}")
+    _repoint(table_dir, to_version)
+    return to_version
+
+
+def expire_versions(table_dir: str, *, keep_last: int = 2) -> list[int]:
+    """Reclaim old version directories, always keeping the CURRENT one
+    and the newest ``keep_last`` — expire_snapshots at the version grain.
+    Unreferenced crash leftovers older than the kept set go too. Returns
+    the versions removed."""
+    import os
+    import shutil
+
+    cur = current_version(table_dir)
+    vs = _versions(table_dir)
+    keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+    if cur is not None:
+        keep.add(cur)
+    removed = []
+    for v in vs:
+        if v not in keep:
+            shutil.rmtree(os.path.join(table_dir, f"v{v:06d}"), ignore_errors=True)
+            removed.append(v)
+    return removed

@@ -349,3 +349,73 @@ def test_read_avro_gates_loudly_or_roundtrips(spark, tmp_path):
     out = str(tmp_path / "t.avro")
     spark.range(5).write.format("avro").save(out)
     assert read_avro(spark, out).count() == 5
+
+
+def test_versioned_table_commit_rollback_branch_expire(spark, tmp_path):
+    """The version-hint commit protocol (the EXECUTED twin of
+    maintenance_rollback_plan): commits are immutable version dirs with
+    an atomically repointed hint; rollback is one hint replace (no data
+    moves) and old versions stay readable; a commit AFTER a rollback
+    branches forward to max+1, never reusing the rolled-over version
+    (the Iceberg rollback_to_snapshot + append shape); a torn/crashed
+    commit leaves the previous version current; expiry keeps the current
+    and newest versions."""
+    import os
+
+    from spark_iceberg_jobs_spark.sources.writers import (
+        current_version,
+        expire_versions,
+        read_current_version,
+        rollback_version,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "tbl")
+
+    def frame(tag):
+        return spark.createDataFrame([(1, tag)], "k int, tag string")
+
+    def current_tag():
+        return read_current_version(spark, tbl).collect()[0].tag
+
+    assert versioned_write(frame("a"), tbl) == 1
+    assert versioned_write(frame("b"), tbl) == 2
+    assert current_version(tbl) == 2 and current_tag() == "b"
+
+    # rollback: hint repoints, data untouched, v2 still on disk
+    assert rollback_version(tbl, 1) == 1
+    assert current_tag() == "a"
+    assert os.path.isdir(os.path.join(tbl, "v000002"))
+    import pytest
+
+    with pytest.raises(ValueError, match="does not exist"):
+        rollback_version(tbl, 99)
+
+    # commit after rollback branches FORWARD (never reuses v2)
+    assert versioned_write(frame("c"), tbl) == 3
+    assert current_tag() == "c"
+
+    # crash simulation: a new version dir written but hint never
+    # repointed — readers stay on the committed version
+    frame("torn").write.mode("overwrite").parquet(os.path.join(tbl, "v000004"))
+    assert current_version(tbl) == 3 and current_tag() == "c"
+
+    # a stale hint tmp from a dead writer is inert
+    with open(os.path.join(tbl, "version-hint.text.tmp.999"), "w") as f:
+        f.write("4")
+    assert current_version(tbl) == 3
+
+    # expiry keeps current + newest, reclaims the rest (incl. the torn v4
+    # once it falls outside the kept window)
+    removed = expire_versions(tbl, keep_last=2)
+    assert removed == [1, 2]
+    assert current_version(tbl) == 3 and current_tag() == "c"
+
+    # hint pointing at a reclaimed dir must fail loudly, not serve
+    # another version
+    rollback_version(tbl, 4)  # v4 exists (torn dir) — now current
+    expire_versions(tbl, keep_last=0)  # keeps only current (4)
+    with open(os.path.join(tbl, "version-hint.text"), "w") as f:
+        f.write("2")
+    with pytest.raises(ValueError, match="missing directory"):
+        current_version(tbl)
