@@ -203,7 +203,9 @@ def current_version(table_dir: str) -> int | None:
     return v
 
 
-def versioned_write(df: DataFrame, table_dir: str) -> int:
+def versioned_write(
+    df: DataFrame, table_dir: str, *, audits: list | None = None
+) -> int:
     """Commit ``df`` as the table's next immutable version — Iceberg
     HadoopTables' ``version-hint.text`` protocol on the parquet fallback,
     the EXECUTED twin of maintenance_rollback_plan's planning model:
@@ -212,10 +214,16 @@ def versioned_write(df: DataFrame, table_dir: str) -> int:
        past the MAX existing version — versions are never reused, so a
        rollback followed by a new commit branches forward exactly like
        Iceberg's rollback_to_snapshot + append);
-    2. the hint file repoints via write-tmp + ``os.replace`` — atomic on
+    2. with ``audits``, every audit runs against a reader over the
+       UNREFERENCED version directory before the repoint — the dir IS
+       the WAP branch (readers cannot see it until the hint moves), so
+       write-audit-publish needs no separate staging here; semantics
+       match wap_write_parquet (``None`` = pass, any falsy return or any
+       exception fails and the version dir is torn down);
+    3. the hint file repoints via write-tmp + ``os.replace`` — atomic on
        POSIX, so a reader resolves either the old or the new version,
        never a torn hint;
-    3. a crash before the repoint leaves the previous version current
+    4. a crash before the repoint leaves the previous version current
        and the new directory unreferenced (reclaimable by
        ``expire_versions`` — the orphan-file story at the version grain).
 
@@ -223,10 +231,27 @@ def versioned_write(df: DataFrame, table_dir: str) -> int:
     real catalog serializes the hint swap with a CAS commit. Returns the
     committed version number."""
     import os
+    import shutil
 
     os.makedirs(table_dir, exist_ok=True)
     nxt = (_versions(table_dir) or [0])[-1] + 1
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{nxt:06d}"))
+    vdir = os.path.join(table_dir, f"v{nxt:06d}")
+    try:
+        df.write.mode("overwrite").parquet(vdir)
+        if audits:
+            staged = df.sparkSession.read.parquet(vdir)
+            for i, audit in enumerate(audits):
+                try:
+                    ok = audit(staged)
+                except Exception as e:  # noqa: BLE001 — audit errors fail the commit
+                    raise ValueError(f"versioned-write audit #{i} errored: {e}") from e
+                if ok is not None and not ok:
+                    raise ValueError(
+                        f"versioned-write audit #{i} failed; version {nxt} discarded"
+                    )
+    except Exception:
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise
     _repoint(table_dir, nxt)
     return nxt
 

@@ -419,3 +419,35 @@ def test_versioned_table_commit_rollback_branch_expire(spark, tmp_path):
         f.write("2")
     with pytest.raises(ValueError, match="missing directory"):
         current_version(tbl)
+
+
+def test_versioned_write_audits_gate_the_repoint(spark, tmp_path):
+    """WAP over the version protocol: the unreferenced version dir is the
+    audit branch — a failing (or numpy-falsy, or raising) audit tears the
+    new version down and the hint never moves; a passing audit set
+    commits. The failed attempt's version number is reused by the next
+    commit only if its dir was fully removed (it is)."""
+    import numpy as np
+    import pytest
+
+    from spark_iceberg_jobs_spark.sources.writers import (
+        current_version,
+        read_current_version,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    f1 = spark.createDataFrame([(1, "good")], "k int, tag string")
+    assert versioned_write(f1, tbl, audits=[lambda d: d.count() == 1]) == 1
+
+    bad = spark.createDataFrame([(2, "bad")], "k int, tag string")
+    with pytest.raises(ValueError, match="audit #0 failed"):
+        versioned_write(bad, tbl, audits=[lambda d: np.bool_(False)])
+    with pytest.raises(ValueError, match="audit #0 errored"):
+        versioned_write(bad, tbl, audits=[lambda d: 1 / 0])
+    assert current_version(tbl) == 1
+    assert read_current_version(spark, tbl).collect()[0].tag == "good"
+
+    # assert-style audit (returns None) passes; table advances
+    assert versioned_write(bad, tbl, audits=[lambda d: None]) == 2
+    assert read_current_version(spark, tbl).collect()[0].tag == "bad"
