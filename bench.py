@@ -91,6 +91,11 @@ def run() -> None:
         # (VERDICT r3 item 8) so future regressions can be separated from
         # noise without re-runs: min moves = the query changed, median
         # moves alone = the box was noisy.
+        # NOTE deliberately NOT cache-scoped (unlike verify_local): the
+        # headline series is compared round-over-round since r1 with
+        # cross-query cache reuse in effect; changing the suite's caching
+        # behavior mid-series would read as a phantom regression. The
+        # process exits after one suite, so accumulation is bounded.
         reps: list[float] = []
         try:
             for _ in range(5):

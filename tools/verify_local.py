@@ -26,6 +26,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from spark_iceberg_jobs_spark.functions.cache import cache_scope  # noqa: E402
 from spark_iceberg_jobs_spark.queries import registry  # noqa: E402
 from spark_iceberg_jobs_spark.session import get_spark  # noqa: E402
 
@@ -76,7 +77,15 @@ def main() -> int:
         ran += 1
         t0 = time.time()
         try:
-            sdf = spec.fn(spark, sf_dir).toPandas()
+            # cache_scope: scoped_persist intermediates release after each
+            # query's materialization — without it a 249-query sweep
+            # accumulates session-lifetime cache entries (the r1 lesson the
+            # scope exists for). Cross-query plan-cache reuse (e.g. the
+            # maintenance tier's shared commit-log aggregate) is given up
+            # deliberately: each query must stand alone, like the driver
+            # runs it.
+            with cache_scope():
+                sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             results[name] = {"status": "fail", "err": f"spark error: {e}"[:300]}
