@@ -119,6 +119,11 @@ _R9_CHANGED = [
     # broadcast semi-join file read, replacing the o_orderkey % 10
     # split — same output, different plan, so it rides per policy.
     "mv_incremental_refresh",
+    # r9 money-determinism catch: its total_value was the registry's
+    # LAST raw round(sum(double)) on a money column, now an exact
+    # DECIMAL sum (same class the r5 conversion missed in the streaming
+    # twins, found r8) — aggregation arithmetic changed, so it rides.
+    "cdc_merge_latest",
 ]
 
 _R9_NEW = [
@@ -154,9 +159,9 @@ _R9_STALE_REFRESH = [
     "sim_lsh_topk",
     "streaming_dedup_redelivery",
     "text_tfidf_top_terms",
-    # the 21 oldest r4-scored entries (alphabetical; r4 has 41 — the
-    # remaining 20, led by the slots the r9 new entries displaced,
-    # lead the r10 refresh tier)
+    # the 20 oldest r4-scored entries (alphabetical; r4 has 41 — the
+    # remaining 21, led by the slots the r9 new/changed entries
+    # displaced, lead the r10 refresh tier)
     "audit_provenance_fingerprint",
     "basket_part_pairs",
     "decontaminate_bloom_prefilter",
@@ -177,7 +182,6 @@ _R9_STALE_REFRESH = [
     "ml_logreg_crossval",
     "ml_logreg_language",
     "ml_ols_price_model",
-    "multimodal_image_resize",
 ]
 
 

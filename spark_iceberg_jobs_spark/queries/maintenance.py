@@ -360,13 +360,18 @@ def cdc_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall out of AQE's skew-join handling because the heavy operation is a
     partitioned window, not a join.
     """
+    from ..functions.money import money_sum
+
     ev = read_fixture(spark, sf_dir, "events")
     latest = cdc_materialize(ev)
     return (
         latest.groupBy(F.col("event_type").alias("last_event_type"), "live")
         .agg(
             F.count("*").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact DECIMAL sum (r9): this was the last raw
+            # round(sum(double)) on a money column — the class the r5
+            # conversion missed in the streaming twins too (found r8)
+            money_sum("value").alias("total_value"),
         )
         .orderBy("last_event_type")
     )
@@ -386,7 +391,7 @@ WITH ranked AS (
 )
 SELECT last_event_type, live,
        CAST(COUNT(*) AS BIGINT) AS n_users,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
 FROM latest
 GROUP BY last_event_type, live
 ORDER BY last_event_type
