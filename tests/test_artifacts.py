@@ -405,3 +405,50 @@ def test_swap_publish_entry_recovery_without_new_publish(tmp_path):
     # the older dead stray was dropped
     assert (final / "data").read_text() == "incoming"
     assert not any(".swap_old." in n for n in os.listdir(tmp_path))
+
+
+def test_publish_recovery_two_concurrent_recoverers_one_winner(tmp_path):
+    """The race the flock redesign exists to close (ADVICE r8): two
+    recoverers hit the same wedged corpse CONCURRENTLY, repeatedly.
+    Exactly one staging must win, the loser's staging must be discarded,
+    the published artifact must be complete (never a half-deleted dir —
+    the failure mode of the old unlink-takeover TOCTOU), and nothing
+    deadlocks or leaks staging/tmp dirs."""
+    import threading
+
+    for rnd in range(5):
+        final = tmp_path / f"seg_race_{rnd}"
+        final.mkdir()
+        (final / "junk").write_text("corpse")  # wedged: no _OK
+
+        stagings = []
+        for i in (1, 2):
+            st = tmp_path / f"seg_race_{rnd}.staging.{i}"
+            st.mkdir()
+            (st / "_OK").touch()
+            (st / "data").write_text(f"writer-{i}")
+            stagings.append(str(st))
+
+        errs = []
+
+        def publish(st):
+            try:
+                artifacts.publish_atomic(st, str(final))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=publish, args=(s,)) for s in stagings]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+            assert not t.is_alive(), "publish_atomic deadlocked"
+        assert not errs, errs
+        assert artifacts.is_published(str(final))
+        content = (final / "data").read_text()
+        assert content in ("writer-1", "writer-2")
+        assert not (final / "junk").exists(), "corpse must be fully replaced"
+        # both stagings consumed (winner renamed, loser discarded)
+        assert not any(
+            p.exists() for p in map(__import__("pathlib").Path, stagings)
+        )
