@@ -451,3 +451,43 @@ def test_versioned_write_audits_gate_the_repoint(spark, tmp_path):
     # assert-style audit (returns None) passes; table advances
     assert versioned_write(bad, tbl, audits=[lambda d: None]) == 2
     assert read_current_version(spark, tbl).collect()[0].tag == "bad"
+
+
+def test_versioned_mor_upsert_and_rollback_integration(spark, tmp_path):
+    """The storage protocol and the MOR read path compose into the full
+    lakehouse loop: v1 = base table; v2 = the MOR-served state of an
+    equality-delete + re-insert batch (audited commit — the audit is the
+    WAP gate on the branch); rollback to v1 restores the pre-delete
+    state byte-for-byte; a post-rollback commit branches to v3."""
+    from spark_iceberg_jobs_spark.operators.mor import mor_read_equality_deletes
+    from spark_iceberg_jobs_spark.sources.writers import (
+        read_current_version,
+        rollback_version,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "users")
+    base = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 20), (3, "carol", 30)],
+        "uid int, name string, score int",
+    )
+    assert versioned_write(base, tbl) == 1
+
+    # GDPR-style: delete uid 2, re-insert uid 3 with a corrected score
+    deletes = spark.createDataFrame([(2,), (3,)], "uid int")
+    appends = spark.createDataFrame([(3, "carol", 35)], "uid int, name string, score int")
+    served = mor_read_equality_deletes(
+        read_current_version(spark, tbl), deletes, appends, key_cols=["uid"]
+    )
+    assert versioned_write(served, tbl, audits=[lambda d: d.count() > 0]) == 2
+
+    now = {(r.uid, r.name, r.score) for r in read_current_version(spark, tbl).collect()}
+    assert now == {(1, "alice", 10), (3, "carol", 35)}
+
+    rollback_version(tbl, 1)
+    before = {
+        (r.uid, r.name, r.score) for r in read_current_version(spark, tbl).collect()
+    }
+    assert before == {(1, "alice", 10), (2, "bob", 20), (3, "carol", 30)}
+
+    assert versioned_write(appends, tbl) == 3  # branches forward past v2
