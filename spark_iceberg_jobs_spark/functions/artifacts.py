@@ -253,31 +253,36 @@ def publish_atomic(staging: str, final_dir: str) -> None:
         shutil.rmtree(staging, ignore_errors=True)
         raise
     try:
-        for _ in range(600):  # bounded: ~60 s of a LIVE slow holder
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                break
-            # BlockingIOError ONLY: contention is the one retryable case —
-            # a real flock failure (ENOLCK, EBADF) must surface, not spin
-            # the full budget and raise a misleading "held too long"
-            except BlockingIOError:
-                if is_published(final_dir):  # the holder's publish landed
-                    shutil.rmtree(staging, ignore_errors=True)
-                    return
-                time.sleep(0.1)
-        else:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise OSError(f"recovery lock {lock!r} held too long")
-        if is_published(final_dir):  # re-check under the lock
-            shutil.rmtree(staging, ignore_errors=True)
-            return
-        shutil.rmtree(final_dir, ignore_errors=True)
         try:
-            os.rename(staging, final_dir)
-        except OSError:
-            if is_published(final_dir):  # lost to a normal publish — fine
+            for _ in range(600):  # bounded: ~60 s of a LIVE slow holder
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                # BlockingIOError ONLY: contention is the one retryable case
+                # — a real flock failure (ENOLCK, EBADF) must surface, not
+                # spin the full budget and raise a misleading "held too long"
+                except BlockingIOError:
+                    if is_published(final_dir):  # the holder's publish landed
+                        shutil.rmtree(staging, ignore_errors=True)
+                        return
+                    time.sleep(0.1)
+            else:
+                raise OSError(f"recovery lock {lock!r} held too long")
+            if is_published(final_dir):  # re-check under the lock
                 shutil.rmtree(staging, ignore_errors=True)
                 return
+            shutil.rmtree(final_dir, ignore_errors=True)
+            try:
+                os.rename(staging, final_dir)
+            except OSError:
+                if is_published(final_dir):  # lost to a normal publish — fine
+                    shutil.rmtree(staging, ignore_errors=True)
+                    return
+                raise
+        except BaseException:
+            # EVERY failure path discards staging — including non-retryable
+            # flock errors (ENOLCK/EBADF), which previously propagated with
+            # the staging dir left to linger until a TTL sweep (ADVICE r9)
             shutil.rmtree(staging, ignore_errors=True)
             raise
     finally:

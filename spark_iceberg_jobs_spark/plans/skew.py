@@ -136,7 +136,11 @@ def salted_join_lab(
         "salted": {"spark.sql.adaptive.skewJoin.enabled": "false"},
     }
     staged = confs_common | {k: v for leg in legs.values() for k, v in leg.items()}
-    old = {k: spark.conf.get(k) for k in staged}
+    # snapshot with a None default: createOptional confs with no default
+    # (spark.sql.adaptive.autoBroadcastJoinThreshold) raise from a bare
+    # conf.get on any session that never set them (ADVICE r9) — restore
+    # then UNSETS those keys instead of writing "None" back
+    old = {k: spark.conf.get(k, None) for k in staged}
 
     def timed(df: DataFrame) -> tuple[int, int, float, str]:
         # the aggregate must CONSUME both payloads: count(1) lets the
@@ -182,7 +186,10 @@ def salted_join_lab(
         )
     finally:
         for k, v in old.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return SkewJoinLabResult(
         rows_naive=results["naive"][0],
         rows_aqe=results["aqe"][0],

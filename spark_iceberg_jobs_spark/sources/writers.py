@@ -203,6 +203,42 @@ def current_version(table_dir: str) -> int | None:
     return v
 
 
+_COMMIT_MARKER = "_VERSION_COMMITTED"
+
+
+def _claim_version(table_dir: str) -> tuple[int, str]:
+    """Atomically CLAIM the next version number by creating its directory
+    with ``os.mkdir`` (O_EXCL semantics for directories) — the CAS that
+    makes two concurrent writers land in DISTINCT versions instead of
+    racing ``mode("overwrite")`` into the same v-dir (VERDICT r9 item 5).
+    On EEXIST the claim retries at n+1; versions are never reused while
+    their directory exists."""
+    import os
+
+    nxt = (_versions(table_dir) or [0])[-1] + 1
+    while True:
+        vdir = os.path.join(table_dir, f"v{nxt:06d}")
+        try:
+            os.mkdir(vdir)
+            return nxt, vdir
+        except FileExistsError:
+            nxt += 1
+
+
+def committed_versions(table_dir: str) -> list[int]:
+    """Versions whose directory carries the commit marker — i.e. whose
+    write fully completed AND whose audits passed. A crash-orphaned dir
+    (write done, audits/marker never ran) is excluded, so it can never
+    be served by rollback (ADVICE r9)."""
+    import os
+
+    return [
+        v
+        for v in _versions(table_dir)
+        if os.path.exists(os.path.join(table_dir, f"v{v:06d}", _COMMIT_MARKER))
+    ]
+
+
 def versioned_write(
     df: DataFrame, table_dir: str, *, audits: list | None = None
 ) -> int:
@@ -210,34 +246,47 @@ def versioned_write(
     HadoopTables' ``version-hint.text`` protocol on the parquet fallback,
     the EXECUTED twin of maintenance_rollback_plan's planning model:
 
-    1. the batch lands in a brand-new ``v{n}`` directory (``n`` = one
-       past the MAX existing version — versions are never reused, so a
-       rollback followed by a new commit branches forward exactly like
-       Iceberg's rollback_to_snapshot + append);
+    1. the writer CLAIMS a brand-new ``v{n}`` directory via an atomic
+       ``os.mkdir`` CAS (``n`` = one past the MAX existing version,
+       retried at n+1 on EEXIST) — two concurrent writers always land in
+       distinct versions; and versions are never reused, so a rollback
+       followed by a new commit branches forward exactly like Iceberg's
+       rollback_to_snapshot + append;
     2. with ``audits``, every audit runs against a reader over the
        UNREFERENCED version directory before the repoint — the dir IS
        the WAP branch (readers cannot see it until the hint moves), so
        write-audit-publish needs no separate staging here; semantics
        match wap_write_parquet (``None`` = pass, any falsy return or any
        exception fails and the version dir is torn down);
-    3. the hint file repoints via write-tmp + ``os.replace`` — atomic on
-       POSIX, so a reader resolves either the old or the new version,
-       never a torn hint;
-    4. a crash before the repoint leaves the previous version current
-       and the new directory unreferenced (reclaimable by
-       ``expire_versions`` — the orphan-file story at the version grain).
+    3. a ``_VERSION_COMMITTED`` marker lands in the version dir (the
+       "audits passed, contents final" stamp rollback_version trusts),
+       then the hint file repoints via write-tmp + ``os.replace`` —
+       atomic on POSIX, so a reader resolves either the old or the new
+       version, never a torn hint;
+    4. a crash before the marker leaves an UNCOMMITTED orphan no
+       rollback will ever serve; a crash between marker and repoint
+       leaves a committed-but-unreferenced version (a valid rollback /
+       roll-forward target — it passed its audits), and either way the
+       previous version stays current until ``expire_versions`` reclaims
+       the leftovers — the orphan-file story at the version grain.
 
-    Single writer per table path, like every path-based table here; a
-    real catalog serializes the hint swap with a CAS commit. Returns the
-    committed version number."""
+    Concurrency: version claims are CAS-serialized; the one remaining
+    last-writer-wins surface is the hint repoint itself, which
+    ``os.replace`` already makes atomic (concurrent committers resolve
+    to whichever repoint lands last — a real catalog turns that into a
+    conditional CAS commit and retries the loser). Returns the committed
+    version number."""
     import os
     import shutil
 
     os.makedirs(table_dir, exist_ok=True)
-    nxt = (_versions(table_dir) or [0])[-1] + 1
-    vdir = os.path.join(table_dir, f"v{nxt:06d}")
+    nxt, vdir = _claim_version(table_dir)
     try:
-        df.write.mode("overwrite").parquet(vdir)
+        # append, not overwrite: the claimed dir is freshly empty, and
+        # overwrite would DELETE-then-recreate it — momentarily releasing
+        # the mkdir CAS so a concurrent claimant could land in the same
+        # version. Append writes part files without touching the dir.
+        df.write.mode("append").parquet(vdir)
         if audits:
             staged = df.sparkSession.read.parquet(vdir)
             for i, audit in enumerate(audits):
@@ -249,6 +298,10 @@ def versioned_write(
                     raise ValueError(
                         f"versioned-write audit #{i} failed; version {nxt} discarded"
                     )
+        # the commit stamp: written only after the data write and every
+        # audit succeeded, immediately before the repoint (ADVICE r9)
+        with open(os.path.join(vdir, _COMMIT_MARKER), "w") as f:
+            f.write(str(nxt))
     except Exception:
         shutil.rmtree(vdir, ignore_errors=True)
         raise
@@ -279,22 +332,32 @@ def read_current_version(spark, table_dir: str) -> DataFrame:
 
 def rollback_version(table_dir: str, to_version: int) -> int:
     """Execute rollback_to_snapshot at the storage layer: repoint the
-    hint at an EXISTING earlier version (one atomic file replace — no
-    data moves, which is why rollback is free in a table format). The
-    rolled-back-over versions stay on disk, still readable by explicit
-    version until ``expire_versions`` reclaims them. Returns the version
-    now current."""
+    hint at an existing, COMMITTED earlier version (one atomic file
+    replace — no data moves, which is why rollback is free in a table
+    format). Targets that exist on disk but never committed — a
+    crash-orphaned dir whose write finished but whose audits/marker
+    never ran — are REJECTED, so unaudited data can never be served as
+    current (ADVICE r9). The rolled-back-over versions stay on disk,
+    still readable by explicit version until ``expire_versions``
+    reclaims them. Returns the version now current."""
     if to_version not in _versions(table_dir):
         raise ValueError(f"version {to_version} does not exist in {table_dir!r}")
+    if to_version not in committed_versions(table_dir):
+        raise ValueError(
+            f"version {to_version} in {table_dir!r} was never committed "
+            "(no commit marker — a torn or unaudited write); refusing to serve it"
+        )
     _repoint(table_dir, to_version)
     return to_version
 
 
 def expire_versions(table_dir: str, *, keep_last: int = 2) -> list[int]:
-    """Reclaim old version directories, always keeping the CURRENT one
-    and the newest ``keep_last`` — expire_snapshots at the version grain.
-    Unreferenced crash leftovers older than the kept set go too. Returns
-    the versions removed."""
+    """Reclaim old version directories, always keeping the CURRENT one,
+    the newest ``keep_last``, and every version a tag or branch ref
+    still points at (per-ref retention — Iceberg's branch/tag-aware
+    ``expire_snapshots``) — a tagged audit snapshot survives any expiry
+    until the tag is dropped. Unreferenced crash leftovers older than
+    the kept set go too. Returns the versions removed."""
     import os
     import shutil
 
@@ -303,9 +366,151 @@ def expire_versions(table_dir: str, *, keep_last: int = 2) -> list[int]:
     keep = set(vs[-keep_last:]) if keep_last > 0 else set()
     if cur is not None:
         keep.add(cur)
+    keep.update(list_refs(table_dir).values())
     removed = []
     for v in vs:
         if v not in keep:
             shutil.rmtree(os.path.join(table_dir, f"v{v:06d}"), ignore_errors=True)
             removed.append(v)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Named refs — Iceberg branch/tag semantics over the version protocol
+# ---------------------------------------------------------------------------
+
+_REFS_DIR = "refs"
+_REF_NAME_OK = r"^[A-Za-z0-9][A-Za-z0-9._-]*$"
+
+
+def _ref_path(table_dir: str, kind: str, name: str) -> str:
+    import os
+    import re
+
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"unknown ref kind {kind!r}")
+    if not re.match(_REF_NAME_OK, name):
+        raise ValueError(f"invalid ref name {name!r}")
+    return os.path.join(table_dir, _REFS_DIR, f"{kind}.{name}")
+
+
+def _write_ref(path: str, version: int, *, exclusive: bool) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if exclusive:
+        # O_EXCL: tag creation is a CAS — two racing creators cannot both
+        # win, matching Iceberg's "tags are immutable once created"
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        return
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, path)  # atomic branch repoint
+
+
+def list_refs(table_dir: str) -> dict[str, int]:
+    """All named refs as ``{"tag.name"|"branch.name": version}``."""
+    import os
+
+    refs_dir = os.path.join(table_dir, _REFS_DIR)
+    try:
+        names = os.listdir(refs_dir)
+    except OSError:
+        return {}
+    out: dict[str, int] = {}
+    for n in names:
+        if not (n.startswith("tag.") or n.startswith("branch.")) or ".tmp." in n:
+            continue
+        try:
+            with open(os.path.join(refs_dir, n)) as f:
+                out[n] = int(f.read().strip())
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def create_tag(table_dir: str, name: str, version: int) -> int:
+    """Pin an immutable named ref at a COMMITTED version — Iceberg's
+    ``ALTER TABLE ... CREATE TAG``. Tags never move (creation is O_EXCL;
+    re-creating an existing tag raises) and ``expire_versions`` keeps
+    every tagged version alive until the tag is dropped."""
+    if version not in committed_versions(table_dir):
+        raise ValueError(
+            f"cannot tag version {version} in {table_dir!r}: not a committed version"
+        )
+    path = _ref_path(table_dir, "tag", name)
+    try:
+        _write_ref(path, version, exclusive=True)
+    except FileExistsError:
+        raise ValueError(f"tag {name!r} already exists in {table_dir!r}") from None
+    return version
+
+
+def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
+    """Create or MOVE a mutable named ref — Iceberg's branch. Defaults to
+    the current main version. Moving a branch never touches the main
+    hint, so an audit/WAP branch can roll back independently of what
+    readers of ``read_current_version`` see."""
+    import os
+
+    if version is None:
+        version = current_version(table_dir)
+        if version is None:
+            raise ValueError(f"{table_dir!r} has no committed version to branch from")
+    if version not in committed_versions(table_dir):
+        raise ValueError(
+            f"cannot branch at version {version} in {table_dir!r}: not committed"
+        )
+    _write_ref(_ref_path(table_dir, "branch", name), version, exclusive=False)
+    return version
+
+
+def rollback_branch(table_dir: str, name: str, to_version: int) -> int:
+    """Repoint an EXISTING branch at an earlier committed version without
+    moving main — the branch-scoped rollback_to_snapshot. One atomic
+    replace, same commit-marker gate as rollback_version."""
+    import os
+
+    path = _ref_path(table_dir, "branch", name)
+    if not os.path.exists(path):
+        raise ValueError(f"branch {name!r} does not exist in {table_dir!r}")
+    if to_version not in committed_versions(table_dir):
+        raise ValueError(
+            f"version {to_version} in {table_dir!r} is not a committed version"
+        )
+    _write_ref(path, to_version, exclusive=False)
+    return to_version
+
+
+def drop_ref(table_dir: str, kind: str, name: str) -> None:
+    """Remove a tag or branch; its pinned version becomes reclaimable by
+    the next ``expire_versions`` (unless otherwise kept)."""
+    import os
+
+    try:
+        os.unlink(_ref_path(table_dir, kind, name))
+    except FileNotFoundError:
+        raise ValueError(f"{kind} {name!r} does not exist in {table_dir!r}") from None
+
+
+def read_ref(spark, table_dir: str, kind: str, name: str) -> DataFrame:
+    """Read the table as pinned by a named ref — ``VERSION AS OF`` via a
+    branch/tag name. Fails loudly if the ref or its version dir is gone
+    (serving a different version silently would be wrong results)."""
+    import os
+
+    path = _ref_path(table_dir, kind, name)
+    try:
+        with open(path) as f:
+            v = int(f.read().strip())
+    except FileNotFoundError:
+        raise ValueError(f"{kind} {name!r} does not exist in {table_dir!r}") from None
+    vdir = os.path.join(table_dir, f"v{v:06d}")
+    if not os.path.isdir(vdir):
+        raise ValueError(
+            f"{kind} {name!r} points at version {v}, whose directory is missing"
+        )
+    return spark.read.parquet(vdir)

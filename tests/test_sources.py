@@ -396,25 +396,29 @@ def test_versioned_table_commit_rollback_branch_expire(spark, tmp_path):
     assert current_tag() == "c"
 
     # crash simulation: a new version dir written but hint never
-    # repointed — readers stay on the committed version
+    # repointed (and no commit marker — audits never ran) — readers stay
+    # on the committed version, and rollback REFUSES to serve the torn
+    # dir as current (ADVICE r9: unaudited data must never become
+    # current via rollback)
     frame("torn").write.mode("overwrite").parquet(os.path.join(tbl, "v000004"))
     assert current_version(tbl) == 3 and current_tag() == "c"
+    with pytest.raises(ValueError, match="never committed"):
+        rollback_version(tbl, 4)
 
     # a stale hint tmp from a dead writer is inert
     with open(os.path.join(tbl, "version-hint.text.tmp.999"), "w") as f:
         f.write("4")
     assert current_version(tbl) == 3
 
-    # expiry keeps current + newest, reclaims the rest (incl. the torn v4
-    # once it falls outside the kept window)
+    # expiry keeps current + newest, reclaims the rest
     removed = expire_versions(tbl, keep_last=2)
     assert removed == [1, 2]
     assert current_version(tbl) == 3 and current_tag() == "c"
 
     # hint pointing at a reclaimed dir must fail loudly, not serve
     # another version
-    rollback_version(tbl, 4)  # v4 exists (torn dir) — now current
-    expire_versions(tbl, keep_last=0)  # keeps only current (4)
+    expire_versions(tbl, keep_last=0)  # keeps only current (3); torn v4 goes
+    assert not os.path.isdir(os.path.join(tbl, "v000004"))
     with open(os.path.join(tbl, "version-hint.text"), "w") as f:
         f.write("2")
     with pytest.raises(ValueError, match="missing directory"):
@@ -491,3 +495,163 @@ def test_versioned_mor_upsert_and_rollback_integration(spark, tmp_path):
     assert before == {(1, "alice", 10), (2, "bob", 20), (3, "carol", 30)}
 
     assert versioned_write(appends, tbl) == 3  # branches forward past v2
+
+
+def test_versioned_write_two_concurrent_writers_distinct_versions(spark, tmp_path):
+    """The CAS claim (VERDICT r9 item 5): two writers committing to the
+    same table path CONCURRENTLY must land in distinct versions — the
+    mkdir O_EXCL claim makes computing the same next version impossible
+    — and both committed version dirs must be complete and readable.
+    The hint resolves to whichever repoint landed last (os.replace is
+    atomic), never a torn state."""
+    import threading
+
+    from spark_iceberg_jobs_spark.sources.writers import (
+        committed_versions,
+        current_version,
+        read_current_version,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "race_tbl")
+    committed: list[int] = []
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def writer(tag):
+        df = spark.createDataFrame([(1, tag)], "k int, tag string")
+        try:
+            barrier.wait(timeout=30)
+            committed.append(versioned_write(df, tbl))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    for rnd in range(3):
+        committed.clear()
+        errs.clear()
+        ts = [
+            threading.Thread(target=writer, args=(f"w{i}_{rnd}",)) for i in (1, 2)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+            assert not t.is_alive(), "versioned_write deadlocked"
+        assert not errs, errs
+        assert len(set(committed)) == 2, f"writers shared a version: {committed}"
+        assert set(committed) <= set(committed_versions(tbl))
+        assert current_version(tbl) in committed
+        # the served table is exactly ONE writer's batch, intact
+        assert read_current_version(spark, tbl).count() == 1
+
+
+def test_versioned_refs_tag_branch_lifecycle(spark, tmp_path):
+    """Named refs over the version protocol (VERDICT r9 item 7, Iceberg
+    branch/tag semantics): a tagged version SURVIVES expiry until the
+    tag drops; a branch rolls back without moving main; tags are
+    immutable (create-twice raises); refs only ever pin COMMITTED
+    versions."""
+    import os
+
+    import pytest
+
+    from spark_iceberg_jobs_spark.sources.writers import (
+        create_branch,
+        create_tag,
+        current_version,
+        drop_ref,
+        expire_versions,
+        list_refs,
+        read_ref,
+        rollback_branch,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "reft")
+
+    def frame(tag):
+        return spark.createDataFrame([(1, tag)], "k int, tag string")
+
+    for t in ("a", "b", "c", "d"):
+        versioned_write(frame(t), tbl)
+    assert current_version(tbl) == 4
+
+    # tag v1 (an audit snapshot), branch "audit" at v3
+    assert create_tag(tbl, "release-1", 1) == 1
+    assert create_branch(tbl, "audit", 3) == 3
+    assert list_refs(tbl) == {"tag.release-1": 1, "branch.audit": 3}
+    with pytest.raises(ValueError, match="already exists"):
+        create_tag(tbl, "release-1", 2)  # tags are immutable
+
+    # expiry: keep_last=1 would normally keep only {4}; the tag pins v1
+    # and the branch pins v3 — both survive, v2 goes
+    removed = expire_versions(tbl, keep_last=1)
+    assert removed == [2]
+    assert read_ref(spark, tbl, "tag", "release-1").collect()[0].tag == "a"
+    assert read_ref(spark, tbl, "branch", "audit").collect()[0].tag == "c"
+
+    # branch rollback: audit moves 3 → 1 while MAIN stays at 4
+    assert rollback_branch(tbl, "audit", 1) == 1
+    assert read_ref(spark, tbl, "branch", "audit").collect()[0].tag == "a"
+    assert current_version(tbl) == 4
+
+    # refs gate on the commit marker: a torn dir cannot be tagged or
+    # branched (same rule as rollback_version)
+    frame("torn").write.mode("overwrite").parquet(os.path.join(tbl, "v000009"))
+    with pytest.raises(ValueError, match="not a committed version"):
+        create_tag(tbl, "bad", 9)
+    with pytest.raises(ValueError, match="not committed"):
+        create_branch(tbl, "bad", 9)
+    with pytest.raises(ValueError, match="not a committed version"):
+        rollback_branch(tbl, "audit", 9)
+
+    # default branch point = current main
+    assert create_branch(tbl, "wip") == 4
+
+    # v3 was released the moment audit moved off it; dropping the tag and
+    # the audit branch releases v1 too — the next expiry reclaims both
+    # (the torn v9 orphan survives only as the newest version)
+    drop_ref(tbl, "tag", "release-1")
+    with pytest.raises(ValueError, match="does not exist"):
+        drop_ref(tbl, "tag", "release-1")
+    drop_ref(tbl, "branch", "audit")
+    removed = expire_versions(tbl, keep_last=1)
+    assert removed == [1, 3]  # v9 kept: it is the newest (keep_last=1)
+
+    # a ref whose version dir was reclaimed out from under it (hand-built
+    # here) must fail loudly on read, never serve another version
+    with open(os.path.join(tbl, "refs", "branch.stale"), "w") as f:
+        f.write("3")
+    with pytest.raises(ValueError, match="directory is missing"):
+        read_ref(spark, tbl, "branch", "stale")
+
+
+def test_rollback_accepts_committed_but_unreferenced_version(spark, tmp_path):
+    """A crash BETWEEN the commit marker and the repoint leaves a
+    committed-but-never-current version; it passed its audits, so
+    rollback (roll-FORWARD here) may serve it — the marker, not hint
+    history, is the gate."""
+    import os
+    import shutil
+
+    from spark_iceberg_jobs_spark.sources.writers import (
+        current_version,
+        read_current_version,
+        rollback_version,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "fwd")
+    versioned_write(spark.createDataFrame([(1, "base")], "k int, tag string"), tbl)
+
+    # simulate marker-then-crash: commit v2 normally, then rewind the
+    # hint file to v1 (as if the repoint never happened)
+    versioned_write(spark.createDataFrame([(2, "next")], "k int, tag string"), tbl)
+    hint = os.path.join(tbl, "version-hint.text")
+    with open(hint + ".t", "w") as f:
+        f.write("1")
+    shutil.move(hint + ".t", hint)
+    assert current_version(tbl) == 1
+
+    assert rollback_version(tbl, 2) == 2  # marker present → servable
+    assert read_current_version(spark, tbl).collect()[0].tag == "next"
