@@ -103,85 +103,92 @@ class QuerySpec:
 #       CDF view; maintenance_rollback_plan; maintenance_partition_
 #       evolution) + the remaining 22 r3-stale entries (frozen-artifact
 #       truth; the r8 comments' "21"/"23" counts were both wrong —
-#       ADVICE r8 item 4) + the 21 oldest r4-stale entries, alphabetical
+#       ADVICE r8 item 4) + the 20 oldest r4-stale entries, alphabetical
 #       within each round (the 3 extra new entries displaced the newest
-#       three r4 slots, which lead r10's refresh tier).
+#       three r4 slots, which lead r10's refresh tier). 50/50 green
+#       (CORRECTNESS_r09).
+#   r10 window (staleness frozen at r01–r09): keeps + plan-changed
+#       (mv_incremental_refresh — the base partials are now a PUBLISHED
+#       artifact and the warm delta scan carries a pushed snapshot-
+#       boundary predicate, VERDICT r9 item 1) + 1 new entry
+#       (cdc_changelog_rows, the per-key pre/post-image CDF view,
+#       VERDICT r9 item 6) + the REMAINING r4-stale entries + the
+#       alphabetically-oldest r5-stale entries to fill. Tier COUNTS are
+#       deliberately not written here: three consecutive rounds of
+#       hand-written counts drifted from the lists (VERDICT r9 item 3),
+#       so test_driver_window_r10_policy now computes every tier's
+#       expected membership from the frozen r01–r09 artifacts and
+#       asserts the lists below match — the artifacts own the numbers.
 DRIVER_WINDOW = 50
 
-_R9_PERMANENT_KEEPS = [
-    "flagship_revenue_topk",  # README.md:17 headline; r1..r8 green
+_R10_PERMANENT_KEEPS = [
+    "flagship_revenue_topk",  # README.md:17 headline; r1..r9 green
     "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
 ]
 
-_R9_CHANGED = [
-    # the delta batch is now derived from incremental_append_scan over
-    # the shared commit-log model (snapshot range (max-90d, max]) with a
-    # broadcast semi-join file read, replacing the o_orderkey % 10
-    # split — same output, different plan, so it rides per policy.
+_R10_CHANGED = [
+    # r10: base partials served from a published fingerprint-keyed
+    # artifact; the warm delta read pushes the snapshot boundary into
+    # the parquet scan — same output, different plan, so it rides.
     "mv_incremental_refresh",
-    # r9 money-determinism catch: its total_value was the registry's
-    # LAST raw round(sum(double)) on a money column, now an exact
-    # DECIMAL sum (same class the r5 conversion missed in the streaming
-    # twins, found r8) — aggregation arithmetic changed, so it rides.
-    "cdc_merge_latest",
 ]
 
-_R9_NEW = [
+_R10_NEW = [
     # never driver-scored, must ride per Invariant 1
-    "maintenance_incremental_scan",  # incremental snapshot-range (CDF) read
-    "cdc_changelog_diff",  # row-level insert/update/delete CDF view
-    "maintenance_rollback_plan",  # rollback_to_snapshot file-set delta
-    "maintenance_partition_evolution",  # per-spec pruning after spec evolution
+    "cdc_changelog_rows",  # per-key pre/post-image CDF view (top-k keys)
 ]
 
-_R9_STALE_REFRESH = [
-    # all 22 entries whose last driver verdict is round 3 (alphabetical;
-    # led by the six the r8 new/changed tiers displaced)
-    "events_top_purchasers",
-    "events_tumbling_hourly",
-    "mixture_temperature_weights",
-    "multimodal_audio_decode",
-    "multimodal_image_decode",
-    "pipeline_corpus_curation",
-    "q11_important_stock",
-    "q12_shipping_delay_classes",
-    "q13_customer_order_distribution",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_concentrated_shippers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "streaming_dedup_redelivery",
-    "text_tfidf_top_terms",
-    # the 20 oldest r4-scored entries (alphabetical; r4 has 41 — the
-    # remaining 21, led by the slots the r9 new/changed entries
-    # displaced, lead the r10 refresh tier)
-    "audit_provenance_fingerprint",
-    "basket_part_pairs",
-    "decontaminate_bloom_prefilter",
-    "decontaminate_semantic",
-    "dedup_cascade_waterfall",
-    "dedup_cluster_keep_best",
-    "dedup_embedding_cosine_bucketed_auto",
-    "dedup_repeated_substrings",
-    "dedup_semantic",
-    "dedup_tfidf_cosine",
-    "events_funnel",
-    "events_hll_distinct_users",
-    "events_rolling_distinct_hll",
-    "grouping_sets_order_stats",
-    "integrity_fk_orphans",
-    "integrity_id_continuity",
-    "ml_logreg_calibration",
-    "ml_logreg_crossval",
-    "ml_logreg_language",
-    "ml_ols_price_model",
+_R10_STALE_REFRESH = [
+    # every entry whose last driver verdict is round 4 (alphabetical;
+    # membership asserted from the frozen artifacts by the policy test)
+    "multimodal_image_resize",
+    "pipeline_pretraining_corpus",
+    "pipeline_rag_retrieval",
+    "pivot_revenue_by_priority",
+    "quality_rule_violations",
+    "report_dataset_card",
+    "scd2_customer_priority",
+    "sim_ann_recall_ivf",
+    "sim_ivf_kmeans_topk",
+    "sim_ivfpq_adc_topk",
+    "sim_pq_adc_topk",
+    "sketch_cms_heavy_hitters",
+    "sketch_histogram_median",
+    "sketch_kmv_user_overlap",
+    "streaming_hll_daily_users",
+    "text_bpe_merges",
+    "text_heaps_law",
+    "text_unigram_logprob",
+    "text_zipf_slope",
+    "timeseries_gap_filled_monthly",
+    "window_analytics_showcase",
+    # the alphabetically-oldest r5-stale entries, filling the window
+    # (the remainder leads r11's refresh tier)
+    "approx_percentiles_quality",
+    "aqp_sample_estimate_revenue",
+    "customer_rfm_segments",
+    "dedup_source_flows",
+    "drift_ks_length",
+    "embedding_dim_stats",
+    "embedding_outliers",
+    "events_attribution_last_touch",
+    "events_attribution_u_shaped",
+    "events_conversion_latency",
+    "events_hourly_anomalies",
+    "events_interarrival_stats",
+    "events_ohlc_hourly",
+    "events_time_weighted_value",
+    "graph_dup_triangles",
+    "grouped_trend_by_nation",
+    "join_full_outer_nation_activity",
+    "join_null_safe_segments",
+    "lateral_top_order_per_customer",
+    "mine_hard_negatives",
+    "nation_trade_corridors",
+    "orders_backlog_aging",
+    "page_orders_keyset",
+    "part_price_dispersion",
+    "part_substitutes",
 ]
 
 
@@ -197,7 +204,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R9_PERMANENT_KEEPS + _R9_CHANGED + _R9_NEW + _R9_STALE_REFRESH
+    head = _R10_PERMANENT_KEEPS + _R10_CHANGED + _R10_NEW + _R10_STALE_REFRESH
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

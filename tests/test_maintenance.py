@@ -641,35 +641,89 @@ def test_mv_merge_partials_union_not_join(spark):
     }
 
 
-def test_mv_refresh_delta_derived_from_snapshot_range(spark, monkeypatch):
+def test_mv_refresh_delta_derived_from_snapshot_range(spark, tmp_path):
     """End-to-end on a planted log: the delta batch is DERIVED from the
     incremental scan of (max_dt - 90d, max_dt] — 2023-12 straddles the
     snapshot (12-01 in base, 12-25 in delta) and 2024-01..03 exist ONLY
     in the delta. The merged MV must equal the full recompute. WRONG
     RULES KILLED: a merge that drops either side's exclusive months, and
     a delta that re-reads rewritten (compacted) files — the delta read
-    consumes exactly the scan's appended-file list."""
+    consumes exactly the scan's appended-file list. The planted log is a
+    real parquet fixture dir (r10: the base partials run the full
+    artifact lifecycle, which fingerprints the source files on disk)."""
     import spark_iceberg_jobs_spark.queries.maintenance as m
 
     rows = [
-        (datetime.date(2023, 10, 1), 1.00),
-        (datetime.date(2023, 10, 15), 2.00),
-        (datetime.date(2023, 12, 1), 32.00),   # base side of the straddle
-        (datetime.date(2023, 12, 25), 64.00),  # delta side (within 90d)
-        (datetime.date(2024, 1, 1), 4.00),
-        (datetime.date(2024, 2, 20), 8.00),
-        (datetime.date(2024, 3, 5), 16.00),    # max_dt -> lo_dt = 2023-12-06
+        (datetime.datetime(2023, 10, 1), 1.00),
+        (datetime.datetime(2023, 10, 15), 2.00),
+        (datetime.datetime(2023, 12, 1), 32.00),   # base side of the straddle
+        (datetime.datetime(2023, 12, 25), 64.00),  # delta side (within 90d)
+        (datetime.datetime(2024, 1, 1), 4.00),
+        (datetime.datetime(2024, 2, 20), 8.00),
+        (datetime.datetime(2024, 3, 5), 16.00),    # max_dt -> lo_dt = 2023-12-06
     ]
-    orders = spark.createDataFrame(rows, "o_orderdate date, o_totalprice double")
-    monkeypatch.setattr(m, "read_fixture", lambda s, sf, t: orders)
-    got = [tuple(r) for r in m.mv_incremental_refresh(spark, "x").collect()]
-    assert got == [
+    orders = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    orders.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    want = [
         ("2023-10", 2, 3.0),
         ("2023-12", 2, 96.0),
         ("2024-01", 1, 4.0),
         ("2024-02", 1, 8.0),
         ("2024-03", 1, 16.0),
     ]
+    # run TWICE: cold (builds + publishes the base-partials artifact) and
+    # warm (serves the stored partials) must agree exactly
+    for _ in range(2):
+        got = [tuple(r) for r in m.mv_incremental_refresh(spark, str(tmp_path)).collect()]
+        assert got == want
+
+
+def test_mv_base_partials_artifact_and_pruned_warm_refresh(spark):
+    """VERDICT r9 item 1 (the one measured data-grain scale tail): the
+    warm refresh must serve the base partials from the PUBLISHED
+    artifact and scan ZERO pre-snapshot orders rows. Plan pins on the
+    warm run's executed plan:
+
+    - a scan over the mv_base_ artifact appears (the stored partials);
+    - the ONLY orders scan that reads fact payload (o_totalprice) caps
+      its read at the snapshot boundary via a pushed-down
+      ``o_orderdate >=`` literal — pre-snapshot rows never leave parquet;
+    - the remaining orders scans are the commit-log model's day-grain
+      metadata walk: single-column (o_orderdate only), never payload.
+    """
+    import spark_iceberg_jobs_spark.queries.maintenance as m
+
+    sf = "/root/testdata/sf0.001"
+    m.mv_incremental_refresh(spark, sf).collect()  # cold: build + publish
+    warm = m.mv_incremental_refresh(spark, sf)
+    warm.collect()
+    plan = warm._jdf.queryExecution().executedPlan().toString()
+
+    assert "/tmp/mv_base_" in plan, "warm refresh must read the published partials"
+    fact_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+        and "orders.parquet" in ln
+        and "o_totalprice" in ln.split("FileScan parquet", 1)[1].split("]", 1)[0]
+    ]
+    assert fact_scans, "the delta read must scan the orders fact"
+    for ln in fact_scans:
+        assert "o_orderdate#" in ln and ">=" in ln, (
+            f"fact scan missing the pushed snapshot-boundary filter: {ln[:200]}"
+        )
+    meta_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+        and "orders.parquet" in ln
+        and ln not in fact_scans
+    ]
+    for ln in meta_scans:
+        cols = ln.split("FileScan parquet", 1)[1].split("]", 1)[0]
+        assert "o_totalprice" not in cols and "o_custkey" not in cols, (
+            f"metadata walk must stay single-column: {ln[:200]}"
+        )
 
 
 def test_scd2_two_changes_in_same_timestamp(spark, monkeypatch):
