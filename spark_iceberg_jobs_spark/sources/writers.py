@@ -240,7 +240,11 @@ def committed_versions(table_dir: str) -> list[int]:
 
 
 def versioned_write(
-    df: DataFrame, table_dir: str, *, audits: list | None = None
+    df: DataFrame,
+    table_dir: str,
+    *,
+    audits: list | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` as the table's next immutable version — Iceberg
     HadoopTables' ``version-hint.text`` protocol on the parquet fallback,
@@ -275,7 +279,14 @@ def versioned_write(
     ``os.replace`` already makes atomic (concurrent committers resolve
     to whichever repoint lands last — a real catalog turns that into a
     conditional CAS commit and retries the loser). Returns the committed
-    version number."""
+    version number.
+
+    ``branch``: commit onto a NAMED BRANCH instead of main — Iceberg's
+    ``spark.wap.branch`` staging flow: the version commits (marker and
+    all) and the branch ref moves to it, but MAIN'S hint never moves, so
+    readers of ``read_current_version`` see nothing until
+    ``fast_forward(table_dir, branch)`` publishes the branch head.
+    Post-hoc audits run against ``read_ref(..., "branch", branch)``."""
     import os
     import shutil
 
@@ -305,7 +316,10 @@ def versioned_write(
     except Exception:
         shutil.rmtree(vdir, ignore_errors=True)
         raise
-    _repoint(table_dir, nxt)
+    if branch is None:
+        _repoint(table_dir, nxt)
+    else:
+        _write_ref(_ref_path(table_dir, "branch", branch), nxt, exclusive=False)
     return nxt
 
 
@@ -494,6 +508,102 @@ def drop_ref(table_dir: str, kind: str, name: str) -> None:
         os.unlink(_ref_path(table_dir, kind, name))
     except FileNotFoundError:
         raise ValueError(f"{kind} {name!r} does not exist in {table_dir!r}") from None
+
+
+def fast_forward(table_dir: str, branch: str) -> int:
+    """Iceberg's ``fast_forward`` procedure on the version protocol:
+    repoint MAIN at the version a branch has advanced (or rolled) to —
+    the publish step of branch-scoped WAP, where a batch commits on an
+    audit branch, audits run against the branch read, and main adopts
+    the branch head only after they pass. One atomic hint replace; the
+    branch ref itself is untouched."""
+    import os
+
+    path = _ref_path(table_dir, "branch", branch)
+    try:
+        with open(path) as f:
+            v = int(f.read().strip())
+    except FileNotFoundError:
+        raise ValueError(f"branch {branch!r} does not exist in {table_dir!r}") from None
+    if v not in committed_versions(table_dir):
+        raise ValueError(
+            f"branch {branch!r} points at uncommitted version {v}; refusing"
+        )
+    _repoint(table_dir, v)
+    return v
+
+
+def version_history(spark, table_dir: str) -> DataFrame:
+    """The table's commit history as a DataFrame — Iceberg's
+    ``table.snapshots`` / ``table.history`` metadata tables on the
+    fallback: one row per version directory with its commit status,
+    currency, file count, and byte size. Driver-side directory walk
+    (bounded by the version count — metadata, not data), then a local
+    relation; a real format serves this from the metadata log without
+    listing anything."""
+    import os
+
+    cur = current_version(table_dir)
+    rows = []
+    for v in _versions(table_dir):
+        vdir = os.path.join(table_dir, f"v{v:06d}")
+        n_files = 0
+        n_bytes = 0
+        for root, _dirs, files in os.walk(vdir):
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue  # markers/CRCs are protocol, not data
+                n_files += 1
+                try:
+                    n_bytes += os.stat(os.path.join(root, name)).st_size
+                except OSError:
+                    continue
+        rows.append(
+            (
+                v,
+                os.path.exists(os.path.join(vdir, _COMMIT_MARKER)),
+                v == cur,
+                n_files,
+                n_bytes,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, committed boolean, is_current boolean, "
+        "n_data_files long, data_bytes long",
+    )
+
+
+def changelog_between_versions(
+    spark, table_dir: str, v_from: int, v_to: int
+) -> DataFrame:
+    """EXECUTED row-level changelog between two committed versions — the
+    storage-layer twin of the cdc_changelog_* queries' planning model:
+    rows present at ``v_to`` but not ``v_from`` emit ``insert``, the
+    reverse emit ``delete`` (an updated row is a delete + insert pair,
+    exactly Delta CDF's representation without column-mapping). Multiset
+    semantics via ``exceptAll``: k extra copies of a duplicate row emit
+    k changelog rows.
+
+    Scale: each side is one scan + the exceptAll hash aggregate — the
+    honest cost of diffing two snapshots WITHOUT manifest metadata. A
+    real table format walks the manifest delta instead (what
+    maintenance_incremental_scan models at file grain); this verb exists
+    for the fallback's artifact-scale tables, where two bounded scans
+    beat maintaining row lineage."""
+    import os
+
+    committed = committed_versions(table_dir)
+    for v in (v_from, v_to):
+        if v not in committed:
+            raise ValueError(f"version {v} in {table_dir!r} is not committed")
+    rd = lambda v: spark.read.parquet(os.path.join(table_dir, f"v{v:06d}"))  # noqa: E731
+    from pyspark.sql import functions as F
+
+    frm, to = rd(v_from), rd(v_to)
+    ins = to.exceptAll(frm).withColumn("_change_type", F.lit("insert"))
+    dels = frm.exceptAll(to).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels)
 
 
 def read_ref(spark, table_dir: str, kind: str, name: str) -> DataFrame:

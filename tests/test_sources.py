@@ -655,3 +655,120 @@ def test_rollback_accepts_committed_but_unreferenced_version(spark, tmp_path):
 
     assert rollback_version(tbl, 2) == 2  # marker present → servable
     assert read_current_version(spark, tbl).collect()[0].tag == "next"
+
+
+def test_branch_wap_flow_and_fast_forward(spark, tmp_path):
+    """Branch-scoped WAP (Iceberg's spark.wap.branch): a batch commits on
+    the 'audit' branch — version dir + commit marker land, the branch ref
+    moves — while MAIN's readers see nothing; audits run against the
+    branch read; fast_forward publishes the branch head to main in one
+    atomic hint replace. A second fast_forward of a missing branch, and
+    of a hand-torn branch ref, both fail loudly."""
+    import os
+
+    import pytest
+
+    from spark_iceberg_jobs_spark.sources.writers import (
+        current_version,
+        fast_forward,
+        read_current_version,
+        read_ref,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "wapb")
+    versioned_write(spark.createDataFrame([(1, "live")], "k int, tag string"), tbl)
+    assert current_version(tbl) == 1
+
+    # stage on the branch: main must not move
+    staged = spark.createDataFrame([(2, "staged")], "k int, tag string")
+    v = versioned_write(staged, tbl, branch="audit")
+    assert v == 2
+    assert current_version(tbl) == 1, "main must not see the branch commit"
+    assert read_current_version(spark, tbl).collect()[0].tag == "live"
+
+    # audit against the BRANCH read (what was written is what is audited)
+    branch_df = read_ref(spark, tbl, "branch", "audit")
+    assert branch_df.collect()[0].tag == "staged"
+
+    # publish: main adopts the branch head
+    assert fast_forward(tbl, "audit") == 2
+    assert current_version(tbl) == 2
+    assert read_current_version(spark, tbl).collect()[0].tag == "staged"
+
+    with pytest.raises(ValueError, match="does not exist"):
+        fast_forward(tbl, "nope")
+    # a branch ref pointing at an uncommitted version must not publish
+    with open(os.path.join(tbl, "refs", "branch.torn"), "w") as f:
+        f.write("9")
+    os.mkdir(os.path.join(tbl, "v000009"))  # claimed, never committed
+    with pytest.raises(ValueError, match="uncommitted"):
+        fast_forward(tbl, "torn")
+
+
+def test_version_history_metadata_table(spark, tmp_path):
+    """version_history = the snapshots/history metadata table: one row
+    per version dir with commit status, currency, and data-file stats;
+    protocol files (_VERSION_COMMITTED, _SUCCESS, CRCs) never count as
+    data files."""
+    import os
+
+    from spark_iceberg_jobs_spark.sources.writers import (
+        rollback_version,
+        version_history,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "hist")
+    versioned_write(spark.createDataFrame([(1,)], "k int"), tbl)
+    versioned_write(spark.createDataFrame([(2,), (3,)], "k int"), tbl)
+    os.mkdir(os.path.join(tbl, "v000003"))  # torn claim: never committed
+    rollback_version(tbl, 1)
+
+    h = {r.version: r for r in version_history(spark, tbl).collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1].committed and h[1].is_current
+    assert h[2].committed and not h[2].is_current
+    assert not h[3].committed and not h[3].is_current
+    assert h[1].n_data_files >= 1 and h[1].data_bytes > 0
+    assert h[3].n_data_files == 0 and h[3].data_bytes == 0
+
+
+def test_changelog_between_versions_multiset(spark, tmp_path):
+    """Executed row-level CDF between two committed versions: an update
+    is a delete+insert pair, duplicates diff with MULTISET semantics
+    (one extra copy -> one changelog row), and uncommitted endpoints are
+    rejected."""
+    import os
+
+    import pytest
+
+    from spark_iceberg_jobs_spark.sources.writers import (
+        changelog_between_versions,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "cdf")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "c")], "k int, val string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "C"), (4, "d")], "k int, val string"
+    )
+    versioned_write(v1, tbl)
+    versioned_write(v2, tbl)
+
+    ch = sorted(
+        (r.k, r.val, r._change_type)
+        for r in changelog_between_versions(spark, tbl, 1, 2).collect()
+    )
+    assert ch == [
+        (2, "b", "delete"),   # one of the two duplicate copies went away
+        (3, "C", "insert"),   # the update pair...
+        (3, "c", "delete"),
+        (4, "d", "insert"),
+    ]
+
+    os.mkdir(os.path.join(tbl, "v000007"))
+    with pytest.raises(ValueError, match="not committed"):
+        changelog_between_versions(spark, tbl, 1, 7)
