@@ -400,6 +400,10 @@ def probes():
         # struct-MAX partials — the tier's only data-sized r9 stage;
         # build_events grows users x{scale} with history preserved
         "changelog_diff": _maintenance_probe("cdc_changelog_diff", build_events),
+        # r10 row-grain variant: same one-shuffle states kernel + a
+        # TakeOrderedAndProject top-k (per-partition heads + k-row driver
+        # merge) — expected to track changelog_diff point for point
+        "changelog_rows": _maintenance_probe("cdc_changelog_rows", build_events),
     }
 
 
@@ -503,6 +507,7 @@ def main() -> int:
         "partition_evolution",
         "mv_refresh",
         "changelog_diff",
+        "changelog_rows",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
