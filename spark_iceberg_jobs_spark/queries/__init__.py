@@ -134,8 +134,10 @@ _R10_CHANGED = [
 ]
 
 _R10_NEW = [
-    # never driver-scored, must ride per Invariant 1
+    # never driver-scored, must ride per Invariant 1 (each addition
+    # displaces the newest stale slot, per the documented policy)
     "cdc_changelog_rows",  # per-key pre/post-image CDF view (top-k keys)
+    "maintenance_delete_plan",  # metadata-delete vs COW rewrite classification
 ]
 
 _R10_STALE_REFRESH = [
@@ -188,7 +190,6 @@ _R10_STALE_REFRESH = [
     "orders_backlog_aging",
     "page_orders_keyset",
     "part_price_dispersion",
-    "part_substitutes",
 ]
 
 

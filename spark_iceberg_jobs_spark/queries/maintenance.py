@@ -1702,6 +1702,196 @@ ORDER BY part_year
 
 
 # ---------------------------------------------------------------------------
+# maintenance_delete_plan
+# ---------------------------------------------------------------------------
+
+#: DELETE predicate for the registry query, corpus-relative: everything at
+#: or before (newest commit - 200 days). 200 lands mid-corpus and (for any
+#: corpus not aligned to month boundaries) mid-month, so all three
+#: classifications materialize: fully-covered monthly rewrites drop by
+#: metadata, the straddling month rewrites, newer files stay untouched.
+_DELETE_AGE_DAYS = 200
+
+
+def delete_plan_classify(daily: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Row-level DELETE planning kernel — Iceberg's metadata-delete vs
+    copy-on-write classification over the shared commit-log model, for
+    ``DELETE WHERE dt <= del_dt`` (``bounds``: 1-row (del_dt)). The LIVE
+    file set follows the time-travel model: compacted months (sup_dt
+    non-null) serve ONE monthly rewrite file spanning the month's
+    observed days; the never-compacted tail months serve their dailies.
+
+    Per live file:
+
+    - **metadata drop** — the predicate covers the whole file, so the
+      DELETE is one manifest edit, no data rewritten: a monthly file
+      whose OBSERVED last day ``last_dt <= del_dt``, or a daily file with
+      ``dt <= del_dt`` (dailies are atomic at day grain).
+    - **rewrite** — the predicate covers part of the file (only the
+      straddling monthly file can do this): the file is rewritten
+      without its ``rows_deleted`` matching rows, keeping ``rows_kept``.
+    - **untouched** — no row matches.
+
+    The plausible wrong rule — classifying the monthly file by its
+    CALENDAR month end instead of its observed ``last_dt`` — turns a
+    sparse month whose data ends before the cutoff into a spurious
+    rewrite; the planted test kills it.
+
+    Scale: pure manifest math — month-grain metadata after _daily_files'
+    first aggregate, one 1-row broadcast; under Iceberg this is the
+    planner intersecting the predicate with per-file column bounds."""
+    from pyspark.sql.window import Window
+
+    per_mon = daily.groupBy("month").agg(
+        F.count("*").alias("n_days"),
+        F.sum("file_bytes").alias("mon_bytes"),
+        F.min("dt").alias("first_dt"),
+        F.max("dt").alias("last_dt"),
+    )
+    w = Window.orderBy(F.desc("month")).rowsBetween(Window.unboundedPreceding, -1)
+    mons = per_mon.withColumn("sup_dt", F.min("first_dt").over(w))
+    upto = (
+        daily.crossJoin(F.broadcast(bounds))
+        .filter(F.col("dt") <= F.col("del_dt"))
+        .groupBy("month")
+        .agg(F.count("*").alias("n_upto"), F.sum("file_bytes").alias("bytes_upto"))
+    )
+    compacted = F.col("sup_dt").isNotNull()
+    full = compacted & (F.col("last_dt") <= F.col("del_dt"))
+    straddle = (
+        compacted & (F.col("first_dt") <= F.col("del_dt")) & (F.col("last_dt") > F.col("del_dt"))
+    )
+    b_upto = F.coalesce("bytes_upto", F.lit(0))
+    n_upto = F.coalesce("n_upto", F.lit(0))
+    return (
+        mons.join(upto, "month", "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "month",
+            F.when(full, F.lit(1))
+            .when(~compacted, n_upto)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.when(full, F.col("mon_bytes"))
+            .when(~compacted, b_upto)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bytes_dropped"),
+            F.when(straddle, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("n_rewritten"),
+            F.when(straddle, b_upto / _ROW_BYTES)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rows_deleted"),
+            F.when(straddle, (F.col("mon_bytes") - b_upto) / _ROW_BYTES)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rows_kept"),
+            F.when(compacted & (F.col("first_dt") > F.col("del_dt")), F.lit(1))
+            .when(~compacted, F.col("n_days") - n_upto)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_untouched"),
+        )
+    )
+
+
+def maintenance_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE plan — what Spark's ``DELETE FROM t WHERE dt <=
+    cutoff`` does on an Iceberg table before touching any data: files the
+    predicate FULLY covers drop by metadata commit (manifest edit, zero
+    bytes rewritten), the straddling file is rewritten copy-on-write
+    without its matching rows, everything newer is untouched. Per year:
+    files/bytes dropped by metadata, files rewritten with their
+    deleted/kept row counts, files untouched — the report an operator
+    reads to see whether a retention DELETE is a metadata flick or a
+    rewrite storm.
+
+    Scale: commit-log-grain metadata after _daily_files' first aggregate,
+    like the rest of the lifecycle tier."""
+    daily = _daily_files(spark, sf_dir)
+    bounds = daily.agg(F.max("dt").alias("max_dt")).select(
+        F.date_sub("max_dt", _DELETE_AGE_DAYS).alias("del_dt")
+    )
+    cls = delete_plan_classify(daily, bounds)
+    return (
+        cls.groupBy(F.substring("month", 1, 4).cast("long").alias("part_year"))
+        .agg(
+            F.sum("n_dropped").cast("long").alias("n_files_dropped"),
+            F.sum("bytes_dropped").cast("long").alias("bytes_dropped"),
+            F.sum("n_rewritten").cast("long").alias("n_files_rewritten"),
+            F.sum("rows_deleted").cast("long").alias("rows_deleted"),
+            F.sum("rows_kept").cast("long").alias("rows_kept"),
+            F.sum("n_untouched").cast("long").alias("n_files_untouched"),
+        )
+        .orderBy("part_year")
+    )
+
+
+DELETE_PLAN_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS dt,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) * {_ROW_BYTES} AS BIGINT) AS file_bytes
+    FROM orders
+    GROUP BY 1, 2
+), scal AS (
+    SELECT MAX(dt) - {_DELETE_AGE_DAYS} AS del_dt FROM daily
+), per_mon AS (
+    SELECT month, COUNT(*) AS n_days,
+           CAST(SUM(file_bytes) AS BIGINT) AS mon_bytes,
+           MIN(dt) AS first_dt, MAX(dt) AS last_dt
+    FROM daily GROUP BY month
+), mons AS (
+    SELECT *, MIN(first_dt) OVER (ORDER BY month DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS sup_dt
+    FROM per_mon
+), upto AS (
+    SELECT month, COUNT(*) AS n_upto,
+           CAST(SUM(file_bytes) AS BIGINT) AS bytes_upto
+    FROM daily CROSS JOIN scal
+    WHERE dt <= del_dt
+    GROUP BY month
+), cls AS (
+    SELECT m.month,
+           CASE WHEN m.sup_dt IS NOT NULL AND m.last_dt <= k.del_dt THEN 1
+                WHEN m.sup_dt IS NULL THEN COALESCE(u.n_upto, 0)
+                ELSE 0 END AS n_dropped,
+           CASE WHEN m.sup_dt IS NOT NULL AND m.last_dt <= k.del_dt THEN m.mon_bytes
+                WHEN m.sup_dt IS NULL THEN COALESCE(u.bytes_upto, 0)
+                ELSE 0 END AS bytes_dropped,
+           CASE WHEN m.sup_dt IS NOT NULL AND m.first_dt <= k.del_dt
+                     AND m.last_dt > k.del_dt THEN 1 ELSE 0 END AS n_rewritten,
+           CASE WHEN m.sup_dt IS NOT NULL AND m.first_dt <= k.del_dt
+                     AND m.last_dt > k.del_dt
+                THEN COALESCE(u.bytes_upto, 0) // {_ROW_BYTES} ELSE 0
+           END AS rows_deleted,
+           CASE WHEN m.sup_dt IS NOT NULL AND m.first_dt <= k.del_dt
+                     AND m.last_dt > k.del_dt
+                THEN (m.mon_bytes - COALESCE(u.bytes_upto, 0)) // {_ROW_BYTES}
+                ELSE 0 END AS rows_kept,
+           CASE WHEN m.sup_dt IS NOT NULL AND m.first_dt > k.del_dt THEN 1
+                WHEN m.sup_dt IS NULL THEN m.n_days - COALESCE(u.n_upto, 0)
+                ELSE 0 END AS n_untouched
+    FROM mons m
+    LEFT JOIN upto u USING (month)
+    CROSS JOIN scal k
+)
+SELECT CAST(SUBSTR(month, 1, 4) AS BIGINT) AS part_year,
+       CAST(SUM(n_dropped) AS BIGINT) AS n_files_dropped,
+       CAST(SUM(bytes_dropped) AS BIGINT) AS bytes_dropped,
+       CAST(SUM(n_rewritten) AS BIGINT) AS n_files_rewritten,
+       CAST(SUM(rows_deleted) AS BIGINT) AS rows_deleted,
+       CAST(SUM(rows_kept) AS BIGINT) AS rows_kept,
+       CAST(SUM(n_untouched) AS BIGINT) AS n_files_untouched
+FROM cls
+GROUP BY 1
+ORDER BY part_year
+"""
+
+
+# ---------------------------------------------------------------------------
 # mv_incremental_refresh
 # ---------------------------------------------------------------------------
 
@@ -1971,6 +2161,8 @@ QUERIES: dict[str, QuerySpec] = {
     "maintenance_rollback_plan": QuerySpec(
         maintenance_rollback_plan, ROLLBACK_PLAN_ORACLE
     ),
+    # metadata-delete vs copy-on-write classification for a row DELETE (r10)
+    "maintenance_delete_plan": QuerySpec(maintenance_delete_plan, DELETE_PLAN_ORACLE),
     "maintenance_partition_evolution": QuerySpec(
         maintenance_partition_evolution, PARTITION_EVOLUTION_ORACLE
     ),

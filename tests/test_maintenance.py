@@ -955,3 +955,73 @@ def test_partition_evolution_old_spec_prunes_at_month_grain(spark):
         (1, dt.date(2024, 2, 25)): (True, False),
         (1, dt.date(2024, 3, 10)): (False, False),
     }
+
+
+def test_delete_plan_observed_bounds_not_calendar_and_daily_atomicity(spark):
+    """Planted commit log for the DELETE classifier (r10). WRONG RULES
+    KILLED: (a) classifying the monthly rewrite file by its CALENDAR
+    month end instead of its OBSERVED last day — 2024-01's data ends
+    Jan 8, so a Jan 20 cutoff fully covers the file (metadata drop); the
+    calendar rule (last_day(Jan)=Jan 31 > Jan 20) would misclassify it
+    as a rewrite; (b) rewriting DAILY files the cutoff splits mid-month
+    — dailies are atomic at day grain (drop or keep, never rewrite).
+
+    Log: Dec/Jan/Feb compacted (monthly files; sup_dt = first commit of
+    a later month), Mar never compacted (dailies live)."""
+    import spark_iceberg_jobs_spark.queries.maintenance as m
+
+    days = [
+        ("2023-12-05", 10), ("2023-12-28", 20),
+        ("2024-01-05", 1), ("2024-01-08", 2),      # sparse: ends Jan 8
+        ("2024-02-01", 4), ("2024-02-20", 8),
+        ("2024-03-01", 16), ("2024-03-10", 32), ("2024-03-30", 64),
+    ]
+    daily = spark.createDataFrame(
+        [
+            (datetime.date.fromisoformat(d), d[:7], n * 128)
+            for d, n in days
+        ],
+        "dt date, month string, file_bytes long",
+    )
+
+    def classify(cutoff):
+        bounds = spark.createDataFrame(
+            [(datetime.date.fromisoformat(cutoff),)], "del_dt date"
+        )
+        return {
+            r.month: (
+                r.n_dropped, r.bytes_dropped, r.n_rewritten,
+                r.rows_deleted, r.rows_kept, r.n_untouched,
+            )
+            for r in m.delete_plan_classify(daily, bounds).collect()
+        }
+
+    # cutoff INSIDE January, after its last observed day: the kill case —
+    # Jan's monthly file is a METADATA DROP, never a rewrite
+    got = classify("2024-01-20")
+    assert got == {
+        "2023-12": (1, 3840, 0, 0, 0, 0),
+        "2024-01": (1, 384, 0, 0, 0, 0),   # calendar rule would rewrite
+        "2024-02": (0, 0, 0, 0, 0, 1),
+        "2024-03": (0, 0, 0, 0, 0, 3),
+    }
+
+    # cutoff straddling February's observed span: exactly one rewrite,
+    # with exact deleted/kept row counts
+    got = classify("2024-02-10")
+    assert got == {
+        "2023-12": (1, 3840, 0, 0, 0, 0),
+        "2024-01": (1, 384, 0, 0, 0, 0),
+        "2024-02": (0, 0, 1, 4, 8, 0),
+        "2024-03": (0, 0, 0, 0, 0, 3),
+    }
+
+    # cutoff splitting the UNCOMPACTED month: dailies drop atomically,
+    # zero rewrites (kill case b)
+    got = classify("2024-03-15")
+    assert got == {
+        "2023-12": (1, 3840, 0, 0, 0, 0),
+        "2024-01": (1, 384, 0, 0, 0, 0),
+        "2024-02": (1, 1536, 0, 0, 0, 0),
+        "2024-03": (2, 6144, 0, 0, 0, 1),
+    }

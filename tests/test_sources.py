@@ -772,3 +772,75 @@ def test_changelog_between_versions_multiset(spark, tmp_path):
     os.mkdir(os.path.join(tbl, "v000007"))
     with pytest.raises(ValueError, match="not committed"):
         changelog_between_versions(spark, tbl, 1, 7)
+
+
+def test_full_lakehouse_loop_wap_cdf_rollback_integration(spark, tmp_path):
+    """The executed verbs compose into the complete lakehouse loop:
+    v1 base -> MOR upsert staged on a WAP branch (main blind) -> audit on
+    the branch read -> fast_forward publishes -> the executed row-level
+    CDF between v1 and v2 is EXACTLY the upsert's delta (update = delete+
+    insert pair, GDPR delete = bare delete) -> tag v1, rollback main to
+    it, and the tagged pre-upsert state survives an aggressive expiry
+    while the branch still serves v2."""
+    from spark_iceberg_jobs_spark.operators.mor import mor_read_equality_deletes
+    from spark_iceberg_jobs_spark.sources.writers import (
+        changelog_between_versions,
+        create_tag,
+        current_version,
+        expire_versions,
+        fast_forward,
+        read_current_version,
+        read_ref,
+        rollback_version,
+        versioned_write,
+    )
+
+    tbl = str(tmp_path / "loop")
+    base = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 20), (3, "carol", 30)],
+        "uid int, name string, score int",
+    )
+    assert versioned_write(base, tbl) == 1
+
+    # stage the MOR-served upsert on the audit branch; main stays at v1
+    deletes = spark.createDataFrame([(2,), (3,)], "uid int")
+    appends = spark.createDataFrame(
+        [(3, "carol", 35)], "uid int, name string, score int"
+    )
+    served = mor_read_equality_deletes(
+        read_current_version(spark, tbl), deletes, appends, key_cols=["uid"]
+    )
+    assert versioned_write(served, tbl, branch="audit") == 2
+    assert current_version(tbl) == 1
+
+    # audit the branch read, then publish
+    audit_rows = {tuple(r) for r in read_ref(spark, tbl, "branch", "audit").collect()}
+    assert audit_rows == {(1, "alice", 10), (3, "carol", 35)}
+    assert fast_forward(tbl, "audit") == 2
+
+    # the executed CDF between the two committed versions IS the upsert
+    ch = sorted(
+        (r.uid, r.name, r.score, r._change_type)
+        for r in changelog_between_versions(spark, tbl, 1, 2).collect()
+    )
+    assert ch == [
+        (2, "bob", 20, "delete"),       # GDPR delete: bare delete
+        (3, "carol", 30, "delete"),     # update pair...
+        (3, "carol", 35, "insert"),
+    ]
+
+    # tag the pre-upsert state, roll main back to it, expire aggressively:
+    # the tag pins v1, the branch still serves v2
+    create_tag(tbl, "pre-upsert", 1)
+    rollback_version(tbl, 1)
+    removed = expire_versions(tbl, keep_last=1)
+    assert removed == []  # v1 current+tagged, v2 newest+branch-pinned
+    assert {tuple(r) for r in read_ref(spark, tbl, "tag", "pre-upsert").collect()} == {
+        (1, "alice", 10),
+        (2, "bob", 20),
+        (3, "carol", 30),
+    }
+    assert {tuple(r) for r in read_ref(spark, tbl, "branch", "audit").collect()} == {
+        (1, "alice", 10),
+        (3, "carol", 35),
+    }

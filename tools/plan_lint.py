@@ -50,6 +50,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "maintenance_time_travel": "supersession-commit window over one row per month (commit-log metadata)",
     "maintenance_incremental_scan": "supersession-commit window over one row per month (commit-log metadata)",
     "maintenance_rollback_plan": "supersession-commit window over one row per month (commit-log metadata)",
+    "maintenance_delete_plan": "supersession-commit window over one row per month (commit-log metadata)",
 }
 
 _UNPARTITIONED = re.compile(r"windowspecdefinition\([^,()]*\s(ASC|DESC)\s")
