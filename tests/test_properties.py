@@ -785,3 +785,74 @@ def test_changelog_diff_matches_python_replay(spark, rows, monkeypatch):
         else:
             assert abs(s - want[k][1]) < 1e-9, (k, s, want[k])
     assert sum(v[0] for v in got.values()) == changed_keys
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(days=_lifecycle_days, cutoff=_any_day)
+def test_delete_plan_is_predicate_x_live_set(spark, days, cutoff):
+    """delete_plan_classify on random sparse logs must equal the python
+    replica's live-file set intersected with the predicate ``dt <=
+    cutoff``: a live monthly file whose OBSERVED span is fully covered
+    drops by metadata, a straddled one rewrites with exact deleted/kept
+    row counts, dailies drop atomically — tying the DELETE planner to the
+    same commit-model replica as rollback/time-travel (a wrong
+    supersession or coverage rule in either breaks the equality).
+    Conservation: dropped + rewritten + untouched == |live files|."""
+    import datetime as dt
+
+    from spark_iceberg_jobs_spark.queries.maintenance import (
+        _ROW_BYTES,
+        delete_plan_classify,
+    )
+
+    days = sorted(days)
+    days_bytes = {d: (i + 1) * _ROW_BYTES for i, d in enumerate(days)}
+    daily = spark.createDataFrame(
+        [(d, d.strftime("%Y-%m"), days_bytes[d]) for d in days],
+        "dt date, month string, file_bytes long",
+    )
+    live_now = _live_files(days_bytes, max(days))
+
+    want: dict[str, list[int]] = {}
+    by_month: dict[str, list] = {}
+    for d in days:
+        by_month.setdefault(d.strftime("%Y-%m"), []).append(d)
+    for (mth, path), b in live_now.items():
+        e = want.setdefault(mth, [0, 0, 0, 0, 0, 0])
+        if path.startswith("m-"):
+            lo, hi = min(by_month[mth]), max(by_month[mth])
+            if hi <= cutoff:
+                e[0] += 1
+                e[1] += b
+            elif lo <= cutoff:
+                e[2] += 1
+                delb = sum(days_bytes[d] for d in by_month[mth] if d <= cutoff)
+                e[3] += delb // _ROW_BYTES
+                e[4] += (b - delb) // _ROW_BYTES
+            else:
+                e[5] += 1
+        else:
+            d = dt.date.fromisoformat(path[2:])
+            if d <= cutoff:
+                e[0] += 1
+                e[1] += b
+            else:
+                e[5] += 1
+
+    bounds = spark.createDataFrame([(cutoff,)], "del_dt date")
+    got = {
+        r.month: [
+            r.n_dropped, r.bytes_dropped, r.n_rewritten,
+            r.rows_deleted, r.rows_kept, r.n_untouched,
+        ]
+        for r in delete_plan_classify(daily, bounds).collect()
+    }
+    assert got == want
+    n_live = len(live_now)
+    assert (
+        sum(v[0] + v[2] + v[5] for v in got.values()) == n_live
+    ), "dropped + rewritten + untouched must partition the live set"

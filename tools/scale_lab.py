@@ -390,6 +390,9 @@ def probes():
             "maintenance_incremental_scan", build_tpch
         ),
         "rollback_plan": _maintenance_probe("maintenance_rollback_plan", build_tpch),
+        # r10 DELETE classifier: commit-log-grain after the shared
+        # day-grain aggregate (expected flat, like the other planners)
+        "delete_plan": _maintenance_probe("maintenance_delete_plan", build_tpch),
         "partition_evolution": _maintenance_probe(
             "maintenance_partition_evolution", build_tpch
         ),
@@ -504,6 +507,7 @@ def main() -> int:
         "partition_health",
         "incremental_scan",
         "rollback_plan",
+        "delete_plan",
         "partition_evolution",
         "mv_refresh",
         "changelog_diff",
