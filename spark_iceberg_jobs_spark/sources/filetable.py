@@ -1,0 +1,641 @@
+"""File-grain manifest tables — the Iceberg DATA-FILE layer, executed.
+
+The versioned protocol in ``sources/writers.py`` (HadoopTables'
+version-hint commit/rollback/refs) stores a FULL data copy per version —
+correct for the commit semantics it models, but a real table format
+shares immutable data files between snapshots through MANIFESTS: each
+snapshot is a list of (file, row-count, per-column min/max bounds), and
+every table verb is a manifest edit plus, at most, a rewrite of the few
+files it actually touches. This module executes that layer on the
+parquet fallback (reference scope: the ``USING iceberg`` tables of
+job1-DDL_Load_Data_Spark_Iceberg.py:186-274, whose scan planning,
+row-level DELETE and MERGE the Iceberg runtime would provide):
+
+- ``create_table`` / ``append_table`` — range-clustered immutable data
+  files under ``data/c{commit}/`` with per-file column bounds collected
+  in ONE distributed pass (group by ``input_file_name``), committed as
+  manifest ``m{n}.json`` + an atomic version-hint repoint (the same
+  CAS + ``os.replace`` discipline as ``versioned_write``).
+- ``plan_scan`` / ``scan_range`` — zone-map data skipping: a range
+  predicate intersects the driver-side file bounds and only surviving
+  files reach ``spark.read.parquet`` — Iceberg's manifest pruning, the
+  step that happens BEFORE parquet row-group stats can help.
+- ``delete_where`` — executed row-level ``DELETE WHERE col <= cutoff``:
+  files the predicate fully covers drop by manifest edit (zero bytes
+  read or written — the metadata delete), straddling files are rewritten
+  copy-on-write without their matching rows, everything else is
+  untouched. The executed twin of ``maintenance_delete_plan``'s
+  classification (queries/maintenance.py): the planner predicts
+  drop/rewrite/untouch from bounds, this executes it, and
+  tests/test_lakehouse.py pins that the two agree on the same table.
+- ``merge_into`` — executed copy-on-write MERGE with the full clause
+  set (WHEN MATCHED [AND cond] DELETE / WHEN MATCHED UPDATE / WHEN NOT
+  MATCHED INSERT): candidate files come from key-bounds intersection,
+  the files actually holding matches are found with one file-scoped
+  semi join, ONLY those are rewritten, inserts land in a fresh file,
+  and every untouched file survives by metadata. Duplicate source keys
+  raise, matching Iceberg/Delta's multiple-match error.
+- ``snapshots_table`` / ``files_table`` — the ``snapshots`` and
+  ``files`` metadata tables over the manifest history.
+- ``expire_table`` — manifest retention + unreferenced-data-file
+  reclamation (the orphan story at the data-file grain).
+
+Scale (100 TB): data files are range-clustered on the stats column, so
+bounds are tight and skipping is real; stats collection is a map-side
+aggregate over only the files the commit wrote; DELETE/MERGE read and
+rewrite only straddling/matched files — cost is O(touched data), never
+O(table). The manifest itself is driver-side JSON, honest at the tested
+scales (file-grain entries, thousands); a real format scales the SAME
+planning loop past millions of files with manifest LISTS and
+distributed planning — the verbs and their touched-data costs are
+unchanged, which is what this layer models.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from contextlib import contextmanager as _contextmanager
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HINT = "version-hint.text"
+
+# stats (de)serialization: JSON carries dates as ISO strings; the
+# manifest header records each stats column's type so bounds comparisons
+# re-enter the native domain driver-side
+_STAT_ENCODERS = {
+    "date": lambda v: v.isoformat(),
+    "long": int,
+    "double": float,
+    "string": str,
+}
+_STAT_DECODERS = {
+    "date": _dt.date.fromisoformat,
+    "long": int,
+    "double": float,
+    "string": str,
+}
+
+
+def _meta_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "metadata")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_meta_dir(table_dir), f"m{version:06d}.json")
+
+
+def _manifest_versions(table_dir: str) -> list[int]:
+    try:
+        names = os.listdir(_meta_dir(table_dir))
+    except OSError:
+        return []
+    return sorted(
+        int(n[1:7]) for n in names if n.startswith("m") and n.endswith(".json")
+    )
+
+
+def current_manifest_version(table_dir: str) -> int:
+    """The committed manifest per the hint file; raises on a missing or
+    dangling hint — serving an arbitrary other manifest would be silent
+    wrong results (same posture as writers.current_version)."""
+    with open(os.path.join(_meta_dir(table_dir), _HINT)) as f:
+        v = int(f.read().strip())
+    if not os.path.exists(_manifest_path(table_dir, v)):
+        raise ValueError(f"manifest hint {v} dangling in {table_dir!r}")
+    return v
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_manifest_version(table_dir)
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _commit_manifest(table_dir: str, manifest: dict) -> int:
+    """CAS-claim the next manifest number with O_EXCL (two concurrent
+    committers land in distinct manifests; like _claim_version, numbers
+    are never reused while their file exists), then repoint the hint via
+    write-tmp + ``os.replace`` — atomic on POSIX."""
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    nxt = (_manifest_versions(table_dir) or [0])[-1] + 1
+    while True:
+        path = _manifest_path(table_dir, nxt)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            nxt += 1
+    manifest["version"] = nxt
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1)
+    hint = os.path.join(_meta_dir(table_dir), _HINT)
+    tmp = f"{hint}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, hint)
+    return nxt
+
+
+def _stat_type(df: DataFrame, col: str) -> str:
+    t = dict(df.dtypes)[col]
+    if t == "date":
+        return "date"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "long"
+    if t in ("float", "double") or t.startswith("decimal"):
+        return "double"
+    if t == "string":
+        return "string"
+    raise ValueError(f"unsupported stats column type {t!r} for {col!r}")
+
+
+def _collect_entries(
+    spark: SparkSession, table_dir: str, commit_dir: str, stats_cols: list[str]
+) -> list[dict]:
+    """Per-file (rows, bytes, min/max bounds) for every parquet file the
+    commit wrote — ONE distributed map-side aggregate grouped by
+    ``input_file_name`` (what Iceberg's writers collect inline during
+    the write; the read-back is the parquet-fallback cost, paid once per
+    commit over only the NEW files)."""
+    df = spark.read.parquet(commit_dir)
+    types = {c: _stat_type(df, c) for c in stats_cols}
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    rows = df.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
+    # bounded collect: one row per data file in THIS commit
+    sizes = {
+        name: os.path.getsize(os.path.join(commit_dir, name))
+        for name in os.listdir(commit_dir)
+        if name.endswith(".parquet")
+    }
+    entries = []
+    for r in rows:
+        fname = os.path.basename(r["_file"])
+        rel = os.path.relpath(os.path.join(commit_dir, fname), table_dir)
+        stats = {}
+        for c in stats_cols:
+            lo, hi = r[f"_min_{c}"], r[f"_max_{c}"]
+            enc = _STAT_ENCODERS[types[c]]
+            stats[c] = None if lo is None else [enc(lo), enc(hi)]
+        entries.append(
+            {"path": rel, "rows": r["_rows"], "bytes": sizes[fname], "stats": stats}
+        )
+    entries.sort(key=lambda e: e["path"])
+    return entries
+
+
+def _next_commit_dir(table_dir: str) -> str:
+    data = os.path.join(table_dir, "data")
+    os.makedirs(data, exist_ok=True)
+    nxt = 1 + max(
+        (int(n[1:7]) for n in os.listdir(data) if n.startswith("c")), default=0
+    )
+    while True:
+        cdir = os.path.join(data, f"c{nxt:06d}")
+        try:
+            os.mkdir(cdir)  # CAS claim, like _claim_version
+            return cdir
+        except FileExistsError:
+            nxt += 1
+
+
+@_contextmanager
+def _pinned_file_count(spark: SparkSession):
+    """AQE's advisory coalesce folds a small range shuffle into one
+    partition — correct for query shuffles, wrong HERE, where the
+    requested file count IS the layout contract (at production scale the
+    advisory size keeps files large regardless; at test scale it would
+    collapse the table to one file and erase the zone-map story). Scoped
+    set/restore is safe because the write action executes synchronously
+    inside the scope."""
+    k = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(k, None)
+    spark.conf.set(k, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, prev)
+
+
+def _write_commit(
+    df: DataFrame,
+    spark: SparkSession,
+    table_dir: str,
+    stats_cols: list[str],
+    *,
+    n_files: int | None,
+    cluster_by: str | None,
+) -> list[dict]:
+    cdir = _next_commit_dir(table_dir)
+    out = df
+    if cluster_by is not None and n_files is not None:
+        # range-clustering on the stats column: each file covers a
+        # contiguous value range, so the zone maps are TIGHT — the
+        # sorted-layout precondition for real data skipping
+        out = out.repartitionByRange(n_files, F.col(cluster_by))
+    elif n_files is not None:
+        out = out.repartition(n_files)
+    # append into the claimed (empty) dir: overwrite would delete and
+    # recreate it, momentarily releasing the mkdir CAS
+    with _pinned_file_count(spark):
+        out.write.mode("append").parquet(cdir)
+    return _collect_entries(spark, table_dir, cdir, stats_cols)
+
+
+def create_table(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    stats_cols: list[str],
+    cluster_by: str | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Materialize ``df`` as a new file-grain table: range-clustered data
+    files + per-file bounds + manifest v1. ``stats_cols`` are the
+    columns whose bounds every manifest entry carries (the skipping /
+    DELETE / MERGE planning columns)."""
+    spark = df.sparkSession
+    os.makedirs(table_dir, exist_ok=True)
+    entries = _write_commit(
+        df, spark, table_dir, stats_cols, n_files=n_files, cluster_by=cluster_by
+    )
+    manifest = {
+        "operation": "create",
+        "stats_types": {c: _stat_type(df, c) for c in stats_cols},
+        "summary": {"files_added": len(entries), "rows_added": sum(e["rows"] for e in entries)},
+        "entries": entries,
+    }
+    return _commit_manifest(table_dir, manifest)
+
+
+def append_table(df: DataFrame, table_dir: str, *, n_files: int | None = None) -> int:
+    """Append-commit: new immutable files + manifest = previous entries
+    plus the new ones. Prior files are untouched (shared between
+    snapshots — the property the full-copy versioned protocol lacks)."""
+    spark = df.sparkSession
+    prev = read_manifest(table_dir)
+    stats_cols = list(prev["stats_types"])
+    cluster = stats_cols[0] if stats_cols else None
+    new = _write_commit(
+        df, spark, table_dir, stats_cols, n_files=n_files, cluster_by=cluster
+    )
+    manifest = {
+        "operation": "append",
+        "stats_types": prev["stats_types"],
+        "summary": {"files_added": len(new), "rows_added": sum(e["rows"] for e in new)},
+        "entries": prev["entries"] + new,
+    }
+    return _commit_manifest(table_dir, manifest)
+
+
+def _decode_bounds(manifest: dict, col: str):
+    dec = _STAT_DECODERS[manifest["stats_types"][col]]
+
+    def bounds(entry: dict):
+        s = entry["stats"].get(col)
+        return None if s is None else (dec(s[0]), dec(s[1]))
+
+    return bounds
+
+
+def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
+    """Zone-map scan planning: keep every file whose [min,max] on ``col``
+    intersects the closed interval [lo, hi] (either bound may be None =
+    unbounded; all-null stats are conservatively kept). Returns the
+    pruned absolute path list plus the counts a plan test pins."""
+    manifest = read_manifest(table_dir)
+    bounds = _decode_bounds(manifest, col)
+    keep, skipped = [], 0
+    for e in manifest["entries"]:
+        b = bounds(e)
+        if b is not None and (
+            (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
+        ):
+            skipped += 1
+            continue
+        keep.append(os.path.join(table_dir, e["path"]))
+    return {
+        "paths": keep,
+        "files_read": len(keep),
+        "files_skipped": skipped,
+        "files_total": len(manifest["entries"]),
+    }
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    man = read_manifest(table_dir)
+    paths = [os.path.join(table_dir, e["path"]) for e in man["entries"]]
+    return spark.read.parquet(*paths)
+
+
+def scan_range(spark: SparkSession, table_dir: str, col: str, lo, hi) -> DataFrame:
+    """Pruned range scan: manifest skipping picks the files, and the same
+    predicate is applied on top (files straddle the bounds), reaching
+    the parquet scan as a pushed filter for row-group pruning."""
+    plan = plan_scan(table_dir, col, lo, hi)
+    df = spark.read.parquet(*plan["paths"])
+    c = F.col(col)
+    if lo is not None:
+        df = df.filter(c >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(c <= F.lit(hi))
+    return df
+
+
+def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
+    """Executed row-level ``DELETE FROM t WHERE col <= cutoff`` — the
+    retention-delete shape maintenance_delete_plan plans:
+
+    - files with ``max <= cutoff``: DROPPED from the manifest — a pure
+      metadata edit, their bytes are never read (the data files linger
+      until ``expire_table``, Iceberg's snapshot-expiry story);
+    - files with ``min > cutoff``: untouched, survive by metadata;
+    - straddling files: rewritten copy-on-write without matching rows.
+
+    Returns the commit summary (also embedded in the manifest, like an
+    Iceberg snapshot summary)."""
+    manifest = read_manifest(table_dir)
+    bounds = _decode_bounds(manifest, col)
+    dropped, kept, straddle = [], [], []
+    for e in manifest["entries"]:
+        b = bounds(e)
+        if b is None:
+            straddle.append(e)  # unknown bounds: must read to be correct
+        elif b[1] <= cutoff:
+            dropped.append(e)
+        elif b[0] > cutoff:
+            kept.append(e)
+        else:
+            straddle.append(e)
+    new_entries, rows_deleted, rows_kept = [], 0, 0
+    if straddle:
+        paths = [os.path.join(table_dir, e["path"]) for e in straddle]
+        survivors = spark.read.parquet(*paths).filter(F.col(col) > F.lit(cutoff))
+        new_entries = _write_commit(
+            survivors,
+            spark,
+            table_dir,
+            list(manifest["stats_types"]),
+            n_files=max(1, len(straddle)),
+            cluster_by=col,
+        )
+        rows_kept = sum(e["rows"] for e in new_entries)
+        rows_deleted = sum(e["rows"] for e in straddle) - rows_kept
+    summary = {
+        "files_dropped_metadata": len(dropped),
+        "bytes_dropped": sum(e["bytes"] for e in dropped),
+        "rows_dropped": sum(e["rows"] for e in dropped),
+        "files_rewritten": len(straddle),
+        "rows_deleted": rows_deleted + sum(e["rows"] for e in dropped),
+        "rows_kept_in_rewrites": rows_kept,
+        "files_untouched": len(kept),
+    }
+    _commit_manifest(
+        table_dir,
+        {
+            "operation": "delete",
+            "stats_types": manifest["stats_types"],
+            "summary": summary,
+            "entries": kept + new_entries,
+        },
+    )
+    return summary
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    *,
+    on: tuple[str, str],
+    when_matched_update: dict[str, Column] | None = None,
+    when_matched_delete: Column | None = None,
+    when_not_matched_insert: dict[str, Column] | None = None,
+) -> dict:
+    """Executed copy-on-write MERGE INTO over the file-grain table.
+
+    ``on``: (target_key, source_key). Clause expressions reference the
+    aliased sides as ``F.col("t.x")`` / ``F.col("s.y")``; clause order
+    matches Spark/Iceberg MERGE: WHEN MATCHED AND <delete-cond> DELETE
+    first, then WHEN MATCHED UPDATE SET, then WHEN NOT MATCHED INSERT.
+
+    Planning is Iceberg's: (1) candidate files by key-bounds
+    intersection with the source's key range (manifest prune, driver-
+    side); (2) the files actually CONTAINING matches via one file-scoped
+    semi join (``input_file_name`` against the source keys); (3) only
+    those files rewrite — each untouched file survives as a manifest
+    entry, and rows whose keys appear in no candidate file are inserts
+    by zone-map soundness. Duplicate source keys raise (the
+    multiple-match error real MERGE throws), detected with one bounded
+    two-scalar aggregate."""
+    tkey, skey = on
+    manifest = read_manifest(table_dir)
+    bounds = _decode_bounds(manifest, tkey)
+
+    dup = source.agg(
+        F.count(skey).alias("n"), F.countDistinct(skey).alias("d")
+    ).collect()[0]
+    if dup["n"] != dup["d"]:
+        raise ValueError(
+            f"MERGE source has duplicate join keys ({dup['n']} rows, {dup['d']} distinct)"
+        )
+    srange = source.agg(F.min(skey).alias("lo"), F.max(skey).alias("hi")).collect()[0]
+    s_lo, s_hi = srange["lo"], srange["hi"]
+
+    candidates, untouched = [], []
+    for e in manifest["entries"]:
+        b = bounds(e)
+        if b is None or s_lo is None or (b[0] <= s_hi and b[1] >= s_lo):
+            candidates.append(e)
+        else:
+            untouched.append(e)
+
+    touched_paths: list[str] = []
+    cand_df = None
+    if candidates:
+        cand_paths = [os.path.join(table_dir, e["path"]) for e in candidates]
+        cand_df = spark.read.parquet(*cand_paths)
+        touched = (
+            cand_df.withColumn("_ft_file", F.input_file_name())
+            .join(source.select(F.col(skey).alias(tkey)), tkey, "left_semi")
+            .select("_ft_file")
+            .distinct()
+            .collect()
+        )  # bounded: one row per matched FILE
+        touched_names = {os.path.basename(r["_ft_file"]) for r in touched}
+        still_untouched = [
+            e for e in candidates if os.path.basename(e["path"]) not in touched_names
+        ]
+        untouched += still_untouched
+        touched_paths = [
+            os.path.join(table_dir, e["path"])
+            for e in candidates
+            if os.path.basename(e["path"]) in touched_names
+        ]
+
+    target_cols = (cand_df or read_table(spark, table_dir)).columns
+    rows_deleted = 0
+    out = None
+    if touched_paths:
+        t = spark.read.parquet(*touched_paths).alias("t")
+        s = source.alias("s")
+        joined = t.join(s, F.col(f"t.{tkey}") == F.col(f"s.{skey}"), "left")
+        matched = F.col(f"s.{skey}").isNotNull()
+        if when_matched_delete is not None:
+            survives = ~(matched & when_matched_delete)
+        else:
+            survives = F.lit(True)
+        update_when = matched & survives
+        cols = []
+        for c in target_cols:
+            if when_matched_update and c in when_matched_update:
+                cols.append(
+                    F.when(update_when, when_matched_update[c])
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(f"t.{c}").alias(c))
+        out = joined.filter(survives).select(*cols)
+
+    n_inserted = 0
+    insert_df = None
+    if when_not_matched_insert is not None:
+        if candidates:
+            cand_keys = cand_df.select(F.col(tkey)).distinct()
+            not_matched = source.alias("s").join(
+                cand_keys, F.col(f"s.{skey}") == F.col(tkey), "left_anti"
+            )
+        else:
+            not_matched = source.alias("s")
+        insert_df = not_matched.select(
+            *[when_not_matched_insert[c].cast(dict(
+                (cand_df or read_table(spark, table_dir)).dtypes
+            )[c]).alias(c) for c in target_cols]
+        )
+        out = insert_df if out is None else out.unionByName(insert_df)
+
+    new_entries = []
+    if out is not None:
+        new_entries = _write_commit(
+            out,
+            spark,
+            table_dir,
+            list(manifest["stats_types"]),
+            n_files=max(1, len(touched_paths)) + (1 if insert_df is not None else 0),
+            cluster_by=tkey,
+        )
+    touched_set = set(touched_paths)
+    rewritten_in = sum(
+        e["rows"]
+        for e in manifest["entries"]
+        if os.path.join(table_dir, e["path"]) in touched_set
+    )
+    total_out = sum(e["rows"] for e in new_entries)
+    # split the commit's row delta: one bounded count of the insert side
+    # (only when both clauses ran — otherwise the file stats suffice),
+    # then deletes fall out of the collected per-file row counts
+    if insert_df is not None:
+        n_inserted = insert_df.count() if touched_paths else total_out
+    rows_deleted = rewritten_in - (total_out - n_inserted)
+    summary = {
+        "files_candidates": len(candidates),
+        "files_rewritten": len(touched_paths),
+        "files_untouched": len(untouched),
+        "rows_deleted": rows_deleted,
+        "rows_inserted": n_inserted,
+        "files_added": len(new_entries),
+    }
+    _commit_manifest(
+        table_dir,
+        {
+            "operation": "merge",
+            "stats_types": manifest["stats_types"],
+            "summary": summary,
+            "entries": untouched + new_entries,
+        },
+    )
+    return summary
+
+
+def snapshots_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The ``snapshots`` metadata table: one row per manifest commit with
+    its operation, summary, and live file/row totals."""
+    rows = []
+    current = current_manifest_version(table_dir)
+    for v in _manifest_versions(table_dir):
+        m = read_manifest(table_dir, v)
+        rows.append(
+            (
+                v,
+                m["operation"],
+                v == current,
+                len(m["entries"]),
+                sum(e["rows"] for e in m["entries"]),
+                sum(e["bytes"] for e in m["entries"]),
+                json.dumps(m["summary"], sort_keys=True),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, is_current boolean, "
+        "n_files long, n_rows long, n_bytes long, summary string",
+    )
+
+
+def files_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The ``files`` metadata table for the CURRENT snapshot: one row per
+    live data file with its row count, size and bounds (stringified)."""
+    m = read_manifest(table_dir)
+    rows = [
+        (
+            e["path"],
+            e["rows"],
+            e["bytes"],
+            json.dumps(e["stats"], sort_keys=True),
+        )
+        for e in m["entries"]
+    ]
+    return spark.createDataFrame(
+        rows, "file_path string, record_count long, file_size_bytes long, bounds string"
+    )
+
+
+def expire_table(table_dir: str, *, keep_last: int = 1) -> dict:
+    """Retention: drop all but the newest ``keep_last`` manifests (always
+    keeping the current one), then reclaim data files referenced by NO
+    surviving manifest — Iceberg's expire_snapshots + orphan cleanup at
+    the data-file grain."""
+    versions = _manifest_versions(table_dir)
+    current = current_manifest_version(table_dir)
+    keep = set(versions[-keep_last:]) | {current}
+    removed_manifests = []
+    referenced: set[str] = set()
+    for v in versions:
+        if v in keep:
+            referenced |= {e["path"] for e in read_manifest(table_dir, v)["entries"]}
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(table_dir, v))
+            removed_manifests.append(v)
+    removed_files = 0
+    data_root = os.path.join(table_dir, "data")
+    for root, _dirs, files in os.walk(data_root):
+        for name in files:
+            rel = os.path.relpath(os.path.join(root, name), table_dir)
+            if name.endswith(".parquet") and rel not in referenced:
+                os.remove(os.path.join(root, name))
+                removed_files += 1
+    return {
+        "manifests_removed": removed_manifests,
+        "data_files_removed": removed_files,
+    }

@@ -1,0 +1,267 @@
+"""File-grain manifest table layer (sources/filetable.py): executed
+zone-map skipping, metadata-delete vs copy-on-write DELETE, file-scoped
+MERGE INTO, metadata tables, and expiry — each verb pinned on the FILE
+accounting (which files were read/rewritten/dropped), not just the row
+results, because the file accounting IS the capability claim."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_iceberg_jobs_spark.sources import filetable as ft
+
+
+@pytest.fixture()
+def li_table(spark, sf_dir, tmp_path):
+    """A 12-file lineitem table range-clustered on l_shipdate."""
+    td = str(tmp_path / "li")
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("ship_dt", F.to_date("l_shipdate"))
+        .select("l_orderkey", "ship_dt", "l_quantity", "l_extendedprice")
+    )
+    ft.create_table(df, td, stats_cols=["ship_dt"], cluster_by="ship_dt", n_files=12)
+    return td, df
+
+
+def test_create_collects_per_file_bounds(spark, li_table):
+    td, df = li_table
+    man = ft.read_manifest(td)
+    assert man["operation"] == "create"
+    assert man["stats_types"] == {"ship_dt": "date"}
+    assert 1 <= len(man["entries"]) <= 12
+    assert sum(e["rows"] for e in man["entries"]) == df.count()
+    # range clustering → file bound intervals overlap at most at the
+    # boundary day (repartitionByRange splits a single day's ties)
+    spans = sorted(
+        (e["stats"]["ship_dt"][0], e["stats"]["ship_dt"][1]) for e in man["entries"]
+    )
+    for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+        assert lo2 >= hi, "range-clustered files must not interleave"
+
+
+def _span(td):
+    import datetime as dt
+
+    man = ft.read_manifest(td)
+    los = [dt.date.fromisoformat(e["stats"]["ship_dt"][0]) for e in man["entries"]]
+    his = [dt.date.fromisoformat(e["stats"]["ship_dt"][1]) for e in man["entries"]]
+    return min(los), max(his)
+
+
+def _mid(td, frac):
+    import datetime as dt
+
+    lo, hi = _span(td)
+    return lo + dt.timedelta(days=int((hi - lo).days * frac))
+
+
+def test_zone_map_skipping_prunes_and_matches_full_scan(spark, li_table):
+    td, df = li_table
+    # data-derived half-year-ish band (the driver corpus dates are
+    # synthetic, not TPC-H calendar — never hardcode)
+    lo, hi = _mid(td, 0.2), _mid(td, 0.35)
+    plan = ft.plan_scan(td, "ship_dt", lo, hi)
+    assert plan["files_total"] == len(ft.read_manifest(td)["entries"])
+    assert plan["files_skipped"] > 0, "a half-year range must skip files"
+    assert plan["files_read"] + plan["files_skipped"] == plan["files_total"]
+    pruned = ft.scan_range(spark, td, "ship_dt", lo, hi)
+    full = df.filter((F.col("ship_dt") >= F.lit(lo)) & (F.col("ship_dt") <= F.lit(hi)))
+    assert pruned.count() == full.count()
+    got = pruned.agg(F.sum("l_quantity").alias("q")).collect()[0]["q"]
+    want = full.agg(F.sum("l_quantity").alias("q")).collect()[0]["q"]
+    assert got == want
+
+
+def test_delete_where_classifies_and_rewrites_exactly(spark, li_table):
+    import datetime as dt
+
+    td, df = li_table
+    before = ft.read_manifest(td)
+    # cutoff mid-corpus, guaranteed strictly inside some file's bounds
+    cutoff = _mid(td, 0.4)
+    dropped_pred = [
+        e for e in before["entries"]
+        if dt.date.fromisoformat(e["stats"]["ship_dt"][1]) <= cutoff
+    ]
+    straddle_pred = [
+        e for e in before["entries"]
+        if dt.date.fromisoformat(e["stats"]["ship_dt"][0]) <= cutoff
+        < dt.date.fromisoformat(e["stats"]["ship_dt"][1])
+    ]
+    assert dropped_pred and straddle_pred, "cutoff must exercise both paths"
+
+    summary = ft.delete_where(spark, td, "ship_dt", cutoff)
+    # executed accounting equals the bounds-predicted classification
+    assert summary["files_dropped_metadata"] == len(dropped_pred)
+    assert summary["files_rewritten"] == len(straddle_pred)
+    assert summary["files_untouched"] == (
+        len(before["entries"]) - len(dropped_pred) - len(straddle_pred)
+    )
+    # row-exact: deleted + surviving == original
+    n_before = df.count()
+    n_after = ft.read_table(spark, td).count()
+    assert n_after == n_before - summary["rows_deleted"]
+    assert ft.read_table(spark, td).filter(F.col("ship_dt") <= F.lit(cutoff)).count() == 0
+    # metadata drop means the dropped files' BYTES still exist on disk
+    # (reclaimed only by expire_table) but are no longer referenced
+    after = ft.read_manifest(td)
+    live = {e["path"] for e in after["entries"]}
+    for e in dropped_pred:
+        assert e["path"] not in live
+        assert os.path.exists(os.path.join(td, e["path"]))
+    # untouched files keep their exact pre-delete entries (never rewritten)
+    for e in before["entries"]:
+        if dt.date.fromisoformat(e["stats"]["ship_dt"][0]) > cutoff:
+            assert e["path"] in live
+
+
+def test_delete_matches_sql_semantics(spark, li_table):
+    import datetime as dt
+
+    td, df = li_table
+    cutoff = _mid(td, 0.4)
+    ft.delete_where(spark, td, "ship_dt", cutoff)
+    got = (
+        ft.read_table(spark, td)
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()[0]
+    )
+    want = (
+        df.filter(F.col("ship_dt") > F.lit(cutoff))
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()[0]
+    )
+    assert (got["n"], got["q"]) == (want["n"], want["q"])
+
+
+@pytest.fixture()
+def cust_table(spark, sf_dir, tmp_path):
+    td = str(tmp_path / "cust")
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    ft.create_table(df, td, stats_cols=["c_custkey"], cluster_by="c_custkey", n_files=8)
+    return td, df
+
+
+def test_merge_into_full_clause_set(spark, cust_table):
+    td, df = cust_table
+    keys = [r["c_custkey"] for r in df.select("c_custkey").orderBy("c_custkey").collect()]
+    lo_key, hi_key = keys[0], keys[len(keys) // 4]  # first quarter of keyspace
+    max_key = keys[-1]
+    src = (
+        df.filter((F.col("c_custkey") >= lo_key) & (F.col("c_custkey") <= hi_key))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit(100.0).alias("delta"),
+            (F.col("c_custkey") % 3 == 0).alias("purge"),
+        )
+        # plus keys that exist in NO target file → pure inserts
+        .unionByName(
+            spark.range(3).select(
+                (F.col("id") + max_key + 1000).alias("k"),
+                F.lit(1.5).alias("delta"),
+                F.lit(False).alias("purge"),
+            )
+        )
+    )
+    summary = ft.merge_into(
+        spark,
+        td,
+        src,
+        on=("c_custkey", "k"),
+        when_matched_delete=F.col("s.purge"),
+        when_matched_update={"c_acctbal": F.col("t.c_acctbal") + F.col("s.delta")},
+        when_not_matched_insert={
+            "c_custkey": F.col("s.k"),
+            "c_mktsegment": F.lit("NEWACCT"),
+            "c_acctbal": F.col("s.delta"),
+        },
+    )
+    # file-scoping: the source only touches the low quarter of the key
+    # range, so most files must survive untouched
+    assert summary["files_rewritten"] >= 1
+    assert summary["files_untouched"] >= 4
+    assert summary["rows_inserted"] == 3
+    purged = [k for k in keys if lo_key <= k <= hi_key and k % 3 == 0]
+    assert summary["rows_deleted"] == len(purged)
+
+    after = ft.read_table(spark, td)
+    # reference semantics computed independently with DataFrame ops
+    matched = {k for k in keys if lo_key <= k <= hi_key}
+    rows = {r["c_custkey"]: r for r in after.collect()}
+    base = {r["c_custkey"]: r for r in df.collect()}
+    for k in keys:
+        if k in matched and k % 3 == 0:
+            assert k not in rows, "purged key must be gone"
+        elif k in matched:
+            assert rows[k]["c_acctbal"] == pytest.approx(base[k]["c_acctbal"] + 100.0)
+        else:
+            assert rows[k]["c_acctbal"] == base[k]["c_acctbal"]
+    for i in range(3):
+        r = rows[max_key + 1000 + i]
+        assert r["c_mktsegment"] == "NEWACCT" and r["c_acctbal"] == 1.5
+
+
+def test_merge_untouched_files_survive_by_metadata(spark, cust_table):
+    td, df = cust_table
+    before = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    keys = [r["c_custkey"] for r in df.select("c_custkey").orderBy("c_custkey").limit(5).collect()]
+    src = spark.createDataFrame([(k, 1.0) for k in keys], "k long, delta double")
+    summary = ft.merge_into(
+        spark,
+        td,
+        src,
+        on=("c_custkey", "k"),
+        when_matched_update={"c_acctbal": F.col("t.c_acctbal") + F.col("s.delta")},
+    )
+    after = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    # untouched entries carry over with identical paths — zero copying
+    assert len(before & after) == summary["files_untouched"]
+    assert summary["rows_inserted"] == 0 and summary["rows_deleted"] == 0
+
+
+def test_merge_duplicate_source_keys_raise(spark, cust_table):
+    td, _df = cust_table
+    src = spark.createDataFrame([(1, 1.0), (1, 2.0)], "k long, delta double")
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        ft.merge_into(
+            spark, td, src, on=("c_custkey", "k"),
+            when_matched_update={"c_acctbal": F.col("s.delta")},
+        )
+
+
+def test_append_shares_prior_files_and_snapshots_table(spark, cust_table):
+    td, df = cust_table
+    v1_entries = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    extra = df.limit(10).withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+    ft.append_table(extra, td, n_files=1)
+    man = ft.read_manifest(td)
+    assert v1_entries < {e["path"] for e in man["entries"]}, "append must share v1 files"
+    snaps = ft.snapshots_table(spark, td).orderBy("version").collect()
+    assert [s["operation"] for s in snaps] == ["create", "append"]
+    assert snaps[-1]["is_current"] and not snaps[0]["is_current"]
+    assert snaps[-1]["n_rows"] == snaps[0]["n_rows"] + 10
+    files = ft.files_table(spark, td)
+    assert files.count() == len(man["entries"])
+
+
+def test_expire_reclaims_unreferenced_data_files(spark, li_table):
+    import datetime as dt
+
+    td, _df = li_table
+    before = ft.read_manifest(td)
+    ft.delete_where(spark, td, "ship_dt", _mid(td, 0.4))
+    live = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    dead = [e["path"] for e in before["entries"] if e["path"] not in live]
+    assert dead and all(os.path.exists(os.path.join(td, p)) for p in dead)
+    out = ft.expire_table(td, keep_last=1)
+    assert out["manifests_removed"] == [1]
+    assert out["data_files_removed"] == len(dead)
+    assert all(not os.path.exists(os.path.join(td, p)) for p in dead)
+    # the current snapshot still reads fine after expiry
+    assert ft.read_table(spark, td).count() > 0
