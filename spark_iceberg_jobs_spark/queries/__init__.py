@@ -110,9 +110,10 @@ class QuerySpec:
 #   r10 window (staleness frozen at r01–r09): keeps + plan-changed
 #       (mv_incremental_refresh — the base partials are now a PUBLISHED
 #       artifact and the warm delta scan carries a pushed snapshot-
-#       boundary predicate, VERDICT r9 item 1) + 1 new entry
-#       (cdc_changelog_rows, the per-key pre/post-image CDF view,
-#       VERDICT r9 item 6) + the REMAINING r4-stale entries + the
+#       boundary predicate, VERDICT r9 item 1) + the new entries
+#       (cdc_changelog_rows, VERDICT r9 item 6; maintenance_delete_plan;
+#       the executed lakehouse verb tier) + the REMAINING r4-stale
+#       entries + the
 #       alphabetically-oldest r5-stale entries to fill. Tier COUNTS are
 #       deliberately not written here: three consecutive rounds of
 #       hand-written counts drifted from the lists (VERDICT r9 item 3),
@@ -138,6 +139,11 @@ _R10_NEW = [
     # displaces the newest stale slot, per the documented policy)
     "cdc_changelog_rows",  # per-key pre/post-image CDF view (top-k keys)
     "maintenance_delete_plan",  # metadata-delete vs COW rewrite classification
+    # the executed file-grain verb tier (queries/lakehouse.py): zone-map
+    # skipping, CoW DELETE, 3-clause MERGE over manifest tables
+    "lake_skipping_scan",
+    "lake_cow_delete",
+    "lake_merge_into",
 ]
 
 _R10_STALE_REFRESH = [
@@ -187,17 +193,22 @@ _R10_STALE_REFRESH = [
     "lateral_top_order_per_customer",
     "mine_hard_negatives",
     "nation_trade_corridors",
-    "orders_backlog_aging",
-    "page_orders_keyset",
-    "part_price_dispersion",
 ]
 
 
 def _merged() -> dict[str, QuerySpec]:
-    from . import core, events, llm, maintenance, ml, tpch_tail  # local import to avoid cycles
+    from . import (  # local import to avoid cycles
+        core,
+        events,
+        lakehouse,
+        llm,
+        maintenance,
+        ml,
+        tpch_tail,
+    )
 
     pool: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events, ml, tpch_tail, maintenance):
+    for mod in (core, llm, events, ml, tpch_tail, maintenance, lakehouse):
         # EXTRA_QUERIES: verified like QUERIES, but never head-eligible
         for queries in (mod.QUERIES, getattr(mod, "EXTRA_QUERIES", {})):
             dup = pool.keys() & queries.keys()

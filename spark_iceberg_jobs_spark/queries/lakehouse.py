@@ -1,0 +1,360 @@
+"""Lakehouse file-grain queries — the EXECUTED table-format verbs served
+through the registry: zone-map data skipping, copy-on-write DELETE, and
+MERGE INTO over ``sources/filetable.py`` manifest tables.
+
+The maintenance tier (queries/maintenance.py) PLANS these verbs on a
+commit-log model (delete_plan, rollback_plan, incremental_scan); this
+module EXECUTES them on real range-clustered parquet files with real
+per-file bounds, built once per corpus fingerprint through the
+functions/artifacts.py lifecycle and served read-only afterwards — the
+same build-once/serve-warm shape as the BM25/IVF segments and the MV
+base partials. Every mutation (the DELETE, the MERGE) happens inside
+the artifact build; a serve is a manifest read plus a pruned scan.
+
+Reference scope: the ``USING iceberg`` tables of
+job1-DDL_Load_Data_Spark_Iceberg.py:186-274 — scan planning with file
+bounds, row-level DELETE, and MERGE are exactly what the Iceberg runtime
+adds over raw parquet; this tier executes those semantics on the
+parquet fallback so the capability is verified end-to-end today and the
+jar swap changes the storage, not the claims.
+
+Scale: the serve path reads the manifest (driver-side, file-grain) and
+only the surviving data files; the build path's DELETE/MERGE read and
+rewrite only straddling/matched files. Nothing here rescans the base
+table after the artifact exists — see SCALE.md §Round-10 for the
+1×–256× readings.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import SQL_REVENUE as SQL_REV
+from ..functions.money import dec_sum, money, money_sum, quantized, revenue_dec
+from ..sources import filetable as ft
+from ..sources.readers import read_fixture
+from . import QuerySpec
+
+
+def _served_table(sf_dir: str, prefix: str, source: str, salt: str, build_fn) -> str:
+    """Build-once-per-fingerprint file-grain table artifact; returns the
+    published table dir. ``build_fn(staging)`` materializes the table
+    (and runs any executed verbs) INSIDE staging; publish is atomic."""
+    from ..functions.artifacts import (
+        artifact_path,
+        content_fingerprint,
+        ensure_published_version,
+        publish_atomic,
+        staging_dir,
+        sweep_stale,
+    )
+
+    key = content_fingerprint(f"{sf_dir}/{source}.parquet", salt=salt)
+    final_dir = artifact_path(prefix, key)
+
+    def build() -> None:
+        sweep_stale(prefix, keep={os.path.basename(final_dir)})
+        staging = staging_dir(final_dir)
+        build_fn(staging)
+        open(f"{staging}/_OK", "w").close()
+        publish_atomic(staging, final_dir)
+
+    ensure_published_version(final_dir, build)
+    return final_dir
+
+
+def _date_bounds(table_dir: str, col: str) -> tuple[_dt.date, _dt.date]:
+    """Corpus date span from the MANIFEST bounds (driver-side JSON — the
+    min of file minima / max of file maxima equals the data min/max, no
+    Spark job)."""
+    man = ft.read_manifest(table_dir)
+    los = [_dt.date.fromisoformat(e["stats"][col][0]) for e in man["entries"]]
+    his = [_dt.date.fromisoformat(e["stats"][col][1]) for e in man["entries"]]
+    return min(los), max(his)
+
+
+# ---------------------------------------------------------------------------
+# lake_skipping_scan — zone-map data skipping, executed
+# ---------------------------------------------------------------------------
+
+#: the served band, as fractions of the corpus date span: a ~10% window,
+#: so roughly 9 of 10 range-clustered files never reach the reader
+_BAND_LO_FRAC, _BAND_HI_FRAC = 0.45, 0.55
+
+
+def lake_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue over a ~10%-of-corpus shipdate band, served from a
+    48-file range-clustered lineitem table via MANIFEST pruning: the
+    band's [lo, hi] intersects the per-file bounds driver-side and only
+    surviving files reach ``spark.read.parquet`` (plan-pinned by
+    test_lakehouse: files_read ≈ band fraction × files_total), then the
+    same literal predicate pushes into the parquet scan for row-group
+    pruning — Iceberg's two-level skipping stack, executed.
+
+    Scale: the skipped files cost ZERO I/O at any table size — pruning
+    is O(#files) driver metadata; the read is O(band), never O(table)."""
+    table_dir = _served_table(
+        sf_dir, "lakescan_", "lineitem", "lakescan-v1", lambda staging: ft.create_table(
+            read_fixture(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                F.to_date("l_shipdate").alias("ship_dt"),
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ),
+            staging,
+            stats_cols=["ship_dt"],
+            cluster_by="ship_dt",
+            n_files=48,
+        )
+    )
+    lo, hi = _date_bounds(table_dir, "ship_dt")
+    span = (hi - lo).days
+    b_lo = lo + _dt.timedelta(days=int(span * _BAND_LO_FRAC))
+    b_hi = lo + _dt.timedelta(days=int(span * _BAND_HI_FRAC))
+    return (
+        ft.scan_range(spark, table_dir, "ship_dt", b_lo, b_hi)
+        .groupBy(F.date_format("ship_dt", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            dec_sum(revenue_dec()).alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+LAKE_SKIPPING_ORACLE = f"""
+WITH span AS (
+    SELECT MIN(CAST(l_shipdate AS DATE)) AS lo,
+           MAX(CAST(l_shipdate AS DATE)) AS hi
+    FROM lineitem
+), band AS (
+    SELECT lo + CAST(FLOOR((hi - lo) * {_BAND_LO_FRAC}) AS INTEGER) AS b_lo,
+           lo + CAST(FLOOR((hi - lo) * {_BAND_HI_FRAC}) AS INTEGER) AS b_hi
+    FROM span
+)
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem, band
+WHERE CAST(l_shipdate AS DATE) BETWEEN b_lo AND b_hi
+GROUP BY 1
+ORDER BY ship_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# lake_cow_delete — executed retention DELETE (metadata drop + CoW rewrite)
+# ---------------------------------------------------------------------------
+
+#: same retention shape as maintenance_delete_plan (which PLANS this):
+#: everything at or before (newest order date - 200 days) is deleted
+_LAKE_DELETE_AGE_DAYS = 200
+
+
+def lake_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order totals AFTER an executed ``DELETE WHERE order_dt <=
+    max - 200d`` on a 36-file range-clustered orders table: files the
+    cutoff fully covers dropped by manifest edit (bytes never read),
+    the one straddling file rewritten copy-on-write, newer files
+    untouched — the executed twin of maintenance_delete_plan, whose
+    metadata-only classification predicts exactly this commit (the
+    equivalence is pinned in test_lakehouse on the same table).
+
+    The DELETE runs once inside the artifact build; serving reads the
+    post-delete manifest. The oracle recomputes the surviving rows from
+    the raw fixture with the same cutoff arithmetic — the row-level
+    equality IS the executed-delete correctness claim."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                F.to_date("o_orderdate").alias("order_dt"),
+                "o_totalprice",
+            ),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=36,
+        )
+        _lo, hi = _date_bounds(staging, "order_dt")
+        cutoff = hi - _dt.timedelta(days=_LAKE_DELETE_AGE_DAYS)
+        ft.delete_where(spark, staging, "order_dt", cutoff)
+
+    table_dir = _served_table(sf_dir, "lakedel_", "orders", "lakedel-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+LAKE_COW_DELETE_ORACLE = f"""
+WITH k AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) - {_LAKE_DELETE_AGE_DAYS} AS del_dt
+    FROM orders
+)
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders, k
+WHERE CAST(o_orderdate AS DATE) > del_dt
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# lake_merge_into — executed 3-clause MERGE (delete / update / insert)
+# ---------------------------------------------------------------------------
+
+#: matched band: the low quarter of the customer keyspace — the MERGE
+#: source only overlaps those files, so the file-scoped rewrite leaves
+#: the other ~3/4 of the table untouched by metadata
+_MERGE_CHURN_MIN_ORDERS = 4  # WHEN MATCHED AND n_ord >= 4 THEN DELETE
+
+
+def _merge_source(spark: SparkSession, sf_dir: str, max_key: int) -> DataFrame:
+    """Deterministic MERGE source from orders: per-customer urgent-order
+    spend for the low quarter of the keyspace (updates/deletes), plus
+    the same rows key-shifted past max_key (guaranteed not-matched →
+    inserts). Keys are unique by construction (grouped, and the shifted
+    set starts above max_key)."""
+    urgent = (
+        read_fixture(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.col("o_custkey") <= F.lit(max_key // 4))
+        .groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("spend"), F.count("*").alias("n_ord"))
+    )
+    matched = urgent.select(F.col("o_custkey").alias("k"), "spend", "n_ord")
+    # + max_key + 1, not + max_key: keys are 0-based, so a bare max_key
+    # shift would land key 0 exactly ON max_key — an accidental MATCH the
+    # oracle's insert leg doesn't model (caught by the first sf0.01 run)
+    inserts = urgent.select(
+        (F.col("o_custkey") + F.lit(max_key + 1)).alias("k"), "spend", "n_ord"
+    )
+    return matched.unionByName(inserts)
+
+
+def lake_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment balances after an executed 3-clause MERGE INTO a
+    16-file range-clustered customer table:
+
+    - WHEN MATCHED AND s.n_ord >= 4 THEN DELETE (churn purge),
+    - WHEN MATCHED THEN UPDATE SET c_acctbal += 10% of urgent spend
+      (exact decimal arithmetic before the double store),
+    - WHEN NOT MATCHED THEN INSERT a 'NEWACCT' row per shifted key.
+
+    The executor rewrites ONLY the files that actually contain matched
+    keys (key-bounds candidate prune + one file-scoped semi join); files
+    holding no matched key survive by metadata (file accounting pinned
+    in test_lakehouse). The oracle replays the clause semantics as a
+    LEFT JOIN + UNION over the raw fixtures — row-level equality of the
+    merged table is the correctness claim."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"
+            ),
+            staging,
+            stats_cols=["c_custkey"],
+            cluster_by="c_custkey",
+            n_files=16,
+        )
+        man = ft.read_manifest(staging)
+        max_key = max(int(e["stats"]["c_custkey"][1]) for e in man["entries"])
+        src = _merge_source(spark, sf_dir, max_key)
+        ten_pct = F.lit("0.10").cast("decimal(3,2)")
+        ft.merge_into(
+            spark,
+            staging,
+            src,
+            on=("c_custkey", "k"),
+            when_matched_delete=F.col("s.n_ord") >= F.lit(_MERGE_CHURN_MIN_ORDERS),
+            when_matched_update={
+                "c_acctbal": (
+                    money(F.col("t.c_acctbal")) + F.col("s.spend") * ten_pct
+                ).cast("double")
+            },
+            when_not_matched_insert={
+                "c_custkey": F.col("s.k"),
+                "c_mktsegment": F.lit("NEWACCT"),
+                "c_nationkey": F.col("s.k") % 25,
+                "c_acctbal": (F.col("s.spend") * ten_pct).cast("double"),
+            },
+        )
+
+    # salt v2: v1 artifacts were built with the key-0 shift collision
+    table_dir = _served_table(sf_dir, "lakemrg_", "customer", "lakemrg-v2", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            # post-merge balances live on a 1e-4 decimal grid (2-dec base
+            # + 4-dec exact update); quantized() makes the sum exact and
+            # order-independent (functions/money.py)
+            dec_sum(quantized("c_acctbal", 4)).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LAKE_MERGE_ORACLE = f"""
+WITH mx AS (
+    SELECT MAX(c_custkey) AS max_key FROM customer
+), urgent AS (
+    SELECT o_custkey AS k,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+           COUNT(*) AS n_ord
+    FROM orders, mx
+    WHERE o_orderpriority = '1-URGENT' AND o_custkey <= max_key // 4
+    GROUP BY 1
+), merged AS (
+    SELECT c.c_mktsegment AS seg,
+           CASE WHEN b.k IS NOT NULL
+                THEN CAST(CAST(c.c_acctbal AS DECIMAL(18,2))
+                          + b.spend * CAST(0.10 AS DECIMAL(3,2)) AS DOUBLE)
+                ELSE c.c_acctbal END AS bal
+    FROM customer c
+    LEFT JOIN urgent b ON c.c_custkey = b.k
+    WHERE b.k IS NULL OR b.n_ord < {_MERGE_CHURN_MIN_ORDERS}
+    UNION ALL
+    SELECT 'NEWACCT' AS seg,
+           CAST(spend * CAST(0.10 AS DECIMAL(3,2)) AS DOUBLE) AS bal
+    FROM urgent
+)
+SELECT seg AS c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(ROUND(bal, 4) AS DECIMAL(28,4))), 2) AS DOUBLE)
+           AS total_bal
+FROM merged
+GROUP BY 1
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # headline: the tier's serve-path representative (manifest prune +
+    # pruned parquet read); the other two verbs serve metadata-identical
+    # post-commit tables
+    "lake_skipping_scan": QuerySpec(lake_skipping_scan, LAKE_SKIPPING_ORACLE, headline=True),
+    "lake_cow_delete": QuerySpec(lake_cow_delete, LAKE_COW_DELETE_ORACLE),
+    "lake_merge_into": QuerySpec(lake_merge_into, LAKE_MERGE_ORACLE),
+}

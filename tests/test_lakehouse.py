@@ -1,0 +1,124 @@
+"""Registry-level pins for the executed lakehouse verb tier
+(queries/lakehouse.py): the value correctness is the DuckDB oracle's job
+(verify sweep / driver); here we pin the FILE-GRAIN claims — that the
+skipping scan actually skips, that the DELETE actually split into
+metadata drops + one CoW rewrite, that the MERGE actually rewrote only
+match-bearing files — by reading the published artifacts' manifests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spark_iceberg_jobs_spark.queries.lakehouse import (
+    _BAND_HI_FRAC,
+    _BAND_LO_FRAC,
+    _LAKE_DELETE_AGE_DAYS,
+    lake_cow_delete,
+    lake_merge_into,
+    lake_skipping_scan,
+)
+from spark_iceberg_jobs_spark.sources import filetable as ft
+
+
+def _published_dir(prefix: str, sf_dir: str, source: str, salt: str) -> str:
+    from spark_iceberg_jobs_spark.functions.artifacts import (
+        artifact_path,
+        content_fingerprint,
+    )
+
+    return artifact_path(prefix, content_fingerprint(f"{sf_dir}/{source}.parquet", salt=salt))
+
+
+def test_skipping_scan_reads_band_fraction_of_files(spark, sf_dir):
+    lake_skipping_scan(spark, sf_dir).collect()  # ensure artifact exists
+    td = _published_dir("lakescan_", sf_dir, "lineitem", "lakescan-v1")
+    man = ft.read_manifest(td)
+    lo = min(dt.date.fromisoformat(e["stats"]["ship_dt"][0]) for e in man["entries"])
+    hi = max(dt.date.fromisoformat(e["stats"]["ship_dt"][1]) for e in man["entries"])
+    span = (hi - lo).days
+    b_lo = lo + dt.timedelta(days=int(span * _BAND_LO_FRAC))
+    b_hi = lo + dt.timedelta(days=int(span * _BAND_HI_FRAC))
+    plan = ft.plan_scan(td, "ship_dt", b_lo, b_hi)
+    # a ~10% band over range-clustered files must skip the large majority
+    assert plan["files_total"] >= 40
+    assert plan["files_read"] <= plan["files_total"] * 0.25, plan
+    assert plan["files_skipped"] >= plan["files_total"] * 0.75, plan
+
+
+def test_cow_delete_commit_split_metadata_vs_rewrite(spark, sf_dir):
+    lake_cow_delete(spark, sf_dir).collect()
+    td = _published_dir("lakedel_", sf_dir, "orders", "lakedel-v1")
+    # v1 = create, v2 = the executed DELETE
+    assert ft.read_manifest(td, 1)["operation"] == "create"
+    man = ft.read_manifest(td)
+    assert man["version"] == 2 and man["operation"] == "delete"
+    s = man["summary"]
+    # a 200-day retention cutoff over a multi-year corpus: most files
+    # drop by pure metadata, AT MOST ONE range-clustered file straddles
+    assert s["files_dropped_metadata"] >= 20
+    assert s["files_rewritten"] <= 1
+    assert s["rows_deleted"] > 0
+    # executed result honors the predicate exactly
+    before = ft.read_manifest(td, 1)
+    hi = max(dt.date.fromisoformat(e["stats"]["order_dt"][1]) for e in before["entries"])
+    cutoff = hi - dt.timedelta(days=_LAKE_DELETE_AGE_DAYS)
+    served = ft.read_table(spark, td)
+    assert served.filter(F.col("order_dt") <= F.lit(cutoff)).count() == 0
+    n_before = sum(e["rows"] for e in before["entries"])
+    assert served.count() == n_before - s["rows_deleted"]
+
+
+def test_cow_delete_executed_commit_equals_bounds_prediction(spark, sf_dir):
+    """The planner-vs-executor consistency claim: predict the commit from
+    the PRE-delete manifest with maintenance_delete_plan's rule (full
+    cover → metadata drop, straddle → rewrite, else untouched) and
+    assert the executed summary agrees exactly."""
+    lake_cow_delete(spark, sf_dir).collect()
+    td = _published_dir("lakedel_", sf_dir, "orders", "lakedel-v1")
+    before = ft.read_manifest(td, 1)["entries"]
+    spans = [
+        (
+            dt.date.fromisoformat(e["stats"]["order_dt"][0]),
+            dt.date.fromisoformat(e["stats"]["order_dt"][1]),
+        )
+        for e in before
+    ]
+    hi = max(b for _a, b in spans)
+    cutoff = hi - dt.timedelta(days=_LAKE_DELETE_AGE_DAYS)
+    pred_drop = sum(1 for _a, b in spans if b <= cutoff)
+    pred_rewrite = sum(1 for a, b in spans if a <= cutoff < b)
+    pred_keep = len(spans) - pred_drop - pred_rewrite
+    s = ft.read_manifest(td)["summary"]
+    assert s["files_dropped_metadata"] == pred_drop
+    assert s["files_rewritten"] == pred_rewrite
+    assert s["files_untouched"] == pred_keep
+
+
+def test_merge_into_rewrites_only_match_bearing_files(spark, sf_dir):
+    lake_merge_into(spark, sf_dir).collect()
+    td = _published_dir("lakemrg_", sf_dir, "customer", "lakemrg-v2")
+    man = ft.read_manifest(td)
+    assert man["operation"] == "merge"
+    s = man["summary"]
+    # the matched band is the LOW quarter of the keyspace: the rewrite
+    # must be file-scoped, not table-wide
+    assert 1 <= s["files_rewritten"] <= s["files_candidates"]
+    assert s["files_untouched"] >= s["files_rewritten"]
+    assert s["rows_inserted"] > 0 and s["rows_deleted"] > 0
+    # untouched files carried over from v1 with identical paths
+    v1_paths = {e["path"] for e in ft.read_manifest(td, 1)["entries"]}
+    cur_paths = {e["path"] for e in man["entries"]}
+    assert len(v1_paths & cur_paths) == s["files_untouched"]
+    # every NEWACCT insert landed above the original keyspace
+    served = ft.read_table(spark, td)
+    max_v1 = max(
+        int(e["stats"]["c_custkey"][1]) for e in ft.read_manifest(td, 1)["entries"]
+    )
+    new_min = (
+        served.filter(F.col("c_mktsegment") == "NEWACCT")
+        .agg(F.min("c_custkey").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert new_min is not None and new_min > max_v1
