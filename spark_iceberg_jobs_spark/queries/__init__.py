@@ -144,6 +144,7 @@ _R10_NEW = [
     "lake_skipping_scan",
     "lake_cow_delete",
     "lake_merge_into",
+    "lake_stream_commits",
 ]
 
 _R10_STALE_REFRESH = [
@@ -192,7 +193,6 @@ _R10_STALE_REFRESH = [
     "join_null_safe_segments",
     "lateral_top_order_per_customer",
     "mine_hard_negatives",
-    "nation_trade_corridors",
 ]
 
 

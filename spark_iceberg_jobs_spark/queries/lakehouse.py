@@ -350,6 +350,73 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_stream_commits — incremental (streaming) consumption of the commit log
+# ---------------------------------------------------------------------------
+
+
+def lake_stream_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event totals computed by CONSUMING THE COMMIT LOG of a
+    3-commit file-grain events table — Iceberg's streaming read: one
+    micro-batch per snapshot, each batch reading EXACTLY the files that
+    commit appended (``commit_delta_paths``), folded through exact
+    partial aggregates (decimal money sums — the same algebra as
+    mv_incremental_refresh's merge, so the fold is bit-identical to a
+    batch recompute, which is what the oracle runs over the raw
+    fixture).
+
+    The per-commit loop is bounded by the COMMIT count (3 here; a real
+    consumer checkpoints between commits), never by data volume — each
+    iteration's read is O(that commit's files). The true arrival-order
+    ``readStream`` equivalence over the same table is pinned in
+    test_lakehouse (parquet file-stream source + availableNow).
+
+    Scale: partial aggregates cross each batch's shuffle at
+    |event_type| grain; the fold union is |commits| × |event_type| rows
+    — driver-trivial, and the base table is never rescanned."""
+    def build(staging: str) -> None:
+        ev = read_fixture(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        ft.create_table(
+            ev.filter(F.col("event_id") % 3 == 0),
+            staging,
+            stats_cols=["event_id"],
+            cluster_by="event_id",
+            n_files=4,
+        )
+        for rem in (1, 2):
+            ft.append_table(ev.filter(F.col("event_id") % 3 == rem), staging, n_files=4)
+
+    table_dir = _served_table(sf_dir, "lakestr_", "events", "lakestr-v1", build)
+    acc: DataFrame | None = None
+    for v in range(1, ft.current_manifest_version(table_dir) + 1):
+        batch = spark.read.parquet(*ft.commit_delta_paths(table_dir, v))
+        part = batch.groupBy("event_type").agg(
+            F.count("*").alias("n_events"), F.sum(money("value")).alias("sum_dec")
+        )
+        acc = part if acc is None else acc.unionByName(part)
+    return (
+        acc.groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("sum_dec"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+LAKE_STREAM_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -357,4 +424,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_skipping_scan": QuerySpec(lake_skipping_scan, LAKE_SKIPPING_ORACLE, headline=True),
     "lake_cow_delete": QuerySpec(lake_cow_delete, LAKE_COW_DELETE_ORACLE),
     "lake_merge_into": QuerySpec(lake_merge_into, LAKE_MERGE_ORACLE),
+    "lake_stream_commits": QuerySpec(lake_stream_commits, LAKE_STREAM_ORACLE),
 }

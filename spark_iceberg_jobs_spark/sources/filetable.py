@@ -567,6 +567,21 @@ def merge_into(
     return summary
 
 
+def commit_delta_paths(table_dir: str, version: int) -> list[str]:
+    """The data files ADDED by manifest ``version`` relative to its
+    predecessor — the unit an Iceberg streaming read consumes (one
+    micro-batch per commit, exactly the appended files, never a rescan
+    of prior snapshots). Rewritten files (delete/merge commits) also
+    appear here: they are new files from the reader's perspective, which
+    is why real streaming consumers require append-only commits between
+    checkpoints or a changelog view (cdc_changelog_* models that)."""
+    prev: set[str] = set()
+    if version > 1:
+        prev = {e["path"] for e in read_manifest(table_dir, version - 1)["entries"]}
+    cur = read_manifest(table_dir, version)["entries"]
+    return [os.path.join(table_dir, e["path"]) for e in cur if e["path"] not in prev]
+
+
 def snapshots_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """The ``snapshots`` metadata table: one row per manifest commit with
     its operation, summary, and live file/row totals."""

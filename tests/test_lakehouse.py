@@ -122,3 +122,50 @@ def test_merge_into_rewrites_only_match_bearing_files(spark, sf_dir):
         .collect()[0]["m"]
     )
     assert new_min is not None and new_min > max_v1
+
+
+def test_stream_commits_deltas_partition_the_table(spark, sf_dir):
+    from spark_iceberg_jobs_spark.queries.lakehouse import lake_stream_commits
+
+    lake_stream_commits(spark, sf_dir).collect()
+    td = _published_dir("lakestr_", sf_dir, "events", "lakestr-v1")
+    cur = ft.current_manifest_version(td)
+    assert cur == 3, "create + two appends"
+    deltas = [ft.commit_delta_paths(td, v) for v in range(1, cur + 1)]
+    flat = [p for d in deltas for p in d]
+    assert all(deltas), "every commit added files"
+    assert len(flat) == len(set(flat)), "commit deltas must be disjoint"
+    live = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    import os as _os
+
+    assert {_os.path.relpath(p, td) for p in flat} == live, (
+        "append-only history: union of deltas == current snapshot"
+    )
+
+
+def test_stream_commits_readstream_arrival_equals_batch(spark, sf_dir):
+    """The true Structured Streaming leg: a parquet file-stream source
+    over the table's data directory (availableNow) must see exactly the
+    committed rows — arrival-order consumption and commit-log
+    consumption agree on an append-only table."""
+    from spark_iceberg_jobs_spark.queries.lakehouse import lake_stream_commits
+    from spark_iceberg_jobs_spark.streaming.events_stream import run_available_now
+
+    lake_stream_commits(spark, sf_dir).collect()
+    td = _published_dir("lakestr_", sf_dir, "events", "lakestr-v1")
+    batch = ft.read_table(spark, td)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{td}/data/*")
+    )
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    got = {
+        r["event_type"]: r["n"]
+        for r in run_available_now(agg, output_mode="complete").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
