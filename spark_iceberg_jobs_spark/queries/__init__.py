@@ -145,6 +145,7 @@ _R10_NEW = [
     "lake_cow_delete",
     "lake_merge_into",
     "lake_stream_commits",
+    "lake_compact_roundtrip",
 ]
 
 _R10_STALE_REFRESH = [
@@ -192,7 +193,6 @@ _R10_STALE_REFRESH = [
     "join_full_outer_nation_activity",
     "join_null_safe_segments",
     "lateral_top_order_per_customer",
-    "mine_hard_negatives",
 ]
 
 

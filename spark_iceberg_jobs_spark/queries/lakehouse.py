@@ -417,6 +417,73 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_compact_roundtrip — executed binpack rewrite, content-invariant
+# ---------------------------------------------------------------------------
+
+#: small-file table: 64 files, compacted to ~8 target-size files
+_COMPACT_N_SMALL_FILES = 64
+_COMPACT_TARGET_FRACTION = 8
+
+
+def lake_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly quantity totals served from a lineitem table that was
+    written as 64 small files and then COMPACTED by the executed binpack
+    rewrite (``filetable.compact_table`` — Iceberg's
+    rewrite_data_files): every multi-file bin of the greedy running-sum
+    plan (the same rule maintenance_compaction_bins PLANS) collapses to
+    one file; the oracle recomputes from the raw fixture, so the
+    row-content invariance of the executed rewrite IS the verified
+    claim. The bin accounting (executed == planned, one file out per
+    multi-file bin, replace-commit delta semantics) is pinned in
+    test_filetable.
+
+    Scale: each rewrite group's cost is O(its own bytes) and groups are
+    independent (a cluster runs them concurrently); the serve is a
+    plain clustered scan that benefits from the merged files — the
+    small-file read-amplification fix this verb exists for."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "lineitem").select(
+                F.to_date("l_shipdate").alias("ship_dt"), "l_quantity", "l_discount"
+            ),
+            staging,
+            stats_cols=["ship_dt"],
+            cluster_by="ship_dt",
+            n_files=_COMPACT_N_SMALL_FILES,
+        )
+        total = sum(e["bytes"] for e in ft.read_manifest(staging)["entries"])
+        ft.compact_table(
+            spark, staging, target_bytes=total // _COMPACT_TARGET_FRACTION + 1
+        )
+
+    table_dir = _served_table(sf_dir, "lakecmp_", "lineitem", "lakecmp-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.date_format("ship_dt", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+            .cast("long")
+            .alias("n_discounted"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+LAKE_COMPACT_ORACLE = """
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_discounted
+FROM lineitem
+GROUP BY 1
+ORDER BY ship_month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -425,4 +492,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_cow_delete": QuerySpec(lake_cow_delete, LAKE_COW_DELETE_ORACLE),
     "lake_merge_into": QuerySpec(lake_merge_into, LAKE_MERGE_ORACLE),
     "lake_stream_commits": QuerySpec(lake_stream_commits, LAKE_STREAM_ORACLE),
+    "lake_compact_roundtrip": QuerySpec(lake_compact_roundtrip, LAKE_COMPACT_ORACLE),
 }

@@ -567,6 +567,83 @@ def merge_into(
     return summary
 
 
+def plan_compaction(table_dir: str, *, target_bytes: int) -> list[list[dict]]:
+    """Greedy binpack of the CURRENT live files into target-size rewrite
+    groups — the same running-sum rule as maintenance_compaction_bins
+    (queries/maintenance.py): files ordered by their first stats column's
+    min bound; a file joins bin ``cum_bytes_before // target``, so a bin
+    overflows by at most one file. Returns the bins (lists of manifest
+    entries), singleton bins included."""
+    man = read_manifest(table_dir)
+    col = next(iter(man["stats_types"]))
+    bounds = _decode_bounds(man, col)
+    ordered = sorted(
+        man["entries"],
+        key=lambda e: (bounds(e) is None, bounds(e)[0] if bounds(e) else None, e["path"]),
+    )
+    bins: list[list[dict]] = []
+    cum = 0
+    for e in ordered:
+        b = cum // target_bytes
+        if b >= len(bins):
+            bins.append([])
+        bins[b].append(e)
+        cum += e["bytes"]
+    return bins
+
+
+def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> dict:
+    """Executed binpack compaction — Iceberg's rewrite_data_files on the
+    file-grain table: every multi-file bin from ``plan_compaction`` is
+    rewritten into ONE file (bin contents are contiguous in the cluster
+    column, so bounds stay tight); singleton bins survive by metadata.
+    Row content is invariant (pinned by test) — only the file layout
+    changes.
+
+    Each rewrite group runs as its own (single-task) job here, matching
+    the group-at-a-time structure of Iceberg's rewrite action; a real
+    cluster runs the groups concurrently — group count is bounded by
+    table_bytes/target, and each group's cost is O(its own bytes).
+
+    Streaming caveat (see commit_delta_paths): the compaction commit's
+    delta is the rewritten files — an incremental consumer must skip
+    replace-commits or it double-reads, exactly the no-double-count rule
+    maintenance_incremental_scan's rewrites_in_range leg reports."""
+    man = read_manifest(table_dir)
+    bins = plan_compaction(table_dir, target_bytes=target_bytes)
+    keep = [e for b in bins if len(b) == 1 for e in b]
+    rewrite_bins = [b for b in bins if len(b) > 1]
+    cdir = _next_commit_dir(table_dir) if rewrite_bins else None
+    for b in rewrite_bins:
+        paths = [os.path.join(table_dir, e["path"]) for e in b]
+        # coalesce(1): a bin IS one output file by definition; no shuffle,
+        # the single task streams the bin's (already clustered) rows
+        with _pinned_file_count(spark):
+            spark.read.parquet(*paths).coalesce(1).write.mode("append").parquet(cdir)
+    new_entries = (
+        _collect_entries(spark, table_dir, cdir, list(man["stats_types"]))
+        if rewrite_bins
+        else []
+    )
+    summary = {
+        "bins": len(bins),
+        "files_rewritten": sum(len(b) for b in rewrite_bins),
+        "files_out": len(new_entries),
+        "bytes_rewritten": sum(e["bytes"] for b in rewrite_bins for e in b),
+        "files_untouched": len(keep),
+    }
+    _commit_manifest(
+        table_dir,
+        {
+            "operation": "compact",
+            "stats_types": man["stats_types"],
+            "summary": summary,
+            "entries": keep + new_entries,
+        },
+    )
+    return summary
+
+
 def commit_delta_paths(table_dir: str, version: int) -> list[str]:
     """The data files ADDED by manifest ``version`` relative to its
     predecessor — the unit an Iceberg streaming read consumes (one

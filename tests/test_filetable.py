@@ -265,3 +265,51 @@ def test_expire_reclaims_unreferenced_data_files(spark, li_table):
     assert all(not os.path.exists(os.path.join(td, p)) for p in dead)
     # the current snapshot still reads fine after expiry
     assert ft.read_table(spark, td).count() > 0
+
+
+def test_compact_table_executes_planned_bins_rows_invariant(spark, li_table):
+    td, df = li_table
+    man = ft.read_manifest(td)
+    total = sum(e["bytes"] for e in man["entries"])
+    target = total // 4 + 1
+    plan = ft.plan_compaction(td, target_bytes=target)
+    multi = [b for b in plan if len(b) > 1]
+    assert len(multi) >= 2, "target must force real rewrite groups"
+    before = df.agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q")).collect()[0]
+
+    summary = ft.compact_table(spark, td, target_bytes=target)
+    # executed accounting equals the greedy plan
+    assert summary["bins"] == len(plan)
+    assert summary["files_rewritten"] == sum(len(b) for b in multi)
+    assert summary["files_out"] == len(multi), "each multi-file bin -> ONE file"
+    assert summary["files_untouched"] == sum(1 for b in plan if len(b) == 1)
+    # row content invariant
+    after = (
+        ft.read_table(spark, td)
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()[0]
+    )
+    assert (after["n"], after["q"]) == (before["n"], before["q"])
+    # compaction preserves the non-interleaving clustered layout
+    spans = sorted(
+        (e["stats"]["ship_dt"][0], e["stats"]["ship_dt"][1])
+        for e in ft.read_manifest(td)["entries"]
+    )
+    for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+        assert lo2 >= hi
+
+
+def test_compaction_commit_delta_is_the_rewrite_set(spark, li_table):
+    """The streaming no-double-count caveat: a compaction commit's delta
+    contains the rewritten files even though it added NO rows — an
+    incremental consumer must skip replace-commits (the rule
+    maintenance_incremental_scan's rewrites_in_range leg reports)."""
+    td, _df = li_table
+    man = ft.read_manifest(td)
+    total = sum(e["bytes"] for e in man["entries"])
+    summary = ft.compact_table(spark, td, target_bytes=total // 3 + 1)
+    v = ft.current_manifest_version(td)
+    delta = ft.commit_delta_paths(td, v)
+    assert len(delta) == summary["files_out"] and delta, (
+        "replace-commit delta = the new rewrite files"
+    )

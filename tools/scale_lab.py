@@ -190,6 +190,21 @@ def _maintenance_probe(qname, builder):
     return run
 
 
+def _lakehouse_probe(qname, builder):
+    """Executed-lakehouse-tier probe: first invocation per scaled
+    fingerprint BUILDS the file-grain artifact (create + the executed
+    verb); min-of-2 reps measures the WARM serve — the steady-state cost
+    claim (pruned band read / post-commit aggregate / commit-log fold)."""
+
+    def run(s, d):
+        from spark_iceberg_jobs_spark.queries import lakehouse
+
+        builder(s, int(os.path.basename(d)[1:]))
+        return getattr(lakehouse, qname)(s, d)
+
+    return run
+
+
 def probes():
     from spark_iceberg_jobs_spark.operators.dedup import (
         exact_dedup,
@@ -407,6 +422,15 @@ def probes():
         # TakeOrderedAndProject top-k (per-partition heads + k-row driver
         # merge) — expected to track changelog_diff point for point
         "changelog_rows": _maintenance_probe("cdc_changelog_rows", build_events),
+        # r10 executed lakehouse verbs (queries/lakehouse.py): warm-serve
+        # scaling — skipping scan reads the fixed ~10% band (linear in
+        # band bytes, with files_read/files_total ~constant); delete and
+        # merge serves aggregate the post-commit table; stream-commits
+        # folds the 3 per-commit partials (linear in events)
+        "lake_skipping": _lakehouse_probe("lake_skipping_scan", build_tpch),
+        "lake_cow_delete": _lakehouse_probe("lake_cow_delete", build_tpch),
+        "lake_merge": _lakehouse_probe("lake_merge_into", build_tpch),
+        "lake_stream": _lakehouse_probe("lake_stream_commits", build_events),
     }
 
 
@@ -512,6 +536,10 @@ def main() -> int:
         "mv_refresh",
         "changelog_diff",
         "changelog_rows",
+        "lake_skipping",
+        "lake_cow_delete",
+        "lake_merge",
+        "lake_stream",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
