@@ -146,6 +146,7 @@ _R10_NEW = [
     "lake_merge_into",
     "lake_stream_commits",
     "lake_compact_roundtrip",
+    "lake_bloom_point_lookup",
 ]
 
 _R10_STALE_REFRESH = [
@@ -192,7 +193,6 @@ _R10_STALE_REFRESH = [
     "grouped_trend_by_nation",
     "join_full_outer_nation_activity",
     "join_null_safe_segments",
-    "lateral_top_order_per_customer",
 ]
 
 

@@ -484,6 +484,74 @@ ORDER BY ship_month
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_bloom_point_lookup — bloom-pruned point reads on a non-clustered key
+# ---------------------------------------------------------------------------
+
+#: probe keys: the 5 interior sextiles of the keyspace (dense synthetic
+#: keys, so every probe exists; derived identically in the oracle)
+_BLOOM_N_PROBES = 5
+
+
+def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup of 5 order keys on a table clustered by DATE — the
+    case zone maps cannot prune (every file's o_orderkey range spans the
+    whole keyspace) and per-file BLOOM filters can: the build stamps a
+    65536-bit, 2-hash bloom per data file (portable salted-md5 positions,
+    the sketch tier's hashing rule), and the lookup reads only files
+    whose bloom admits some probe key, with the exact IN-list filter on
+    top removing false positives (test_lakehouse pins files_read ≤
+    #probes + false-positive slack, far under files_total).
+
+    Scale: bloom planning is O(files × k) driver metadata; each lookup
+    reads at most (#probes + FPR × files) data files regardless of table
+    size — the O(1)-ish point-read path a date-clustered fact otherwise
+    lacks. Iceberg stores the same structure per file (parquet bloom /
+    puffin); the sidecar JSON models it at files × bits/8 bytes."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.to_date("o_orderdate").alias("order_dt"),
+                "o_totalprice",
+            ),
+            staging,
+            stats_cols=["order_dt", "o_orderkey"],
+            cluster_by="order_dt",
+            n_files=36,
+        )
+        ft.build_bloom_index(spark, staging, "o_orderkey")
+
+    table_dir = _served_table(sf_dir, "lakept_", "orders", "lakept-v1", build)
+    man = ft.read_manifest(table_dir)
+    lo = min(int(e["stats"]["o_orderkey"][0]) for e in man["entries"])
+    hi = max(int(e["stats"]["o_orderkey"][1]) for e in man["entries"])
+    probes = [
+        lo + (i * (hi - lo)) // (_BLOOM_N_PROBES + 1)
+        for i in range(1, _BLOOM_N_PROBES + 1)
+    ]
+    return (
+        ft.point_lookup(spark, table_dir, "o_orderkey", probes)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+LAKE_BLOOM_ORACLE = f"""
+WITH k AS (
+    SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+), probes AS (
+    SELECT lo + (i * (hi - lo)) // {_BLOOM_N_PROBES + 1} AS p
+    FROM k, generate_series(1, {_BLOOM_N_PROBES}) AS t(i)
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey IN (SELECT p FROM probes)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -493,4 +561,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_merge_into": QuerySpec(lake_merge_into, LAKE_MERGE_ORACLE),
     "lake_stream_commits": QuerySpec(lake_stream_commits, LAKE_STREAM_ORACLE),
     "lake_compact_roundtrip": QuerySpec(lake_compact_roundtrip, LAKE_COMPACT_ORACLE),
+    "lake_bloom_point_lookup": QuerySpec(lake_bloom_point_lookup, LAKE_BLOOM_ORACLE),
 }

@@ -567,6 +567,135 @@ def merge_into(
     return summary
 
 
+def _bloom_positions_expr(col: str, bits: int, hashes: int):
+    """The k bit positions of ``col``'s value — PORTABLE hashing (salted
+    md5 of the string cast, the same rule as every sketch in
+    operators/aggs.py), so the driver-side probe in plan_bloom_lookup
+    reproduces them with hashlib. 12 hex chars = 48 bits, safely inside
+    a long before the modulo."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{i}:"), F.col(col).cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % bits
+            for i in range(hashes)
+        ]
+    )
+
+
+def _bloom_probe_positions(value, bits: int, hashes: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"bloom{i}:{value}".encode()).hexdigest()[:12], 16) % bits
+        for i in range(hashes)
+    ]
+
+
+def bloom_index_path(table_dir: str, col: str) -> str:
+    return os.path.join(_meta_dir(table_dir), f"bloom_{col}.json")
+
+
+def build_bloom_index(
+    spark: SparkSession, table_dir: str, col: str, *, bits: int = 1 << 16, hashes: int = 2
+) -> dict:
+    """Per-file bloom filters on ``col`` for the CURRENT snapshot — the
+    skipping structure for POINT lookups on a column the files are NOT
+    clustered by (where zone maps are useless: every file's [min,max]
+    spans the whole keyspace). Iceberg stores these per data file
+    (parquet bloom filters / puffin blobs); here they land in one JSON
+    sidecar stamped with the manifest version so a stale index can never
+    silently plan against a newer snapshot.
+
+    Build cost: one distributed pass — explode each row's k positions,
+    distinct at (file, position) grain (bounded by files × bits, NOT by
+    rows), then a bounded collect packs each file's bitmap driver-side.
+    Sidecar size is files × bits/8 bytes."""
+    man = read_manifest(table_dir)
+    paths = [os.path.join(table_dir, e["path"]) for e in man["entries"]]
+    words = bits // 64
+    rows = (
+        spark.read.parquet(*paths)
+        .select(
+            F.input_file_name().alias("_f"),
+            F.explode(_bloom_positions_expr(col, bits, hashes)).alias("p"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        name = os.path.basename(r["_f"])
+        by_file.setdefault(name, [0] * words)
+        by_file[name][r["p"] // 64] |= 1 << (r["p"] % 64)
+    index = {
+        "col": col,
+        "bits": bits,
+        "hashes": hashes,
+        "manifest_version": man["version"],
+        "files": {
+            e["path"]: by_file.get(os.path.basename(e["path"]), [0] * words)
+            for e in man["entries"]
+        },
+    }
+    with open(bloom_index_path(table_dir, col), "w") as f:
+        json.dump(index, f)
+    return {"files": len(index["files"]), "bits": bits, "hashes": hashes}
+
+
+def plan_bloom_lookup(table_dir: str, col: str, values) -> dict:
+    """Bloom-pruned point-lookup planning: keep a file iff for SOME probe
+    value ALL k of its bit positions are set in that file's bitmap.
+    Raises on a stale index (manifest moved since the build) — planning
+    against a stale bitmap could silently MISS new files (bloom pruning
+    must be sound: false positives waste a read, false negatives lose
+    rows)."""
+    with open(bloom_index_path(table_dir, col)) as f:
+        idx = json.load(f)
+    man = read_manifest(table_dir)
+    if idx["manifest_version"] != man["version"]:
+        raise ValueError(
+            f"bloom index built at manifest {idx['manifest_version']} but current "
+            f"is {man['version']}; rebuild the index"
+        )
+    bits, hashes = idx["bits"], idx["hashes"]
+    probe_pos = [_bloom_probe_positions(v, bits, hashes) for v in values]
+    keep, skipped = [], 0
+    for e in man["entries"]:
+        bitmap = idx["files"][e["path"]]
+        hit = any(
+            all(bitmap[p // 64] >> (p % 64) & 1 for p in pos) for pos in probe_pos
+        )
+        if hit:
+            keep.append(os.path.join(table_dir, e["path"]))
+        else:
+            skipped += 1
+    return {
+        "paths": keep,
+        "files_read": len(keep),
+        "files_skipped": skipped,
+        "files_total": len(man["entries"]),
+    }
+
+
+def point_lookup(spark: SparkSession, table_dir: str, col: str, values) -> DataFrame:
+    """Bloom-pruned point lookup: only files whose bloom admits some probe
+    value are read; the exact IN-list filter on top removes bloom false
+    positives and pushes into the parquet scan."""
+    plan = plan_bloom_lookup(table_dir, col, values)
+    if not plan["paths"]:
+        empty = read_table(spark, table_dir).limit(0)
+        return empty.filter(F.col(col).isin(list(values)))
+    return spark.read.parquet(*plan["paths"]).filter(F.col(col).isin(list(values)))
+
+
 def plan_compaction(table_dir: str, *, target_bytes: int) -> list[list[dict]]:
     """Greedy binpack of the CURRENT live files into target-size rewrite
     groups — the same running-sum rule as maintenance_compaction_bins

@@ -169,3 +169,55 @@ def test_stream_commits_readstream_arrival_equals_batch(spark, sf_dir):
         for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_bloom_point_lookup_prunes_unclustered_key(spark, sf_dir):
+    from spark_iceberg_jobs_spark.queries.lakehouse import (
+        _BLOOM_N_PROBES,
+        lake_bloom_point_lookup,
+    )
+
+    lake_bloom_point_lookup(spark, sf_dir).collect()
+    td = _published_dir("lakept_", sf_dir, "orders", "lakept-v1")
+    man = ft.read_manifest(td)
+    # zone maps are USELESS here: date-clustered files each span (nearly)
+    # the whole o_orderkey range, so a key-range plan_scan keeps ~all files
+    lo = min(int(e["stats"]["o_orderkey"][0]) for e in man["entries"])
+    hi = max(int(e["stats"]["o_orderkey"][1]) for e in man["entries"])
+    probes = [
+        lo + (i * (hi - lo)) // (_BLOOM_N_PROBES + 1)
+        for i in range(1, _BLOOM_N_PROBES + 1)
+    ]
+    zone = ft.plan_scan(td, "o_orderkey", probes[0], probes[0])
+    assert zone["files_read"] >= zone["files_total"] * 0.8, (
+        "precondition: the clustered column's zone maps cannot prune this key"
+    )
+    # the bloom CAN: at most #probes true files + false-positive slack
+    plan = ft.plan_bloom_lookup(td, "o_orderkey", probes)
+    assert plan["files_total"] >= 30
+    assert plan["files_read"] <= _BLOOM_N_PROBES + 5, plan
+    # soundness: the pruned read returns exactly the probe rows
+    found = ft.point_lookup(spark, td, "o_orderkey", probes)
+    keys = sorted(r["o_orderkey"] for r in found.collect())
+    assert keys == sorted(set(probes)), "bloom pruning must never lose a row"
+
+
+def test_bloom_index_stale_after_commit_raises(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    td = str(tmp_path / "pt")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    ft.create_table(df, td, stats_cols=["k"], cluster_by="k", n_files=4)
+    ft.build_bloom_index(spark, td, "k", bits=1 << 12)
+    assert ft.plan_bloom_lookup(td, "k", [5])["files_read"] >= 1
+    ft.append_table(
+        spark.range(1000, 1010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        td,
+        n_files=1,
+    )
+    with _pytest.raises(ValueError, match="stale|rebuild"):
+        ft.plan_bloom_lookup(td, "k", [5])
