@@ -331,8 +331,12 @@ def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
     }
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    man = read_manifest(table_dir)
+def read_table(
+    spark: SparkSession, table_dir: str, *, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot — the current one, or any retained manifest version
+    (time travel; expired versions raise via the missing manifest)."""
+    man = read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, e["path"]) for e in man["entries"]]
     return spark.read.parquet(*paths)
 

@@ -313,3 +313,17 @@ def test_compaction_commit_delta_is_the_rewrite_set(spark, li_table):
     assert len(delta) == summary["files_out"] and delta, (
         "replace-commit delta = the new rewrite files"
     )
+
+
+def test_time_travel_read_by_manifest_version(spark, li_table):
+    td, df = li_table
+    n_v1 = ft.read_table(spark, td).count()
+    ft.delete_where(spark, td, "ship_dt", _mid(td, 0.4))
+    # current reads the post-delete snapshot; version=1 time-travels back
+    assert ft.read_table(spark, td).count() < n_v1
+    assert ft.read_table(spark, td, version=1).count() == n_v1
+    ft.expire_table(td, keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        ft.read_table(spark, td, version=1)
