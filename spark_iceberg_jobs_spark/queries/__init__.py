@@ -147,6 +147,7 @@ _R10_NEW = [
     "lake_stream_commits",
     "lake_compact_roundtrip",
     "lake_bloom_point_lookup",
+    "lake_mor_delete",
 ]
 
 _R10_STALE_REFRESH = [
@@ -192,7 +193,6 @@ _R10_STALE_REFRESH = [
     "graph_dup_triangles",
     "grouped_trend_by_nation",
     "join_full_outer_nation_activity",
-    "join_null_safe_segments",
 ]
 
 

@@ -39,6 +39,11 @@ from ..sources import filetable as ft
 from ..sources.readers import read_fixture
 from . import QuerySpec
 
+# the executed MOR query must satisfy the SAME oracle as the simulated
+# read path (queries/maintenance.py) — one canonical SQL, two engines of
+# the same semantics
+from .maintenance import MOR_EQUALITY_DELETES_ORACLE as _MOR_ORACLE
+
 
 def _served_table(sf_dir: str, prefix: str, source: str, salt: str, build_fn) -> str:
     """Build-once-per-fingerprint file-grain table artifact; returns the
@@ -552,6 +557,60 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_mor_delete — merge-on-read equality deletes, EXECUTED at file grain
+# ---------------------------------------------------------------------------
+
+
+def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mor_equality_deletes scenario (queries/maintenance.py — the
+    Iceberg v2 read path as a 3-frame DataFrame simulation), EXECUTED on
+    the file-grain table: commit 1 creates the base (o_orderkey % 4 !=
+    3), commit 2 is an EQUALITY-DELETE FILE on o_custkey (customers with
+    an o_orderkey % 97 == 0 order) touching zero data files, commit 3
+    appends the % 4 == 3 rows at a higher data sequence — served
+    verbatim even for deleted customers (delete-then-reinsert
+    resurrects the key). The serve is ``filetable.read_table``'s MOR
+    path: one null-safe broadcast anti join keyed by (delete seq > data
+    seq). Same oracle as the simulation — the executed layer and the
+    simulated read path must agree row-for-row.
+
+    Scale: the delete commit is O(|keys|) regardless of table size; the
+    serve's anti join broadcasts the between-compactions delete-key set
+    (the MOR contract); ``fold_deletes`` is the pressure valve
+    (test-pinned: folded pure-data read == MOR read)."""
+    def build(staging: str) -> None:
+        orders = read_fixture(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        ft.create_table(
+            orders.filter(F.col("o_orderkey") % 4 != 3),
+            staging,
+            stats_cols=["o_orderkey"],
+            cluster_by="o_orderkey",
+            n_files=16,
+        )
+        ft.delete_keys_mor(
+            spark,
+            staging,
+            "o_custkey",
+            orders.filter(F.col("o_orderkey") % 97 == 0).select("o_custkey"),
+        )
+        ft.append_table(orders.filter(F.col("o_orderkey") % 4 == 3), staging, n_files=4)
+
+    table_dir = _served_table(sf_dir, "lakemor_", "orders", "lakemor-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_live"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -562,4 +621,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_stream_commits": QuerySpec(lake_stream_commits, LAKE_STREAM_ORACLE),
     "lake_compact_roundtrip": QuerySpec(lake_compact_roundtrip, LAKE_COMPACT_ORACLE),
     "lake_bloom_point_lookup": QuerySpec(lake_bloom_point_lookup, LAKE_BLOOM_ORACLE),
+    "lake_mor_delete": QuerySpec(lake_mor_delete, _MOR_ORACLE),
 }

@@ -131,6 +131,12 @@ def _commit_manifest(table_dir: str, manifest: dict) -> int:
         except FileExistsError:
             nxt += 1
     manifest["version"] = nxt
+    # data sequence number (Iceberg v2): entries added by THIS commit are
+    # stamped with it; carried-over entries keep theirs. An equality
+    # delete applies only to data files with a SMALLER seq — the rule
+    # that lets an append resurrect a deleted key (see read_table).
+    for e in manifest["entries"]:
+        e.setdefault("seq", nxt)
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1)
     hint = os.path.join(_meta_dir(table_dir), _HINT)
@@ -331,14 +337,173 @@ def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
     }
 
 
+def _split_entries(man: dict) -> tuple[list[dict], list[dict]]:
+    data = [e for e in man["entries"] if e.get("kind", "data") == "data"]
+    dels = [e for e in man["entries"] if e.get("kind") == "eqdelete"]
+    return data, dels
+
+
 def read_table(
     spark: SparkSession, table_dir: str, *, version: int | None = None
 ) -> DataFrame:
     """Read a snapshot — the current one, or any retained manifest version
-    (time travel; expired versions raise via the missing manifest)."""
+    (time travel; expired versions raise via the missing manifest).
+
+    MERGE-ON-READ: when the snapshot carries equality-delete files
+    (``delete_keys_mor``), the read applies them exactly like Iceberg v2
+    (cf. operators/mor.py, the 3-part simulation this generalizes to N
+    commits): a delete at sequence S removes rows whose key matches from
+    data files with seq < S ONLY — later appends are served verbatim,
+    so delete-then-reinsert resurrects the key. One null-safe broadcast
+    anti join on the (small-between-compactions) delete-key set; payload
+    rows never move."""
     man = read_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, e["path"]) for e in man["entries"]]
-    return spark.read.parquet(*paths)
+    data, dels = _split_entries(man)
+    if not dels:
+        paths = [os.path.join(table_dir, e["path"]) for e in man["entries"]]
+        return spark.read.parquet(*paths)
+    key_cols = {e["key_col"] for e in dels}
+    if len(key_cols) != 1:
+        raise ValueError(f"mixed equality-delete key columns: {sorted(key_cols)}")
+    key_col = key_cols.pop()
+
+    def seq_union(entries: list[dict], seq_name: str, select=None) -> DataFrame:
+        by_seq: dict[int, list[str]] = {}
+        for e in entries:
+            by_seq.setdefault(e["seq"], []).append(os.path.join(table_dir, e["path"]))
+        out = None
+        for s, paths in sorted(by_seq.items()):
+            part = spark.read.parquet(*paths)
+            if select is not None:
+                part = part.select(*select)
+            part = part.withColumn(seq_name, F.lit(s))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    df = seq_union(data, "_ft_seq")
+    dk = seq_union(dels, "_ft_dseq", select=[key_col]).withColumnRenamed(
+        key_col, "_ft_dkey"
+    )
+    return df.join(
+        F.broadcast(dk),
+        F.col(key_col).eqNullSafe(F.col("_ft_dkey"))
+        & (F.col("_ft_dseq") > F.col("_ft_seq")),
+        "left_anti",
+    ).drop("_ft_seq")
+
+
+def delete_keys_mor(
+    spark: SparkSession, table_dir: str, key_col: str, keys: DataFrame
+) -> dict:
+    """Commit an EQUALITY-DELETE file (Iceberg v2 merge-on-read): the
+    distinct keys land in one parquet delete file; no data file is read
+    or rewritten — the O(|keys|) write is the whole commit, and readers
+    apply the delete via ``read_table``'s anti join until
+    ``fold_deletes`` compacts it away. The deleted keys' rows in data
+    files with smaller seq disappear from every subsequent read; data
+    committed AFTER this delete is unaffected."""
+    man = read_manifest(table_dir)
+    cdir = _next_commit_dir(table_dir)
+    with _pinned_file_count(spark):
+        keys.select(key_col).distinct().coalesce(1).write.mode("append").parquet(cdir)
+    new = _collect_entries(spark, table_dir, cdir, [])
+    for e in new:
+        e["kind"] = "eqdelete"
+        e["key_col"] = key_col
+    summary = {
+        "delete_files": len(new),
+        "delete_keys": sum(e["rows"] for e in new),
+    }
+    _commit_manifest(
+        table_dir,
+        {
+            "operation": "delete-mor",
+            "stats_types": man["stats_types"],
+            "summary": summary,
+            "entries": man["entries"] + new,
+        },
+    )
+    return summary
+
+
+def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
+    """Compact equality deletes back into data files — Iceberg's
+    rewrite action for the MOR pressure valve: data files that actually
+    CONTAIN an applicable deleted key (found with one file-scoped semi
+    join, like merge_into's planning) rewrite without those rows;
+    unaffected data files and later-seq appends survive by metadata;
+    every delete file drops from the manifest. After folding, reads are
+    pure data-file scans again (the anti join disappears — test-pinned
+    equal to the pre-fold MOR read)."""
+    man = read_manifest(table_dir)
+    data, dels = _split_entries(man)
+    if not dels:
+        return {"files_rewritten": 0, "delete_files_folded": 0}
+    key_col = dels[0]["key_col"]
+    dk = None
+    for e in dels:
+        part = spark.read.parquet(os.path.join(table_dir, e["path"])).select(
+            F.col(key_col).alias("_ft_dkey")
+        ).withColumn("_ft_dseq", F.lit(e["seq"]))
+        dk = part if dk is None else dk.unionByName(part)
+
+    touched, untouched = [], []
+    for e in data:
+        paths = [os.path.join(table_dir, e["path"])]
+        applicable = dk.filter(F.col("_ft_dseq") > e["seq"])
+        hit = (
+            spark.read.parquet(*paths)
+            .join(
+                F.broadcast(applicable),
+                F.col(key_col).eqNullSafe(F.col("_ft_dkey")),
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+        (touched if hit else untouched).append(e)
+    new_entries = []
+    rows_deleted = 0
+    if touched:
+        # rewrite each touched file against ITS applicable delete keys;
+        # files share a seq within a commit, so group by seq to keep the
+        # anti-join predicate a literal per group
+        by_seq: dict[int, list[dict]] = {}
+        for e in touched:
+            by_seq.setdefault(e["seq"], []).append(e)
+        cdir = _next_commit_dir(table_dir)
+        for s, group in sorted(by_seq.items()):
+            paths = [os.path.join(table_dir, e["path"]) for e in group]
+            survivors = spark.read.parquet(*paths).join(
+                F.broadcast(dk.filter(F.col("_ft_dseq") > s).select("_ft_dkey")),
+                F.col(key_col).eqNullSafe(F.col("_ft_dkey")),
+                "left_anti",
+            )
+            with _pinned_file_count(spark):
+                survivors.repartition(len(group)).write.mode("append").parquet(cdir)
+        new_entries = _collect_entries(
+            spark, table_dir, cdir, list(man["stats_types"])
+        )
+        rows_deleted = sum(e["rows"] for e in touched) - sum(
+            e["rows"] for e in new_entries
+        )
+    summary = {
+        "files_rewritten": len(touched),
+        "files_untouched": len(untouched),
+        "delete_files_folded": len(dels),
+        "rows_deleted": rows_deleted,
+    }
+    _commit_manifest(
+        table_dir,
+        {
+            "operation": "fold-deletes",
+            "stats_types": man["stats_types"],
+            "summary": summary,
+            "entries": untouched + new_entries,
+        },
+    )
+    return summary
 
 
 def scan_range(spark: SparkSession, table_dir: str, col: str, lo, hi) -> DataFrame:

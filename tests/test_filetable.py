@@ -327,3 +327,68 @@ def test_time_travel_read_by_manifest_version(spark, li_table):
 
     with _pytest.raises(FileNotFoundError):
         ft.read_table(spark, td, version=1)
+
+
+def test_mor_equality_delete_read_and_resurrect(spark, cust_table):
+    """Iceberg v2 MOR at file grain: a delete at seq S hides matching keys
+    in data files with seq < S only — an append AFTER the delete
+    resurrects the key (operators/mor.py's 3-part rule, generalized to
+    the manifest)."""
+    td, df = cust_table
+    keys = [r["c_custkey"] for r in df.select("c_custkey").orderBy("c_custkey").limit(40).collect()]
+    dead = keys[:20]
+    s = ft.delete_keys_mor(
+        spark, td, "c_custkey",
+        spark.createDataFrame([(k,) for k in dead], "c_custkey long"),
+    )
+    assert s == {"delete_files": 1, "delete_keys": 20}
+    served = ft.read_table(spark, td)
+    assert served.filter(F.col("c_custkey").isin(dead)).count() == 0
+    assert served.count() == df.count() - 20
+    # no data file was touched by the delete commit
+    man = ft.read_manifest(td)
+    assert man["operation"] == "delete-mor"
+    data_paths = {e["path"] for e in man["entries"] if e.get("kind", "data") == "data"}
+    assert data_paths == {e["path"] for e in ft.read_manifest(td, 1)["entries"]}
+    # resurrect: append 5 of the deleted keys at a HIGHER seq
+    ft.append_table(
+        df.filter(F.col("c_custkey").isin(dead[:5])), td, n_files=1
+    )
+    back = ft.read_table(spark, td)
+    assert back.filter(F.col("c_custkey").isin(dead[:5])).count() == 5
+    assert back.filter(F.col("c_custkey").isin(dead[5:])).count() == 0
+
+
+def test_fold_deletes_restores_pure_data_reads(spark, cust_table):
+    td, df = cust_table
+    keys = [r["c_custkey"] for r in df.select("c_custkey").orderBy("c_custkey").limit(30).collect()]
+    ft.delete_keys_mor(
+        spark, td, "c_custkey",
+        spark.createDataFrame([(k,) for k in keys], "c_custkey long"),
+    )
+    ft.append_table(df.filter(F.col("c_custkey").isin(keys[:3])), td, n_files=1)
+    before = sorted(r["c_custkey"] for r in ft.read_table(spark, td).collect())
+    s = ft.fold_deletes(spark, td)
+    assert s["delete_files_folded"] == 1
+    assert s["files_rewritten"] >= 1 and s["rows_deleted"] == 30
+    man = ft.read_manifest(td)
+    assert man["operation"] == "fold-deletes"
+    assert not [e for e in man["entries"] if e.get("kind") == "eqdelete"]
+    # the folded read (pure data scan, no anti join) equals the MOR read
+    after = sorted(r["c_custkey"] for r in ft.read_table(spark, td).collect())
+    assert after == before
+    # the post-delete append survived the fold untouched (seq > delete)
+    assert len([k for k in after if k in keys[:3]]) == 3
+
+
+def test_mor_time_travel_spans_delete_commits(spark, cust_table):
+    td, df = cust_table
+    n0 = df.count()
+    ft.delete_keys_mor(
+        spark, td, "c_custkey",
+        df.select("c_custkey").orderBy("c_custkey").limit(10),
+    )
+    ft.fold_deletes(spark, td)
+    assert ft.read_table(spark, td).count() == n0 - 10
+    assert ft.read_table(spark, td, version=1).count() == n0  # pre-delete
+    assert ft.read_table(spark, td, version=2).count() == n0 - 10  # MOR applied
