@@ -148,6 +148,7 @@ _R10_NEW = [
     "lake_compact_roundtrip",
     "lake_bloom_point_lookup",
     "lake_mor_delete",
+    "lake_schema_evolution",
 ]
 
 _R10_STALE_REFRESH = [
@@ -192,7 +193,6 @@ _R10_STALE_REFRESH = [
     "events_time_weighted_value",
     "graph_dup_triangles",
     "grouped_trend_by_nation",
-    "join_full_outer_nation_activity",
 ]
 
 

@@ -611,6 +611,72 @@ def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# lake_schema_evolution — field-id evolution served across old + new files
+# ---------------------------------------------------------------------------
+
+
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority totals over a table whose schema EVOLVED mid-history:
+    v1 creates 4/5 of orders as (o_orderkey, order_dt, o_totalprice);
+    then two metadata-only commits rename o_totalprice → price and add a
+    ``priority`` string column (zero files touched — field-id evolution,
+    filetable.rename_column/add_column); then the remaining 1/5 appends
+    UNDER THE NEW SCHEMA with the priority populated. The serve reads
+    both generations in one frame: old files resolve ``price`` under
+    their written name and backfill ``priority`` as NULL (surfaced as
+    'LEGACY'), new files read identity — the per-seq projection rule
+    Iceberg applies by field id. The oracle reconstructs the same split
+    from the raw fixture, so cross-generation resolution correctness is
+    the verified claim.
+
+    Scale: evolution commits are O(1) metadata at any table size; the
+    read adds one extra union arm per distinct live schema generation
+    (bounded by evolution history, not data)."""
+    def build(staging: str) -> None:
+        orders = read_fixture(spark, sf_dir, "orders")
+        old = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_dt"),
+            "o_totalprice",
+        )
+        ft.create_table(
+            old, staging, stats_cols=["order_dt"], cluster_by="order_dt", n_files=12
+        )
+        ft.rename_column(staging, "o_totalprice", "price")
+        ft.add_column(staging, "priority", "string")
+        new = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_dt"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        ft.append_table(new, staging, n_files=4)
+
+    table_dir = _served_table(sf_dir, "lakesch_", "orders", "lakesch-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.coalesce("priority", F.lit("LEGACY")).alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("price").alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+LAKE_SCHEMA_ORACLE = """
+SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority
+            ELSE 'LEGACY' END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY priority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -622,4 +688,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_compact_roundtrip": QuerySpec(lake_compact_roundtrip, LAKE_COMPACT_ORACLE),
     "lake_bloom_point_lookup": QuerySpec(lake_bloom_point_lookup, LAKE_BLOOM_ORACLE),
     "lake_mor_delete": QuerySpec(lake_mor_delete, _MOR_ORACLE),
+    "lake_schema_evolution": QuerySpec(lake_schema_evolution, LAKE_SCHEMA_ORACLE),
 }

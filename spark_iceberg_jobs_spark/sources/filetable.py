@@ -137,6 +137,11 @@ def _commit_manifest(table_dir: str, manifest: dict) -> int:
     # that lets an append resurrect a deleted key (see read_table).
     for e in manifest["entries"]:
         e.setdefault("seq", nxt)
+    # schema evolution bookkeeping: the WRITTEN field names of files this
+    # commit added, keyed by the actual CAS-resolved seq
+    new_names = manifest.pop("_new_names", None)
+    if new_names is not None:
+        manifest.setdefault("names_at_seq", {})[str(nxt)] = new_names
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1)
     hint = os.path.join(_meta_dir(table_dir), _HINT)
@@ -274,9 +279,17 @@ def create_table(
     entries = _write_commit(
         df, spark, table_dir, stats_cols, n_files=n_files, cluster_by=cluster_by
     )
+    # field-id-tracked schema (Iceberg evolution model): names can change,
+    # ids never do; each commit seq records the WRITTEN name per id so
+    # old files stay readable through renames (see read_table)
+    fields = [
+        {"id": i + 1, "name": c, "type": t} for i, (c, t) in enumerate(df.dtypes)
+    ]
     manifest = {
         "operation": "create",
         "stats_types": {c: _stat_type(df, c) for c in stats_cols},
+        "schema": {"fields": fields, "next_id": len(fields) + 1},
+        "_new_names": {str(f["id"]): f["name"] for f in fields},
         "summary": {"files_added": len(entries), "rows_added": sum(e["rows"] for e in entries)},
         "entries": entries,
     }
@@ -286,21 +299,106 @@ def create_table(
 def append_table(df: DataFrame, table_dir: str, *, n_files: int | None = None) -> int:
     """Append-commit: new immutable files + manifest = previous entries
     plus the new ones. Prior files are untouched (shared between
-    snapshots — the property the full-copy versioned protocol lacks)."""
+    snapshots — the property the full-copy versioned protocol lacks).
+    On an evolved table the appended frame must carry exactly the
+    CURRENT schema columns (written under the current names — that is
+    what the commit's names_at_seq records)."""
     spark = df.sparkSession
     prev = read_manifest(table_dir)
+    cur = _current_names(prev)
+    if cur is not None and set(df.columns) != set(cur.values()):
+        raise ValueError(
+            f"append columns {sorted(df.columns)} != current schema "
+            f"{sorted(cur.values())}"
+        )
     stats_cols = list(prev["stats_types"])
     cluster = stats_cols[0] if stats_cols else None
     new = _write_commit(
         df, spark, table_dir, stats_cols, n_files=n_files, cluster_by=cluster
     )
-    manifest = {
+    manifest = _inherit_schema(prev, {
         "operation": "append",
         "stats_types": prev["stats_types"],
         "summary": {"files_added": len(new), "rows_added": sum(e["rows"] for e in new)},
         "entries": prev["entries"] + new,
-    }
+    }, adds_files=True)
     return _commit_manifest(table_dir, manifest)
+
+
+def add_column(table_dir: str, name: str, dtype: str) -> int:
+    """Metadata-only schema evolution: a new field id; zero files touched.
+    Pre-evolution files read the column as typed NULL backfill."""
+    man = read_manifest(table_dir)
+    sch = man.get("schema")
+    if sch is None:
+        raise ValueError("table predates schema tracking; cannot evolve")
+    if any(f["name"] == name for f in sch["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    sch["fields"].append({"id": sch["next_id"], "name": name, "type": dtype})
+    sch["next_id"] += 1
+    return _commit_manifest(table_dir, _inherit_schema(man, {
+        "operation": "add-column",
+        "stats_types": man["stats_types"],
+        "schema": sch,
+        "summary": {"added_column": name, "type": dtype},
+        "entries": man["entries"],
+    }, adds_files=False))
+
+
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """Metadata-only rename by field id — old files keep their written
+    name and resolve through names_at_seq; zero files touched. Renaming
+    the key column of a LIVE equality delete is refused (the delete
+    file's key resolution is pinned to its written name)."""
+    man = read_manifest(table_dir)
+    sch = man.get("schema")
+    if sch is None:
+        raise ValueError("table predates schema tracking; cannot evolve")
+    if any(f["name"] == new for f in sch["fields"]):
+        raise ValueError(f"column {new!r} already exists")
+    if any(e.get("kind") == "eqdelete" and e["key_col"] == old for e in man["entries"]):
+        raise ValueError(
+            f"cannot rename {old!r}: live equality-delete files key on it — "
+            "fold_deletes first"
+        )
+    field = next((f for f in sch["fields"] if f["name"] == old), None)
+    if field is None:
+        raise ValueError(f"no column {old!r}")
+    field["name"] = new
+    stats = {new if c == old else c: t for c, t in man["stats_types"].items()}
+    return _commit_manifest(table_dir, _inherit_schema(man, {
+        "operation": "rename-column",
+        "stats_types": stats,
+        "schema": sch,
+        "summary": {"renamed": old, "to": new},
+        "entries": [
+            {**e, "stats": {new if c == old else c: v for c, v in e["stats"].items()}}
+            if e.get("kind", "data") == "data" else e
+            for e in man["entries"]
+        ],
+    }, adds_files=False))
+
+
+def drop_column(table_dir: str, name: str) -> int:
+    """Metadata-only drop — the column vanishes from every read's
+    projection; file bytes are reclaimed only when rewrites happen
+    (Iceberg's rule). Planning columns (stats) cannot be dropped."""
+    man = read_manifest(table_dir)
+    sch = man.get("schema")
+    if sch is None:
+        raise ValueError("table predates schema tracking; cannot evolve")
+    if name in man["stats_types"]:
+        raise ValueError(f"{name!r} is a stats/planning column; cannot drop")
+    if not any(f["name"] == name for f in sch["fields"]):
+        raise ValueError(f"no column {name!r}")
+    sch["fields"] = [f for f in sch["fields"] if f["name"] != name]
+    return _commit_manifest(table_dir, _inherit_schema(man, {
+        "operation": "drop-column",
+        "stats_types": man["stats_types"],
+        "schema": sch,
+        "summary": {"dropped_column": name},
+        "entries": man["entries"],
+    }, adds_files=False))
 
 
 def _decode_bounds(manifest: dict, col: str):
@@ -328,9 +426,10 @@ def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
         ):
             skipped += 1
             continue
-        keep.append(os.path.join(table_dir, e["path"]))
+        keep.append(e)
     return {
-        "paths": keep,
+        "paths": [os.path.join(table_dir, e["path"]) for e in keep],
+        "entries": keep,
         "files_read": len(keep),
         "files_skipped": skipped,
         "files_total": len(manifest["entries"]),
@@ -343,11 +442,91 @@ def _split_entries(man: dict) -> tuple[list[dict], list[dict]]:
     return data, dels
 
 
+def _current_names(man: dict) -> dict[str, str] | None:
+    sch = man.get("schema")
+    if sch is None:
+        return None
+    return {str(f["id"]): f["name"] for f in sch["fields"]}
+
+
+def _inherit_schema(prev: dict, manifest: dict, *, adds_files: bool) -> dict:
+    """Carry the evolution bookkeeping through a commit; commits that add
+    files stamp the CURRENT written names for their (CAS-resolved) seq."""
+    if "schema" in prev:
+        manifest["schema"] = prev["schema"]
+        manifest["names_at_seq"] = dict(prev.get("names_at_seq", {}))
+        if adds_files:
+            manifest["_new_names"] = _current_names(prev)
+    return manifest
+
+
+def _projection_for_seq(man: dict, seq: int):
+    """Schema-evolution resolution (the Iceberg rule, by FIELD ID): map
+    each current field to the name it was WRITTEN under at ``seq``;
+    fields that didn't exist yet backfill as typed NULLs; columns since
+    dropped are simply not selected. Returns None when the stored names
+    at ``seq`` already equal the current schema (identity projection)."""
+    sch = man.get("schema")
+    if sch is None:
+        return None
+    written = man.get("names_at_seq", {}).get(str(seq), {})
+    exprs, identity = [], True
+    for f in sch["fields"]:
+        w = written.get(str(f["id"]))
+        if w is None:
+            exprs.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            identity = False
+        else:
+            exprs.append(F.col(w).cast(f["type"]).alias(f["name"]))
+            if w != f["name"]:
+                identity = False
+    # a dropped column leaves the written file with an extra column the
+    # projection omits — that too makes the projection non-identity
+    if identity and len(written) != len(sch["fields"]):
+        identity = False
+    return None if identity else exprs
+
+
+def _read_data(spark: SparkSession, table_dir: str, man: dict, data: list[dict],
+               seq_col: str | None = None) -> DataFrame:
+    """Union the live data files with schema resolution per commit seq
+    (one read per seq whose projection differs; a table that never
+    evolved reads in a single multi-path scan)."""
+    by_seq: dict[int, list[str]] = {}
+    for e in data:
+        by_seq.setdefault(e.get("seq", 0), []).append(
+            os.path.join(table_dir, e["path"])
+        )
+    plain: list[str] = []
+    out = None
+    for s, paths in sorted(by_seq.items()):
+        proj = _projection_for_seq(man, s)
+        if proj is None and seq_col is None:
+            plain.extend(paths)
+            continue
+        part = spark.read.parquet(*paths)
+        if proj is not None:
+            part = part.select(*proj)
+        if seq_col is not None:
+            part = part.withColumn(seq_col, F.lit(s))
+        out = part if out is None else out.unionByName(part)
+    if plain:
+        part = spark.read.parquet(*plain)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def read_table(
     spark: SparkSession, table_dir: str, *, version: int | None = None
 ) -> DataFrame:
     """Read a snapshot — the current one, or any retained manifest version
     (time travel; expired versions raise via the missing manifest).
+
+    SCHEMA EVOLUTION: files are resolved by FIELD ID (``_projection_for_
+    seq``) — renamed columns read under their written names, added
+    columns backfill as typed NULLs in pre-evolution files, dropped
+    columns are projected away. A never-evolved table keeps the single
+    multi-path scan.
 
     MERGE-ON-READ: when the snapshot carries equality-delete files
     (``delete_keys_mor``), the read applies them exactly like Iceberg v2
@@ -360,30 +539,21 @@ def read_table(
     man = read_manifest(table_dir, version)
     data, dels = _split_entries(man)
     if not dels:
-        paths = [os.path.join(table_dir, e["path"]) for e in man["entries"]]
-        return spark.read.parquet(*paths)
+        return _read_data(spark, table_dir, man, data)
     key_cols = {e["key_col"] for e in dels}
     if len(key_cols) != 1:
         raise ValueError(f"mixed equality-delete key columns: {sorted(key_cols)}")
     key_col = key_cols.pop()
 
-    def seq_union(entries: list[dict], seq_name: str, select=None) -> DataFrame:
-        by_seq: dict[int, list[str]] = {}
-        for e in entries:
-            by_seq.setdefault(e["seq"], []).append(os.path.join(table_dir, e["path"]))
-        out = None
-        for s, paths in sorted(by_seq.items()):
-            part = spark.read.parquet(*paths)
-            if select is not None:
-                part = part.select(*select)
-            part = part.withColumn(seq_name, F.lit(s))
-            out = part if out is None else out.unionByName(part)
-        return out
-
-    df = seq_union(data, "_ft_seq")
-    dk = seq_union(dels, "_ft_dseq", select=[key_col]).withColumnRenamed(
-        key_col, "_ft_dkey"
-    )
+    df = _read_data(spark, table_dir, man, data, seq_col="_ft_seq")
+    dk = None
+    for e in dels:
+        part = (
+            spark.read.parquet(os.path.join(table_dir, e["path"]))
+            .select(F.col(e["key_col"]).alias("_ft_dkey"))
+            .withColumn("_ft_dseq", F.lit(e["seq"]))
+        )
+        dk = part if dk is None else dk.unionByName(part)
     return df.join(
         F.broadcast(dk),
         F.col(key_col).eqNullSafe(F.col("_ft_dkey"))
@@ -416,12 +586,12 @@ def delete_keys_mor(
     }
     _commit_manifest(
         table_dir,
-        {
+        _inherit_schema(man, {
             "operation": "delete-mor",
             "stats_types": man["stats_types"],
             "summary": summary,
             "entries": man["entries"] + new,
-        },
+        }, adds_files=False),
     )
     return summary
 
@@ -474,8 +644,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             by_seq.setdefault(e["seq"], []).append(e)
         cdir = _next_commit_dir(table_dir)
         for s, group in sorted(by_seq.items()):
-            paths = [os.path.join(table_dir, e["path"]) for e in group]
-            survivors = spark.read.parquet(*paths).join(
+            survivors = _read_data(spark, table_dir, man, group).join(
                 F.broadcast(dk.filter(F.col("_ft_dseq") > s).select("_ft_dkey")),
                 F.col(key_col).eqNullSafe(F.col("_ft_dkey")),
                 "left_anti",
@@ -496,12 +665,12 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     }
     _commit_manifest(
         table_dir,
-        {
+        _inherit_schema(man, {
             "operation": "fold-deletes",
             "stats_types": man["stats_types"],
             "summary": summary,
             "entries": untouched + new_entries,
-        },
+        }, adds_files=bool(new_entries)),
     )
     return summary
 
@@ -511,7 +680,7 @@ def scan_range(spark: SparkSession, table_dir: str, col: str, lo, hi) -> DataFra
     predicate is applied on top (files straddle the bounds), reaching
     the parquet scan as a pushed filter for row-group pruning."""
     plan = plan_scan(table_dir, col, lo, hi)
-    df = spark.read.parquet(*plan["paths"])
+    df = _read_data(spark, table_dir, read_manifest(table_dir), plan["entries"])
     c = F.col(col)
     if lo is not None:
         df = df.filter(c >= F.lit(lo))
@@ -547,8 +716,11 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
             straddle.append(e)
     new_entries, rows_deleted, rows_kept = [], 0, 0
     if straddle:
-        paths = [os.path.join(table_dir, e["path"]) for e in straddle]
-        survivors = spark.read.parquet(*paths).filter(F.col(col) > F.lit(cutoff))
+        # schema-resolved read: straddlers written pre-evolution rewrite
+        # under the CURRENT names (the rewrite IS a lazy schema migration)
+        survivors = _read_data(spark, table_dir, manifest, straddle).filter(
+            F.col(col) > F.lit(cutoff)
+        )
         new_entries = _write_commit(
             survivors,
             spark,
@@ -570,12 +742,12 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
     }
     _commit_manifest(
         table_dir,
-        {
+        _inherit_schema(manifest, {
             "operation": "delete",
             "stats_types": manifest["stats_types"],
             "summary": summary,
             "entries": kept + new_entries,
-        },
+        }, adds_files=bool(straddle)),
     )
     return summary
 
@@ -629,10 +801,12 @@ def merge_into(
             untouched.append(e)
 
     touched_paths: list[str] = []
+    touched_entries: list[dict] = []
     cand_df = None
     if candidates:
-        cand_paths = [os.path.join(table_dir, e["path"]) for e in candidates]
-        cand_df = spark.read.parquet(*cand_paths)
+        # schema-resolved candidate read (input_file_name resolves through
+        # the per-seq projections — it is a scan attribute)
+        cand_df = _read_data(spark, table_dir, manifest, candidates)
         touched = (
             cand_df.withColumn("_ft_file", F.input_file_name())
             .join(source.select(F.col(skey).alias(tkey)), tkey, "left_semi")
@@ -645,17 +819,18 @@ def merge_into(
             e for e in candidates if os.path.basename(e["path"]) not in touched_names
         ]
         untouched += still_untouched
+        touched_entries = [
+            e for e in candidates if os.path.basename(e["path"]) in touched_names
+        ]
         touched_paths = [
-            os.path.join(table_dir, e["path"])
-            for e in candidates
-            if os.path.basename(e["path"]) in touched_names
+            os.path.join(table_dir, e["path"]) for e in touched_entries
         ]
 
     target_cols = (cand_df or read_table(spark, table_dir)).columns
     rows_deleted = 0
     out = None
     if touched_paths:
-        t = spark.read.parquet(*touched_paths).alias("t")
+        t = _read_data(spark, table_dir, manifest, touched_entries).alias("t")
         s = source.alias("s")
         joined = t.join(s, F.col(f"t.{tkey}") == F.col(f"s.{skey}"), "left")
         matched = F.col(f"s.{skey}").isNotNull()
@@ -726,12 +901,12 @@ def merge_into(
     }
     _commit_manifest(
         table_dir,
-        {
+        _inherit_schema(manifest, {
             "operation": "merge",
             "stats_types": manifest["stats_types"],
             "summary": summary,
             "entries": untouched + new_entries,
-        },
+        }, adds_files=bool(new_entries)),
     )
     return summary
 
@@ -788,10 +963,9 @@ def build_bloom_index(
     rows), then a bounded collect packs each file's bitmap driver-side.
     Sidecar size is files × bits/8 bytes."""
     man = read_manifest(table_dir)
-    paths = [os.path.join(table_dir, e["path"]) for e in man["entries"]]
     words = bits // 64
     rows = (
-        spark.read.parquet(*paths)
+        _read_data(spark, table_dir, man, man["entries"])
         .select(
             F.input_file_name().alias("_f"),
             F.explode(_bloom_positions_expr(col, bits, hashes)).alias("p"),
@@ -862,7 +1036,14 @@ def point_lookup(spark: SparkSession, table_dir: str, col: str, values) -> DataF
     if not plan["paths"]:
         empty = read_table(spark, table_dir).limit(0)
         return empty.filter(F.col(col).isin(list(values)))
-    return spark.read.parquet(*plan["paths"]).filter(F.col(col).isin(list(values)))
+    man = read_manifest(table_dir)
+    kept = set(plan["paths"])
+    entries = [
+        e for e in man["entries"] if os.path.join(table_dir, e["path"]) in kept
+    ]
+    return _read_data(spark, table_dir, man, entries).filter(
+        F.col(col).isin(list(values))
+    )
 
 
 def plan_compaction(table_dir: str, *, target_bytes: int) -> list[list[dict]]:
@@ -913,11 +1094,13 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
     rewrite_bins = [b for b in bins if len(b) > 1]
     cdir = _next_commit_dir(table_dir) if rewrite_bins else None
     for b in rewrite_bins:
-        paths = [os.path.join(table_dir, e["path"]) for e in b]
         # coalesce(1): a bin IS one output file by definition; no shuffle,
-        # the single task streams the bin's (already clustered) rows
+        # the single task streams the bin's (already clustered, schema-
+        # resolved) rows — compaction doubles as lazy schema migration
         with _pinned_file_count(spark):
-            spark.read.parquet(*paths).coalesce(1).write.mode("append").parquet(cdir)
+            _read_data(spark, table_dir, man, b).coalesce(1).write.mode(
+                "append"
+            ).parquet(cdir)
     new_entries = (
         _collect_entries(spark, table_dir, cdir, list(man["stats_types"]))
         if rewrite_bins
@@ -932,12 +1115,12 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
     }
     _commit_manifest(
         table_dir,
-        {
+        _inherit_schema(man, {
             "operation": "compact",
             "stats_types": man["stats_types"],
             "summary": summary,
             "entries": keep + new_entries,
-        },
+        }, adds_files=bool(new_entries)),
     )
     return summary
 

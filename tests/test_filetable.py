@@ -392,3 +392,78 @@ def test_mor_time_travel_spans_delete_commits(spark, cust_table):
     assert ft.read_table(spark, td).count() == n0 - 10
     assert ft.read_table(spark, td, version=1).count() == n0  # pre-delete
     assert ft.read_table(spark, td, version=2).count() == n0 - 10  # MOR applied
+
+
+def test_schema_evolution_add_rename_drop(spark, cust_table):
+    """Field-id evolution: rename resolves old files under their written
+    names, added columns backfill typed NULLs in pre-evolution files,
+    drops project away — all metadata-only commits (zero files touched),
+    the Iceberg rule."""
+    td, df = cust_table
+    files_before = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    ft.rename_column(td, "c_acctbal", "balance")
+    ft.add_column(td, "tier", "string")
+    # append NEW rows under the evolved schema
+    extra = (
+        df.limit(7)
+        .select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            "c_mktsegment",
+            F.col("c_acctbal").alias("balance"),
+            F.lit("GOLD").alias("tier"),
+        )
+    )
+    ft.append_table(extra, td, n_files=1)
+    served = ft.read_table(spark, td)
+    assert set(served.columns) == {"c_custkey", "c_mktsegment", "balance", "tier"}
+    # old rows: balance resolves the written c_acctbal, tier backfills NULL
+    old = served.filter(F.col("c_custkey") < 1_000_000)
+    assert old.filter(F.col("tier").isNull()).count() == df.count()
+    got = old.agg(F.sum("balance").alias("s")).collect()[0]["s"]
+    want = df.agg(F.sum("c_acctbal").alias("s")).collect()[0]["s"]
+    assert got == pytest.approx(want)  # double sum order differs per plan
+    assert served.filter(F.col("tier") == "GOLD").count() == 7
+    # evolution commits touched no files
+    assert files_before < {e["path"] for e in ft.read_manifest(td)["entries"]}
+    # drop: the column vanishes from reads; file bytes unchanged
+    ft.drop_column(td, "tier")
+    assert set(ft.read_table(spark, td).columns) == {
+        "c_custkey", "c_mktsegment", "balance"
+    }
+
+
+def test_schema_evolution_guards(spark, cust_table):
+    import pytest as _pytest
+
+    td, df = cust_table
+    with _pytest.raises(ValueError, match="already exists"):
+        ft.add_column(td, "c_mktsegment", "string")
+    with _pytest.raises(ValueError, match="stats"):
+        ft.drop_column(td, "c_custkey")
+    # appending the OLD schema after a rename is refused loudly
+    ft.rename_column(td, "c_acctbal", "balance")
+    with _pytest.raises(ValueError, match="current schema"):
+        ft.append_table(df.limit(1), td, n_files=1)
+    # renaming a live MOR delete key is refused until folded
+    ft.delete_keys_mor(spark, td, "c_custkey", df.select("c_custkey").limit(3))
+    with _pytest.raises(ValueError, match="fold_deletes"):
+        ft.rename_column(td, "c_custkey", "ck")
+    ft.fold_deletes(spark, td)
+    ft.rename_column(td, "c_custkey", "ck")
+    assert "ck" in ft.read_table(spark, td).columns
+
+
+def test_schema_evolution_rewrite_is_lazy_migration(spark, cust_table):
+    """A CoW rewrite (here: fold_deletes) writes survivors under the
+    CURRENT names — old files migrate lazily through rewrites, exactly
+    Iceberg's story."""
+    td, df = cust_table
+    ft.rename_column(td, "c_acctbal", "balance")
+    ft.delete_keys_mor(spark, td, "c_custkey", df.select("c_custkey").limit(5))
+    ft.fold_deletes(spark, td)
+    man = ft.read_manifest(td)
+    # rewritten entries carry the CURRENT seq and resolve identity
+    rewritten = [e for e in man["entries"] if e["seq"] == man["version"] - 0]
+    served = ft.read_table(spark, td)
+    assert "balance" in served.columns and "c_acctbal" not in served.columns
+    assert served.count() == df.count() - 5
