@@ -149,6 +149,7 @@ _R10_NEW = [
     "lake_bloom_point_lookup",
     "lake_mor_delete",
     "lake_schema_evolution",
+    "lake_spec_evolution_scan",
 ]
 
 _R10_STALE_REFRESH = [
@@ -192,7 +193,6 @@ _R10_STALE_REFRESH = [
     "events_ohlc_hourly",
     "events_time_weighted_value",
     "graph_dup_triangles",
-    "grouped_trend_by_nation",
 ]
 
 

@@ -677,6 +677,82 @@ ORDER BY priority
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_spec_evolution_scan — partition-spec evolution served across specs
+# ---------------------------------------------------------------------------
+
+
+def lake_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status totals for a customer-key band over a table whose
+    CLUSTERING SPEC evolved mid-history — the executed twin of
+    maintenance_partition_evolution's planning model: generation 1 (2/3
+    of orders) is date-clustered with date-only bounds; a metadata-only
+    ``evolve_stats_spec`` commit re-keys the spec to (o_custkey,
+    order_dt); generation 2 appends under it, custkey-clustered with
+    custkey bounds. The band scan then reads ALL gen-1 files (no custkey
+    bounds — conservative, sound) and PRUNES gen-2 tightly — exactly how
+    Iceberg serves across partition specs, old partitions unpruned until
+    rewritten (test_lakehouse pins the per-generation file accounting).
+    The oracle is the plain band filter over the raw fixture.
+
+    Scale: the spec change is O(1) metadata; as the new spec accretes
+    data, the pruned fraction of the table grows toward the band
+    fraction — the compaction/rewrite path is how the old generation
+    eventually joins it (compact_table re-collects CURRENT-spec bounds)."""
+    def build(staging: str) -> None:
+        orders = read_fixture(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.to_date("o_orderdate").alias("order_dt"),
+            "o_totalprice",
+        )
+        ft.create_table(
+            orders.filter(F.col("o_orderkey") % 3 != 0),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=12,
+        )
+        ft.evolve_stats_spec(staging, ["o_custkey", "order_dt"])
+        ft.append_table(orders.filter(F.col("o_orderkey") % 3 == 0), staging, n_files=12)
+
+    table_dir = _served_table(sf_dir, "lakespec_", "orders", "lakespec-v1", build)
+    # band: the low eighth of the customer keyspace (1-row bounded scalar,
+    # replicated by the oracle's MAX()//8)
+    max_key = (
+        read_fixture(spark, sf_dir, "orders")
+        .agg(F.max("o_custkey").alias("m"))
+        .collect()[0]["m"]
+    )
+    return (
+        ft.scan_range(spark, table_dir, "o_custkey", 0, max_key // 8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LAKE_SPEC_ORACLE = """
+WITH k AS (
+    SELECT MAX(o_custkey) // 8 AS band_hi FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders, k
+WHERE o_custkey >= 0 AND o_custkey <= band_hi
+GROUP BY 1
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -689,4 +765,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_bloom_point_lookup": QuerySpec(lake_bloom_point_lookup, LAKE_BLOOM_ORACLE),
     "lake_mor_delete": QuerySpec(lake_mor_delete, _MOR_ORACLE),
     "lake_schema_evolution": QuerySpec(lake_schema_evolution, LAKE_SCHEMA_ORACLE),
+    "lake_spec_evolution_scan": QuerySpec(lake_spec_evolution_scan, LAKE_SPEC_ORACLE),
 }

@@ -379,6 +379,44 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     }, adds_files=False))
 
 
+def _stat_type_from_str(dtype: str) -> str:
+    if dtype == "date":
+        return "date"
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return "long"
+    if dtype in ("float", "double") or dtype.startswith("decimal"):
+        return "double"
+    if dtype == "string":
+        return "string"
+    raise ValueError(f"unsupported stats column type {dtype!r}")
+
+
+def evolve_stats_spec(table_dir: str, stats_cols: list[str]) -> int:
+    """Partition/clustering SPEC evolution — the executed twin of
+    maintenance_partition_evolution's planning model: a metadata-only
+    commit changes which columns future commits collect bounds for (and
+    cluster by — the first stats column). Existing files keep their old
+    bounds; a scan on a NEW stats column prunes only the files written
+    under the new spec and conservatively reads the old generation
+    (plan_scan keeps entries with no bounds for the column) — exactly
+    how Iceberg serves a table across partition specs, old partitions
+    unpruned until rewritten."""
+    man = read_manifest(table_dir)
+    sch = man.get("schema")
+    if sch is None:
+        raise ValueError("table predates schema tracking; cannot evolve")
+    types = {f["name"]: f["type"] for f in sch["fields"]}
+    missing = [c for c in stats_cols if c not in types]
+    if missing:
+        raise ValueError(f"stats columns not in schema: {missing}")
+    return _commit_manifest(table_dir, _inherit_schema(man, {
+        "operation": "evolve-spec",
+        "stats_types": {c: _stat_type_from_str(types[c]) for c in stats_cols},
+        "summary": {"stats_cols": stats_cols, "cluster_by": stats_cols[0]},
+        "entries": man["entries"],
+    }, adds_files=False))
+
+
 def drop_column(table_dir: str, name: str) -> int:
     """Metadata-only drop — the column vanishes from every read's
     projection; file bytes are reclaimed only when rewrites happen

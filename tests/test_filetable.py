@@ -467,3 +467,37 @@ def test_schema_evolution_rewrite_is_lazy_migration(spark, cust_table):
     served = ft.read_table(spark, td)
     assert "balance" in served.columns and "c_acctbal" not in served.columns
     assert served.count() == df.count() - 5
+
+
+def test_evolve_stats_spec_old_generation_scans_conservatively(spark, cust_table):
+    """Spec evolution: files written before the new spec have no bounds
+    for the new column → a scan on it keeps them (sound), while
+    new-generation files prune tightly — Iceberg's cross-spec serve."""
+    td, df = cust_table
+    ft.evolve_stats_spec(td, ["c_acctbal", "c_custkey"])
+    man = ft.read_manifest(td)
+    assert man["operation"] == "evolve-spec"
+    assert list(man["stats_types"]) == ["c_acctbal", "c_custkey"]
+    gen1 = {e["path"] for e in man["entries"]}
+    # appends now cluster by c_acctbal and carry its bounds
+    extra = df.limit(500).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    ft.append_table(extra, td, n_files=5)
+    man2 = ft.read_manifest(td)
+    gen2 = [e for e in man2["entries"] if e["path"] not in gen1]
+    assert all(e["stats"].get("c_acctbal") for e in gen2)
+    assert all(e["stats"].get("c_acctbal") is None for e in man["entries"])
+    lo, hi = 0.0, 500.0
+    plan = ft.plan_scan(td, "c_acctbal", lo, hi)
+    # ALL gen1 files read (no bounds — conservative), gen2 pruned
+    assert plan["files_read"] >= len(gen1)
+    assert plan["files_skipped"] >= 1, plan
+    # soundness: pruned scan equals full filter
+    got = ft.scan_range(spark, td, "c_acctbal", lo, hi).count()
+    want = ft.read_table(spark, td).filter(
+        (F.col("c_acctbal") >= lo) & (F.col("c_acctbal") <= hi)
+    ).count()
+    assert got == want

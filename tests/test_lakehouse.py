@@ -221,3 +221,19 @@ def test_bloom_index_stale_after_commit_raises(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(ValueError, match="stale|rebuild"):
         ft.plan_bloom_lookup(td, "k", [5])
+
+
+def test_spec_evolution_scan_generation_accounting(spark, sf_dir):
+    from spark_iceberg_jobs_spark.queries.lakehouse import lake_spec_evolution_scan
+
+    lake_spec_evolution_scan(spark, sf_dir).collect()
+    td = _published_dir("lakespec_", sf_dir, "orders", "lakespec-v1")
+    man = ft.read_manifest(td)
+    gen1 = [e for e in man["entries"] if e["stats"].get("o_custkey") is None]
+    gen2 = [e for e in man["entries"] if e["stats"].get("o_custkey") is not None]
+    assert gen1 and gen2, "both spec generations must be live"
+    plan = ft.plan_scan(td, "o_custkey", 0, 10)
+    # every old-spec file is (conservatively) read; the band prunes
+    # almost all new-spec files
+    assert plan["files_read"] >= len(gen1)
+    assert plan["files_skipped"] >= len(gen2) - 3, plan

@@ -431,6 +431,13 @@ def probes():
         "lake_cow_delete": _lakehouse_probe("lake_cow_delete", build_tpch),
         "lake_merge": _lakehouse_probe("lake_merge_into", build_tpch),
         "lake_stream": _lakehouse_probe("lake_stream_commits", build_events),
+        # MOR serve: the anti-join read path over (delete seq > data seq);
+        # schema serve: cross-generation per-seq projection union; bloom:
+        # O(probes) point read; compact: post-rewrite clustered scan
+        "lake_mor": _lakehouse_probe("lake_mor_delete", build_tpch),
+        "lake_schema": _lakehouse_probe("lake_schema_evolution", build_tpch),
+        "lake_bloom": _lakehouse_probe("lake_bloom_point_lookup", build_tpch),
+        "lake_compact": _lakehouse_probe("lake_compact_roundtrip", build_tpch),
     }
 
 
@@ -540,6 +547,10 @@ def main() -> int:
         "lake_cow_delete",
         "lake_merge",
         "lake_stream",
+        "lake_mor",
+        "lake_schema",
+        "lake_bloom",
+        "lake_compact",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
