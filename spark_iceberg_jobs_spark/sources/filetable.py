@@ -455,6 +455,7 @@ def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
     unbounded; all-null stats are conservatively kept). Returns the
     pruned absolute path list plus the counts a plan test pins."""
     manifest = read_manifest(table_dir)
+    _require_no_live_deletes(manifest, "plan_scan/scan_range")
     bounds = _decode_bounds(manifest, col)
     keep, skipped = [], 0
     for e in manifest["entries"]:
@@ -472,6 +473,19 @@ def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
         "files_skipped": skipped,
         "files_total": len(manifest["entries"]),
     }
+
+
+def _require_no_live_deletes(man: dict, verb: str) -> None:
+    """Copy-on-write verbs and index builds operate at DATA-file grain; a
+    live equality delete would make them serve (or bake in) deleted rows
+    — fold_deletes first. Iceberg's rewrite actions apply live deletes
+    inline; requiring an explicit fold is this layer's documented
+    boundary, and the bloom index's manifest-version stamp catches the
+    reverse order (delete landing after a build)."""
+    if any(e.get("kind") == "eqdelete" for e in man["entries"]):
+        raise ValueError(
+            f"{verb} on a table with live equality deletes — run fold_deletes first"
+        )
 
 
 def _split_entries(man: dict) -> tuple[list[dict], list[dict]]:
@@ -551,6 +565,15 @@ def _read_data(spark: SparkSession, table_dir: str, man: dict, data: list[dict],
     if plain:
         part = spark.read.parquet(*plain)
         out = part if out is None else out.unionByName(part)
+    if out is None:
+        # zero live data files (e.g. a DELETE that covered every file):
+        # an empty frame with the CURRENT schema keeps downstream plans
+        # valid; tables predating schema tracking cannot reconstruct one
+        sch = man.get("schema")
+        if sch is None:
+            raise ValueError("empty snapshot on a table without a schema record")
+        ddl = ", ".join(f"{f['name']} {f['type']}" for f in sch["fields"])
+        return spark.createDataFrame([], ddl)
     return out
 
 
@@ -740,6 +763,7 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
     Returns the commit summary (also embedded in the manifest, like an
     Iceberg snapshot summary)."""
     manifest = read_manifest(table_dir)
+    _require_no_live_deletes(manifest, "delete_where")
     bounds = _decode_bounds(manifest, col)
     dropped, kept, straddle = [], [], []
     for e in manifest["entries"]:
@@ -818,6 +842,7 @@ def merge_into(
     two-scalar aggregate."""
     tkey, skey = on
     manifest = read_manifest(table_dir)
+    _require_no_live_deletes(manifest, "merge_into")
     bounds = _decode_bounds(manifest, tkey)
 
     dup = source.agg(
@@ -1001,6 +1026,7 @@ def build_bloom_index(
     rows), then a bounded collect packs each file's bitmap driver-side.
     Sidecar size is files × bits/8 bytes."""
     man = read_manifest(table_dir)
+    _require_no_live_deletes(man, "build_bloom_index")
     words = bits // 64
     rows = (
         _read_data(spark, table_dir, man, man["entries"])
@@ -1092,6 +1118,7 @@ def plan_compaction(table_dir: str, *, target_bytes: int) -> list[list[dict]]:
     overflows by at most one file. Returns the bins (lists of manifest
     entries), singleton bins included."""
     man = read_manifest(table_dir)
+    _require_no_live_deletes(man, "compaction")
     col = next(iter(man["stats_types"]))
     bounds = _decode_bounds(man, col)
     ordered = sorted(

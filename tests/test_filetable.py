@@ -501,3 +501,14 @@ def test_evolve_stats_spec_old_generation_scans_conservatively(spark, cust_table
         (F.col("c_acctbal") >= lo) & (F.col("c_acctbal") <= hi)
     ).count()
     assert got == want
+
+
+def test_delete_everything_serves_empty_with_schema(spark, tmp_path):
+    td = str(tmp_path / "empty")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=2)
+    s = ft.delete_where(spark, td, "d", 99)
+    assert s["files_dropped_metadata"] + s["files_rewritten"] >= 1
+    served = ft.read_table(spark, td)
+    assert served.count() == 0
+    assert set(served.columns) == {"k", "d"}

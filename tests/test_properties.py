@@ -856,3 +856,71 @@ def test_delete_plan_is_predicate_x_live_set(spark, days, cutoff):
     assert (
         sum(v[0] + v[2] + v[5] for v in got.values()) == n_live
     ), "dropped + rewritten + untouched must partition the live set"
+
+
+# ---------------------------------------------------------------------------
+# filetable commit-sequence property (round 10): any legal sequence of
+# table verbs serves exactly the rows a trivial Python replica holds
+# ---------------------------------------------------------------------------
+
+_ft_rows = st.lists(
+    st.tuples(st.integers(0, 19), st.integers(0, 99)), min_size=1, max_size=8
+)
+_ft_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _ft_rows),
+        st.tuples(st.just("cow_delete"), st.integers(0, 99)),
+        st.tuples(st.just("mor_delete"), st.lists(st.integers(0, 19), min_size=1, max_size=4)),
+        st.tuples(st.just("fold"), st.none()),
+        st.tuples(st.just("compact"), st.none()),
+    ),
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=_ft_rows, ops=_ft_ops)
+def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, seed, ops):
+    """Oracle-independent cross-verb consistency: run a random legal
+    sequence of commits (append / CoW delete / MOR equality delete /
+    fold / compact) against a file-grain table AND a 10-line Python
+    replica of row state; the served rows must be the replica's multiset
+    at every step. MOR semantics in the replica: a delete removes
+    matching CURRENT rows only — a later append re-adds (the seq rule);
+    fold/compact are replica no-ops (layout-only). The CoW-verbs-require-
+    fold protocol is part of the model: the driver folds first when
+    deletes are live, exactly what the guard enforces."""
+    from spark_iceberg_jobs_spark.sources import filetable as ft
+
+    td = str(tmp_path_factory.mktemp("ftprop") / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")
+    ft.create_table(mk(seed), td, stats_cols=["d"], cluster_by="d", n_files=2)
+    replica = list(seed)
+
+    def deletes_live():
+        return any(
+            e.get("kind") == "eqdelete" for e in ft.read_manifest(td)["entries"]
+        )
+
+    for op, arg in ops:
+        if op == "append":
+            ft.append_table(mk(arg), td, n_files=1)
+            replica.extend(arg)
+        elif op == "cow_delete":
+            if deletes_live():
+                ft.fold_deletes(spark, td)
+            ft.delete_where(spark, td, "d", arg)
+            replica = [(k, d) for k, d in replica if d > arg]
+        elif op == "mor_delete":
+            ft.delete_keys_mor(
+                spark, td, "k", spark.createDataFrame([(k,) for k in arg], "k long")
+            )
+            replica = [(k, d) for k, d in replica if k not in set(arg)]
+        elif op == "fold":
+            ft.fold_deletes(spark, td)
+        elif op == "compact":
+            if deletes_live():
+                ft.fold_deletes(spark, td)
+            ft.compact_table(spark, td, target_bytes=1 << 16)
+        got = sorted((r["k"], r["d"]) for r in ft.read_table(spark, td).collect())
+        assert got == sorted(replica), f"diverged after {op}"
