@@ -133,6 +133,51 @@ def rewrite_manifests_call(table: str, *, catalog: str = "spark_catalog") -> str
     return f"CALL {catalog}.system.rewrite_manifests(table => '{table}')"
 
 
+def rewrite_position_delete_files_call(
+    table: str, *, catalog: str = "spark_catalog"
+) -> str:
+    """``rewrite_position_delete_files`` — the delete-file compaction
+    whose equality-delete analogue ``filetable.fold_deletes`` EXECUTES
+    on the parquet fallback (r10): folds MOR delete files back into data
+    files so reads drop the anti join."""
+    _check_ident(table, "table")
+    _check_ident(catalog, "catalog")
+    return (
+        f"CALL {catalog}.system.rewrite_position_delete_files(table => '{table}')"
+    )
+
+
+def rollback_to_snapshot_call(
+    table: str, snapshot_id: int, *, catalog: str = "spark_catalog"
+) -> str:
+    """``rollback_to_snapshot`` — the executed twin lives twice on the
+    fallback: writers.rollback_version (version-hint protocol) and the
+    maintenance_rollback_plan planner."""
+    _check_ident(table, "table")
+    _check_ident(catalog, "catalog")
+    if snapshot_id < 0:
+        raise ValueError("snapshot_id must be non-negative")
+    return (
+        f"CALL {catalog}.system.rollback_to_snapshot(table => '{table}', "
+        f"snapshot_id => {int(snapshot_id)})"
+    )
+
+
+def fast_forward_call(
+    table: str, branch: str, *, to: str = "main", catalog: str = "spark_catalog"
+) -> str:
+    """``fast_forward`` — publish a WAP branch head; executed on the
+    fallback by writers.fast_forward (r10 branch-scoped WAP)."""
+    _check_ident(table, "table")
+    _check_ident(catalog, "catalog")
+    _check_ident(branch, "branch")
+    _check_ident(to, "branch")
+    return (
+        f"CALL {catalog}.system.fast_forward(table => '{table}', "
+        f"branch => '{to}', to => '{branch}')"
+    )
+
+
 def maintenance_calls(
     spark: SparkSession,
     sf_dir: str,

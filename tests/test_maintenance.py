@@ -1025,3 +1025,29 @@ def test_delete_plan_observed_bounds_not_calendar_and_daily_atomicity(spark):
         "2024-02": (1, 1536, 0, 0, 0, 0),
         "2024-03": (2, 6144, 0, 0, 0, 1),
     }
+
+
+def test_r10_procedure_renderers_guard_and_text():
+    import pytest as _pytest
+
+    from spark_iceberg_jobs_spark.plans.procedures import (
+        fast_forward_call,
+        rewrite_position_delete_files_call,
+        rollback_to_snapshot_call,
+    )
+
+    assert rewrite_position_delete_files_call("db.t") == (
+        "CALL spark_catalog.system.rewrite_position_delete_files(table => 'db.t')"
+    )
+    assert rollback_to_snapshot_call("db.t", 42) == (
+        "CALL spark_catalog.system.rollback_to_snapshot(table => 'db.t', "
+        "snapshot_id => 42)"
+    )
+    assert fast_forward_call("db.t", "audit") == (
+        "CALL spark_catalog.system.fast_forward(table => 'db.t', "
+        "branch => 'main', to => 'audit')"
+    )
+    with _pytest.raises(ValueError):
+        rollback_to_snapshot_call("db.t", -1)
+    with _pytest.raises(ValueError):
+        fast_forward_call("db.t", "bad branch;drop")
