@@ -150,6 +150,7 @@ _R10_NEW = [
     "lake_mor_delete",
     "lake_schema_evolution",
     "lake_spec_evolution_scan",
+    "lake_zorder_box_scan",
 ]
 
 _R10_STALE_REFRESH = [
@@ -192,7 +193,6 @@ _R10_STALE_REFRESH = [
     "events_interarrival_stats",
     "events_ohlc_hourly",
     "events_time_weighted_value",
-    "graph_dup_triangles",
 ]
 
 

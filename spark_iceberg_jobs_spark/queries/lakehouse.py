@@ -753,6 +753,106 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_zorder_box_scan — executed z-order rewrite + 2-D box pruning
+# ---------------------------------------------------------------------------
+
+#: the box probe: low sixth of the customer keyspace × middle 20% of the
+#: date span — selective on BOTH dimensions, the shape z-order exists for
+_ZBOX_KEY_FRACTION = 6
+_ZBOX_LO_FRAC, _ZBOX_HI_FRAC = 0.40, 0.60
+
+
+def lake_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status totals for a (customer-band × date-band) BOX probe served
+    from a z-ORDERED orders table — the EXECUTED form of
+    layout_zorder_lab: the build creates the natural date-clustered
+    layout, then ``filetable.rewrite_layout`` rewrites every file
+    range-clustered on the Morton interleave of (o_custkey, day-index) —
+    the same ``_morton_expr`` integer arithmetic the lab and its oracle
+    share — collecting bounds on BOTH probe columns. The serve's
+    ``plan_scan_box`` then prunes on both dimensions simultaneously
+    (test_lakehouse pins that the natural layout cannot: its custkey
+    bounds span the keyspace in every file). The oracle is the plain box
+    filter over the raw fixture.
+
+    Scale: the one-time rewrite is O(table) — the price of making every
+    later box probe O(box); per-file bounds stay tight because Morton
+    locality bounds both coordinates within a contiguous key range."""
+    from .maintenance import _morton_expr
+
+    def build(staging: str) -> None:
+        orders = read_fixture(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.to_date("o_orderdate").alias("order_dt"),
+            "o_totalprice",
+        )
+        ft.create_table(
+            orders, staging, stats_cols=["order_dt"], cluster_by="order_dt", n_files=16
+        )
+        lo, _hi = _date_bounds(staging, "order_dt")
+        z = F.expr(
+            _morton_expr("o_custkey", f"datediff(order_dt, DATE '{lo}')", "div")
+        )
+        ft.rewrite_layout(
+            spark,
+            staging,
+            cluster_expr=z,
+            stats_cols=["o_custkey", "order_dt"],
+            n_files=24,
+        )
+
+    table_dir = _served_table(sf_dir, "lakez_", "orders", "lakez-v1", build)
+    man = ft.read_manifest(table_dir)
+    max_key = max(int(e["stats"]["o_custkey"][1]) for e in man["entries"])
+    lo, hi = _date_bounds(table_dir, "order_dt")
+    span = (hi - lo).days
+    box = {
+        "o_custkey": (0, max_key // _ZBOX_KEY_FRACTION),
+        "order_dt": (
+            lo + _dt.timedelta(days=int(span * _ZBOX_LO_FRAC)),
+            lo + _dt.timedelta(days=int(span * _ZBOX_HI_FRAC)),
+        ),
+    }
+    return (
+        ft.scan_box(spark, table_dir, box)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LAKE_ZORDER_ORACLE = f"""
+WITH span AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+           MAX(CAST(o_orderdate AS DATE)) AS hi
+    FROM orders
+), k AS (
+    SELECT MAX(o_custkey) // {_ZBOX_KEY_FRACTION} AS k_hi FROM orders
+), band AS (
+    SELECT lo + CAST(FLOOR((hi - lo) * {_ZBOX_LO_FRAC}) AS INTEGER) AS b_lo,
+           lo + CAST(FLOOR((hi - lo) * {_ZBOX_HI_FRAC}) AS INTEGER) AS b_hi
+    FROM span
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders, k, band
+WHERE o_custkey >= 0 AND o_custkey <= k_hi
+  AND CAST(o_orderdate AS DATE) BETWEEN b_lo AND b_hi
+GROUP BY 1
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -766,4 +866,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_mor_delete": QuerySpec(lake_mor_delete, _MOR_ORACLE),
     "lake_schema_evolution": QuerySpec(lake_schema_evolution, LAKE_SCHEMA_ORACLE),
     "lake_spec_evolution_scan": QuerySpec(lake_spec_evolution_scan, LAKE_SPEC_ORACLE),
+    "lake_zorder_box_scan": QuerySpec(lake_zorder_box_scan, LAKE_ZORDER_ORACLE),
 }

@@ -1205,6 +1205,100 @@ def commit_delta_paths(table_dir: str, version: int) -> list[str]:
     return [os.path.join(table_dir, e["path"]) for e in cur if e["path"] not in prev]
 
 
+def plan_scan_box(table_dir: str, preds: dict) -> dict:
+    """Multi-column zone-map planning: keep a file unless SOME predicate
+    column's [min,max] is disjoint from its [lo,hi] interval (either
+    side of an interval may be None = unbounded; missing bounds for a
+    column are conservative). The payoff column layout is a z-order
+    rewrite (``rewrite_layout`` with a Morton key): every predicate
+    column's per-file bounds are tight simultaneously, so a BOX probe
+    prunes on all dimensions — the executed form of what
+    layout_zorder_lab measures."""
+    man = read_manifest(table_dir)
+    _require_no_live_deletes(man, "plan_scan_box")
+    decoders = {c: _decode_bounds(man, c) for c in preds}
+    keep, skipped = [], 0
+    for e in man["entries"]:
+        drop = False
+        for c, (lo, hi) in preds.items():
+            b = decoders[c](e)
+            if b is not None and (
+                (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
+            ):
+                drop = True
+                break
+        if drop:
+            skipped += 1
+        else:
+            keep.append(e)
+    return {
+        "paths": [os.path.join(table_dir, e["path"]) for e in keep],
+        "entries": keep,
+        "files_read": len(keep),
+        "files_skipped": skipped,
+        "files_total": len(man["entries"]),
+    }
+
+
+def scan_box(spark: SparkSession, table_dir: str, preds: dict) -> DataFrame:
+    """Pruned box scan: ``plan_scan_box`` picks the files, the same
+    literal conjunction applies on top (pushed into parquet)."""
+    plan = plan_scan_box(table_dir, preds)
+    df = _read_data(spark, table_dir, read_manifest(table_dir), plan["entries"])
+    for c, (lo, hi) in preds.items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+    return df
+
+
+def rewrite_layout(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    cluster_expr: Column,
+    stats_cols: list[str],
+    n_files: int,
+) -> dict:
+    """Full layout rewrite — Iceberg's ``rewrite_data_files(strategy =>
+    'sort'/'zorder')``: every live data file rewrites range-clustered on
+    ``cluster_expr`` (e.g. a Morton interleave for z-order), and the new
+    manifest collects bounds for ``stats_cols`` — typically the probe
+    columns whose simultaneous tightness the new layout buys. Rows are
+    invariant; this is the one verb whose cost IS O(table), paid to make
+    every later box probe O(box)."""
+    man = read_manifest(table_dir)
+    _require_no_live_deletes(man, "rewrite_layout")
+    data, _dels = _split_entries(man)
+    df = _read_data(spark, table_dir, man, data)
+    cdir = _next_commit_dir(table_dir)
+    out = (
+        df.withColumn("_ft_zkey", cluster_expr)
+        .repartitionByRange(n_files, F.col("_ft_zkey"))
+        .sortWithinPartitions("_ft_zkey")
+        .drop("_ft_zkey")
+    )
+    with _pinned_file_count(spark):
+        out.write.mode("append").parquet(cdir)
+    new_entries = _collect_entries(spark, table_dir, cdir, stats_cols)
+    summary = {
+        "files_rewritten": len(data),
+        "files_out": len(new_entries),
+        "stats_cols": stats_cols,
+    }
+    _commit_manifest(
+        table_dir,
+        _inherit_schema(man, {
+            "operation": "rewrite-layout",
+            "stats_types": {c: _stat_type(df, c) for c in stats_cols},
+            "summary": summary,
+            "entries": new_entries,
+        }, adds_files=True),
+    )
+    return summary
+
+
 def snapshots_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """The ``snapshots`` metadata table: one row per manifest commit with
     its operation, summary, and live file/row totals."""

@@ -237,3 +237,50 @@ def test_spec_evolution_scan_generation_accounting(spark, sf_dir):
     # almost all new-spec files
     assert plan["files_read"] >= len(gen1)
     assert plan["files_skipped"] >= len(gen2) - 3, plan
+
+
+def test_zorder_box_scan_prunes_both_dimensions(spark, sf_dir):
+    import datetime as _dtt
+
+    from spark_iceberg_jobs_spark.queries.lakehouse import (
+        _ZBOX_HI_FRAC,
+        _ZBOX_KEY_FRACTION,
+        _ZBOX_LO_FRAC,
+        lake_zorder_box_scan,
+    )
+
+    lake_zorder_box_scan(spark, sf_dir).collect()
+    td = _published_dir("lakez_", sf_dir, "orders", "lakez-v1")
+    man = ft.read_manifest(td)
+    assert man["operation"] == "rewrite-layout"
+    # natural layout (v1) could not prune the custkey dimension: every
+    # date-clustered file spans (nearly) the whole keyspace — shown by
+    # the ABSENCE of custkey bounds there (spec collected dates only)
+    v1 = ft.read_manifest(td, 1)
+    assert "o_custkey" not in v1["stats_types"]
+    max_key = max(int(e["stats"]["o_custkey"][1]) for e in man["entries"])
+    lo = min(_dtt.date.fromisoformat(e["stats"]["order_dt"][0]) for e in man["entries"])
+    hi = max(_dtt.date.fromisoformat(e["stats"]["order_dt"][1]) for e in man["entries"])
+    span = (hi - lo).days
+    box = {
+        "o_custkey": (0, max_key // _ZBOX_KEY_FRACTION),
+        "order_dt": (
+            lo + _dtt.timedelta(days=int(span * _ZBOX_LO_FRAC)),
+            lo + _dtt.timedelta(days=int(span * _ZBOX_HI_FRAC)),
+        ),
+    }
+    plan = ft.plan_scan_box(td, box)
+    # ~1/6 x ~1/5 box over z-ordered files: must beat EITHER single
+    # dimension's best-case pruning (1/6 of files)
+    assert plan["files_total"] >= 20
+    assert plan["files_read"] < plan["files_total"] / 2, plan
+    # soundness: pruned box result equals the full-scan filter
+    got = ft.scan_box(spark, td, box).count()
+    full = ft.read_table(spark, td)
+    want = full.filter(
+        (F.col("o_custkey") >= 0)
+        & (F.col("o_custkey") <= box["o_custkey"][1])
+        & (F.col("order_dt") >= F.lit(box["order_dt"][0]))
+        & (F.col("order_dt") <= F.lit(box["order_dt"][1]))
+    ).count()
+    assert got == want
