@@ -1342,14 +1342,87 @@ def files_table(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def _refs_path(table_dir: str) -> str:
+    return os.path.join(_meta_dir(table_dir), "refs.json")
+
+
+def _read_refs(table_dir: str) -> dict:
+    try:
+        with open(_refs_path(table_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def tag_snapshot(table_dir: str, name: str, version: int | None = None) -> int:
+    """Immutable named tag on a manifest version (Iceberg tag refs, the
+    manifest-layer twin of writers.create_tag): re-tagging an existing
+    name raises; ``expire_table`` keeps every tagged version alive
+    (per-ref retention)."""
+    if version is None:
+        version = current_manifest_version(table_dir)
+    if not os.path.exists(_manifest_path(table_dir, version)):
+        raise ValueError(f"no manifest version {version} to tag")
+    refs = _read_refs(table_dir)
+    if name in refs:
+        raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+    refs[name] = version
+    tmp = f"{_refs_path(table_dir)}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, _refs_path(table_dir))
+    return version
+
+
+def drop_tag(table_dir: str, name: str) -> None:
+    refs = _read_refs(table_dir)
+    if name not in refs:
+        raise ValueError(f"no tag {name!r}")
+    del refs[name]
+    tmp = f"{_refs_path(table_dir)}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, _refs_path(table_dir))
+
+
+def partitions_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The ``partitions`` metadata table: live files aggregated by their
+    first-stats-column range (the clustering 'partition' of this layer)
+    — one row per file with its bounds, rows, and bytes, the inventory a
+    partition-health audit reads (maintenance_partition_health is the
+    planning-model twin)."""
+    man = read_manifest(table_dir)
+    data, _dels = _split_entries(man)
+    col = next(iter(man["stats_types"]), None)
+    rows = []
+    for e in data:
+        s = e["stats"].get(col) if col else None
+        rows.append(
+            (
+                e["path"],
+                None if s is None else str(s[0]),
+                None if s is None else str(s[1]),
+                e["rows"],
+                e["bytes"],
+                e["seq"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "file_path string, lower_bound string, upper_bound string, "
+        "record_count long, file_size_bytes long, data_seq long",
+    )
+
+
 def expire_table(table_dir: str, *, keep_last: int = 1) -> dict:
     """Retention: drop all but the newest ``keep_last`` manifests (always
-    keeping the current one), then reclaim data files referenced by NO
-    surviving manifest — Iceberg's expire_snapshots + orphan cleanup at
-    the data-file grain."""
+    keeping the current one AND every tagged version — per-ref retention,
+    like writers.expire_versions), then reclaim data files referenced by
+    NO surviving manifest — Iceberg's expire_snapshots + orphan cleanup
+    at the data-file grain."""
     versions = _manifest_versions(table_dir)
     current = current_manifest_version(table_dir)
-    keep = set(versions[-keep_last:]) | {current}
+    keep = set(versions[-keep_last:]) | {current} | set(_read_refs(table_dir).values())
     removed_manifests = []
     referenced: set[str] = set()
     for v in versions:

@@ -512,3 +512,36 @@ def test_delete_everything_serves_empty_with_schema(spark, tmp_path):
     served = ft.read_table(spark, td)
     assert served.count() == 0
     assert set(served.columns) == {"k", "d"}
+
+
+def test_tagged_snapshot_survives_expiry(spark, li_table):
+    import pytest as _pytest
+
+    td, df = li_table
+    n_v1 = df.count()
+    ft.tag_snapshot(td, "audit-2024")  # tags current (v1)
+    with _pytest.raises(ValueError, match="immutable"):
+        ft.tag_snapshot(td, "audit-2024")
+    ft.delete_where(spark, td, "ship_dt", _mid(td, 0.4))
+    out = ft.expire_table(td, keep_last=1)
+    # the tagged v1 must survive (per-ref retention), fully readable
+    assert 1 not in out["manifests_removed"]
+    assert ft.read_table(spark, td, version=1).count() == n_v1
+    # drop the tag -> the next expiry reclaims it
+    ft.drop_tag(td, "audit-2024")
+    out2 = ft.expire_table(td, keep_last=1)
+    assert 1 in out2["manifests_removed"]
+    with _pytest.raises(FileNotFoundError):
+        ft.read_table(spark, td, version=1)
+
+
+def test_partitions_table_inventories_live_files(spark, li_table):
+    td, _df = li_table
+    man = ft.read_manifest(td)
+    pt = ft.partitions_table(spark, td)
+    rows = pt.collect()
+    assert len(rows) == len(man["entries"])
+    assert all(r["lower_bound"] <= r["upper_bound"] for r in rows)
+    assert sum(r["record_count"] for r in rows) == sum(
+        e["rows"] for e in man["entries"]
+    )
