@@ -438,6 +438,9 @@ def probes():
         "lake_schema": _lakehouse_probe("lake_schema_evolution", build_tpch),
         "lake_bloom": _lakehouse_probe("lake_bloom_point_lookup", build_tpch),
         "lake_compact": _lakehouse_probe("lake_compact_roundtrip", build_tpch),
+        # spec-evolution cross-spec band scan; z-order 2-D box probe
+        "lake_spec": _lakehouse_probe("lake_spec_evolution_scan", build_tpch),
+        "lake_zorder": _lakehouse_probe("lake_zorder_box_scan", build_tpch),
     }
 
 
@@ -551,6 +554,8 @@ def main() -> int:
         "lake_schema",
         "lake_bloom",
         "lake_compact",
+        "lake_spec",
+        "lake_zorder",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
