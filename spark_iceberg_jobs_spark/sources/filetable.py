@@ -173,6 +173,15 @@ def _collect_entries(
     ``input_file_name`` (what Iceberg's writers collect inline during
     the write; the read-back is the parquet-fallback cost, paid once per
     commit over only the NEW files)."""
+    sizes = {
+        name: os.path.getsize(os.path.join(commit_dir, name))
+        for name in os.listdir(commit_dir)
+        if name.endswith(".parquet")
+    }
+    if not sizes:
+        # a rewrite whose survivors were ALL deleted emits no part files
+        # (Spark skips empty tasks) — a legal, entry-less commit
+        return []
     df = spark.read.parquet(commit_dir)
     types = {c: _stat_type(df, c) for c in stats_cols}
     aggs = [F.count(F.lit(1)).alias("_rows")]
@@ -180,11 +189,6 @@ def _collect_entries(
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
     rows = df.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
     # bounded collect: one row per data file in THIS commit
-    sizes = {
-        name: os.path.getsize(os.path.join(commit_dir, name))
-        for name in os.listdir(commit_dir)
-        if name.endswith(".parquet")
-    }
     entries = []
     for r in rows:
         fname = os.path.basename(r["_file"])

@@ -545,3 +545,16 @@ def test_partitions_table_inventories_live_files(spark, li_table):
     assert sum(r["record_count"] for r in rows) == sum(
         e["rows"] for e in man["entries"]
     )
+
+
+def test_fold_deletes_covering_every_row_yields_entryless_commit(spark, tmp_path):
+    td = str(tmp_path / "all-del")
+    df = spark.createDataFrame([(k, k * 10) for k in range(6)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=2)
+    ft.delete_keys_mor(
+        spark, td, "k", spark.createDataFrame([(k,) for k in range(6)], "k long")
+    )
+    s = ft.fold_deletes(spark, td)
+    assert s["rows_deleted"] == 6 and s["files_rewritten"] == 2
+    served = ft.read_table(spark, td)
+    assert served.count() == 0 and set(served.columns) == {"k", "d"}
