@@ -116,20 +116,79 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
-def _commit_manifest(table_dir: str, manifest: dict) -> int:
+class CommitConflictError(RuntimeError):
+    """Another commit landed between this verb's planning read and its
+    commit — the Iceberg optimistic-concurrency conflict. Appends
+    auto-rebase (their new files are disjoint by construction); verbs
+    that REWRITE or DROP files must re-plan from the new current
+    snapshot, exactly like Iceberg's rewrite retries."""
+
+
+def _commit_manifest(
+    table_dir: str,
+    manifest: dict,
+    *,
+    base_version: int | None = None,
+    rebase_append: list[dict] | None = None,
+) -> int:
     """CAS-claim the next manifest number with O_EXCL (two concurrent
     committers land in distinct manifests; like _claim_version, numbers
     are never reused while their file exists), then repoint the hint via
-    write-tmp + ``os.replace`` — atomic on POSIX."""
+    write-tmp + ``os.replace`` — atomic on POSIX.
+
+    OPTIMISTIC CONCURRENCY (r10): the compose-check-write runs under a
+    kernel flock on ``metadata/commit.lock`` (the artifacts.py recovery
+    recipe — dies with its holder). With ``base_version`` set, a current
+    version other than the planning base means a concurrent commit won:
+    an append REBASES (``rebase_append`` = just its new entries, re-laid
+    onto the winner's entry list — sound because appended files are
+    disjoint from everything); every other verb raises
+    CommitConflictError for the caller to re-plan — a lost update can no
+    longer happen silently."""
+    import fcntl
+
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
-    nxt = (_manifest_versions(table_dir) or [0])[-1] + 1
-    while True:
-        path = _manifest_path(table_dir, nxt)
+    lock_fd = os.open(
+        os.path.join(_meta_dir(table_dir), "commit.lock"), os.O_CREAT | os.O_WRONLY
+    )
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        if base_version is not None:
+            try:
+                cur = current_manifest_version(table_dir)
+            except FileNotFoundError:
+                cur = None
+            if cur != base_version:
+                if rebase_append is None:
+                    raise CommitConflictError(
+                        f"planned from manifest {base_version} but current is {cur}; "
+                        "re-plan from the current snapshot"
+                    )
+                cur_man = read_manifest(table_dir, cur)
+                if cur_man.get("schema") != manifest.get("schema"):
+                    raise CommitConflictError(
+                        "concurrent schema change; re-plan the append"
+                    )
+                manifest["entries"] = cur_man["entries"] + rebase_append
+                manifest["names_at_seq"] = dict(cur_man.get("names_at_seq", {}))
+                manifest["stats_types"] = cur_man["stats_types"]
+        nxt = (_manifest_versions(table_dir) or [0])[-1] + 1
+        while True:
+            path = _manifest_path(table_dir, nxt)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                nxt += 1
+        return _finish_commit(table_dir, manifest, nxt, fd)
+    finally:
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            nxt += 1
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        finally:
+            os.close(lock_fd)
+
+
+def _finish_commit(table_dir: str, manifest: dict, nxt: int, fd: int) -> int:
     manifest["version"] = nxt
     # data sequence number (Iceberg v2): entries added by THIS commit are
     # stamped with it; carried-over entries keep theirs. An equality
@@ -326,7 +385,9 @@ def append_table(df: DataFrame, table_dir: str, *, n_files: int | None = None) -
         "summary": {"files_added": len(new), "rows_added": sum(e["rows"] for e in new)},
         "entries": prev["entries"] + new,
     }, adds_files=True)
-    return _commit_manifest(table_dir, manifest)
+    return _commit_manifest(
+        table_dir, manifest, base_version=prev["version"], rebase_append=new
+    )
 
 
 def add_column(table_dir: str, name: str, dtype: str) -> int:
@@ -346,7 +407,7 @@ def add_column(table_dir: str, name: str, dtype: str) -> int:
         "schema": sch,
         "summary": {"added_column": name, "type": dtype},
         "entries": man["entries"],
-    }, adds_files=False))
+    }, adds_files=False), base_version=man["version"])
 
 
 def rename_column(table_dir: str, old: str, new: str) -> int:
@@ -380,7 +441,7 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
             if e.get("kind", "data") == "data" else e
             for e in man["entries"]
         ],
-    }, adds_files=False))
+    }, adds_files=False), base_version=man["version"])
 
 
 def _stat_type_from_str(dtype: str) -> str:
@@ -418,7 +479,7 @@ def evolve_stats_spec(table_dir: str, stats_cols: list[str]) -> int:
         "stats_types": {c: _stat_type_from_str(types[c]) for c in stats_cols},
         "summary": {"stats_cols": stats_cols, "cluster_by": stats_cols[0]},
         "entries": man["entries"],
-    }, adds_files=False))
+    }, adds_files=False), base_version=man["version"])
 
 
 def drop_column(table_dir: str, name: str) -> int:
@@ -440,7 +501,7 @@ def drop_column(table_dir: str, name: str) -> int:
         "schema": sch,
         "summary": {"dropped_column": name},
         "entries": man["entries"],
-    }, adds_files=False))
+    }, adds_files=False), base_version=man["version"])
 
 
 def _decode_bounds(manifest: dict, col: str):
@@ -657,6 +718,7 @@ def delete_keys_mor(
             "summary": summary,
             "entries": man["entries"] + new,
         }, adds_files=False),
+        base_version=man["version"],
     )
     return summary
 
@@ -736,6 +798,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             "summary": summary,
             "entries": untouched + new_entries,
         }, adds_files=bool(new_entries)),
+        base_version=man["version"],
     )
     return summary
 
@@ -814,6 +877,7 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
             "summary": summary,
             "entries": kept + new_entries,
         }, adds_files=bool(straddle)),
+        base_version=manifest["version"],
     )
     return summary
 
@@ -974,6 +1038,7 @@ def merge_into(
             "summary": summary,
             "entries": untouched + new_entries,
         }, adds_files=bool(new_entries)),
+        base_version=manifest["version"],
     )
     return summary
 
@@ -1190,6 +1255,7 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
             "summary": summary,
             "entries": keep + new_entries,
         }, adds_files=bool(new_entries)),
+        base_version=man["version"],
     )
     return summary
 
@@ -1299,6 +1365,7 @@ def rewrite_layout(
             "summary": summary,
             "entries": new_entries,
         }, adds_files=True),
+        base_version=man["version"],
     )
     return summary
 

@@ -558,3 +558,68 @@ def test_fold_deletes_covering_every_row_yields_entryless_commit(spark, tmp_path
     assert s["rows_deleted"] == 6 and s["files_rewritten"] == 2
     served = ft.read_table(spark, td)
     assert served.count() == 0 and set(served.columns) == {"k", "d"}
+
+
+def test_concurrent_appends_rebase_not_lost(spark, tmp_path):
+    """Optimistic concurrency: two appenders planning from the same
+    parent both succeed — the loser REBASES its (disjoint) new entries
+    onto the winner's manifest under the commit lock, so neither commit
+    is lost (the Iceberg append retry)."""
+    import threading
+
+    td = str(tmp_path / "cc")
+    base = spark.createDataFrame([(k, k) for k in range(10)], "k long, d long")
+    ft.create_table(base, td, stats_cols=["d"], cluster_by="d", n_files=2)
+
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def appender(offset):
+        try:
+            df = spark.createDataFrame(
+                [(k + offset, k + offset) for k in range(5)], "k long, d long"
+            )
+            barrier.wait()
+            ft.append_table(df, td, n_files=1)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=appender, args=(o,)) for o in (100, 200)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    got = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert got == sorted(list(range(10)) + [100 + i for i in range(5)] + [200 + i for i in range(5)])
+    assert ft.current_manifest_version(td) == 3, "two distinct commits landed"
+
+
+def test_rewrite_verb_conflict_raises(spark, tmp_path):
+    """A rewrite-class verb planned from a stale parent must refuse to
+    commit (CommitConflictError) rather than silently drop the
+    interleaved commit's files."""
+    import pytest as _pytest
+
+    td = str(tmp_path / "cf")
+    df = spark.createDataFrame([(k, k) for k in range(10)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=2)
+    # simulate: compaction planned, then a concurrent append lands first
+    man = ft.read_manifest(td)
+    ft.append_table(
+        spark.createDataFrame([(99, 99)], "k long, d long"), td, n_files=1
+    )
+    bins = [[e for e in man["entries"]]]
+    with _pytest.raises(ft.CommitConflictError, match="re-plan"):
+        ft._commit_manifest(
+            td,
+            {
+                "operation": "compact",
+                "stats_types": man["stats_types"],
+                "summary": {},
+                "entries": man["entries"],
+            },
+            base_version=man["version"],
+        )
+    # after re-planning from current, the same verb commits cleanly
+    assert ft.compact_table(spark, td, target_bytes=1 << 20)["bins"] >= 1
