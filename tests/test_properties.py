@@ -924,3 +924,30 @@ def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, 
             ft.compact_table(spark, td, target_bytes=1 << 16)
         got = sorted((r["k"], r["d"]) for r in ft.read_table(spark, td).collect())
         assert got == sorted(replica), f"diverged after {op}"
+
+
+_bloom_vals = st.lists(st.integers(0, 400), min_size=5, max_size=40)
+_bloom_probes = st.lists(st.integers(0, 500), min_size=1, max_size=8)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=_bloom_vals, probes=_bloom_probes)
+def test_filetable_bloom_lookup_never_loses_rows(spark, tmp_path_factory, vals, probes):
+    """Bloom soundness property: for ANY table contents and ANY probe
+    set (present or absent), the bloom-pruned point lookup returns
+    exactly the rows an exact filter does — false positives only ever
+    cost a read, false negatives are impossible."""
+    from spark_iceberg_jobs_spark.sources import filetable as ft
+
+    td = str(tmp_path_factory.mktemp("bloomprop") / "t")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "rid long, v long"
+    )
+    ft.create_table(df, td, stats_cols=["rid"], cluster_by="rid", n_files=3)
+    ft.build_bloom_index(spark, td, "v", bits=1 << 10)
+    got = sorted(
+        (r["rid"], r["v"])
+        for r in ft.point_lookup(spark, td, "v", probes).collect()
+    )
+    want = sorted((i, v) for i, v in enumerate(vals) if v in set(probes))
+    assert got == want
