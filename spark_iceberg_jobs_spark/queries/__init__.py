@@ -151,6 +151,7 @@ _R10_NEW = [
     "lake_schema_evolution",
     "lake_spec_evolution_scan",
     "lake_zorder_box_scan",
+    "lake_pos_delete",
 ]
 
 _R10_STALE_REFRESH = [
@@ -192,7 +193,6 @@ _R10_STALE_REFRESH = [
     "events_hourly_anomalies",
     "events_interarrival_stats",
     "events_ohlc_hourly",
-    "events_time_weighted_value",
 ]
 
 

@@ -853,6 +853,72 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_pos_delete — position deletes (MOR's second flavor), executed
+# ---------------------------------------------------------------------------
+
+
+def lake_pos_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals after an executed POSITION DELETE — Iceberg v2's
+    second delete flavor: matching rows are recorded as (file basename,
+    ``_metadata.row_index``) coordinates in a delete file
+    (``filetable.delete_positions_mor``), targeting ROWS rather than
+    keys, with zero data files rewritten. The serve is the MOR read
+    path's position anti join (file+ordinal equality); the oracle keeps
+    the predicate's complement over the raw fixture. Delete predicate:
+    ``o_orderkey % 13 == 0 AND o_orderstatus == 'O'`` — cuts across
+    every file of the date-clustered layout, the shape where an
+    equality delete would need the full key list and a CoW delete would
+    rewrite everything.
+
+    Scale: the delete commit costs O(matching rows) coordinates; the
+    serve's anti join broadcasts them (small between folds — the same
+    MOR contract as equality deletes; fold_deletes is the shared
+    pressure valve, test-pinned on the mixed-flavor case)."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                F.to_date("o_orderdate").alias("order_dt"),
+                "o_totalprice",
+            ),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=24,
+        )
+        ft.delete_positions_mor(
+            spark,
+            staging,
+            (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderstatus") == "O"),
+        )
+
+    table_dir = _served_table(sf_dir, "lakepos_", "orders", "lakepos-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+LAKE_POS_DELETE_ORACLE = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders
+WHERE NOT (o_orderkey % 13 = 0 AND o_orderstatus = 'O')
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -867,4 +933,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_schema_evolution": QuerySpec(lake_schema_evolution, LAKE_SCHEMA_ORACLE),
     "lake_spec_evolution_scan": QuerySpec(lake_spec_evolution_scan, LAKE_SPEC_ORACLE),
     "lake_zorder_box_scan": QuerySpec(lake_zorder_box_scan, LAKE_ZORDER_ORACLE),
+    "lake_pos_delete": QuerySpec(lake_pos_delete, LAKE_POS_DELETE_ORACLE),
 }

@@ -547,16 +547,17 @@ def _require_no_live_deletes(man: dict, verb: str) -> None:
     inline; requiring an explicit fold is this layer's documented
     boundary, and the bloom index's manifest-version stamp catches the
     reverse order (delete landing after a build)."""
-    if any(e.get("kind") == "eqdelete" for e in man["entries"]):
+    if any(e.get("kind") in ("eqdelete", "posdelete") for e in man["entries"]):
         raise ValueError(
-            f"{verb} on a table with live equality deletes — run fold_deletes first"
+            f"{verb} on a table with live delete files — run fold_deletes first"
         )
 
 
-def _split_entries(man: dict) -> tuple[list[dict], list[dict]]:
+def _split_entries(man: dict) -> tuple[list[dict], list[dict], list[dict]]:
     data = [e for e in man["entries"] if e.get("kind", "data") == "data"]
-    dels = [e for e in man["entries"] if e.get("kind") == "eqdelete"]
-    return data, dels
+    eqs = [e for e in man["entries"] if e.get("kind") == "eqdelete"]
+    poss = [e for e in man["entries"] if e.get("kind") == "posdelete"]
+    return data, eqs, poss
 
 
 def _current_names(man: dict) -> dict[str, str] | None:
@@ -604,11 +605,24 @@ def _projection_for_seq(man: dict, seq: int):
     return None if identity else exprs
 
 
+def _meta_exprs():
+    """Per-row file identity + ordinal from Spark's hidden ``_metadata``
+    struct — the (file, position) coordinates position deletes pin.
+    ``row_index`` is the row's ordinal within its parquet file, stable
+    across reads (row groups are sequential); the basename alone
+    identifies a file (part names carry a write UUID)."""
+    return [
+        F.regexp_extract(F.col("_metadata.file_path"), r"[^/]+$", 0).alias("_ft_file"),
+        F.col("_metadata.row_index").alias("_ft_pos"),
+    ]
+
+
 def _read_data(spark: SparkSession, table_dir: str, man: dict, data: list[dict],
-               seq_col: str | None = None) -> DataFrame:
+               seq_col: str | None = None, meta_cols: bool = False) -> DataFrame:
     """Union the live data files with schema resolution per commit seq
     (one read per seq whose projection differs; a table that never
-    evolved reads in a single multi-path scan)."""
+    evolved reads in a single multi-path scan). ``meta_cols`` appends the
+    (_ft_file, _ft_pos) coordinates from the scan's ``_metadata``."""
     by_seq: dict[int, list[str]] = {}
     for e in data:
         by_seq.setdefault(e.get("seq", 0), []).append(
@@ -618,12 +632,14 @@ def _read_data(spark: SparkSession, table_dir: str, man: dict, data: list[dict],
     out = None
     for s, paths in sorted(by_seq.items()):
         proj = _projection_for_seq(man, s)
-        if proj is None and seq_col is None:
+        if proj is None and seq_col is None and not meta_cols:
             plain.extend(paths)
             continue
         part = spark.read.parquet(*paths)
-        if proj is not None:
-            part = part.select(*proj)
+        sel = list(proj) if proj is not None else [F.col("*")]
+        if meta_cols:
+            sel += _meta_exprs()
+        part = part.select(*sel)
         if seq_col is not None:
             part = part.withColumn(seq_col, F.lit(s))
         out = part if out is None else out.unionByName(part)
@@ -633,12 +649,17 @@ def _read_data(spark: SparkSession, table_dir: str, man: dict, data: list[dict],
     if out is None:
         # zero live data files (e.g. a DELETE that covered every file):
         # an empty frame with the CURRENT schema keeps downstream plans
-        # valid; tables predating schema tracking cannot reconstruct one
+        # valid — including any requested helper columns; tables
+        # predating schema tracking cannot reconstruct one
         sch = man.get("schema")
         if sch is None:
             raise ValueError("empty snapshot on a table without a schema record")
-        ddl = ", ".join(f"{f['name']} {f['type']}" for f in sch["fields"])
-        return spark.createDataFrame([], ddl)
+        cols = [f"{f['name']} {f['type']}" for f in sch["fields"]]
+        if meta_cols:
+            cols += ["_ft_file string", "_ft_pos long"]
+        if seq_col is not None:
+            cols.append(f"{seq_col} long")
+        return spark.createDataFrame([], ", ".join(cols))
     return out
 
 
@@ -663,29 +684,70 @@ def read_table(
     anti join on the (small-between-compactions) delete-key set; payload
     rows never move."""
     man = read_manifest(table_dir, version)
-    data, dels = _split_entries(man)
-    if not dels:
-        return _read_data(spark, table_dir, man, data)
-    key_cols = {e["key_col"] for e in dels}
-    if len(key_cols) != 1:
-        raise ValueError(f"mixed equality-delete key columns: {sorted(key_cols)}")
-    key_col = key_cols.pop()
+    return _mor_read(spark, table_dir, man, keep_meta=False)
 
-    df = _read_data(spark, table_dir, man, data, seq_col="_ft_seq")
+
+def _eq_keys_frame(spark: SparkSession, table_dir: str, eqs: list[dict]) -> DataFrame:
     dk = None
-    for e in dels:
+    for e in eqs:
         part = (
             spark.read.parquet(os.path.join(table_dir, e["path"]))
             .select(F.col(e["key_col"]).alias("_ft_dkey"))
             .withColumn("_ft_dseq", F.lit(e["seq"]))
         )
         dk = part if dk is None else dk.unionByName(part)
-    return df.join(
-        F.broadcast(dk),
-        F.col(key_col).eqNullSafe(F.col("_ft_dkey"))
-        & (F.col("_ft_dseq") > F.col("_ft_seq")),
-        "left_anti",
-    ).drop("_ft_seq")
+    return dk
+
+
+def _pos_frame(spark: SparkSession, table_dir: str, poss: list[dict]) -> DataFrame:
+    paths = [os.path.join(table_dir, e["path"]) for e in poss]
+    return spark.read.parquet(*paths)
+
+
+def _eq_key_col(eqs: list[dict]) -> str:
+    key_cols = {e["key_col"] for e in eqs}
+    if len(key_cols) != 1:
+        raise ValueError(f"mixed equality-delete key columns: {sorted(key_cols)}")
+    return key_cols.pop()
+
+
+def _mor_read(
+    spark: SparkSession, table_dir: str, man: dict, *, keep_meta: bool
+) -> DataFrame:
+    """The snapshot's VISIBLE rows: data files minus equality deletes
+    (seq rule) minus position deletes (file+ordinal). ``keep_meta``
+    retains the (_ft_file, _ft_pos) coordinates for callers that commit
+    further position deletes or fold."""
+    data, eqs, poss = _split_entries(man)
+    if not eqs and not poss and not keep_meta:
+        return _read_data(spark, table_dir, man, data)
+    df = _read_data(
+        spark,
+        table_dir,
+        man,
+        data,
+        seq_col="_ft_seq" if eqs else None,
+        meta_cols=bool(poss) or keep_meta,
+    )
+    if eqs:
+        key_col = _eq_key_col(eqs)
+        df = df.join(
+            F.broadcast(_eq_keys_frame(spark, table_dir, eqs)),
+            F.col(key_col).eqNullSafe(F.col("_ft_dkey"))
+            & (F.col("_ft_dseq") > F.col("_ft_seq")),
+            "left_anti",
+        ).drop("_ft_seq")
+    if poss:
+        pk = _pos_frame(spark, table_dir, poss)
+        df = df.join(
+            F.broadcast(pk),
+            (F.col("_ft_file") == F.col("_ft_dfile"))
+            & (F.col("_ft_pos") == F.col("_ft_dpos")),
+            "left_anti",
+        )
+    if not keep_meta and poss:
+        df = df.drop("_ft_file", "_ft_pos")
+    return df
 
 
 def delete_keys_mor(
@@ -723,6 +785,45 @@ def delete_keys_mor(
     return summary
 
 
+def delete_positions_mor(
+    spark: SparkSession, table_dir: str, predicate: Column
+) -> dict:
+    """Commit a POSITION-DELETE file (Iceberg v2's second delete flavor):
+    the predicate's matching VISIBLE rows are recorded as (file basename,
+    row ordinal) pairs — ``_metadata.row_index`` coordinates, the
+    structure that deletes specific ROWS and therefore works where
+    equality deletes cannot (duplicate keys, no usable key at all). No
+    data file is read beyond evaluating the predicate; none is
+    rewritten. Positions are computed on the MOR-applied frame, so rows
+    already deleted (by either flavor) never re-enter the count."""
+    man = read_manifest(table_dir)
+    vis = _mor_read(spark, table_dir, man, keep_meta=True)
+    hits = vis.filter(predicate).select(
+        F.col("_ft_file").alias("_ft_dfile"), F.col("_ft_pos").alias("_ft_dpos")
+    )
+    cdir = _next_commit_dir(table_dir)
+    with _pinned_file_count(spark):
+        hits.coalesce(1).write.mode("append").parquet(cdir)
+    new = _collect_entries(spark, table_dir, cdir, [])
+    for e in new:
+        e["kind"] = "posdelete"
+    summary = {
+        "delete_files": len(new),
+        "rows_pos_deleted": sum(e["rows"] for e in new),
+    }
+    _commit_manifest(
+        table_dir,
+        _inherit_schema(man, {
+            "operation": "delete-pos",
+            "stats_types": man["stats_types"],
+            "summary": summary,
+            "entries": man["entries"] + new,
+        }, adds_files=False),
+        base_version=man["version"],
+    )
+    return summary
+
+
 def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     """Compact equality deletes back into data files — Iceberg's
     rewrite action for the MOR pressure valve: data files that actually
@@ -733,53 +834,58 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     pure data-file scans again (the anti join disappears — test-pinned
     equal to the pre-fold MOR read)."""
     man = read_manifest(table_dir)
-    data, dels = _split_entries(man)
-    if not dels:
+    data, eqs, poss = _split_entries(man)
+    if not eqs and not poss:
         return {"files_rewritten": 0, "delete_files_folded": 0}
-    key_col = dels[0]["key_col"]
-    dk = None
-    for e in dels:
-        part = spark.read.parquet(os.path.join(table_dir, e["path"])).select(
-            F.col(key_col).alias("_ft_dkey")
-        ).withColumn("_ft_dseq", F.lit(e["seq"]))
-        dk = part if dk is None else dk.unionByName(part)
-
-    touched, untouched = [], []
-    for e in data:
-        paths = [os.path.join(table_dir, e["path"])]
-        applicable = dk.filter(F.col("_ft_dseq") > e["seq"])
-        hit = (
-            spark.read.parquet(*paths)
-            .join(
-                F.broadcast(applicable),
-                F.col(key_col).eqNullSafe(F.col("_ft_dkey")),
+    # the files a rewrite must touch, found in ONE pass per delete
+    # flavor: equality — raw rows semi-joined against applicable keys
+    # (dseq > file seq); position — the file names the delete files pin
+    touched_names: set[str] = set()
+    if eqs:
+        key_col = _eq_key_col(eqs)
+        raw = _read_data(
+            spark, table_dir, man, data, seq_col="_ft_seq", meta_cols=True
+        )
+        hit_rows = (
+            raw.join(
+                F.broadcast(_eq_keys_frame(spark, table_dir, eqs)),
+                F.col(key_col).eqNullSafe(F.col("_ft_dkey"))
+                & (F.col("_ft_dseq") > F.col("_ft_seq")),
                 "left_semi",
             )
-            .limit(1)
-            .count()
-            > 0
-        )
-        (touched if hit else untouched).append(e)
+            .select("_ft_file")
+            .distinct()
+            .collect()
+        )  # bounded: one row per touched FILE
+        touched_names |= {r["_ft_file"] for r in hit_rows}
+    if poss:
+        touched_names |= {
+            r["_ft_dfile"]
+            for r in _pos_frame(spark, table_dir, poss)
+            .select("_ft_dfile")
+            .distinct()
+            .collect()
+        }
+    touched = [e for e in data if os.path.basename(e["path"]) in touched_names]
+    untouched = [e for e in data if os.path.basename(e["path"]) not in touched_names]
     new_entries = []
     rows_deleted = 0
     if touched:
-        # rewrite each touched file against ITS applicable delete keys;
-        # files share a seq within a commit, so group by seq to keep the
-        # anti-join predicate a literal per group
-        by_seq: dict[int, list[dict]] = {}
-        for e in touched:
-            by_seq.setdefault(e["seq"], []).append(e)
-        cdir = _next_commit_dir(table_dir)
-        for s, group in sorted(by_seq.items()):
-            survivors = _read_data(spark, table_dir, man, group).join(
-                F.broadcast(dk.filter(F.col("_ft_dseq") > s).select("_ft_dkey")),
-                F.col(key_col).eqNullSafe(F.col("_ft_dkey")),
-                "left_anti",
-            )
-            with _pinned_file_count(spark):
-                survivors.repartition(len(group)).write.mode("append").parquet(cdir)
-        new_entries = _collect_entries(
-            spark, table_dir, cdir, list(man["stats_types"])
+        # survivors = the MOR-applied frame restricted to touched files —
+        # both delete flavors applied in the same two anti joins the read
+        # path uses, then written under the CURRENT schema names
+        vis = _mor_read(spark, table_dir, man, keep_meta=True)
+        survivors = vis.filter(
+            F.col("_ft_file").isin(sorted(touched_names))
+        ).drop("_ft_file", "_ft_pos")
+        stats_cols = list(man["stats_types"])
+        new_entries = _write_commit(
+            survivors,
+            spark,
+            table_dir,
+            stats_cols,
+            n_files=max(1, len(touched)),
+            cluster_by=stats_cols[0] if stats_cols else None,
         )
         rows_deleted = sum(e["rows"] for e in touched) - sum(
             e["rows"] for e in new_entries
@@ -787,7 +893,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     summary = {
         "files_rewritten": len(touched),
         "files_untouched": len(untouched),
-        "delete_files_folded": len(dels),
+        "delete_files_folded": len(eqs) + len(poss),
         "rows_deleted": rows_deleted,
     }
     _commit_manifest(
@@ -1340,7 +1446,7 @@ def rewrite_layout(
     every later box probe O(box)."""
     man = read_manifest(table_dir)
     _require_no_live_deletes(man, "rewrite_layout")
-    data, _dels = _split_entries(man)
+    data, _eqs, _poss = _split_entries(man)
     df = _read_data(spark, table_dir, man, data)
     cdir = _next_commit_dir(table_dir)
     out = (
@@ -1463,7 +1569,7 @@ def partitions_table(spark: SparkSession, table_dir: str) -> DataFrame:
     partition-health audit reads (maintenance_partition_health is the
     planning-model twin)."""
     man = read_manifest(table_dir)
-    data, _dels = _split_entries(man)
+    data, _eqs, _poss = _split_entries(man)
     col = next(iter(man["stats_types"]), None)
     rows = []
     for e in data:

@@ -623,3 +623,48 @@ def test_rewrite_verb_conflict_raises(spark, tmp_path):
         )
     # after re-planning from current, the same verb commits cleanly
     assert ft.compact_table(spark, td, target_bytes=1 << 20)["bins"] >= 1
+
+
+def test_position_delete_targets_rows_not_keys(spark, tmp_path):
+    """Position deletes pin (file, ordinal) — they delete SPECIFIC rows,
+    so duplicate keys survive where equality deletes could not target
+    them, and no data file is rewritten."""
+    td = str(tmp_path / "pos")
+    # duplicate keys on purpose: k=1 appears 3 times with different v
+    rows = [(1, 10), (1, 11), (1, 12), (2, 20), (3, 30), (4, 40)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    ft.create_table(df, td, stats_cols=["v"], cluster_by="v", n_files=2)
+    files_before = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    s = ft.delete_positions_mor(spark, td, (F.col("k") == 1) & (F.col("v") < 12))
+    assert s["rows_pos_deleted"] == 2
+    man = ft.read_manifest(td)
+    assert man["operation"] == "delete-pos"
+    data_paths = {e["path"] for e in man["entries"] if e.get("kind", "data") == "data"}
+    assert data_paths == files_before, "no data file rewritten"
+    got = sorted((r["k"], r["v"]) for r in ft.read_table(spark, td).collect())
+    assert got == [(1, 12), (2, 20), (3, 30), (4, 40)]
+    # idempotent re-delete: positions already gone never re-enter
+    s2 = ft.delete_positions_mor(spark, td, F.col("k") == 1)
+    assert s2["rows_pos_deleted"] == 1  # only (1,12) was still visible
+    assert ft.read_table(spark, td).count() == 3
+
+
+def test_fold_mixed_eq_and_pos_deletes(spark, tmp_path):
+    td = str(tmp_path / "mix")
+    rows = [(k, k * 10) for k in range(12)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    ft.create_table(df, td, stats_cols=["v"], cluster_by="v", n_files=3)
+    ft.delete_keys_mor(
+        spark, td, "k", spark.createDataFrame([(0,), (1,)], "k long")
+    )
+    ft.delete_positions_mor(spark, td, F.col("k").isin(5, 11))
+    before = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert before == [2, 3, 4, 6, 7, 8, 9, 10]
+    s = ft.fold_deletes(spark, td)
+    assert s["delete_files_folded"] == 2 and s["rows_deleted"] == 4
+    man = ft.read_manifest(td)
+    assert not [e for e in man["entries"] if e.get("kind", "data") != "data"]
+    after = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert after == before
+    # CoW verbs work again post-fold
+    assert ft.compact_table(spark, td, target_bytes=1 << 20)["bins"] >= 1

@@ -871,6 +871,7 @@ _ft_ops = st.lists(
         st.tuples(st.just("append"), _ft_rows),
         st.tuples(st.just("cow_delete"), st.integers(0, 99)),
         st.tuples(st.just("mor_delete"), st.lists(st.integers(0, 19), min_size=1, max_size=4)),
+        st.tuples(st.just("pos_delete"), st.integers(0, 99)),
         st.tuples(st.just("fold"), st.none()),
         st.tuples(st.just("compact"), st.none()),
     ),
@@ -883,7 +884,8 @@ _ft_ops = st.lists(
 def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, seed, ops):
     """Oracle-independent cross-verb consistency: run a random legal
     sequence of commits (append / CoW delete / MOR equality delete /
-    fold / compact) against a file-grain table AND a 10-line Python
+    MOR position delete / fold / compact) against a file-grain table AND
+    a 10-line Python
     replica of row state; the served rows must be the replica's multiset
     at every step. MOR semantics in the replica: a delete removes
     matching CURRENT rows only — a later append re-adds (the seq rule);
@@ -899,7 +901,8 @@ def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, 
 
     def deletes_live():
         return any(
-            e.get("kind") == "eqdelete" for e in ft.read_manifest(td)["entries"]
+            e.get("kind") in ("eqdelete", "posdelete")
+            for e in ft.read_manifest(td)["entries"]
         )
 
     for op, arg in ops:
@@ -916,6 +919,11 @@ def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, 
                 spark, td, "k", spark.createDataFrame([(k,) for k in arg], "k long")
             )
             replica = [(k, d) for k, d in replica if k not in set(arg)]
+        elif op == "pos_delete":
+            from pyspark.sql import functions as _F
+
+            ft.delete_positions_mor(spark, td, _F.col("d") >= arg)
+            replica = [(k, d) for k, d in replica if d < arg]
         elif op == "fold":
             ft.fold_deletes(spark, td)
         elif op == "compact":
