@@ -441,6 +441,8 @@ def probes():
         # spec-evolution cross-spec band scan; z-order 2-D box probe
         "lake_spec": _lakehouse_probe("lake_spec_evolution_scan", build_tpch),
         "lake_zorder": _lakehouse_probe("lake_zorder_box_scan", build_tpch),
+        # position-delete MOR serve: file+ordinal anti join
+        "lake_pos": _lakehouse_probe("lake_pos_delete", build_tpch),
     }
 
 
@@ -556,6 +558,7 @@ def main() -> int:
         "lake_compact",
         "lake_spec",
         "lake_zorder",
+        "lake_pos",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
