@@ -130,6 +130,7 @@ def _commit_manifest(
     *,
     base_version: int | None = None,
     rebase_append: list[dict] | None = None,
+    branch: str | None = None,
 ) -> int:
     """CAS-claim the next manifest number with O_EXCL (two concurrent
     committers land in distinct manifests; like _claim_version, numbers
@@ -155,7 +156,11 @@ def _commit_manifest(
         fcntl.flock(lock_fd, fcntl.LOCK_EX)
         if base_version is not None:
             try:
-                cur = current_manifest_version(table_dir)
+                cur = (
+                    branch_head(table_dir, branch)
+                    if branch is not None
+                    else current_manifest_version(table_dir)
+                )
             except FileNotFoundError:
                 cur = None
             if cur != base_version:
@@ -180,7 +185,7 @@ def _commit_manifest(
                 break
             except FileExistsError:
                 nxt += 1
-        return _finish_commit(table_dir, manifest, nxt, fd)
+        return _finish_commit(table_dir, manifest, nxt, fd, branch=branch)
     finally:
         try:
             fcntl.flock(lock_fd, fcntl.LOCK_UN)
@@ -188,7 +193,9 @@ def _commit_manifest(
             os.close(lock_fd)
 
 
-def _finish_commit(table_dir: str, manifest: dict, nxt: int, fd: int) -> int:
+def _finish_commit(
+    table_dir: str, manifest: dict, nxt: int, fd: int, branch: str | None = None
+) -> int:
     manifest["version"] = nxt
     # data sequence number (Iceberg v2): entries added by THIS commit are
     # stamped with it; carried-over entries keep theirs. An equality
@@ -203,6 +210,15 @@ def _finish_commit(table_dir: str, manifest: dict, nxt: int, fd: int) -> int:
         manifest.setdefault("names_at_seq", {})[str(nxt)] = new_names
     with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1)
+    if branch is not None:
+        # the branch head moves; MAIN's hint does not — readers of the
+        # main table see nothing until fast_forward_table publishes
+        branches = _read_branches(table_dir)
+        if branch not in branches:
+            raise ValueError(f"no branch {branch!r} — create_branch first")
+        branches[branch] = nxt
+        _write_branches(table_dir, branches)
+        return nxt
     hint = os.path.join(_meta_dir(table_dir), _HINT)
     tmp = f"{hint}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -359,15 +375,35 @@ def create_table(
     return _commit_manifest(table_dir, manifest)
 
 
-def append_table(df: DataFrame, table_dir: str, *, n_files: int | None = None) -> int:
+def append_table(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    n_files: int | None = None,
+    audits: list | None = None,
+    branch: str | None = None,
+) -> int:
     """Append-commit: new immutable files + manifest = previous entries
     plus the new ones. Prior files are untouched (shared between
     snapshots — the property the full-copy versioned protocol lacks).
     On an evolved table the appended frame must carry exactly the
     CURRENT schema columns (written under the current names — that is
-    what the commit's names_at_seq records)."""
+    what the commit's names_at_seq records).
+
+    ``audits``: write-audit-publish — each callable runs against a
+    reader over the STAGED new files before anything becomes visible
+    (semantics of wap_write_parquet: None = pass, falsy return or any
+    exception fails the commit and the staged files are deleted).
+
+    ``branch``: commit onto a NAMED BRANCH — the manifest lands in the
+    shared numbering but only the branch head moves; MAIN's hint never
+    does, so readers see nothing until ``fast_forward_table`` publishes
+    the branch (the spark.wap.branch staging flow at the manifest
+    layer, the twin of writers.versioned_write(branch=...))."""
+    import shutil
+
     spark = df.sparkSession
-    prev = read_manifest(table_dir)
+    prev = read_manifest(table_dir, branch_head(table_dir, branch))
     cur = _current_names(prev)
     if cur is not None and set(df.columns) != set(cur.values()):
         raise ValueError(
@@ -379,6 +415,18 @@ def append_table(df: DataFrame, table_dir: str, *, n_files: int | None = None) -
     new = _write_commit(
         df, spark, table_dir, stats_cols, n_files=n_files, cluster_by=cluster
     )
+    if audits and new:
+        staged_dir = os.path.dirname(os.path.join(table_dir, new[0]["path"]))
+        staged = spark.read.parquet(staged_dir)
+        for i, audit in enumerate(audits):
+            try:
+                ok = audit(staged)
+            except Exception as e:  # noqa: BLE001 — audit errors fail the commit
+                shutil.rmtree(staged_dir, ignore_errors=True)
+                raise ValueError(f"append audit #{i} errored: {e}") from e
+            if ok is not None and not ok:
+                shutil.rmtree(staged_dir, ignore_errors=True)
+                raise ValueError(f"append audit #{i} failed; commit discarded")
     manifest = _inherit_schema(prev, {
         "operation": "append",
         "stats_types": prev["stats_types"],
@@ -386,7 +434,11 @@ def append_table(df: DataFrame, table_dir: str, *, n_files: int | None = None) -
         "entries": prev["entries"] + new,
     }, adds_files=True)
     return _commit_manifest(
-        table_dir, manifest, base_version=prev["version"], rebase_append=new
+        table_dir,
+        manifest,
+        base_version=prev["version"],
+        rebase_append=new if branch is None else None,
+        branch=branch,
     )
 
 
@@ -664,7 +716,11 @@ def _read_data(spark: SparkSession, table_dir: str, man: dict, data: list[dict],
 
 
 def read_table(
-    spark: SparkSession, table_dir: str, *, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    version: int | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Read a snapshot — the current one, or any retained manifest version
     (time travel; expired versions raise via the missing manifest).
@@ -683,6 +739,8 @@ def read_table(
     so delete-then-reinsert resurrects the key. One null-safe broadcast
     anti join on the (small-between-compactions) delete-key set; payload
     rows never move."""
+    if branch is not None and version is None:
+        version = branch_head(table_dir, branch)
     man = read_manifest(table_dir, version)
     return _mor_read(spark, table_dir, man, keep_meta=False)
 
@@ -1531,6 +1589,76 @@ def _read_refs(table_dir: str) -> dict:
         return {}
 
 
+def _branches_path(table_dir: str) -> str:
+    return os.path.join(_meta_dir(table_dir), "branches.json")
+
+
+def _read_branches(table_dir: str) -> dict:
+    try:
+        with open(_branches_path(table_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _write_branches(table_dir: str, branches: dict) -> None:
+    tmp = f"{_branches_path(table_dir)}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(branches, f)
+    os.replace(tmp, _branches_path(table_dir))
+
+
+def branch_head(table_dir: str, branch: str | None) -> int | None:
+    """Resolve a read/commit base: None → main's hint; a branch name →
+    its head (raising on an unknown branch)."""
+    if branch is None:
+        return None  # read_manifest(None) resolves main's hint
+    branches = _read_branches(table_dir)
+    if branch not in branches:
+        raise ValueError(f"no branch {branch!r}")
+    return branches[branch]
+
+
+def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
+    """Named branch ref starting at ``version`` (default: current main) —
+    the manifest-layer twin of writers.create_branch; commits with
+    ``append_table(branch=...)`` move only this head."""
+    if version is None:
+        version = current_manifest_version(table_dir)
+    if not os.path.exists(_manifest_path(table_dir, version)):
+        raise ValueError(f"no manifest version {version} to branch from")
+    branches = _read_branches(table_dir)
+    if name in branches:
+        raise ValueError(f"branch {name!r} already exists")
+    branches[name] = version
+    _write_branches(table_dir, branches)
+    return version
+
+
+def drop_branch(table_dir: str, name: str) -> None:
+    branches = _read_branches(table_dir)
+    if name not in branches:
+        raise ValueError(f"no branch {name!r}")
+    del branches[name]
+    _write_branches(table_dir, branches)
+
+
+def fast_forward_table(table_dir: str, branch: str) -> int:
+    """Publish a branch head to MAIN in one atomic hint replace — the
+    WAP publish step (Iceberg's fast_forward procedure; the executed
+    twin also lives in writers.fast_forward for the versioned
+    protocol)."""
+    head = branch_head(table_dir, branch)
+    if not os.path.exists(_manifest_path(table_dir, head)):
+        raise ValueError(f"branch {branch!r} head {head} has no manifest")
+    hint = os.path.join(_meta_dir(table_dir), _HINT)
+    tmp = f"{hint}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(head))
+    os.replace(tmp, hint)
+    return head
+
+
 def tag_snapshot(table_dir: str, name: str, version: int | None = None) -> int:
     """Immutable named tag on a manifest version (Iceberg tag refs, the
     manifest-layer twin of writers.create_tag): re-tagging an existing
@@ -1599,7 +1727,12 @@ def expire_table(table_dir: str, *, keep_last: int = 1) -> dict:
     at the data-file grain."""
     versions = _manifest_versions(table_dir)
     current = current_manifest_version(table_dir)
-    keep = set(versions[-keep_last:]) | {current} | set(_read_refs(table_dir).values())
+    keep = (
+        set(versions[-keep_last:])
+        | {current}
+        | set(_read_refs(table_dir).values())
+        | set(_read_branches(table_dir).values())
+    )
     removed_manifests = []
     referenced: set[str] = set()
     for v in versions:

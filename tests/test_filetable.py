@@ -668,3 +668,41 @@ def test_fold_mixed_eq_and_pos_deletes(spark, tmp_path):
     assert after == before
     # CoW verbs work again post-fold
     assert ft.compact_table(spark, td, target_bytes=1 << 20)["bins"] >= 1
+
+
+def test_branch_wap_flow_append_audit_fast_forward(spark, tmp_path):
+    """Branch-scoped WAP at the manifest layer: audited appends land on
+    a branch (main readers see nothing), fast_forward publishes, and a
+    failing audit discards its staged files entirely."""
+    import pytest as _pytest
+
+    td = str(tmp_path / "br")
+    df = spark.createDataFrame([(k, k) for k in range(10)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=2)
+    ft.create_branch(td, "audit")
+    extra = spark.createDataFrame([(100, 100), (101, 101)], "k long, d long")
+    v = ft.append_table(
+        extra, td, n_files=1, branch="audit",
+        audits=[lambda staged: staged.count() == 2],
+    )
+    # main unchanged; branch sees the append
+    assert ft.read_table(spark, td).count() == 10
+    assert ft.read_table(spark, td, branch="audit").count() == 12
+    assert ft.current_manifest_version(td) == 1
+    # publish
+    assert ft.fast_forward_table(td, "audit") == v
+    assert ft.read_table(spark, td).count() == 12
+    # failing audit: nothing staged survives, branch head unmoved
+    head = ft.branch_head(td, "audit")
+    with _pytest.raises(ValueError, match="audit #0 failed"):
+        ft.append_table(
+            spark.createDataFrame([(1, 1)], "k long, d long"),
+            td, n_files=1, branch="audit",
+            audits=[lambda staged: False],
+        )
+    assert ft.branch_head(td, "audit") == head
+    assert ft.read_table(spark, td, branch="audit").count() == 12
+    # expire keeps the branch head even with keep_last=1
+    ft.append_table(spark.createDataFrame([(7, 7)], "k long, d long"), td, n_files=1)
+    out = ft.expire_table(td, keep_last=1)
+    assert head not in out["manifests_removed"]
