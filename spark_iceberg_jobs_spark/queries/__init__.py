@@ -152,6 +152,7 @@ _R10_NEW = [
     "lake_spec_evolution_scan",
     "lake_zorder_box_scan",
     "lake_pos_delete",
+    "lake_branch_wap",
 ]
 
 _R10_STALE_REFRESH = [
@@ -192,7 +193,6 @@ _R10_STALE_REFRESH = [
     "events_conversion_latency",
     "events_hourly_anomalies",
     "events_interarrival_stats",
-    "events_ohlc_hourly",
 ]
 
 

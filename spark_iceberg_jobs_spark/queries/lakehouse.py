@@ -919,6 +919,74 @@ ORDER BY order_month
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_branch_wap — audited branch staging + fast-forward publish, executed
+# ---------------------------------------------------------------------------
+
+
+def lake_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status totals served AFTER a branch-scoped write-audit-publish
+    cycle: the build creates main from 3/4 of orders, stages the last
+    quarter on an ``audit`` branch via ``append_table(branch=...)`` with
+    a real audit (non-empty batch, no null keys), and publishes with
+    ``fast_forward_table`` — so the SERVED main equals the full fixture
+    only because the staged commit passed its audits and was fast-
+    forwarded. The oracle aggregates the raw fixture: equality holds iff
+    the whole WAP cycle executed correctly (a failed audit or missing
+    publish would leave main at 3/4 and hash-mismatch).
+
+    Scale: the branch commit is a normal append (O(batch)); staging and
+    publish are metadata-only; audits scan only the staged files."""
+    def build(staging: str) -> None:
+        orders = read_fixture(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.to_date("o_orderdate").alias("order_dt"),
+            "o_totalprice",
+        )
+        ft.create_table(
+            orders.filter(F.col("o_orderkey") % 4 != 0),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=12,
+        )
+        ft.create_branch(staging, "audit")
+        ft.append_table(
+            orders.filter(F.col("o_orderkey") % 4 == 0),
+            staging,
+            n_files=4,
+            branch="audit",
+            audits=[
+                lambda staged: staged.count() > 0,
+                lambda staged: staged.filter(F.col("o_orderkey").isNull()).count() == 0,
+            ],
+        )
+        ft.fast_forward_table(staging, "audit")
+
+    table_dir = _served_table(sf_dir, "lakewap_", "orders", "lakewap-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LAKE_BRANCH_WAP_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -934,4 +1002,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_spec_evolution_scan": QuerySpec(lake_spec_evolution_scan, LAKE_SPEC_ORACLE),
     "lake_zorder_box_scan": QuerySpec(lake_zorder_box_scan, LAKE_ZORDER_ORACLE),
     "lake_pos_delete": QuerySpec(lake_pos_delete, LAKE_POS_DELETE_ORACLE),
+    "lake_branch_wap": QuerySpec(lake_branch_wap, LAKE_BRANCH_WAP_ORACLE),
 }
