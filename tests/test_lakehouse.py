@@ -284,3 +284,19 @@ def test_zorder_box_scan_prunes_both_dimensions(spark, sf_dir):
         & (F.col("order_dt") <= F.lit(box["order_dt"][1]))
     ).count()
     assert got == want
+
+
+def test_skipping_scan_pushes_band_predicate_into_parquet(spark, sf_dir):
+    """Two-level skipping: manifest pruning picks the files AND the same
+    literal band predicate reaches the parquet scan (PushedFilters), so
+    row groups inside surviving files prune too."""
+    import datetime as dtt
+
+    lake_skipping_scan(spark, sf_dir).collect()
+    td = _published_dir("lakescan_", sf_dir, "lineitem", "lakescan-v1")
+    df = ft.scan_range(
+        spark, td, "ship_dt", dtt.date(1996, 1, 1), dtt.date(1996, 6, 30)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ship_dt" in plan and "LessThanOrEqual(ship_dt" in plan
