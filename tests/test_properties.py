@@ -959,3 +959,85 @@ def test_filetable_bloom_lookup_never_loses_rows(spark, tmp_path_factory, vals, 
     )
     want = sorted((i, v) for i, v in enumerate(vals) if v in set(probes))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution property: random evolution histories resolve by field id
+# ---------------------------------------------------------------------------
+
+_evo_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), st.integers(0, 3)),
+        st.tuples(st.just("rename"), st.integers(0, 5)),
+        st.tuples(st.just("drop"), st.integers(0, 5)),
+        st.tuples(st.just("append"), st.integers(1, 4)),
+    ),
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_evo_ops)
+def test_filetable_schema_evolution_matches_id_keyed_replica(
+    spark, tmp_path_factory, ops
+):
+    """Any legal sequence of add/rename/drop/append resolves reads by
+    FIELD ID exactly like a Python replica that stores rows as
+    {field_id: value}: renamed columns keep their values, added columns
+    backfill None for older rows, dropped columns vanish — across every
+    generation in one frame."""
+    from spark_iceberg_jobs_spark.sources import filetable as ft
+
+    td = str(tmp_path_factory.mktemp("evoprop") / "t")
+    df = spark.createDataFrame([(0, 100), (1, 101)], "d long, v long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=1)
+    # replica: field registry by id + rows as {id: value}
+    fields = {1: "d", 2: "v"}  # id -> current name (matches create order)
+    next_id = 3
+    rows = [{1: 0, 2: 100}, {1: 1, 2: 101}]
+    next_d = 10
+
+    for op, arg in ops:
+        names = list(fields.values())
+        if op == "add":
+            name = f"c{next_id}"
+            ft.add_column(td, name, "long")
+            fields[next_id] = name
+            next_id += 1
+        elif op == "rename":
+            # never rename the stats column 'd' (scan planning key)
+            cands = [i for i, n in fields.items() if n != "d"]
+            if not cands:
+                continue
+            fid = cands[arg % len(cands)]
+            new = f"r{fid}_{arg}"
+            if new in fields.values():
+                continue
+            ft.rename_column(td, fields[fid], new)
+            fields[fid] = new
+        elif op == "drop":
+            cands = [i for i, n in fields.items() if n != "d"]
+            if not cands:
+                continue
+            fid = cands[arg % len(cands)]
+            ft.drop_column(td, fields[fid])
+            del fields[fid]
+        elif op == "append":
+            batch_rows = []
+            for j in range(arg):
+                r = {fid: next_d * 1000 + j * 7 + fid for fid in fields}
+                r[1] = next_d + j  # keep the stats col sane/unique
+                batch_rows.append(r)
+            next_d += arg
+            data = [tuple(r[fid] for fid in fields) for r in batch_rows]
+            ddl = ", ".join(f"{n} long" for n in fields.values())
+            ft.append_table(spark.createDataFrame(data, ddl), td, n_files=1)
+            rows.extend(batch_rows)
+
+    served = ft.read_table(spark, td)
+    assert list(served.columns) == list(fields.values())
+    got = sorted(
+        tuple(r[n] for n in fields.values()) for r in served.collect()
+    )
+    want = sorted(tuple(r.get(fid) for fid in fields) for r in rows)
+    assert got == want
