@@ -1534,6 +1534,28 @@ def rewrite_layout(
     return summary
 
 
+def fold_pressure(table_dir: str, *, threshold: float = 0.05) -> dict:
+    """Metadata-only MOR health check — the policy the 256× lab's
+    pos-delete curve motivates (SCALE.md: at ~1M delete coordinates the
+    serve's anti join dominates): the ratio of live delete rows
+    (equality keys + position coordinates) to live data rows, with
+    ``should_fold`` once it crosses ``threshold``. Pure manifest
+    arithmetic — no data read — so an operator (or a write path) can
+    gate ``fold_deletes`` on it cheaply after every delete commit."""
+    man = read_manifest(table_dir)
+    data, eqs, poss = _split_entries(man)
+    data_rows = sum(e["rows"] for e in data)
+    delete_rows = sum(e["rows"] for e in eqs) + sum(e["rows"] for e in poss)
+    ratio = (delete_rows / data_rows) if data_rows else 0.0
+    return {
+        "data_rows": data_rows,
+        "delete_rows": delete_rows,
+        "delete_files": len(eqs) + len(poss),
+        "ratio": ratio,
+        "should_fold": ratio > threshold,
+    }
+
+
 def snapshots_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """The ``snapshots`` metadata table: one row per manifest commit with
     its operation, summary, and live file/row totals."""

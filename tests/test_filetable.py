@@ -706,3 +706,22 @@ def test_branch_wap_flow_append_audit_fast_forward(spark, tmp_path):
     ft.append_table(spark.createDataFrame([(7, 7)], "k long, d long"), td, n_files=1)
     out = ft.expire_table(td, keep_last=1)
     assert head not in out["manifests_removed"]
+
+
+def test_fold_pressure_policy(spark, tmp_path):
+    td = str(tmp_path / "fp")
+    df = spark.createDataFrame([(k, k) for k in range(100)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=2)
+    assert ft.fold_pressure(td) == {
+        "data_rows": 100, "delete_rows": 0, "delete_files": 0,
+        "ratio": 0.0, "should_fold": False,
+    }
+    ft.delete_keys_mor(
+        spark, td, "k", spark.createDataFrame([(k,) for k in range(2)], "k long")
+    )
+    assert not ft.fold_pressure(td)["should_fold"]  # 2% < 5%
+    ft.delete_positions_mor(spark, td, F.col("k") >= 90)
+    p = ft.fold_pressure(td)
+    assert p["delete_rows"] == 12 and p["should_fold"]  # 12% > 5%
+    ft.fold_deletes(spark, td)
+    assert ft.fold_pressure(td)["should_fold"] is False
