@@ -725,3 +725,127 @@ def test_fold_pressure_policy(spark, tmp_path):
     assert p["delete_rows"] == 12 and p["should_fold"]  # 12% > 5%
     ft.fold_deletes(spark, td)
     assert ft.fold_pressure(td)["should_fold"] is False
+
+
+# ---------------------------------------------------------------------------
+# planted adversarial tests (r9 program style): each kills ONE specific
+# plausible-but-wrong rule in a lakehouse kernel
+# ---------------------------------------------------------------------------
+
+
+def _plant_manifest(tmp_path, entries, stats_types):
+    """Handcraft a table whose manifest is exactly `entries` — metadata-
+    only planted inputs for planner-boundary tests (no data files
+    needed; the kernels under test read only bounds/bytes)."""
+    import json
+    import os
+
+    td = str(tmp_path / "planted")
+    os.makedirs(f"{td}/metadata")
+    man = {
+        "version": 1,
+        "operation": "create",
+        "stats_types": stats_types,
+        "summary": {},
+        "entries": entries,
+    }
+    with open(f"{td}/metadata/m000001.json", "w") as f:
+        json.dump(man, f)
+    with open(f"{td}/metadata/version-hint.text", "w") as f:
+        f.write("1")
+    return td
+
+
+def test_planted_zone_map_boundary_is_closed(tmp_path):
+    """Kills the open-interval wrong rule: a file whose MAX equals the
+    band's LO (or MIN equals HI) holds matching rows and must be READ —
+    pruning drops a file only on strict disjointness."""
+    entries = [
+        {"path": "data/c000001/a.parquet", "rows": 1, "bytes": 10, "seq": 1,
+         "stats": {"k": [0, 10]}},   # max == lo -> read
+        {"path": "data/c000001/b.parquet", "rows": 1, "bytes": 10, "seq": 1,
+         "stats": {"k": [20, 30]}},  # min == hi -> read
+        {"path": "data/c000001/c.parquet", "rows": 1, "bytes": 10, "seq": 1,
+         "stats": {"k": [31, 40]}},  # strictly above -> skip
+        {"path": "data/c000001/d.parquet", "rows": 1, "bytes": 10, "seq": 1,
+         "stats": {"k": [-5, 9]}},   # strictly below -> skip
+    ]
+    td = _plant_manifest(tmp_path, entries, {"k": "long"})
+    plan = ft.plan_scan(td, "k", 10, 20)
+    read = {p.rsplit("/", 1)[-1] for p in plan["paths"]}
+    assert read == {"a.parquet", "b.parquet"}
+    assert plan["files_skipped"] == 2
+
+
+def test_planted_delete_cutoff_is_inclusive_on_max(tmp_path):
+    """Kills the strict-< wrong rule: DELETE WHERE k <= cutoff must
+    classify a file with max == cutoff as a pure METADATA drop (every
+    row matches), not as a copy-on-write straddler."""
+    entries = [
+        {"path": "data/c000001/full.parquet", "rows": 5, "bytes": 50, "seq": 1,
+         "stats": {"k": [0, 10]}},    # max == cutoff -> metadata drop
+        {"path": "data/c000001/strad.parquet", "rows": 5, "bytes": 50, "seq": 1,
+         "stats": {"k": [5, 11]}},    # straddles -> rewrite
+        {"path": "data/c000001/keep.parquet", "rows": 5, "bytes": 50, "seq": 1,
+         "stats": {"k": [11, 20]}},   # min > cutoff -> untouched
+    ]
+    td = _plant_manifest(tmp_path, entries, {"k": "long"})
+    man = ft.read_manifest(td)
+    bounds = ft._decode_bounds(man, "k")
+    cutoff = 10
+    cls = []
+    for e in man["entries"]:
+        b = bounds(e)
+        cls.append(
+            "drop" if b[1] <= cutoff else ("keep" if b[0] > cutoff else "rewrite")
+        )
+    assert cls == ["drop", "rewrite", "keep"]
+
+
+def test_planted_binpack_running_sum_boundary(tmp_path):
+    """Kills the cum-INCLUSIVE wrong rule: a file joins bin
+    (cum_bytes_BEFORE // target) — three exactly-target files are three
+    bins; with target = 1.5x, the classic overflow-by-one shape."""
+    entries = [
+        {"path": f"data/c000001/{n}.parquet", "rows": 1, "bytes": 10, "seq": 1,
+         "stats": {"k": [i * 10, i * 10 + 9]}}
+        for i, n in enumerate(["a", "b", "c"])
+    ]
+    td = _plant_manifest(tmp_path, entries, {"k": "long"})
+    bins10 = ft.plan_compaction(td, target_bytes=10)
+    assert [len(b) for b in bins10] == [1, 1, 1], "cum_before//10 = 0,1,2"
+    bins15 = ft.plan_compaction(td, target_bytes=15)
+    assert [len(b) for b in bins15] == [2, 1], "cum_before//15 = 0,0,1 (overflow by one)"
+
+
+def test_planted_eq_delete_null_key_uses_null_safe_equality(spark, tmp_path):
+    """Kills the plain-equality wrong rule: an equality delete whose key
+    is NULL must delete NULL-keyed rows (eqNullSafe) — `=` semantics
+    would silently keep them forever."""
+    td = str(tmp_path / "nullkey")
+    df = spark.createDataFrame([(None, 1), (7, 2), (None, 3)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=1)
+    ft.delete_keys_mor(
+        spark, td, "k", spark.createDataFrame([(None,)], "k long")
+    )
+    got = sorted(r["d"] for r in ft.read_table(spark, td).collect())
+    assert got == [2], "NULL-keyed rows must be deleted by a NULL delete key"
+
+
+def test_planted_readded_column_name_is_a_new_field_id(spark, tmp_path):
+    """Kills the by-NAME resolution wrong rule: dropping column v and
+    adding a NEW column named v must NOT resurrect the old values — the
+    re-added name is a fresh field id, so pre-drop rows read v as NULL
+    (Iceberg's id-based evolution contract)."""
+    td = str(tmp_path / "readd")
+    df = spark.createDataFrame([(0, 100), (1, 101)], "d long, v long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=1)
+    ft.drop_column(td, "v")
+    ft.add_column(td, "v", "long")
+    ft.append_table(
+        spark.createDataFrame([(2, 999)], "d long, v long"), td, n_files=1
+    )
+    rows = {r["d"]: r["v"] for r in ft.read_table(spark, td).collect()}
+    assert rows == {0: None, 1: None, 2: 999}, (
+        "old rows must NOT leak the dropped field's values into the re-added name"
+    )
