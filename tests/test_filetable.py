@@ -849,3 +849,17 @@ def test_planted_readded_column_name_is_a_new_field_id(spark, tmp_path):
     assert rows == {0: None, 1: None, 2: 999}, (
         "old rows must NOT leak the dropped field's values into the re-added name"
     )
+
+
+def test_snapshot_isolation_reader_unaffected_by_concurrent_commit(spark, li_table):
+    """Snapshot isolation: a reader that resolved its manifest BEFORE a
+    concurrent DELETE commit serves the old snapshot's rows exactly —
+    data files are immutable and survive until expire_table, so an
+    in-flight plan can never observe a torn table."""
+    td, df = li_table
+    n_before = df.count()
+    reader = ft.read_table(spark, td)  # plan resolved against v1
+    ft.delete_where(spark, td, "ship_dt", _mid(td, 0.4))
+    # the NEW read sees the delete; the OLD plan still serves v1 intact
+    assert ft.read_table(spark, td).count() < n_before
+    assert reader.count() == n_before
