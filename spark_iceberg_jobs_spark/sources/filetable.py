@@ -55,22 +55,47 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import math
 import os
 from contextlib import contextmanager as _contextmanager
+from decimal import Decimal as _Decimal
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _HINT = "version-hint.text"
 
+
+def _enc_double(v, round_up: bool) -> float:
+    """Conservative float encoding for double-domain bounds. Spark hands
+    decimal column min/max back as ``decimal.Decimal``, and Python's
+    ``float(Decimal)`` rounds to NEAREST — a stored max can land BELOW
+    the true max (min above the true min), making ``plan_scan`` skip a
+    file that contains boundary rows and ``delete_where`` metadata-drop
+    a file containing survivors (ADVICE r10). Bounds therefore widen
+    OUTWARD (min rounds down, max up — the same direction as Iceberg's
+    bound truncation): a widened bound can only cost an extra read,
+    never a missed row. Native floats round-trip exactly and pass
+    through."""
+    f = float(v)
+    if isinstance(v, _Decimal) and math.isfinite(f):
+        d = _Decimal(f)
+        if round_up and d < v:
+            f = math.nextafter(f, math.inf)
+        elif not round_up and d > v:
+            f = math.nextafter(f, -math.inf)
+    return f
+
+
 # stats (de)serialization: JSON carries dates as ISO strings; the
 # manifest header records each stats column's type so bounds comparisons
-# re-enter the native domain driver-side
+# re-enter the native domain driver-side. Encoders take (value, is_max)
+# so double-domain bounds widen outward (see _enc_double).
 _STAT_ENCODERS = {
-    "date": lambda v: v.isoformat(),
-    "long": int,
-    "double": float,
-    "string": str,
+    "date": lambda v, _up: v.isoformat(),
+    "long": lambda v, _up: int(v),
+    "double": _enc_double,
+    "string": lambda v, _up: str(v),
 }
 _STAT_DECODERS = {
     "date": _dt.date.fromisoformat,
@@ -145,38 +170,35 @@ def _commit_manifest(
     onto the winner's entry list — sound because appended files are
     disjoint from everything); every other verb raises
     CommitConflictError for the caller to re-plan — a lost update can no
-    longer happen silently."""
-    import fcntl
+    longer happen silently.
 
-    os.makedirs(_meta_dir(table_dir), exist_ok=True)
-    lock_fd = os.open(
-        os.path.join(_meta_dir(table_dir), "commit.lock"), os.O_CREAT | os.O_WRONLY
-    )
-    try:
-        fcntl.flock(lock_fd, fcntl.LOCK_EX)
-        if base_version is not None:
-            try:
-                cur = (
-                    branch_head(table_dir, branch)
-                    if branch is not None
-                    else current_manifest_version(table_dir)
+    Every committed manifest records its ``parent`` (the version it was
+    committed on top of — the CAS-resolved one after a rebase), giving
+    fast_forward_table a real ancestry chain to walk (ADVICE r10)."""
+    with _commit_lock(table_dir):
+        try:
+            cur = (
+                branch_head(table_dir, branch)
+                if branch is not None
+                else current_manifest_version(table_dir)
+            )
+        except FileNotFoundError:
+            cur = None
+        if base_version is not None and cur != base_version:
+            if rebase_append is None:
+                raise CommitConflictError(
+                    f"planned from manifest {base_version} but current is {cur}; "
+                    "re-plan from the current snapshot"
                 )
-            except FileNotFoundError:
-                cur = None
-            if cur != base_version:
-                if rebase_append is None:
-                    raise CommitConflictError(
-                        f"planned from manifest {base_version} but current is {cur}; "
-                        "re-plan from the current snapshot"
-                    )
-                cur_man = read_manifest(table_dir, cur)
-                if cur_man.get("schema") != manifest.get("schema"):
-                    raise CommitConflictError(
-                        "concurrent schema change; re-plan the append"
-                    )
-                manifest["entries"] = cur_man["entries"] + rebase_append
-                manifest["names_at_seq"] = dict(cur_man.get("names_at_seq", {}))
-                manifest["stats_types"] = cur_man["stats_types"]
+            cur_man = read_manifest(table_dir, cur)
+            if cur_man.get("schema") != manifest.get("schema"):
+                raise CommitConflictError(
+                    "concurrent schema change; re-plan the append"
+                )
+            manifest["entries"] = cur_man["entries"] + rebase_append
+            manifest["names_at_seq"] = dict(cur_man.get("names_at_seq", {}))
+            manifest["stats_types"] = cur_man["stats_types"]
+        manifest["parent"] = cur
         nxt = (_manifest_versions(table_dir) or [0])[-1] + 1
         while True:
             path = _manifest_path(table_dir, nxt)
@@ -186,6 +208,27 @@ def _commit_manifest(
             except FileExistsError:
                 nxt += 1
         return _finish_commit(table_dir, manifest, nxt, fd, branch=branch)
+
+
+@_contextmanager
+def _commit_lock(table_dir: str):
+    """Exclusive kernel flock on ``metadata/commit.lock`` — the one lock
+    every metadata mutation (manifest commit, branch create/drop/repoint,
+    fast-forward publish) serializes on, so no ref file is ever
+    read-modify-written concurrently with a commit that moves it
+    (ADVICE r10: create_branch/drop_branch previously mutated
+    branches.json outside the lock, racing _finish_commit's head move).
+    flock dies with its holder, so a crashed committer never wedges the
+    table."""
+    import fcntl
+
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    lock_fd = os.open(
+        os.path.join(_meta_dir(table_dir), "commit.lock"), os.O_CREAT | os.O_WRONLY
+    )
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        yield
     finally:
         try:
             fcntl.flock(lock_fd, fcntl.LOCK_UN)
@@ -216,7 +259,7 @@ def _finish_commit(
         branches = _read_branches(table_dir)
         if branch not in branches:
             raise ValueError(f"no branch {branch!r} — create_branch first")
-        branches[branch] = nxt
+        branches[branch]["head"] = nxt
         _write_branches(table_dir, branches)
         return nxt
     hint = os.path.join(_meta_dir(table_dir), _HINT)
@@ -261,7 +304,15 @@ def _collect_entries(
     types = {c: _stat_type(df, c) for c in stats_cols}
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
-        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        # per-file NULL counts ride with the bounds (Iceberg's
+        # null_value_counts): min/max ignore NULLs, so without the count
+        # a metadata verb cannot know whether a file hides NULL rows its
+        # bounds don't describe — the delete_where NULL hole (ADVICE r10)
+        aggs += [
+            F.min(c).alias(f"_min_{c}"),
+            F.max(c).alias(f"_max_{c}"),
+            F.count_if(F.col(c).isNull()).alias(f"_nulls_{c}"),
+        ]
     rows = df.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
     # bounded collect: one row per data file in THIS commit
     entries = []
@@ -269,12 +320,20 @@ def _collect_entries(
         fname = os.path.basename(r["_file"])
         rel = os.path.relpath(os.path.join(commit_dir, fname), table_dir)
         stats = {}
+        nulls = {}
         for c in stats_cols:
             lo, hi = r[f"_min_{c}"], r[f"_max_{c}"]
             enc = _STAT_ENCODERS[types[c]]
-            stats[c] = None if lo is None else [enc(lo), enc(hi)]
+            stats[c] = None if lo is None else [enc(lo, False), enc(hi, True)]
+            nulls[c] = r[f"_nulls_{c}"]
         entries.append(
-            {"path": rel, "rows": r["_rows"], "bytes": sizes[fname], "stats": stats}
+            {
+                "path": rel,
+                "rows": r["_rows"],
+                "bytes": sizes[fname],
+                "stats": stats,
+                "nulls": nulls,
+            }
         )
     entries.sort(key=lambda e: e["path"])
     return entries
@@ -808,8 +867,33 @@ def _mor_read(
     return df
 
 
+def _maybe_fold(
+    spark: SparkSession, table_dir: str, threshold: float | None, summary: dict
+) -> dict:
+    """The write-path side of the fold-pressure valve (VERDICT r10 item
+    1): after a delete commit, consult ``fold_pressure`` — pure manifest
+    arithmetic, no data read — and run ``fold_deletes`` once the live
+    delete-row ratio crosses ``threshold``, so MOR serve cost stays
+    bounded no matter how many delete commits accumulate (the 256×
+    pos-delete tail in SCALE.md is exactly an unfolded delete set).
+    ``threshold=None`` keeps the gate off (the caller owns folding)."""
+    if threshold is None:
+        return summary
+    pressure = fold_pressure(table_dir, threshold=threshold)
+    summary["fold_ratio"] = pressure["ratio"]
+    summary["folded"] = pressure["should_fold"]
+    if pressure["should_fold"]:
+        summary["fold_summary"] = fold_deletes(spark, table_dir)
+    return summary
+
+
 def delete_keys_mor(
-    spark: SparkSession, table_dir: str, key_col: str, keys: DataFrame
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys: DataFrame,
+    *,
+    auto_fold_threshold: float | None = None,
 ) -> dict:
     """Commit an EQUALITY-DELETE file (Iceberg v2 merge-on-read): the
     distinct keys land in one parquet delete file; no data file is read
@@ -817,7 +901,10 @@ def delete_keys_mor(
     apply the delete via ``read_table``'s anti join until
     ``fold_deletes`` compacts it away. The deleted keys' rows in data
     files with smaller seq disappear from every subsequent read; data
-    committed AFTER this delete is unaffected."""
+    committed AFTER this delete is unaffected. With
+    ``auto_fold_threshold`` set, the write path consults
+    ``fold_pressure`` after the commit and folds when the ratio crosses
+    it (see ``_maybe_fold``)."""
     man = read_manifest(table_dir)
     cdir = _next_commit_dir(table_dir)
     with _pinned_file_count(spark):
@@ -840,11 +927,15 @@ def delete_keys_mor(
         }, adds_files=False),
         base_version=man["version"],
     )
-    return summary
+    return _maybe_fold(spark, table_dir, auto_fold_threshold, summary)
 
 
 def delete_positions_mor(
-    spark: SparkSession, table_dir: str, predicate: Column
+    spark: SparkSession,
+    table_dir: str,
+    predicate: Column,
+    *,
+    auto_fold_threshold: float | None = None,
 ) -> dict:
     """Commit a POSITION-DELETE file (Iceberg v2's second delete flavor):
     the predicate's matching VISIBLE rows are recorded as (file basename,
@@ -853,7 +944,10 @@ def delete_positions_mor(
     equality deletes cannot (duplicate keys, no usable key at all). No
     data file is read beyond evaluating the predicate; none is
     rewritten. Positions are computed on the MOR-applied frame, so rows
-    already deleted (by either flavor) never re-enter the count."""
+    already deleted (by either flavor) never re-enter the count. With
+    ``auto_fold_threshold`` set, the write path consults
+    ``fold_pressure`` after the commit and folds when the ratio crosses
+    it (see ``_maybe_fold``)."""
     man = read_manifest(table_dir)
     vis = _mor_read(spark, table_dir, man, keep_meta=True)
     hits = vis.filter(predicate).select(
@@ -879,7 +973,7 @@ def delete_positions_mor(
         }, adds_files=False),
         base_version=man["version"],
     )
-    return summary
+    return _maybe_fold(spark, table_dir, auto_fold_threshold, summary)
 
 
 def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
@@ -985,11 +1079,21 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
     """Executed row-level ``DELETE FROM t WHERE col <= cutoff`` — the
     retention-delete shape maintenance_delete_plan plans:
 
-    - files with ``max <= cutoff``: DROPPED from the manifest — a pure
-      metadata edit, their bytes are never read (the data files linger
-      until ``expire_table``, Iceberg's snapshot-expiry story);
+    - files with ``max <= cutoff`` AND a zero null count: DROPPED from
+      the manifest — a pure metadata edit, their bytes are never read
+      (the data files linger until ``expire_table``, Iceberg's
+      snapshot-expiry story);
     - files with ``min > cutoff``: untouched, survive by metadata;
     - straddling files: rewritten copy-on-write without matching rows.
+
+    NULL semantics (ADVICE r10): SQL three-valued logic keeps a row
+    whose delete column is NULL (``NULL <= cutoff`` is NULL, not TRUE),
+    but bounds ignore NULLs — so a null-BEARING file is never
+    metadata-dropped (its NULL rows must survive; it rewrites instead,
+    per-file null counts from the manifest), the rewrite's survivor
+    filter keeps ``col IS NULL`` rows, an all-null file is untouched,
+    and entries predating null tracking are conservatively rewritten.
+    Row fate no longer depends on file layout.
 
     Returns the commit summary (also embedded in the manifest, like an
     Iceberg snapshot summary)."""
@@ -999,9 +1103,13 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
     dropped, kept, straddle = [], [], []
     for e in manifest["entries"]:
         b = bounds(e)
+        n_nulls = e.get("nulls", {}).get(col)  # None = pre-tracking entry
         if b is None:
-            straddle.append(e)  # unknown bounds: must read to be correct
-        elif b[1] <= cutoff:
+            if n_nulls is not None and n_nulls == e["rows"]:
+                kept.append(e)  # all-null file: every row survives the delete
+            else:
+                straddle.append(e)  # unknown contents: must read to be correct
+        elif b[1] <= cutoff and n_nulls == 0:
             dropped.append(e)
         elif b[0] > cutoff:
             kept.append(e)
@@ -1012,7 +1120,7 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
         # schema-resolved read: straddlers written pre-evolution rewrite
         # under the CURRENT names (the rewrite IS a lazy schema migration)
         survivors = _read_data(spark, table_dir, manifest, straddle).filter(
-            F.col(col) > F.lit(cutoff)
+            (F.col(col) > F.lit(cutoff)) | F.col(col).isNull()
         )
         new_entries = _write_commit(
             survivors,
@@ -1260,6 +1368,28 @@ def build_bloom_index(
     Sidecar size is files × bits/8 bytes."""
     man = read_manifest(table_dir)
     _require_no_live_deletes(man, "build_bloom_index")
+    # Portable-hash whitelist (ADVICE r10): the driver-side probe hashes
+    # Python ``str(value)`` and must reproduce Spark's CAST(col AS
+    # STRING) bit-for-bit; for float/double/decimal the renderings
+    # diverge (Spark '1.0E20' vs Python '1e+20', decimal scale
+    # suffixes), and a mismatched rendering is a bloom FALSE NEGATIVE —
+    # lost rows, violating the soundness invariant test_properties pins.
+    # Integer/string/date renderings are identical on both sides.
+    sch = man.get("schema")
+    dtype = (
+        next((f["type"] for f in sch["fields"] if f["name"] == col), None)
+        if sch is not None
+        else None
+    )
+    if dtype is None:
+        raise ValueError(f"no column {col!r} in table schema; cannot bloom-index")
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "string", "date"):
+        raise ValueError(
+            f"bloom index on {dtype!r} column {col!r} unsupported: Python and "
+            "Spark string renderings diverge for float/decimal values, which "
+            "would make probes false-negative (lost rows); index "
+            "integer/string/date columns only"
+        )
     words = bits // 64
     rows = (
         _read_data(spark, table_dir, man, man["entries"])
@@ -1616,11 +1746,21 @@ def _branches_path(table_dir: str) -> str:
 
 
 def _read_branches(table_dir: str) -> dict:
+    """Branch records: ``{name: {"head": v, "base": b}}`` where ``base``
+    is the version the branch diverged from (the ancestry anchor
+    fast_forward_table checks). The pre-r11 format stored a bare head
+    int; it normalizes with base = head — the weakest sound assumption
+    (such a branch fast-forwards only if main still sits at that exact
+    version or the parent chain proves ancestry)."""
     try:
         with open(_branches_path(table_dir)) as f:
-            return json.load(f)
+            raw = json.load(f)
     except FileNotFoundError:
         return {}
+    return {
+        k: (dict(v) if isinstance(v, dict) else {"head": v, "base": v})
+        for k, v in raw.items()
+    }
 
 
 def _write_branches(table_dir: str, branches: dict) -> None:
@@ -1638,47 +1778,88 @@ def branch_head(table_dir: str, branch: str | None) -> int | None:
     branches = _read_branches(table_dir)
     if branch not in branches:
         raise ValueError(f"no branch {branch!r}")
-    return branches[branch]
+    return branches[branch]["head"]
 
 
 def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
     """Named branch ref starting at ``version`` (default: current main) —
     the manifest-layer twin of writers.create_branch; commits with
-    ``append_table(branch=...)`` move only this head."""
-    if version is None:
-        version = current_manifest_version(table_dir)
-    if not os.path.exists(_manifest_path(table_dir, version)):
-        raise ValueError(f"no manifest version {version} to branch from")
-    branches = _read_branches(table_dir)
-    if name in branches:
-        raise ValueError(f"branch {name!r} already exists")
-    branches[name] = version
-    _write_branches(table_dir, branches)
-    return version
+    ``append_table(branch=...)`` move only this head. The branch records
+    its BASE (the version it diverged from) so fast_forward_table can
+    refuse a publish that would discard a later main commit. Runs under
+    the commit lock (ADVICE r10: a branches.json read-modify-write
+    racing _finish_commit's head move was a lost branch commit)."""
+    with _commit_lock(table_dir):
+        if version is None:
+            version = current_manifest_version(table_dir)
+        if not os.path.exists(_manifest_path(table_dir, version)):
+            raise ValueError(f"no manifest version {version} to branch from")
+        branches = _read_branches(table_dir)
+        if name in branches:
+            raise ValueError(f"branch {name!r} already exists")
+        branches[name] = {"head": version, "base": version}
+        _write_branches(table_dir, branches)
+        return version
 
 
 def drop_branch(table_dir: str, name: str) -> None:
-    branches = _read_branches(table_dir)
-    if name not in branches:
-        raise ValueError(f"no branch {name!r}")
-    del branches[name]
-    _write_branches(table_dir, branches)
+    with _commit_lock(table_dir):
+        branches = _read_branches(table_dir)
+        if name not in branches:
+            raise ValueError(f"no branch {name!r}")
+        del branches[name]
+        _write_branches(table_dir, branches)
 
 
 def fast_forward_table(table_dir: str, branch: str) -> int:
     """Publish a branch head to MAIN in one atomic hint replace — the
     WAP publish step (Iceberg's fast_forward procedure; the executed
-    twin also lives in writers.fast_forward for the versioned
-    protocol)."""
-    head = branch_head(table_dir, branch)
-    if not os.path.exists(_manifest_path(table_dir, head)):
-        raise ValueError(f"branch {branch!r} head {head} has no manifest")
-    hint = os.path.join(_meta_dir(table_dir), _HINT)
-    tmp = f"{hint}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(str(head))
-    os.replace(tmp, hint)
-    return head
+    twin also lives in writers.fast_forward for the versioned protocol).
+
+    ANCESTRY GATE (ADVICE r10): publishing is refused unless main's
+    current version is an ancestor of the branch head — walked over the
+    ``parent`` pointers every commit records, with the branch's recorded
+    base as the fallback for pre-parent-tracking manifests. Without the
+    gate, a main commit that landed after the branch diverged would be
+    silently discarded (a lost update — Iceberg's fast_forward errors on
+    exactly this). Runs entirely under the commit lock so no commit can
+    land between the check and the repoint."""
+    with _commit_lock(table_dir):
+        branches = _read_branches(table_dir)
+        if branch not in branches:
+            raise ValueError(f"no branch {branch!r}")
+        rec = branches[branch]
+        head = rec["head"]
+        if not os.path.exists(_manifest_path(table_dir, head)):
+            raise ValueError(f"branch {branch!r} head {head} has no manifest")
+        cur_main = current_manifest_version(table_dir)
+        v, seen = head, set()
+        is_ancestor = False
+        while v is not None and v not in seen:
+            if v == cur_main:
+                is_ancestor = True
+                break
+            seen.add(v)
+            try:
+                v = read_manifest(table_dir, v).get("parent")
+            except FileNotFoundError:
+                break  # chain truncated by expiry / pre-parent manifests
+        if not is_ancestor and cur_main != rec.get("base"):
+            raise CommitConflictError(
+                f"cannot fast-forward branch {branch!r}: main is at "
+                f"{cur_main}, which is not an ancestor of the branch head "
+                f"{head} — a commit landed on main after the branch "
+                "diverged; rebase the branch onto current main and retry"
+            )
+        hint = os.path.join(_meta_dir(table_dir), _HINT)
+        tmp = f"{hint}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(head))
+        os.replace(tmp, hint)
+        # main == head now, so the branch's divergence point IS head
+        branches[branch] = {"head": head, "base": head}
+        _write_branches(table_dir, branches)
+        return head
 
 
 def tag_snapshot(table_dir: str, name: str, version: int | None = None) -> int:
@@ -1753,7 +1934,11 @@ def expire_table(table_dir: str, *, keep_last: int = 1) -> dict:
         set(versions[-keep_last:])
         | {current}
         | set(_read_refs(table_dir).values())
-        | set(_read_branches(table_dir).values())
+        # keep branch heads AND bases: the base anchors the ancestry
+        # check fast_forward_table runs, so expiring it would turn a
+        # publishable branch into a false conflict
+        | {r["head"] for r in _read_branches(table_dir).values()}
+        | {r["base"] for r in _read_branches(table_dir).values()}
     )
     removed_manifests = []
     referenced: set[str] = set()

@@ -863,3 +863,203 @@ def test_snapshot_isolation_reader_unaffected_by_concurrent_commit(spark, li_tab
     # the NEW read sees the delete; the OLD plan still serves v1 intact
     assert ft.read_table(spark, td).count() < n_before
     assert reader.count() == n_before
+
+
+# ---------------------------------------------------------------------------
+# round 11 — ADVICE r10 fixes: NULL delete semantics, decimal bounds,
+# fast-forward ancestry, locked branch ops, bloom type whitelist
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_null_rows_survive_regardless_of_file_layout(spark, tmp_path):
+    """ADVICE r10 #1: SQL DELETE keeps a row whose predicate column is
+    NULL, whatever file it lives in. Four layouts, one cutoff (=10):
+    a null-bearing file the bounds fully cover (the old metadata-drop
+    hole), a null-bearing straddler (the old rewrite-filter hole), an
+    all-NULL file, and a null-free fully-covered file (must STILL drop
+    by pure metadata — the fix must not tax the common case)."""
+    td = str(tmp_path / "nulls")
+    mk = lambda rows: spark.createDataFrame(rows, "v long, tag string")  # noqa: E731
+    ft.create_table(
+        mk([(1, "cov"), (9, "cov"), (None, "cov")]), td, stats_cols=["v"], n_files=1
+    )
+    ft.append_table(mk([(5, "str"), (15, "str"), (None, "str")]), td, n_files=1)
+    ft.append_table(mk([(None, "all"), (None, "all")]), td, n_files=1)
+    ft.append_table(mk([(2, "drop"), (3, "drop")]), td, n_files=1)
+
+    summary = ft.delete_where(spark, td, "v", 10)
+    # only the provably null-free covered file drops by metadata
+    assert summary["files_dropped_metadata"] == 1
+    got = sorted(
+        ((r["tag"], r["v"]) for r in ft.read_table(spark, td).collect()),
+        key=lambda t: (t[0], t[1] is not None, t[1] or 0),
+    )
+    # survivors: v > 10 OR v IS NULL — NULL fate independent of layout
+    assert got == [("all", None), ("all", None), ("cov", None), ("str", None), ("str", 15)]
+    # the all-NULL file was never read or rewritten: untouched by metadata
+    assert summary["files_untouched"] >= 1
+
+
+def test_delete_where_pre_null_tracking_entries_rewrite_conservatively(spark, tmp_path):
+    """Entries written before null tracking (no ``nulls`` key) must never
+    metadata-drop — the bounds alone cannot prove the file is null-free."""
+    td = str(tmp_path / "legacy")
+    df = spark.createDataFrame([(1,), (9,)], "v long")
+    ft.create_table(df, td, stats_cols=["v"], n_files=1)
+    man = ft.read_manifest(td)
+    for e in man["entries"]:
+        e.pop("nulls", None)  # simulate a pre-r11 manifest
+    import json as _json
+
+    with open(ft._manifest_path(td, man["version"]), "w") as f:
+        _json.dump(man, f)
+    summary = ft.delete_where(spark, td, "v", 10)
+    assert summary["files_dropped_metadata"] == 0
+    assert summary["files_rewritten"] == 1
+    assert ft.read_table(spark, td).count() == 0
+
+
+def test_decimal_stats_bounds_widen_outward(spark, tmp_path):
+    """ADVICE r10 #2: float(Decimal) rounds to nearest, so an encoded max
+    could fall BELOW the true max and planning would skip a file holding
+    the boundary row. Bounds must widen outward: a probe at the exact
+    decimal boundary keeps the file, and delete_where never
+    metadata-drops a file whose true max exceeds the cutoff."""
+    from decimal import Decimal
+
+    hi_d = Decimal("100.000000000000000001")  # float() rounds DOWN to 100.0
+    lo_d = Decimal("-100.000000000000000001")  # float() rounds UP to -100.0
+    td = str(tmp_path / "dec")
+    df = spark.sql(
+        f"SELECT CAST('{hi_d}' AS DECIMAL(38,18)) AS d, 1 AS k "
+        f"UNION ALL SELECT CAST('{lo_d}' AS DECIMAL(38,18)), 2"
+    )
+    ft.create_table(df, td, stats_cols=["d"], n_files=1)
+    e = ft.read_manifest(td)["entries"][0]
+    enc_lo, enc_hi = e["stats"]["d"]
+    assert Decimal(enc_hi) >= hi_d, "encoded max must not round below the true max"
+    assert Decimal(enc_lo) <= lo_d, "encoded min must not round above the true min"
+    # boundary probes keep the file in both directions
+    assert ft.plan_scan(td, "d", lo=hi_d)["files_read"] == 1
+    assert ft.plan_scan(td, "d", hi=lo_d)["files_read"] == 1
+    # a cutoff just under the true max must NOT metadata-drop the file
+    summary = ft.delete_where(spark, td, "d", Decimal("100"))
+    assert summary["files_dropped_metadata"] == 0
+    assert [r["k"] for r in ft.read_table(spark, td).collect()] == [1]
+
+
+def test_fast_forward_refuses_diverged_main(spark, tmp_path):
+    """ADVICE r10 #3: a commit that lands on MAIN after the branch
+    diverged must make fast_forward raise instead of silently discarding
+    it (lost update). Once the branch is recreated from current main,
+    the publish goes through."""
+    td = str(tmp_path / "ffwd")
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    ft.create_table(df, td, stats_cols=["k"], n_files=1)
+    ft.create_branch(td, "wap")
+    ft.append_table(
+        spark.createDataFrame([(2, 20)], "k long, v long"), td, n_files=1, branch="wap"
+    )
+    # a concurrent writer commits to MAIN
+    ft.append_table(spark.createDataFrame([(3, 30)], "k long, v long"), td, n_files=1)
+    with pytest.raises(ft.CommitConflictError, match="not an ancestor"):
+        ft.fast_forward_table(td, "wap")
+    # main's commit is still served — nothing was lost
+    assert sorted(r["k"] for r in ft.read_table(spark, td).collect()) == [1, 3]
+    # rebase: branch anew from current main, stage, publish
+    ft.create_branch(td, "wap2")
+    ft.append_table(
+        spark.createDataFrame([(4, 40)], "k long, v long"), td, n_files=1, branch="wap2"
+    )
+    ft.fast_forward_table(td, "wap2")
+    assert sorted(r["k"] for r in ft.read_table(spark, td).collect()) == [1, 3, 4]
+
+
+def test_fast_forward_of_unmoved_branch_and_linear_history(spark, tmp_path):
+    """The happy path stays: branch, stage commits, publish while main
+    never moved — and every commit records its parent, giving the
+    ancestry walk a real chain."""
+    td = str(tmp_path / "ffok")
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    ft.create_table(df, td, stats_cols=["k"], n_files=1)
+    ft.create_branch(td, "stage")
+    for k in (2, 3):
+        ft.append_table(
+            spark.createDataFrame([(k, k * 10)], "k long, v long"),
+            td,
+            n_files=1,
+            branch="stage",
+        )
+    head = ft.fast_forward_table(td, "stage")
+    assert ft.current_manifest_version(td) == head
+    assert sorted(r["k"] for r in ft.read_table(spark, td).collect()) == [1, 2, 3]
+    # parent chain: head -> ... -> v1
+    chain = []
+    v = head
+    while v is not None:
+        chain.append(v)
+        v = ft.read_manifest(td, v).get("parent")
+    assert chain[-1] == 1 and len(chain) == 3
+
+
+def test_branch_ops_and_commits_serialize_under_one_lock(spark, tmp_path):
+    """ADVICE r10 #4: create_branch racing a branch-head move must not
+    overwrite the moved head with a stale dict. Two threads — one
+    committing onto branch 'x', one creating new branches — finish with
+    every branch present and x's head at its final commit."""
+    import threading
+
+    td = str(tmp_path / "race")
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    ft.create_table(df, td, stats_cols=["k"], n_files=1)
+    ft.create_branch(td, "x")
+    errs: list[Exception] = []
+
+    def committer():
+        try:
+            for k in range(2, 5):
+                ft.append_table(
+                    spark.createDataFrame([(k, k)], "k long, v long"),
+                    td,
+                    n_files=1,
+                    branch="x",
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def brancher():
+        try:
+            for i in range(3):
+                ft.create_branch(td, f"y{i}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=committer), threading.Thread(target=brancher)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    branches = ft._read_branches(td)
+    assert {"x", "y0", "y1", "y2"} <= set(branches)
+    # x's three commits all survived: its head reads back all four rows
+    got = sorted(
+        r["k"] for r in ft.read_table(spark, td, branch="x").collect()
+    )
+    assert got == [1, 2, 3, 4]
+
+
+def test_bloom_index_rejects_unportable_value_types(spark, tmp_path):
+    """ADVICE r10 #5: double/decimal renderings diverge between Python
+    str() and Spark CAST(... AS STRING), which would turn probes into
+    false negatives (lost rows) — the build must refuse those columns."""
+    td = str(tmp_path / "bloomtype")
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, x double")
+    ft.create_table(df, td, stats_cols=["k"], n_files=1)
+    with pytest.raises(ValueError, match="false-negative|renderings"):
+        ft.build_bloom_index(spark, td, "x")
+    with pytest.raises(ValueError, match="no column"):
+        ft.build_bloom_index(spark, td, "nope")
+    # integer columns still index fine
+    ft.build_bloom_index(spark, td, "k", bits=1 << 10)
+    assert ft.plan_bloom_lookup(td, "k", [1])["files_read"] == 1
