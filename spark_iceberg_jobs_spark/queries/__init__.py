@@ -120,79 +120,87 @@ class QuerySpec:
 #       so test_driver_window_r10_policy now computes every tier's
 #       expected membership from the frozen r01–r09 artifacts and
 #       asserts the lists below match — the artifacts own the numbers.
+#       CORRECTNESS_r10: 50/50 green.
+#   r11 window (staleness frozen at r01–r10): keeps + plan-changed
+#       (lake_cow_delete — delete_where's NULL-aware classification and
+#       null-keeping survivor filter, ADVICE r10 #1; lake_branch_wap —
+#       fast_forward now runs the locked ancestry gate, ADVICE r10 #3/#4)
+#       + the 3 new entries (lake_fold_gate_serve, VERDICT r10 item 1;
+#       lake_changelog_delta, item 5; lake_maintenance_window, item 6) +
+#       ALL remaining r5-stale entries + the alphabetically-oldest
+#       r6-stale entries filling to 50. Tier membership is computed from
+#       the frozen artifacts by test_driver_window_r11_policy — no
+#       hand-written counts, same machine-owned arithmetic as r10.
 DRIVER_WINDOW = 50
 
-_R10_PERMANENT_KEEPS = [
-    "flagship_revenue_topk",  # README.md:17 headline; r1..r9 green
+_R11_PERMANENT_KEEPS = [
+    "flagship_revenue_topk",  # README.md:17 headline; r1..r10 green
     "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
 ]
 
-_R10_CHANGED = [
-    # r10: base partials served from a published fingerprint-keyed
-    # artifact; the warm delta read pushes the snapshot boundary into
-    # the parquet scan — same output, different plan, so it rides.
-    "mv_incremental_refresh",
-]
-
-_R10_NEW = [
-    # never driver-scored, must ride per Invariant 1 (each addition
-    # displaces the newest stale slot, per the documented policy)
-    "cdc_changelog_rows",  # per-key pre/post-image CDF view (top-k keys)
-    "maintenance_delete_plan",  # metadata-delete vs COW rewrite classification
-    # the executed file-grain verb tier (queries/lakehouse.py): zone-map
-    # skipping, CoW DELETE, 3-clause MERGE over manifest tables
-    "lake_skipping_scan",
+_R11_CHANGED = [
+    # executed verbs materially changed by the ADVICE r10 fixes — their
+    # builds run different classification/publish logic, so they ride
+    # for a fresh verdict even though last scored in r10
     "lake_cow_delete",
-    "lake_merge_into",
-    "lake_stream_commits",
-    "lake_compact_roundtrip",
-    "lake_bloom_point_lookup",
-    "lake_mor_delete",
-    "lake_schema_evolution",
-    "lake_spec_evolution_scan",
-    "lake_zorder_box_scan",
-    "lake_pos_delete",
     "lake_branch_wap",
 ]
 
-_R10_STALE_REFRESH = [
-    # every entry whose last driver verdict is round 4 (alphabetical;
-    # membership asserted from the frozen artifacts by the policy test)
-    "multimodal_image_resize",
-    "pipeline_pretraining_corpus",
-    "pipeline_rag_retrieval",
-    "pivot_revenue_by_priority",
-    "quality_rule_violations",
-    "report_dataset_card",
-    "scd2_customer_priority",
-    "sim_ann_recall_ivf",
-    "sim_ivf_kmeans_topk",
-    "sim_ivfpq_adc_topk",
-    "sim_pq_adc_topk",
-    "sketch_cms_heavy_hitters",
-    "sketch_histogram_median",
-    "sketch_kmv_user_overlap",
-    "streaming_hll_daily_users",
-    "text_bpe_merges",
-    "text_heaps_law",
-    "text_unigram_logprob",
-    "text_zipf_slope",
-    "timeseries_gap_filled_monthly",
-    "window_analytics_showcase",
-    # the alphabetically-oldest r5-stale entries, filling the window
-    # (the remainder leads r11's refresh tier)
-    "approx_percentiles_quality",
-    "aqp_sample_estimate_revenue",
-    "customer_rfm_segments",
-    "dedup_source_flows",
-    "drift_ks_length",
-    "embedding_dim_stats",
-    "embedding_outliers",
-    "events_attribution_last_touch",
-    "events_attribution_u_shaped",
-    "events_conversion_latency",
-    "events_hourly_anomalies",
-    "events_interarrival_stats",
+_R11_NEW = [
+    # never driver-scored, must ride per Invariant 1
+    "lake_fold_gate_serve",  # the fold-pressure valve firing end-to-end
+    "lake_changelog_delta",  # manifest-delta CDF (reads only changed files)
+    "lake_maintenance_window",  # compact → expire → incremental consume
+]
+
+_R11_STALE_REFRESH = [
+    # ALL remaining entries whose last driver verdict is round 5
+    # (alphabetical; membership asserted from the frozen artifacts)
+    "events_ohlc_hourly",
+    "events_time_weighted_value",
+    "graph_dup_triangles",
+    "grouped_trend_by_nation",
+    "join_full_outer_nation_activity",
+    "join_null_safe_segments",
+    "lateral_top_order_per_customer",
+    "mine_hard_negatives",
+    "nation_trade_corridors",
+    "orders_backlog_aging",
+    "page_orders_keyset",
+    "part_price_dispersion",
+    "part_substitutes",
+    "retrieval_query_expansion",
+    "rollup_incremental_merge",
+    "scd2_point_in_time_revenue",
+    "setops_except_all",
+    "sim_dim_truncation_recall",
+    "skew_profile_lineitem_suppkey",
+    "source_python_datasource_agg",
+    "split_leakage_safe",
+    "stats_trimmed_mean_by_priority",
+    "streaming_upsert_user_totals",
+    "stringagg_types_by_brand",
+    "supplier_delivery_sla",
+    "text_bigram_logprob",
+    "text_char_entropy",
+    "text_code_switching",
+    "text_distinctive_terms",
+    "text_novelty_by_source",
+    "window_trailing_spend_range",
+    # the alphabetically-oldest r6-stale entries, filling the window
+    # (the remainder leads r12's refresh tier)
+    "align_mutual_nearest",
+    "cluster_topic_labels",
+    "curriculum_quality_phases",
+    "dataset_shard_balance",
+    "dedup_minhash_lsh",
+    "dedup_minhash_quality",
+    "drift_js_tokens",
+    "drift_psi_length",
+    "events_activity_heatmap",
+    "events_changepoint_daily",
+    "events_ewma_daily",
+    "events_funnel_windowed",
 ]
 
 
@@ -216,7 +224,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R10_PERMANENT_KEEPS + _R10_CHANGED + _R10_NEW + _R10_STALE_REFRESH
+    head = _R11_PERMANENT_KEEPS + _R11_CHANGED + _R11_NEW + _R11_STALE_REFRESH
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

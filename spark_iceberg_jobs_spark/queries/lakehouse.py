@@ -987,6 +987,272 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_changelog_delta — manifest-delta CDF between two snapshots
+# ---------------------------------------------------------------------------
+
+#: the delete commit's cutoff, as a fraction of the corpus date span
+_CDF_CUTOFF_FRAC = 0.4
+
+
+def lake_changelog_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDF between snapshot v1 and v3 of a 3-commit table,
+    routed through the MANIFEST DELTA (VERDICT r10 item 5,
+    ``filetable.changelog_table``): v1 creates 2/3 of orders, v2 appends
+    the rest, v3 is an executed retention DELETE at 40% of the date
+    span. The changelog reads ONLY the files the two manifests disagree
+    on — appended files, metadata-dropped files, straddler originals and
+    their rewrites; every shared file cancels by the multiset identity
+    ``to ∖ from = added ∖ removed`` without being opened (the IO pin in
+    test_filetable). Output: per-month insert/delete row counts and
+    money totals; the oracle derives the same diff from the raw fixture
+    (inserts = appended rows surviving the delete, deletes = original
+    rows the delete removed), so the file-delta routing must reproduce
+    the exact row-level change set to hash-match.
+
+    Scale: cost is O(files changed between the versions), never
+    O(table) — an append-only commit range reads exactly the appended
+    files (Iceberg's incremental scan); the fallback two-full-scan diff
+    (writers.changelog_between_versions) is reserved for snapshots
+    whose visibility differs from their data files (live MOR deletes)."""
+    def build(staging: str) -> None:
+        orders = read_fixture(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_dt"),
+            "o_totalprice",
+        )
+        ft.create_table(
+            orders.filter(F.col("o_orderkey") % 3 != 0),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=12,
+        )
+        ft.append_table(orders.filter(F.col("o_orderkey") % 3 == 0), staging, n_files=6)
+        b = orders.agg(F.min("order_dt").alias("lo"), F.max("order_dt").alias("hi")).collect()[0]
+        cutoff = b["lo"] + _dt.timedelta(
+            days=int((b["hi"] - b["lo"]).days * _CDF_CUTOFF_FRAC)
+        )
+        ft.delete_where(spark, staging, "order_dt", cutoff)
+
+    table_dir = _served_table(sf_dir, "lakecdf_", "orders", "lakecdf-v1", build)
+    return (
+        ft.changelog_table(spark, table_dir, 1, 3)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.date_format("order_dt", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("change_type", "order_month")
+    )
+
+
+LAKE_CHANGELOG_ORACLE = f"""
+WITH span AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+           MAX(CAST(o_orderdate AS DATE)) AS hi
+    FROM orders
+), k AS (
+    SELECT lo + CAST(FLOOR((hi - lo) * {_CDF_CUTOFF_FRAC}) AS INTEGER) AS cutoff
+    FROM span
+), changes AS (
+    -- inserts: appended (v2) rows still visible at v3 (survived the delete)
+    SELECT 'insert' AS change_type, CAST(o_orderdate AS DATE) AS d, o_totalprice
+    FROM orders, k
+    WHERE o_orderkey % 3 = 0 AND CAST(o_orderdate AS DATE) > cutoff
+    UNION ALL
+    -- deletes: v1 rows the retention delete removed
+    SELECT 'delete' AS change_type, CAST(o_orderdate AS DATE) AS d, o_totalprice
+    FROM orders, k
+    WHERE o_orderkey % 3 <> 0 AND CAST(o_orderdate AS DATE) <= cutoff
+)
+SELECT change_type,
+       strftime(d, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM changes
+GROUP BY 1, 2
+ORDER BY change_type, order_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# lake_maintenance_window — compact → expire → incremental consume, composed
+# ---------------------------------------------------------------------------
+
+
+def lake_maintenance_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event totals ingested by an INCREMENTAL consumer after a
+    full maintenance window ran on the table (VERDICT r10 item 6 — the
+    no-double-count rule end-to-end at file grain): the build lands
+    three small-file append commits (event quarters 0–2), COMPACTS the
+    accumulated small files (``compact_table`` — a replace commit),
+    appends quarter 3, then EXPIRES all but the last three manifests
+    (``expire_table`` — the consumer's early history is gone). The serve
+    replays ``filetable.incremental_feed``: bootstrap from the oldest
+    retained snapshot, SKIP the compaction commit (its file delta
+    re-presents rows the bootstrap already carries — ingesting it is the
+    classic double-count), consume the post-compaction append's delta,
+    and fold exact decimal partial aggregates. The oracle is the plain
+    recompute over the raw fixture: hash equality holds only if the
+    consumer saw every row EXACTLY once through the
+    compact-expire-append window.
+
+    Scale: the feed is driver-side manifest metadata; each batch reads
+    only its own files; compaction groups rewrite O(their own bytes);
+    expiry is metadata + unreferenced-file GC. Nothing rescans the
+    table — the maintenance window costs what it touches."""
+    def build(staging: str) -> None:
+        ev = read_fixture(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        ft.create_table(
+            ev.filter(F.col("event_id") % 4 == 0),
+            staging,
+            stats_cols=["event_id"],
+            cluster_by="event_id",
+            n_files=8,
+        )
+        for rem in (1, 2):
+            ft.append_table(ev.filter(F.col("event_id") % 4 == rem), staging, n_files=8)
+        total = sum(
+            e["bytes"] for e in ft.read_manifest(staging)["entries"]
+        )
+        ft.compact_table(spark, staging, target_bytes=total // 4 + 1)
+        ft.append_table(ev.filter(F.col("event_id") % 4 == 3), staging, n_files=8)
+        ft.expire_table(staging, keep_last=3)
+
+    table_dir = _served_table(sf_dir, "lakemw_", "events", "lakemw-v1", build)
+    feed = ft.incremental_feed(table_dir)
+    # the window's shape must be what the build promised: a bootstrap,
+    # the skipped replace commit, and the post-compaction delta
+    kinds = [b["kind"] for b in feed]
+    if "replace-skip" not in kinds:
+        raise ValueError(f"maintenance window lost its replace commit: {kinds}")
+    acc: DataFrame | None = None
+    for batch in feed:
+        if not batch["paths"]:
+            continue  # replace-skip: already-consumed rows in new files
+        part = (
+            spark.read.parquet(*batch["paths"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"), F.sum(money("value")).alias("sum_dec"))
+        )
+        acc = part if acc is None else acc.unionByName(part)
+    return (
+        acc.groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("sum_dec"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+LAKE_MAINT_WINDOW_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY 1
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# lake_fold_gate_serve — the fold-pressure valve firing end-to-end
+# ---------------------------------------------------------------------------
+
+#: four ~1%-of-table position-delete commits against an 0.018 ratio
+#: threshold: commits 2 and 4 cross it (0.02 > 0.018), commits 1 and 3
+#: stay under (0.01, ~0.0102 post-fold) — so the build folds TWICE and
+#: ends with zero live delete files, deterministically
+_FOLD_GATE_MODULUS = 100
+_FOLD_GATE_SLICES = 4
+_FOLD_GATE_THRESHOLD = 0.018
+
+
+def lake_fold_gate_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals served AFTER the fold-pressure gate ran end-to-end
+    (VERDICT r10 item 1 — the one measured scale tail, closed visibly):
+    the build accumulates four position-delete commits (each ~1% of the
+    table: ``o_orderkey % 100 == i``) through
+    ``delete_positions_mor(auto_fold_threshold=0.018)``, so the write
+    path consults ``fold_pressure`` after every commit — the ratio
+    crosses the threshold at commits 2 and 4, ``fold_deletes`` fires
+    twice, and the PUBLISHED table carries ZERO live delete files. The
+    serve is therefore a pure clustered data scan: no MOR anti join, no
+    delete-set broadcast — the flat-family plan, unlike
+    ``lake_pos_delete`` which deliberately serves against a live delete
+    set to keep the unfolded cost measurable. The oracle keeps the
+    complement of all four delete slices over the raw fixture: equality
+    holds only if every delete commit applied exactly once and both
+    folds preserved visibility.
+
+    Scale: each delete commit is O(matching rows); each fold rewrites
+    only the files that actually hold deleted rows; the serve is O(live
+    data) with no per-read delete overhead however many delete commits
+    accumulated — SCALE.md §Round-11 shows this serve rejoining the flat
+    family at 64–256× while the unfolded twin's anti join grows."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                F.to_date("o_orderdate").alias("order_dt"),
+                "o_totalprice",
+            ),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=24,
+        )
+        for i in range(_FOLD_GATE_SLICES):
+            ft.delete_positions_mor(
+                spark,
+                staging,
+                F.col("o_orderkey") % _FOLD_GATE_MODULUS == i,
+                auto_fold_threshold=_FOLD_GATE_THRESHOLD,
+            )
+        # the gate must have drained the delete set: publishing a table
+        # with live deletes here would mean the valve never fired
+        data, eqs, poss = ft._split_entries(ft.read_manifest(staging))
+        if eqs or poss:
+            raise ValueError(
+                f"fold gate never drained the delete set ({len(eqs) + len(poss)} "
+                "live delete files at publish)"
+            )
+
+    table_dir = _served_table(sf_dir, "lakefold_", "orders", "lakefold-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+LAKE_FOLD_GATE_ORACLE = f"""
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders
+WHERE o_orderkey % {_FOLD_GATE_MODULUS} >= {_FOLD_GATE_SLICES}
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -1003,4 +1269,7 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_zorder_box_scan": QuerySpec(lake_zorder_box_scan, LAKE_ZORDER_ORACLE),
     "lake_pos_delete": QuerySpec(lake_pos_delete, LAKE_POS_DELETE_ORACLE),
     "lake_branch_wap": QuerySpec(lake_branch_wap, LAKE_BRANCH_WAP_ORACLE),
+    "lake_fold_gate_serve": QuerySpec(lake_fold_gate_serve, LAKE_FOLD_GATE_ORACLE),
+    "lake_changelog_delta": QuerySpec(lake_changelog_delta, LAKE_CHANGELOG_ORACLE),
+    "lake_maintenance_window": QuerySpec(lake_maintenance_window, LAKE_MAINT_WINDOW_ORACLE),
 }

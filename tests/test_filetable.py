@@ -1063,3 +1063,148 @@ def test_bloom_index_rejects_unportable_value_types(spark, tmp_path):
     # integer columns still index fine
     ft.build_bloom_index(spark, td, "k", bits=1 << 10)
     assert ft.plan_bloom_lookup(td, "k", [1])["files_read"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round 11 — manifest-delta CDF (changelog_table)
+# ---------------------------------------------------------------------------
+
+
+def _full_diff(spark, td, v_from, v_to):
+    frm = ft.read_table(spark, td, version=v_from)
+    to = ft.read_table(spark, td, version=v_to)
+    ins = to.exceptAll(frm).withColumn("_change_type", F.lit("insert"))
+    dels = frm.exceptAll(to).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels)
+
+
+def test_changelog_delta_reads_only_changed_files(spark, li_table):
+    """IO pin (VERDICT r10 item 5): an append-only range plans EXACTLY
+    the appended files; a delete range plans straddlers + replacements +
+    drops but never the untouched bulk — and the delta-routed changelog
+    equals the two-full-scan diff row-for-row (multiset)."""
+    td, df = li_table
+    extra = df.limit(500).withColumn("l_quantity", F.col("l_quantity") + 1000)
+    ft.append_table(extra, td, n_files=2)  # v2
+    # append-only range: added == the v2 files, removed == none
+    plan = ft.plan_changelog(td, 1, 2)
+    assert plan["mode"] == "delta"
+    assert not plan["removed"]
+    v1_paths = {e["path"] for e in ft.read_manifest(td, 1)["entries"]}
+    assert all(e["path"] not in v1_paths for e in plan["added"])
+    assert 1 <= len(plan["added"]) <= 2
+    got = sorted(
+        (r["_change_type"], r["l_orderkey"], float(r["l_quantity"]))
+        for r in ft.changelog_table(spark, td, 1, 2).collect()
+    )
+    assert len(got) == 500 and all(t == "insert" for t, _, _ in got)
+
+    ft.delete_where(spark, td, "ship_dt", _mid(td, 0.4))  # v3
+    plan13 = ft.plan_changelog(td, 1, 3)
+    assert plan13["mode"] == "delta"
+    assert plan13["files_shared"] > 0, "untouched files must cancel unread"
+    assert len(plan13["added"]) + len(plan13["removed"]) < plan13["files_total"]
+    delta = ft.changelog_table(spark, td, 1, 3)
+    full = _full_diff(spark, td, 1, 3)
+    assert delta.count() == full.count()
+    assert delta.exceptAll(full).count() == 0
+    assert full.exceptAll(delta).count() == 0
+
+
+def test_changelog_falls_back_under_live_mor_deletes(spark, cust_table):
+    """Live delete files make file-delta visibility unsound — the plan
+    must switch to the full MOR diff, and the diff must reflect the
+    equality delete's visibility (not the raw data files)."""
+    td, df = cust_table
+    some = df.select("c_custkey").orderBy("c_custkey").limit(10)
+    ft.delete_keys_mor(spark, td, "c_custkey", some)  # v2, live eqdelete
+    assert ft.plan_changelog(td, 1, 2)["mode"] == "full"
+    ch = ft.changelog_table(spark, td, 1, 2)
+    rows = ch.groupBy("_change_type").count().collect()
+    got = {r["_change_type"]: r["count"] for r in rows}
+    assert got == {"delete": 10}, "the eq-delete's 10 rows are the only change"
+
+
+def test_changelog_across_schema_change_raises(spark, cust_table):
+    td, _df = cust_table
+    ft.add_column(td, "note", "string")  # v2: schema differs from v1
+    with pytest.raises(ValueError, match="schema"):
+        ft.plan_changelog(td, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# round 11 — two-level (distributed) manifest planning
+# ---------------------------------------------------------------------------
+
+
+def test_plan_scan_spark_equals_driver_planner(spark, li_table):
+    """VERDICT r10 item 4 equivalence pin: the Spark-job planner over
+    the parquet manifest table returns the IDENTICAL file set as the
+    driver loop — closed intervals, unbounded sides, null-bounds
+    conservatism and all — so the dispatch is invisible to callers."""
+    td, _df = li_table
+    probes = [
+        (_mid(td, 0.2), _mid(td, 0.35)),
+        (None, _mid(td, 0.5)),
+        (_mid(td, 0.7), None),
+        (None, None),
+    ]
+    for lo, hi in probes:
+        drv = ft.plan_scan(td, "ship_dt", lo, hi)
+        spk = ft.plan_scan_spark(spark, td, "ship_dt", lo, hi)
+        assert sorted(drv["paths"]) == sorted(spk["paths"]), (lo, hi)
+        assert (drv["files_read"], drv["files_skipped"], drv["files_total"]) == (
+            spk["files_read"],
+            spk["files_skipped"],
+            spk["files_total"],
+        )
+
+
+def test_plan_scan_spark_synthetic_large_manifest(spark, tmp_path):
+    """A 2,000-entry planted manifest (including null-bounds and
+    boundary-touching entries) plans identically on both sides, and the
+    parquet manifest table is written once and reused."""
+    import random
+
+    rng = random.Random(11)
+    entries = []
+    for i in range(2000):
+        lo = rng.randrange(0, 10_000)
+        stats = {"k": None if i % 97 == 0 else [lo, lo + rng.randrange(0, 50)]}
+        entries.append(
+            {
+                "path": f"data/c000001/f{i:05d}.parquet",
+                "rows": 10,
+                "bytes": 100,
+                "seq": 1,
+                "stats": stats,
+            }
+        )
+    td = _plant_manifest(tmp_path, entries, {"k": "long"})
+    drv = ft.plan_scan(td, "k", 4000, 4500)
+    spk = ft.plan_scan_spark(spark, td, "k", 4000, 4500)
+    assert sorted(drv["paths"]) == sorted(spk["paths"])
+    assert drv["files_skipped"] == spk["files_skipped"] > 0
+    pdir = ft.manifest_parquet_dir(td, 1)
+    assert os.path.exists(os.path.join(pdir, "_SUCCESS"))
+    mtime = os.path.getmtime(os.path.join(pdir, "_SUCCESS"))
+    ft.plan_scan_spark(spark, td, "k", 1, 2)
+    assert os.path.getmtime(os.path.join(pdir, "_SUCCESS")) == mtime, (
+        "manifest parquet is per-version immutable — written once, reused"
+    )
+
+
+def test_plan_scan_auto_dispatches_on_entry_count(spark, li_table):
+    """Below the threshold the driver loop plans (no manifest parquet is
+    materialized); above it the job path runs — same answer either way."""
+    td, _df = li_table
+    lo, hi = _mid(td, 0.2), _mid(td, 0.4)
+    small = ft.plan_scan_auto(spark, td, "ship_dt", lo, hi)
+    assert not os.path.exists(
+        ft.manifest_parquet_dir(td, ft.current_manifest_version(td))
+    ), "small manifests must not pay the job path"
+    big = ft.plan_scan_auto(spark, td, "ship_dt", lo, hi, threshold=1)
+    assert os.path.exists(
+        ft.manifest_parquet_dir(td, ft.current_manifest_version(td))
+    )
+    assert sorted(small["paths"]) == sorted(big["paths"])

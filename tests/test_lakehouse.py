@@ -8,6 +8,7 @@ match-bearing files — by reading the published artifacts' manifests."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import functions as F
 
@@ -300,3 +301,113 @@ def test_skipping_scan_pushes_band_predicate_into_parquet(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(ship_dt" in plan and "LessThanOrEqual(ship_dt" in plan
+
+
+def test_fold_gate_fires_at_predicted_commits_and_drains(spark, sf_dir, tmp_path):
+    """VERDICT r10 item 1 — the write path consults fold_pressure after
+    every delete commit: four ~1% position-delete commits against the
+    0.018 threshold fire the fold at commits 2 and 4 exactly (ratio
+    0.01 / 0.02 / ~0.0102 / ~0.0204), the table ends with ZERO live
+    delete files, the commit history records exactly two fold-deletes
+    replace commits, and visibility equals the exact predicate
+    complement throughout."""
+    from spark_iceberg_jobs_spark.queries.lakehouse import (
+        _FOLD_GATE_MODULUS,
+        _FOLD_GATE_SLICES,
+        _FOLD_GATE_THRESHOLD,
+    )
+
+    td = str(tmp_path / "foldgate")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("order_dt", F.to_date("o_orderdate"))
+        .select("o_orderkey", "order_dt", "o_totalprice")
+    )
+    ft.create_table(
+        orders, td, stats_cols=["order_dt"], cluster_by="order_dt", n_files=8
+    )
+    summaries = []
+    for i in range(_FOLD_GATE_SLICES):
+        summaries.append(
+            ft.delete_positions_mor(
+                spark,
+                td,
+                F.col("o_orderkey") % _FOLD_GATE_MODULUS == i,
+                auto_fold_threshold=_FOLD_GATE_THRESHOLD,
+            )
+        )
+    # the gate was CONSULTED on every commit and fired on 2 and 4 only
+    assert all("fold_ratio" in s and "folded" in s for s in summaries)
+    assert [s["folded"] for s in summaries] == [False, True, False, True]
+    assert all("fold_summary" in s for s in summaries if s["folded"])
+    # drained: the published state carries no live delete files, so the
+    # serve is a pure data scan (the flat-family plan)
+    data, eqs, poss = ft._split_entries(ft.read_manifest(td))
+    assert not eqs and not poss and data
+    ops = [ft.read_manifest(td, v)["operation"] for v in ft._manifest_versions(td)]
+    assert ops.count("fold-deletes") == 2
+    got = ft.read_table(spark, td).count()
+    want = orders.filter(
+        F.col("o_orderkey") % _FOLD_GATE_MODULUS >= _FOLD_GATE_SLICES
+    ).count()
+    assert got == want
+
+
+def test_maintenance_window_feed_shape_and_naive_double_count(spark, sf_dir, tmp_path):
+    """VERDICT r10 item 6 planted test: after compact → expire → append,
+    the incremental feed bootstraps from the oldest retained snapshot,
+    skips the compaction (replace) commit, and consumes the later
+    append's delta — seeing every row exactly once. The NAIVE consumer
+    that also ingests the replace commit's file delta double-counts the
+    compacted rows; the wrong rule is demonstrably wrong here."""
+    td = str(tmp_path / "mw")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    ft.create_table(
+        ev.filter(F.col("event_id") % 4 == 0),
+        td,
+        stats_cols=["event_id"],
+        cluster_by="event_id",
+        n_files=4,
+    )
+    for rem in (1, 2):
+        ft.append_table(ev.filter(F.col("event_id") % 4 == rem), td, n_files=4)
+    total = sum(e["bytes"] for e in ft.read_manifest(td)["entries"])
+    ft.compact_table(spark, td, target_bytes=total // 3 + 1)
+    ft.append_table(ev.filter(F.col("event_id") % 4 == 3), td, n_files=4)
+    ft.expire_table(td, keep_last=3)
+    assert ft._manifest_versions(td) == [3, 4, 5], "expiry dropped the early history"
+
+    feed = ft.incremental_feed(td)
+    assert [b["kind"] for b in feed] == ["bootstrap", "replace-skip", "delta"]
+    assert [b["operation"] for b in feed] == ["append", "compact", "append"]
+    assert feed[1]["paths"] == [], "the replace commit must contribute no batch"
+
+    correct = sum(
+        spark.read.parquet(*b["paths"]).count() for b in feed if b["paths"]
+    )
+    want = ev.count()
+    assert correct == want, "exactly-once: feed total equals the table"
+    # the naive rule: also ingest the compaction commit's file delta
+    compact_delta = [
+        os.path.join(td, e["path"])
+        for e in ft.read_manifest(td, 4)["entries"]
+        if e["path"] not in {x["path"] for x in ft.read_manifest(td, 3)["entries"]}
+    ]
+    assert compact_delta, "compaction did rewrite files"
+    naive = correct + spark.read.parquet(*compact_delta).count()
+    assert naive > want, "the naive consumer double-counts the compacted rows"
+
+
+def test_incremental_feed_raises_on_content_changing_rewrites(spark, tmp_path):
+    """A delete commit removes rows; an append-only feed cannot express
+    that — the feed must fail loudly, steering to changelog_table."""
+    import pytest as _pytest
+
+    td = str(tmp_path / "mwdel")
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], "k long, g long")
+    ft.create_table(df, td, stats_cols=["k"], cluster_by="k", n_files=4)
+    ft.delete_where(spark, td, "k", 10)
+    with _pytest.raises(ValueError, match="changelog_table"):
+        ft.incremental_feed(td)

@@ -37,51 +37,53 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     assert rows, f"{name} returned 0 rows at smoke scale"
 
 
-def test_driver_window_r10_policy():
+def test_driver_window_r11_policy():
     """The post-rotation window policy (documented in queries/__init__.py):
     permanent keeps + queries whose plan changed since their last driver
     verdict + never-scored new entries + the STALEST prior verdicts
     (oldest round first, alphabetical within a round). Staleness is
     evaluated ONLY against the artifacts that existed at window-composition
-    time (r01–r09, pinned below) — the r6 lesson: a glob matching the
+    time (r01–r10, pinned below) — the r6 lesson: a glob matching the
     current round's own artifact makes the test self-invalidating the
     moment the driver commits results.
 
-    r10 (VERDICT r9 item 3): the per-tier COUNTS are machine-owned —
-    every tier's expected membership is COMPUTED here from the frozen
-    artifacts and the curated lists must match it exactly, so a
-    comment-vs-list drift (three consecutive rounds of it) can no longer
-    exist: there are no hand-written counts left to drift."""
+    The per-tier COUNTS stay machine-owned (VERDICT r9 item 3 / r10 item
+    2): every tier's expected membership is COMPUTED here from the
+    frozen artifacts and the curated lists must match it exactly — no
+    hand-written counts anywhere to drift."""
     import glob
     import json
     import os
 
     from spark_iceberg_jobs_spark.queries import (
-        _R10_CHANGED,
-        _R10_NEW,
-        _R10_PERMANENT_KEEPS,
-        _R10_STALE_REFRESH,
+        _R11_CHANGED,
+        _R11_NEW,
+        _R11_PERMANENT_KEEPS,
+        _R11_STALE_REFRESH,
         DRIVER_WINDOW,
     )
 
     window = list(REG)[:DRIVER_WINDOW]
-    curated = _R10_PERMANENT_KEEPS + _R10_CHANGED + _R10_NEW + _R10_STALE_REFRESH
-    assert window == curated, "registry head must equal the curated r10 window"
+    curated = _R11_PERMANENT_KEEPS + _R11_CHANGED + _R11_NEW + _R11_STALE_REFRESH
+    assert window == curated, "registry head must equal the curated r11 window"
     assert len(curated) == DRIVER_WINDOW, (
         f"window misfilled: {len(curated)}/{DRIVER_WINDOW} curated entries"
     )
-    assert "cohort_ltv_by_first_year" in _R10_PERMANENT_KEEPS
-    assert "flagship_revenue_topk" in _R10_PERMANENT_KEEPS
+    assert "cohort_ltv_by_first_year" in _R11_PERMANENT_KEEPS
+    assert "flagship_revenue_topk" in _R11_PERMANENT_KEEPS
     assert all(REG[n].oracle is not None for n in window), (
         "every window entry needs a value-hash oracle"
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # Composition-time baseline: r01–r09 ONLY (frozen — later artifacts
+    # Composition-time baseline: r01–r10 ONLY (frozen — later artifacts
     # must never change what this test asserts).
     last_scored: dict[str, int] = {}
-    baseline = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json")))
-    assert len(baseline) == 9, "r01..r09 artifacts are part of the repo"
+    baseline = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json"))
+        + glob.glob(os.path.join(repo, "CORRECTNESS_r10.json"))
+    )
+    assert len(baseline) == 10, "r01..r10 artifacts are part of the repo"
     for f in baseline:
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         with open(f) as fh:
@@ -95,24 +97,30 @@ def test_driver_window_r10_policy():
         f"never-driver-scored entries outside the window: "
         f"{sorted(uncovered - set(window))}"
     )
-    assert all(n not in last_scored for n in _R10_NEW), (
-        "_R10_NEW is for entries with no prior driver verdict"
+    assert all(n not in last_scored for n in _R11_NEW), (
+        "_R11_NEW is for entries with no prior driver verdict"
+    )
+    assert sorted(_R11_NEW) == sorted(uncovered), (
+        "_R11_NEW must be exactly the never-scored registry entries"
     )
     # Invariant 2 — MACHINE-OWNED TIERS: the refresh list must equal,
-    # exactly and in order, ALL remaining r4-stale entries followed by
-    # the alphabetically-oldest r5-stale entries filling the window.
-    # Nothing fresher than r5 may occupy a refresh slot.
+    # exactly and in order, ALL remaining r5-stale entries followed by
+    # the alphabetically-oldest r6-stale entries filling the window.
+    # Nothing fresher than r6 may occupy a refresh slot (r4 is empty —
+    # asserted, so a surprise r4 leftover cannot silently vanish).
     r4_all = sorted(n for n in REG if last_scored.get(n) == 4)
+    assert r4_all == [], "r10 refreshed the whole r4 tier"
     r5_all = sorted(n for n in REG if last_scored.get(n) == 5)
+    r6_all = sorted(n for n in REG if last_scored.get(n) == 6)
     n_fill = DRIVER_WINDOW - (
-        len(_R10_PERMANENT_KEEPS) + len(_R10_CHANGED) + len(_R10_NEW) + len(r4_all)
+        len(_R11_PERMANENT_KEEPS) + len(_R11_CHANGED) + len(_R11_NEW) + len(r5_all)
     )
-    assert 0 < n_fill <= len(r5_all), "r5 tier must exist and suffice"
-    expected_refresh = r4_all + r5_all[:n_fill]
-    assert _R10_STALE_REFRESH == expected_refresh, (
+    assert 0 < n_fill <= len(r6_all), "r6 tier must exist and suffice"
+    expected_refresh = r5_all + r6_all[:n_fill]
+    assert _R11_STALE_REFRESH == expected_refresh, (
         "refresh tier must be exactly the artifact-computed staleness order: "
         f"expected {len(expected_refresh)} entries "
-        f"({len(r4_all)} r4-stale + {n_fill} oldest r5-stale)"
+        f"({len(r5_all)} r5-stale + {n_fill} oldest r6-stale)"
     )
 
 
@@ -130,14 +138,14 @@ def test_window_is_curated_not_positional():
     """Only the explicit curated list reaches the driver window: nothing
     rides in on module dict order (the r1 bug this guards against), and
     the regression keeps stay present."""
-    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R10_CHANGED
+    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R11_CHANGED
 
     window = set(list(REG)[:DRIVER_WINDOW])
     assert "flagship_revenue_topk" in window
     # rotated-in extras are deliberate; anything else outside the curated
     # list must stay outside the window
     assert len(window) == DRIVER_WINDOW
-    assert set(_R10_CHANGED) <= window
+    assert set(_R11_CHANGED) <= window
 
 
 def test_quality_rules_fire_on_corrupted_rows(spark, monkeypatch):

@@ -443,6 +443,16 @@ def probes():
         "lake_zorder": _lakehouse_probe("lake_zorder_box_scan", build_tpch),
         # position-delete MOR serve: file+ordinal anti join
         "lake_pos": _lakehouse_probe("lake_pos_delete", build_tpch),
+        # r11: the fold-gate serve is the FOLDED twin of lake_pos — same
+        # delete volume, but the write path folded past the 0.018
+        # threshold, so the serve is a pure data scan (the flat family
+        # lake_pos's unfolded anti join departs from at depth)
+        "lake_fold_gate": _lakehouse_probe("lake_fold_gate_serve", build_tpch),
+        # manifest-delta CDF: reads only changed files, diff via exceptAll
+        # over the delta rows (linear in changed bytes)
+        "lake_cdf_delta": _lakehouse_probe("lake_changelog_delta", build_tpch),
+        # compact → expire → incremental consume: bootstrap + delta folds
+        "lake_maint_window": _lakehouse_probe("lake_maintenance_window", build_events),
     }
 
 
@@ -559,6 +569,9 @@ def main() -> int:
         "lake_spec",
         "lake_zorder",
         "lake_pos",
+        "lake_fold_gate",
+        "lake_cdf_delta",
+        "lake_maint_window",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
