@@ -721,35 +721,60 @@ def plan_scan_spark(
     ``plan_scan``, equivalence test-pinned) filters the manifest table
     in parallel and only the SURVIVING paths come back to the driver —
     a collect bounded by the answer size, the same bound the driver
-    planner's output already has. Past ~10^5 entries this beats the
-    driver loop (SCALE.md §Round-11 records the crossover); below it,
-    ``plan_scan_auto`` keeps the driver path."""
+    planner's output already has.
+
+    The warm path never touches the JSON manifest: the live-delete
+    guard, total count and pruning all run off the parquet manifest
+    table (the JSON parse happens once, inside the first
+    ``write_manifest_parquet`` per version) — so this path's cost is
+    job overhead + a distributed filter, independent of driver-side
+    manifest size. The returned dict carries ``entries: None`` (driver
+    entry dicts are exactly what this regime avoids materializing);
+    SCALE.md §Round-11 records the measured crossover vs the driver
+    loop, which ``plan_scan_auto``'s threshold encodes."""
     version = current_manifest_version(table_dir)
-    man = read_manifest(table_dir, version)
-    _require_no_live_deletes(man, "plan_scan_spark")
-    if col not in man["stats_types"]:
-        raise ValueError(f"no bounds for column {col!r} in the manifest spec")
     pdir = write_manifest_parquet(spark, table_dir, version)
     mt = spark.read.parquet(pdir)
+    if f"min_{col}" not in mt.columns:
+        raise ValueError(f"no bounds for column {col!r} in the manifest spec")
     cond = F.lit(True)
     if hi is not None:
         cond = cond & (F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= F.lit(hi)))
     if lo is not None:
         cond = cond & (F.col(f"max_{col}").isNull() | (F.col(f"max_{col}") >= F.lit(lo)))
-    kept = [r["path"] for r in mt.filter(cond).select("path").collect()]
-    total = len(man["entries"])
-    kept_set = set(kept)
+    totals = mt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("kind") != "data").alias("n_del"),
+        F.count_if(cond).alias("n_keep"),
+    ).collect()[0]
+    if totals["n_del"]:
+        raise ValueError(
+            "plan_scan_spark on a table with live delete files — run "
+            "fold_deletes first"
+        )
+    kept = sorted(r["path"] for r in mt.filter(cond).select("path").collect())
     return {
-        "paths": [os.path.join(table_dir, p) for p in sorted(kept)],
-        "entries": [e for e in man["entries"] if e["path"] in kept_set],
-        "files_read": len(kept),
-        "files_skipped": total - len(kept),
-        "files_total": total,
+        "paths": [os.path.join(table_dir, p) for p in kept],
+        "entries": None,  # see docstring: the job path returns paths only
+        "files_read": totals["n_keep"],
+        "files_skipped": totals["n"] - totals["n_keep"],
+        "files_total": totals["n"],
     }
 
 
-#: above this many manifest entries the pruning loop moves off the driver
-PLAN_SPARK_THRESHOLD = 50_000
+#: above this many manifest entries the pruning loop moves off the
+#: driver. Measured (SCALE.md §Round-11, local[32]): the driver path is
+#: LINEAR in manifest size (0.34 s at 100k entries / 16.7 MB JSON,
+#: 4.24 s at 1M / 167 MB), the job path FLAT (~0.5 s warm at both) —
+#: crossover ≈ 2×10^5 locally. The threshold sits at it; past this
+#: size the job path also bounds driver memory (no entry dicts are
+#: ever materialized on the warm path).
+PLAN_SPARK_THRESHOLD = 200_000
+
+#: JSON manifest bytes per entry (indent=1 encoding, path + bounds +
+#: null counts) — the dispatch heuristic's divisor, so deciding which
+#: planner to use never itself parses the large manifest
+_MANIFEST_BYTES_PER_ENTRY = 220
 
 
 def plan_scan_auto(
@@ -764,9 +789,13 @@ def plan_scan_auto(
     """Two-level planning dispatch: small manifests prune driver-side
     (``plan_scan`` — O(#files) metadata, no job overhead), large ones as
     a Spark job (``plan_scan_spark``). Both return the identical file
-    set (test-pinned), so callers never see which side planned."""
-    man = read_manifest(table_dir)
-    if len(man["entries"]) <= threshold:
+    set (test-pinned), so callers never see which side planned. The
+    size probe is the manifest FILE size (bytes/entry approximation) —
+    parsing the JSON to count entries would pay exactly the cost the
+    dispatch exists to avoid."""
+    v = current_manifest_version(table_dir)
+    approx = os.path.getsize(_manifest_path(table_dir, v)) // _MANIFEST_BYTES_PER_ENTRY
+    if approx <= threshold:
         return plan_scan(table_dir, col, lo, hi)
     return plan_scan_spark(spark, table_dir, col, lo, hi)
 
