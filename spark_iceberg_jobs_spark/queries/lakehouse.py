@@ -1269,7 +1269,11 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_zorder_box_scan": QuerySpec(lake_zorder_box_scan, LAKE_ZORDER_ORACLE),
     "lake_pos_delete": QuerySpec(lake_pos_delete, LAKE_POS_DELETE_ORACLE),
     "lake_branch_wap": QuerySpec(lake_branch_wap, LAKE_BRANCH_WAP_ORACLE),
-    "lake_fold_gate_serve": QuerySpec(lake_fold_gate_serve, LAKE_FOLD_GATE_ORACLE),
+    # second headline (r11): the fold-gated MOR serve — the round's
+    # scale story, benched so a regression in the valve is visible
+    "lake_fold_gate_serve": QuerySpec(
+        lake_fold_gate_serve, LAKE_FOLD_GATE_ORACLE, headline=True
+    ),
     "lake_changelog_delta": QuerySpec(lake_changelog_delta, LAKE_CHANGELOG_ORACLE),
     "lake_maintenance_window": QuerySpec(lake_maintenance_window, LAKE_MAINT_WINDOW_ORACLE),
 }

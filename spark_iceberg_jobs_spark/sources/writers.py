@@ -586,11 +586,16 @@ def changelog_between_versions(
     k changelog rows.
 
     Scale: each side is one scan + the exceptAll hash aggregate — the
-    honest cost of diffing two snapshots WITHOUT manifest metadata. A
-    real table format walks the manifest delta instead (what
-    maintenance_incremental_scan models at file grain); this verb exists
-    for the fallback's artifact-scale tables, where two bounded scans
-    beat maintaining row lineage."""
+    honest cost of diffing two snapshots WITHOUT manifest metadata:
+    the versioned protocol stores a FULL data copy per version, so no
+    files are shared and there is no delta to walk. The manifest-layer
+    twin, ``filetable.changelog_table`` (r11), IS the delta walk — on
+    file-grain tables it reads only the files two snapshots disagree
+    on (``to ∖ from = added ∖ removed``) and falls back to this
+    two-scan shape only under live MOR deletes. Prefer it wherever the
+    table has a manifest; this verb remains for artifact-scale
+    versioned copies, where two bounded scans beat maintaining row
+    lineage."""
     import os
 
     committed = committed_versions(table_dir)

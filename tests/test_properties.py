@@ -1041,3 +1041,106 @@ def test_filetable_schema_evolution_matches_id_keyed_replica(
     )
     want = sorted(tuple(r.get(fid) for fid in fields) for r in rows)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r11 manifest-delta changelog + incremental-feed properties: both new
+# surfaces replay against the same style of trivial Python replica
+# ---------------------------------------------------------------------------
+
+_cdf_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _ft_rows),
+        st.tuples(st.just("cow_delete"), st.integers(0, 99)),
+        st.tuples(st.just("compact"), st.none()),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=_ft_rows, ops=_cdf_ops)
+def test_changelog_table_matches_replica_snapshot_diffs(
+    spark, tmp_path_factory, seed, ops
+):
+    """Manifest-delta CDF property: for ANY commit history of appends /
+    CoW deletes / compactions and ANY version pair (i, j), the
+    changelog equals the multiset difference of the replica's snapshots
+    — inserts = snap(j) ∖ snap(i), deletes = snap(i) ∖ snap(j) — even
+    though only the delta files were read. Compaction commits must
+    contribute NOTHING to any changelog that spans them (rows are
+    invariant), which is exactly what the added∖removed cancellation
+    guarantees and a lineage-tracking bug would break."""
+    from collections import Counter
+
+    from spark_iceberg_jobs_spark.sources import filetable as ft
+
+    td = str(tmp_path_factory.mktemp("cdfprop") / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")
+    ft.create_table(mk(seed), td, stats_cols=["d"], cluster_by="d", n_files=2)
+    snaps = {1: Counter(seed)}
+    replica = list(seed)
+    v = 1
+    for op, arg in ops:
+        if op == "append":
+            ft.append_table(mk(arg), td, n_files=1)
+            replica = replica + list(arg)
+        elif op == "cow_delete":
+            ft.delete_where(spark, td, "d", arg)
+            replica = [(k, d) for k, d in replica if d > arg]
+        else:
+            ft.compact_table(spark, td, target_bytes=1 << 16)
+        v += 1
+        snaps[v] = Counter(replica)
+    pairs = [(1, v)] + ([(2, v), (1, 2)] if v > 2 else [])
+    for i, j in pairs:
+        ch = ft.changelog_table(spark, td, i, j).collect()
+        got_ins = Counter((r["k"], r["d"]) for r in ch if r["_change_type"] == "insert")
+        got_del = Counter((r["k"], r["d"]) for r in ch if r["_change_type"] == "delete")
+        assert got_ins == snaps[j] - snaps[i], f"inserts diverge for {(i, j)}"
+        assert got_del == snaps[i] - snaps[j], f"deletes diverge for {(i, j)}"
+
+
+_feed_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), _ft_rows),
+        st.tuples(st.just("compact"), st.none()),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=_ft_rows, ops=_feed_ops, keep=st.integers(1, 3))
+def test_incremental_feed_exactly_once_under_expiry(
+    spark, tmp_path_factory, seed, ops, keep
+):
+    """Incremental-feed property: for ANY append/compact history and ANY
+    retention depth, bootstrap + deltas (replace commits skipped) yield
+    every live row EXACTLY once — the multiset union of the consumed
+    batches equals the final table, never more (double-count), never
+    less (lost batch)."""
+    from collections import Counter
+
+    from spark_iceberg_jobs_spark.sources import filetable as ft
+
+    td = str(tmp_path_factory.mktemp("feedprop") / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")
+    ft.create_table(mk(seed), td, stats_cols=["d"], cluster_by="d", n_files=2)
+    replica = list(seed)
+    for op, arg in ops:
+        if op == "append":
+            ft.append_table(mk(arg), td, n_files=1)
+            replica = replica + list(arg)
+        else:
+            ft.compact_table(spark, td, target_bytes=1 << 16)
+    ft.expire_table(td, keep_last=keep)
+    consumed = Counter()
+    for batch in ft.incremental_feed(td):
+        for r in (
+            spark.read.parquet(*batch["paths"]).collect() if batch["paths"] else []
+        ):
+            consumed[(r["k"], r["d"])] += 1
+    assert consumed == Counter(replica), "feed must be exactly-once"
