@@ -125,8 +125,9 @@ class QuerySpec:
 #       (lake_cow_delete — delete_where's NULL-aware classification and
 #       null-keeping survivor filter, ADVICE r10 #1; lake_branch_wap —
 #       fast_forward now runs the locked ancestry gate, ADVICE r10 #3/#4)
-#       + the 3 new entries (lake_fold_gate_serve, VERDICT r10 item 1;
-#       lake_changelog_delta, item 5; lake_maintenance_window, item 6) +
+#       + the 4 new entries (lake_fold_gate_serve, VERDICT r10 item 1;
+#       lake_changelog_delta, item 5; lake_maintenance_window, item 6;
+#       lake_update_where, the executed CoW UPDATE verb) +
 #       ALL remaining r5-stale entries + the alphabetically-oldest
 #       r6-stale entries filling to 50. Tier membership is computed from
 #       the frozen artifacts by test_driver_window_r11_policy — no
@@ -147,10 +148,12 @@ _R11_CHANGED = [
 ]
 
 _R11_NEW = [
-    # never driver-scored, must ride per Invariant 1
+    # never driver-scored, must ride per Invariant 1 (each addition
+    # displaces the newest stale slot, per the documented policy)
     "lake_fold_gate_serve",  # the fold-pressure valve firing end-to-end
     "lake_changelog_delta",  # manifest-delta CDF (reads only changed files)
     "lake_maintenance_window",  # compact → expire → incremental consume
+    "lake_update_where",  # executed row-level CoW UPDATE
 ]
 
 _R11_STALE_REFRESH = [
@@ -200,7 +203,6 @@ _R11_STALE_REFRESH = [
     "events_activity_heatmap",
     "events_changepoint_daily",
     "events_ewma_daily",
-    "events_funnel_windowed",
 ]
 
 

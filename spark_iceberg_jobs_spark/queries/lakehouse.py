@@ -988,6 +988,92 @@ ORDER BY o_orderstatus
 
 
 # ---------------------------------------------------------------------------
+# lake_update_where — executed row-level UPDATE, copy-on-write
+# ---------------------------------------------------------------------------
+
+#: same retention shape as lake_cow_delete, but the old rows are
+#: repriced (10% markdown) instead of removed
+_UPDATE_AGE_DAYS = 200
+
+
+def lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals after an executed row-level
+    ``UPDATE orders SET o_totalprice = o_totalprice * 0.90 WHERE
+    order_dt <= max - 200d`` on a 36-file range-clustered table
+    (``filetable.update_where``): files entirely above the cutoff
+    survive by metadata; covered and straddling files rewrite
+    copy-on-write with the SET expression applied only to matching rows
+    — exact decimal arithmetic (DECIMAL(18,2) × DECIMAL(3,2)) before
+    the double store, so the oracle's CASE WHEN replay matches
+    bit-for-bit. Updated rows keep their months, so every month's
+    (n_orders, total) pair proves both the predicate boundary and the
+    carried-verbatim rows.
+
+    Scale: the rewrite set is bounds-bounded exactly like DELETE's —
+    O(files that can match), with the bulk above the cutoff untouched
+    at any table size; the serve is a plain clustered scan."""
+    ten_off = F.lit("0.90").cast("decimal(3,2)")
+
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.to_date("o_orderdate").alias("order_dt"),
+                "o_totalprice",
+            ),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=36,
+        )
+        _lo, hi = _date_bounds(staging, "order_dt")
+        cutoff = hi - _dt.timedelta(days=_UPDATE_AGE_DAYS)
+        ft.update_where(
+            spark,
+            staging,
+            "order_dt",
+            cutoff,
+            {"o_totalprice": (money("o_totalprice") * ten_off).cast("double")},
+        )
+
+    table_dir = _served_table(sf_dir, "lakeupd_", "orders", "lakeupd-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            # post-update prices live on a 1e-4 decimal grid (2-dec base
+            # × 2-dec factor); quantized() keeps the sum exact
+            dec_sum(quantized("o_totalprice", 4)).alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+LAKE_UPDATE_ORACLE = f"""
+WITH k AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) - {_UPDATE_AGE_DAYS} AS upd_dt
+    FROM orders
+), repriced AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CASE WHEN CAST(o_orderdate AS DATE) <= upd_dt
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST(0.90 AS DECIMAL(3,2)) AS DOUBLE)
+                ELSE o_totalprice END AS price
+    FROM orders, k
+)
+SELECT strftime(d, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(ROUND(price, 4) AS DECIMAL(28,4))), 2) AS DOUBLE)
+           AS total_price
+FROM repriced
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
+# ---------------------------------------------------------------------------
 # lake_changelog_delta — manifest-delta CDF between two snapshots
 # ---------------------------------------------------------------------------
 
@@ -1276,4 +1362,5 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "lake_changelog_delta": QuerySpec(lake_changelog_delta, LAKE_CHANGELOG_ORACLE),
     "lake_maintenance_window": QuerySpec(lake_maintenance_window, LAKE_MAINT_WINDOW_ORACLE),
+    "lake_update_where": QuerySpec(lake_update_where, LAKE_UPDATE_ORACLE),
 }

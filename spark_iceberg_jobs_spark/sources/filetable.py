@@ -777,6 +777,43 @@ PLAN_SPARK_THRESHOLD = 200_000
 _MANIFEST_BYTES_PER_ENTRY = 220
 
 
+def plan_scan_box_spark(spark: SparkSession, table_dir: str, preds: dict) -> dict:
+    """Multi-column (box) zone-map planning as a Spark job — the
+    distributed twin of ``plan_scan_box`` with the same
+    keep-unless-provably-disjoint semantics per dimension, conjoined.
+    Same warm-path contract as ``plan_scan_spark``: no JSON parse, no
+    driver entry dicts, collect bounded by the surviving-path count."""
+    version = current_manifest_version(table_dir)
+    pdir = write_manifest_parquet(spark, table_dir, version)
+    mt = spark.read.parquet(pdir)
+    cond = F.lit(True)
+    for c, (lo, hi) in preds.items():
+        if f"min_{c}" not in mt.columns:
+            raise ValueError(f"no bounds for column {c!r} in the manifest spec")
+        if hi is not None:
+            cond = cond & (F.col(f"min_{c}").isNull() | (F.col(f"min_{c}") <= F.lit(hi)))
+        if lo is not None:
+            cond = cond & (F.col(f"max_{c}").isNull() | (F.col(f"max_{c}") >= F.lit(lo)))
+    totals = mt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("kind") != "data").alias("n_del"),
+        F.count_if(cond).alias("n_keep"),
+    ).collect()[0]
+    if totals["n_del"]:
+        raise ValueError(
+            "plan_scan_box_spark on a table with live delete files — run "
+            "fold_deletes first"
+        )
+    kept = sorted(r["path"] for r in mt.filter(cond).select("path").collect())
+    return {
+        "paths": [os.path.join(table_dir, p) for p in kept],
+        "entries": None,
+        "files_read": totals["n_keep"],
+        "files_skipped": totals["n"] - totals["n_keep"],
+        "files_total": totals["n"],
+    }
+
+
 def plan_scan_auto(
     spark: SparkSession,
     table_dir: str,
@@ -1298,6 +1335,93 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
             "summary": summary,
             "entries": kept + new_entries,
         }, adds_files=bool(straddle)),
+        base_version=manifest["version"],
+    )
+    return summary
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    cutoff,
+    set_exprs: dict[str, Column],
+) -> dict:
+    """Executed row-level ``UPDATE t SET ... WHERE col <= cutoff`` —
+    copy-on-write, the same bounds classification as ``delete_where``
+    minus the metadata shortcut (an update has no metadata-only form:
+    every matching row must be rewritten):
+
+    - files with ``min > cutoff`` — and known all-NULL files (SQL
+      three-valued logic: a NULL predicate column never matches) — are
+      untouched, surviving by metadata;
+    - every other file (covered, straddling, unknown bounds or
+      null-bearing below the cutoff) rewrites with the SET expressions
+      applied under ``F.when(col <= cutoff, ...)`` — non-matching rows
+      in a rewritten file are carried verbatim.
+
+    ``set_exprs`` maps column name → expression over the row's CURRENT
+    columns (evaluated before any assignment, like SQL UPDATE). The
+    summary carries exact updated-row counts (one bounded conditional
+    aggregate over only the rewritten files — Iceberg's
+    updated-records summary).
+
+    Scale: cost is O(files that can contain a match) — the zone maps
+    bound the rewrite set exactly as for DELETE; everything above the
+    cutoff survives untouched at any table size."""
+    manifest = read_manifest(table_dir)
+    _require_no_live_deletes(manifest, "update_where")
+    unknown = set(set_exprs) - {f["name"] for f in manifest.get("schema", {}).get("fields", [])}
+    if unknown:
+        raise ValueError(f"SET columns not in schema: {sorted(unknown)}")
+    bounds = _decode_bounds(manifest, col)
+    touched, kept = [], []
+    for e in manifest["entries"]:
+        b = bounds(e)
+        n_nulls = e.get("nulls", {}).get(col)
+        if b is None:
+            if n_nulls is not None and n_nulls == e["rows"]:
+                kept.append(e)  # all-NULL: no row matches the predicate
+            else:
+                touched.append(e)
+        elif b[0] > cutoff:
+            kept.append(e)
+        else:
+            touched.append(e)
+    new_entries, rows_updated = [], 0
+    if touched:
+        src = _read_data(spark, table_dir, manifest, touched)
+        match = F.col(col) <= F.lit(cutoff)
+        rows_updated = src.filter(match).count()  # bounded: touched files only
+        out = src.select(
+            *[
+                F.when(match, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in src.columns
+            ]
+        )
+        new_entries = _write_commit(
+            out,
+            spark,
+            table_dir,
+            list(manifest["stats_types"]),
+            n_files=max(1, len(touched)),
+            cluster_by=col if col in manifest["stats_types"] else None,
+        )
+    summary = {
+        "files_rewritten": len(touched),
+        "files_untouched": len(kept),
+        "rows_updated": rows_updated,
+    }
+    _commit_manifest(
+        table_dir,
+        _inherit_schema(manifest, {
+            "operation": "update",
+            "stats_types": manifest["stats_types"],
+            "summary": summary,
+            "entries": kept + new_entries,
+        }, adds_files=bool(new_entries)),
         base_version=manifest["version"],
     )
     return summary

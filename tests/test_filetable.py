@@ -1208,3 +1208,107 @@ def test_plan_scan_auto_dispatches_on_entry_count(spark, li_table):
         ft.manifest_parquet_dir(td, ft.current_manifest_version(td))
     )
     assert sorted(small["paths"]) == sorted(big["paths"])
+
+
+# ---------------------------------------------------------------------------
+# round 11 — executed row-level UPDATE (copy-on-write)
+# ---------------------------------------------------------------------------
+
+
+def test_update_where_classifies_and_applies_exactly(spark, li_table):
+    """UPDATE's classification is DELETE's minus the metadata shortcut:
+    files above the cutoff survive by metadata, the rest rewrite with
+    the SET expression applied ONLY to matching rows — totals match the
+    SQL CASE WHEN replay exactly, and the summary's updated-row count
+    is the predicate's."""
+    import datetime as dt
+
+    td, df = li_table
+    before = ft.read_manifest(td)
+    cutoff = _mid(td, 0.4)
+    above = [
+        e for e in before["entries"]
+        if dt.date.fromisoformat(e["stats"]["ship_dt"][0]) > cutoff
+    ]
+    assert above and len(above) < len(before["entries"])
+
+    summary = ft.update_where(
+        spark, td, "ship_dt", cutoff, {"l_quantity": F.col("l_quantity") + 1000}
+    )
+    assert summary["files_untouched"] == len(above)
+    assert summary["files_rewritten"] == len(before["entries"]) - len(above)
+    want_updated = df.filter(F.col("ship_dt") <= F.lit(cutoff)).count()
+    assert summary["rows_updated"] == want_updated
+
+    got = (
+        ft.read_table(spark, td)
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()[0]
+    )
+    want = (
+        df.select(
+            F.when(
+                F.col("ship_dt") <= F.lit(cutoff), F.col("l_quantity") + 1000
+            )
+            .otherwise(F.col("l_quantity"))
+            .alias("l_quantity")
+        )
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()[0]
+    )
+    assert (got["n"], got["q"]) == (want["n"], want["q"])
+    # untouched files keep their exact entries
+    live = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    assert all(e["path"] in live for e in above)
+
+
+def test_update_where_null_rows_never_match(spark, tmp_path):
+    """SQL three-valued logic: a NULL predicate column never matches —
+    an all-NULL file is untouched by metadata, and NULL rows in
+    rewritten files carry verbatim."""
+    td = str(tmp_path / "updnull")
+    mk = lambda rows: spark.createDataFrame(rows, "v long, x long")  # noqa: E731
+    ft.create_table(mk([(1, 10), (None, 20)]), td, stats_cols=["v"], n_files=1)
+    ft.append_table(mk([(None, 30), (None, 40)]), td, n_files=1)
+    summary = ft.update_where(spark, td, "v", 5, {"x": F.col("x") * 100})
+    assert summary["files_untouched"] == 1, "the all-NULL file survives by metadata"
+    assert summary["rows_updated"] == 1
+    got = sorted(r["x"] for r in ft.read_table(spark, td).collect())
+    assert got == [20, 30, 40, 1000], "only the v=1 row repriced"
+
+
+def test_update_where_rejects_unknown_set_columns(spark, li_table):
+    td, _df = li_table
+    with pytest.raises(ValueError, match="SET columns"):
+        ft.update_where(spark, td, "ship_dt", _mid(td, 0.4), {"nope": F.lit(1)})
+
+
+def test_plan_scan_box_spark_equals_driver_planner(spark, tmp_path):
+    """Box-probe equivalence on a 2-D planted manifest: the job planner
+    and the driver loop agree file-for-file, including null-bounds
+    conservatism on one dimension."""
+    import random
+
+    rng = random.Random(3)
+    entries = []
+    for i in range(400):
+        a = rng.randrange(0, 1000)
+        b = rng.randrange(0, 1000)
+        entries.append(
+            {
+                "path": f"data/c000001/f{i:04d}.parquet",
+                "rows": 10,
+                "bytes": 100,
+                "seq": 1,
+                "stats": {
+                    "a": [a, a + 40],
+                    "b": None if i % 13 == 0 else [b, b + 40],
+                },
+            }
+        )
+    td = _plant_manifest(tmp_path, entries, {"a": "long", "b": "long"})
+    box = {"a": (200, 400), "b": (500, None)}
+    drv = ft.plan_scan_box(td, box)
+    spk = ft.plan_scan_box_spark(spark, td, box)
+    assert sorted(drv["paths"]) == sorted(spk["paths"])
+    assert drv["files_skipped"] == spk["files_skipped"] > 0

@@ -872,6 +872,7 @@ _ft_ops = st.lists(
         st.tuples(st.just("cow_delete"), st.integers(0, 99)),
         st.tuples(st.just("mor_delete"), st.lists(st.integers(0, 19), min_size=1, max_size=4)),
         st.tuples(st.just("pos_delete"), st.integers(0, 99)),
+        st.tuples(st.just("update"), st.integers(0, 99)),
         st.tuples(st.just("fold"), st.none()),
         st.tuples(st.just("compact"), st.none()),
     ),
@@ -924,6 +925,13 @@ def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, 
 
             ft.delete_positions_mor(spark, td, _F.col("d") >= arg)
             replica = [(k, d) for k, d in replica if d < arg]
+        elif op == "update":
+            from pyspark.sql import functions as _F
+
+            if deletes_live():
+                ft.fold_deletes(spark, td)
+            ft.update_where(spark, td, "d", arg, {"k": _F.col("k") + 100})
+            replica = [(k + 100 if d <= arg else k, d) for k, d in replica]
         elif op == "fold":
             ft.fold_deletes(spark, td)
         elif op == "compact":

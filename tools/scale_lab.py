@@ -453,6 +453,8 @@ def probes():
         "lake_cdf_delta": _lakehouse_probe("lake_changelog_delta", build_tpch),
         # compact → expire → incremental consume: bootstrap + delta folds
         "lake_maint_window": _lakehouse_probe("lake_maintenance_window", build_events),
+        # executed CoW UPDATE: post-commit clustered aggregate (flat family)
+        "lake_update": _lakehouse_probe("lake_update_where", build_tpch),
     }
 
 
@@ -572,6 +574,7 @@ def main() -> int:
         "lake_fold_gate",
         "lake_cdf_delta",
         "lake_maint_window",
+        "lake_update",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
