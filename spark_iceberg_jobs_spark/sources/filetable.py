@@ -1849,7 +1849,7 @@ def commit_delta_paths(table_dir: str, version: int) -> list[str]:
 REPLACE_OPERATIONS = frozenset({"compact", "fold-deletes", "rewrite-layout"})
 
 
-def incremental_feed(table_dir: str) -> list[dict]:
+def incremental_feed(table_dir: str, *, since_version: int | None = None) -> list[dict]:
     """The commit-log feed an incremental (streaming) consumer ingests
     after a maintenance window ran (VERDICT r10 item 6): one entry per
     RETAINED manifest version —
@@ -1872,6 +1872,15 @@ def incremental_feed(table_dir: str) -> list[dict]:
     REACHABLE manifest — parent expired or predating parent tracking —
     is the bootstrap.
 
+    CHECKPOINTED RESUME: ``since_version`` is the consumer's checkpoint
+    (the last version it fully ingested). The feed then contains only
+    the commits AFTER it — no bootstrap — so a consumer that persists
+    its last version is exactly-once across sessions (property-tested).
+    A checkpoint that has left the retained lineage (expired, or a
+    version the current head doesn't descend from — e.g. pre-rollback)
+    raises: resuming from it would silently re-read or skip rows, so
+    the consumer must re-bootstrap instead.
+
     Scale: the feed is manifest metadata (driver-side, O(#files)); each
     consumed batch reads only its own files — the base table is never
     rescanned, however long the history."""
@@ -1885,8 +1894,25 @@ def incremental_feed(table_dir: str) -> list[dict]:
         chain.append(man)
         v = man.get("parent")
     chain.reverse()
+    if since_version is not None:
+        idx = next(
+            (i for i, m in enumerate(chain) if m["version"] == since_version), None
+        )
+        if idx is None:
+            raise ValueError(
+                f"checkpoint version {since_version} is not in the retained "
+                "lineage of the current head (expired or rolled back); "
+                "re-bootstrap the consumer"
+            )
+        prev = chain[idx]
+        chain = chain[idx + 1 :]
+        resume_paths = {
+            e["path"] for e in prev["entries"] if e.get("kind", "data") == "data"
+        }
     feed = []
-    prev_paths: set[str] | None = None
+    prev_paths: set[str] | None = (
+        resume_paths if since_version is not None else None
+    )
     for man in chain:
         op = man["operation"]
         data_paths = [
@@ -2313,6 +2339,20 @@ def drop_tag(table_dir: str, name: str) -> None:
     with open(tmp, "w") as f:
         json.dump(refs, f)
     os.replace(tmp, _refs_path(table_dir))
+
+
+def refs_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The ``refs`` metadata table (Iceberg's): one row per named ref —
+    ``main`` (the hint), every tag (immutable), every branch (head +
+    base, the ancestry anchor fast_forward checks)."""
+    rows = [("main", "branch", current_manifest_version(table_dir), None)]
+    for name, v in sorted(_read_refs(table_dir).items()):
+        rows.append((name, "tag", v, None))
+    for name, rec in sorted(_read_branches(table_dir).items()):
+        rows.append((name, "branch", rec["head"], rec["base"]))
+    return spark.createDataFrame(
+        rows, "name string, type string, version long, base_version long"
+    )
 
 
 def partitions_table(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -1312,3 +1312,71 @@ def test_plan_scan_box_spark_equals_driver_planner(spark, tmp_path):
     spk = ft.plan_scan_box_spark(spark, td, box)
     assert sorted(drv["paths"]) == sorted(spk["paths"])
     assert drv["files_skipped"] == spk["files_skipped"] > 0
+
+
+# ---------------------------------------------------------------------------
+# round 11 — checkpointed incremental resume + refs metadata table
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_feed_checkpoint_resume_exactly_once(spark, tmp_path):
+    """A consumer that persists its last-ingested version resumes with
+    ONLY the commits after it — no bootstrap, no overlap: session-1 rows
+    ⊎ session-2 rows == the final table, across an interleaved replace
+    commit."""
+    td = str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(10)]), td, stats_cols=["d"], n_files=2)
+    ft.append_table(mk([(i, i) for i in range(10, 20)]), td, n_files=2)
+    feed1 = ft.incremental_feed(td)
+    checkpoint = feed1[-1]["version"]
+    rows1 = [
+        (r["k"], r["d"])
+        for b in feed1
+        if b["paths"]
+        for r in spark.read.parquet(*b["paths"]).collect()
+    ]
+    # between sessions: a compaction (replace) and a fresh append land
+    ft.compact_table(spark, td, target_bytes=1 << 20)
+    ft.append_table(mk([(i, i) for i in range(20, 25)]), td, n_files=1)
+    feed2 = ft.incremental_feed(td, since_version=checkpoint)
+    assert [b["kind"] for b in feed2] == ["replace-skip", "delta"]
+    assert all(b["kind"] != "bootstrap" for b in feed2), "resume must not re-bootstrap"
+    rows2 = [
+        (r["k"], r["d"])
+        for b in feed2
+        if b["paths"]
+        for r in spark.read.parquet(*b["paths"]).collect()
+    ]
+    want = sorted((r["k"], r["d"]) for r in ft.read_table(spark, td).collect())
+    assert sorted(rows1 + rows2) == want, "cross-session exactly-once"
+    # resuming AT the head yields an empty feed
+    head = ft.current_manifest_version(td)
+    assert ft.incremental_feed(td, since_version=head) == []
+
+
+def test_incremental_feed_expired_checkpoint_raises(spark, tmp_path):
+    td = str(tmp_path / "ckptexp")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(1, 1)]), td, stats_cols=["d"], n_files=1)
+    for i in range(2, 6):
+        ft.append_table(mk([(i, i)]), td, n_files=1)
+    ft.expire_table(td, keep_last=2)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        ft.incremental_feed(td, since_version=1)
+
+
+def test_refs_table_inventories_main_tags_branches(spark, tmp_path):
+    td = str(tmp_path / "refs")
+    df = spark.createDataFrame([(1, 1)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], n_files=1)
+    ft.tag_snapshot(td, "v1.0")
+    ft.create_branch(td, "dev")
+    ft.append_table(
+        spark.createDataFrame([(2, 2)], "k long, d long"), td, n_files=1, branch="dev"
+    )
+    rows = {r["name"]: r for r in ft.refs_table(spark, td).collect()}
+    assert rows["main"]["type"] == "branch" and rows["main"]["version"] == 1
+    assert rows["v1.0"]["type"] == "tag" and rows["v1.0"]["version"] == 1
+    assert rows["dev"]["type"] == "branch"
+    assert rows["dev"]["version"] == 2 and rows["dev"]["base_version"] == 1

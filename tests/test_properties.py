@@ -1145,10 +1145,25 @@ def test_incremental_feed_exactly_once_under_expiry(
         else:
             ft.compact_table(spark, td, target_bytes=1 << 16)
     ft.expire_table(td, keep_last=keep)
-    consumed = Counter()
-    for batch in ft.incremental_feed(td):
-        for r in (
-            spark.read.parquet(*batch["paths"]).collect() if batch["paths"] else []
-        ):
-            consumed[(r["k"], r["d"])] += 1
-    assert consumed == Counter(replica), "feed must be exactly-once"
+
+    def ingest(batches):
+        c = Counter()
+        for batch in batches:
+            for r in (
+                spark.read.parquet(*batch["paths"]).collect() if batch["paths"] else []
+            ):
+                c[(r["k"], r["d"])] += 1
+        return c
+
+    feed = ft.incremental_feed(td)
+    assert ingest(feed) == Counter(replica), "feed must be exactly-once"
+    # checkpointed resume at EVERY split point: prefix ⊎ resume == table
+    for i in range(len(feed)):
+        ckpt = feed[i]["version"]
+        resumed = ft.incremental_feed(td, since_version=ckpt)
+        assert [b["version"] for b in resumed] == [
+            b["version"] for b in feed[i + 1 :]
+        ], f"resume at {ckpt} must continue the same chain"
+        assert ingest(feed[: i + 1]) + ingest(resumed) == Counter(replica), (
+            f"cross-session exactly-once broken at checkpoint {ckpt}"
+        )
