@@ -501,6 +501,61 @@ def append_table(
     )
 
 
+def add_files(spark: SparkSession, table_dir: str, src_subdir: str) -> int:
+    """Register EXISTING parquet files as table data — Iceberg's
+    ``add_files`` procedure (migrate-in-place): no rewrite, no copy;
+    one distributed stats pass over exactly the new files produces
+    their manifest entries and a normal append-style commit makes them
+    visible. ``src_subdir`` is relative to the table dir — imported
+    files must already live inside it because manifest paths are
+    table-relative and the files join the table's retention story
+    (``expire_table`` reclaims them once no retained snapshot
+    references them, like any other data file).
+
+    The files keep whatever layout they arrived with: bounds are
+    collected as-is, so an unclustered import plans conservatively
+    (wide per-file bounds) until a compaction/rewrite re-clusters it —
+    exactly Iceberg's behavior for imported partitions.
+
+    Scale: cost is the one stats aggregate over the imported bytes;
+    the rest of the table is untouched metadata."""
+    man = read_manifest(table_dir)
+    src = os.path.join(table_dir, src_subdir)
+    if not os.path.isdir(src):
+        raise ValueError(f"no directory {src!r} to import")
+    if os.path.realpath(src) == os.path.realpath(table_dir) or not os.path.realpath(
+        src
+    ).startswith(os.path.realpath(table_dir) + os.sep):
+        raise ValueError("add_files imports a subdirectory OF the table dir")
+    df = spark.read.parquet(src)
+    cur = _current_names(man)
+    if cur is not None and set(df.columns) != set(cur.values()):
+        raise ValueError(
+            f"imported columns {sorted(df.columns)} != current schema "
+            f"{sorted(cur.values())}"
+        )
+    new = _collect_entries(spark, table_dir, src, list(man["stats_types"]))
+    if not new:
+        raise ValueError(f"no parquet files under {src!r}")
+    dup = {e["path"] for e in new} & {e["path"] for e in man["entries"]}
+    if dup:
+        raise ValueError(f"files already registered: {sorted(dup)[:3]}")
+    return _commit_manifest(
+        table_dir,
+        _inherit_schema(man, {
+            "operation": "add-files",
+            "stats_types": man["stats_types"],
+            "summary": {
+                "files_added": len(new),
+                "rows_added": sum(e["rows"] for e in new),
+            },
+            "entries": man["entries"] + new,
+        }, adds_files=True),
+        base_version=man["version"],
+        rebase_append=new,
+    )
+
+
 def add_column(table_dir: str, name: str, dtype: str) -> int:
     """Metadata-only schema evolution: a new field id; zero files touched.
     Pre-evolution files read the column as typed NULL backfill."""
@@ -1014,13 +1069,30 @@ def _eq_key_col(eqs: list[dict]) -> str:
     return key_cols.pop()
 
 
+#: delete-set rows above which the MOR anti join stops broadcast-hinting
+#: and lets the planner shuffle instead: a between-folds delete set
+#: belongs on every executor, a neglected multi-million-row one does not
+#: (each executor would hold the whole set in memory while a shuffled
+#: anti join partitions it). The row counts come from the MANIFEST —
+#: zero cost to consult. fold_pressure is the real fix; this guard keeps
+#: the read path safe in the window before the fold runs.
+MOR_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def _hint_small(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= MOR_BROADCAST_MAX_ROWS else df
+
+
 def _mor_read(
     spark: SparkSession, table_dir: str, man: dict, *, keep_meta: bool
 ) -> DataFrame:
     """The snapshot's VISIBLE rows: data files minus equality deletes
     (seq rule) minus position deletes (file+ordinal). ``keep_meta``
     retains the (_ft_file, _ft_pos) coordinates for callers that commit
-    further position deletes or fold."""
+    further position deletes or fold. The delete side of each anti join
+    is broadcast only while the manifest's delete row count says it is
+    small (``MOR_BROADCAST_MAX_ROWS``) — an over-accumulated set
+    shuffles instead of landing whole on every executor."""
     data, eqs, poss = _split_entries(man)
     if not eqs and not poss and not keep_meta:
         return _read_data(spark, table_dir, man, data)
@@ -1035,7 +1107,10 @@ def _mor_read(
     if eqs:
         key_col = _eq_key_col(eqs)
         df = df.join(
-            F.broadcast(_eq_keys_frame(spark, table_dir, eqs)),
+            _hint_small(
+                _eq_keys_frame(spark, table_dir, eqs),
+                sum(e["rows"] for e in eqs),
+            ),
             F.col(key_col).eqNullSafe(F.col("_ft_dkey"))
             & (F.col("_ft_dseq") > F.col("_ft_seq")),
             "left_anti",
@@ -1043,7 +1118,7 @@ def _mor_read(
     if poss:
         pk = _pos_frame(spark, table_dir, poss)
         df = df.join(
-            F.broadcast(pk),
+            _hint_small(pk, sum(e["rows"] for e in poss)),
             (F.col("_ft_file") == F.col("_ft_dfile"))
             & (F.col("_ft_pos") == F.col("_ft_dpos")),
             "left_anti",
@@ -1922,7 +1997,7 @@ def incremental_feed(table_dir: str, *, since_version: int | None = None) -> lis
             kind, paths = "bootstrap", data_paths
         elif op in REPLACE_OPERATIONS:
             kind, paths = "replace-skip", []
-        elif op in ("append", "create"):
+        elif op in ("append", "create", "add-files"):
             kind = "delta"
             paths = [p for p in data_paths if p not in prev_paths]
         else:

@@ -1380,3 +1380,63 @@ def test_refs_table_inventories_main_tags_branches(spark, tmp_path):
     assert rows["v1.0"]["type"] == "tag" and rows["v1.0"]["version"] == 1
     assert rows["dev"]["type"] == "branch"
     assert rows["dev"]["version"] == 2 and rows["dev"]["base_version"] == 1
+
+
+def test_mor_broadcast_guard_switches_join_strategy(spark, tmp_path, monkeypatch):
+    """The MOR anti join broadcast-hints only while the manifest says
+    the delete set is small: with the threshold forced to 0 the plan
+    must carry NO broadcast anti join (the planner shuffles instead)
+    and the served rows are identical either way."""
+    td = str(tmp_path / "morguard")
+    df = spark.createDataFrame([(i, i % 7) for i in range(200)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=2)
+    ft.delete_keys_mor(
+        spark, td, "k", spark.createDataFrame([(3,), (8,)], "k long")
+    )
+    want = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert 3 not in want and 8 not in want
+
+    monkeypatch.setattr(ft, "MOR_BROADCAST_MAX_ROWS", 0)
+    served = ft.read_table(spark, td)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin LeftAnti" not in plan, (
+        "an over-threshold delete set must not be broadcast"
+    )
+    assert sorted(r["k"] for r in served.collect()) == want
+
+
+def test_add_files_registers_in_place_without_rewrite(spark, tmp_path):
+    """Iceberg's add_files: pre-existing parquet joins the table by
+    metadata + one stats pass — the imported bytes are never rewritten
+    (same file names on disk), reads see the union, zone maps prune
+    with the imported files' own bounds, and the incremental feed
+    treats the commit as a normal delta."""
+    td = str(tmp_path / "addf")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(1, 10), (2, 20)]), td, stats_cols=["d"], n_files=1)
+    # files arrive OUTSIDE the table protocol (a legacy dump)
+    imported = os.path.join(td, "data", "imported")
+    mk([(3, 30), (4, 40)]).coalesce(1).write.parquet(imported)
+    names_before = set(os.listdir(imported))
+
+    v = ft.add_files(spark, td, os.path.join("data", "imported"))
+    assert ft.read_manifest(td, v)["operation"] == "add-files"
+    assert set(os.listdir(imported)) >= names_before, "no rewrite of imported bytes"
+    got = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert got == [1, 2, 3, 4]
+    # imported bounds prune: d in [30,40] lives only in the import
+    plan = ft.plan_scan(td, "d", 25, 50)
+    assert plan["files_read"] == 1 and plan["files_skipped"] >= 1
+    feed = ft.incremental_feed(td)
+    assert [b["kind"] for b in feed] == ["bootstrap", "delta"]
+    assert len(feed[1]["paths"]) == 1
+
+    # guards: schema mismatch, re-import, outside path
+    bad = os.path.join(td, "data", "badschema")
+    spark.createDataFrame([(9,)], "only long").coalesce(1).write.parquet(bad)
+    with pytest.raises(ValueError, match="imported columns"):
+        ft.add_files(spark, td, os.path.join("data", "badschema"))
+    with pytest.raises(ValueError, match="already registered"):
+        ft.add_files(spark, td, os.path.join("data", "imported"))
+    with pytest.raises(ValueError, match="subdirectory OF the table"):
+        ft.add_files(spark, td, "..")
