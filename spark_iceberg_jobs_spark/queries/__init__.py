@@ -125,9 +125,10 @@ class QuerySpec:
 #       (lake_cow_delete — delete_where's NULL-aware classification and
 #       null-keeping survivor filter, ADVICE r10 #1; lake_branch_wap —
 #       fast_forward now runs the locked ancestry gate, ADVICE r10 #3/#4)
-#       + the 4 new entries (lake_fold_gate_serve, VERDICT r10 item 1;
+#       + the 5 new entries (lake_fold_gate_serve, VERDICT r10 item 1;
 #       lake_changelog_delta, item 5; lake_maintenance_window, item 6;
-#       lake_update_where, the executed CoW UPDATE verb) +
+#       lake_update_where, the executed CoW UPDATE verb;
+#       lake_add_files_import, the copy-free migrate-in-place) +
 #       ALL remaining r5-stale entries + the alphabetically-oldest
 #       r6-stale entries filling to 50. Tier membership is computed from
 #       the frozen artifacts by test_driver_window_r11_policy — no
@@ -154,6 +155,7 @@ _R11_NEW = [
     "lake_changelog_delta",  # manifest-delta CDF (reads only changed files)
     "lake_maintenance_window",  # compact → expire → incremental consume
     "lake_update_where",  # executed row-level CoW UPDATE
+    "lake_add_files_import",  # copy-free migrate-in-place
 ]
 
 _R11_STALE_REFRESH = [
@@ -202,7 +204,6 @@ _R11_STALE_REFRESH = [
     "drift_psi_length",
     "events_activity_heatmap",
     "events_changepoint_daily",
-    "events_ewma_daily",
 ]
 
 

@@ -1251,6 +1251,69 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# lake_add_files_import — copy-free migrate-in-place, served
+# ---------------------------------------------------------------------------
+
+
+def lake_add_files_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals over a table whose last third arrived by
+    ``filetable.add_files`` — Iceberg's migrate-in-place procedure: the
+    build creates 2/3 of lineitem as a managed range-clustered table,
+    drops the remaining third as RAW parquet under the table dir (a
+    legacy dump, written outside the protocol), then registers it with
+    one distributed stats pass and zero rewrite. The serve reads the
+    union through the ordinary manifest; the oracle recomputes from the
+    full fixture, so hash equality holds only if the import made every
+    legacy row first-class without touching its bytes.
+
+    Scale: import cost is one stats aggregate over the imported bytes —
+    the entire managed table is untouched metadata; unclustered imports
+    plan conservatively until a rewrite re-clusters them (Iceberg's own
+    imported-partition behavior)."""
+    def build(staging: str) -> None:
+        li = read_fixture(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.to_date("l_shipdate").alias("ship_dt"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+        ft.create_table(
+            li.filter(F.col("l_orderkey") % 3 != 0),
+            staging,
+            stats_cols=["ship_dt"],
+            cluster_by="ship_dt",
+            n_files=24,
+        )
+        legacy = os.path.join(staging, "data", "legacy_dump")
+        li.filter(F.col("l_orderkey") % 3 == 0).repartition(4).write.parquet(legacy)
+        ft.add_files(spark, staging, os.path.join("data", "legacy_dump"))
+
+    table_dir = _served_table(sf_dir, "lakeadd_", "lineitem", "lakeadd-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.date_format("ship_dt", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            dec_sum(revenue_dec()).alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+LAKE_ADD_FILES_ORACLE = f"""
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY 1
+ORDER BY ship_month
+"""
+
+
+# ---------------------------------------------------------------------------
 # lake_fold_gate_serve — the fold-pressure valve firing end-to-end
 # ---------------------------------------------------------------------------
 
@@ -1363,4 +1426,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_changelog_delta": QuerySpec(lake_changelog_delta, LAKE_CHANGELOG_ORACLE),
     "lake_maintenance_window": QuerySpec(lake_maintenance_window, LAKE_MAINT_WINDOW_ORACLE),
     "lake_update_where": QuerySpec(lake_update_where, LAKE_UPDATE_ORACLE),
+    "lake_add_files_import": QuerySpec(lake_add_files_import, LAKE_ADD_FILES_ORACLE),
 }

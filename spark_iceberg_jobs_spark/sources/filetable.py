@@ -2219,6 +2219,7 @@ def snapshots_table(spark: SparkSession, table_dir: str) -> DataFrame:
         rows.append(
             (
                 v,
+                m.get("parent"),
                 m["operation"],
                 v == current,
                 len(m["entries"]),
@@ -2229,7 +2230,7 @@ def snapshots_table(spark: SparkSession, table_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         rows,
-        "version long, operation string, is_current boolean, "
+        "version long, parent long, operation string, is_current boolean, "
         "n_files long, n_rows long, n_bytes long, summary string",
     )
 
