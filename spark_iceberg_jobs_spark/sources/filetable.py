@@ -587,7 +587,10 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
         raise ValueError("table predates schema tracking; cannot evolve")
     if any(f["name"] == new for f in sch["fields"]):
         raise ValueError(f"column {new!r} already exists")
-    if any(e.get("kind") == "eqdelete" and e["key_col"] == old for e in man["entries"]):
+    if any(
+        e.get("kind") == "eqdelete" and old in _entry_key_cols(e)
+        for e in man["entries"]
+    ):
         raise ValueError(
             f"cannot rename {old!r}: live equality-delete files key on it — "
             "fold_deletes first"
@@ -1045,12 +1048,22 @@ def read_table(
     return _mor_read(spark, table_dir, man, keep_meta=False)
 
 
+def _entry_key_cols(e: dict) -> list[str]:
+    """An equality-delete entry's key columns — ``key_cols`` (multi-col,
+    r11: Iceberg v2's equality_ids may name several fields) with the
+    pre-r11 single ``key_col`` as the legacy spelling."""
+    return e.get("key_cols") or [e["key_col"]]
+
+
 def _eq_keys_frame(spark: SparkSession, table_dir: str, eqs: list[dict]) -> DataFrame:
     dk = None
     for e in eqs:
+        cols = _entry_key_cols(e)
         part = (
             spark.read.parquet(os.path.join(table_dir, e["path"]))
-            .select(F.col(e["key_col"]).alias("_ft_dkey"))
+            .select(
+                *[F.col(c).alias(f"_ft_dkey_{i}") for i, c in enumerate(cols)]
+            )
             .withColumn("_ft_dseq", F.lit(e["seq"]))
         )
         dk = part if dk is None else dk.unionByName(part)
@@ -1062,11 +1075,23 @@ def _pos_frame(spark: SparkSession, table_dir: str, poss: list[dict]) -> DataFra
     return spark.read.parquet(*paths)
 
 
-def _eq_key_col(eqs: list[dict]) -> str:
-    key_cols = {e["key_col"] for e in eqs}
-    if len(key_cols) != 1:
-        raise ValueError(f"mixed equality-delete key columns: {sorted(key_cols)}")
-    return key_cols.pop()
+def _eq_key_cols(eqs: list[dict]) -> list[str]:
+    key_sets = {tuple(_entry_key_cols(e)) for e in eqs}
+    if len(key_sets) != 1:
+        raise ValueError(
+            f"mixed equality-delete key columns: {sorted(key_sets)}"
+        )
+    return list(key_sets.pop())
+
+
+def _eq_join_cond(key_cols: list[str]) -> Column:
+    """NULL-safe conjunction over every delete-key column, gated by the
+    Iceberg v2 sequence rule (a delete applies only to data with a
+    smaller data sequence number)."""
+    cond = F.col("_ft_dseq") > F.col("_ft_seq")
+    for i, c in enumerate(key_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_ft_dkey_{i}"))
+    return cond
 
 
 #: delete-set rows above which the MOR anti join stops broadcast-hinting
@@ -1105,14 +1130,12 @@ def _mor_read(
         meta_cols=bool(poss) or keep_meta,
     )
     if eqs:
-        key_col = _eq_key_col(eqs)
         df = df.join(
             _hint_small(
                 _eq_keys_frame(spark, table_dir, eqs),
                 sum(e["rows"] for e in eqs),
             ),
-            F.col(key_col).eqNullSafe(F.col("_ft_dkey"))
-            & (F.col("_ft_dseq") > F.col("_ft_seq")),
+            _eq_join_cond(_eq_key_cols(eqs)),
             "left_anti",
         ).drop("_ft_seq")
     if poss:
@@ -1151,7 +1174,7 @@ def _maybe_fold(
 def delete_keys_mor(
     spark: SparkSession,
     table_dir: str,
-    key_col: str,
+    key_col: str | list[str],
     keys: DataFrame,
     *,
     auto_fold_threshold: float | None = None,
@@ -1162,18 +1185,23 @@ def delete_keys_mor(
     apply the delete via ``read_table``'s anti join until
     ``fold_deletes`` compacts it away. The deleted keys' rows in data
     files with smaller seq disappear from every subsequent read; data
-    committed AFTER this delete is unaffected. With
-    ``auto_fold_threshold`` set, the write path consults
+    committed AFTER this delete is unaffected. ``key_col`` may name
+    SEVERAL columns (Iceberg v2 equality_ids over a composite key) —
+    a row is deleted when ALL of them match a delete row, null-safely.
+    With ``auto_fold_threshold`` set, the write path consults
     ``fold_pressure`` after the commit and folds when the ratio crosses
     it (see ``_maybe_fold``)."""
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     man = read_manifest(table_dir)
     cdir = _next_commit_dir(table_dir)
     with _pinned_file_count(spark):
-        keys.select(key_col).distinct().coalesce(1).write.mode("append").parquet(cdir)
+        keys.select(*key_cols).distinct().coalesce(1).write.mode("append").parquet(
+            cdir
+        )
     new = _collect_entries(spark, table_dir, cdir, [])
     for e in new:
         e["kind"] = "eqdelete"
-        e["key_col"] = key_col
+        e["key_cols"] = key_cols
     summary = {
         "delete_files": len(new),
         "delete_keys": sum(e["rows"] for e in new),
@@ -1255,15 +1283,13 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     # (dseq > file seq); position — the file names the delete files pin
     touched_names: set[str] = set()
     if eqs:
-        key_col = _eq_key_col(eqs)
         raw = _read_data(
             spark, table_dir, man, data, seq_col="_ft_seq", meta_cols=True
         )
         hit_rows = (
             raw.join(
                 F.broadcast(_eq_keys_frame(spark, table_dir, eqs)),
-                F.col(key_col).eqNullSafe(F.col("_ft_dkey"))
-                & (F.col("_ft_dseq") > F.col("_ft_seq")),
+                _eq_join_cond(_eq_key_cols(eqs)),
                 "left_semi",
             )
             .select("_ft_file")

@@ -1440,3 +1440,37 @@ def test_add_files_registers_in_place_without_rewrite(spark, tmp_path):
         ft.add_files(spark, td, os.path.join("data", "imported"))
     with pytest.raises(ValueError, match="subdirectory OF the table"):
         ft.add_files(spark, td, "..")
+
+
+def test_multi_column_equality_delete_and_fold(spark, tmp_path):
+    """Iceberg v2 equality deletes may key on SEVERAL columns
+    (composite equality_ids): a row dies only when ALL key columns
+    match a delete row (null-safely); later appends still resurrect;
+    fold compacts the composite delete away; renaming EITHER key column
+    of a live delete is refused."""
+    td = str(tmp_path / "mkey")
+    mk = lambda rows: spark.createDataFrame(rows, "a long, b long, d long")  # noqa: E731
+    ft.create_table(
+        mk([(1, 1, 10), (1, 2, 20), (2, 1, 30), (None, 1, 40)]),
+        td,
+        stats_cols=["d"],
+        n_files=1,
+    )
+    ft.delete_keys_mor(
+        spark, td, ["a", "b"],
+        spark.createDataFrame([(1, 1), (None, 1)], "a long, b long"),
+    )
+    got = sorted(r["d"] for r in ft.read_table(spark, td).collect())
+    assert got == [20, 30], "only full composite matches die (null-safe)"
+    with pytest.raises(ValueError, match="fold_deletes first"):
+        ft.rename_column(td, "b", "b2")
+    # resurrection: a later append re-adds the (1,1) key
+    ft.append_table(mk([(1, 1, 50)]), td, n_files=1)
+    got = sorted(r["d"] for r in ft.read_table(spark, td).collect())
+    assert got == [20, 30, 50]
+    ft.fold_deletes(spark, td)
+    assert not any(
+        e.get("kind") == "eqdelete" for e in ft.read_manifest(td)["entries"]
+    )
+    got = sorted(r["d"] for r in ft.read_table(spark, td).collect())
+    assert got == [20, 30, 50], "fold preserves composite-delete visibility"
