@@ -1060,6 +1060,8 @@ _cdf_ops = st.lists(
     st.one_of(
         st.tuples(st.just("append"), _ft_rows),
         st.tuples(st.just("cow_delete"), st.integers(0, 99)),
+        st.tuples(st.just("cow_update"), st.integers(0, 99)),
+        st.tuples(st.just("import"), _ft_rows),
         st.tuples(st.just("compact"), st.none()),
     ),
     min_size=1,
@@ -1084,19 +1086,31 @@ def test_changelog_table_matches_replica_snapshot_diffs(
 
     from spark_iceberg_jobs_spark.sources import filetable as ft
 
+    import os as _os
+
     td = str(tmp_path_factory.mktemp("cdfprop") / "t")
     mk = lambda rows: spark.createDataFrame(rows, "k long, d long")
     ft.create_table(mk(seed), td, stats_cols=["d"], cluster_by="d", n_files=2)
     snaps = {1: Counter(seed)}
     replica = list(seed)
     v = 1
-    for op, arg in ops:
+    for i, (op, arg) in enumerate(ops):
         if op == "append":
             ft.append_table(mk(arg), td, n_files=1)
             replica = replica + list(arg)
         elif op == "cow_delete":
             ft.delete_where(spark, td, "d", arg)
             replica = [(k, d) for k, d in replica if d > arg]
+        elif op == "cow_update":
+            from pyspark.sql import functions as _F
+
+            ft.update_where(spark, td, "d", arg, {"k": _F.col("k") + 1000})
+            replica = [(k + 1000 if d <= arg else k, d) for k, d in replica]
+        elif op == "import":
+            sub = _os.path.join("data", f"imp{i}")
+            mk(arg).coalesce(1).write.parquet(_os.path.join(td, sub))
+            ft.add_files(spark, td, sub)
+            replica = replica + list(arg)
         else:
             ft.compact_table(spark, td, target_bytes=1 << 16)
         v += 1
@@ -1113,6 +1127,7 @@ def test_changelog_table_matches_replica_snapshot_diffs(
 _feed_ops = st.lists(
     st.one_of(
         st.tuples(st.just("append"), _ft_rows),
+        st.tuples(st.just("import"), _ft_rows),
         st.tuples(st.just("compact"), st.none()),
     ),
     min_size=1,
@@ -1134,13 +1149,20 @@ def test_incremental_feed_exactly_once_under_expiry(
 
     from spark_iceberg_jobs_spark.sources import filetable as ft
 
+    import os as _os
+
     td = str(tmp_path_factory.mktemp("feedprop") / "t")
     mk = lambda rows: spark.createDataFrame(rows, "k long, d long")
     ft.create_table(mk(seed), td, stats_cols=["d"], cluster_by="d", n_files=2)
     replica = list(seed)
-    for op, arg in ops:
+    for i, (op, arg) in enumerate(ops):
         if op == "append":
             ft.append_table(mk(arg), td, n_files=1)
+            replica = replica + list(arg)
+        elif op == "import":
+            sub = _os.path.join("data", f"imp{i}")
+            mk(arg).coalesce(1).write.parquet(_os.path.join(td, sub))
+            ft.add_files(spark, td, sub)
             replica = replica + list(arg)
         else:
             ft.compact_table(spark, td, target_bytes=1 << 16)
