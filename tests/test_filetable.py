@@ -1474,3 +1474,61 @@ def test_multi_column_equality_delete_and_fold(spark, tmp_path):
     )
     got = sorted(r["d"] for r in ft.read_table(spark, td).collect())
     assert got == [20, 30, 50], "fold preserves composite-delete visibility"
+
+
+def test_planted_changelog_added_only_rule_is_wrong(spark, li_table):
+    """Kills the added-files-only wrong rule for CDF: a rewrite commit's
+    output files carry SURVIVOR rows forward — emitting every row of
+    every added file as an insert would report carried rows as changes.
+    The multiset identity (added ∖ removed) must cancel them: after a
+    pure-delete commit, the changelog contains NO inserts at all."""
+    td, _df = li_table
+    ft.delete_where(spark, td, "ship_dt", _mid(td, 0.4))  # v2: drops + rewrite
+    added = ft.plan_changelog(td, 1, 2)["added"]
+    assert added, "the rewrite did add files (the wrong rule has ammo)"
+    n_added_rows = sum(e["rows"] for e in added)
+    assert n_added_rows > 0, "carried survivors live in the added files"
+    ch = ft.changelog_table(spark, td, 1, 2)
+    kinds = {r["_change_type"] for r in ch.select("_change_type").distinct().collect()}
+    assert kinds == {"delete"}, (
+        "a DELETE-only commit must changelog zero inserts — carried rows cancel"
+    )
+
+
+def test_planted_update_cutoff_is_inclusive_on_min(tmp_path):
+    """Kills the strict-> wrong rule for UPDATE classification: a file
+    whose MIN equals the cutoff contains matching rows and must be
+    REWRITTEN — only min strictly above the cutoff may survive by
+    metadata."""
+    entries = [
+        {"path": "data/c000001/edge.parquet", "rows": 5, "bytes": 50, "seq": 1,
+         "stats": {"k": [10, 20]}, "nulls": {"k": 0}},   # min == cutoff -> rewrite
+        {"path": "data/c000001/above.parquet", "rows": 5, "bytes": 50, "seq": 1,
+         "stats": {"k": [11, 30]}, "nulls": {"k": 0}},   # min > cutoff -> untouched
+    ]
+    td = _plant_manifest(tmp_path, entries, {"k": "long"})
+    man = ft.read_manifest(td)
+    bounds = ft._decode_bounds(man, "k")
+    cutoff = 10
+    cls = [
+        "untouched" if bounds(e)[0] > cutoff else "rewrite" for e in man["entries"]
+    ]
+    assert cls == ["rewrite", "untouched"]
+
+
+def test_planted_decimal_bound_directed_rounding_pure():
+    """The encoder's directed rounding, pinned without Spark: for a
+    Decimal that float() rounds DOWN, the max-encoder must step UP
+    (and symmetrically for min) — equality at representable values
+    stays exact (no gratuitous widening)."""
+    from decimal import Decimal
+
+    up = ft._enc_double(Decimal("100.000000000000000001"), True)
+    down = ft._enc_double(Decimal("100.000000000000000001"), False)
+    assert Decimal(up) >= Decimal("100.000000000000000001")
+    assert Decimal(down) <= Decimal("100.000000000000000001")
+    assert up > down, "the bound pair must bracket the true value"
+    # representable values round-trip exactly in both directions
+    assert ft._enc_double(Decimal("2.5"), True) == 2.5
+    assert ft._enc_double(Decimal("2.5"), False) == 2.5
+    assert ft._enc_double(3.25, True) == 3.25
