@@ -195,6 +195,20 @@ def _commit_manifest(
                 raise CommitConflictError(
                     "concurrent schema change; re-plan the append"
                 )
+            # The rebase assumption — appended files are disjoint from the
+            # winner's entry list — holds by construction for append_table
+            # (fresh CAS-claimed commit dirs) but NOT for caller-chosen
+            # import paths (ADVICE r11: two concurrent add_files of the
+            # same subdir both passed the pre-lock dup check and the
+            # rebase double-registered the files). Re-check under the lock.
+            dup = {e["path"] for e in rebase_append} & {
+                e["path"] for e in cur_man["entries"]
+            }
+            if dup:
+                raise CommitConflictError(
+                    f"concurrent commit already registered {sorted(dup)[:3]}; "
+                    "files cannot be added twice"
+                )
             manifest["entries"] = cur_man["entries"] + rebase_append
             manifest["names_at_seq"] = dict(cur_man.get("names_at_seq", {}))
             manifest["stats_types"] = cur_man["stats_types"]
@@ -534,6 +548,31 @@ def add_files(spark: SparkSession, table_dir: str, src_subdir: str) -> int:
             f"imported columns {sorted(df.columns)} != current schema "
             f"{sorted(cur.values())}"
         )
+    # TYPE validation (ADVICE r11): names alone are not enough — a legacy
+    # dump with matching names but different physical types would register
+    # silently, and its stat encoders (derived from the imported df) could
+    # disagree with man['stats_types'], encoding bounds in one domain and
+    # decoding them in another (mis-planned scans or decode failures).
+    sch = man.get("schema")
+    if sch is not None:
+        expected = {f["name"]: f["type"] for f in sch["fields"]}
+        bad = {
+            c: (t, expected[c])
+            for c, t in df.dtypes
+            if c in expected and t != expected[c]
+        }
+        if bad:
+            raise ValueError(
+                "imported column types differ from the table schema: "
+                + ", ".join(f"{c} is {t!r}, expected {x!r}" for c, (t, x) in sorted(bad.items()))
+            )
+    for c, want in man["stats_types"].items():
+        got = _stat_type(df, c)
+        if got != want:
+            raise ValueError(
+                f"imported stats column {c!r} encodes as {got!r} but the "
+                f"manifest records {want!r}; types must match exactly"
+            )
     new = _collect_entries(spark, table_dir, src, list(man["stats_types"]))
     if not new:
         raise ValueError(f"no parquet files under {src!r}")
@@ -711,6 +750,28 @@ def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
 
 def manifest_parquet_dir(table_dir: str, version: int) -> str:
     return os.path.join(_meta_dir(table_dir), f"entries_m{version:06d}")
+
+
+def _header_path(table_dir: str, version: int) -> str:
+    return os.path.join(_meta_dir(table_dir), f"hdr_m{version:06d}.json")
+
+
+def read_manifest_header(table_dir: str, version: int | None = None) -> dict:
+    """The manifest WITHOUT its entry list — schema, names_at_seq,
+    stats_types, parent: everything the read path needs for schema
+    resolution, at O(schema) size. Written alongside the parquet
+    manifest table by ``write_manifest_parquet``, so the two-level read
+    path never parses the O(#files) JSON manifest; falls back to
+    stripping the full manifest when no sidecar exists yet (cold path,
+    paid once per version)."""
+    if version is None:
+        version = current_manifest_version(table_dir)
+    try:
+        with open(_header_path(table_dir, version)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        man = read_manifest(table_dir, version)
+        return {k: v for k, v in man.items() if k != "entries"}
 
 
 def write_manifest_parquet(
@@ -1949,6 +2010,20 @@ def commit_delta_paths(table_dir: str, version: int) -> list[str]:
 #: maintenance_incremental_scan's rewrites_in_range leg reports)
 REPLACE_OPERATIONS = frozenset({"compact", "fold-deletes", "rewrite-layout"})
 
+#: commit operations that change only METADATA (schema / spec evolution):
+#: zero file delta, zero row delta — an incremental consumer skips them
+#: (ADVICE r11: raising on them hard-failed every consumer the moment a
+#: mid-history add-column landed, even though no rows were removed)
+METADATA_OPERATIONS = frozenset(
+    {"add-column", "rename-column", "drop-column", "evolve-spec"}
+)
+
+
+def _live_delete_kinds(man: dict) -> list[str]:
+    return sorted(
+        {e["kind"] for e in man["entries"] if e.get("kind", "data") != "data"}
+    )
+
 
 def incremental_feed(table_dir: str, *, since_version: int | None = None) -> list[dict]:
     """The commit-log feed an incremental (streaming) consumer ingests
@@ -2007,6 +2082,15 @@ def incremental_feed(table_dir: str, *, since_version: int | None = None) -> lis
             )
         prev = chain[idx]
         chain = chain[idx + 1 :]
+        # a resume base carrying live MOR deletes is as unsound as a
+        # bootstrap with them (ADVICE r11): its raw data-file list is
+        # NOT what a consumer of the visible rows ingested
+        if _live_delete_kinds(prev):
+            raise ValueError(
+                f"checkpoint version {since_version} carries live delete "
+                f"files ({_live_delete_kinds(prev)}); fold_deletes before "
+                "checkpointing, or re-bootstrap from a folded snapshot"
+            )
         resume_paths = {
             e["path"] for e in prev["entries"] if e.get("kind", "data") == "data"
         }
@@ -2020,9 +2104,31 @@ def incremental_feed(table_dir: str, *, since_version: int | None = None) -> lis
             e["path"] for e in man["entries"] if e.get("kind", "data") == "data"
         ]
         if prev_paths is None:
+            # BOOTSTRAP guard (ADVICE r11, the medium one): a bootstrap
+            # snapshot carrying live eqdelete/posdelete/dv entries would
+            # feed raw data-file paths and silently re-surface deleted
+            # rows, breaking the exactly-once contract. Loud, like the
+            # mid-chain delete-commit case below.
+            if _live_delete_kinds(man):
+                raise ValueError(
+                    f"bootstrap snapshot {man['version']} carries live "
+                    f"delete files ({_live_delete_kinds(man)}) — its data "
+                    "files over-deliver deleted rows; run fold_deletes "
+                    "before bootstrapping an incremental consumer"
+                )
             kind, paths = "bootstrap", data_paths
         elif op in REPLACE_OPERATIONS:
             kind, paths = "replace-skip", []
+        elif op in METADATA_OPERATIONS:
+            # schema/spec evolution: zero file delta by construction —
+            # assert it (a metadata op that DID move files would mean a
+            # new verb was misclassified) and skip
+            if set(data_paths) != prev_paths:
+                raise ValueError(
+                    f"metadata commit {man['version']} ({op!r}) changed the "
+                    "data file set; refusing to skip it"
+                )
+            kind, paths = "metadata-skip", []
         elif op in ("append", "create", "add-files"):
             kind = "delta"
             paths = [p for p in data_paths if p not in prev_paths]

@@ -1532,3 +1532,123 @@ def test_planted_decimal_bound_directed_rounding_pure():
     assert ft._enc_double(Decimal("2.5"), True) == 2.5
     assert ft._enc_double(Decimal("2.5"), False) == 2.5
     assert ft._enc_double(3.25, True) == 3.25
+
+
+def test_incremental_feed_bootstrap_with_live_deletes_raises(spark, tmp_path):
+    """ADVICE r11 (medium): a bootstrap snapshot carrying live MOR
+    deletes must RAISE, not feed raw data-file paths — the exact replay
+    (create -> delete_keys_mor -> append -> expire keep_last=2) used to
+    deliver 110 rows where only 90 are visible."""
+    td = str(tmp_path / "bootdel")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(100)]), td, stats_cols=["d"], n_files=2)
+    ft.delete_keys_mor(
+        spark, td, "k", spark.createDataFrame([(i,) for i in range(10)], "k long")
+    )
+    ft.append_table(mk([(i, i) for i in range(100, 120)]), td, n_files=1)
+    ft.expire_table(td, keep_last=2)  # bootstrap is now the delete-mor commit
+    assert ft.read_table(spark, td).count() == 110
+    with pytest.raises(ValueError, match="live delete files"):
+        ft.incremental_feed(td)
+    # the resume base is guarded the same way: a checkpoint taken at a
+    # snapshot with live deletes is not a sound ingestion record
+    delete_v = ft.current_manifest_version(td) - 1
+    with pytest.raises(ValueError, match="live delete"):
+        ft.incremental_feed(td, since_version=delete_v)
+    # folding drains the delete set; once the pre-fold history expires,
+    # the feed bootstraps from the folded snapshot and delivers exactly
+    # the visible rows
+    ft.fold_deletes(spark, td)
+    ft.expire_table(td, keep_last=1)
+    feed = ft.incremental_feed(td)
+    assert feed[0]["kind"] == "bootstrap"
+    rows = [
+        r["k"]
+        for b in feed
+        if b["paths"]
+        for r in spark.read.parquet(*b["paths"]).collect()
+    ]
+    assert sorted(rows) == sorted(
+        r["k"] for r in ft.read_table(spark, td).collect()
+    )
+
+
+def test_incremental_feed_skips_metadata_only_commits(spark, tmp_path):
+    """ADVICE r11: schema/spec evolution commits remove no rows — the
+    feed skips them (kind 'metadata-skip') instead of hard-failing
+    every consumer whose table evolved mid-history."""
+    td = str(tmp_path / "metaskip")
+    mk = lambda rows, s="k long, d long": spark.createDataFrame(rows, s)  # noqa: E731
+    ft.create_table(mk([(1, 1), (2, 2)]), td, stats_cols=["d"], n_files=1)
+    ft.add_column(td, "note", "string")
+    ft.append_table(
+        mk([(3, 3, "x")], "k long, d long, note string"), td, n_files=1
+    )
+    ft.rename_column(td, "note", "comment")
+    ft.evolve_stats_spec(td, ["d"])
+    feed = ft.incremental_feed(td)
+    assert [b["kind"] for b in feed] == [
+        "bootstrap", "metadata-skip", "delta", "metadata-skip", "metadata-skip"
+    ]
+    assert all(b["paths"] == [] for b in feed if b["kind"] == "metadata-skip")
+    # checkpointed resume across a metadata commit works too
+    feed2 = ft.incremental_feed(td, since_version=feed[0]["version"])
+    assert [b["kind"] for b in feed2] == [
+        "metadata-skip", "delta", "metadata-skip", "metadata-skip"
+    ]
+    assert len(feed2[1]["paths"]) == 1
+
+
+def test_add_files_type_mismatch_raises(spark, tmp_path):
+    """ADVICE r11: add_files validates TYPES, not just names — a legacy
+    dump whose columns decode in a different domain must be refused
+    (its bounds would encode in one domain and decode in another)."""
+    td = str(tmp_path / "addtypes")
+    ft.create_table(
+        spark.createDataFrame([(1, 10)], "k long, d long"),
+        td, stats_cols=["d"], n_files=1,
+    )
+    bad = os.path.join(td, "data", "badtypes")
+    spark.createDataFrame([(2.0, 20.0)], "k double, d double").coalesce(
+        1
+    ).write.parquet(bad)
+    with pytest.raises(ValueError, match="types"):
+        ft.add_files(spark, td, os.path.join("data", "badtypes"))
+    # the table is unchanged — no partial registration
+    assert ft.read_manifest(td)["operation"] == "create"
+
+
+def test_add_files_concurrent_double_register_conflicts(spark, tmp_path):
+    """ADVICE r11: two concurrent add_files of the SAME subdir both pass
+    the pre-lock duplicate check; the rebase branch must re-check path
+    uniqueness under the commit lock and refuse the second commit."""
+    td = str(tmp_path / "addrace")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(1, 10)]), td, stats_cols=["d"], n_files=1)
+    imported = os.path.join(td, "data", "race")
+    mk([(2, 20)]).coalesce(1).write.parquet(imported)
+    base = ft.read_manifest(td)  # both committers plan from here
+    v = ft.add_files(spark, td, os.path.join("data", "race"))  # committer A wins
+    new_entries = [
+        e for e in ft.read_manifest(td, v)["entries"] if "race" in e["path"]
+    ]
+    assert new_entries
+    # committer B replays add_files' commit from the stale plan: the
+    # pre-lock dup check passed (base had no race/ files), so only the
+    # in-lock rebase guard stands between it and double registration
+    with pytest.raises(ft.CommitConflictError, match="added twice"):
+        ft._commit_manifest(
+            td,
+            ft._inherit_schema(base, {
+                "operation": "add-files",
+                "stats_types": base["stats_types"],
+                "summary": {},
+                "entries": base["entries"] + new_entries,
+            }, adds_files=True),
+            base_version=base["version"],
+            rebase_append=new_entries,
+        )
+    # exactly one registration survived
+    paths = [e["path"] for e in ft.read_manifest(td)["entries"]]
+    assert len(paths) == len(set(paths))
+    assert ft.read_table(spark, td).count() == 2
