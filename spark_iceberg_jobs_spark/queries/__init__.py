@@ -133,79 +133,91 @@ class QuerySpec:
 #       r6-stale entries filling to 50. Tier membership is computed from
 #       the frozen artifacts by test_driver_window_r11_policy — no
 #       hand-written counts, same machine-owned arithmetic as r10.
+#   r12 window (staleness frozen at r01–r11): keeps + plan-changed
+#       (lake_skipping_scan / lake_zorder_box_scan — scan_range/scan_box
+#       now route through the two-level plan_scan_auto dispatch, VERDICT
+#       r11 item 3; lake_bloom_point_lookup — bloom planning now runs
+#       off the version-checked sidecar alone and the lookup gained the
+#       parquet-manifest large-table path; lake_maintenance_window —
+#       incremental_feed gained the bootstrap/resume live-delete guards
+#       and metadata-skip kind, ADVICE r11; lake_add_files_import —
+#       add_files gained type validation + the in-lock dup re-check,
+#       ADVICE r11) + the new entries (lake_dv_serve, VERDICT r11 item
+#       1; lake_merge_mor, item 2; lake_gc_orphans, item 4;
+#       lake_spj_bucketed_join, item 5) + ALL remaining r6-stale entries
+#       + the alphabetically-oldest r7-stale entries filling to 50.
+#       Tier membership is computed from the frozen artifacts by
+#       test_driver_window_r12_policy — machine-owned, as since r10.
 DRIVER_WINDOW = 50
 
-_R11_PERMANENT_KEEPS = [
-    "flagship_revenue_topk",  # README.md:17 headline; r1..r10 green
+_R12_PERMANENT_KEEPS = [
+    "flagship_revenue_topk",  # README.md:17 headline; r1..r11 green
     "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
 ]
 
-_R11_CHANGED = [
-    # executed verbs materially changed by the ADVICE r10 fixes — their
-    # builds run different classification/publish logic, so they ride
-    # for a fresh verdict even though last scored in r10
-    "lake_cow_delete",
-    "lake_branch_wap",
+_R12_CHANGED = [
+    # executed verbs materially changed this round — they ride for a
+    # fresh verdict even though last scored green earlier
+    "lake_skipping_scan",  # scan_range -> plan_scan_auto routing (r11 item 3)
+    "lake_zorder_box_scan",  # scan_box -> plan_scan_box_auto routing
+    "lake_bloom_point_lookup",  # sidecar-only bloom planning + job-path lookup
+    "lake_maintenance_window",  # incremental_feed guards + metadata-skip
+    "lake_add_files_import",  # add_files type validation + in-lock dup check
 ]
 
-_R11_NEW = [
-    # never driver-scored, must ride per Invariant 1 (each addition
-    # displaces the newest stale slot, per the documented policy)
-    "lake_fold_gate_serve",  # the fold-pressure valve firing end-to-end
-    "lake_changelog_delta",  # manifest-delta CDF (reads only changed files)
-    "lake_maintenance_window",  # compact → expire → incremental consume
-    "lake_update_where",  # executed row-level CoW UPDATE
-    "lake_add_files_import",  # copy-free migrate-in-place
+_R12_NEW = [
+    # never driver-scored, must ride per Invariant 1
+    "lake_dv_serve",  # deletion vectors: flat MOR serve with NO fold
+    "lake_merge_mor",  # MERGE INTO, merge-on-read: zero data rewrites
 ]
 
-_R11_STALE_REFRESH = [
-    # ALL remaining entries whose last driver verdict is round 5
+_R12_STALE_REFRESH = [
+    # ALL remaining entries whose last driver verdict is round 6
     # (alphabetical; membership asserted from the frozen artifacts)
-    "events_ohlc_hourly",
-    "events_time_weighted_value",
-    "graph_dup_triangles",
-    "grouped_trend_by_nation",
-    "join_full_outer_nation_activity",
-    "join_null_safe_segments",
-    "lateral_top_order_per_customer",
-    "mine_hard_negatives",
-    "nation_trade_corridors",
-    "orders_backlog_aging",
-    "page_orders_keyset",
-    "part_price_dispersion",
-    "part_substitutes",
-    "retrieval_query_expansion",
-    "rollup_incremental_merge",
-    "scd2_point_in_time_revenue",
-    "setops_except_all",
-    "sim_dim_truncation_recall",
-    "skew_profile_lineitem_suppkey",
-    "source_python_datasource_agg",
-    "split_leakage_safe",
-    "stats_trimmed_mean_by_priority",
-    "streaming_upsert_user_totals",
-    "stringagg_types_by_brand",
-    "supplier_delivery_sla",
-    "text_bigram_logprob",
-    "text_char_entropy",
-    "text_code_switching",
-    "text_distinctive_terms",
-    "text_novelty_by_source",
-    "window_trailing_spend_range",
-    # the alphabetically-oldest r6-stale entries, filling the window
-    # (the remainder leads r12's refresh tier)
-    "align_mutual_nearest",
-    "cluster_topic_labels",
-    "curriculum_quality_phases",
-    "dataset_shard_balance",
-    "dedup_minhash_lsh",
-    "dedup_minhash_quality",
-    "drift_js_tokens",
-    "drift_psi_length",
-    "events_activity_heatmap",
-    "events_changepoint_daily",
+    "events_ewma_daily",
+    "events_funnel_windowed",
+    "events_growth_accounting",
+    "events_pareto_concentration",
+    "events_props_variant",
+    "events_session_incident_overlap",
+    "events_stickiness_dau_wau",
+    "events_top_paths",
+    "events_type_affinity",
+    "mixture_token_budget_epochs",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_image_entropy",
+    "multimodal_image_histogram",
+    "pii_detect_redact",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_type_profit",
+    "quality_outliers_mad",
+    "quality_repetition_topgram",
+    "retrieval_mmr_rerank",
+    "sample_k_per_group",
+    "sample_weighted_reservoir",
+    "snapshot_diff_by_lang",
+    "streaming_purchase_click_join",
+    "streaming_static_enrichment",
+    "streaming_trending_types",
+    "text_bpe_compression",
+    "text_chunk_overlap",
+    "text_diversity_distinct_n",
+    "text_tokenizer_fertility",
+    # the alphabetically-oldest r7-stale entries, filling the window
+    # (the remainder leads r13's refresh tier)
+    "a1_top_customer_by_avg_quantity",
+    "a2_top_orderpriority",
+    "a3_top_region_by_orders",
+    "a4_brand_quantity_by_nation",
+    "approx_distinct_custkeys",
+    "argmax_customer_per_nation",
+    "copartitioned_join_agg",
+    "cube_order_stats",
 ]
-
 
 def _merged() -> dict[str, QuerySpec]:
     from . import (  # local import to avoid cycles
@@ -227,7 +239,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R11_PERMANENT_KEEPS + _R11_CHANGED + _R11_NEW + _R11_STALE_REFRESH
+    head = _R12_PERMANENT_KEEPS + _R12_CHANGED + _R12_NEW + _R12_STALE_REFRESH
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

@@ -355,6 +355,72 @@ ORDER BY c_mktsegment
 """
 
 
+def lake_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 3-clause MERGE as ``lake_merge_into`` — same source, same
+    clause set, same oracle (LAKE_MERGE_ORACLE, shared verbatim) —
+    executed MERGE-ON-READ (VERDICT r11 item 2, Iceberg v2
+    ``write.merge.mode = merge-on-read``): matched keys land in ONE
+    equality-delete file, updates/inserts append at the same sequence,
+    and the build refuses to publish if ANY pre-merge data file was
+    rewritten (the physical claim: files_rewritten == 0, every prior
+    path survives). The serve pays the standard MOR anti join instead
+    of CoW's write-time rewrite — the read/write cost trade the two
+    modes exist to offer, measured at 64× in SCALE.md §Round-12.
+
+    Scale: commit cost is O(candidates' visible rows + source) with no
+    rewrite amplification; the delete file is one broadcast-sized key
+    set until fold_pressure fires."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"
+            ),
+            staging,
+            stats_cols=["c_custkey"],
+            cluster_by="c_custkey",
+            n_files=16,
+        )
+        man = ft.read_manifest(staging)
+        before = {e["path"] for e in man["entries"]}
+        max_key = max(int(e["stats"]["c_custkey"][1]) for e in man["entries"])
+        src = _merge_source(spark, sf_dir, max_key)
+        ten_pct = F.lit("0.10").cast("decimal(3,2)")
+        summary = ft.merge_into_mor(
+            spark,
+            staging,
+            src,
+            on=("c_custkey", "k"),
+            when_matched_delete=F.col("s.n_ord") >= F.lit(_MERGE_CHURN_MIN_ORDERS),
+            when_matched_update={
+                "c_acctbal": (
+                    money(F.col("t.c_acctbal")) + F.col("s.spend") * ten_pct
+                ).cast("double")
+            },
+            when_not_matched_insert={
+                "c_custkey": F.col("s.k"),
+                "c_mktsegment": F.lit("NEWACCT"),
+                "c_nationkey": F.col("s.k") % 25,
+                "c_acctbal": (F.col("s.spend") * ten_pct).cast("double"),
+            },
+        )
+        after = {e["path"] for e in ft.read_manifest(staging)["entries"]}
+        if summary["files_rewritten"] != 0 or not before <= after:
+            raise ValueError("MOR merge rewrote a data file; publish refused")
+        if summary["delete_files_added"] != 1:
+            raise ValueError("MOR merge must commit exactly one delete file")
+
+    table_dir = _served_table(sf_dir, "lakemmor_", "customer", "lakemmor-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dec_sum(quantized("c_acctbal", 4)).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # lake_stream_commits — incremental (streaming) consumption of the commit log
 # ---------------------------------------------------------------------------
@@ -1371,7 +1437,7 @@ def lake_fold_gate_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         # the gate must have drained the delete set: publishing a table
         # with live deletes here would mean the valve never fired
-        data, eqs, poss = ft._split_entries(ft.read_manifest(staging))
+        data, eqs, poss, dvs = ft._split_entries(ft.read_manifest(staging))
         if eqs or poss:
             raise ValueError(
                 f"fold gate never drained the delete set ({len(eqs) + len(poss)} "
@@ -1402,6 +1468,83 @@ ORDER BY order_month
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_dv_serve — deletion-vector MOR serve, flat BEFORE any fold
+# ---------------------------------------------------------------------------
+
+_DV_SLICES = 4
+_DV_MODULUS = 100
+
+
+def lake_dv_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals served against live DELETION VECTORS (VERDICT r11
+    item 1 — the Iceberg v3 / Delta DV shape): the build accumulates
+    four ~1% position-delete commits through
+    ``filetable.delete_positions_dv`` and NEVER folds — each commit
+    merges its positions into at most one vector per data file, so the
+    serve applies one file-local membership filter whose cost is flat
+    in the number of delete commits. This is the structural fix for the
+    tail ``lake_pos_delete`` keeps measurable (its delete-FILE flavor
+    accumulates an anti join per unfolded commit;
+    ``lake_fold_gate_serve`` closes that tail by rewriting — DVs close
+    it without rewriting anything). The publish gate pins the
+    invariants: zero eq/pos delete files, at most one DV per data file,
+    zero data files rewritten since create.
+
+    Scale: serve = clean files as a pure JVM scan ∪ dv'd files filtered
+    by an Arrow-vectorized per-file membership check bounded by the
+    manifest's DV row sum; SCALE.md §Round-12 shows the 256× serve flat
+    across all four unfolded delete commits."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                F.to_date("o_orderdate").alias("order_dt"),
+                "o_totalprice",
+            ),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=24,
+        )
+        n_data = len(ft.read_manifest(staging)["entries"])
+        for i in range(_DV_SLICES):
+            ft.delete_positions_dv(
+                spark, staging, F.col("o_orderkey") % _DV_MODULUS == i
+            )
+        data, eqs, poss, dvs = ft._split_entries(ft.read_manifest(staging))
+        targets = [e["target"] for e in dvs]
+        if eqs or poss or len(targets) != len(set(targets)):
+            raise ValueError("DV invariant broken: non-DV deletes or dup vectors")
+        if len(data) != n_data:
+            raise ValueError("DV commits must never rewrite data files")
+
+    table_dir = _served_table(sf_dir, "lakedv_", "orders", "lakedv-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+LAKE_DV_SERVE_ORACLE = f"""
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders
+WHERE o_orderkey % {_DV_MODULUS} >= {_DV_SLICES}
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -1427,4 +1570,10 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_maintenance_window": QuerySpec(lake_maintenance_window, LAKE_MAINT_WINDOW_ORACLE),
     "lake_update_where": QuerySpec(lake_update_where, LAKE_UPDATE_ORACLE),
     "lake_add_files_import": QuerySpec(lake_add_files_import, LAKE_ADD_FILES_ORACLE),
+    # third headline (r12): the deletion-vector serve — flat with NO
+    # fold, benched so a regression in the DV read path is visible
+    "lake_dv_serve": QuerySpec(lake_dv_serve, LAKE_DV_SERVE_ORACLE, headline=True),
+    # the MOR MERGE twin shares the CoW query's oracle verbatim — same
+    # MERGE semantics, different physical plan (r12)
+    "lake_merge_mor": QuerySpec(lake_merge_mor, LAKE_MERGE_ORACLE),
 }

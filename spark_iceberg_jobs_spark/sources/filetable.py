@@ -60,6 +60,7 @@ import os
 from contextlib import contextmanager as _contextmanager
 from decimal import Decimal as _Decimal
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -742,6 +743,7 @@ def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
     return {
         "paths": [os.path.join(table_dir, e["path"]) for e in keep],
         "entries": keep,
+        "planner": "driver",
         "files_read": len(keep),
         "files_skipped": skipped,
         "files_total": len(manifest["entries"]),
@@ -798,10 +800,22 @@ def write_manifest_parquet(
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     man = read_manifest(table_dir, version)
+    # header sidecar: the manifest minus entries (O(schema) bytes) —
+    # what read_manifest_header serves so the job-path READ never
+    # parses the O(#files) JSON either
+    hp = _header_path(table_dir, version)
+    if not os.path.exists(hp):
+        tmp = f"{hp}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({k: v for k, v in man.items() if k != "entries"}, f)
+        os.replace(tmp, hp)
     stats_cols = list(man["stats_types"])
     decs = {c: _STAT_DECODERS[man["stats_types"][c]] for c in stats_cols}
     sql_t = {"date": "date", "long": "long", "double": "double", "string": "string"}
-    fields = ["path string", "kind string", "seq long", "n_rows long", "n_bytes long"]
+    fields = [
+        "path string", "kind string", "seq long", "n_rows long", "n_bytes long",
+        "key_cols string",  # eqdelete equality_ids, JSON-encoded (else null)
+    ]
     for c in stats_cols:
         t = sql_t[man["stats_types"][c]]
         fields += [f"min_{c} {t}", f"max_{c} {t}", f"nulls_{c} long"]
@@ -813,6 +827,7 @@ def write_manifest_parquet(
             e.get("seq", 0),
             e["rows"],
             e["bytes"],
+            json.dumps(_entry_key_cols(e)) if e.get("kind") == "eqdelete" else None,
         ]
         for c in stats_cols:
             s = e["stats"].get(c)
@@ -871,10 +886,14 @@ def plan_scan_spark(
             "plan_scan_spark on a table with live delete files — run "
             "fold_deletes first"
         )
-    kept = sorted(r["path"] for r in mt.filter(cond).select("path").collect())
+    kept = sorted(
+        (r["path"], r["seq"]) for r in mt.filter(cond).select("path", "seq").collect()
+    )
     return {
-        "paths": [os.path.join(table_dir, p) for p in kept],
+        "paths": [os.path.join(table_dir, p) for p, _s in kept],
         "entries": None,  # see docstring: the job path returns paths only
+        "path_seqs": kept,  # (rel path, commit seq) for schema resolution
+        "planner": "spark",
         "files_read": totals["n_keep"],
         "files_skipped": totals["n"] - totals["n_keep"],
         "files_total": totals["n"],
@@ -923,14 +942,31 @@ def plan_scan_box_spark(spark: SparkSession, table_dir: str, preds: dict) -> dic
             "plan_scan_box_spark on a table with live delete files — run "
             "fold_deletes first"
         )
-    kept = sorted(r["path"] for r in mt.filter(cond).select("path").collect())
+    kept = sorted(
+        (r["path"], r["seq"]) for r in mt.filter(cond).select("path", "seq").collect()
+    )
     return {
-        "paths": [os.path.join(table_dir, p) for p in kept],
+        "paths": [os.path.join(table_dir, p) for p, _s in kept],
         "entries": None,
+        "path_seqs": kept,
+        "planner": "spark",
         "files_read": totals["n_keep"],
         "files_skipped": totals["n"] - totals["n_keep"],
         "files_total": totals["n"],
     }
+
+
+def _over_plan_threshold(table_dir: str, threshold: int | None) -> bool:
+    """The dispatch probe: manifest FILE size over a bytes/entry
+    approximation — parsing the JSON to count entries would pay exactly
+    the cost the dispatch exists to avoid. ``threshold=None`` reads the
+    module-level PLAN_SPARK_THRESHOLD at call time (monkeypatchable —
+    the routing pin in test_filetable forces the job path this way)."""
+    if threshold is None:
+        threshold = PLAN_SPARK_THRESHOLD
+    v = current_manifest_version(table_dir)
+    approx = os.path.getsize(_manifest_path(table_dir, v)) // _MANIFEST_BYTES_PER_ENTRY
+    return approx > threshold
 
 
 def plan_scan_auto(
@@ -940,20 +976,41 @@ def plan_scan_auto(
     lo=None,
     hi=None,
     *,
-    threshold: int = PLAN_SPARK_THRESHOLD,
+    threshold: int | None = None,
 ) -> dict:
     """Two-level planning dispatch: small manifests prune driver-side
     (``plan_scan`` — O(#files) metadata, no job overhead), large ones as
     a Spark job (``plan_scan_spark``). Both return the identical file
-    set (test-pinned), so callers never see which side planned. The
-    size probe is the manifest FILE size (bytes/entry approximation) —
-    parsing the JSON to count entries would pay exactly the cost the
-    dispatch exists to avoid."""
-    v = current_manifest_version(table_dir)
-    approx = os.path.getsize(_manifest_path(table_dir, v)) // _MANIFEST_BYTES_PER_ENTRY
-    if approx <= threshold:
+    set (test-pinned), so callers never see which side planned; the
+    returned ``planner`` key records which did. As of r12 this IS the
+    default planning path — ``scan_range`` routes through it (VERDICT
+    r11 item 3), so past the threshold the public read API plans as a
+    job with no O(#files) JSON parse on the warm path."""
+    if not _over_plan_threshold(table_dir, threshold):
         return plan_scan(table_dir, col, lo, hi)
     return plan_scan_spark(spark, table_dir, col, lo, hi)
+
+
+def plan_scan_box_auto(
+    spark: SparkSession, table_dir: str, preds: dict, *, threshold: int | None = None
+) -> dict:
+    """Two-level dispatch for multi-column (box) planning — the
+    ``scan_box`` twin of ``plan_scan_auto``."""
+    if not _over_plan_threshold(table_dir, threshold):
+        return plan_scan_box(table_dir, preds)
+    return plan_scan_box_spark(spark, table_dir, preds)
+
+
+def _read_planned(spark: SparkSession, table_dir: str, plan: dict) -> DataFrame:
+    """Read a plan's surviving files with schema resolution, off EITHER
+    planner's output: the driver plan carries full entry dicts; the job
+    plan carries (path, seq) pairs and resolves the schema through the
+    O(schema) header sidecar — never the O(#files) JSON manifest."""
+    if plan.get("entries") is not None:
+        return _read_data(spark, table_dir, read_manifest(table_dir), plan["entries"])
+    hdr = read_manifest_header(table_dir)
+    entries = [{"path": p, "seq": s} for p, s in plan["path_seqs"]]
+    return _read_data(spark, table_dir, hdr, entries)
 
 
 def _require_no_live_deletes(man: dict, verb: str) -> None:
@@ -963,17 +1020,20 @@ def _require_no_live_deletes(man: dict, verb: str) -> None:
     inline; requiring an explicit fold is this layer's documented
     boundary, and the bloom index's manifest-version stamp catches the
     reverse order (delete landing after a build)."""
-    if any(e.get("kind") in ("eqdelete", "posdelete") for e in man["entries"]):
+    if any(e.get("kind", "data") != "data" for e in man["entries"]):
         raise ValueError(
             f"{verb} on a table with live delete files — run fold_deletes first"
         )
 
 
-def _split_entries(man: dict) -> tuple[list[dict], list[dict], list[dict]]:
+def _split_entries(
+    man: dict,
+) -> tuple[list[dict], list[dict], list[dict], list[dict]]:
     data = [e for e in man["entries"] if e.get("kind", "data") == "data"]
     eqs = [e for e in man["entries"] if e.get("kind") == "eqdelete"]
     poss = [e for e in man["entries"] if e.get("kind") == "posdelete"]
-    return data, eqs, poss
+    dvs = [e for e in man["entries"] if e.get("kind") == "dv"]
+    return data, eqs, poss, dvs
 
 
 def _current_names(man: dict) -> dict[str, str] | None:
@@ -1169,27 +1229,114 @@ def _hint_small(df: DataFrame, n_rows: int) -> DataFrame:
     return F.broadcast(df) if n_rows <= MOR_BROADCAST_MAX_ROWS else df
 
 
+def _dv_pos_frame(spark: SparkSession, table_dir: str, dvs: list[dict]) -> DataFrame:
+    """The live DV rows — ``(_dv_target, _dv_pos array<long>)`` — for the
+    given dv entries: each sidecar parquet is read once, filtered to the
+    targets whose LIVE entry points at it (a superseded target's stale
+    row in an older sidecar is never served — its entry was replaced by
+    the merge commit)."""
+    by_path: dict[str, list[str]] = {}
+    for e in dvs:
+        by_path.setdefault(e["path"], []).append(e["target"])
+    out = None
+    for path, targets in sorted(by_path.items()):
+        part = spark.read.parquet(os.path.join(table_dir, path)).filter(
+            F.col("_dv_target").isin(targets)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _apply_dv_filter(
+    spark: SparkSession, table_dir: str, dvs: list[dict], df: DataFrame
+) -> DataFrame:
+    """Apply deletion vectors FILE-LOCALLY (VERDICT r11 item 1): each
+    row's (_ft_file, _ft_pos) coordinate checks membership in its OWN
+    file's position set — an Arrow-vectorized predicate over a broadcast
+    of {file → sorted positions}, not a join. Cost is O(rows of dv'd
+    files) regardless of how many delete commits accumulated, because
+    commits MERGE per-file vectors (at most one live DV per data file).
+    Memory is bounded by total deleted positions (8 B each, the
+    manifest's dv row sum — zero cost to consult); past
+    ``MOR_BROADCAST_MAX_ROWS`` the read falls back to a shuffled anti
+    join on the exploded coordinates, the same valve as the other MOR
+    flavors (fold_deletes remains the real fix)."""
+    import numpy as np
+
+    total = sum(e["rows"] for e in dvs)
+    posf = _dv_pos_frame(spark, table_dir, dvs)
+    if total <= MOR_BROADCAST_MAX_ROWS:
+        maps = {
+            r["_dv_target"]: np.asarray(r["_dv_pos"], dtype="int64")
+            for r in posf.collect()
+        }  # bounded: one row per dv'd FILE; bytes ≤ 8 × deleted rows
+        bc = spark.sparkContext.broadcast(maps)
+
+        @F.pandas_udf("boolean")
+        def _dv_deleted(f: pd.Series, p: pd.Series) -> pd.Series:
+            dv = bc.value
+            fv = f.to_numpy()
+            pv = p.to_numpy()
+            out = np.zeros(len(fv), dtype=bool)
+            for name in pd.unique(fv):
+                arr = dv.get(name)
+                if arr is not None:
+                    m = fv == name
+                    out[m] = np.isin(pv[m], arr)
+            return pd.Series(out)
+
+        return df.filter(~_dv_deleted(F.col("_ft_file"), F.col("_ft_pos")))
+    ex = posf.select(
+        F.col("_dv_target").alias("_ft_dvfile"), F.explode("_dv_pos").alias("_ft_dvpos")
+    )
+    return df.join(
+        ex,
+        (F.col("_ft_file") == F.col("_ft_dvfile"))
+        & (F.col("_ft_pos") == F.col("_ft_dvpos")),
+        "left_anti",
+    )
+
+
 def _mor_read(
     spark: SparkSession, table_dir: str, man: dict, *, keep_meta: bool
 ) -> DataFrame:
     """The snapshot's VISIBLE rows: data files minus equality deletes
-    (seq rule) minus position deletes (file+ordinal). ``keep_meta``
-    retains the (_ft_file, _ft_pos) coordinates for callers that commit
-    further position deletes or fold. The delete side of each anti join
-    is broadcast only while the manifest's delete row count says it is
-    small (``MOR_BROADCAST_MAX_ROWS``) — an over-accumulated set
-    shuffles instead of landing whole on every executor."""
-    data, eqs, poss = _split_entries(man)
-    if not eqs and not poss and not keep_meta:
+    (seq rule) minus position deletes (file+ordinal) minus deletion
+    vectors (file-local bitmaps). ``keep_meta`` retains the (_ft_file,
+    _ft_pos) coordinates for callers that commit further position
+    deletes or fold. The delete side of each anti join is broadcast
+    only while the manifest's delete row count says it is small
+    (``MOR_BROADCAST_MAX_ROWS``) — an over-accumulated set shuffles
+    instead of landing whole on every executor.
+
+    DV-only snapshots take a SPLIT path: files with no DV stay a pure
+    JVM multi-path scan (no meta columns, no Python in their plan);
+    only the dv'd files pay the vectorized membership filter — the
+    flat-serve property lake_dv_serve pins at 256×."""
+    data, eqs, poss, dvs = _split_entries(man)
+    if not eqs and not poss and not dvs and not keep_meta:
         return _read_data(spark, table_dir, man, data)
+    if dvs and not eqs and not poss and not keep_meta:
+        targets = {e["target"] for e in dvs}
+        dvd = [e for e in data if os.path.basename(e["path"]) in targets]
+        clean = [e for e in data if os.path.basename(e["path"]) not in targets]
+        part = _read_data(spark, table_dir, man, dvd, meta_cols=True)
+        part = _apply_dv_filter(spark, table_dir, dvs, part).drop(
+            "_ft_file", "_ft_pos"
+        )
+        if not clean:
+            return part
+        return _read_data(spark, table_dir, man, clean).unionByName(part)
     df = _read_data(
         spark,
         table_dir,
         man,
         data,
         seq_col="_ft_seq" if eqs else None,
-        meta_cols=bool(poss) or keep_meta,
+        meta_cols=bool(poss) or bool(dvs) or keep_meta,
     )
+    if dvs:
+        df = _apply_dv_filter(spark, table_dir, dvs, df)
     if eqs:
         df = df.join(
             _hint_small(
@@ -1207,7 +1354,7 @@ def _mor_read(
             & (F.col("_ft_pos") == F.col("_ft_dpos")),
             "left_anti",
         )
-    if not keep_meta and poss:
+    if not keep_meta and (poss or dvs):
         df = df.drop("_ft_file", "_ft_pos")
     return df
 
@@ -1326,6 +1473,116 @@ def delete_positions_mor(
     return _maybe_fold(spark, table_dir, auto_fold_threshold, summary)
 
 
+def delete_positions_dv(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: Column,
+    *,
+    auto_fold_threshold: float | None = None,
+) -> dict:
+    """Commit position deletes as per-data-file DELETION VECTORS — the
+    Iceberg v3 / Delta DV shape (VERDICT r11 item 1): instead of
+    appending another delete FILE per commit (whose cost the reader
+    pays cumulatively until a fold), each commit MERGES the matching
+    positions into one vector per target data file — old ∪ new, written
+    to a fresh sidecar; the superseded entry drops from the manifest.
+    Invariant: at most ONE live DV per data file, so the read path's
+    per-file membership filter is flat in the number of delete commits
+    — the serve stays flat BEFORE any fold fires, where the delete-file
+    flavor's anti join grows (lake_pos_delete's measured tail).
+
+    The sidecar stores each target's SORTED position array (the
+    sorted-int-runs shape; a production format packs these as roaring
+    bitmaps — same semantics, tighter bytes). ``fold_deletes`` collapses
+    DVs exactly like the other flavors when a rewrite is finally wanted.
+
+    Scale: the commit reads only what the predicate touches plus the
+    prior vectors of the SAME files (O(touched)); merge is one
+    distributed group-by over (file, position); the manifest delta is
+    O(touched files)."""
+    man = read_manifest(table_dir)
+    _data, _eqs, _poss, dvs = _split_entries(man)
+    vis = _mor_read(spark, table_dir, man, keep_meta=True)
+    new_pos = vis.filter(predicate).select(
+        F.col("_ft_file").alias("_dv_target"), F.col("_ft_pos").alias("_p")
+    )
+    touched = sorted(
+        r["_dv_target"] for r in new_pos.select("_dv_target").distinct().collect()
+    )  # bounded: one row per touched data FILE
+    prior_rows = sum(e["rows"] for e in dvs if e["target"] in set(touched))
+    if not touched:
+        summary = {"dv_targets": 0, "rows_pos_deleted": 0, "dv_rows_total": 0}
+        _commit_manifest(
+            table_dir,
+            _inherit_schema(man, {
+                "operation": "delete-dv",
+                "stats_types": man["stats_types"],
+                "summary": summary,
+                "entries": man["entries"],
+            }, adds_files=False),
+            base_version=man["version"],
+        )
+        return summary
+    merged = new_pos
+    prior_dvs = [e for e in dvs if e["target"] in set(touched)]
+    if prior_dvs:
+        merged = merged.unionByName(
+            _dv_pos_frame(spark, table_dir, prior_dvs).select(
+                "_dv_target", F.explode("_dv_pos").alias("_p")
+            )
+        )
+    agg = merged.groupBy("_dv_target").agg(
+        F.sort_array(F.collect_set("_p")).alias("_dv_pos")
+    )
+    cdir = _next_commit_dir(table_dir)
+    with _pinned_file_count(spark):
+        agg.coalesce(1).write.mode("append").parquet(cdir)
+    fname = next(n for n in os.listdir(cdir) if n.endswith(".parquet"))
+    rel = os.path.relpath(os.path.join(cdir, fname), table_dir)
+    fsize = os.path.getsize(os.path.join(cdir, fname))
+    counts = (
+        spark.read.parquet(os.path.join(table_dir, rel))
+        .select("_dv_target", F.size("_dv_pos").alias("n"))
+        .collect()
+    )  # bounded: one row per touched file
+    new_entries = [
+        {
+            "path": rel,
+            "kind": "dv",
+            "target": r["_dv_target"],
+            "rows": r["n"],
+            # the sidecar's bytes are charged to its first entry so
+            # manifest byte sums stay exact (entries share one file)
+            "bytes": fsize if i == 0 else 0,
+            "stats": {},
+            "nulls": {},
+        }
+        for i, r in enumerate(sorted(counts, key=lambda r: r["_dv_target"]))
+    ]
+    kept = [
+        e
+        for e in man["entries"]
+        if not (e.get("kind") == "dv" and e["target"] in set(touched))
+    ]
+    total_after = sum(e["rows"] for e in new_entries)
+    summary = {
+        "dv_targets": len(new_entries),
+        "rows_pos_deleted": total_after - prior_rows,
+        "dv_rows_total": total_after,
+    }
+    _commit_manifest(
+        table_dir,
+        _inherit_schema(man, {
+            "operation": "delete-dv",
+            "stats_types": man["stats_types"],
+            "summary": summary,
+            "entries": kept + new_entries,
+        }, adds_files=False),
+        base_version=man["version"],
+    )
+    return _maybe_fold(spark, table_dir, auto_fold_threshold, summary)
+
+
 def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     """Compact equality deletes back into data files — Iceberg's
     rewrite action for the MOR pressure valve: data files that actually
@@ -1336,13 +1593,14 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     pure data-file scans again (the anti join disappears — test-pinned
     equal to the pre-fold MOR read)."""
     man = read_manifest(table_dir)
-    data, eqs, poss = _split_entries(man)
-    if not eqs and not poss:
+    data, eqs, poss, dvs = _split_entries(man)
+    if not eqs and not poss and not dvs:
         return {"files_rewritten": 0, "delete_files_folded": 0}
     # the files a rewrite must touch, found in ONE pass per delete
     # flavor: equality — raw rows semi-joined against applicable keys
-    # (dseq > file seq); position — the file names the delete files pin
-    touched_names: set[str] = set()
+    # (dseq > file seq); position — the file names the delete files pin;
+    # deletion vectors — their manifest entries name the targets outright
+    touched_names: set[str] = {e["target"] for e in dvs}
     if eqs:
         raw = _read_data(
             spark, table_dir, man, data, seq_col="_ft_seq", meta_cols=True
@@ -1393,7 +1651,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     summary = {
         "files_rewritten": len(touched),
         "files_untouched": len(untouched),
-        "delete_files_folded": len(eqs) + len(poss),
+        "delete_files_folded": len(eqs) + len(poss) + len(dvs),
         "rows_deleted": rows_deleted,
     }
     _commit_manifest(
@@ -1412,9 +1670,15 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
 def scan_range(spark: SparkSession, table_dir: str, col: str, lo, hi) -> DataFrame:
     """Pruned range scan: manifest skipping picks the files, and the same
     predicate is applied on top (files straddle the bounds), reaching
-    the parquet scan as a pushed filter for row-group pruning."""
-    plan = plan_scan(table_dir, col, lo, hi)
-    df = _read_data(spark, table_dir, read_manifest(table_dir), plan["entries"])
+    the parquet scan as a pushed filter for row-group pruning.
+
+    Planning dispatches through ``plan_scan_auto`` (VERDICT r11 item 3):
+    under the threshold the driver loop plans as before; past it the
+    pruning runs as a Spark job over the parquet manifest table and the
+    read resolves schema via the header sidecar — the warm path of a
+    million-file table never parses the JSON manifest."""
+    plan = plan_scan_auto(spark, table_dir, col, lo, hi)
+    df = _read_planned(spark, table_dir, plan)
     c = F.col(col)
     if lo is not None:
         df = df.filter(c >= F.lit(lo))
@@ -1750,6 +2014,172 @@ def merge_into(
     return summary
 
 
+def merge_into_mor(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    *,
+    on: tuple[str, str],
+    when_matched_update: dict[str, Column] | None = None,
+    when_matched_delete: Column | None = None,
+    when_not_matched_insert: dict[str, Column] | None = None,
+) -> dict:
+    """Executed MERGE INTO, merge-on-READ (Iceberg v2's
+    ``write.merge.mode = merge-on-read``; VERDICT r11 item 2): the SAME
+    clause semantics as the CoW ``merge_into`` — oracle-identical,
+    test-pinned — with a different physical commit: matched keys land in
+    an EQUALITY-DELETE file at the commit's sequence number, updated /
+    surviving matched rows and inserts land in appended data files at
+    the same sequence (the strict ``dseq > seq`` rule means the delete
+    never touches them), and ZERO existing data files are rewritten.
+    Clause resolution (SQL MERGE):
+
+    - WHEN MATCHED AND <cond> DELETE: those rows vanish (their keys are
+      equality-deleted; nothing re-appends);
+    - WHEN MATCHED UPDATE SET: every matched, non-deleted row re-appends
+      with the SET expressions applied (its key is equality-deleted so
+      the old copy disappears);
+    - a key with SOME rows delete-matched and others not (no UPDATE
+      clause) still equality-deletes whole — its surviving rows re-append
+      VERBATIM, because equality deletes cannot split a key;
+    - WHEN NOT MATCHED INSERT: keys absent from the VISIBLE target.
+
+    Unlike the CoW twin this composes with LIVE MOR state: matching runs
+    against the MOR-applied visible rows, so repeated MOR merges stack
+    without an intervening fold (their delete files share the key
+    column; a live delete set keyed differently raises via
+    ``_eq_key_cols``). ``fold_deletes`` collapses the accumulated state
+    when a rewrite is finally wanted.
+
+    Scale: commit cost is O(candidate files' visible rows + source),
+    never O(table); the rewrite amplification of CoW MERGE (every
+    match-bearing file) disappears — SCALE.md §Round-12 measures the
+    commit-cost gap at 64×. Read cost afterwards is the standard MOR
+    anti join until fold_pressure fires."""
+    tkey, skey = on
+    manifest = read_manifest(table_dir)
+    _data, eqs, _poss, _dvs = _split_entries(manifest)
+    if eqs:
+        live_keys = _eq_key_cols(eqs)
+        if live_keys != [tkey]:
+            raise ValueError(
+                f"live equality deletes key on {live_keys}; a MOR merge on "
+                f"{[tkey]} would mix delete-key sets — fold_deletes first"
+            )
+    bounds = _decode_bounds(manifest, tkey)
+
+    dup = source.agg(
+        F.count(skey).alias("n"), F.countDistinct(skey).alias("d")
+    ).collect()[0]
+    if dup["n"] != dup["d"]:
+        raise ValueError(
+            f"MERGE source has duplicate join keys ({dup['n']} rows, {dup['d']} distinct)"
+        )
+    srange = source.agg(F.min(skey).alias("lo"), F.max(skey).alias("hi")).collect()[0]
+    s_lo, s_hi = srange["lo"], srange["hi"]
+
+    data, *_rest = _split_entries(manifest)
+    delete_entries = [e for e in manifest["entries"] if e.get("kind", "data") != "data"]
+    candidates = [
+        e
+        for e in data
+        if (b := bounds(e)) is None or s_lo is None or (b[0] <= s_hi and b[1] >= s_lo)
+    ]
+    # the VISIBLE rows of candidate files only: restrict the data side,
+    # keep every delete entry so MOR application stays exact
+    man_cand = {**manifest, "entries": candidates + delete_entries}
+    vis = _mor_read(spark, table_dir, man_cand, keep_meta=False)
+    target_cols = vis.columns
+    t = vis.alias("t")
+    s = source.alias("s")
+    matched = t.join(s, F.col(f"t.{tkey}") == F.col(f"s.{skey}"), "inner")
+    del_flag = (
+        when_matched_delete if when_matched_delete is not None else F.lit(False)
+    )
+    if when_matched_update is not None:
+        # all matched keys are deleted; survivors re-append updated
+        del_keys = matched.select(F.col(f"t.{tkey}").alias(tkey)).distinct()
+        reappend = matched.filter(~del_flag).select(
+            *[
+                when_matched_update[c].alias(c)
+                if c in when_matched_update
+                else F.col(f"t.{c}").alias(c)
+                for c in target_cols
+            ]
+        )
+    else:
+        keys_with_delete = (
+            matched.filter(del_flag).select(F.col(f"t.{tkey}").alias(tkey)).distinct()
+        )
+        del_keys = keys_with_delete
+        # verbatim re-append: surviving rows of keys the delete nukes whole
+        kd = keys_with_delete.select(F.col(tkey).alias("_ft_dkkey"))
+        reappend = (
+            matched.filter(~del_flag)
+            .join(kd, F.col(f"t.{tkey}") == F.col("_ft_dkkey"), "left_semi")
+            .select(*[F.col(f"t.{c}").alias(c) for c in target_cols])
+        )
+
+    n_inserted = 0
+    out = reappend
+    if when_not_matched_insert is not None:
+        vis_keys = vis.select(F.col(tkey).alias("_ft_mkey")).distinct()
+        not_matched = source.alias("s").join(
+            vis_keys, F.col(f"s.{skey}") == F.col("_ft_mkey"), "left_anti"
+        )
+        dtypes = dict(vis.dtypes)
+        insert_df = not_matched.select(
+            *[
+                when_not_matched_insert[c].cast(dtypes[c]).alias(c)
+                for c in target_cols
+            ]
+        )
+        n_inserted = insert_df.count()  # bounded: source-sized
+        out = out.unionByName(insert_df)
+
+    n_del_keys = del_keys.count()  # bounded: matched-key count
+    new_entries: list[dict] = []
+    if n_del_keys or n_inserted:
+        new_entries = _write_commit(
+            out,
+            spark,
+            table_dir,
+            list(manifest["stats_types"]),
+            n_files=max(1, len(candidates) // 4),
+            cluster_by=tkey if tkey in manifest["stats_types"] else None,
+        )
+    del_new: list[dict] = []
+    if n_del_keys:
+        ddir = _next_commit_dir(table_dir)
+        with _pinned_file_count(spark):
+            del_keys.coalesce(1).write.mode("append").parquet(ddir)
+        del_new = _collect_entries(spark, table_dir, ddir, [])
+        for e in del_new:
+            e["kind"] = "eqdelete"
+            e["key_cols"] = [tkey]
+    rows_appended = sum(e["rows"] for e in new_entries)
+    summary = {
+        "files_candidates": len(candidates),
+        "files_rewritten": 0,
+        "delete_keys": n_del_keys,
+        "rows_inserted": n_inserted,
+        "rows_reappended": rows_appended - n_inserted,
+        "files_added": len(new_entries),
+        "delete_files_added": len(del_new),
+    }
+    _commit_manifest(
+        table_dir,
+        _inherit_schema(manifest, {
+            "operation": "merge-mor",
+            "stats_types": manifest["stats_types"],
+            "summary": summary,
+            "entries": manifest["entries"] + del_new + new_entries,
+        }, adds_files=bool(new_entries)),
+        base_version=manifest["version"],
+    )
+    return summary
+
+
 def _bloom_positions_expr(col: str, bits: int, hashes: int):
     """The k bit positions of ``col``'s value — PORTABLE hashing (salted
     md5 of the string cast, the same rule as every sketch in
@@ -1864,29 +2294,31 @@ def plan_bloom_lookup(table_dir: str, col: str, values) -> dict:
     rows)."""
     with open(bloom_index_path(table_dir, col)) as f:
         idx = json.load(f)
-    man = read_manifest(table_dir)
-    if idx["manifest_version"] != man["version"]:
+    cur = current_manifest_version(table_dir)
+    if idx["manifest_version"] != cur:
         raise ValueError(
             f"bloom index built at manifest {idx['manifest_version']} but current "
-            f"is {man['version']}; rebuild the index"
+            f"is {cur}; rebuild the index"
         )
     bits, hashes = idx["bits"], idx["hashes"]
     probe_pos = [_bloom_probe_positions(v, bits, hashes) for v in values]
+    # the sidecar's own file list IS the snapshot's (version-checked
+    # above), so planning never parses the JSON manifest (r12: the
+    # bloom path joins the no-manifest-parse warm-path contract)
     keep, skipped = [], 0
-    for e in man["entries"]:
-        bitmap = idx["files"][e["path"]]
+    for path, bitmap in sorted(idx["files"].items()):
         hit = any(
             all(bitmap[p // 64] >> (p % 64) & 1 for p in pos) for pos in probe_pos
         )
         if hit:
-            keep.append(os.path.join(table_dir, e["path"]))
+            keep.append(os.path.join(table_dir, path))
         else:
             skipped += 1
     return {
         "paths": keep,
         "files_read": len(keep),
         "files_skipped": skipped,
-        "files_total": len(man["entries"]),
+        "files_total": len(idx["files"]),
     }
 
 
@@ -1898,12 +2330,29 @@ def point_lookup(spark: SparkSession, table_dir: str, col: str, values) -> DataF
     if not plan["paths"]:
         empty = read_table(spark, table_dir).limit(0)
         return empty.filter(F.col(col).isin(list(values)))
-    man = read_manifest(table_dir)
     kept = set(plan["paths"])
-    entries = [
-        e for e in man["entries"] if os.path.join(table_dir, e["path"]) in kept
-    ]
-    return _read_data(spark, table_dir, man, entries).filter(
+    if not _over_plan_threshold(table_dir, None):
+        man = read_manifest(table_dir)
+        entries = [
+            e for e in man["entries"] if os.path.join(table_dir, e["path"]) in kept
+        ]
+        return _read_data(spark, table_dir, man, entries).filter(
+            F.col(col).isin(list(values))
+        )
+    # large-manifest path: (path, seq) for the bloom-kept files via the
+    # parquet manifest table + header-sidecar schema resolution — no
+    # JSON manifest parse (collect bounded by the bloom hit count)
+    pdir = write_manifest_parquet(spark, table_dir)
+    rel_kept = sorted(os.path.relpath(p, table_dir) for p in kept)
+    rows = (
+        spark.read.parquet(pdir)
+        .filter(F.col("path").isin(rel_kept))
+        .select("path", "seq")
+        .collect()
+    )
+    hdr = read_manifest_header(table_dir)
+    entries = [{"path": r["path"], "seq": r["seq"]} for r in rows]
+    return _read_data(spark, table_dir, hdr, entries).filter(
         F.col(col).isin(list(values))
     )
 
@@ -2176,7 +2625,7 @@ def plan_changelog(table_dir: str, v_from: int, v_to: int) -> dict:
             "change; diff within one schema generation"
         )
     mor = any(
-        e.get("kind") in ("eqdelete", "posdelete")
+        e.get("kind", "data") != "data"
         for e in man_f["entries"] + man_t["entries"]
     )
     if mor:
@@ -2253,6 +2702,7 @@ def plan_scan_box(table_dir: str, preds: dict) -> dict:
     return {
         "paths": [os.path.join(table_dir, e["path"]) for e in keep],
         "entries": keep,
+        "planner": "driver",
         "files_read": len(keep),
         "files_skipped": skipped,
         "files_total": len(man["entries"]),
@@ -2260,10 +2710,12 @@ def plan_scan_box(table_dir: str, preds: dict) -> dict:
 
 
 def scan_box(spark: SparkSession, table_dir: str, preds: dict) -> DataFrame:
-    """Pruned box scan: ``plan_scan_box`` picks the files, the same
-    literal conjunction applies on top (pushed into parquet)."""
-    plan = plan_scan_box(table_dir, preds)
-    df = _read_data(spark, table_dir, read_manifest(table_dir), plan["entries"])
+    """Pruned box scan: ``plan_scan_box_auto`` picks the files (driver
+    loop under the threshold, Spark job over the parquet manifest table
+    past it — VERDICT r11 item 3), the same literal conjunction applies
+    on top (pushed into parquet)."""
+    plan = plan_scan_box_auto(spark, table_dir, preds)
+    df = _read_planned(spark, table_dir, plan)
     for c, (lo, hi) in preds.items():
         if lo is not None:
             df = df.filter(F.col(c) >= F.lit(lo))
@@ -2289,7 +2741,7 @@ def rewrite_layout(
     every later box probe O(box)."""
     man = read_manifest(table_dir)
     _require_no_live_deletes(man, "rewrite_layout")
-    data, _eqs, _poss = _split_entries(man)
+    data, _eqs, _poss, _dvs = _split_entries(man)
     df = _read_data(spark, table_dir, man, data)
     cdir = _next_commit_dir(table_dir)
     out = (
@@ -2323,19 +2775,20 @@ def fold_pressure(table_dir: str, *, threshold: float = 0.05) -> dict:
     """Metadata-only MOR health check — the policy the 256× lab's
     pos-delete curve motivates (SCALE.md: at ~1M delete coordinates the
     serve's anti join dominates): the ratio of live delete rows
-    (equality keys + position coordinates) to live data rows, with
+    (equality keys + position coordinates + DV positions) to live
+    data rows, with
     ``should_fold`` once it crosses ``threshold``. Pure manifest
     arithmetic — no data read — so an operator (or a write path) can
     gate ``fold_deletes`` on it cheaply after every delete commit."""
     man = read_manifest(table_dir)
-    data, eqs, poss = _split_entries(man)
+    data, eqs, poss, dvs = _split_entries(man)
     data_rows = sum(e["rows"] for e in data)
-    delete_rows = sum(e["rows"] for e in eqs) + sum(e["rows"] for e in poss)
+    delete_rows = sum(e["rows"] for e in eqs + poss + dvs)
     ratio = (delete_rows / data_rows) if data_rows else 0.0
     return {
         "data_rows": data_rows,
         "delete_rows": delete_rows,
-        "delete_files": len(eqs) + len(poss),
+        "delete_files": len(eqs) + len(poss) + len(dvs),
         "ratio": ratio,
         "should_fold": ratio > threshold,
     }
@@ -2570,7 +3023,7 @@ def partitions_table(spark: SparkSession, table_dir: str) -> DataFrame:
     partition-health audit reads (maintenance_partition_health is the
     planning-model twin)."""
     man = read_manifest(table_dir)
-    data, _eqs, _poss = _split_entries(man)
+    data, _eqs, _poss, _dvs = _split_entries(man)
     col = next(iter(man["stats_types"]), None)
     rows = []
     for e in data:

@@ -1652,3 +1652,354 @@ def test_add_files_concurrent_double_register_conflicts(spark, tmp_path):
     paths = [e["path"] for e in ft.read_manifest(td)["entries"]]
     assert len(paths) == len(set(paths))
     assert ft.read_table(spark, td).count() == 2
+
+
+def test_scan_range_routes_through_job_planner_over_threshold(spark, li_table, monkeypatch):
+    """VERDICT r11 item 3: the two-level dispatch is the DEFAULT read
+    path — past the threshold, the public ``scan_range`` plans via the
+    Spark-job planner (the driver loop is provably not called) and the
+    rows are identical, with schema resolution served by the O(schema)
+    header sidecar instead of the O(#files) JSON manifest."""
+    td, df = li_table
+    lo, hi = _mid(td, 0.3), _mid(td, 0.5)
+    want = sorted(
+        (r["l_orderkey"], str(r["ship_dt"]))
+        for r in df.filter(
+            (F.col("ship_dt") >= F.lit(lo)) & (F.col("ship_dt") <= F.lit(hi))
+        ).collect()
+    )
+    got_small = sorted(
+        (r["l_orderkey"], str(r["ship_dt"]))
+        for r in ft.scan_range(spark, td, "ship_dt", lo, hi).collect()
+    )
+    assert got_small == want
+
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+
+    def _no_driver_plan(*a, **k):
+        raise AssertionError("driver planner must not run past the threshold")
+
+    monkeypatch.setattr(ft, "plan_scan", _no_driver_plan)
+    got_big = sorted(
+        (r["l_orderkey"], str(r["ship_dt"]))
+        for r in ft.scan_range(spark, td, "ship_dt", lo, hi).collect()
+    )
+    assert got_big == want
+    v = ft.current_manifest_version(td)
+    assert os.path.exists(ft._header_path(td, v)), "header sidecar written"
+    assert os.path.exists(
+        os.path.join(ft.manifest_parquet_dir(td, v), "_SUCCESS")
+    ), "parquet manifest table written"
+
+
+def test_scan_box_routes_through_job_planner_over_threshold(spark, tmp_path, monkeypatch):
+    """Box-scan twin of the routing pin, across a SCHEMA EVOLUTION so the
+    job path's header-sidecar projection is exercised: pre-evolution
+    files backfill the added column as NULL, renamed columns resolve by
+    field id — identical on both planners."""
+    td = str(tmp_path / "boxauto")
+    mk = lambda rows, s: spark.createDataFrame(rows, s)  # noqa: E731
+    ft.create_table(
+        mk([(i, i % 10, i % 7) for i in range(100)], "k long, x long, y long"),
+        td, stats_cols=["x", "y"], cluster_by="x", n_files=4,
+    )
+    ft.add_column(td, "tag", "string")
+    ft.append_table(
+        mk([(i, i % 10, i % 7, f"t{i}") for i in range(100, 140)],
+           "k long, x long, y long, tag string"),
+        td, n_files=2,
+    )
+    ft.rename_column(td, "x", "xx")
+    preds = {"xx": (2, 5), "y": (1, 4)}
+    want = sorted(
+        (r["k"], r["xx"], r["y"], r["tag"])
+        for r in ft.scan_box(spark, td, preds).collect()
+    )
+    assert want, "probe must hit rows"
+    assert any(t is None for _k, _x, _y, t in want), "pre-evolution NULL backfill"
+    assert any(t is not None for _k, _x, _y, t in want)
+
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    monkeypatch.setattr(
+        ft, "plan_scan_box",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("driver planner ran")),
+    )
+    got = sorted(
+        (r["k"], r["xx"], r["y"], r["tag"])
+        for r in ft.scan_box(spark, td, preds).collect()
+    )
+    assert got == want
+
+
+def test_point_lookup_job_path_and_bloom_plans_without_manifest(spark, tmp_path, monkeypatch):
+    """plan_bloom_lookup plans off the version-checked sidecar alone;
+    past the threshold point_lookup resolves its kept files through the
+    parquet manifest table — same rows either way."""
+    td = str(tmp_path / "bloomauto")
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000) for i in range(500)], "d long, k long"
+    )
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=5)
+    ft.build_bloom_index(spark, td, "k")
+    values = [7919 % 1000, (2 * 7919) % 1000]
+    want = sorted(r["d"] for r in ft.point_lookup(spark, td, "k", values).collect())
+    assert want == [1, 2]
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    got = sorted(r["d"] for r in ft.point_lookup(spark, td, "k", values).collect())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 12 — deletion vectors (Iceberg v3 / Delta DV shape)
+# ---------------------------------------------------------------------------
+
+
+def test_dv_merges_to_one_vector_per_file_no_rewrites(spark, tmp_path):
+    """Every DV commit merges into at most ONE live vector per data
+    file (old ∪ new, superseded entry dropped) and never rewrites a
+    data file — the structural invariant that keeps the serve flat in
+    the number of delete commits."""
+    td = str(tmp_path / "dv")
+    df = spark.createDataFrame([(i, i % 50) for i in range(1000)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=4)
+    data_before = sorted(
+        e["path"] for e in ft.read_manifest(td)["entries"]
+    )
+    for i in range(3):
+        s = ft.delete_positions_dv(spark, td, F.col("k") % 10 == i)
+        assert s["rows_pos_deleted"] == 100
+    man = ft.read_manifest(td)
+    data, eqs, poss, dvs = ft._split_entries(man)
+    assert not eqs and not poss
+    targets = [e["target"] for e in dvs]
+    assert len(targets) == len(set(targets)), "one live DV per data file"
+    assert sum(e["rows"] for e in dvs) == 300
+    assert sorted(e["path"] for e in data) == data_before, "zero data rewrites"
+    got = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert got == sorted(i for i in range(1000) if i % 10 >= 3)
+
+
+def test_dv_equivalent_to_pos_delete_twin_and_folds(spark, tmp_path):
+    """DV and delete-file position deletes are two physical plans of the
+    SAME semantics: twin tables replaying identical predicates read
+    identically after every commit, and fold_deletes drains both."""
+    td_dv, td_pos = str(tmp_path / "tdv"), str(tmp_path / "tpos")
+    df = spark.createDataFrame(
+        [(i, i % 20, f"v{i}") for i in range(600)], "k long, d long, s string"
+    )
+    for td in (td_dv, td_pos):
+        ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=3)
+    preds = [F.col("k") % 7 == 0, F.col("d") >= 15, F.col("k") % 11 == 3]
+    for p in preds:
+        ft.delete_positions_dv(spark, td_dv, p)
+        ft.delete_positions_mor(spark, td_pos, p)
+        a = sorted(map(tuple, ft.read_table(spark, td_dv).collect()))
+        b = sorted(map(tuple, ft.read_table(spark, td_pos).collect()))
+        assert a == b
+    for td in (td_dv, td_pos):
+        s = ft.fold_deletes(spark, td)
+        assert s["delete_files_folded"] > 0
+        assert not any(
+            e.get("kind", "data") != "data"
+            for e in ft.read_manifest(td)["entries"]
+        )
+    a = sorted(map(tuple, ft.read_table(spark, td_dv).collect()))
+    b = sorted(map(tuple, ft.read_table(spark, td_pos).collect()))
+    assert a == b
+
+
+def test_dv_fast_path_splits_clean_files_from_filtered(spark, tmp_path):
+    """DV-only serve: files without a DV stay a pure JVM scan — exactly
+    one Arrow-vectorized filter branch appears in the plan, covering
+    only the dv'd files."""
+    td = str(tmp_path / "dvsplit")
+    df = spark.createDataFrame([(i, i) for i in range(400)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=4)
+    # hit only the lowest quarter: one file's range
+    ft.delete_positions_dv(spark, td, F.col("d") < 50)
+    _data, _eqs, _poss, dvs = ft._split_entries(ft.read_manifest(td))
+    assert len(dvs) == 1, "predicate spans one file of the clustered layout"
+    served = ft.read_table(spark, td)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, "one vectorized DV branch"
+    got = sorted(r["d"] for r in served.collect())
+    assert got == list(range(50, 400))
+
+
+def test_dv_oversized_set_falls_back_to_shuffled_anti_join(spark, tmp_path, monkeypatch):
+    """Past MOR_BROADCAST_MAX_ROWS the DV filter abandons the broadcast
+    membership check for a shuffled anti join — same rows, no Python."""
+    td = str(tmp_path / "dvbig")
+    df = spark.createDataFrame([(i, i) for i in range(300)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=2)
+    ft.delete_positions_dv(spark, td, F.col("k") % 3 == 0)
+    want = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    monkeypatch.setattr(ft, "MOR_BROADCAST_MAX_ROWS", 0)
+    served = ft.read_table(spark, td)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert sorted(r["k"] for r in served.collect()) == want
+
+
+def test_dv_composes_with_equality_deletes_and_gate(spark, tmp_path):
+    """Mixed MOR state (DV + equality delete) serves correctly, and the
+    fold-pressure gate fires off DV rows like any other flavor."""
+    td = str(tmp_path / "dvmix")
+    df = spark.createDataFrame([(i, i % 10) for i in range(500)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=3)
+    ft.delete_positions_dv(spark, td, F.col("k") < 50)
+    ft.delete_keys_mor(
+        spark, td, "k", spark.createDataFrame([(60,), (61,)], "k long")
+    )
+    got = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert got == sorted(set(range(50, 500)) - {60, 61})
+    # gate: a DV commit whose merged rows cross the threshold folds
+    s = ft.delete_positions_dv(
+        spark, td, F.col("k") >= 450, auto_fold_threshold=0.05
+    )
+    assert s["folded"] is True
+    assert not any(
+        e.get("kind", "data") != "data" for e in ft.read_manifest(td)["entries"]
+    )
+    got2 = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert got2 == sorted(set(range(50, 450)) - {60, 61})
+
+
+# ---------------------------------------------------------------------------
+# round 12 — MOR MERGE INTO (write.merge.mode = merge-on-read)
+# ---------------------------------------------------------------------------
+
+
+def _merge_src(spark, df, keys, max_key):
+    lo_key, hi_key = keys[0], keys[len(keys) // 4]
+    return (
+        df.filter((F.col("c_custkey") >= lo_key) & (F.col("c_custkey") <= hi_key))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit(100.0).alias("delta"),
+            (F.col("c_custkey") % 3 == 0).alias("purge"),
+        )
+        .unionByName(
+            spark.range(3).select(
+                (F.col("id") + max_key + 1000).alias("k"),
+                F.lit(1.5).alias("delta"),
+                F.lit(False).alias("purge"),
+            )
+        )
+    )
+
+
+def test_merge_mor_matches_cow_twin_zero_rewrites(spark, sf_dir, tmp_path):
+    """VERDICT r11 item 2: the MOR merge is the SAME MERGE as the CoW
+    twin — identical visible rows on twin tables from the identical
+    source and clause set — with a different physical commit: zero
+    existing data files rewritten (every pre-merge entry survives by
+    path), matched keys in one equality-delete file, updates/inserts
+    appended at the same sequence."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    td_cow, td_mor = str(tmp_path / "mcow"), str(tmp_path / "mmor")
+    for td in (td_cow, td_mor):
+        ft.create_table(df, td, stats_cols=["c_custkey"], cluster_by="c_custkey", n_files=8)
+    keys = [r["c_custkey"] for r in df.select("c_custkey").orderBy("c_custkey").collect()]
+    src = _merge_src(spark, df, keys, keys[-1])
+    clauses = dict(
+        on=("c_custkey", "k"),
+        when_matched_delete=F.col("s.purge"),
+        when_matched_update={"c_acctbal": F.col("t.c_acctbal") + F.col("s.delta")},
+        when_not_matched_insert={
+            "c_custkey": F.col("s.k"),
+            "c_mktsegment": F.lit("NEWACCT"),
+            "c_acctbal": F.col("s.delta"),
+        },
+    )
+    before = {e["path"] for e in ft.read_manifest(td_mor)["entries"]}
+    s_cow = ft.merge_into(spark, td_cow, src, **clauses)
+    s_mor = ft.merge_into_mor(spark, td_mor, src, **clauses)
+    assert s_mor["files_rewritten"] == 0
+    after_paths = {e["path"] for e in ft.read_manifest(td_mor)["entries"]}
+    assert before <= after_paths, "every pre-merge data file survives by path"
+    assert s_mor["rows_inserted"] == s_cow["rows_inserted"] == 3
+    assert s_mor["delete_files_added"] == 1
+    a = sorted(map(tuple, ft.read_table(spark, td_cow).collect()))
+    b = sorted(map(tuple, ft.read_table(spark, td_mor).collect()))
+    assert a == b, "MOR and CoW MERGE must be the same MERGE"
+
+
+def test_merge_mor_stacks_without_fold_and_folds_clean(spark, tmp_path):
+    """Repeated MOR merges compose against live MOR state (the whole
+    point: no fold between them), delete-then-reinsert resurrects via
+    the seq rule, and a final fold drains to pure data files with the
+    same visible rows."""
+    td = str(tmp_path / "stack")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    )
+    ft.create_table(df, td, stats_cols=["k"], cluster_by="k", n_files=4)
+    # merge 1: update evens, delete multiples of 10
+    src1 = spark.createDataFrame(
+        [(k, k % 10 == 0) for k in range(0, 100, 2)], "k long, purge boolean"
+    )
+    ft.merge_into_mor(
+        spark, td, src1, on=("k", "k"),
+        when_matched_delete=F.col("s.purge"),
+        when_matched_update={"v": F.col("t.v") + 1000.0},
+    )
+    state = {k: float(k) for k in range(100)}
+    for k in range(0, 100, 2):
+        if k % 10 == 0:
+            del state[k]
+        else:
+            state[k] += 1000.0
+    got = {r["k"]: r["v"] for r in ft.read_table(spark, td).collect()}
+    assert got == state
+    # merge 2 (no fold): re-insert key 0, update key 2 again
+    src2 = spark.createDataFrame([(0, 5.0), (2, 7.0)], "k long, nv double")
+    ft.merge_into_mor(
+        spark, td, src2, on=("k", "k"),
+        when_matched_update={"v": F.col("s.nv")},
+        when_not_matched_insert={"k": F.col("s.k"), "v": F.col("s.nv")},
+    )
+    state[0] = 5.0  # resurrected insert (was deleted by merge 1)
+    state[2] = 7.0
+    got = {r["k"]: r["v"] for r in ft.read_table(spark, td).collect()}
+    assert got == state
+    ft.fold_deletes(spark, td)
+    assert not any(
+        e.get("kind", "data") != "data" for e in ft.read_manifest(td)["entries"]
+    )
+    got = {r["k"]: r["v"] for r in ft.read_table(spark, td).collect()}
+    assert got == state
+
+
+def test_merge_mor_partial_key_delete_reappends_survivors(spark, tmp_path):
+    """A key whose rows are only PARTLY delete-matched (no UPDATE
+    clause): the equality delete nukes the key whole, so the surviving
+    rows must re-append verbatim — the clause-resolution edge an
+    eqdelete-only implementation gets wrong."""
+    td = str(tmp_path / "partial")
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 30.0), (3, 40.0)], "k long, v double"
+    )
+    ft.create_table(df, td, stats_cols=["k"], cluster_by="k", n_files=1)
+    src = spark.createDataFrame([(1,), (2,)], "k long")
+    s = ft.merge_into_mor(
+        spark, td, src, on=("k", "k"),
+        when_matched_delete=F.col("t.v") < 15.0,
+    )
+    assert s["delete_keys"] == 1, "only key 1 had a delete-matched row"
+    got = sorted((r["k"], r["v"]) for r in ft.read_table(spark, td).collect())
+    assert got == [(1, 20.0), (2, 30.0), (3, 40.0)]
+
+
+def test_merge_mor_mixed_delete_key_raises(spark, tmp_path):
+    td = str(tmp_path / "mixedkey")
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, g long, v double")
+    ft.create_table(df, td, stats_cols=["k"], n_files=1)
+    ft.delete_keys_mor(spark, td, "g", spark.createDataFrame([(9,)], "g long"))
+    with pytest.raises(ValueError, match="fold_deletes first"):
+        ft.merge_into_mor(
+            spark, td, spark.createDataFrame([(1, 2.0)], "k long, v double"),
+            on=("k", "k"), when_matched_update={"v": F.col("s.v")},
+        )

@@ -342,7 +342,7 @@ def test_fold_gate_fires_at_predicted_commits_and_drains(spark, sf_dir, tmp_path
     assert all("fold_summary" in s for s in summaries if s["folded"])
     # drained: the published state carries no live delete files, so the
     # serve is a pure data scan (the flat-family plan)
-    data, eqs, poss = ft._split_entries(ft.read_manifest(td))
+    data, eqs, poss, dvs = ft._split_entries(ft.read_manifest(td))
     assert not eqs and not poss and data
     ops = [ft.read_manifest(td, v)["operation"] for v in ft._manifest_versions(td)]
     assert ops.count("fold-deletes") == 2

@@ -872,6 +872,7 @@ _ft_ops = st.lists(
         st.tuples(st.just("cow_delete"), st.integers(0, 99)),
         st.tuples(st.just("mor_delete"), st.lists(st.integers(0, 19), min_size=1, max_size=4)),
         st.tuples(st.just("pos_delete"), st.integers(0, 99)),
+        st.tuples(st.just("dv_delete"), st.integers(0, 99)),
         st.tuples(st.just("update"), st.integers(0, 99)),
         st.tuples(st.just("fold"), st.none()),
         st.tuples(st.just("compact"), st.none()),
@@ -885,7 +886,7 @@ _ft_ops = st.lists(
 def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, seed, ops):
     """Oracle-independent cross-verb consistency: run a random legal
     sequence of commits (append / CoW delete / MOR equality delete /
-    MOR position delete / fold / compact) against a file-grain table AND
+    MOR position delete / DV delete / fold / compact) against a file-grain table AND
     a 10-line Python
     replica of row state; the served rows must be the replica's multiset
     at every step. MOR semantics in the replica: a delete removes
@@ -902,7 +903,7 @@ def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, 
 
     def deletes_live():
         return any(
-            e.get("kind") in ("eqdelete", "posdelete")
+            e.get("kind", "data") != "data"
             for e in ft.read_manifest(td)["entries"]
         )
 
@@ -924,6 +925,13 @@ def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, 
             from pyspark.sql import functions as _F
 
             ft.delete_positions_mor(spark, td, _F.col("d") >= arg)
+            replica = [(k, d) for k, d in replica if d < arg]
+        elif op == "dv_delete":
+            from pyspark.sql import functions as _F
+
+            # deletion-vector flavor: same semantics as pos_delete,
+            # different physical plan (merged per-file vectors)
+            ft.delete_positions_dv(spark, td, _F.col("d") >= arg)
             replica = [(k, d) for k, d in replica if d < arg]
         elif op == "update":
             from pyspark.sql import functions as _F
