@@ -169,6 +169,8 @@ _R12_NEW = [
     # never driver-scored, must ride per Invariant 1
     "lake_dv_serve",  # deletion vectors: flat MOR serve with NO fold
     "lake_merge_mor",  # MERGE INTO, merge-on-read: zero data rewrites
+    "lake_gc_orphans",  # executed orphan-file GC with grace + tag safety
+    "lake_spj_bucketed_join",  # file-grain storage-partitioned join
 ]
 
 _R12_STALE_REFRESH = [
@@ -215,8 +217,6 @@ _R12_STALE_REFRESH = [
     "a4_brand_quantity_by_nation",
     "approx_distinct_custkeys",
     "argmax_customer_per_nation",
-    "copartitioned_join_agg",
-    "cube_order_stats",
 ]
 
 def _merged() -> dict[str, QuerySpec]:

@@ -1545,6 +1545,146 @@ ORDER BY order_month
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_gc_orphans — executed orphan-file GC, serve-identical before/after
+# ---------------------------------------------------------------------------
+
+
+def lake_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals served AFTER an executed orphan-file GC (VERDICT
+    r11 item 4 — plans/procedures.py renders the CALL string; this
+    DELETES): the build plants crash debris — a claimed commit dir whose
+    writer 'died' before its manifest landed, holding rows that must
+    never surface — runs ``gc_orphans`` once INSIDE the grace window
+    (nothing may go: the debris could be an in-flight commit) and once
+    past it (exactly the debris goes), and refuses to publish unless the
+    file accounting is exact. The oracle aggregates the raw fixture:
+    equality holds iff GC removed ONLY unreferenced bytes — a GC that
+    touched any live or tag-referenced file would hash-mismatch (or
+    fail the read outright).
+
+    Scale: GC is one data-tree walk against the union of retained
+    manifests' path sets — O(#files) metadata, zero data bytes read."""
+    def build(staging: str) -> None:
+        import time
+
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.to_date("o_orderdate").alias("order_dt"),
+                "o_totalprice",
+            ),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=24,
+        )
+        ft.tag_snapshot(staging, "audit-base")
+        # crash debris: rows that must never serve
+        debris_dir = os.path.join(staging, "data", "c009999")
+        spark.createDataFrame(
+            [(int(-1), "X", _dt.date(1900, 1, 1), -1.0)],
+            "o_orderkey long, o_orderstatus string, order_dt date, o_totalprice double",
+        ).coalesce(1).write.parquet(debris_dir)
+        now = time.time()
+        s1 = ft.gc_orphans(staging, grace_seconds=3600, now=now)
+        if s1["files_removed"] != 0 or s1["kept_in_grace"] < 1:
+            raise ValueError(f"in-grace GC must remove nothing: {s1}")
+        s2 = ft.gc_orphans(staging, grace_seconds=3600, now=now + 7200)
+        if s2["files_removed"] != 1 or "c009999" not in s2["removed_paths"][0]:
+            raise ValueError(f"GC must remove exactly the planted debris: {s2}")
+
+    table_dir = _served_table(sf_dir, "lakegc_", "orders", "lakegc-v1", build)
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+LAKE_GC_ORACLE = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# lake_spj_bucketed_join — storage-partitioned join over bucketed filetables
+# ---------------------------------------------------------------------------
+
+
+def lake_spj_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order totals from a STORAGE-PARTITIONED JOIN of two
+    bucket(16)-laid-out filetables (VERDICT r11 item 5 — the reference's
+    pedagogical heart, README.md:18 and job1:224,239,248's ``bucket(16,
+    match_id)`` transforms, executed at the manifest layer): orders
+    bucketed by o_custkey joins customer bucketed by c_custkey by
+    pairing bucket-aligned files straight from the two manifests — the
+    fact side never shuffles (the no-``Exchange hashpartitioning`` pin
+    lives in test_filetable; the exchange visible in THIS query's plan
+    belongs to the aggregation above the join, which shuffles already-
+    reduced rows). The oracle is the plain SQL join+aggregate.
+
+    Scale: join memory per task = the smaller side's bucket (the same
+    bound as one shuffled-join partition), parallelism = bucket count —
+    size n_buckets by the shuffle-partition rule and the plan survives
+    any table size with zero fact-side network."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_custkey", "o_orderkey", "o_totalprice"
+            ),
+            os.path.join(staging, "orders_b"),
+            stats_cols=["o_orderkey"],
+            bucket_by=("o_custkey", 16),
+        )
+        ft.create_table(
+            read_fixture(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            os.path.join(staging, "cust_b"),
+            stats_cols=["c_custkey"],
+            bucket_by=("c_custkey", 16),
+        )
+
+    root = _served_table(sf_dir, "lakespj_", "orders", "lakespj-v1", build)
+    j = ft.storage_partitioned_join(
+        spark,
+        os.path.join(root, "orders_b"),
+        os.path.join(root, "cust_b"),
+        on=("o_custkey", "c_custkey"),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LAKE_SPJ_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -1576,4 +1716,6 @@ QUERIES: dict[str, QuerySpec] = {
     # the MOR MERGE twin shares the CoW query's oracle verbatim — same
     # MERGE semantics, different physical plan (r12)
     "lake_merge_mor": QuerySpec(lake_merge_mor, LAKE_MERGE_ORACLE),
+    "lake_gc_orphans": QuerySpec(lake_gc_orphans, LAKE_GC_ORACLE),
+    "lake_spj_bucketed_join": QuerySpec(lake_spj_bucketed_join, LAKE_SPJ_ORACLE),
 }

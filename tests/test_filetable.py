@@ -2003,3 +2003,152 @@ def test_merge_mor_mixed_delete_key_raises(spark, tmp_path):
             spark, td, spark.createDataFrame([(1, 2.0)], "k long, v double"),
             on=("k", "k"), when_matched_update={"v": F.col("s.v")},
         )
+
+
+# ---------------------------------------------------------------------------
+# round 12 — executed orphan-file GC
+# ---------------------------------------------------------------------------
+
+
+def test_gc_orphans_removes_debris_outside_grace_only(spark, tmp_path):
+    """gc_orphans removes exactly the crash debris: parquet under data/
+    referenced by NO on-disk manifest AND older than the grace window.
+    Referenced files and in-grace strays survive; the table serves
+    identically before and after."""
+    import time
+
+    td = str(tmp_path / "gc")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(50)]), td, stats_cols=["d"], n_files=2)
+    # crash debris: a claimed commit dir whose manifest never landed
+    debris_dir = os.path.join(td, "data", "c009999")
+    mk([(999, 999)]).coalesce(1).write.parquet(debris_dir)
+    debris = [
+        os.path.join(debris_dir, n)
+        for n in os.listdir(debris_dir)
+        if n.endswith(".parquet")
+    ]
+    assert len(debris) == 1
+    now = time.time()
+    # inside grace: everything unreferenced is YOUNG -> kept
+    s1 = ft.gc_orphans(td, grace_seconds=3600, now=now)
+    assert s1["files_removed"] == 0 and s1["kept_in_grace"] >= 1
+    assert os.path.exists(debris[0])
+    want = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    # outside grace (clock advanced): only the debris goes
+    s2 = ft.gc_orphans(td, grace_seconds=3600, now=now + 7200)
+    assert s2["files_removed"] == 1
+    assert not os.path.exists(debris[0])
+    assert sorted(r["k"] for r in ft.read_table(spark, td).collect()) == want
+    assert 999 not in want
+
+
+def test_gc_orphans_keeps_files_referenced_only_by_tag(spark, tmp_path):
+    """PLANTED safety: a file referenced ONLY by a tagged (non-current)
+    manifest is not an orphan — GC retention is per-manifest, and
+    expire_table owns manifest removal. Kills any implementation that
+    walks only the CURRENT snapshot's reference set."""
+    import time
+
+    td = str(tmp_path / "gctag")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(40)]), td, stats_cols=["d"], n_files=2)
+    ft.tag_snapshot(td, "v1.0")
+    # CoW delete drops the low file from the CURRENT manifest; the
+    # tagged v1 manifest still references it
+    ft.delete_where(spark, td, "d", 19)
+    cur = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    tagged = {e["path"] for e in ft.read_manifest(td, 1)["entries"]}
+    only_tagged = tagged - cur
+    assert only_tagged, "the delete must have dropped a v1-only file"
+    s = ft.gc_orphans(td, grace_seconds=0, now=time.time() + 10)
+    assert s["files_removed"] == 0, "tag-referenced files are never orphans"
+    # time travel to the tag still serves the full original table
+    got = sorted(r["k"] for r in ft.read_table(spark, td, version=1).collect())
+    assert got == list(range(40))
+    # once the tag is dropped AND the manifest expires, the file becomes
+    # expire_table's to reclaim (not GC's) — the verbs compose
+    ft.drop_tag(td, "v1.0")
+    ft.expire_table(td, keep_last=1)
+    for rel in only_tagged:
+        assert not os.path.exists(os.path.join(td, rel))
+
+
+# ---------------------------------------------------------------------------
+# round 12 — storage-partitioned join over bucketed filetables
+# ---------------------------------------------------------------------------
+
+
+def test_storage_partitioned_join_no_shuffle_and_exact(spark, tmp_path):
+    """Two filetables bucketed by the same key/count join by pairing
+    bucket-aligned files from the manifests: the plan carries ZERO
+    shuffle exchanges (the big sides never repartition) and the rows
+    equal a plain shuffled join's."""
+    ta, tb = str(tmp_path / "bja"), str(tmp_path / "bjb")
+    a = spark.createDataFrame(
+        [(i % 40, i, float(i)) for i in range(400)], "ck long, oid long, amt double"
+    )
+    b = spark.createDataFrame(
+        [(k, f"seg{k % 3}") for k in range(40)], "ck2 long, seg string"
+    )
+    ft.create_table(a, ta, stats_cols=["oid"], bucket_by=("ck", 8))
+    ft.create_table(b, tb, stats_cols=["ck2"], bucket_by=("ck2", 8))
+    man = ft.read_manifest(ta)
+    assert man["layout"] == {"bucket_col": "ck", "n_buckets": 8}
+    assert all("bucket" in e for e in man["entries"])
+
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("ck", "ck2"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, "bucket-aligned join must not shuffle"
+    got = sorted((r["ck"], r["oid"], r["seg"]) for r in j.collect())
+    want = sorted(
+        (r["ck"], r["oid"], r["seg"])
+        for r in ft.read_table(spark, ta)
+        .join(ft.read_table(spark, tb), F.col("ck") == F.col("ck2"))
+        .collect()
+    )
+    assert got == want and len(got) == 400
+
+
+def test_storage_partitioned_join_appends_pair_across_commits(spark, tmp_path):
+    """Appends to a bucketed table re-bucket the new files; bucket i of
+    a 2-commit table pairs BOTH its files against the other side."""
+    ta, tb = str(tmp_path / "apa"), str(tmp_path / "apb")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i % 10, i) for i in range(lo, hi)], "k long, v long"
+    )
+    ft.create_table(mk(0, 100), ta, stats_cols=["v"], bucket_by=("k", 4))
+    ft.append_table(mk(100, 150), ta)
+    ft.create_table(
+        spark.createDataFrame([(k, k * 10) for k in range(10)], "k2 long, w long"),
+        tb, stats_cols=["w"], bucket_by=("k2", 4),
+    )
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert j.count() == 150
+
+
+def test_storage_partitioned_join_mismatched_layout_falls_back(spark, tmp_path):
+    """Layouts that don't align (different bucket counts) shuffle like a
+    normal equi join — same rows, with the exchange present."""
+    ta, tb = str(tmp_path / "fba"), str(tmp_path / "fbb")
+    a = spark.createDataFrame([(i % 10, i) for i in range(100)], "k long, v long")
+    b = spark.createDataFrame([(k, k * 2) for k in range(10)], "k2 long, w long")
+    ft.create_table(a, ta, stats_cols=["v"], bucket_by=("k", 8))
+    ft.create_table(b, tb, stats_cols=["w"], bucket_by=("k2", 4))
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    assert j.count() == 100
+    # and with broadcast suppressed, the fallback really shuffles
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j2 = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+        plan = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan, "misaligned layouts must shuffle"
+        assert j2.count() == 100
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
