@@ -2152,3 +2152,36 @@ def test_storage_partitioned_join_mismatched_layout_falls_back(spark, tmp_path):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_manifest_parquet_from_commit_time_jsonl_no_json_parse(spark, li_table, monkeypatch):
+    """r12: commits stream a flat entry log (JSONL) + header sidecar, so
+    building the parquet manifest table is a pure Spark job — pinned by
+    making read_manifest explode: the conversion and the job planner
+    must succeed without ever parsing the O(#files) JSON manifest."""
+    td, _df = li_table
+    v = ft.current_manifest_version(td)
+    assert os.path.exists(ft._entries_jsonl_path(td, v))
+    assert os.path.exists(ft._header_path(td, v))
+    lo, hi = _mid(td, 0.2), _mid(td, 0.4)
+    want = ft.plan_scan(td, "ship_dt", lo, hi)  # driver planner, JSON ok
+
+    def _boom(*a, **k):
+        raise AssertionError("warm two-level path must not parse the JSON manifest")
+
+    monkeypatch.setattr(ft, "read_manifest", _boom)
+    got = ft.plan_scan_spark(spark, td, "ship_dt", lo, hi)
+    assert sorted(got["paths"]) == sorted(want["paths"])
+    assert got["files_skipped"] == want["files_skipped"] > 0
+
+
+def test_expire_reclaims_version_sidecars(spark, tmp_path):
+    td = str(tmp_path / "sidecars")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(1, 1)]), td, stats_cols=["d"], n_files=1)
+    ft.append_table(mk([(2, 2)]), td, n_files=1)
+    ft.plan_scan_spark(spark, td, "d", 0, 1)  # materialize v2's parquet manifest
+    ft.expire_table(td, keep_last=1)
+    assert not os.path.exists(ft._entries_jsonl_path(td, 1))
+    assert not os.path.exists(ft._header_path(td, 1))
+    assert os.path.exists(ft._entries_jsonl_path(td, 2))

@@ -455,6 +455,17 @@ def probes():
         "lake_maint_window": _lakehouse_probe("lake_maintenance_window", build_events),
         # executed CoW UPDATE: post-commit clustered aggregate (flat family)
         "lake_update": _lakehouse_probe("lake_update_where", build_tpch),
+        # r12 deletion vectors: four UNFOLDED ~1% delete commits merged
+        # into per-file vectors — the serve must stay in the flat family
+        # WITHOUT any fold (the structural fix for lake_pos's tail)
+        "lake_dv": _lakehouse_probe("lake_dv_serve", build_tpch),
+        # r12 MOR MERGE serve: post-merge MOR read (eqdelete anti join)
+        "lake_merge_mor": _lakehouse_probe("lake_merge_mor", build_tpch),
+        # r12 storage-partitioned join: bucket-aligned manifest pairing,
+        # zero fact-side shuffle (expected linear in joined bytes)
+        "lake_spj": _lakehouse_probe("lake_spj_bucketed_join", build_tpch),
+        # r12 orphan GC: post-GC clustered aggregate (flat family)
+        "lake_gc": _lakehouse_probe("lake_gc_orphans", build_tpch),
     }
 
 
@@ -575,6 +586,10 @@ def main() -> int:
         "lake_cdf_delta",
         "lake_maint_window",
         "lake_update",
+        "lake_dv",
+        "lake_merge_mor",
+        "lake_spj",
+        "lake_gc",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
