@@ -1491,10 +1491,12 @@ def lake_dv_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants: zero eq/pos delete files, at most one DV per data file,
     zero data files rewritten since create.
 
-    Scale: serve = clean files as a pure JVM scan ∪ dv'd files filtered
-    by an Arrow-vectorized per-file membership check bounded by the
-    manifest's DV row sum; SCALE.md §Round-12 shows the 256× serve flat
-    across all four unfolded delete commits."""
+    Scale: serve = clean files as a plain scan ∪ dv'd files probing
+    their own file's bitmap with try_element_at/shiftright under a
+    one-row-per-file words broadcast — whole-stage codegen, no Python,
+    O(1) per row; SCALE.md §Round-12 shows the 256× serve flat across
+    all four unfolded delete commits (and the Arrow-membership first
+    cut it replaced, which tracked the anti join instead)."""
     def build(staging: str) -> None:
         ft.create_table(
             read_fixture(spark, sf_dir, "orders").select(
@@ -1521,7 +1523,7 @@ def lake_dv_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(data) != n_data:
             raise ValueError("DV commits must never rewrite data files")
 
-    table_dir = _served_table(sf_dir, "lakedv_", "orders", "lakedv-v1", build)
+    table_dir = _served_table(sf_dir, "lakedv_", "orders", "lakedv-v2", build)
     return (
         ft.read_table(spark, table_dir)
         .groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))

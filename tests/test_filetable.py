@@ -1809,9 +1809,10 @@ def test_dv_equivalent_to_pos_delete_twin_and_folds(spark, tmp_path):
 
 
 def test_dv_fast_path_splits_clean_files_from_filtered(spark, tmp_path):
-    """DV-only serve: files without a DV stay a pure JVM scan — exactly
-    one Arrow-vectorized filter branch appears in the plan, covering
-    only the dv'd files."""
+    """DV-only serve is PURE JVM: no Python anywhere in the plan (the
+    bitmap probe is try_element_at + shiftright under a broadcast join
+    of the one-row-per-dv'd-file words frame), no shuffle, and files
+    without a DV stay a plain scan outside the join."""
     td = str(tmp_path / "dvsplit")
     df = spark.createDataFrame([(i, i) for i in range(400)], "k long, d long")
     ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=4)
@@ -1821,23 +1822,30 @@ def test_dv_fast_path_splits_clean_files_from_filtered(spark, tmp_path):
     assert len(dvs) == 1, "predicate spans one file of the clustered layout"
     served = ft.read_table(spark, td)
     plan = served._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1, "one vectorized DV branch"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        "the DV serve must not round-trip rows through Python"
+    )
+    assert "Exchange hashpartitioning" not in plan, "the DV serve must not shuffle"
+    assert plan.count("BroadcastHashJoin") == 1, "one words-frame probe join"
     got = sorted(r["d"] for r in served.collect())
     assert got == list(range(50, 400))
 
 
 def test_dv_oversized_set_falls_back_to_shuffled_anti_join(spark, tmp_path, monkeypatch):
-    """Past MOR_BROADCAST_MAX_ROWS the DV filter abandons the broadcast
-    membership check for a shuffled anti join — same rows, no Python."""
+    """Past DV_BROADCAST_MAX_BYTES the DV probe abandons the broadcast
+    words join for a shuffled anti join on exploded coordinates — same
+    rows either way."""
     td = str(tmp_path / "dvbig")
     df = spark.createDataFrame([(i, i) for i in range(300)], "k long, d long")
     ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=2)
     ft.delete_positions_dv(spark, td, F.col("k") % 3 == 0)
     want = sorted(r["k"] for r in ft.read_table(spark, td).collect())
-    monkeypatch.setattr(ft, "MOR_BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(ft, "DV_BROADCAST_MAX_BYTES", 0)
     served = ft.read_table(spark, td)
     plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin LeftAnti" not in plan, (
+        "an over-threshold DV set must not broadcast"
+    )
     assert sorted(r["k"] for r in served.collect()) == want
 
 
@@ -2185,3 +2193,29 @@ def test_expire_reclaims_version_sidecars(spark, tmp_path):
     assert not os.path.exists(ft._entries_jsonl_path(td, 1))
     assert not os.path.exists(ft._header_path(td, 1))
     assert os.path.exists(ft._entries_jsonl_path(td, 2))
+
+
+def test_read_table_job_path_over_threshold_incl_mor(spark, tmp_path, monkeypatch):
+    """read_table past the threshold reconstructs its entry list from
+    the parquet manifest table + header sidecar — including MOR state
+    (eqdelete key_cols, DV targets) — without parsing the JSON manifest
+    (read_manifest monkeypatched to explode), and serves the identical
+    rows."""
+    td = str(tmp_path / "rtauto")
+    df = spark.createDataFrame([(i, i % 9) for i in range(300)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=3)
+    ft.delete_positions_dv(spark, td, F.col("k") < 20)
+    ft.delete_keys_mor(spark, td, "k", spark.createDataFrame([(25,), (26,)], "k long"))
+    want = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert want[0] == 20 and 25 not in want
+
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    # materialize the manifest table first (the conversion itself is
+    # entitled to the commit-time jsonl/header, not the JSON manifest)
+    ft.write_manifest_parquet(spark, td)
+    monkeypatch.setattr(
+        ft, "read_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("JSON manifest parsed")),
+    )
+    got = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert got == want
