@@ -10,7 +10,7 @@ file plus the re-appended rows — commit cost stays O(source) at any
 scale. Both verbs produce the same visible rows (equality asserted at
 1x; the twin-table test in test_filetable pins it in CI).
 
-Usage: python tools/merge_cost_lab.py [max_scale]   (default 64)
+Usage: python tools/merge_cost_lab.py [max_scale]   (default 64; 256 for the spread)
 
 Prints one JSON line per scale: target rows, CoW/MOR commit seconds,
 files rewritten vs appended — the numbers SCALE.md §Round-12 records.
@@ -85,7 +85,7 @@ def run(spark, scale: int) -> dict:
 def main() -> int:
     max_scale = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     spark = get_spark("merge-cost-lab")
-    for scale in (1, 16, 64):
+    for scale in (1, 16, 64, 256):
         if scale > max_scale:
             break
         print(json.dumps(run(spark, scale)), flush=True)
