@@ -171,6 +171,7 @@ _R12_NEW = [
     "lake_merge_mor",  # MERGE INTO, merge-on-read: zero data rewrites
     "lake_gc_orphans",  # executed orphan-file GC with grace + tag safety
     "lake_spj_bucketed_join",  # file-grain storage-partitioned join
+    "lake_changelog_dv",  # manifest-delta CDF over a DV history
 ]
 
 _R12_STALE_REFRESH = [
@@ -216,7 +217,6 @@ _R12_STALE_REFRESH = [
     "a3_top_region_by_orders",
     "a4_brand_quantity_by_nation",
     "approx_distinct_custkeys",
-    "argmax_customer_per_nation",
 ]
 
 def _merged() -> dict[str, QuerySpec]:

@@ -1687,6 +1687,106 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_changelog_dv — manifest-delta CDF over a deletion-vector history
+# ---------------------------------------------------------------------------
+
+#: the two overlapping deleted date bands, as fractions of the span —
+#: overlap exercises vector MERGING (band 2 re-deletes part of band 1's
+#: files; the second commit must supersede, not duplicate)
+_CDV_B1 = (0.05, 0.10)
+_CDV_B2 = (0.08, 0.14)
+
+
+def lake_changelog_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly CDF totals for a DELETION-VECTOR history, served through
+    the DV-extended manifest delta (r12): vectors keep visibility
+    file-local, so the changelog between the create and the head reads
+    ONLY the files whose vector changed — the ~80% of the date-clustered
+    table outside the two deleted bands cancels without being opened
+    (plan-pinned at build: mode 'delta-dv' and vector-unchanged shared
+    files absent from both read sets). The build commits two OVERLAPPING
+    date-band deletes via ``delete_positions_dv`` — the overlap forces
+    the second commit to MERGE into the first commit's vectors — and the
+    changelog's delete rows must equal the bands' union exactly once
+    (the oracle), which a double-counted or unmerged vector breaks.
+
+    Scale: CDF cost is O(vector-changed files), never O(table) — the
+    property that lets a CDC consumer follow a GDPR-delete stream on a
+    100 TB table without rescans."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.to_date("o_orderdate").alias("order_dt"),
+                "o_totalprice",
+            ),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=24,
+        )
+        lo, hi = _date_bounds(staging, "order_dt")
+        span = (hi - lo).days
+        for frac_lo, frac_hi in (_CDV_B1, _CDV_B2):
+            b_lo = lo + _dt.timedelta(days=int(span * frac_lo))
+            b_hi = lo + _dt.timedelta(days=int(span * frac_hi))
+            ft.delete_positions_dv(
+                spark,
+                staging,
+                (F.col("order_dt") >= F.lit(b_lo)) & (F.col("order_dt") <= F.lit(b_hi)),
+            )
+        plan = ft.plan_changelog(staging, 1, ft.current_manifest_version(staging))
+        if plan["mode"] != "delta-dv":
+            raise ValueError(f"expected the DV manifest delta, got {plan['mode']!r}")
+        if not plan["files_shared"]:
+            raise ValueError(
+                "the bands span the whole table — nothing cancels; the plan "
+                "pin is vacuous"
+            )
+
+    table_dir = _served_table(sf_dir, "lakecdv_", "orders", "lakecdv-v1", build)
+    head = ft.current_manifest_version(table_dir)
+    return (
+        ft.changelog_table(spark, table_dir, 1, head)
+        .groupBy(
+            F.col("_change_type"),
+            F.date_format("order_dt", "yyyy-MM").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("_change_type", "order_month")
+    )
+
+
+LAKE_CHANGELOG_DV_ORACLE = f"""
+WITH span AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+           MAX(CAST(o_orderdate AS DATE)) AS hi
+    FROM orders
+), bands AS (
+    SELECT lo + CAST(FLOOR((hi - lo) * {_CDV_B1[0]}) AS INTEGER) AS b1_lo,
+           lo + CAST(FLOOR((hi - lo) * {_CDV_B1[1]}) AS INTEGER) AS b1_hi,
+           lo + CAST(FLOOR((hi - lo) * {_CDV_B2[0]}) AS INTEGER) AS b2_lo,
+           lo + CAST(FLOOR((hi - lo) * {_CDV_B2[1]}) AS INTEGER) AS b2_hi
+    FROM span
+)
+SELECT 'delete' AS _change_type,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders, bands
+WHERE CAST(o_orderdate AS DATE) BETWEEN b1_lo AND b1_hi
+   OR CAST(o_orderdate AS DATE) BETWEEN b2_lo AND b2_hi
+GROUP BY 2
+ORDER BY _change_type, order_month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -1720,4 +1820,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_merge_mor": QuerySpec(lake_merge_mor, LAKE_MERGE_ORACLE),
     "lake_gc_orphans": QuerySpec(lake_gc_orphans, LAKE_GC_ORACLE),
     "lake_spj_bucketed_join": QuerySpec(lake_spj_bucketed_join, LAKE_SPJ_ORACLE),
+    "lake_changelog_dv": QuerySpec(lake_changelog_dv, LAKE_CHANGELOG_DV_ORACLE),
 }

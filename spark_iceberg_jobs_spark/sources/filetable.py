@@ -2863,13 +2863,57 @@ def plan_changelog(table_dir: str, v_from: int, v_to: int) -> dict:
             f"changelog between versions {v_from} and {v_to} spans a schema "
             "change; diff within one schema generation"
         )
-    mor = any(
-        e.get("kind", "data") != "data"
+    kinds = {
+        e.get("kind", "data")
         for e in man_f["entries"] + man_t["entries"]
-    )
-    if mor:
+        if e.get("kind", "data") != "data"
+    }
+    if kinds - {"dv"}:
+        # eq/pos delete files make per-file visibility non-local — the
+        # honest two-full-MOR-reads diff
         return {"mode": "full", "added": [], "removed": [],
                 "files_shared": 0, "files_total": len(man_t["entries"])}
+    if "dv" in kinds:
+        # DV-DELTA (r12): deletion vectors keep visibility FILE-LOCAL —
+        # visible(f) = f's rows ∖ f's vector — so the cancellation
+        # extends to shared files whose vector is UNCHANGED (same
+        # sidecar path + target). The diff reads only: data files added
+        # or removed, plus shared files whose DV state changed, each
+        # side under ITS OWN vectors.
+        def split(man):
+            data = {e["path"]: e for e in man["entries"] if e.get("kind", "data") == "data"}
+            dvm = {
+                e["target"]: e
+                for e in man["entries"]
+                if e.get("kind") == "dv"
+            }
+            return data, dvm
+
+        data_f, dv_f = split(man_f)
+        data_t, dv_t = split(man_t)
+        shared = set(data_f) & set(data_t)
+        changed_shared = {
+            p
+            for p in shared
+            if dv_f.get(os.path.basename(p), {}).get("path")
+            != dv_t.get(os.path.basename(p), {}).get("path")
+        }
+        from_files = [data_f[p] for p in sorted((set(data_f) - set(data_t)) | changed_shared)]
+        to_files = [data_t[p] for p in sorted((set(data_t) - set(data_f)) | changed_shared)]
+
+        def with_dvs(files, dvm):
+            targets = {os.path.basename(e["path"]) for e in files}
+            return files + [e for t, e in sorted(dvm.items()) if t in targets]
+
+        return {
+            "mode": "delta-dv",
+            "from_entries": with_dvs(from_files, dv_f),
+            "to_entries": with_dvs(to_files, dv_t),
+            "added": to_files,
+            "removed": from_files,
+            "files_shared": len(shared - changed_shared),
+            "files_total": len(set(data_f) | set(data_t)),
+        }
     from_paths = {e["path"] for e in man_f["entries"]}
     to_paths = {e["path"] for e in man_t["entries"]}
     added = [e for e in man_t["entries"] if e["path"] not in from_paths]
@@ -2902,6 +2946,18 @@ def changelog_table(
     if plan["mode"] == "full":
         frm = read_table(spark, table_dir, version=v_from)
         to = read_table(spark, table_dir, version=v_to)
+    elif plan["mode"] == "delta-dv":
+        # each side reads ONLY its changed files, under its own vectors
+        man_f = read_manifest(table_dir, v_from)
+        man_t = read_manifest(table_dir, v_to)
+        frm = _mor_read(
+            spark, table_dir, {**man_f, "entries": plan["from_entries"]},
+            keep_meta=False,
+        )
+        to = _mor_read(
+            spark, table_dir, {**man_t, "entries": plan["to_entries"]},
+            keep_meta=False,
+        )
     else:
         man_f = read_manifest(table_dir, v_from)
         man_t = read_manifest(table_dir, v_to)

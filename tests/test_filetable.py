@@ -2219,3 +2219,49 @@ def test_read_table_job_path_over_threshold_incl_mor(spark, tmp_path, monkeypatc
     )
     got = sorted(r["k"] for r in ft.read_table(spark, td).collect())
     assert got == want
+
+
+def test_changelog_dv_delta_reads_only_changed_vectors(spark, tmp_path):
+    """r12: deletion vectors keep visibility FILE-LOCAL, so the
+    manifest-delta CDF extends to DV histories — shared files whose
+    vector is unchanged cancel WITHOUT being read; only dv-changed and
+    added/removed files enter either side."""
+    td = str(tmp_path / "cdfdv")
+    df = spark.createDataFrame([(i, i) for i in range(400)], "k long, d long")
+    ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=4)  # v1
+    ft.delete_positions_dv(spark, td, F.col("d") < 50)  # v2: dv on file 1 only
+    ft.append_table(
+        spark.createDataFrame([(i, i) for i in range(400, 450)], "k long, d long"),
+        td, n_files=1,
+    )  # v3
+    ft.delete_positions_dv(spark, td, (F.col("d") >= 50) & (F.col("d") < 60))  # v4
+
+    plan = ft.plan_changelog(td, 1, 4)
+    assert plan["mode"] == "delta-dv"
+    # files 3 and 4 of the create (d in [200,400)) have no DV at either
+    # end and were not added/removed: they must cancel unread
+    assert plan["files_shared"] >= 2
+    read_paths = {e["path"] for e in plan["from_entries"] + plan["to_entries"]}
+    man4 = ft.read_manifest(td, 4)
+    untouched = [
+        e["path"] for e in man4["entries"]
+        if e.get("kind", "data") == "data" and e["seq"] == 1
+        and e["stats"]["d"] and int(e["stats"]["d"][0]) >= 200
+    ]
+    assert untouched and not (set(untouched) & read_paths), (
+        "vector-unchanged shared files must never be opened"
+    )
+    rows = ft.changelog_table(spark, td, 1, 4).collect()
+    got = {(r["_change_type"], r["k"]) for r in rows}
+    want = {("delete", k) for k in range(60)} | {
+        ("insert", k) for k in range(400, 450)
+    }
+    assert got == want
+    # between two dv commits on the SAME file: only that file is read
+    plan2 = ft.plan_changelog(td, 2, 4)
+    assert plan2["mode"] == "delta-dv"
+    rows2 = ft.changelog_table(spark, td, 2, 4).collect()
+    got2 = {(r["_change_type"], r["k"]) for r in rows2}
+    assert got2 == {("delete", k) for k in range(50, 60)} | {
+        ("insert", k) for k in range(400, 450)
+    }
