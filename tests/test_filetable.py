@@ -2265,3 +2265,38 @@ def test_changelog_dv_delta_reads_only_changed_vectors(spark, tmp_path):
     assert got2 == {("delete", k) for k in range(50, 60)} | {
         ("insert", k) for k in range(400, 450)
     }
+
+
+def test_merge_on_non_stats_key_is_conservative_not_an_error(spark, tmp_path):
+    """A MERGE keyed on a column the manifest carries no bounds for
+    loses only the zone-map prune: every file is a candidate, the
+    file-scoped semi join still limits the rewrite set, and both modes
+    produce the same rows (found by the hypothesis verb harness, which
+    merged on the non-stats key)."""
+    td_cow, td_mor = str(tmp_path / "nsc"), str(tmp_path / "nsm")
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(100)], "k long, d long, v double"
+    )
+    for td in (td_cow, td_mor):
+        # stats on d only; merge keys on k
+        ft.create_table(df, td, stats_cols=["d"], cluster_by="d", n_files=3)
+    src = spark.createDataFrame([(7, 700.0), (777, 777.0)], "k long, nv double")
+    s1 = ft.merge_into(
+        spark, td_cow, src, on=("k", "k"),
+        when_matched_update={"v": F.col("s.nv")},
+        when_not_matched_insert={
+            "k": F.col("s.k"), "d": F.col("s.k") % 5, "v": F.col("s.nv")
+        },
+    )
+    s2 = ft.merge_into_mor(
+        spark, td_mor, src, on=("k", "k"),
+        when_matched_update={"v": F.col("s.nv")},
+        when_not_matched_insert={
+            "k": F.col("s.k"), "d": F.col("s.k") % 5, "v": F.col("s.nv")
+        },
+    )
+    assert s1["files_candidates"] == s2["files_candidates"] == 3
+    a = sorted(map(tuple, ft.read_table(spark, td_cow).collect()))
+    b = sorted(map(tuple, ft.read_table(spark, td_mor).collect()))
+    assert a == b
+    assert (7, 2, 700.0) in a and (777, 777 % 5, 777.0) in a

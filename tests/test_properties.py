@@ -873,6 +873,13 @@ _ft_ops = st.lists(
         st.tuples(st.just("mor_delete"), st.lists(st.integers(0, 19), min_size=1, max_size=4)),
         st.tuples(st.just("pos_delete"), st.integers(0, 99)),
         st.tuples(st.just("dv_delete"), st.integers(0, 99)),
+        st.tuples(
+            st.just("merge_mor"),
+            st.lists(
+                st.tuples(st.integers(0, 25), st.integers(200, 299)),
+                min_size=1, max_size=4, unique_by=lambda t: t[0],
+            ),
+        ),
         st.tuples(st.just("update"), st.integers(0, 99)),
         st.tuples(st.just("fold"), st.none()),
         st.tuples(st.just("compact"), st.none()),
@@ -886,7 +893,7 @@ _ft_ops = st.lists(
 def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, seed, ops):
     """Oracle-independent cross-verb consistency: run a random legal
     sequence of commits (append / CoW delete / MOR equality delete /
-    MOR position delete / DV delete / fold / compact) against a file-grain table AND
+    MOR position delete / DV delete / MOR merge upsert / fold / compact) against a file-grain table AND
     a 10-line Python
     replica of row state; the served rows must be the replica's multiset
     at every step. MOR semantics in the replica: a delete removes
@@ -933,6 +940,24 @@ def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, 
             # different physical plan (merged per-file vectors)
             ft.delete_positions_dv(spark, td, _F.col("d") >= arg)
             replica = [(k, d) for k, d in replica if d < arg]
+        elif op == "merge_mor":
+            from pyspark.sql import functions as _F
+
+            # MOR MERGE upsert: every matched row's d takes the source
+            # value (multiplicity preserved); unmatched keys insert.
+            # Stacks against whatever MOR state is live — no fold.
+            src = spark.createDataFrame(arg, "mk long, md long")
+            ft.merge_into_mor(
+                spark, td, src, on=("k", "mk"),
+                when_matched_update={"d": _F.col("s.md")},
+                when_not_matched_insert={
+                    "k": _F.col("s.mk"), "d": _F.col("s.md")
+                },
+            )
+            m = dict(arg)
+            present = {k for k, _d in replica}
+            replica = [(k, m.get(k, d)) for k, d in replica]
+            replica += [(k, d) for k, d in arg if k not in present]
         elif op == "update":
             from pyspark.sql import functions as _F
 
@@ -1197,3 +1222,40 @@ def test_incremental_feed_exactly_once_under_expiry(
         assert ingest(feed[: i + 1]) + ingest(resumed) == Counter(replica), (
             f"cross-session exactly-once broken at checkpoint {ckpt}"
         )
+
+
+_spj_left = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 999)), min_size=1, max_size=30
+)
+_spj_right = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 9)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_spj_left, right=_spj_right, n_buckets=st.integers(2, 6))
+def test_storage_partitioned_join_matches_plain_join(
+    spark, tmp_path_factory, left, right, n_buckets
+):
+    """For ANY contents and ANY shared bucket count, the bucket-aligned
+    manifest join returns exactly the rows of a plain shuffled inner
+    join — multiplicities included (both sides may repeat keys)."""
+    from spark_iceberg_jobs_spark.sources import filetable as ft
+
+    base = tmp_path_factory.mktemp("spjprop")
+    ta, tb = str(base / "a"), str(base / "b")
+    a = spark.createDataFrame(left, "k long, v long")
+    b = spark.createDataFrame(right, "k2 long, w long")
+    ft.create_table(a, ta, stats_cols=["v"], bucket_by=("k", n_buckets))
+    ft.create_table(b, tb, stats_cols=["w"], bucket_by=("k2", n_buckets))
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2")).collect()
+    )
+    rm = {}
+    for k, w in right:
+        rm.setdefault(k, []).append(w)
+    want = sorted((k, v, w) for k, v in left for w in rm.get(k, []))
+    assert got == want
