@@ -2300,3 +2300,86 @@ def test_merge_on_non_stats_key_is_conservative_not_an_error(spark, tmp_path):
     b = sorted(map(tuple, ft.read_table(spark, td_mor).collect()))
     assert a == b
     assert (7, 2, 700.0) in a and (777, 777 % 5, 777.0) in a
+
+
+# ---------------------------------------------------------------------------
+# round 12 — planted adversarial tests (killers for named wrong rules)
+# ---------------------------------------------------------------------------
+
+
+def test_planted_dv_word_boundary_and_sign_bit(spark, tmp_path):
+    """Kills two named wrong rules in the DV bitmap probe: (1) 0-based
+    element_at indexing (position 64 lives in WORD 2 under Spark's
+    1-based element_at — an off-by-one serves word 1 and deletes the
+    wrong rows); (2) unsigned-shift assumptions (position 63 sets the
+    SIGN bit of word 0 — long arithmetic must still read it as bit 63,
+    and `shiftright` is arithmetic, so (word >> 63) & 1 must be the
+    test, never a comparison against a positive mask)."""
+    td = str(tmp_path / "dvedge")
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    ft.create_table(df.withColumn("d", F.col("k")), td, stats_cols=["d"], n_files=1)
+    # the single file is written clustered by d == k, so row_index == k
+    ft.delete_positions_dv(spark, td, F.col("k").isin([0, 63, 64, 127, 128]))
+    got = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert got == sorted(set(range(200)) - {0, 63, 64, 127, 128})
+    # and the vector really packed those exact bits (words sidecar)
+    _d, _e, _p, dvs = ft._split_entries(ft.read_manifest(td))
+    row = ft._dv_pos_frame(spark, td, dvs).collect()[0]
+    words = row["_dv_words"]
+    assert (words[0] >> 0) & 1 == 1, "position 0 is bit 0 of word 1"
+    # bit 63 of word 0 is the sign bit: the stored long must be NEGATIVE
+    assert words[0] < 0, "position 63 must set word 0's sign bit"
+    assert (words[1] >> 0) & 1 == 1, "position 64 is bit 0 of word 2 (1-based)"
+    assert sorted(row["_dv_pos"]) == [0, 63, 64, 127, 128]
+
+
+def test_planted_spj_empty_bucket_must_not_shift_pairing(spark, tmp_path):
+    """Kills pairing-by-file-ORDER: when a bucket is EMPTY on one side,
+    the other side's same-id bucket must pair with NOTHING — an
+    implementation that zips the file lists positionally silently joins
+    bucket i against bucket i+1 and produces garbage rows."""
+    ta, tb = str(tmp_path / "eba"), str(tmp_path / "ebb")
+    n = 4
+    keys = spark.createDataFrame([(k,) for k in range(64)], "k long").select(
+        "k", F.expr(f"pmod(hash(k), {n})").alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in keys:
+        by_bucket.setdefault(r["b"], []).append(r["k"])
+    assert len(by_bucket) == n, "need keys in every bucket to stage the gap"
+    skip = min(by_bucket)  # left side omits this bucket entirely
+    left_keys = [k for b, ks in by_bucket.items() if b != skip for k in ks]
+    a = spark.createDataFrame([(k, k * 10) for k in left_keys], "k long, v long")
+    b = spark.createDataFrame([(k, k * 100) for b_, ks in by_bucket.items() for k in ks], "k2 long, w long")
+    ft.create_table(a, ta, stats_cols=["v"], bucket_by=("k", n))
+    ft.create_table(b, tb, stats_cols=["w"], bucket_by=("k2", n))
+    man_a = ft.read_manifest(ta)
+    a_buckets = {e["bucket"] for e in man_a["entries"]}
+    assert skip not in a_buckets and len(a_buckets) == n - 1, (
+        "left table must genuinely miss one bucket"
+    )
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    got = sorted((r["k"], r["v"], r["w"]) for r in j.collect())
+    want = sorted((k, k * 10, k * 100) for k in left_keys)
+    assert got == want, "empty bucket must pair with nothing, never shift"
+
+
+def test_planted_feed_misclassified_metadata_op_raises(spark, tmp_path):
+    """Kills silently trusting the operation label: a commit CLAIMING to
+    be metadata-only (add-column) whose entry list actually changed the
+    data file set must fail the feed's zero-file-delta assertion, not
+    be skipped (a skip would lose the moved rows exactly once)."""
+    import json as _json
+
+    td = str(tmp_path / "badmeta")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(1, 1), (2, 2)]), td, stats_cols=["d"], n_files=1)
+    ft.add_column(td, "note", "string")
+    v = ft.current_manifest_version(td)
+    mp = ft._manifest_path(td, v)
+    man = _json.load(open(mp))
+    assert man["operation"] == "add-column"
+    man["entries"] = []  # the lie: a "metadata" commit that dropped files
+    _json.dump(man, open(mp, "w"))
+    with pytest.raises(ValueError, match="changed the data file set"):
+        ft.incremental_feed(td)
