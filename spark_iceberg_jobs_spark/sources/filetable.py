@@ -182,6 +182,7 @@ def _commit_manifest(
     base_version: int | None = None,
     rebase_append: list[dict] | None = None,
     branch: str | None = None,
+    validate=None,
 ) -> int:
     """CAS-claim the next manifest number with O_EXCL (two concurrent
     committers land in distinct manifests; like _claim_version, numbers
@@ -200,8 +201,17 @@ def _commit_manifest(
 
     Every committed manifest records its ``parent`` (the version it was
     committed on top of — the CAS-resolved one after a rebase), giving
-    fast_forward_table a real ancestry chain to walk (ADVICE r10)."""
+    fast_forward_table a real ancestry chain to walk (ADVICE r10).
+
+    ``validate``, if given, runs UNDER the lock before anything is
+    claimed — the hook add_files uses to re-stat its imported files
+    after gc_orphans (which now also serializes on this lock) can no
+    longer be running concurrently (ADVICE r12: a GC between the
+    pre-lock stats pass and the commit could delete files the import
+    was about to register)."""
     with _commit_lock(table_dir):
+        if validate is not None:
+            validate()
         try:
             cur = (
                 branch_head(table_dir, branch)
@@ -499,7 +509,41 @@ def _write_commit(
             # which hash partitioning makes the bucket id (empty buckets
             # write no file and pair with nothing)
             e["bucket"] = int(os.path.basename(e["path"]).split("-")[1])
+        _verify_bucket_layout(spark, cdir, bucket_by[0], bucket_by[1], entries)
     return entries
+
+
+def _verify_bucket_layout(
+    spark: SparkSession, cdir: str, col: str, n: int, entries: list[dict]
+) -> None:
+    """Assert, per written file, that every row's ``pmod(murmur3(col), n)``
+    equals the bucket id parsed from the part-file name (ADVICE r12: the
+    name-derived id relies on task index == hash partition — true today,
+    but a committer/naming change would silently mis-pair
+    storage_partitioned_join; this check fails the COMMIT loudly
+    instead). One aggregate over only the new files' key column —
+    commit-time cost, never on the serve path. ``F.hash`` is the same
+    Murmur3 ``repartition(n, col)`` partitions by, so min==max==parsed
+    id iff the invariant holds."""
+    chk = (
+        spark.read.parquet(cdir)
+        .groupBy(F.input_file_name().alias("_f"))
+        .agg(
+            F.min(F.pmod(F.hash(F.col(col)), F.lit(n))).alias("_lo"),
+            F.max(F.pmod(F.hash(F.col(col)), F.lit(n))).alias("_hi"),
+        )
+        .collect()
+    )  # bounded: one row per file in THIS commit
+    by_name = {os.path.basename(r["_f"]): (r["_lo"], r["_hi"]) for r in chk}
+    for e in entries:
+        lo, hi = by_name[os.path.basename(e["path"])]
+        if not (lo == hi == e["bucket"]):
+            raise ValueError(
+                f"bucket layout broken for {e['path']!r}: rows hash to "
+                f"buckets [{lo}, {hi}] but the file name claims bucket "
+                f"{e['bucket']} — task-index/file-name mapping changed; "
+                "refusing to commit a silently mis-paired layout"
+            )
 
 
 def create_table(
@@ -682,6 +726,22 @@ def add_files(spark: SparkSession, table_dir: str, src_subdir: str) -> int:
     dup = {e["path"] for e in new} & {e["path"] for e in man["entries"]}
     if dup:
         raise ValueError(f"files already registered: {sorted(dup)[:3]}")
+
+    def _files_still_exist() -> None:
+        # under the commit lock (ADVICE r12): gc_orphans serializes on the
+        # same lock, so once this passes the files cannot vanish before
+        # the manifest that references them lands
+        gone = [
+            e["path"]
+            for e in new
+            if not os.path.exists(os.path.join(table_dir, e["path"]))
+        ]
+        if gone:
+            raise ValueError(
+                f"imported files vanished before the commit (concurrent GC? "
+                f"staged past its grace window?): {sorted(gone)[:3]}"
+            )
+
     return _commit_manifest(
         table_dir,
         _inherit_schema(man, {
@@ -695,6 +755,7 @@ def add_files(spark: SparkSession, table_dir: str, src_subdir: str) -> int:
         }, adds_files=True),
         base_version=man["version"],
         rebase_append=new,
+        validate=_files_still_exist,
     )
 
 
@@ -2117,8 +2178,18 @@ def merge_into(
     entry, and rows whose keys appear in no candidate file are inserts
     by zone-map soundness. Duplicate source keys raise (the
     multiple-match error real MERGE throws), detected with one bounded
-    two-scalar aggregate."""
+    two-scalar aggregate.
+
+    DETERMINISM (ADVICE r12): the plan evaluates ``source`` in several
+    independent actions (dup check, key range, insert count, the data
+    write); a non-deterministic source (sampling, ``rand()``,
+    ``uuid()``) would commit mutually inconsistent sets in ONE manifest.
+    An eager ``localCheckpoint`` pins a single evaluation — lineage is
+    truncated, so no action can recompute it (bounded: MERGE sources
+    are change sets, not tables; a lost checkpoint block fails loudly
+    rather than recomputing differently)."""
     tkey, skey = on
+    source = source.localCheckpoint(eager=True)
     manifest = read_manifest(table_dir)
     _require_no_live_deletes(manifest, "merge_into")
     if tkey in manifest["stats_types"]:
@@ -2303,8 +2374,14 @@ def merge_into_mor(
     never O(table); the rewrite amplification of CoW MERGE (every
     match-bearing file) disappears — SCALE.md §Round-12 measures the
     commit-cost gap at 64×. Read cost afterwards is the standard MOR
-    anti join until fold_pressure fires."""
+    anti join until fold_pressure fires.
+
+    DETERMINISM (ADVICE r12): same exposure as the CoW twin — the
+    delete-keys write and the re-append/insert writes are independent
+    actions over ``source``; the eager ``localCheckpoint`` pins one
+    evaluation so they can never disagree."""
     tkey, skey = on
+    source = source.localCheckpoint(eager=True)
     manifest = read_manifest(table_dir)
     _data, eqs, _poss, _dvs = _split_entries(manifest)
     if eqs:
@@ -3356,6 +3433,18 @@ def partitions_table(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+#: cap on the SUM of per-bucket broadcast build bytes across the whole
+#: storage-partitioned join (VERDICT r12 item 1): every bucket's
+#: BroadcastExchange materializes within the ONE job, so without a
+#: valve the driver (and each executor's broadcast store) holds ~the
+#: smaller TABLE's bytes — fine for fact⋈dim, an OOM at the fact⋈fact
+#: scale the reference's shared bucket(16, match_id) layout targets
+#: (README.md:18). Computed from MANIFEST bytes — zero cost to consult.
+#: Buckets that don't fit under the budget join with a shuffled-hash
+#: join scoped to that bucket's files instead (see the docstring).
+SPJ_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
 def storage_partitioned_join(
     spark: SparkSession,
     dir_a: str,
@@ -3363,6 +3452,7 @@ def storage_partitioned_join(
     *,
     on: tuple[str, str],
     how: str = "inner",
+    broadcast_max_bytes: int | None = None,
 ) -> DataFrame:
     """File-grain STORAGE-PARTITIONED JOIN (VERDICT r11 item 5 — the
     reference's pedagogical heart, README.md:18's bucket join, executed
@@ -3372,10 +3462,32 @@ def storage_partitioned_join(
     a UNION of per-bucket joins that pairs bucket-aligned files straight
     from the manifests — the big sides never shuffle (plan-pinned: zero
     ``Exchange hashpartitioning``; Spark 3.3+ DSv2 SPJ is the connector
-    form of exactly this plan). Each per-bucket join builds its hash
-    table from the smaller side's bucket — the SAME per-task memory a
-    shuffled hash join would use for one partition, with n_buckets the
-    parallelism, so sizing n is the familiar shuffle-partition rule.
+    form of exactly this plan).
+
+    BUILD-SIDE VALVE (VERDICT r12 item 1): each per-bucket join builds
+    from the smaller side's bucket. While the RUNNING SUM of broadcast
+    build bytes (manifest-computed, smallest buckets first so coverage
+    is maximal) stays under ``broadcast_max_bytes`` (default
+    ``SPJ_BROADCAST_MAX_BYTES``), the build side broadcasts — all those
+    BroadcastExchanges coexist in the one job, so the budget bounds
+    driver + executor broadcast memory. A bucket that does NOT fit
+    joins with a SHUFFLED-HASH join (``hint("shuffle_hash")``) scoped to
+    that bucket's files: per-task memory is one hash partition of the
+    bucket, and the exchange moves only that bucket's bytes — at
+    fact⋈fact scale that residual, bucket-local shuffle is the honest
+    DataFrame-API floor (a true zero-exchange big-big SPJ needs the
+    scan to REPORT KeyGroupedPartitioning, which is DSv2-connector
+    territory; a per-bucket broadcast has no such floor but an
+    unbounded memory bill). Row-equality between the two regimes is
+    test-pinned, as is the no-BroadcastExchange property of the
+    over-budget plan.
+
+    DELETION VECTORS (VERDICT r12 item 3): DVs are FILE-LOCAL, so a
+    dv'd bucket file applies its own bitmap inside the per-bucket scan
+    without breaking bucket alignment — the join composes with live DV
+    state (planted test: a dv'd row never reaches the join output).
+    Equality/position delete files genuinely do need the fold (their
+    visibility is cross-file) and still raise.
 
     FALLBACK: layouts that don't align (different bucket counts, a key
     that isn't the bucket column, or an unbucketed side) shuffle like
@@ -3387,6 +3499,8 @@ def storage_partitioned_join(
     the join predicate); any other name collision raises."""
     if how != "inner":
         raise ValueError("storage_partitioned_join supports inner joins only")
+    if broadcast_max_bytes is None:
+        broadcast_max_bytes = SPJ_BROADCAST_MAX_BYTES
     ka, kb = on
     man_a, man_b = read_manifest(dir_a), read_manifest(dir_b)
     la, lb = man_a.get("layout"), man_b.get("layout")
@@ -3404,12 +3518,18 @@ def storage_partitioned_join(
         if dup:
             raise ValueError(f"colliding non-key columns: {sorted(dup)}")
         return a.join(b, a[ka] == b[kb], "inner").drop(b[kb])
-    _require_no_live_deletes(man_a, "storage_partitioned_join")
-    _require_no_live_deletes(man_b, "storage_partitioned_join")
+    data_a, eqs_a, poss_a, dvs_a = _split_entries(man_a)
+    data_b, eqs_b, poss_b, dvs_b = _split_entries(man_b)
+    if eqs_a or poss_a or eqs_b or poss_b:
+        raise ValueError(
+            "storage_partitioned_join on a table with live equality/position "
+            "delete files — their visibility is cross-file; run fold_deletes "
+            "first (file-local deletion vectors compose fine)"
+        )
 
-    def by_bucket(man: dict, td: str) -> dict[int, list[dict]]:
+    def by_bucket(data: list[dict], td: str) -> dict[int, list[dict]]:
         out: dict[int, list[dict]] = {}
-        for e in man["entries"]:
+        for e in data:
             if "bucket" not in e:
                 raise ValueError(
                     f"entry {e['path']!r} in {td!r} carries no bucket id "
@@ -3418,11 +3538,46 @@ def storage_partitioned_join(
             out.setdefault(e["bucket"], []).append(e)
         return out
 
-    ba, bb = by_bucket(man_a, dir_a), by_bucket(man_b, dir_b)
+    def read_bucket(
+        td: str, man: dict, entries: list[dict], dvs: list[dict]
+    ) -> DataFrame:
+        # the dv'd files of THIS bucket pay the file-local bitmap probe;
+        # clean files stay a plain multi-path scan (the _mor_read split)
+        targets = {e["target"] for e in dvs}
+        dvd = [e for e in entries if os.path.basename(e["path"]) in targets]
+        if not dvd:
+            return _read_data(spark, td, man, entries)
+        dvd_names = {os.path.basename(e["path"]) for e in dvd}
+        rel_dvs = [d for d in dvs if d["target"] in dvd_names]
+        clean = [e for e in entries if os.path.basename(e["path"]) not in targets]
+        part = _read_data(spark, td, man, dvd, meta_cols=True)
+        part = _apply_dv_filter(spark, td, man, rel_dvs, part).drop(
+            "_ft_file", "_ft_pos"
+        )
+        if clean:
+            part = _read_data(spark, td, man, clean).unionByName(part)
+        return part
+
+    ba, bb = by_bucket(data_a, dir_a), by_bucket(data_b, dir_b)
+    shared = sorted(set(ba) & set(bb))  # inner: lone buckets match nothing
+    # budget allocation, smallest build first (maximal broadcast coverage
+    # under the cap), from manifest bytes alone
+    builds = {
+        i: min(
+            sum(e["bytes"] for e in ba[i]), sum(e["bytes"] for e in bb[i])
+        )
+        for i in shared
+    }
+    budget = broadcast_max_bytes
+    can_broadcast: set[int] = set()
+    for i in sorted(shared, key=lambda i: (builds[i], i)):
+        if builds[i] <= budget:
+            can_broadcast.add(i)
+            budget -= builds[i]
     out = None
-    for i in sorted(set(ba) & set(bb)):  # inner join: lone buckets match nothing
-        fa = _read_data(spark, dir_a, man_a, ba[i])
-        fb = _read_data(spark, dir_b, man_b, bb[i])
+    for i in shared:
+        fa = read_bucket(dir_a, man_a, ba[i], dvs_a)
+        fb = read_bucket(dir_b, man_b, bb[i], dvs_b)
         dup = (set(fa.columns) & set(fb.columns)) - {kb}
         if dup:
             raise ValueError(f"colliding non-key columns: {sorted(dup)}")
@@ -3430,10 +3585,19 @@ def storage_partitioned_join(
         bytes_b = sum(e["bytes"] for e in bb[i])
         # build side = the smaller BUCKET (manifest bytes, zero cost):
         # its hash table is what one shuffled-join task would hold anyway
-        if bytes_b <= bytes_a:
-            j = fa.join(F.broadcast(fb), fa[ka] == fb[kb], "inner")
+        build_is_b = bytes_b <= bytes_a
+        if i in can_broadcast:
+            if build_is_b:
+                j = fa.join(F.broadcast(fb), fa[ka] == fb[kb], "inner")
+            else:
+                j = F.broadcast(fa).join(fb, fa[ka] == fb[kb], "inner")
         else:
-            j = F.broadcast(fa).join(fb, fa[ka] == fb[kb], "inner")
+            # over budget: bucket-scoped shuffled hash join — the hinted
+            # side builds; only this bucket's bytes cross the exchange
+            if build_is_b:
+                j = fa.join(fb.hint("shuffle_hash"), fa[ka] == fb[kb], "inner")
+            else:
+                j = fa.hint("shuffle_hash").join(fb, fa[ka] == fb[kb], "inner")
         j = j.drop(fb[kb])
         out = j if out is None else out.unionByName(j)
     if out is None:
@@ -3443,8 +3607,60 @@ def storage_partitioned_join(
     return out
 
 
+def _referenced_paths_driver(table_dir: str, versions: list[int]) -> set[str]:
+    """The union of the given manifests' path sets, driver-side — the
+    under-threshold reference-set builder gc_orphans/expire_table use."""
+    referenced: set[str] = set()
+    for v in versions:
+        referenced |= {e["path"] for e in read_manifest(table_dir, v)["entries"]}
+    return referenced
+
+
+def _referenced_paths_spark(
+    spark: SparkSession, table_dir: str, versions: list[int]
+) -> set[str]:
+    """The same union as a SPARK JOB over the commit-time JSONL entry
+    logs (VERDICT r12 item 4 — the write-path twin of plan_scan_spark):
+    one path-schema'd JSON scan over every retained version's log, one
+    distributed ``distinct``, and only the deduplicated path set comes
+    back — the driver never parses a retained version's O(#files) JSON
+    manifest. Versions predating the entry log get one written from
+    their JSON manifest (once, idempotent — legacy cold path). The
+    returned set is O(#live files) paths on the driver, the same bound
+    ``_manifest_auto``'s path list already has (the walk comparison
+    needs it; a real deploy would anti-join the listing as a job too)."""
+    logs = []
+    for v in versions:
+        p = _entries_jsonl_path(table_dir, v)
+        if not os.path.exists(p):
+            _write_entries_jsonl(table_dir, read_manifest(table_dir, v), v)
+        logs.append(p)
+    df = spark.read.json(logs, schema="path string")
+    return {r["path"] for r in df.select("path").distinct().collect()}
+
+
+def _referenced_paths_auto(
+    spark: SparkSession | None, table_dir: str, versions: list[int]
+) -> set[str]:
+    """Two-level dispatch for the reference-set union: under the
+    threshold (summed manifest bytes / bytes-per-entry, the
+    ``_over_plan_threshold`` heuristic across ALL retained versions) the
+    driver loop; past it — and given a session — the Spark job."""
+    if spark is not None:
+        approx = sum(
+            os.path.getsize(_manifest_path(table_dir, v)) for v in versions
+        ) // _MANIFEST_BYTES_PER_ENTRY
+        if approx > PLAN_SPARK_THRESHOLD:
+            return _referenced_paths_spark(spark, table_dir, versions)
+    return _referenced_paths_driver(table_dir, versions)
+
+
 def gc_orphans(
-    table_dir: str, *, grace_seconds: float = 3 * 24 * 3600, now: float | None = None
+    table_dir: str,
+    *,
+    grace_seconds: float = 3 * 24 * 3600,
+    now: float | None = None,
+    spark: SparkSession | None = None,
 ) -> dict:
     """Executed orphan-file GC — Iceberg's ``remove_orphan_files``
     (VERDICT r11 item 4; plans/procedures.py renders the CALL string,
@@ -3463,45 +3679,105 @@ def gc_orphans(
     manifest hasn't landed yet (Iceberg's ``older_than`` default for the
     same race). ``now`` is injectable for tests.
 
+    LOCKING (ADVICE r12): the whole reference-set build + delete loop
+    runs under ``_commit_lock``, serializing with every commit — in
+    particular with ``add_files``, whose in-lock re-stat hook closes the
+    stage-then-GC race (a legacy dump staged under ``data/`` past the
+    grace window is otherwise deletable right up to the commit that
+    registers it; staging dirs should not sit under ``data/`` longer
+    than the grace window).
+
+    DEBRIS (ADVICE r12): orphaned NON-parquet siblings (_SUCCESS, .crc)
+    are removed too, and a fully-unreferenced commit dir older than the
+    grace window is pruned once empty — a leftover cNNNNNN dir would
+    otherwise inflate ``_next_commit_dir`` numbering forever. Dirs
+    holding any referenced path are never touched.
+
     Scale: one walk of the data tree + the union of retained manifests'
-    path sets — O(#files) metadata, zero data bytes read; a real deploy
-    runs the reference-set union as a job over the manifest tables (the
-    same two-level planning story as plan_scan_spark)."""
+    path sets — O(#files) metadata, zero data bytes read; past
+    ``PLAN_SPARK_THRESHOLD`` (and given ``spark``) the union runs as a
+    job over the commit-time entry logs (``_referenced_paths_spark``),
+    so no retained version's JSON manifest is ever parsed driver-side."""
     import time
 
     if now is None:
         now = time.time()
     cutoff = now - grace_seconds
-    referenced: set[str] = set()
-    for v in _manifest_versions(table_dir):
-        referenced |= {e["path"] for e in read_manifest(table_dir, v)["entries"]}
+    data_root = os.path.join(table_dir, "data")
     removed: list[str] = []
     kept_grace = 0
-    data_root = os.path.join(table_dir, "data")
-    for root, _dirs, files in os.walk(data_root):
-        for name in files:
-            full = os.path.join(root, name)
-            rel = os.path.relpath(full, table_dir)
-            if not name.endswith(".parquet") or rel in referenced:
+    extra_removed = 0
+    dirs_removed = 0
+    with _commit_lock(table_dir):
+        referenced = _referenced_paths_auto(
+            spark, table_dir, _manifest_versions(table_dir)
+        )
+        # dirs holding (transitively) any referenced path are live; and
+        # dir mtimes are captured BEFORE any removal, because deleting a
+        # child bumps the parent's mtime and would spuriously re-grace it
+        live_dirs: set[str] = set()
+        for rel in referenced:
+            d = os.path.dirname(rel)
+            while d and d != ".":
+                live_dirs.add(d)
+                d = os.path.dirname(d)
+        dir_mtimes: dict[str, float] = {}
+        for root, dirs, files in os.walk(data_root):
+            for d in dirs:
+                full = os.path.join(root, d)
+                dir_mtimes[full] = os.path.getmtime(full)
+            for name in files:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, table_dir)
+                if not name.endswith(".parquet") or rel in referenced:
+                    continue
+                if os.path.getmtime(full) > cutoff:
+                    kept_grace += 1  # possibly in-flight: wait out grace
+                    continue
+                os.remove(full)
+                removed.append(rel)
+        # bottom-up: debris siblings in dead dirs, then the dirs themselves
+        for root, _dirs, _files in os.walk(data_root, topdown=False):
+            if os.path.realpath(root) == os.path.realpath(data_root):
                 continue
-            if os.path.getmtime(full) > cutoff:
-                kept_grace += 1  # possibly an in-flight commit: wait out grace
+            if os.path.relpath(root, table_dir) in live_dirs:
                 continue
-            os.remove(full)
-            removed.append(rel)
+            for name in os.listdir(root):
+                full = os.path.join(root, name)
+                if os.path.isdir(full) or name.endswith(".parquet"):
+                    continue  # grace-kept parquet keeps its dir non-empty
+                if os.path.getmtime(full) > cutoff:
+                    kept_grace += 1
+                    continue
+                os.remove(full)
+                extra_removed += 1
+            try:
+                if dir_mtimes.get(root, now) <= cutoff:
+                    os.rmdir(root)  # raises if non-empty — exactly right
+                    dirs_removed += 1
+            except OSError:
+                pass
     return {
         "files_removed": len(removed),
         "kept_in_grace": kept_grace,
         "removed_paths": sorted(removed),
+        "extra_files_removed": extra_removed,
+        "dirs_removed": dirs_removed,
     }
 
 
-def expire_table(table_dir: str, *, keep_last: int = 1) -> dict:
+def expire_table(
+    table_dir: str, *, keep_last: int = 1, spark: SparkSession | None = None
+) -> dict:
     """Retention: drop all but the newest ``keep_last`` manifests (always
     keeping the current one AND every tagged version — per-ref retention,
     like writers.expire_versions), then reclaim data files referenced by
     NO surviving manifest — Iceberg's expire_snapshots + orphan cleanup
-    at the data-file grain."""
+    at the data-file grain. The surviving-reference union dispatches
+    through ``_referenced_paths_auto`` (VERDICT r12 item 4): past the
+    threshold — and given ``spark`` — it runs as a job over the
+    commit-time entry logs instead of parsing each survivor's JSON
+    manifest driver-side."""
     versions = _manifest_versions(table_dir)
     current = current_manifest_version(table_dir)
     keep = (
@@ -3515,10 +3791,9 @@ def expire_table(table_dir: str, *, keep_last: int = 1) -> dict:
         | {r["base"] for r in _read_branches(table_dir).values()}
     )
     removed_manifests = []
-    referenced: set[str] = set()
-    for v in versions:
-        if v in keep:
-            referenced |= {e["path"] for e in read_manifest(table_dir, v)["entries"]}
+    referenced = _referenced_paths_auto(
+        spark, table_dir, [v for v in versions if v in keep]
+    )
     import shutil
 
     for v in versions:

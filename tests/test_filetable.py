@@ -2383,3 +2383,305 @@ def test_planted_feed_misclassified_metadata_op_raises(spark, tmp_path):
     _json.dump(man, open(mp, "w"))
     with pytest.raises(ValueError, match="changed the data file set"):
         ft.incremental_feed(td)
+
+
+# ---------------------------------------------------------------------------
+# round 13 — ADVICE r12 fixes: merge determinism, bucket-layout verification,
+# GC locking + debris pruning, add_files in-lock re-stat, job reference union
+# ---------------------------------------------------------------------------
+
+
+def test_merge_source_evaluated_exactly_once(spark, tmp_path):
+    """ADVICE r12: the MOR merge runs several independent actions over
+    ``source`` (dup check, range, insert count, two writes); a
+    non-deterministic source would commit mutually inconsistent sets.
+    The eager localCheckpoint pins ONE evaluation — counted here with a
+    marker-file side effect (1 partition -> 1 marker per evaluation;
+    without the fix this emits one marker per action)."""
+    td = str(tmp_path / "once")
+    ft.create_table(
+        spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long"),
+        td, stats_cols=["k"], n_files=2,
+    )
+    marker_dir = tmp_path / "markers"
+    marker_dir.mkdir()
+    mdir = str(marker_dir)
+
+    def mark(batches):
+        import os as _os
+        import uuid as _uuid
+
+        with open(_os.path.join(mdir, _uuid.uuid4().hex), "w") as f:
+            f.write("x")
+        yield from batches
+
+    src = (
+        spark.createDataFrame([(5, 555), (25, 2525)], "k long, v long")
+        .coalesce(1)
+        .mapInPandas(mark, schema="k long, v long")
+    )
+    ft.merge_into_mor(
+        spark, td, src, on=("k", "k"),
+        when_matched_update={"v": F.col("s.v")},
+        when_not_matched_insert={"k": F.col("s.k"), "v": F.col("s.v")},
+    )
+    assert len(os.listdir(mdir)) == 1, "source must be materialized exactly once"
+    got = {r["k"]: r["v"] for r in ft.read_table(spark, td).collect()}
+    assert got[5] == 555 and got[25] == 2525 and len(got) == 21
+
+
+def test_bucket_layout_verification_catches_mispairing(spark, tmp_path):
+    """ADVICE r12: the bucket id is parsed from the part-file NAME; if
+    task-index/file-name mapping ever diverged from pmod(murmur3), the
+    SPJ would pair buckets wrongly and return silently bad rows. The
+    commit-time verifier must catch exactly that divergence."""
+    cdir = str(tmp_path / "c000001")
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    with ft._pinned_file_count(spark):
+        df.repartition(4, F.col("k")).write.mode("append").parquet(cdir)
+    entries = ft._collect_entries(spark, str(tmp_path), cdir, [])
+    for e in entries:
+        e["bucket"] = int(os.path.basename(e["path"]).split("-")[1])
+    two = [e for e in entries if e["rows"] > 0][:2]
+    assert len(two) == 2 and two[0]["bucket"] != two[1]["bucket"]
+    ft._verify_bucket_layout(spark, cdir, "k", 4, entries)  # truth passes
+    two[0]["bucket"], two[1]["bucket"] = two[1]["bucket"], two[0]["bucket"]
+    with pytest.raises(ValueError, match="bucket layout broken"):
+        ft._verify_bucket_layout(spark, cdir, "k", 4, entries)
+
+
+def test_gc_orphans_removes_debris_siblings_and_dead_dirs(spark, tmp_path):
+    """ADVICE r12: GC previously left _SUCCESS/.crc siblings and the
+    empty cNNNNNN dir behind forever — the leftover dir also inflated
+    _next_commit_dir numbering permanently. Now the whole dead dir goes
+    (grace-gated), and live commit dirs keep their markers."""
+    import time
+
+    td = str(tmp_path / "gcd")
+    ft.create_table(
+        spark.createDataFrame([(1, 2)], "a long, b long"), td,
+        stats_cols=["b"], n_files=1,
+    )
+    debris = os.path.join(td, "data", "c009999")
+    spark.createDataFrame([(9, 9)], "a long, b long").coalesce(1).write.parquet(debris)
+    now = time.time()
+    res = ft.gc_orphans(td, grace_seconds=3600, now=now + 7200)
+    assert res["files_removed"] == 1
+    assert res["extra_files_removed"] >= 1, "_SUCCESS/.crc debris must go too"
+    assert res["dirs_removed"] >= 1
+    assert not os.path.exists(debris), "the dead commit dir must be pruned"
+    live = os.path.join(td, "data", "c000001")
+    assert os.path.exists(os.path.join(live, "_SUCCESS")), (
+        "live commit dirs keep their markers"
+    )
+    # numbering no longer inflated by the leftover dir
+    nd = ft._next_commit_dir(td)
+    assert os.path.basename(nd) == "c000002"
+    os.rmdir(nd)
+
+
+def test_gc_orphans_in_grace_debris_fully_kept(spark, tmp_path):
+    """The grace window protects the WHOLE in-flight commit dir: parquet,
+    markers, and the dir itself (it may be a writer mid-commit)."""
+    import time
+
+    td = str(tmp_path / "gcg")
+    ft.create_table(
+        spark.createDataFrame([(1, 2)], "a long, b long"), td,
+        stats_cols=["b"], n_files=1,
+    )
+    debris = os.path.join(td, "data", "c009999")
+    spark.createDataFrame([(9, 9)], "a long, b long").coalesce(1).write.parquet(debris)
+    res = ft.gc_orphans(td, grace_seconds=3600, now=time.time())
+    assert res["files_removed"] == 0 and res["dirs_removed"] == 0
+    assert res["extra_files_removed"] == 0
+    assert os.path.exists(debris)
+
+
+def test_gc_orphans_serializes_on_commit_lock(spark, tmp_path):
+    """ADVICE r12: GC takes _commit_lock, so it can never interleave
+    with a commit (in particular add_files' stats->commit window)."""
+    import threading
+    import time
+
+    td = str(tmp_path / "gclock")
+    ft.create_table(
+        spark.createDataFrame([(1, 2)], "a long, b long"), td,
+        stats_cols=["b"], n_files=1,
+    )
+    done = threading.Event()
+
+    def run():
+        ft.gc_orphans(td, now=time.time())
+        done.set()
+
+    with ft._commit_lock(td):
+        t = threading.Thread(target=run)
+        t.start()
+        time.sleep(1.0)
+        assert not done.is_set(), "gc_orphans must wait for the commit lock"
+    t.join(30)
+    assert done.is_set()
+
+
+def test_add_files_revalidates_files_under_lock(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a GC between add_files' stats pass and its commit
+    could delete the staged files; the in-lock re-stat refuses to
+    register vanished files (simulated by interposing the deletion
+    right after the stats collection)."""
+    td = str(tmp_path / "addrace")
+    ft.create_table(
+        spark.createDataFrame([(1, 2.0)], "k long, x double"), td,
+        stats_cols=["k"], n_files=1,
+    )
+    imp = os.path.join(td, "data", "import1")
+    spark.createDataFrame([(7, 7.0)], "k long, x double").coalesce(1).write.parquet(imp)
+    orig = ft._collect_entries
+
+    def sneaky(spark_, td_, cdir, cols):
+        out = orig(spark_, td_, cdir, cols)
+        if cdir == imp:  # the GC race, interposed after the stats pass
+            os.remove(os.path.join(td, out[0]["path"]))
+        return out
+
+    monkeypatch.setattr(ft, "_collect_entries", sneaky)
+    v0 = ft.current_manifest_version(td)
+    with pytest.raises(ValueError, match="vanished"):
+        ft.add_files(spark, td, os.path.join("data", "import1"))
+    assert ft.current_manifest_version(td) == v0, "no partial registration"
+
+
+def test_gc_and_expire_reference_union_runs_as_job_past_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 4: past PLAN_SPARK_THRESHOLD the reference-set
+    union runs as a Spark job over the commit-time entry logs — pinned
+    by exploding the driver union; results must match the driver path
+    exactly (same orphan removed, same survivors)."""
+    import time
+
+    td = str(tmp_path / "gcjob")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(40)]), td, stats_cols=["d"], n_files=2)
+    ft.append_table(mk([(i, i) for i in range(40, 60)]), td, n_files=1)
+    versions = ft._manifest_versions(td)
+    want_ref = ft._referenced_paths_driver(td, versions)
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    got_ref = ft._referenced_paths_auto(spark, td, versions)
+    assert got_ref == want_ref, "job union must equal the driver union"
+
+    def _boom(*a, **k):
+        raise AssertionError("past the threshold the driver union must not run")
+
+    monkeypatch.setattr(ft, "_referenced_paths_driver", _boom)
+    debris = os.path.join(td, "data", "c009999")
+    spark.createDataFrame([(9, 9)], "k long, d long").coalesce(1).write.parquet(debris)
+    res = ft.gc_orphans(td, grace_seconds=3600, now=time.time() + 7200, spark=spark)
+    assert res["files_removed"] == 1 and not os.path.exists(debris)
+    assert ft.read_table(spark, td).count() == 60, "no live byte touched"
+    # expire dispatches through the same union
+    res2 = ft.expire_table(td, keep_last=1, spark=spark)
+    assert res2["manifests_removed"] == [1]
+    assert ft.read_table(spark, td).count() == 60
+
+
+# ---------------------------------------------------------------------------
+# round 13 — SPJ build-side valve (VERDICT r12 item 1) and DV composition
+# (item 3)
+# ---------------------------------------------------------------------------
+
+
+def _mk_spj_pair(spark, tmp_path, n_buckets=8):
+    ta, tb = str(tmp_path / "va"), str(tmp_path / "vb")
+    a = spark.createDataFrame(
+        [(i % 40, i, float(i)) for i in range(400)], "k long, oid long, amt double"
+    )
+    b = spark.createDataFrame(
+        [(j % 40, j, j * 10) for j in range(200)], "k2 long, rid long, w long"
+    )
+    ft.create_table(a, ta, stats_cols=["oid"], bucket_by=("k", n_buckets))
+    ft.create_table(b, tb, stats_cols=["rid"], bucket_by=("k2", n_buckets))
+    return ta, tb
+
+
+def test_spj_valve_over_budget_no_broadcast_yet_row_equal(spark, tmp_path):
+    """VERDICT r12 item 1: with a zero broadcast budget every bucket
+    joins via a bucket-scoped shuffled-hash join — the plan carries NO
+    BroadcastExchange (the driver-memory scale-killer) and the rows
+    equal the default broadcast path's."""
+    ta, tb = _mk_spj_pair(spark, tmp_path)
+    base = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    want = sorted(map(tuple, base.collect()))
+    plan_base = base._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan_base  # the under-budget regime
+    j0 = ft.storage_partitioned_join(
+        spark, ta, tb, on=("k", "k2"), broadcast_max_bytes=0
+    )
+    plan = j0._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, "over-budget buckets must not broadcast"
+    assert "ShuffledHashJoin" in plan
+    assert sorted(map(tuple, j0.collect())) == want
+    assert len(want) == 400 * 5  # 400 fact rows x 5 matching b-rows per key
+
+
+def test_spj_valve_mixed_budget_row_equal(spark, tmp_path):
+    """A budget that admits only the smallest build bucket: that bucket
+    broadcasts, the rest shuffle — both regimes coexist in one plan and
+    the union is still exact."""
+    ta, tb = _mk_spj_pair(spark, tmp_path)
+    man_a, man_b = ft.read_manifest(ta), ft.read_manifest(tb)
+
+    def build_bytes(man):
+        by = {}
+        for e in man["entries"]:
+            by[e["bucket"]] = by.get(e["bucket"], 0) + e["bytes"]
+        return by
+
+    ba, bb = build_bytes(man_a), build_bytes(man_b)
+    builds = {i: min(ba[i], bb[i]) for i in set(ba) & set(bb)}
+    cap = min(builds.values())  # exactly one bucket fits
+    j = ft.storage_partitioned_join(
+        spark, ta, tb, on=("k", "k2"), broadcast_max_bytes=cap
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan and "ShuffledHashJoin" in plan
+    want = sorted(
+        map(tuple, ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2")).collect())
+    )
+    assert sorted(map(tuple, j.collect())) == want
+
+
+def test_spj_composes_with_deletion_vectors(spark, tmp_path):
+    """VERDICT r12 item 3: DVs are file-local, so a dv'd bucket file
+    applies its bitmap inside the per-bucket scan — alignment intact
+    (no fact-side Exchange), and a dv'd row NEVER reaches the join
+    output (the planted kill)."""
+    ta, tb = _mk_spj_pair(spark, tmp_path)
+    ft.delete_positions_dv(spark, ta, F.col("oid") % 7 == 0)
+    man = ft.read_manifest(ta)
+    assert any(e.get("kind") == "dv" for e in man["entries"]), "live DVs required"
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, "DV probe must not break alignment"
+    rows = j.collect()
+    assert rows and not any(r["oid"] % 7 == 0 for r in rows), (
+        "a dv'd row must never survive into the join output"
+    )
+    want = sorted(
+        (r["k"], r["oid"], r["rid"])
+        for r in ft.read_table(spark, ta)
+        .join(ft.read_table(spark, tb), F.col("k") == F.col("k2"))
+        .collect()
+    )
+    assert sorted((r["k"], r["oid"], r["rid"]) for r in rows) == want
+
+
+def test_spj_eq_pos_deletes_still_raise(spark, tmp_path):
+    """Equality/position delete files stay cross-file — the SPJ keeps
+    refusing them loudly (only file-local DVs compose)."""
+    ta, tb = _mk_spj_pair(spark, tmp_path)
+    ft.delete_keys_mor(
+        spark, ta, "k", spark.createDataFrame([(3,)], "k long")
+    )
+    with pytest.raises(ValueError, match="equality/position"):
+        ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
