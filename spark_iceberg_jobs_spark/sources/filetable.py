@@ -1671,7 +1671,7 @@ def _maybe_fold(
     ``threshold=None`` keeps the gate off (the caller owns folding)."""
     if threshold is None:
         return summary
-    pressure = fold_pressure(table_dir, threshold=threshold)
+    pressure = fold_pressure(table_dir, threshold=threshold, spark=spark)
     summary["fold_ratio"] = pressure["ratio"]
     summary["folded"] = pressure["should_fold"]
     if pressure["should_fold"]:
@@ -1987,6 +1987,138 @@ def scan_range(spark: SparkSession, table_dir: str, col: str, lo, hi) -> DataFra
     return df
 
 
+def _classify_where_driver(manifest: dict, col: str, cutoff, mode: str) -> dict:
+    """Candidate classification for DELETE/UPDATE WHERE, driver-side —
+    the under-threshold regime. Returns ``path -> class`` for the
+    NON-kept classes only (``dropped``/``straddle`` for delete,
+    ``touched`` for update); a path absent from the map is kept. NULL
+    semantics are delete_where's (ADVICE r10): bounds ignore NULLs, so
+    a null-BEARING file can never be metadata-dropped, a known all-NULL
+    file never matches the predicate, and pre-null-tracking entries are
+    conservatively rewritten."""
+    bounds = _decode_bounds(manifest, col)
+    out: dict[str, str] = {}
+    for e in manifest["entries"]:
+        b = bounds(e)
+        n_nulls = e.get("nulls", {}).get(col)  # None = pre-tracking entry
+        if mode == "delete":
+            if b is None:
+                if not (n_nulls is not None and n_nulls == e["rows"]):
+                    out[e["path"]] = "straddle"
+            elif b[1] <= cutoff and n_nulls == 0:
+                out[e["path"]] = "dropped"
+            elif b[0] > cutoff:
+                pass  # kept
+            else:
+                out[e["path"]] = "straddle"
+        else:  # update: no metadata-drop form — match-capable files rewrite
+            if b is None:
+                if not (n_nulls is not None and n_nulls == e["rows"]):
+                    out[e["path"]] = "touched"
+            elif b[0] > cutoff:
+                pass  # kept
+            else:
+                out[e["path"]] = "touched"
+    return out
+
+
+def _classify_where_spark(
+    spark: SparkSession, table_dir: str, version: int, col: str, cutoff, mode: str
+) -> dict:
+    """The SAME classification as a SPARK JOB over the parquet manifest
+    table (VERDICT r12 item 2 — two-level planning for the WRITE path):
+    the bounds/null arithmetic runs as a typed CASE expression in
+    executors and only the NON-kept ``(path, class)`` pairs come back —
+    a collect bounded by the touched-set size, the same bound the
+    rewrite itself has. Equivalence with the driver classifier is
+    test-pinned (and the driver loop is monkeypatched to explode in the
+    routing test)."""
+    pdir = write_manifest_parquet(spark, table_dir, version)
+    mt = spark.read.parquet(pdir)
+    if f"min_{col}" not in mt.columns:
+        raise ValueError(f"no bounds for column {col!r} in the manifest spec")
+    mn, mx, nl = F.col(f"min_{col}"), F.col(f"max_{col}"), F.col(f"nulls_{col}")
+    lit = F.lit(cutoff)
+    all_null = nl.isNotNull() & (nl == F.col("n_rows"))
+    if mode == "delete":
+        cls = (
+            F.when(mn.isNull(), F.when(all_null, "kept").otherwise("straddle"))
+            .when((mx <= lit) & (nl == 0), "dropped")
+            .when(mn > lit, "kept")
+            .otherwise("straddle")
+        )
+    else:
+        cls = (
+            F.when(mn.isNull(), F.when(all_null, "kept").otherwise("touched"))
+            .when(mn > lit, "kept")
+            .otherwise("touched")
+        )
+    rows = (
+        mt.filter(F.col("kind") == "data")
+        .select("path", cls.alias("_cls"))
+        .filter(F.col("_cls") != "kept")
+        .collect()
+    )  # bounded: one row per NON-kept file
+    return {r["path"]: r["_cls"] for r in rows}
+
+
+def _classify_where_auto(
+    spark: SparkSession, table_dir: str, manifest: dict, col: str, cutoff, mode: str
+) -> dict:
+    """Two-level dispatch for write-path candidate classification — the
+    delete/update twin of ``plan_scan_auto``. Past the threshold the
+    driver never decodes a single entry's bounds; composing the commit
+    still carries the full entry list through (the JSON-manifest
+    fallback's commit cost — a real format writes manifest deltas), but
+    that is set-membership bookkeeping, not per-entry arithmetic."""
+    if _over_plan_threshold(table_dir, None, manifest["version"]):
+        return _classify_where_spark(
+            spark, table_dir, manifest["version"], col, cutoff, mode
+        )
+    return _classify_where_driver(manifest, col, cutoff, mode)
+
+
+def _merge_candidates_driver(manifest: dict, tkey: str, s_lo, s_hi) -> set[str]:
+    """Data files whose key bounds intersect the source's key range —
+    MERGE planning step 1, driver-side."""
+    bounds = _decode_bounds(manifest, tkey)
+    out: set[str] = set()
+    for e in manifest["entries"]:
+        if e.get("kind", "data") != "data":
+            continue
+        b = bounds(e)
+        if b is None or (b[0] <= s_hi and b[1] >= s_lo):
+            out.add(e["path"])
+    return out
+
+
+def _merge_candidates_spark(
+    spark: SparkSession, table_dir: str, version: int, tkey: str, s_lo, s_hi
+) -> set[str]:
+    """MERGE candidate selection as a job over the parquet manifest
+    table — same keep-unless-provably-disjoint rule as the driver twin,
+    collect bounded by the candidate count (the files the merge must
+    read anyway)."""
+    pdir = write_manifest_parquet(spark, table_dir, version)
+    mt = spark.read.parquet(pdir)
+    mn, mx = F.col(f"min_{tkey}"), F.col(f"max_{tkey}")
+    cond = mn.isNull() | ((mn <= F.lit(s_hi)) & (mx >= F.lit(s_lo)))
+    rows = (
+        mt.filter((F.col("kind") == "data") & cond).select("path").collect()
+    )
+    return {r["path"] for r in rows}
+
+
+def _merge_candidates_auto(
+    spark: SparkSession, table_dir: str, manifest: dict, tkey: str, s_lo, s_hi
+) -> set[str]:
+    if _over_plan_threshold(table_dir, None, manifest["version"]):
+        return _merge_candidates_spark(
+            spark, table_dir, manifest["version"], tkey, s_lo, s_hi
+        )
+    return _merge_candidates_driver(manifest, tkey, s_lo, s_hi)
+
+
 def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
     """Executed row-level ``DELETE FROM t WHERE col <= cutoff`` — the
     retention-delete shape maintenance_delete_plan plans:
@@ -2008,25 +2140,19 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
     Row fate no longer depends on file layout.
 
     Returns the commit summary (also embedded in the manifest, like an
-    Iceberg snapshot summary)."""
+    Iceberg snapshot summary).
+
+    TWO-LEVEL (r13, VERDICT r12 item 2): candidate classification
+    dispatches through ``_classify_where_auto`` — past the threshold the
+    bounds arithmetic runs as a job over the parquet manifest table and
+    the driver does set lookups only (the loop below is membership
+    bookkeeping, not per-entry decoding)."""
     manifest = read_manifest(table_dir)
     _require_no_live_deletes(manifest, "delete_where")
-    bounds = _decode_bounds(manifest, col)
-    dropped, kept, straddle = [], [], []
-    for e in manifest["entries"]:
-        b = bounds(e)
-        n_nulls = e.get("nulls", {}).get(col)  # None = pre-tracking entry
-        if b is None:
-            if n_nulls is not None and n_nulls == e["rows"]:
-                kept.append(e)  # all-null file: every row survives the delete
-            else:
-                straddle.append(e)  # unknown contents: must read to be correct
-        elif b[1] <= cutoff and n_nulls == 0:
-            dropped.append(e)
-        elif b[0] > cutoff:
-            kept.append(e)
-        else:
-            straddle.append(e)
+    cls = _classify_where_auto(spark, table_dir, manifest, col, cutoff, "delete")
+    dropped = [e for e in manifest["entries"] if cls.get(e["path"]) == "dropped"]
+    straddle = [e for e in manifest["entries"] if cls.get(e["path"]) == "straddle"]
+    kept = [e for e in manifest["entries"] if e["path"] not in cls]
     new_entries, rows_deleted, rows_kept = [], 0, 0
     if straddle:
         # schema-resolved read: straddlers written pre-evolution rewrite
@@ -2100,20 +2226,10 @@ def update_where(
     unknown = set(set_exprs) - {f["name"] for f in manifest.get("schema", {}).get("fields", [])}
     if unknown:
         raise ValueError(f"SET columns not in schema: {sorted(unknown)}")
-    bounds = _decode_bounds(manifest, col)
-    touched, kept = [], []
-    for e in manifest["entries"]:
-        b = bounds(e)
-        n_nulls = e.get("nulls", {}).get(col)
-        if b is None:
-            if n_nulls is not None and n_nulls == e["rows"]:
-                kept.append(e)  # all-NULL: no row matches the predicate
-            else:
-                touched.append(e)
-        elif b[0] > cutoff:
-            kept.append(e)
-        else:
-            touched.append(e)
+    # two-level classification (r13): see delete_where
+    cls = _classify_where_auto(spark, table_dir, manifest, col, cutoff, "update")
+    touched = [e for e in manifest["entries"] if e["path"] in cls]
+    kept = [e for e in manifest["entries"] if e["path"] not in cls]
     new_entries, rows_updated = [], 0
     if touched:
         src = _read_data(spark, table_dir, manifest, touched)
@@ -2192,14 +2308,6 @@ def merge_into(
     source = source.localCheckpoint(eager=True)
     manifest = read_manifest(table_dir)
     _require_no_live_deletes(manifest, "merge_into")
-    if tkey in manifest["stats_types"]:
-        bounds = _decode_bounds(manifest, tkey)
-    else:
-        # join key carries no manifest bounds: every data file is a
-        # candidate (conservative — the file-scoped semi join still
-        # limits the rewrite/delete set to files actually holding
-        # matches; only the zone-map prune is lost)
-        bounds = lambda e: None  # noqa: E731
 
     dup = source.agg(
         F.count(skey).alias("n"), F.countDistinct(skey).alias("d")
@@ -2211,13 +2319,20 @@ def merge_into(
     srange = source.agg(F.min(skey).alias("lo"), F.max(skey).alias("hi")).collect()[0]
     s_lo, s_hi = srange["lo"], srange["hi"]
 
-    candidates, untouched = [], []
-    for e in manifest["entries"]:
-        b = bounds(e)
-        if b is None or s_lo is None or (b[0] <= s_hi and b[1] >= s_lo):
-            candidates.append(e)
-        else:
-            untouched.append(e)
+    if tkey in manifest["stats_types"] and s_lo is not None:
+        # two-level classification (r13, VERDICT r12 item 2): past the
+        # threshold the bounds intersection runs as a manifest-table job
+        cand_paths = _merge_candidates_auto(
+            spark, table_dir, manifest, tkey, s_lo, s_hi
+        )
+    else:
+        # join key carries no manifest bounds (or empty source range):
+        # every data file is a candidate (conservative — the file-scoped
+        # semi join still limits the rewrite set to files actually
+        # holding matches; only the zone-map prune is lost)
+        cand_paths = {e["path"] for e in manifest["entries"]}
+    candidates = [e for e in manifest["entries"] if e["path"] in cand_paths]
+    untouched = [e for e in manifest["entries"] if e["path"] not in cand_paths]
 
     touched_paths: list[str] = []
     touched_entries: list[dict] = []
@@ -2391,15 +2506,6 @@ def merge_into_mor(
                 f"live equality deletes key on {live_keys}; a MOR merge on "
                 f"{[tkey]} would mix delete-key sets — fold_deletes first"
             )
-    if tkey in manifest["stats_types"]:
-        bounds = _decode_bounds(manifest, tkey)
-    else:
-        # join key carries no manifest bounds: every data file is a
-        # candidate (conservative — the file-scoped semi join still
-        # limits the rewrite/delete set to files actually holding
-        # matches; only the zone-map prune is lost)
-        bounds = lambda e: None  # noqa: E731
-
     dup = source.agg(
         F.count(skey).alias("n"), F.countDistinct(skey).alias("d")
     ).collect()[0]
@@ -2412,11 +2518,18 @@ def merge_into_mor(
 
     data, *_rest = _split_entries(manifest)
     delete_entries = [e for e in manifest["entries"] if e.get("kind", "data") != "data"]
-    candidates = [
-        e
-        for e in data
-        if (b := bounds(e)) is None or s_lo is None or (b[0] <= s_hi and b[1] >= s_lo)
-    ]
+    if tkey in manifest["stats_types"] and s_lo is not None:
+        # two-level classification (r13): the bounds intersection runs as
+        # a manifest-table job past the threshold, like the CoW twin
+        cand_paths = _merge_candidates_auto(
+            spark, table_dir, manifest, tkey, s_lo, s_hi
+        )
+    else:
+        # join key carries no manifest bounds (or empty source range):
+        # every data file is a candidate (conservative — the file-scoped
+        # matching still bounds the delete set; only the prune is lost)
+        cand_paths = {e["path"] for e in data}
+    candidates = [e for e in data if e["path"] in cand_paths]
     # the VISIBLE rows of candidate files only: restrict the data side,
     # keep every delete entry so MOR application stays exact
     man_cand = {**manifest, "entries": candidates + delete_entries}
@@ -3159,7 +3272,9 @@ def rewrite_layout(
     return summary
 
 
-def fold_pressure(table_dir: str, *, threshold: float = 0.05) -> dict:
+def fold_pressure(
+    table_dir: str, *, threshold: float = 0.05, spark: SparkSession | None = None
+) -> dict:
     """Metadata-only MOR health check — the policy the 256× lab's
     pos-delete curve motivates (SCALE.md: at ~1M delete coordinates the
     serve's anti join dominates): the ratio of live delete rows
@@ -3167,16 +3282,31 @@ def fold_pressure(table_dir: str, *, threshold: float = 0.05) -> dict:
     data rows, with
     ``should_fold`` once it crosses ``threshold``. Pure manifest
     arithmetic — no data read — so an operator (or a write path) can
-    gate ``fold_deletes`` on it cheaply after every delete commit."""
-    man = read_manifest(table_dir)
-    data, eqs, poss, dvs = _split_entries(man)
-    data_rows = sum(e["rows"] for e in data)
-    delete_rows = sum(e["rows"] for e in eqs + poss + dvs)
+    gate ``fold_deletes`` on it cheaply after every delete commit.
+    Past ``PLAN_SPARK_THRESHOLD`` (and given ``spark``) the sums run as
+    one aggregate over the parquet manifest table instead of a
+    driver-side entry loop (VERDICT r12 item 2)."""
+    if spark is not None and _over_plan_threshold(table_dir, None):
+        pdir = write_manifest_parquet(spark, table_dir)
+        r = spark.read.parquet(pdir).agg(
+            F.sum(F.when(F.col("kind") == "data", F.col("n_rows")).otherwise(0)).alias("dr"),
+            F.sum(F.when(F.col("kind") != "data", F.col("n_rows")).otherwise(0)).alias("xr"),
+            F.count_if(F.col("kind") != "data").alias("xf"),
+        ).collect()[0]
+        data_rows = int(r["dr"] or 0)
+        delete_rows = int(r["xr"] or 0)
+        delete_files = int(r["xf"])
+    else:
+        man = read_manifest(table_dir)
+        data, eqs, poss, dvs = _split_entries(man)
+        data_rows = sum(e["rows"] for e in data)
+        delete_rows = sum(e["rows"] for e in eqs + poss + dvs)
+        delete_files = len(eqs) + len(poss) + len(dvs)
     ratio = (delete_rows / data_rows) if data_rows else 0.0
     return {
         "data_rows": data_rows,
         "delete_rows": delete_rows,
-        "delete_files": len(eqs) + len(poss) + len(dvs),
+        "delete_files": delete_files,
         "ratio": ratio,
         "should_fold": ratio > threshold,
     }

@@ -2685,3 +2685,150 @@ def test_spj_eq_pos_deletes_still_raise(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="equality/position"):
         ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+
+
+# ---------------------------------------------------------------------------
+# round 13 — two-level planning for the WRITE path (VERDICT r12 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_where_classifiers_driver_and_spark_agree_on_dates(spark, li_table):
+    """The job classifier must reproduce the driver classifier EXACTLY —
+    date bounds, both modes."""
+    td, _df = li_table
+    man = ft.read_manifest(td)
+    cutoff = _mid(td, 0.4)
+    for mode in ("delete", "update"):
+        want = ft._classify_where_driver(man, "ship_dt", cutoff, mode)
+        got = ft._classify_where_spark(spark, td, man["version"], "ship_dt", cutoff, mode)
+        assert got == want and want, f"{mode}: classifier divergence"
+
+
+def test_where_classifiers_agree_on_null_semantics(spark, tmp_path):
+    """The ADVICE r10 NULL rules survive the move to the job: an
+    all-NULL file is kept, a null-bearing low file straddles (never
+    metadata-drops), a clean low file drops, a high file keeps."""
+    td = str(tmp_path / "nullcls")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(20)]), td, stats_cols=["k"], n_files=1)
+    ft.append_table(mk([(None, 100), (None, 101)]), td, n_files=1)       # all-null
+    ft.append_table(mk([(5, 200), (None, 201)]), td, n_files=1)          # null-bearing low
+    ft.append_table(mk([(50, 300), (60, 301)]), td, n_files=1)           # high
+    man = ft.read_manifest(td)
+    for mode in ("delete", "update"):
+        want = ft._classify_where_driver(man, "k", 25, mode)
+        got = ft._classify_where_spark(spark, td, man["version"], "k", 25, mode)
+        assert got == want, f"{mode}: {got} != {want}"
+    dcls = ft._classify_where_driver(man, "k", 25, "delete")
+    by_kind = sorted(dcls.values())
+    assert by_kind == ["dropped", "straddle"], (
+        "clean low file drops; null-bearing low straddles; all-null + high keep"
+    )
+
+
+def test_write_path_plans_as_job_past_threshold(spark, tmp_path, monkeypatch):
+    """VERDICT r12 item 2 Done-criterion: with the driver classifiers
+    monkeypatched to explode and the threshold at zero, DELETE / UPDATE
+    / MERGE (both flavors) all commit through the manifest-table job and
+    the results row-equal the driver regime's."""
+    import datetime as dt
+
+    def build(path):
+        td = str(tmp_path / path)
+        df = spark.createDataFrame(
+            [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i % 300), float(i))
+             for i in range(3000)],
+            "k long, d date, amt double",
+        )
+        ft.create_table(df, td, stats_cols=["k"], cluster_by="k", n_files=8)
+        return td
+
+    t_drv, t_job = build("wpd"), build("wpj")
+    cut = 1000
+    src = spark.createDataFrame(
+        [(100, -1.0), (5000, -2.0)], "k long, amt double"
+    )
+
+    def run_all(td):
+        s1 = ft.delete_where(spark, td, "k", cut)
+        s2 = ft.update_where(spark, td, "k", 1500, {"amt": F.col("amt") + 1})
+        s3 = ft.merge_into(
+            spark, td, src, on=("k", "k"),
+            when_matched_update={"amt": F.col("s.amt")},
+            when_not_matched_insert={
+                "k": F.col("s.k"), "d": F.lit(dt.date(2030, 1, 1)), "amt": F.col("s.amt")
+            },
+        )
+        rows = sorted(map(tuple, ft.read_table(spark, td).collect()))
+        return s1, s2, s3, rows
+
+    d1, d2, d3, want = run_all(t_drv)
+
+    def _boom(*a, **k):
+        raise AssertionError("past the threshold the driver classifier must not run")
+
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    monkeypatch.setattr(ft, "_classify_where_driver", _boom)
+    monkeypatch.setattr(ft, "_merge_candidates_driver", _boom)
+    j1, j2, j3, got = run_all(t_job)
+    assert got == want
+    for dd, jj in zip((d1, d2, d3), (j1, j2, j3)):
+        for key in ("files_rewritten", "files_untouched"):
+            if key in dd:
+                assert dd[key] == jj[key], f"file accounting diverged on {key}"
+    assert d1["files_dropped_metadata"] == j1["files_dropped_metadata"] > 0
+    assert d1["files_rewritten"] == j1["files_rewritten"] > 0
+
+
+def test_merge_mor_plans_as_job_past_threshold(spark, tmp_path, monkeypatch):
+    """The MOR merge twin routes candidate selection through the same
+    job — zero rewrites preserved, visible rows equal."""
+    def build(path):
+        td = str(tmp_path / path)
+        ft.create_table(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(2000)], "k long, amt double"
+            ),
+            td, stats_cols=["k"], cluster_by="k", n_files=8,
+        )
+        return td
+
+    src = spark.createDataFrame([(10, -1.0), (9999, -2.0)], "k long, amt double")
+    kw = dict(
+        on=("k", "k"),
+        when_matched_update={"amt": F.col("s.amt")},
+        when_not_matched_insert={"k": F.col("s.k"), "amt": F.col("s.amt")},
+    )
+    t_drv, t_job = build("mmd"), build("mmj")
+    sd = ft.merge_into_mor(spark, t_drv, src, **kw)
+    want = sorted(map(tuple, ft.read_table(spark, t_drv).collect()))
+
+    def _boom(*a, **k):
+        raise AssertionError("past the threshold the driver classifier must not run")
+
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    monkeypatch.setattr(ft, "_merge_candidates_driver", _boom)
+    sj = ft.merge_into_mor(spark, t_job, src, **kw)
+    assert sj["files_rewritten"] == sd["files_rewritten"] == 0
+    assert sj["files_candidates"] == sd["files_candidates"]
+    assert sorted(map(tuple, ft.read_table(spark, t_job).collect())) == want
+
+
+def test_fold_pressure_job_equals_driver(spark, tmp_path, monkeypatch):
+    """fold_pressure's sums run off the parquet manifest table past the
+    threshold — identical numbers, no entry loop."""
+    td = str(tmp_path / "fpj")
+    ft.create_table(
+        spark.createDataFrame([(i, i) for i in range(100)], "k long, d long"),
+        td, stats_cols=["d"], n_files=2,
+    )
+    ft.delete_keys_mor(
+        spark, td, "k", spark.createDataFrame([(i,) for i in range(7)], "k long")
+    )
+    want = ft.fold_pressure(td, threshold=0.05)
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    monkeypatch.setattr(ft, "read_manifest", lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("job fold_pressure must not parse the JSON manifest")
+    ))
+    got = ft.fold_pressure(td, threshold=0.05, spark=spark)
+    assert got == want and got["delete_rows"] == 7
