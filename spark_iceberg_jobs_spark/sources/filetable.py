@@ -1773,6 +1773,15 @@ def delete_positions_mor(
     return _maybe_fold(spark, table_dir, auto_fold_threshold, summary)
 
 
+#: live DV sidecar files above which a DV commit rewrites ALL live
+#: vectors into its new sidecar (VERDICT r12 item 5): disjoint-file
+#: delete histories otherwise accumulate one sidecar OPEN per commit on
+#: every serve; 8 bounds the serve's file-open count while keeping the
+#: common shared-target history (which always merges to 1 sidecar) free
+#: of any consolidation cost
+DV_SIDECAR_MAX = 8
+
+
 def delete_positions_dv(
     spark: SparkSession,
     table_dir: str,
@@ -1824,7 +1833,9 @@ def delete_positions_dv(
         )
         return summary
     merged = new_pos
-    prior_dvs = [e for e in dvs if e["target"] in set(touched)]
+    touched_set = set(touched)
+    prior_dvs = [e for e in dvs if e["target"] in touched_set]
+    untouched_dvs = [e for e in dvs if e["target"] not in touched_set]
     if prior_dvs:
         merged = merged.unionByName(
             _dv_pos_frame(spark, table_dir, prior_dvs).select(
@@ -1834,6 +1845,28 @@ def delete_positions_dv(
     agg = merged.groupBy("_dv_target").agg(
         F.sort_array(F.collect_set("_p")).alias("_dv_pos")
     ).withColumn("_dv_words", _pack_positions(F.col("_dv_pos")))
+    # SIDECAR CONSOLIDATION (VERDICT r12 item 5): vectors merge per FILE,
+    # but a history whose commits touch DISJOINT files accumulates one
+    # sidecar READ per commit on the serve path (_dv_pos_frame opens each
+    # surviving sidecar). Once this commit would leave more than
+    # DV_SIDECAR_MAX live sidecars, every untouched live vector is
+    # rewritten VERBATIM (already packed — no re-merge) into the new
+    # sidecar, superseding all prior ones: the serve's file-open count is
+    # bounded at any delete-commit pattern, and the rewrite cost is
+    # O(live vector bytes), metadata-grain like the vectors themselves.
+    consolidate = bool(untouched_dvs) and (
+        len({e["path"] for e in untouched_dvs}) + 1 > DV_SIDECAR_MAX
+    )
+    if consolidate:
+        agg = agg.unionByName(
+            _dv_pos_frame(spark, table_dir, untouched_dvs).select(
+                "_dv_target", "_dv_pos", "_dv_words"
+            )
+        )
+        prior_rows += sum(e["rows"] for e in untouched_dvs)
+        superseded = {e["target"] for e in dvs}
+    else:
+        superseded = touched_set
     cdir = _next_commit_dir(table_dir)
     with _pinned_file_count(spark):
         agg.coalesce(1).write.mode("append").parquet(cdir)
@@ -1862,13 +1895,17 @@ def delete_positions_dv(
     kept = [
         e
         for e in man["entries"]
-        if not (e.get("kind") == "dv" and e["target"] in set(touched))
+        if not (e.get("kind") == "dv" and e["target"] in superseded)
     ]
     total_after = sum(e["rows"] for e in new_entries)
     summary = {
         "dv_targets": len(new_entries),
         "rows_pos_deleted": total_after - prior_rows,
         "dv_rows_total": total_after,
+        "sidecars_consolidated": consolidate,
+        "sidecars_live": len(
+            {e["path"] for e in kept if e.get("kind") == "dv"} | {rel}
+        ),
     }
     _commit_manifest(
         table_dir,

@@ -2832,3 +2832,42 @@ def test_fold_pressure_job_equals_driver(spark, tmp_path, monkeypatch):
     ))
     got = ft.fold_pressure(td, threshold=0.05, spark=spark)
     assert got == want and got["delete_rows"] == 7
+
+
+def test_dv_sidecar_consolidation_bounds_file_opens(spark, tmp_path, monkeypatch):
+    """VERDICT r12 item 5: N DV commits against DISJOINT files would
+    accumulate N live sidecars (one open per serve each); past
+    DV_SIDECAR_MAX the commit rewrites all live vectors into ONE
+    sidecar. Pinned: live sidecar count stays bounded across 6 disjoint
+    commits with the cap at 3, visibility exact throughout, and the
+    <=1-vector-per-file invariant holds."""
+    monkeypatch.setattr(ft, "DV_SIDECAR_MAX", 3)
+    td = str(tmp_path / "dvcons")
+    n = 600
+    ft.create_table(
+        spark.createDataFrame([(i, float(i)) for i in range(n)], "k long, amt double"),
+        td, stats_cols=["k"], cluster_by="k", n_files=6,
+    )
+    deleted: set[int] = set()
+    for i in range(6):
+        key = i * 100 + 17  # one row in file i only (files are k-ranges)
+        ft.delete_positions_dv(spark, td, F.col("k") == key)
+        deleted.add(key)
+        dvs = [e for e in ft.read_manifest(td)["entries"] if e.get("kind") == "dv"]
+        live_sidecars = {e["path"] for e in dvs}
+        assert len(live_sidecars) <= 3, (
+            f"commit {i}: {len(live_sidecars)} live sidecars breach the cap"
+        )
+        targets = [e["target"] for e in dvs]
+        assert len(targets) == len(set(targets)), "at most one live DV per file"
+        got = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+        assert got == sorted(set(range(n)) - deleted), (
+            f"visibility broken after commit {i}"
+        )
+    # the 4th commit crossed the cap: consolidation must actually have fired
+    hist = [
+        ft.read_manifest(td, v)["summary"].get("sidecars_consolidated")
+        for v in ft._manifest_versions(td)
+        if ft.read_manifest(td, v)["operation"] == "delete-dv"
+    ]
+    assert any(hist), "consolidation never fired across 6 disjoint commits"
