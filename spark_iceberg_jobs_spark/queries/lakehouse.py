@@ -1596,8 +1596,15 @@ def lake_gc_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2 = ft.gc_orphans(staging, grace_seconds=3600, now=now + 7200)
         if s2["files_removed"] != 1 or "c009999" not in s2["removed_paths"][0]:
             raise ValueError(f"GC must remove exactly the planted debris: {s2}")
+        # r13 (ADVICE r12): the debris dir's _SUCCESS/.crc siblings and
+        # the dir itself must be pruned too — a leftover cNNNNNN dir
+        # would inflate commit numbering forever
+        if s2["extra_files_removed"] < 1 or s2["dirs_removed"] < 1:
+            raise ValueError(f"GC left non-parquet debris behind: {s2}")
+        if os.path.exists(debris_dir):
+            raise ValueError("the dead commit dir must be pruned")
 
-    table_dir = _served_table(sf_dir, "lakegc_", "orders", "lakegc-v1", build)
+    table_dir = _served_table(sf_dir, "lakegc_", "orders", "lakegc-v2", build)
     return (
         ft.read_table(spark, table_dir)
         .groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))
@@ -1787,6 +1794,239 @@ ORDER BY _change_type, order_month
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_spj_factfact_join — the SPJ valve on a fact⋈fact input (r13)
+# ---------------------------------------------------------------------------
+
+
+def lake_spj_factfact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-orderstatus revenue from a FACT⋈FACT storage-partitioned join
+    (VERDICT r12 item 1 — the broadcast valve, exercised): lineitem
+    bucketed by l_orderkey joins orders bucketed by o_orderkey — the
+    data shape the reference's SHARED ``bucket(16, match_id)`` layout
+    exists for (README.md:18; job1:224,239,248), where BOTH sides grow
+    with the table and a per-bucket broadcast would push ~the smaller
+    TABLE's bytes through the driver. ``broadcast_max_bytes=0`` forces
+    the valve deterministically at every scale factor: each bucket
+    joins with a bucket-scoped shuffled-hash join — no BroadcastExchange
+    anywhere in the plan (test-pinned), per-task memory one hash
+    partition of one bucket, and the exchange moves only bucket-local
+    bytes. The oracle is the plain SQL join+aggregate.
+
+    Scale: at 100 TB ⋈ 10 TB this plan's memory is flat in table size
+    (the r12 broadcast fan-out was not); the residual bucket-scoped
+    shuffle is the DataFrame-API floor that a DSv2 connector reporting
+    KeyGroupedPartitioning removes."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+            ),
+            os.path.join(staging, "li_b"),
+            stats_cols=["l_orderkey"],
+            bucket_by=("l_orderkey", 16),
+        )
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            ),
+            os.path.join(staging, "ord_b"),
+            stats_cols=["o_orderkey"],
+            bucket_by=("o_orderkey", 16),
+        )
+
+    root = _served_table(sf_dir, "lakespjff_", "lineitem", "lakespjff-v1", build)
+    j = ft.storage_partitioned_join(
+        spark,
+        os.path.join(root, "li_b"),
+        os.path.join(root, "ord_b"),
+        on=("l_orderkey", "o_orderkey"),
+        broadcast_max_bytes=0,  # the valve, deterministically engaged
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum(revenue_dec()).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LAKE_SPJ_FACTFACT_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# lake_spj_dv_join — SPJ composed with live deletion vectors (r13)
+# ---------------------------------------------------------------------------
+
+
+def lake_spj_dv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment totals from a storage-partitioned join whose fact
+    side carries LIVE deletion vectors (VERDICT r12 item 3): DVs are
+    file-local, so each dv'd bucket file applies its own bitmap INSIDE
+    the per-bucket scan — bucket alignment survives (no fact-side
+    ``Exchange hashpartitioning``, test-pinned) and no fold is needed
+    between a GDPR-delete stream and the bucketed join path. The build
+    pins zero data-file rewrites and at most one vector per file; the
+    oracle joins the complement of the deleted slice, so a single
+    over- or under-applied vector row hash-mismatches.
+
+    Scale: the DV probe is the same O(1)/row JVM bitmap probe as
+    lake_dv_serve, under a one-row-per-dv'd-file broadcast — added to
+    only the buckets that carry vectors."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_custkey", "o_orderkey", "o_totalprice"
+            ),
+            os.path.join(staging, "orders_b"),
+            stats_cols=["o_orderkey"],
+            bucket_by=("o_custkey", 16),
+        )
+        ft.create_table(
+            read_fixture(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            os.path.join(staging, "cust_b"),
+            stats_cols=["c_custkey"],
+            bucket_by=("c_custkey", 16),
+        )
+        od = os.path.join(staging, "orders_b")
+        n_data = len(ft.read_manifest(od)["entries"])
+        ft.delete_positions_dv(spark, od, F.col("o_orderkey") % 50 < 3)
+        data, eqs, poss, dvs = ft._split_entries(ft.read_manifest(od))
+        if eqs or poss or not dvs or len(data) != n_data:
+            raise ValueError("DV build invariant broken (rewrites or wrong flavor)")
+
+    root = _served_table(sf_dir, "lakespjdv_", "orders", "lakespjdv-v1", build)
+    j = ft.storage_partitioned_join(
+        spark,
+        os.path.join(root, "orders_b"),
+        os.path.join(root, "cust_b"),
+        on=("o_custkey", "c_custkey"),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LAKE_SPJ_DV_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 50 >= 3
+GROUP BY 1
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# lake_feed_visible_bootstrap — DV-aware incremental-feed bootstrap (r13)
+# ---------------------------------------------------------------------------
+
+
+def lake_feed_visible_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals assembled by an incremental CONSUMER whose
+    bootstrap snapshot carries live deletion vectors (VERDICT r12 item
+    6): expiry has removed the pre-delete history, so the oldest
+    retained manifest IS the DV-carrying commit — the raw-paths feed
+    correctly refuses it (ADVICE r11's guard, asserted in the build),
+    and ``bootstrap="visible"`` is the constructive alternative: the
+    bootstrap batch is the MOR-applied read at that version, the later
+    append arrives as a normal raw-path delta, and the union must equal
+    the complement-plus-appended-batch oracle exactly once — a consumer
+    starts from a deleted-from snapshot without any fold.
+
+    Scale: the bootstrap batch costs one DV serve (flat, file-local
+    probes); each delta batch reads only its own files — the table is
+    never rescanned however long the history."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                F.to_date("o_orderdate").alias("order_dt"),
+                "o_totalprice",
+            ),
+            staging,
+            stats_cols=["order_dt"],
+            cluster_by="order_dt",
+            n_files=12,
+        )
+        ft.delete_positions_dv(spark, staging, F.col("o_orderkey") % 50 < 2)
+        reinstated = read_fixture(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 50 == 0
+        ).select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_dt"),
+            (-F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        ft.append_table(reinstated, staging, n_files=2)
+        ft.expire_table(staging, keep_last=2)  # bootstrap = the DV commit
+        try:
+            ft.incremental_feed(staging)
+        except ValueError:
+            pass  # the raw-paths guard must fire on a DV bootstrap
+        else:
+            raise ValueError("files-mode feed accepted a DV-carrying bootstrap")
+        kinds = [b["kind"] for b in ft.incremental_feed(staging, bootstrap="visible")]
+        if kinds != ["bootstrap-visible", "delta"]:
+            raise ValueError(f"unexpected feed shape: {kinds}")
+
+    table_dir = _served_table(sf_dir, "lakefeedvis_", "orders", "lakefeedvis-v1", build)
+    feed = ft.incremental_feed(table_dir, bootstrap="visible")
+    out = None
+    for b in feed:
+        if b["kind"] == "bootstrap-visible":
+            part = ft.read_table(spark, table_dir, version=b["read_version"])
+        elif b["paths"]:
+            part = spark.read.parquet(*b["paths"])
+        else:
+            continue
+        out = part if out is None else out.unionByName(part)
+    return (
+        out.groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+LAKE_FEED_VISIBLE_ORACLE = """
+WITH delivered AS (
+    SELECT CAST(o_orderdate AS DATE) AS order_dt,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders WHERE o_orderkey % 50 >= 2
+    UNION ALL
+    SELECT CAST(o_orderdate AS DATE),
+           -CAST(o_totalprice AS DECIMAL(18,2))
+    FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT strftime(order_dt, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(price), 2) AS DOUBLE) AS total_price
+FROM delivered
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -1821,4 +2061,13 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_gc_orphans": QuerySpec(lake_gc_orphans, LAKE_GC_ORACLE),
     "lake_spj_bucketed_join": QuerySpec(lake_spj_bucketed_join, LAKE_SPJ_ORACLE),
     "lake_changelog_dv": QuerySpec(lake_changelog_dv, LAKE_CHANGELOG_DV_ORACLE),
+    # fourth headline (r13): the fact⋈fact SPJ under the broadcast valve
+    # — the round's scale story, benched so a valve regression is visible
+    "lake_spj_factfact_join": QuerySpec(
+        lake_spj_factfact_join, LAKE_SPJ_FACTFACT_ORACLE, headline=True
+    ),
+    "lake_spj_dv_join": QuerySpec(lake_spj_dv_join, LAKE_SPJ_DV_ORACLE),
+    "lake_feed_visible_bootstrap": QuerySpec(
+        lake_feed_visible_bootstrap, LAKE_FEED_VISIBLE_ORACLE
+    ),
 }

@@ -2956,7 +2956,12 @@ def _live_delete_kinds(man: dict) -> list[str]:
     )
 
 
-def incremental_feed(table_dir: str, *, since_version: int | None = None) -> list[dict]:
+def incremental_feed(
+    table_dir: str,
+    *,
+    since_version: int | None = None,
+    bootstrap: str = "files",
+) -> list[dict]:
     """The commit-log feed an incremental (streaming) consumer ingests
     after a maintenance window ran (VERDICT r10 item 6): one entry per
     RETAINED manifest version —
@@ -2988,9 +2993,26 @@ def incremental_feed(table_dir: str, *, since_version: int | None = None) -> lis
     raises: resuming from it would silently re-read or skip rows, so
     the consumer must re-bootstrap instead.
 
+    VISIBLE BOOTSTRAP (r13, VERDICT r12 item 6): ``bootstrap="files"``
+    (default) feeds the bootstrap as raw data-file paths and therefore
+    REFUSES a bootstrap/resume base carrying live MOR deletes (ADVICE
+    r11 — raw paths over-deliver deleted rows). ``bootstrap="visible"``
+    is the constructive alternative: the bootstrap batch is emitted as
+    ``kind="bootstrap-visible"`` with ``read_version`` set and NO paths
+    — the consumer ingests ``read_table(spark, dir, version=
+    read_version)``, i.e. the MOR-applied VISIBLE rows — so a consumer
+    can start from a DV-carrying snapshot without a fold. Exactly-once
+    still holds across a resume split: any delete commit AFTER the
+    bootstrap raises as before (the walk enforces append-only deltas),
+    so the delta batches' raw paths equal the visible delta, and a
+    ``since_version`` base with live deletes is accepted in this mode
+    (the checkpoint contract is then 'ingested the visible rows').
+
     Scale: the feed is manifest metadata (driver-side, O(#files)); each
     consumed batch reads only its own files — the base table is never
     rescanned, however long the history."""
+    if bootstrap not in ("files", "visible"):
+        raise ValueError(f"bootstrap must be 'files' or 'visible', got {bootstrap!r}")
     chain: list[dict] = []
     v: int | None = current_manifest_version(table_dir)
     while v is not None:
@@ -3015,12 +3037,16 @@ def incremental_feed(table_dir: str, *, since_version: int | None = None) -> lis
         chain = chain[idx + 1 :]
         # a resume base carrying live MOR deletes is as unsound as a
         # bootstrap with them (ADVICE r11): its raw data-file list is
-        # NOT what a consumer of the visible rows ingested
-        if _live_delete_kinds(prev):
+        # NOT what a consumer of the visible rows ingested. In VISIBLE
+        # mode the checkpoint contract is 'ingested the visible rows',
+        # and every post-checkpoint delete commit raises below — so the
+        # append deltas equal the visible delta and the resume is sound.
+        if bootstrap == "files" and _live_delete_kinds(prev):
             raise ValueError(
                 f"checkpoint version {since_version} carries live delete "
                 f"files ({_live_delete_kinds(prev)}); fold_deletes before "
-                "checkpointing, or re-bootstrap from a folded snapshot"
+                "checkpointing, re-bootstrap from a folded snapshot, or "
+                "resume with bootstrap='visible'"
             )
         resume_paths = {
             e["path"] for e in prev["entries"] if e.get("kind", "data") == "data"
@@ -3035,6 +3061,20 @@ def incremental_feed(table_dir: str, *, since_version: int | None = None) -> lis
             e["path"] for e in man["entries"] if e.get("kind", "data") == "data"
         ]
         if prev_paths is None:
+            if bootstrap == "visible":
+                # the consumer reads the MOR-applied snapshot, not raw
+                # paths — sound under any live delete state (r13)
+                feed.append(
+                    {
+                        "version": man["version"],
+                        "operation": op,
+                        "kind": "bootstrap-visible",
+                        "read_version": man["version"],
+                        "paths": [],
+                    }
+                )
+                prev_paths = set(data_paths)
+                continue
             # BOOTSTRAP guard (ADVICE r11, the medium one): a bootstrap
             # snapshot carrying live eqdelete/posdelete/dv entries would
             # feed raw data-file paths and silently re-surface deleted
@@ -3045,7 +3085,8 @@ def incremental_feed(table_dir: str, *, since_version: int | None = None) -> lis
                     f"bootstrap snapshot {man['version']} carries live "
                     f"delete files ({_live_delete_kinds(man)}) — its data "
                     "files over-deliver deleted rows; run fold_deletes "
-                    "before bootstrapping an incremental consumer"
+                    "before bootstrapping an incremental consumer, or "
+                    "bootstrap='visible' to ingest the MOR-applied rows"
                 )
             kind, paths = "bootstrap", data_paths
         elif op in REPLACE_OPERATIONS:

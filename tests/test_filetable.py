@@ -2871,3 +2871,136 @@ def test_dv_sidecar_consolidation_bounds_file_opens(spark, tmp_path, monkeypatch
         if ft.read_manifest(td, v)["operation"] == "delete-dv"
     ]
     assert any(hist), "consolidation never fired across 6 disjoint commits"
+
+
+# ---------------------------------------------------------------------------
+# round 13 — feed bootstrap='visible' (VERDICT r12 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_feed_visible_bootstrap_delivers_visible_rows_and_resumes(spark, tmp_path):
+    """A consumer can start from a DV-carrying snapshot WITHOUT a fold:
+    the visible bootstrap batch is the MOR-applied read, deltas stay raw
+    append paths, delivered rows == visible rows, and the resume split
+    at the DV-carrying checkpoint is exactly-once."""
+    td = str(tmp_path / "visboot")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(100)]), td, stats_cols=["d"], n_files=2)
+    ft.delete_positions_dv(spark, td, F.col("k") < 10)
+    ft.append_table(mk([(i, i) for i in range(100, 120)]), td, n_files=1)
+    ft.expire_table(td, keep_last=2)  # bootstrap is now the DV commit
+    assert ft.read_table(spark, td).count() == 110
+
+    with pytest.raises(ValueError, match="bootstrap='visible'"):
+        ft.incremental_feed(td)  # files mode still refuses, with the hint
+
+    feed = ft.incremental_feed(td, bootstrap="visible")
+    assert [b["kind"] for b in feed] == ["bootstrap-visible", "delta"]
+    dv_version = feed[0]["read_version"]
+
+    def consume(batches):
+        frames = []
+        for b in batches:
+            if b["kind"] == "bootstrap-visible":
+                frames.append(ft.read_table(spark, td, version=b["read_version"]))
+            elif b["paths"]:
+                frames.append(spark.read.parquet(*b["paths"]))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return sorted((r["k"], r["d"]) for r in out.collect())
+
+    want = sorted((r["k"], r["d"]) for r in ft.read_table(spark, td).collect())
+    assert consume(feed) == want, "visible bootstrap + delta must equal the head"
+
+    # resume split: checkpoint at the DV-carrying bootstrap version
+    resumed = ft.incremental_feed(td, since_version=dv_version, bootstrap="visible")
+    assert [b["kind"] for b in resumed] == ["delta"]
+    part1 = sorted(
+        (r["k"], r["d"])
+        for r in ft.read_table(spark, td, version=dv_version).collect()
+    )
+    part2 = sorted(
+        (r["k"], r["d"]) for r in spark.read.parquet(*resumed[0]["paths"]).collect()
+    )
+    assert sorted(part1 + part2) == want, "resume split must be exactly-once"
+    # files mode still refuses that checkpoint
+    with pytest.raises(ValueError, match="live delete"):
+        ft.incremental_feed(td, since_version=dv_version)
+
+
+def test_feed_visible_bootstrap_mid_chain_delete_still_raises(spark, tmp_path):
+    """Visible mode relaxes only the BOOTSTRAP/RESUME base; a delete
+    commit after it still cannot ride an append-only feed."""
+    td = str(tmp_path / "vismid")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(50)]), td, stats_cols=["d"], n_files=1)
+    ft.append_table(mk([(i, i) for i in range(50, 60)]), td, n_files=1)
+    ft.delete_positions_dv(spark, td, F.col("k") < 5)
+    with pytest.raises(ValueError, match="cannot represent"):
+        ft.incremental_feed(td, bootstrap="visible")
+    with pytest.raises(ValueError, match="bootstrap must be"):
+        ft.incremental_feed(td, bootstrap="mor")
+
+
+def test_feed_visible_bootstrap_property_random_histories(spark, tmp_path):
+    """Property replay (VERDICT r12 item 6 Done-criterion): across
+    several delete-then-bootstrap histories (varying delete flavor mix,
+    append counts, expiry points and resume splits), delivered rows ==
+    visible rows and every resume split is exactly-once."""
+    import random
+
+    rng = random.Random(13)
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    for case in range(4):
+        td = str(tmp_path / f"vprop{case}")
+        n0 = 60 + case * 20
+        ft.create_table(mk([(i, i) for i in range(n0)]), td, stats_cols=["d"], n_files=2)
+        for _ in range(rng.randint(1, 3)):  # delete tier: DVs, possibly stacked
+            lo = rng.randint(0, n0 - 10)
+            ft.delete_positions_dv(
+                spark, td, (F.col("k") >= lo) & (F.col("k") < lo + 7)
+            )
+        nxt = n0
+        n_appends = rng.randint(1, 3)
+        for _ in range(n_appends):
+            ft.append_table(mk([(i, i) for i in range(nxt, nxt + 15)]), td, n_files=1)
+            nxt += 15
+        ft.expire_table(td, keep_last=n_appends + 1)  # bootstrap = last DV commit
+        feed = ft.incremental_feed(td, bootstrap="visible")
+        assert feed[0]["kind"] == "bootstrap-visible"
+        got = []
+        for b in feed:
+            if b["kind"] == "bootstrap-visible":
+                got += [
+                    (r["k"], r["d"])
+                    for r in ft.read_table(spark, td, version=b["read_version"]).collect()
+                ]
+            elif b["paths"]:
+                got += [
+                    (r["k"], r["d"]) for r in spark.read.parquet(*b["paths"]).collect()
+                ]
+        want = sorted((r["k"], r["d"]) for r in ft.read_table(spark, td).collect())
+        assert sorted(got) == want, f"case {case}: delivered != visible"
+        assert len(got) == len(set(got)), f"case {case}: duplicate delivery"
+        # resume split at every retained version of the chain
+        for split in [b["version"] for b in feed]:
+            before = [
+                b for b in feed if b["version"] <= split
+            ]
+            after = ft.incremental_feed(td, since_version=split, bootstrap="visible")
+            got2 = []
+            for b in before + after:
+                if b["kind"] == "bootstrap-visible":
+                    got2 += [
+                        (r["k"], r["d"])
+                        for r in ft.read_table(
+                            spark, td, version=b["read_version"]
+                        ).collect()
+                    ]
+                elif b["paths"]:
+                    got2 += [
+                        (r["k"], r["d"])
+                        for r in spark.read.parquet(*b["paths"]).collect()
+                    ]
+            assert sorted(got2) == want, f"case {case} split {split}: not exactly-once"
