@@ -148,75 +148,86 @@ class QuerySpec:
 #       + the alphabetically-oldest r7-stale entries filling to 50.
 #       Tier membership is computed from the frozen artifacts by
 #       test_driver_window_r12_policy — machine-owned, as since r10.
+#   r13 window (staleness frozen at r01–r12): keeps + plan-changed
+#       (every lakehouse entry whose underlying verb code changed this
+#       round — the SPJ broadcast valve + DV composition, the write-path
+#       two-level classification behind DELETE/UPDATE/MERGE both
+#       flavors, the GC lock/debris/job-union rework, the DV sidecar
+#       consolidation branch, the fold-pressure job dispatch) + the 3
+#       new entries (lake_spj_factfact_join, VERDICT r12 item 1;
+#       lake_spj_dv_join, item 3; lake_feed_visible_bootstrap, item 6) +
+#       the alphabetically-oldest r7-stale entries filling to 50 (the
+#       r6 tier was emptied by r12 — asserted). Tier membership is
+#       computed from the frozen artifacts by
+#       test_driver_window_r13_policy — machine-owned, as since r10.
 DRIVER_WINDOW = 50
 
-_R12_PERMANENT_KEEPS = [
-    "flagship_revenue_topk",  # README.md:17 headline; r1..r11 green
+_R13_PERMANENT_KEEPS = [
+    "flagship_revenue_topk",  # README.md:17 headline; r1..r12 green
     "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
 ]
 
-_R12_CHANGED = [
+_R13_CHANGED = [
     # executed verbs materially changed this round — they ride for a
-    # fresh verdict even though last scored green earlier
-    "lake_skipping_scan",  # scan_range -> plan_scan_auto routing (r11 item 3)
-    "lake_zorder_box_scan",  # scan_box -> plan_scan_box_auto routing
-    "lake_bloom_point_lookup",  # sidecar-only bloom planning + job-path lookup
-    "lake_maintenance_window",  # incremental_feed guards + metadata-skip
-    "lake_add_files_import",  # add_files type validation + in-lock dup check
+    # fresh verdict even though last scored green in r12
+    "lake_spj_bucketed_join",  # broadcast valve + DV-aware bucket reads
+    "lake_cow_delete",  # delete_where -> _classify_where_auto dispatch
+    "lake_update_where",  # update_where -> _classify_where_auto dispatch
+    "lake_merge_into",  # source localCheckpoint + job candidate selection
+    "lake_merge_mor",  # same two changes on the MOR twin
+    "lake_gc_orphans",  # commit-lock + debris pruning + job reference union
+    "lake_dv_serve",  # delete_positions_dv gained the consolidation branch
+    "lake_changelog_dv",  # same verb change (DV commit path)
+    "lake_fold_gate_serve",  # fold_pressure job dispatch via _maybe_fold
 ]
 
-_R12_NEW = [
+_R13_NEW = [
     # never driver-scored, must ride per Invariant 1
-    "lake_dv_serve",  # deletion vectors: flat MOR serve with NO fold
-    "lake_merge_mor",  # MERGE INTO, merge-on-read: zero data rewrites
-    "lake_gc_orphans",  # executed orphan-file GC with grace + tag safety
-    "lake_spj_bucketed_join",  # file-grain storage-partitioned join
-    "lake_changelog_dv",  # manifest-delta CDF over a DV history
+    "lake_spj_factfact_join",  # the SPJ valve on a fact⋈fact input
+    "lake_spj_dv_join",  # SPJ composed with live deletion vectors
+    "lake_feed_visible_bootstrap",  # DV-aware feed bootstrap, end-to-end
 ]
 
-_R12_STALE_REFRESH = [
-    # ALL remaining entries whose last driver verdict is round 6
-    # (alphabetical; membership asserted from the frozen artifacts)
-    "events_ewma_daily",
-    "events_funnel_windowed",
-    "events_growth_accounting",
-    "events_pareto_concentration",
-    "events_props_variant",
-    "events_session_incident_overlap",
-    "events_stickiness_dau_wau",
-    "events_top_paths",
-    "events_type_affinity",
-    "mixture_token_budget_epochs",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "multimodal_image_entropy",
-    "multimodal_image_histogram",
-    "pii_detect_redact",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q9_product_type_profit",
-    "quality_outliers_mad",
-    "quality_repetition_topgram",
-    "retrieval_mmr_rerank",
-    "sample_k_per_group",
-    "sample_weighted_reservoir",
-    "snapshot_diff_by_lang",
-    "streaming_purchase_click_join",
-    "streaming_static_enrichment",
-    "streaming_trending_types",
-    "text_bpe_compression",
-    "text_chunk_overlap",
-    "text_diversity_distinct_n",
-    "text_tokenizer_fertility",
+_R13_STALE_REFRESH = [
     # the alphabetically-oldest r7-stale entries, filling the window
-    # (the remainder leads r13's refresh tier)
-    "a1_top_customer_by_avg_quantity",
-    "a2_top_orderpriority",
-    "a3_top_region_by_orders",
-    "a4_brand_quantity_by_nation",
-    "approx_distinct_custkeys",
+    # (the 4-entry remainder leads r14's refresh tier; membership
+    # asserted from the frozen artifacts)
+    "argmax_customer_per_nation",
+    "copartitioned_join_agg",
+    "cube_order_stats",
+    "grouped_zscore_extremes",
+    "having_frequent_customers",
+    "join_anti_customers_no_urgent",
+    "join_left_outer_order_counts",
+    "join_semi_urgent_customers",
+    "layout_compression_lab",
+    "layout_zorder_lab",
+    "maintenance_compaction_bins",
+    "maintenance_orphan_files",
+    "maintenance_partition_health",
+    "maintenance_snapshot_expiry",
+    "pandas_udf_revenue",
+    "percentiles_by_priority",
+    "pipeline_hybrid_retrieval",
+    "profile_lineitem",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "q4_late_shipment_priority",
+    "q5_regional_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "retrieval_known_item_mrr",
+    "retrieval_rank_fusion",
+    "rollup_order_stats",
+    "salted_join_agg",
+    "scalar_functions_showcase",
+    "setops_intersect",
+    "setops_segments",
+    "sort_global_topk",
+    "sql_interface_revenue",
+    "stats_moments_by_flag",
+    "subquery_above_nation_avg",
+    "text_bm25_topk",
 ]
 
 def _merged() -> dict[str, QuerySpec]:
@@ -239,7 +250,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R12_PERMANENT_KEEPS + _R12_CHANGED + _R12_NEW + _R12_STALE_REFRESH
+    head = _R13_PERMANENT_KEEPS + _R13_CHANGED + _R13_NEW + _R13_STALE_REFRESH
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

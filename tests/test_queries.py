@@ -37,13 +37,13 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     assert rows, f"{name} returned 0 rows at smoke scale"
 
 
-def test_driver_window_r12_policy():
+def test_driver_window_r13_policy():
     """The post-rotation window policy (documented in queries/__init__.py):
     permanent keeps + queries whose plan changed since their last driver
     verdict + never-scored new entries + the STALEST prior verdicts
     (oldest round first, alphabetical within a round). Staleness is
     evaluated ONLY against the artifacts that existed at window-composition
-    time (r01–r11, pinned below) — the r6 lesson: a glob matching the
+    time (r01–r12, pinned below) — the r6 lesson: a glob matching the
     current round's own artifact makes the test self-invalidating the
     moment the driver commits results.
 
@@ -56,34 +56,35 @@ def test_driver_window_r12_policy():
     import os
 
     from spark_iceberg_jobs_spark.queries import (
-        _R12_CHANGED,
-        _R12_NEW,
-        _R12_PERMANENT_KEEPS,
-        _R12_STALE_REFRESH,
+        _R13_CHANGED,
+        _R13_NEW,
+        _R13_PERMANENT_KEEPS,
+        _R13_STALE_REFRESH,
         DRIVER_WINDOW,
     )
 
     window = list(REG)[:DRIVER_WINDOW]
-    curated = _R12_PERMANENT_KEEPS + _R12_CHANGED + _R12_NEW + _R12_STALE_REFRESH
-    assert window == curated, "registry head must equal the curated r12 window"
+    curated = _R13_PERMANENT_KEEPS + _R13_CHANGED + _R13_NEW + _R13_STALE_REFRESH
+    assert window == curated, "registry head must equal the curated r13 window"
     assert len(curated) == DRIVER_WINDOW, (
         f"window misfilled: {len(curated)}/{DRIVER_WINDOW} curated entries"
     )
-    assert "cohort_ltv_by_first_year" in _R12_PERMANENT_KEEPS
-    assert "flagship_revenue_topk" in _R12_PERMANENT_KEEPS
+    assert "cohort_ltv_by_first_year" in _R13_PERMANENT_KEEPS
+    assert "flagship_revenue_topk" in _R13_PERMANENT_KEEPS
     assert all(REG[n].oracle is not None for n in window), (
         "every window entry needs a value-hash oracle"
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # Composition-time baseline: r01–r11 ONLY (frozen — later artifacts
+    # Composition-time baseline: r01–r12 ONLY (frozen — later artifacts
     # must never change what this test asserts).
     last_scored: dict[str, int] = {}
     baseline = sorted(
         glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json"))
-        + glob.glob(os.path.join(repo, "CORRECTNESS_r1[01].json"))
+        + glob.glob(os.path.join(repo, "CORRECTNESS_r1[02].json"))
+        + glob.glob(os.path.join(repo, "CORRECTNESS_r11.json"))
     )
-    assert len(baseline) == 11, "r01..r11 artifacts are part of the repo"
+    assert len(baseline) == 12, "r01..r12 artifacts are part of the repo"
     for f in baseline:
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         with open(f) as fh:
@@ -97,30 +98,27 @@ def test_driver_window_r12_policy():
         f"never-driver-scored entries outside the window: "
         f"{sorted(uncovered - set(window))}"
     )
-    assert all(n not in last_scored for n in _R12_NEW), (
-        "_R12_NEW is for entries with no prior driver verdict"
+    assert all(n not in last_scored for n in _R13_NEW), (
+        "_R13_NEW is for entries with no prior driver verdict"
     )
-    assert sorted(_R12_NEW) == sorted(uncovered), (
-        "_R12_NEW must be exactly the never-scored registry entries"
+    assert sorted(_R13_NEW) == sorted(uncovered), (
+        "_R13_NEW must be exactly the never-scored registry entries"
     )
-    # Invariant 2 — MACHINE-OWNED TIERS: the refresh list must equal,
-    # exactly and in order, ALL remaining r6-stale entries followed by
-    # the alphabetically-oldest r7-stale entries filling the window.
-    # Nothing fresher than r7 may occupy a refresh slot (r5 is empty —
-    # asserted, so a surprise r5 leftover cannot silently vanish).
-    r5_all = sorted(n for n in REG if last_scored.get(n) == 5)
-    assert r5_all == [], "r11 refreshed the whole r5 tier"
+    # Invariant 2 — MACHINE-OWNED TIERS: r12 emptied the r6 tier
+    # (asserted, so a surprise leftover cannot silently vanish); the
+    # refresh list must equal, exactly and in order, the
+    # alphabetically-oldest r7-stale entries filling the window.
     r6_all = sorted(n for n in REG if last_scored.get(n) == 6)
+    assert r6_all == [], "r12 refreshed the whole r6 tier"
     r7_all = sorted(n for n in REG if last_scored.get(n) == 7)
     n_fill = DRIVER_WINDOW - (
-        len(_R12_PERMANENT_KEEPS) + len(_R12_CHANGED) + len(_R12_NEW) + len(r6_all)
+        len(_R13_PERMANENT_KEEPS) + len(_R13_CHANGED) + len(_R13_NEW)
     )
     assert 0 < n_fill <= len(r7_all), "r7 tier must exist and suffice"
-    expected_refresh = r6_all + r7_all[:n_fill]
-    assert _R12_STALE_REFRESH == expected_refresh, (
+    expected_refresh = r7_all[:n_fill]
+    assert _R13_STALE_REFRESH == expected_refresh, (
         "refresh tier must be exactly the artifact-computed staleness order: "
-        f"expected {len(expected_refresh)} entries "
-        f"({len(r6_all)} r6-stale + {n_fill} oldest r7-stale)"
+        f"expected {len(expected_refresh)} oldest r7-stale entries"
     )
 
 
@@ -138,14 +136,14 @@ def test_window_is_curated_not_positional():
     """Only the explicit curated list reaches the driver window: nothing
     rides in on module dict order (the r1 bug this guards against), and
     the regression keeps stay present."""
-    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R12_CHANGED
+    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R13_CHANGED
 
     window = set(list(REG)[:DRIVER_WINDOW])
     assert "flagship_revenue_topk" in window
     # rotated-in extras are deliberate; anything else outside the curated
     # list must stay outside the window
     assert len(window) == DRIVER_WINDOW
-    assert set(_R12_CHANGED) <= window
+    assert set(_R13_CHANGED) <= window
 
 
 def test_quality_rules_fire_on_corrupted_rows(spark, monkeypatch):
