@@ -1808,10 +1808,12 @@ def lake_spj_factfact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the table and a per-bucket broadcast would push ~the smaller
     TABLE's bytes through the driver. ``broadcast_max_bytes=0`` forces
     the valve deterministically at every scale factor: each bucket
-    joins with a bucket-scoped shuffled-hash join — no BroadcastExchange
-    anywhere in the plan (test-pinned), per-task memory one hash
-    partition of one bucket, and the exchange moves only bucket-local
-    bytes. The oracle is the plain SQL join+aggregate.
+    joins with a bucket-scoped SORT-MERGE join — no BroadcastExchange
+    anywhere in the plan (test-pinned), per-task memory a spillable
+    sort buffer, and the exchange moves only bucket-local bytes (the
+    shuffle-hash first cut died at 64× on unspillable concurrent hash
+    builds — SCALE.md §Round-13). The oracle is the plain SQL
+    join+aggregate.
 
     Scale: at 100 TB ⋈ 10 TB this plan's memory is flat in table size
     (the r12 broadcast fan-out was not); the residual bucket-scoped

@@ -3679,14 +3679,19 @@ def storage_partitioned_join(
     ``SPJ_BROADCAST_MAX_BYTES``), the build side broadcasts — all those
     BroadcastExchanges coexist in the one job, so the budget bounds
     driver + executor broadcast memory. A bucket that does NOT fit
-    joins with a SHUFFLED-HASH join (``hint("shuffle_hash")``) scoped to
-    that bucket's files: per-task memory is one hash partition of the
-    bucket, and the exchange moves only that bucket's bytes — at
-    fact⋈fact scale that residual, bucket-local shuffle is the honest
-    DataFrame-API floor (a true zero-exchange big-big SPJ needs the
-    scan to REPORT KeyGroupedPartitioning, which is DSv2-connector
-    territory; a per-bucket broadcast has no such floor but an
-    unbounded memory bill). Row-equality between the two regimes is
+    joins with a SORT-MERGE join (``hint("merge")``) scoped to that
+    bucket's files: per-task memory is a spillable sort buffer, and the
+    exchange moves only that bucket's bytes — at fact⋈fact scale that
+    residual, bucket-local shuffle is the honest DataFrame-API floor (a
+    true zero-exchange big-big SPJ needs the scan to REPORT
+    KeyGroupedPartitioning, which is DSv2-connector territory; a
+    per-bucket broadcast has no such floor but an unbounded memory
+    bill). The first cut used ``shuffle_hash`` and the 64×/256× lab
+    KILLED it: 16 bucket joins × 32 slots of concurrent SHJ builds
+    exhausted execution memory ("Can't acquire … bytes to build hash
+    relation" — SHJ hash relations cannot spill), exactly the failure
+    class the valve exists to prevent; sort-merge spills and survives
+    (SCALE.md §Round-13). Row-equality between the two regimes is
     test-pinned, as is the no-BroadcastExchange property of the
     over-budget plan.
 
@@ -3800,12 +3805,11 @@ def storage_partitioned_join(
             else:
                 j = F.broadcast(fa).join(fb, fa[ka] == fb[kb], "inner")
         else:
-            # over budget: bucket-scoped shuffled hash join — the hinted
-            # side builds; only this bucket's bytes cross the exchange
-            if build_is_b:
-                j = fa.join(fb.hint("shuffle_hash"), fa[ka] == fb[kb], "inner")
-            else:
-                j = fa.hint("shuffle_hash").join(fb, fa[ka] == fb[kb], "inner")
+            # over budget: bucket-scoped SORT-MERGE join — spillable
+            # (shuffle_hash measured fatal at 64×: concurrent unspillable
+            # SHJ builds, see docstring); only this bucket's bytes cross
+            # the exchange
+            j = fa.join(fb.hint("merge"), fa[ka] == fb[kb], "inner")
         j = j.drop(fb[kb])
         out = j if out is None else out.unionByName(j)
     if out is None:

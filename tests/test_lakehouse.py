@@ -422,7 +422,7 @@ def test_spj_factfact_plan_has_no_broadcast_exchange(spark, sf_dir):
     df = lake_spj_factfact_join(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" not in plan, "the valve must suppress every broadcast"
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan  # spillable — shuffle_hash measured fatal at 64x
     assert df.count() > 0
 
 

@@ -466,6 +466,16 @@ def probes():
         "lake_spj": _lakehouse_probe("lake_spj_bucketed_join", build_tpch),
         # r12 orphan GC: post-GC clustered aggregate (flat family)
         "lake_gc": _lakehouse_probe("lake_gc_orphans", build_tpch),
+        # r13 fact⋈fact SPJ under the broadcast valve: BOTH sides grow
+        # with scale (lineitem ⋈ orders — the reference's shared
+        # bucket(16, match_id) shape), broadcast_max_bytes=0 so every
+        # bucket is a bucket-scoped shuffled-hash join. Expected linear
+        # in joined bytes with FLAT broadcast memory (zero) — the r12
+        # design would have pushed ~orders' bytes through the driver.
+        "lake_spj_ff": _lakehouse_probe("lake_spj_factfact_join", build_tpch),
+        # r13 SPJ ∘ DV: dv'd bucket files pay the file-local probe inside
+        # the aligned per-bucket join (probe side grows; dim fixed)
+        "lake_spj_dv": _lakehouse_probe("lake_spj_dv_join", build_tpch),
     }
 
 
@@ -590,6 +600,8 @@ def main() -> int:
         "lake_merge_mor",
         "lake_spj",
         "lake_gc",
+        "lake_spj_ff",
+        "lake_spj_dv",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
