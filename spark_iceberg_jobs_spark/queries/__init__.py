@@ -153,9 +153,11 @@ class QuerySpec:
 #       round — the SPJ broadcast valve + DV composition, the write-path
 #       two-level classification behind DELETE/UPDATE/MERGE both
 #       flavors, the GC lock/debris/job-union rework, the DV sidecar
-#       consolidation branch, the fold-pressure job dispatch) + the 3
-#       new entries (lake_spj_factfact_join, VERDICT r12 item 1;
-#       lake_spj_dv_join, item 3; lake_feed_visible_bootstrap, item 6) +
+#       consolidation branch, the fold-pressure job dispatch, and the
+#       DV-aware scan planners behind lake_skipping_scan /
+#       lake_zorder_box_scan) + the new entries (lake_spj_factfact_join,
+#       VERDICT r12 item 1; lake_spj_dv_join + lake_skipping_dv_scan,
+#       item 3; lake_feed_visible_bootstrap, item 6) +
 #       the alphabetically-oldest r7-stale entries filling to 50 (the
 #       r6 tier was emptied by r12 — asserted). Tier membership is
 #       computed from the frozen artifacts by
@@ -179,12 +181,15 @@ _R13_CHANGED = [
     "lake_dv_serve",  # delete_positions_dv gained the consolidation branch
     "lake_changelog_dv",  # same verb change (DV commit path)
     "lake_fold_gate_serve",  # fold_pressure job dispatch via _maybe_fold
+    "lake_skipping_scan",  # both scan planners now DV-aware (data-only prune)
+    "lake_zorder_box_scan",  # same planner change on the box path
 ]
 
 _R13_NEW = [
     # never driver-scored, must ride per Invariant 1
     "lake_spj_factfact_join",  # the SPJ valve on a fact⋈fact input
     "lake_spj_dv_join",  # SPJ composed with live deletion vectors
+    "lake_skipping_dv_scan",  # zone-map pruning composed with live DVs
     "lake_feed_visible_bootstrap",  # DV-aware feed bootstrap, end-to-end
 ]
 
@@ -225,9 +230,6 @@ _R13_STALE_REFRESH = [
     "setops_segments",
     "sort_global_topk",
     "sql_interface_revenue",
-    "stats_moments_by_flag",
-    "subquery_above_nation_avg",
-    "text_bm25_topk",
 ]
 
 def _merged() -> dict[str, QuerySpec]:

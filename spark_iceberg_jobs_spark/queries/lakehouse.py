@@ -75,10 +75,12 @@ def _served_table(sf_dir: str, prefix: str, source: str, salt: str, build_fn) ->
 def _date_bounds(table_dir: str, col: str) -> tuple[_dt.date, _dt.date]:
     """Corpus date span from the MANIFEST bounds (driver-side JSON — the
     min of file minima / max of file maxima equals the data min/max, no
-    Spark job)."""
+    Spark job). DATA entries only: delete-flavor entries (DV sidecars,
+    delete files) carry no column stats."""
     man = ft.read_manifest(table_dir)
-    los = [_dt.date.fromisoformat(e["stats"][col][0]) for e in man["entries"]]
-    his = [_dt.date.fromisoformat(e["stats"][col][1]) for e in man["entries"]]
+    data = [e for e in man["entries"] if e.get("kind", "data") == "data"]
+    los = [_dt.date.fromisoformat(e["stats"][col][0]) for e in data]
+    his = [_dt.date.fromisoformat(e["stats"][col][1]) for e in data]
     return min(los), max(his)
 
 
@@ -1938,6 +1940,88 @@ ORDER BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# lake_skipping_dv_scan — zone-map pruning composed with live DVs (r13)
+# ---------------------------------------------------------------------------
+
+_DVSCAN_MOD = 40  # ~2.5% of rows deleted, spread across every file
+
+
+def lake_skipping_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake_skipping_scan band serve against a table carrying LIVE
+    deletion vectors (r13): zone-map pruning and file-local bitmaps
+    compose — the planner prunes DATA files exactly as before and the
+    plan carries the surviving files' vectors, which the read applies
+    with the same O(1)/row JVM probe as lake_dv_serve; clean surviving
+    files stay a plain multi-path scan. No fold stands between a
+    GDPR-delete stream and a pruned range scan (the r12 planners
+    refused ANY live delete kind here). Both planning regimes return
+    identical file+vector sets (test-pinned); the oracle is the band ∩
+    delete-complement, so an over/under-applied vector or a wrongly
+    pruned file hash-mismatches.
+
+    Scale: pruning stays O(#files) metadata (or the manifest-table job
+    past the threshold — dv entries ride back one narrow row per dv'd
+    file); the probe adds zero Python and zero per-delete-commit cost."""
+    def build(staging: str) -> None:
+        ft.create_table(
+            read_fixture(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                F.to_date("l_shipdate").alias("ship_dt"),
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ),
+            staging,
+            stats_cols=["ship_dt"],
+            cluster_by="ship_dt",
+            n_files=48,
+        )
+        n_data = len(ft.read_manifest(staging)["entries"])
+        ft.delete_positions_dv(spark, staging, F.col("l_orderkey") % _DVSCAN_MOD < 1)
+        data, eqs, poss, dvs = ft._split_entries(ft.read_manifest(staging))
+        if eqs or poss or not dvs or len(data) != n_data:
+            raise ValueError("DV build invariant broken (rewrites or wrong flavor)")
+
+    table_dir = _served_table(sf_dir, "lakedvscan_", "lineitem", "lakedvscan-v1", build)
+    lo, hi = _date_bounds(table_dir, "ship_dt")
+    span = (hi - lo).days
+    b_lo = lo + _dt.timedelta(days=int(span * _BAND_LO_FRAC))
+    b_hi = lo + _dt.timedelta(days=int(span * _BAND_HI_FRAC))
+    return (
+        ft.scan_range(spark, table_dir, "ship_dt", b_lo, b_hi)
+        .groupBy(F.date_format("ship_dt", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            dec_sum(revenue_dec()).alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+LAKE_SKIPPING_DV_ORACLE = f"""
+WITH span AS (
+    SELECT MIN(CAST(l_shipdate AS DATE)) AS lo,
+           MAX(CAST(l_shipdate AS DATE)) AS hi
+    FROM lineitem
+), band AS (
+    SELECT lo + CAST(FLOOR((hi - lo) * {_BAND_LO_FRAC}) AS INTEGER) AS b_lo,
+           lo + CAST(FLOOR((hi - lo) * {_BAND_HI_FRAC}) AS INTEGER) AS b_hi
+    FROM span
+)
+SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem, band
+WHERE CAST(l_shipdate AS DATE) BETWEEN b_lo AND b_hi
+  AND l_orderkey % {_DVSCAN_MOD} >= 1
+GROUP BY 1
+ORDER BY ship_month
+"""
+
+
+# ---------------------------------------------------------------------------
 # lake_feed_visible_bootstrap — DV-aware incremental-feed bootstrap (r13)
 # ---------------------------------------------------------------------------
 
@@ -2069,6 +2153,7 @@ QUERIES: dict[str, QuerySpec] = {
         lake_spj_factfact_join, LAKE_SPJ_FACTFACT_ORACLE, headline=True
     ),
     "lake_spj_dv_join": QuerySpec(lake_spj_dv_join, LAKE_SPJ_DV_ORACLE),
+    "lake_skipping_dv_scan": QuerySpec(lake_skipping_dv_scan, LAKE_SKIPPING_DV_ORACLE),
     "lake_feed_visible_bootstrap": QuerySpec(
         lake_feed_visible_bootstrap, LAKE_FEED_VISIBLE_ORACLE
     ),

@@ -886,16 +886,53 @@ def _decode_bounds(manifest: dict, col: str):
     return bounds
 
 
+def _split_for_scan(man: dict, verb: str) -> tuple[list[dict], list[dict]]:
+    """Entry split for the PRUNED-SCAN verbs (r13): file-local deletion
+    vectors COMPOSE with zone-map pruning — a kept file just applies its
+    own bitmap — while equality/position delete files keep raising
+    (their visibility is cross-file, so a pruned read could not apply
+    them soundly without reading unpruned files)."""
+    data, eqs, poss, dvs = _split_entries(man)
+    if eqs or poss:
+        raise ValueError(
+            f"{verb} on a table with live equality/position delete files — "
+            "run fold_deletes first (file-local deletion vectors compose)"
+        )
+    return data, dvs
+
+
+def _plan_dvs(keep: list[dict], dvs: list[dict]) -> dict:
+    """The DV additions to a scan plan: the vectors whose targets
+    survived pruning, plus the summed rows of their target files (what
+    ``_apply_dv_filter``'s broadcast valve consults)."""
+    if not dvs:
+        return {"dv_entries": [], "dvd_rows": 0}
+    kept_names = {os.path.basename(e["path"]) for e in keep}
+    live = [d for d in dvs if d["target"] in kept_names]
+    targets = {d["target"] for d in live}
+    return {
+        "dv_entries": live,
+        "dvd_rows": sum(
+            e["rows"] for e in keep if os.path.basename(e["path"]) in targets
+        ),
+    }
+
+
 def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
     """Zone-map scan planning: keep every file whose [min,max] on ``col``
     intersects the closed interval [lo, hi] (either bound may be None =
     unbounded; all-null stats are conservatively kept). Returns the
-    pruned absolute path list plus the counts a plan test pins."""
+    pruned absolute path list plus the counts a plan test pins.
+
+    DELETION VECTORS (r13): live DVs compose — pruning runs over the
+    DATA entries and the plan carries the surviving files' vectors
+    (``dv_entries``) for the read to apply file-locally; eq/pos delete
+    files still raise (see ``_split_for_scan``)."""
     manifest = read_manifest(table_dir)
-    _require_no_live_deletes(manifest, "plan_scan/scan_range")
+    data, dvs = _split_for_scan(manifest, "plan_scan/scan_range")
     bounds = _decode_bounds(manifest, col)
     keep, skipped = [], 0
-    for e in manifest["entries"]:
+    for e in data:
         b = bounds(e)
         if b is not None and (
             (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo)
@@ -906,10 +943,11 @@ def plan_scan(table_dir: str, col: str, lo=None, hi=None) -> dict:
     return {
         "paths": [os.path.join(table_dir, e["path"]) for e in keep],
         "entries": keep,
+        **_plan_dvs(keep, dvs),
         "planner": "driver",
         "files_read": len(keep),
         "files_skipped": skipped,
-        "files_total": len(manifest["entries"]),
+        "files_total": len(data),
     }
 
 
@@ -1078,23 +1116,56 @@ def plan_scan_spark(
         cond = cond & (F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= F.lit(hi)))
     if lo is not None:
         cond = cond & (F.col(f"max_{col}").isNull() | (F.col(f"max_{col}") >= F.lit(lo)))
+    return _spark_plan_finish(table_dir, mt, cond, "plan_scan_spark")
+
+
+def _spark_plan_finish(table_dir: str, mt: DataFrame, cond: Column, verb: str) -> dict:
+    """Shared tail of the job planners: totals + surviving (path, seq,
+    rows) under the pruning predicate, DATA entries only. Live deletion
+    vectors compose (r13): dv entries come back as one narrow row per
+    dv'd file (answer-scale) and ride the plan as ``dv_entries`` with
+    the summed target rows (``dvd_rows`` — the broadcast-valve input),
+    so the read applies them without ever parsing the JSON manifest;
+    eq/pos delete files raise exactly like the driver planner."""
     totals = mt.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_if(F.col("kind") != "data").alias("n_del"),
-        F.count_if(cond).alias("n_keep"),
+        F.count_if(F.col("kind") == "data").alias("n"),
+        F.count_if(F.col("kind").isin("eqdelete", "posdelete")).alias("n_eqpos"),
+        F.count_if(F.col("kind") == "dv").alias("n_dv"),
+        F.count_if((F.col("kind") == "data") & cond).alias("n_keep"),
     ).collect()[0]
-    if totals["n_del"]:
+    if totals["n_eqpos"]:
         raise ValueError(
-            "plan_scan_spark on a table with live delete files — run "
-            "fold_deletes first"
+            f"{verb} on a table with live equality/position delete files — "
+            "run fold_deletes first (file-local deletion vectors compose)"
         )
     kept = sorted(
-        (r["path"], r["seq"]) for r in mt.filter(cond).select("path", "seq").collect()
+        (r["path"], r["seq"], r["n_rows"])
+        for r in mt.filter((F.col("kind") == "data") & cond)
+        .select("path", "seq", "n_rows")
+        .collect()
     )
+    dv_entries: list[dict] = []
+    dvd_rows = 0
+    if totals["n_dv"]:
+        kept_names = {os.path.basename(p) for p, _s, _r in kept}
+        dv_entries = [
+            {"path": r["path"], "kind": "dv", "target": r["target"], "rows": r["n_rows"]}
+            for r in sorted(
+                mt.filter(F.col("kind") == "dv")
+                .select("path", "target", "n_rows")
+                .collect(),  # bounded: one row per dv'd file
+                key=lambda r: (r["path"], r["target"]),
+            )
+            if r["target"] in kept_names
+        ]
+        targets = {d["target"] for d in dv_entries}
+        dvd_rows = sum(r for p, _s, r in kept if os.path.basename(p) in targets)
     return {
-        "paths": [os.path.join(table_dir, p) for p, _s in kept],
+        "paths": [os.path.join(table_dir, p) for p, _s, _r in kept],
         "entries": None,  # see docstring: the job path returns paths only
-        "path_seqs": kept,  # (rel path, commit seq) for schema resolution
+        "path_seqs": [(p, s) for p, s, _r in kept],  # for schema resolution
+        "dv_entries": dv_entries,
+        "dvd_rows": dvd_rows,
         "planner": "spark",
         "files_read": totals["n_keep"],
         "files_skipped": totals["n"] - totals["n_keep"],
@@ -1134,28 +1205,7 @@ def plan_scan_box_spark(spark: SparkSession, table_dir: str, preds: dict) -> dic
             cond = cond & (F.col(f"min_{c}").isNull() | (F.col(f"min_{c}") <= F.lit(hi)))
         if lo is not None:
             cond = cond & (F.col(f"max_{c}").isNull() | (F.col(f"max_{c}") >= F.lit(lo)))
-    totals = mt.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_if(F.col("kind") != "data").alias("n_del"),
-        F.count_if(cond).alias("n_keep"),
-    ).collect()[0]
-    if totals["n_del"]:
-        raise ValueError(
-            "plan_scan_box_spark on a table with live delete files — run "
-            "fold_deletes first"
-        )
-    kept = sorted(
-        (r["path"], r["seq"]) for r in mt.filter(cond).select("path", "seq").collect()
-    )
-    return {
-        "paths": [os.path.join(table_dir, p) for p, _s in kept],
-        "entries": None,
-        "path_seqs": kept,
-        "planner": "spark",
-        "files_read": totals["n_keep"],
-        "files_skipped": totals["n"] - totals["n_keep"],
-        "files_total": totals["n"],
-    }
+    return _spark_plan_finish(table_dir, mt, cond, "plan_scan_box_spark")
 
 
 def _over_plan_threshold(
@@ -1250,12 +1300,31 @@ def _read_planned(spark: SparkSession, table_dir: str, plan: dict) -> DataFrame:
     """Read a plan's surviving files with schema resolution, off EITHER
     planner's output: the driver plan carries full entry dicts; the job
     plan carries (path, seq) pairs and resolves the schema through the
-    O(schema) header sidecar — never the O(#files) JSON manifest."""
+    O(schema) header sidecar — never the O(#files) JSON manifest.
+
+    DELETION VECTORS (r13): a plan carrying ``dv_entries`` applies each
+    surviving dv'd file's bitmap file-locally (the _mor_read split: only
+    dv'd files pay the probe, clean files stay a plain multi-path
+    scan) — pruned scans compose with live DVs without a fold."""
     if plan.get("entries") is not None:
-        return _read_data(spark, table_dir, read_manifest(table_dir), plan["entries"])
-    hdr = read_manifest_header(table_dir)
-    entries = [{"path": p, "seq": s} for p, s in plan["path_seqs"]]
-    return _read_data(spark, table_dir, hdr, entries)
+        man = read_manifest(table_dir)
+        entries = plan["entries"]
+    else:
+        man = read_manifest_header(table_dir)
+        entries = [{"path": p, "seq": s} for p, s in plan["path_seqs"]]
+    dvs = plan.get("dv_entries") or []
+    if not dvs:
+        return _read_data(spark, table_dir, man, entries)
+    targets = {d["target"] for d in dvs}
+    dvd = [e for e in entries if os.path.basename(e["path"]) in targets]
+    clean = [e for e in entries if os.path.basename(e["path"]) not in targets]
+    part = _read_data(spark, table_dir, man, dvd, meta_cols=True)
+    part = _apply_dv_filter(
+        spark, table_dir, man, dvs, part, dvd_rows=plan.get("dvd_rows")
+    ).drop("_ft_file", "_ft_pos")
+    if not clean:
+        return part
+    return _read_data(spark, table_dir, man, clean).unionByName(part)
 
 
 def _require_no_live_deletes(man: dict, verb: str) -> None:
@@ -1544,7 +1613,12 @@ DV_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _apply_dv_filter(
-    spark: SparkSession, table_dir: str, man: dict, dvs: list[dict], df: DataFrame
+    spark: SparkSession,
+    table_dir: str,
+    man: dict,
+    dvs: list[dict],
+    df: DataFrame,
+    dvd_rows: int | None = None,
 ) -> DataFrame:
     """Apply deletion vectors FILE-LOCALLY with PURE JVM bit arithmetic
     (VERDICT r11 item 1): one broadcast join of the (tiny — one row per
@@ -1561,14 +1635,18 @@ def _apply_dv_filter(
     — computed from the manifest for free; past
     ``DV_BROADCAST_MAX_BYTES`` the read falls back to a shuffled anti
     join on the exploded coordinates (fold_deletes remains the real
-    fix for a table that deleted that much)."""
-    targets = {e["target"] for e in dvs}
-    dvd_rows = sum(
-        e["rows"]
-        for e in man["entries"]
-        if e.get("kind", "data") == "data"
-        and os.path.basename(e["path"]) in targets
-    )
+    fix for a table that deleted that much). ``dvd_rows`` may be passed
+    by callers that already know the targeted files' row sum (the job
+    planner carries it in the plan, so the header-only manifest path
+    never needs the entry list)."""
+    if dvd_rows is None:
+        targets = {e["target"] for e in dvs}
+        dvd_rows = sum(
+            e["rows"]
+            for e in man["entries"]
+            if e.get("kind", "data") == "data"
+            and os.path.basename(e["path"]) in targets
+        )
     posf = _dv_pos_frame(spark, table_dir, dvs)
     if dvd_rows // 8 <= DV_BROADCAST_MAX_BYTES:
         wf = posf.select("_dv_target", "_dv_words")
@@ -3260,12 +3338,13 @@ def plan_scan_box(table_dir: str, preds: dict) -> dict:
     rewrite (``rewrite_layout`` with a Morton key): every predicate
     column's per-file bounds are tight simultaneously, so a BOX probe
     prunes on all dimensions — the executed form of what
-    layout_zorder_lab measures."""
+    layout_zorder_lab measures. Live deletion vectors compose (r13 —
+    see ``_split_for_scan``); eq/pos delete files raise."""
     man = read_manifest(table_dir)
-    _require_no_live_deletes(man, "plan_scan_box")
+    data, dvs = _split_for_scan(man, "plan_scan_box")
     decoders = {c: _decode_bounds(man, c) for c in preds}
     keep, skipped = [], 0
-    for e in man["entries"]:
+    for e in data:
         drop = False
         for c, (lo, hi) in preds.items():
             b = decoders[c](e)
@@ -3281,10 +3360,11 @@ def plan_scan_box(table_dir: str, preds: dict) -> dict:
     return {
         "paths": [os.path.join(table_dir, e["path"]) for e in keep],
         "entries": keep,
+        **_plan_dvs(keep, dvs),
         "planner": "driver",
         "files_read": len(keep),
         "files_skipped": skipped,
-        "files_total": len(man["entries"]),
+        "files_total": len(data),
     }
 
 

@@ -3004,3 +3004,102 @@ def test_feed_visible_bootstrap_property_random_histories(spark, tmp_path):
                         for r in spark.read.parquet(*b["paths"]).collect()
                     ]
             assert sorted(got2) == want, f"case {case} split {split}: not exactly-once"
+
+
+# ---------------------------------------------------------------------------
+# round 13 — pruned scans compose with deletion vectors (both planners)
+# ---------------------------------------------------------------------------
+
+
+def test_scan_range_composes_with_dvs_both_planners(spark, li_table, monkeypatch):
+    """Zone-map pruning + file-local bitmaps: scan_range on a DV-carrying
+    table serves the band's delete-complement exactly, under BOTH
+    planning regimes, with identical file+vector sets in the plans."""
+    td, df = li_table
+    lo, hi = _mid(td, 0.2), _mid(td, 0.4)  # before the DV commit: _mid
+    ft.delete_positions_dv(spark, td, F.col("l_orderkey") % 11 == 0)  # reads data stats
+    p_drv = ft.plan_scan(td, "ship_dt", lo, hi)
+    assert p_drv["dv_entries"], "surviving files must carry their vectors"
+    assert p_drv["files_skipped"] > 0, "pruning must still prune"
+    p_job = ft.plan_scan_spark(spark, td, "ship_dt", lo, hi)
+    assert sorted(p_job["paths"]) == sorted(p_drv["paths"])
+    assert (
+        sorted((d["path"], d["target"]) for d in p_job["dv_entries"])
+        == sorted((d["path"], d["target"]) for d in p_drv["dv_entries"])
+    )
+    assert p_job["dvd_rows"] == p_drv["dvd_rows"] > 0
+
+    want = sorted(
+        (r["l_orderkey"], r["ship_dt"])
+        for r in df.filter(
+            (F.col("ship_dt") >= F.lit(lo))
+            & (F.col("ship_dt") <= F.lit(hi))
+            & (F.col("l_orderkey") % 11 != 0)
+        ).collect()
+    )
+    got = sorted(
+        (r["l_orderkey"], r["ship_dt"])
+        for r in ft.scan_range(spark, td, "ship_dt", lo, hi).collect()
+    )
+    assert got == want and want, "band ∩ delete-complement, exactly"
+    # the job regime serves the same rows (routing forced)
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    got2 = sorted(
+        (r["l_orderkey"], r["ship_dt"])
+        for r in ft.scan_range(spark, td, "ship_dt", lo, hi).collect()
+    )
+    assert got2 == want
+
+
+def test_scan_box_composes_with_dvs(spark, tmp_path):
+    td = str(tmp_path / "boxdv")
+    df = spark.createDataFrame(
+        [(i, i % 100, float(i)) for i in range(5000)], "a long, b long, v double"
+    )
+    ft.create_table(df, td, stats_cols=["a", "b"], cluster_by="a", n_files=10)
+    ft.delete_positions_dv(spark, td, F.col("a") % 9 == 0)
+    preds = {"a": (1000, 3000), "b": (10, 60)}
+    got = sorted(
+        r["a"] for r in ft.scan_box(spark, td, preds).collect()
+    )
+    want = sorted(
+        r["a"]
+        for r in df.filter(
+            (F.col("a").between(1000, 3000))
+            & (F.col("b").between(10, 60))
+            & (F.col("a") % 9 != 0)
+        ).collect()
+    )
+    assert got == want and want
+
+
+def test_pruned_scan_job_path_never_parses_json_with_dvs(spark, li_table, monkeypatch):
+    """The two-level warm path stays JSON-free even with live DVs: plan
+    + read resolve through the parquet manifest table, the header
+    sidecar, and the plan-carried dv rows."""
+    td, df = li_table
+    lo, hi = _mid(td, 0.2), _mid(td, 0.4)  # before the DV commit
+    ft.delete_positions_dv(spark, td, F.col("l_orderkey") % 11 == 0)
+    v = ft.current_manifest_version(td)
+    ft.write_manifest_parquet(spark, td, v)  # warm the conversion
+    want = ft.scan_range(spark, td, "ship_dt", lo, hi).count()
+
+    def _boom(*a, **k):
+        raise AssertionError("warm two-level path must not parse the JSON manifest")
+
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    monkeypatch.setattr(ft, "read_manifest", _boom)
+    got = ft.scan_range(spark, td, "ship_dt", lo, hi).count()
+    assert got == want > 0
+
+
+def test_pruned_scan_still_raises_on_eq_pos_deletes(spark, li_table):
+    td, _df = li_table
+    lo, hi = _mid(td, 0.2), _mid(td, 0.4)
+    ft.delete_keys_mor(
+        spark, td, "l_orderkey", spark.createDataFrame([(1,)], "l_orderkey long")
+    )
+    with pytest.raises(ValueError, match="equality/position"):
+        ft.plan_scan(td, "ship_dt", lo, hi)
+    with pytest.raises(ValueError, match="equality/position"):
+        ft.plan_scan_spark(spark, td, "ship_dt", lo, hi)
