@@ -183,6 +183,7 @@ _R13_CHANGED = [
     "lake_fold_gate_serve",  # fold_pressure job dispatch via _maybe_fold
     "lake_skipping_scan",  # both scan planners now DV-aware (data-only prune)
     "lake_zorder_box_scan",  # same planner change on the box path
+    "lake_bloom_point_lookup",  # DV-tolerant staleness + _read_planned route
 ]
 
 _R13_NEW = [
@@ -229,7 +230,6 @@ _R13_STALE_REFRESH = [
     "setops_intersect",
     "setops_segments",
     "sort_global_topk",
-    "sql_interface_revenue",
 ]
 
 def _merged() -> dict[str, QuerySpec]:

@@ -2845,26 +2845,54 @@ def build_bloom_index(
     return {"files": len(index["files"]), "bits": bits, "hashes": hashes}
 
 
-def plan_bloom_lookup(table_dir: str, col: str, values) -> dict:
+def plan_bloom_lookup(
+    table_dir: str, col: str, values, *, spark: SparkSession | None = None
+) -> dict:
     """Bloom-pruned point-lookup planning: keep a file iff for SOME probe
     value ALL k of its bit positions are set in that file's bitmap.
-    Raises on a stale index (manifest moved since the build) — planning
-    against a stale bitmap could silently MISS new files (bloom pruning
-    must be sound: false positives waste a read, false negatives lose
-    rows)."""
+    Raises on a stale index (data files moved since the build) —
+    planning against a stale bitmap could silently MISS new files
+    (bloom pruning must be sound: false positives waste a read, false
+    negatives lose rows).
+
+    DV-TOLERANT STALENESS (r13): a deletion-vector commit changes NO
+    file contents, so the index stays sound as long as the DATA-file
+    set is unchanged — the version-mismatch path loads the current
+    entry list (via ``_manifest_auto`` when a session is given, so past
+    the threshold it is the parquet manifest table, not a JSON parse),
+    verifies set equality, and returns the live vectors for the read to
+    apply (``dv_entries``/``dvd_rows``, like the pruned-scan plans). A
+    point-lookup index therefore survives an entire GDPR-delete stream
+    — and metadata-only commits (add/rename column) — without a
+    rebuild; only a commit that moved data files raises. A deleted
+    key's bits stay set, costing at most a false-positive read, never a
+    lost row. The version-EQUAL fast path still touches no manifest at
+    all (the r12 no-manifest-parse contract; the build refuses live
+    deletes, so version-equal implies vector-free)."""
     with open(bloom_index_path(table_dir, col)) as f:
         idx = json.load(f)
     cur = current_manifest_version(table_dir)
+    dvs: list[dict] = []
+    data_by_path: dict[str, dict] = {}
     if idx["manifest_version"] != cur:
-        raise ValueError(
-            f"bloom index built at manifest {idx['manifest_version']} but current "
-            f"is {cur}; rebuild the index"
+        man = (
+            _manifest_auto(spark, table_dir)
+            if spark is not None
+            else read_manifest(table_dir)
         )
+        data, dvs = _split_for_scan(man, "plan_bloom_lookup")
+        data_by_path = {e["path"]: e for e in data}
+        if set(data_by_path) != set(idx["files"]):
+            raise ValueError(
+                f"bloom index built at manifest {idx['manifest_version']} but "
+                f"the data-file set changed by {cur}; rebuild the index "
+                "(deletion-vector and metadata commits alone do not stale it)"
+            )
     bits, hashes = idx["bits"], idx["hashes"]
     probe_pos = [_bloom_probe_positions(v, bits, hashes) for v in values]
-    # the sidecar's own file list IS the snapshot's (version-checked
-    # above), so planning never parses the JSON manifest (r12: the
-    # bloom path joins the no-manifest-parse warm-path contract)
+    # the sidecar's own file list IS the snapshot's (set-checked above),
+    # so the fast path never parses the JSON manifest (r12: the bloom
+    # path joins the no-manifest-parse warm-path contract)
     keep, skipped = [], 0
     for path, bitmap in sorted(idx["files"].items()):
         hit = any(
@@ -2874,8 +2902,17 @@ def plan_bloom_lookup(table_dir: str, col: str, values) -> dict:
             keep.append(os.path.join(table_dir, path))
         else:
             skipped += 1
+    kept_names = {os.path.basename(p) for p in keep}
+    live_dvs = [d for d in dvs if d["target"] in kept_names]
+    dv_targets = {d["target"] for d in live_dvs}
     return {
         "paths": keep,
+        "dv_entries": live_dvs,
+        "dvd_rows": sum(
+            e["rows"]
+            for p, e in data_by_path.items()
+            if os.path.basename(p) in dv_targets
+        ),
         "files_read": len(keep),
         "files_skipped": skipped,
         "files_total": len(idx["files"]),
@@ -2885,8 +2922,12 @@ def plan_bloom_lookup(table_dir: str, col: str, values) -> dict:
 def point_lookup(spark: SparkSession, table_dir: str, col: str, values) -> DataFrame:
     """Bloom-pruned point lookup: only files whose bloom admits some probe
     value are read; the exact IN-list filter on top removes bloom false
-    positives and pushes into the parquet scan."""
-    plan = plan_bloom_lookup(table_dir, col, values)
+    positives and pushes into the parquet scan. Live deletion vectors
+    compose (r13): the plan carries the kept files' vectors and the
+    read applies them file-locally (``_read_planned``), so a key
+    deleted by a DV commit correctly returns no row WITHOUT a rebuild
+    or a fold."""
+    plan = plan_bloom_lookup(table_dir, col, values, spark=spark)
     if not plan["paths"]:
         empty = read_table(spark, table_dir).limit(0)
         return empty.filter(F.col(col).isin(list(values)))
@@ -2894,9 +2935,13 @@ def point_lookup(spark: SparkSession, table_dir: str, col: str, values) -> DataF
     if not _over_plan_threshold(table_dir, None):
         man = read_manifest(table_dir)
         entries = [
-            e for e in man["entries"] if os.path.join(table_dir, e["path"]) in kept
+            e
+            for e in man["entries"]
+            if e.get("kind", "data") == "data"
+            and os.path.join(table_dir, e["path"]) in kept
         ]
-        return _read_data(spark, table_dir, man, entries).filter(
+        rplan = {"entries": entries, **{k: plan[k] for k in ("dv_entries", "dvd_rows")}}
+        return _read_planned(spark, table_dir, rplan).filter(
             F.col(col).isin(list(values))
         )
     # large-manifest path: (path, seq) for the bloom-kept files via the
@@ -2906,13 +2951,16 @@ def point_lookup(spark: SparkSession, table_dir: str, col: str, values) -> DataF
     rel_kept = sorted(os.path.relpath(p, table_dir) for p in kept)
     rows = (
         spark.read.parquet(pdir)
-        .filter(F.col("path").isin(rel_kept))
+        .filter((F.col("kind") == "data") & F.col("path").isin(rel_kept))
         .select("path", "seq")
         .collect()
     )
-    hdr = read_manifest_header(table_dir)
-    entries = [{"path": r["path"], "seq": r["seq"]} for r in rows]
-    return _read_data(spark, table_dir, hdr, entries).filter(
+    rplan = {
+        "entries": None,
+        "path_seqs": [(r["path"], r["seq"]) for r in rows],
+        **{k: plan[k] for k in ("dv_entries", "dvd_rows")},
+    }
+    return _read_planned(spark, table_dir, rplan).filter(
         F.col(col).isin(list(values))
     )
 

@@ -3103,3 +3103,36 @@ def test_pruned_scan_still_raises_on_eq_pos_deletes(spark, li_table):
         ft.plan_scan(td, "ship_dt", lo, hi)
     with pytest.raises(ValueError, match="equality/position"):
         ft.plan_scan_spark(spark, td, "ship_dt", lo, hi)
+
+
+def test_bloom_survives_dv_commits_and_hides_deleted_keys(spark, tmp_path):
+    """r13: a deletion-vector commit changes no file contents, so the
+    bloom index stays SOUND — the lookup applies the live vectors
+    instead of demanding a rebuild. A dv-deleted key returns no row; a
+    metadata commit is tolerated too; a DATA commit still raises."""
+    td = str(tmp_path / "bloomdv")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    ft.create_table(df, td, stats_cols=["k"], cluster_by="k", n_files=4)
+    ft.build_bloom_index(spark, td, "k", bits=1 << 12)
+    assert sorted(
+        r["k"] for r in ft.point_lookup(spark, td, "k", [5, 6]).collect()
+    ) == [5, 6]
+    ft.delete_positions_dv(spark, td, F.col("k") % 100 == 5)  # kills k=5,105,...
+    plan = ft.plan_bloom_lookup(td, "k", [5, 6], spark=spark)
+    assert plan["dv_entries"] and plan["dvd_rows"] > 0
+    got = sorted(r["k"] for r in ft.point_lookup(spark, td, "k", [5, 6, 105]).collect())
+    assert got == [6], "dv-deleted keys must not surface; no rebuild required"
+    ft.add_column(td, "note", "string")  # metadata commit: still tolerated
+    got2 = sorted(r["k"] for r in ft.point_lookup(spark, td, "k", [6]).collect())
+    assert got2 == [6]
+    ft.append_table(
+        spark.range(1000, 1010).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+            F.lit(None).cast("string").alias("note"),
+        ),
+        td, n_files=1,
+    )
+    with pytest.raises(ValueError, match="rebuild"):
+        ft.plan_bloom_lookup(td, "k", [5], spark=spark)
