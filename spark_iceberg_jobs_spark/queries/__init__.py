@@ -184,6 +184,7 @@ _R13_CHANGED = [
     "lake_skipping_scan",  # both scan planners now DV-aware (data-only prune)
     "lake_zorder_box_scan",  # same planner change on the box path
     "lake_bloom_point_lookup",  # DV-tolerant staleness + _read_planned route
+    "lake_compact_roundtrip",  # DV fold-inline + sparse-binpack fix
 ]
 
 _R13_NEW = [
@@ -229,7 +230,6 @@ _R13_STALE_REFRESH = [
     "scalar_functions_showcase",
     "setops_intersect",
     "setops_segments",
-    "sort_global_topk",
 ]
 
 def _merged() -> dict[str, QuerySpec]:

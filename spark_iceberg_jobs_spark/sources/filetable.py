@@ -2971,24 +2971,29 @@ def plan_compaction(table_dir: str, *, target_bytes: int) -> list[list[dict]]:
     (queries/maintenance.py): files ordered by their first stats column's
     min bound; a file joins bin ``cum_bytes_before // target``, so a bin
     overflows by at most one file. Returns the bins (lists of manifest
-    entries), singleton bins included."""
+    entries), singleton bins included. Live deletion vectors compose
+    (r13): binning runs over the DATA entries; ``compact_table`` folds
+    a rewritten file's vector into the rewrite and carries untouched
+    files' vectors live — eq/pos delete files still raise."""
     man = read_manifest(table_dir)
-    _require_no_live_deletes(man, "compaction")
+    data, _dvs = _split_for_scan(man, "compaction")
     col = next(iter(man["stats_types"]))
     bounds = _decode_bounds(man, col)
     ordered = sorted(
-        man["entries"],
+        data,
         key=lambda e: (bounds(e) is None, bounds(e)[0] if bounds(e) else None, e["path"]),
     )
-    bins: list[list[dict]] = []
+    # sparse mapping, not a dense list: a file LARGER than the target
+    # advances the bin index by more than one, which the old
+    # append-one-bin list indexing crashed on (latent until r13's
+    # below-file-size targets exercised it); the binning rule itself
+    # (bin = cum_bytes_before // target) is unchanged
+    by_idx: dict[int, list[dict]] = {}
     cum = 0
     for e in ordered:
-        b = cum // target_bytes
-        if b >= len(bins):
-            bins.append([])
-        bins[b].append(e)
+        by_idx.setdefault(cum // target_bytes, []).append(e)
         cum += e["bytes"]
-    return bins
+    return [by_idx[i] for i in sorted(by_idx)]
 
 
 def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> dict:
@@ -3009,29 +3014,50 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
     replace-commits or it double-reads, exactly the no-double-count rule
     maintenance_incremental_scan's rewrites_in_range leg reports."""
     man = read_manifest(table_dir)
+    _data, dvs = _split_for_scan(man, "compaction")
+    dv_by_target = {d["target"]: d for d in dvs}
     bins = plan_compaction(table_dir, target_bytes=target_bytes)
     keep = [e for b in bins if len(b) == 1 for e in b]
     rewrite_bins = [b for b in bins if len(b) > 1]
     cdir = _next_commit_dir(table_dir) if rewrite_bins else None
+    dvs_folded = 0
     for b in rewrite_bins:
         # coalesce(1): a bin IS one output file by definition; no shuffle,
         # the single task streams the bin's (already clustered, schema-
-        # resolved) rows — compaction doubles as lazy schema migration
+        # resolved) rows — compaction doubles as lazy schema migration.
+        # A rewritten file's deletion vector FOLDS into the rewrite
+        # (Iceberg's rewrite applies deletes inline, r13): the bin reads
+        # under its own vectors and the new file carries the survivors.
+        bin_dvs = [
+            dv_by_target[os.path.basename(e["path"])]
+            for e in b
+            if os.path.basename(e["path"]) in dv_by_target
+        ]
+        out = _read_data(spark, table_dir, man, b, meta_cols=bool(bin_dvs))
+        if bin_dvs:
+            out = _apply_dv_filter(spark, table_dir, man, bin_dvs, out).drop(
+                "_ft_file", "_ft_pos"
+            )
+            dvs_folded += len(bin_dvs)
         with _pinned_file_count(spark):
-            _read_data(spark, table_dir, man, b).coalesce(1).write.mode(
-                "append"
-            ).parquet(cdir)
+            out.coalesce(1).write.mode("append").parquet(cdir)
     new_entries = (
         _collect_entries(spark, table_dir, cdir, list(man["stats_types"]))
         if rewrite_bins
         else []
     )
+    # untouched files keep their vectors LIVE (they survive by metadata,
+    # so their delete state must too); rewritten targets' vectors drop
+    kept_names = {os.path.basename(e["path"]) for e in keep}
+    carried_dvs = [d for d in dvs if d["target"] in kept_names]
     summary = {
         "bins": len(bins),
         "files_rewritten": sum(len(b) for b in rewrite_bins),
         "files_out": len(new_entries),
         "bytes_rewritten": sum(e["bytes"] for b in rewrite_bins for e in b),
         "files_untouched": len(keep),
+        "dvs_folded": dvs_folded,
+        "dvs_carried": len(carried_dvs),
     }
     _commit_manifest(
         table_dir,
@@ -3039,7 +3065,7 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
             "operation": "compact",
             "stats_types": man["stats_types"],
             "summary": summary,
-            "entries": keep + new_entries,
+            "entries": keep + carried_dvs + new_entries,
         }, adds_files=bool(new_entries)),
         base_version=man["version"],
     )

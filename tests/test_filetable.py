@@ -3136,3 +3136,41 @@ def test_bloom_survives_dv_commits_and_hides_deleted_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="rebuild"):
         ft.plan_bloom_lookup(td, "k", [5], spark=spark)
+
+
+def test_compaction_folds_dvs_inline_and_carries_untouched(spark, tmp_path):
+    """r13: compaction composes with live DVs the Iceberg way — a
+    rewritten bin applies its files' vectors inline (the new file
+    carries only survivors; those vectors drop), while untouched
+    singleton files keep their vectors LIVE. Visibility is invariant
+    in both regimes."""
+    td = str(tmp_path / "compdv")
+    n = 1200
+    ft.create_table(
+        spark.createDataFrame([(i, float(i)) for i in range(n)], "k long, amt double"),
+        td, stats_cols=["k"], cluster_by="k", n_files=6,
+    )
+    ft.delete_positions_dv(spark, td, F.col("k") % 50 == 7)
+    want = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert len(want) == n - n // 50
+
+    # regime 1: target below every file size -> all singletons, zero
+    # rewrites, every vector carried, serve unchanged
+    s1 = ft.compact_table(spark, td, target_bytes=1)
+    assert s1["files_rewritten"] == 0 and s1["dvs_folded"] == 0
+    assert s1["dvs_carried"] == len(
+        [e for e in ft.read_manifest(td)["entries"] if e.get("kind") == "dv"]
+    ) > 0
+    assert sorted(r["k"] for r in ft.read_table(spark, td).collect()) == want
+
+    # regime 2: one giant bin -> every file rewritten, all vectors
+    # folded into the rewrite, zero live delete entries remain
+    s2 = ft.compact_table(spark, td, target_bytes=1 << 40)
+    assert s2["files_rewritten"] == 6 and s2["files_out"] == 1
+    assert s2["dvs_folded"] > 0 and s2["dvs_carried"] == 0
+    man = ft.read_manifest(td)
+    assert not any(e.get("kind") == "dv" for e in man["entries"])
+    assert sum(e["rows"] for e in man["entries"]) == len(want), (
+        "the rewrite must carry exactly the visible survivors"
+    )
+    assert sorted(r["k"] for r in ft.read_table(spark, td).collect()) == want
