@@ -3469,13 +3469,20 @@ def rewrite_layout(
     'sort'/'zorder')``: every live data file rewrites range-clustered on
     ``cluster_expr`` (e.g. a Morton interleave for z-order), and the new
     manifest collects bounds for ``stats_cols`` — typically the probe
-    columns whose simultaneous tightness the new layout buys. Rows are
-    invariant; this is the one verb whose cost IS O(table), paid to make
-    every later box probe O(box)."""
+    columns whose simultaneous tightness the new layout buys. VISIBLE
+    rows are invariant; this is the one verb whose cost IS O(table),
+    paid to make every later box probe O(box).
+
+    LIVE DELETES COMPOSE (r13): a full rewrite reads the MOR-applied
+    visible rows, so EVERY delete flavor (equality, position, vectors)
+    folds into the new layout — rewrite_layout on a deleted-from table
+    is fold_deletes + re-cluster in one O(table) pass instead of two
+    (Iceberg's rewrite action applies deletes inline the same way).
+    The commit drops all delete entries; visibility is test-pinned
+    invariant."""
     man = read_manifest(table_dir)
-    _require_no_live_deletes(man, "rewrite_layout")
-    data, _eqs, _poss, _dvs = _split_entries(man)
-    df = _read_data(spark, table_dir, man, data)
+    _data, eqs, poss, dvs = _split_entries(man)
+    df = _mor_read(spark, table_dir, man, keep_meta=False)
     cdir = _next_commit_dir(table_dir)
     out = (
         df.withColumn("_ft_zkey", cluster_expr)
@@ -3487,9 +3494,10 @@ def rewrite_layout(
         out.write.mode("append").parquet(cdir)
     new_entries = _collect_entries(spark, table_dir, cdir, stats_cols)
     summary = {
-        "files_rewritten": len(data),
+        "files_rewritten": len(_data),
         "files_out": len(new_entries),
         "stats_cols": stats_cols,
+        "delete_files_folded": len(eqs) + len(poss) + len(dvs),
     }
     _commit_manifest(
         table_dir,

@@ -3174,3 +3174,30 @@ def test_compaction_folds_dvs_inline_and_carries_untouched(spark, tmp_path):
         "the rewrite must carry exactly the visible survivors"
     )
     assert sorted(r["k"] for r in ft.read_table(spark, td).collect()) == want
+
+
+def test_rewrite_layout_folds_all_delete_flavors(spark, tmp_path):
+    """r13: a full layout rewrite reads the MOR-applied rows, so every
+    delete flavor folds into the new clustering in one O(table) pass —
+    visible rows invariant, zero delete entries survive."""
+    td = str(tmp_path / "zfold")
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000, float(i)) for i in range(2000)],
+        "a long, b long, v double",
+    )
+    ft.create_table(df, td, stats_cols=["a"], cluster_by="a", n_files=4)
+    ft.delete_keys_mor(spark, td, "a", spark.createDataFrame([(7,), (8,)], "a long"))
+    ft.delete_positions_dv(spark, td, F.col("a") % 500 == 9)
+    want = sorted(r["a"] for r in ft.read_table(spark, td).collect())
+    assert len(want) == 2000 - 2 - 4
+    s = ft.rewrite_layout(
+        spark, td,
+        cluster_expr=F.shiftleft(F.col("a") % 64, 6) + F.col("b") % 64,
+        stats_cols=["a", "b"],
+        n_files=8,
+    )
+    assert s["delete_files_folded"] >= 2
+    man = ft.read_manifest(td)
+    assert all(e.get("kind", "data") == "data" for e in man["entries"])
+    got = sorted(r["a"] for r in ft.read_table(spark, td).collect())
+    assert got == want, "the rewrite must carry exactly the visible rows"
