@@ -883,6 +883,7 @@ _ft_ops = st.lists(
         st.tuples(st.just("update"), st.integers(0, 99)),
         st.tuples(st.just("fold"), st.none()),
         st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("relayout"), st.none()),
     ),
     max_size=5,
 )
@@ -911,6 +912,14 @@ def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, 
     def deletes_live():
         return any(
             e.get("kind", "data") != "data"
+            for e in ft.read_manifest(td)["entries"]
+        )
+
+    def eq_pos_live():
+        # r13: file-local DVs COMPOSE with compaction (folded inline per
+        # rewritten bin); only cross-file eq/pos deletes force the fold
+        return any(
+            e.get("kind") in ("eqdelete", "posdelete")
             for e in ft.read_manifest(td)["entries"]
         )
 
@@ -968,9 +977,19 @@ def test_filetable_verb_sequences_match_python_replica(spark, tmp_path_factory, 
         elif op == "fold":
             ft.fold_deletes(spark, td)
         elif op == "compact":
-            if deletes_live():
+            if eq_pos_live():
                 ft.fold_deletes(spark, td)
+            # live DVs ride through: rewritten bins fold them inline,
+            # untouched files carry them (replica no-op either way)
             ft.compact_table(spark, td, target_bytes=1 << 16)
+        elif op == "relayout":
+            from pyspark.sql import functions as _F
+
+            # full rewrite folds EVERY live delete flavor inline (r13) —
+            # never pre-fold; visible rows are the replica's either way
+            ft.rewrite_layout(
+                spark, td, cluster_expr=_F.col("d"), stats_cols=["d"], n_files=2
+            )
         got = sorted((r["k"], r["d"]) for r in ft.read_table(spark, td).collect())
         assert got == sorted(replica), f"diverged after {op}"
 
