@@ -3201,3 +3201,63 @@ def test_rewrite_layout_folds_all_delete_flavors(spark, tmp_path):
     assert all(e.get("kind", "data") == "data" for e in man["entries"])
     got = sorted(r["a"] for r in ft.read_table(spark, td).collect())
     assert got == want, "the rewrite must carry exactly the visible rows"
+
+
+def test_spj_over_budget_skewed_bucket_splits_under_aqe(spark, tmp_path):
+    """r13 scale evidence: the over-budget SPJ fallback is a per-bucket
+    SORT-MERGE join, which AQE's skew-join splitting can subdivide — a
+    hot key inside one bucket becomes several tasks instead of one
+    straggler (an unspillable SHJ build would have no such escape), and
+    the merge hint holds through AQE replanning (no runtime broadcast
+    conversion — checked on the FINAL plan, not the static one).
+
+    The hot bucket must span MULTIPLE map outputs for AQE to split (a
+    skewed reduce partition fed by one mapper is atomic) — here via
+    appends (several files per bucket); at real scale a bucket's many
+    row groups/files provide the mappers automatically. Thresholds are
+    forced low so the split fires at test bytes."""
+    ta, tb = str(tmp_path / "ska"), str(tmp_path / "skb")
+
+    def mk(lo, hi, hotfrac=0.9):
+        n = hi - lo
+        hot = [(7, i, float(i)) for i in range(lo, lo + int(n * hotfrac))]
+        cold = [
+            (i % 40, 1000000 + i, float(i))
+            for i in range(lo + int(n * hotfrac), hi)
+        ]
+        return spark.createDataFrame(hot + cold, "k long, oid long, amt double")
+
+    ft.create_table(mk(0, 40000), ta, stats_cols=["oid"], bucket_by=("k", 4))
+    for s in range(3):  # multiple files per bucket = multiple mappers
+        ft.append_table(mk(40000 * (s + 1), 40000 * (s + 2)), ta)
+    ft.create_table(
+        spark.createDataFrame([(j % 40, j) for j in range(4000)], "k2 long, rid long"),
+        tb, stats_cols=["rid"], bucket_by=("k2", 4),
+    )
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = ft.storage_partitioned_join(
+            spark, ta, tb, on=("k", "k2"), broadcast_max_bytes=0
+        )
+        rows = j.collect()  # action on THIS dataset: AQE finalizes ITS plan
+        assert len(rows) == 160000 * 100  # every key matches 100 b-rows
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, (
+            "the merge hint must hold through AQE replanning"
+        )
+        assert "skew=true" in plan, (
+            "the hot bucket's sort-merge join must be AQE-skew-split"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
