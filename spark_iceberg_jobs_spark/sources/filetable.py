@@ -2058,7 +2058,7 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
             table_dir,
             stats_cols,
             n_files=max(1, len(touched)),
-            cluster_by=stats_cols[0] if stats_cols else None,
+            **_layout_write_kwargs(man, cluster_by=stats_cols[0] if stats_cols else None),
         )
         rows_deleted = sum(e["rows"] for e in touched) - sum(
             e["rows"] for e in new_entries
@@ -2100,6 +2100,26 @@ def scan_range(spark: SparkSession, table_dir: str, col: str, lo, hi) -> DataFra
     if hi is not None:
         df = df.filter(c <= F.lit(hi))
     return df
+
+
+def _layout_write_kwargs(man: dict, *, cluster_by: str | None) -> dict:
+    """Write-layout kwargs for a REWRITE commit (r13): on a bucket-laid-
+    out table the rewritten files must re-bucket (ids stamped and
+    commit-time verified by ``_verify_bucket_layout``), or the table
+    silently loses storage-partitioned-join alignment the first time a
+    DELETE/UPDATE/MERGE/fold touches it — the maintenance lifecycle
+    would undo the layout the reference's bucket(16, match_id) DDL
+    bought. The trade is documented: bucketed rewrites hash-order rows,
+    so the rewritten files' zone maps on ``cluster_by`` go wide
+    (conservative planning, never wrong); unbucketed tables keep the
+    range clustering as before."""
+    layout = man.get("layout")
+    if layout:
+        return {
+            "bucket_by": (layout["bucket_col"], layout["n_buckets"]),
+            "cluster_by": None,
+        }
+    return {"bucket_by": None, "cluster_by": cluster_by}
 
 
 def _classify_where_driver(manifest: dict, col: str, cutoff, mode: str) -> dict:
@@ -2281,7 +2301,7 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
             table_dir,
             list(manifest["stats_types"]),
             n_files=max(1, len(straddle)),
-            cluster_by=col,
+            **_layout_write_kwargs(manifest, cluster_by=col),
         )
         rows_kept = sum(e["rows"] for e in new_entries)
         rows_deleted = sum(e["rows"] for e in straddle) - rows_kept
@@ -2364,7 +2384,10 @@ def update_where(
             table_dir,
             list(manifest["stats_types"]),
             n_files=max(1, len(touched)),
-            cluster_by=col if col in manifest["stats_types"] else None,
+            **_layout_write_kwargs(
+                manifest,
+                cluster_by=col if col in manifest["stats_types"] else None,
+            ),
         )
     summary = {
         "files_rewritten": len(touched),
@@ -2527,7 +2550,7 @@ def merge_into(
             table_dir,
             list(manifest["stats_types"]),
             n_files=max(1, len(touched_paths)) + (1 if insert_df is not None else 0),
-            cluster_by=tkey,
+            **_layout_write_kwargs(manifest, cluster_by=tkey),
         )
     touched_set = set(touched_paths)
     rewritten_in = sum(
@@ -2706,7 +2729,10 @@ def merge_into_mor(
             table_dir,
             list(manifest["stats_types"]),
             n_files=max(1, len(candidates) // 4),
-            cluster_by=tkey if tkey in manifest["stats_types"] else None,
+            **_layout_write_kwargs(
+                manifest,
+                cluster_by=tkey if tkey in manifest["stats_types"] else None,
+            ),
         )
     del_new: list[dict] = []
     if n_del_keys:
@@ -3016,12 +3042,49 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
     man = read_manifest(table_dir)
     _data, dvs = _split_for_scan(man, "compaction")
     dv_by_target = {d["target"]: d for d in dvs}
-    bins = plan_compaction(table_dir, target_bytes=target_bytes)
+    layout = man.get("layout")
+    if layout:
+        # BUCKET-PRESERVING compaction (r13): bins never cross buckets —
+        # each bucket's files binpack among themselves (same cum//target
+        # rule) and the rewritten file inherits the bucket id, so the
+        # storage-partitioned join stays aligned across compactions.
+        groups: dict[int, list[dict]] = {}
+        for e in _data:
+            if "bucket" not in e:
+                raise ValueError(
+                    f"bucketed-layout table carries unbucketed entry "
+                    f"{e['path']!r}; re-bucket first"
+                )
+            groups.setdefault(e["bucket"], []).append(e)
+        col = next(iter(man["stats_types"]))
+        bounds = _decode_bounds(man, col)
+        bins, bin_buckets = [], []
+        for bk in sorted(groups):
+            ordered = sorted(
+                groups[bk],
+                key=lambda e: (
+                    bounds(e) is None,
+                    bounds(e)[0] if bounds(e) else None,
+                    e["path"],
+                ),
+            )
+            by_idx: dict[int, list[dict]] = {}
+            cum = 0
+            for e in ordered:
+                by_idx.setdefault(cum // target_bytes, []).append(e)
+                cum += e["bytes"]
+            for i in sorted(by_idx):
+                bins.append(by_idx[i])
+                bin_buckets.append(bk)
+    else:
+        bins = plan_compaction(table_dir, target_bytes=target_bytes)
+        bin_buckets = [None] * len(bins)
     keep = [e for b in bins if len(b) == 1 for e in b]
-    rewrite_bins = [b for b in bins if len(b) > 1]
-    cdir = _next_commit_dir(table_dir) if rewrite_bins else None
+    rewrite = [(b, bk) for b, bk in zip(bins, bin_buckets) if len(b) > 1]
+    rewrite_bins = [b for b, _bk in rewrite]
     dvs_folded = 0
-    for b in rewrite_bins:
+    new_entries: list[dict] = []
+    for b, bk in rewrite:
         # coalesce(1): a bin IS one output file by definition; no shuffle,
         # the single task streams the bin's (already clustered, schema-
         # resolved) rows — compaction doubles as lazy schema migration.
@@ -3039,13 +3102,16 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
                 "_ft_file", "_ft_pos"
             )
             dvs_folded += len(bin_dvs)
+        # one commit dir per bin: _collect_entries then maps files to
+        # their bin exactly, which the bucket stamp below relies on
+        bdir = _next_commit_dir(table_dir)
         with _pinned_file_count(spark):
-            out.coalesce(1).write.mode("append").parquet(cdir)
-    new_entries = (
-        _collect_entries(spark, table_dir, cdir, list(man["stats_types"]))
-        if rewrite_bins
-        else []
-    )
+            out.coalesce(1).write.mode("append").parquet(bdir)
+        es = _collect_entries(spark, table_dir, bdir, list(man["stats_types"]))
+        if bk is not None:
+            for e in es:
+                e["bucket"] = bk  # manifest-authoritative (file name is not)
+        new_entries += es
     # untouched files keep their vectors LIVE (they survive by metadata,
     # so their delete state must too); rewritten targets' vectors drop
     kept_names = {os.path.basename(e["path"]) for e in keep}
@@ -3499,16 +3565,18 @@ def rewrite_layout(
         "stats_cols": stats_cols,
         "delete_files_folded": len(eqs) + len(poss) + len(dvs),
     }
-    _commit_manifest(
-        table_dir,
-        _inherit_schema(man, {
-            "operation": "rewrite-layout",
-            "stats_types": {c: _stat_type(df, c) for c in stats_cols},
-            "summary": summary,
-            "entries": new_entries,
-        }, adds_files=True),
-        base_version=man["version"],
-    )
+    new_man = _inherit_schema(man, {
+        "operation": "rewrite-layout",
+        "stats_types": {c: _stat_type(df, c) for c in stats_cols},
+        "summary": summary,
+        "entries": new_entries,
+    }, adds_files=True)
+    # the rewrite REPLACES the physical layout: a carried-over bucket
+    # layout would claim an alignment the new range-clustered files no
+    # longer have (r13 — SPJ falls back to a plain shuffled join instead
+    # of raising on missing bucket ids)
+    new_man.pop("layout", None)
+    _commit_manifest(table_dir, new_man, base_version=man["version"])
     return summary
 
 

@@ -3261,3 +3261,82 @@ def test_spj_over_budget_skewed_bucket_splits_under_aqe(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_spj_alignment_survives_the_maintenance_lifecycle(spark, tmp_path):
+    """r13: rewrites on a bucket-laid-out table PRESERVE the layout —
+    DELETE, UPDATE, CoW MERGE, MOR merge + fold, and compaction all
+    re-bucket their output files (ids stamped + commit-time verified),
+    so the storage-partitioned join stays shuffle-free across the
+    table's whole maintenance lifecycle (previously the first rewrite
+    silently dropped the bucket ids and the SPJ raised)."""
+    ta, tb = str(tmp_path / "lca"), str(tmp_path / "lcb")
+    a = spark.createDataFrame(
+        [(i % 40, i, float(i)) for i in range(2000)], "k long, oid long, amt double"
+    )
+    ft.create_table(a, ta, stats_cols=["oid"], bucket_by=("k", 8))
+    ft.create_table(
+        spark.createDataFrame([(j, j * 10) for j in range(40)], "k2 long, w long"),
+        tb, stats_cols=["w"], bucket_by=("k2", 8),
+    )
+
+    def spj_ok(expect_rows):
+        j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, "alignment lost"
+        got = sorted((r["k"], r["oid"]) for r in j.collect())
+        want = sorted(
+            (r["k"], r["oid"])
+            for r in ft.read_table(spark, ta)
+            .join(ft.read_table(spark, tb), F.col("k") == F.col("k2"))
+            .collect()
+        )
+        assert got == want and len(got) == expect_rows
+        man = ft.read_manifest(ta)
+        assert all(
+            "bucket" in e
+            for e in man["entries"]
+            if e.get("kind", "data") == "data"
+        ), "a rewrite dropped its bucket ids"
+
+    n = 2000
+    ft.delete_where(spark, ta, "oid", 99)  # CoW delete: drops oids 0..99
+    n -= 100
+    spj_ok(n)
+    ft.update_where(spark, ta, "oid", 500, {"amt": F.col("amt") + 1})
+    spj_ok(n)
+    ft.merge_into(
+        spark, ta,
+        spark.createDataFrame([(100, -1.0), (50000, -2.0)], "moid long, mamt double"),
+        on=("oid", "moid"),
+        when_matched_update={"amt": F.col("s.mamt")},
+        when_not_matched_insert={
+            "k": F.lit(3), "oid": F.col("s.moid"), "amt": F.col("s.mamt")
+        },
+    )
+    n += 1  # one insert
+    spj_ok(n)
+    ft.merge_into_mor(
+        spark, ta,
+        spark.createDataFrame([(101, -3.0)], "moid long, mamt double"),
+        on=("oid", "moid"),
+        when_matched_update={"amt": F.col("s.mamt")},
+    )
+    ft.fold_deletes(spark, ta)  # fold rewrites match-bearing files
+    spj_ok(n)
+    s = ft.compact_table(spark, ta, target_bytes=1 << 40)  # per-bucket bins
+    assert s["files_rewritten"] > 0
+    spj_ok(n)
+    man = ft.read_manifest(ta)
+    buckets = sorted({e["bucket"] for e in man["entries"]})
+    assert buckets == sorted(set(range(8)) & {
+        e["bucket"] for e in man["entries"]
+    }), "compaction must keep per-bucket file purity"
+    # a z-order rewrite REPLACES the layout: SPJ must fall back to a
+    # shuffled join (layout cleared), never claim stale alignment
+    ft.rewrite_layout(
+        spark, ta, cluster_expr=F.col("oid"), stats_cols=["oid"], n_files=4
+    )
+    assert "layout" not in ft.read_manifest(ta)
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    assert j.count() == n, "fallback join must still be exact"
