@@ -676,7 +676,12 @@ def add_files(spark: SparkSession, table_dir: str, src_subdir: str) -> int:
     The files keep whatever layout they arrived with: bounds are
     collected as-is, so an unclustered import plans conservatively
     (wide per-file bounds) until a compaction/rewrite re-clusters it —
-    exactly Iceberg's behavior for imported partitions.
+    exactly Iceberg's behavior for imported partitions. On a
+    bucket-laid-out table the imported entries carry NO bucket id, so
+    the storage-partitioned join refuses the table loudly until a
+    rewrite re-buckets it (imports cannot be trusted to match the hash
+    layout; the commit-time verifier only covers files this layer
+    wrote).
 
     Scale: cost is the one stats aggregate over the imported bytes;
     the rest of the table is untouched metadata."""
@@ -2109,10 +2114,12 @@ def _layout_write_kwargs(man: dict, *, cluster_by: str | None) -> dict:
     silently loses storage-partitioned-join alignment the first time a
     DELETE/UPDATE/MERGE/fold touches it — the maintenance lifecycle
     would undo the layout the reference's bucket(16, match_id) DDL
-    bought. The trade is documented: bucketed rewrites hash-order rows,
-    so the rewritten files' zone maps on ``cluster_by`` go wide
-    (conservative planning, never wrong); unbucketed tables keep the
-    range clustering as before."""
+    bought. The trades are documented: bucketed rewrites hash-order
+    rows, so the rewritten files' zone maps on ``cluster_by`` go wide
+    (conservative planning, never wrong), and many small rewrites grow
+    the per-bucket file count — consolidating that is exactly
+    ``compact_table``'s bucket-preserving job. Unbucketed tables keep
+    the range clustering as before."""
     layout = man.get("layout")
     if layout:
         return {
