@@ -3340,3 +3340,113 @@ def test_spj_alignment_survives_the_maintenance_lifecycle(spark, tmp_path):
     assert "layout" not in ft.read_manifest(ta)
     j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
     assert j.count() == n, "fallback join must still be exact"
+
+
+# ---------------------------------------------------------------------------
+# round 13 — planted adversarial tests (kills for named wrong rules)
+# ---------------------------------------------------------------------------
+
+
+def test_planted_spj_budget_is_a_sum_not_per_bucket(spark, tmp_path):
+    """Kills the per-bucket-only valve: capping each bucket's build
+    under the limit while letting ALL of them broadcast leaves driver
+    memory at ~the smaller table's bytes — the exact r12 hole. The
+    budget must bound the SUM: with a budget that admits roughly one
+    bucket's build, the static plan may carry at most a few
+    BroadcastExchanges, never one per bucket."""
+    ta, tb = _mk_spj_pair(spark, tmp_path)
+    man_b = ft.read_manifest(tb)
+    per_bucket: dict[int, int] = {}
+    for e in man_b["entries"]:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + e["bytes"]
+    smallest = min(per_bucket.values())
+    n_buckets = len(per_bucket)
+    j = ft.storage_partitioned_join(
+        spark, ta, tb, on=("k", "k2"), broadcast_max_bytes=int(smallest * 1.5)
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    n_bcast = plan.count("BroadcastExchange")
+    assert 1 <= n_bcast < n_buckets, (
+        f"sum-budget must stop broadcast fan-out: {n_bcast}/{n_buckets} "
+        "buckets broadcast under a ~one-bucket budget"
+    )
+    want = sorted(
+        map(tuple, ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2")).collect())
+    )
+    assert sorted(map(tuple, j.collect())) == want
+
+
+def test_planted_bucket_id_comes_from_manifest_not_file_name(spark, tmp_path):
+    """Kills re-parsing the part-file NAME for the bucket id: after a
+    bucket-preserving compaction every rewritten file is part-00000-…
+    (coalesce(1)), so the name-derived index is 0 for ALL buckets — a
+    name-parsing SPJ would pair every compacted bucket as bucket 0 and
+    silently return garbage. The manifest field is the only truth, and
+    the join must stay exact after compaction."""
+    ta, tb = _mk_spj_pair(spark, tmp_path)
+    want = sorted(
+        map(tuple, ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2")).collect())
+    )
+    # force multi-file buckets, then compact them back to one file each
+    ft.append_table(
+        spark.createDataFrame(
+            [(i % 40, 10_000 + i, 0.5) for i in range(400)],
+            "k long, oid long, amt double",
+        ),
+        ta,
+    )
+    s = ft.compact_table(spark, ta, target_bytes=1 << 40)
+    assert s["files_rewritten"] > 0
+    man = ft.read_manifest(ta)
+    mismatched = [
+        e for e in man["entries"]
+        if int(os.path.basename(e["path"]).split("-")[1]) != e["bucket"]
+    ]
+    assert mismatched, (
+        "the kill needs at least one compacted file whose NAME index "
+        "disagrees with its manifest bucket — else the wrong rule survives"
+    )
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    got = sorted(map(tuple, j.collect()))
+    want2 = sorted(
+        map(
+            tuple,
+            ft.read_table(spark, ta)
+            .join(ft.read_table(spark, tb), F.col("k") == F.col("k2"))
+            .drop("k2")
+            .collect(),
+        )
+    )
+    assert got == want2 and len(got) > len(want)
+
+
+def test_planted_visible_bootstrap_raw_paths_over_deliver(spark, tmp_path):
+    """Kills the naive visible-mode consumer that reads the bootstrap's
+    RAW data paths anyway: on a DV-carrying bootstrap the raw files
+    over-deliver exactly the deleted rows — measurably wrong, which is
+    why the bootstrap-visible batch carries NO paths at all (the
+    consumer cannot even make the mistake without going around the
+    feed)."""
+    td = str(tmp_path / "rawkill")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(100)]), td, stats_cols=["d"], n_files=2)
+    ft.delete_positions_dv(spark, td, F.col("k") < 10)
+    ft.append_table(mk([(i, i) for i in range(100, 120)]), td, n_files=1)
+    ft.expire_table(td, keep_last=2)
+    feed = ft.incremental_feed(td, bootstrap="visible")
+    boot = feed[0]
+    assert boot["kind"] == "bootstrap-visible" and boot["paths"] == []
+    man = ft.read_manifest(td, boot["read_version"])
+    raw_paths = [
+        os.path.join(td, e["path"])
+        for e in man["entries"]
+        if e.get("kind", "data") == "data"
+    ]
+    n_raw = spark.read.parquet(*raw_paths).count()
+    n_visible = ft.read_table(spark, td, version=boot["read_version"]).count()
+    assert n_raw == n_visible + 10, (
+        "the raw-paths rule must be DETECTABLY wrong (over-delivers the "
+        "10 dv-deleted rows) — the kill is vacuous otherwise"
+    )
