@@ -678,9 +678,11 @@ def add_files(spark: SparkSession, table_dir: str, src_subdir: str) -> int:
     (wide per-file bounds) until a compaction/rewrite re-clusters it —
     exactly Iceberg's behavior for imported partitions. On a
     bucket-laid-out table the imported entries carry NO bucket id, so
-    the storage-partitioned join refuses the table loudly until a
-    rewrite re-buckets it (imports cannot be trusted to match the hash
-    layout; the commit-time verifier only covers files this layer
+    the storage-partitioned join AND bucket-preserving compaction
+    refuse the table loudly until ``rebucket_imported`` rewrites the
+    imported entries into the layout (ADVICE r13 — that verb is the
+    explicit escape; imports cannot be trusted to match the hash
+    layout, and the commit-time verifier only covers files this layer
     wrote).
 
     Scale: cost is the one stats aggregate over the imported bytes;
@@ -762,6 +764,86 @@ def add_files(spark: SparkSession, table_dir: str, src_subdir: str) -> int:
         rebase_append=new,
         validate=_files_still_exist,
     )
+
+
+def rebucket_imported(spark: SparkSession, table_dir: str) -> dict:
+    """Rewrite every data entry that carries NO bucket id into the
+    table's bucket layout — the explicit escape for ``add_files``
+    imports on a bucketed table (ADVICE r13: no other verb re-buckets an
+    imported entry directly — ``rewrite_layout`` drops the layout key
+    entirely and ``compact_table`` refuses unbucketed entries — so after
+    an import both the storage-partitioned join and bucket-preserving
+    compaction were wedged until some CoW verb happened to rewrite the
+    file). One bounded rewrite of exactly the imported bytes: the rows
+    re-hash into ``pmod(murmur3(col), n)`` partitions, ids are stamped
+    manifest-side and commit-time verified like any bucketed write, and
+    every already-bucketed entry survives by metadata.
+
+    A deletion vector on a rebucketed file FOLDS into the rewrite (the
+    new files carry only survivors — rewrite semantics, same as
+    compaction); vectors on untouched files stay live. Equality/position
+    delete files raise (cross-file visibility — fold_deletes first).
+
+    Scale: O(imported bytes) read + one hash-partitioned write; the rest
+    of the table is untouched metadata. Returns the commit summary; a
+    table with nothing to re-bucket is a no-op (no commit)."""
+    man = read_manifest(table_dir)
+    layout = man.get("layout")
+    if not layout:
+        raise ValueError(
+            "rebucket_imported needs a bucket-laid-out table "
+            "(create_table(bucket_by=...))"
+        )
+    data, eqs, poss, dvs = _split_entries(man)
+    if eqs or poss:
+        raise ValueError(
+            "rebucket_imported on a table with live equality/position "
+            "delete files — run fold_deletes first (file-local deletion "
+            "vectors compose fine)"
+        )
+    unbucketed = [e for e in data if "bucket" not in e]
+    if not unbucketed:
+        return {
+            "files_rebucketed": 0,
+            "files_out": 0,
+            "files_untouched": len(data),
+            "dvs_folded": 0,
+        }
+    names = {os.path.basename(e["path"]) for e in unbucketed}
+    fold_dvs = [d for d in dvs if d["target"] in names]
+    carried_dvs = [d for d in dvs if d["target"] not in names]
+    src = _read_data(spark, table_dir, man, unbucketed, meta_cols=bool(fold_dvs))
+    if fold_dvs:
+        src = _apply_dv_filter(spark, table_dir, man, fold_dvs, src).drop(
+            "_ft_file", "_ft_pos"
+        )
+    new_entries = _write_commit(
+        src,
+        spark,
+        table_dir,
+        list(man["stats_types"]),
+        n_files=None,
+        cluster_by=None,
+        bucket_by=(layout["bucket_col"], layout["n_buckets"]),
+    )
+    kept = [e for e in data if "bucket" in e]
+    summary = {
+        "files_rebucketed": len(unbucketed),
+        "files_out": len(new_entries),
+        "files_untouched": len(kept),
+        "dvs_folded": len(fold_dvs),
+    }
+    _commit_manifest(
+        table_dir,
+        _inherit_schema(man, {
+            "operation": "rebucket",
+            "stats_types": man["stats_types"],
+            "summary": summary,
+            "entries": kept + carried_dvs + new_entries,
+        }, adds_files=bool(new_entries)),
+        base_version=man["version"],
+    )
+    return summary
 
 
 def add_column(table_dir: str, name: str, dtype: str) -> int:
@@ -2448,9 +2530,53 @@ def merge_into(
     An eager ``localCheckpoint`` pins a single evaluation — lineage is
     truncated, so no action can recompute it (bounded: MERGE sources
     are change sets, not tables; a lost checkpoint block fails loudly
-    rather than recomputing differently)."""
-    tkey, skey = on
+    rather than recomputing differently). The checkpointed blocks are
+    RELEASED once the commit lands or the verb raises (ADVICE r13): the
+    pinned evaluation is only needed for the verb's duration — without
+    the release, repeated merges in a long-lived session accumulate
+    executor storage memory until the driver GC happens to collect the
+    plan."""
     source = source.localCheckpoint(eager=True)
+    try:
+        return _merge_into_cow_checkpointed(
+            spark,
+            table_dir,
+            source,
+            on=on,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+        )
+    finally:
+        _free_checkpoint(source)
+
+
+def _free_checkpoint(df: DataFrame) -> None:
+    """Release the MEMORY_AND_DISK blocks an eager ``localCheckpoint``
+    materialized (ADVICE r13). The checkpointed Dataset's analyzed plan
+    is the ``LogicalRDD`` holding exactly the persisted internal RDD, so
+    unpersisting that RDD frees the blocks immediately instead of
+    waiting for the ContextCleaner to notice the plan is unreachable.
+    Best-effort by construction: a failed release only delays cleanup
+    to the GC path, it can never affect results (test-pinned that the
+    persistent-RDD count returns to baseline after a merge)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _merge_into_cow_checkpointed(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    *,
+    on: tuple[str, str],
+    when_matched_update: dict[str, Column] | None,
+    when_matched_delete: Column | None,
+    when_not_matched_insert: dict[str, Column] | None,
+) -> dict:
+    tkey, skey = on
     manifest = read_manifest(table_dir)
     _require_no_live_deletes(manifest, "merge_into")
 
@@ -2639,9 +2765,34 @@ def merge_into_mor(
     DETERMINISM (ADVICE r12): same exposure as the CoW twin — the
     delete-keys write and the re-append/insert writes are independent
     actions over ``source``; the eager ``localCheckpoint`` pins one
-    evaluation so they can never disagree."""
-    tkey, skey = on
+    evaluation so they can never disagree — and its blocks are released
+    once the verb finishes (ADVICE r13, same as the CoW twin)."""
     source = source.localCheckpoint(eager=True)
+    try:
+        return _merge_into_mor_checkpointed(
+            spark,
+            table_dir,
+            source,
+            on=on,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+        )
+    finally:
+        _free_checkpoint(source)
+
+
+def _merge_into_mor_checkpointed(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    *,
+    on: tuple[str, str],
+    when_matched_update: dict[str, Column] | None,
+    when_matched_delete: Column | None,
+    when_not_matched_insert: dict[str, Column] | None,
+) -> dict:
+    tkey, skey = on
     manifest = read_manifest(table_dir)
     _data, eqs, _poss, _dvs = _split_entries(manifest)
     if eqs:
@@ -2998,35 +3149,42 @@ def point_lookup(spark: SparkSession, table_dir: str, col: str, values) -> DataF
     )
 
 
-def plan_compaction(table_dir: str, *, target_bytes: int) -> list[list[dict]]:
-    """Greedy binpack of the CURRENT live files into target-size rewrite
-    groups — the same running-sum rule as maintenance_compaction_bins
-    (queries/maintenance.py): files ordered by their first stats column's
-    min bound; a file joins bin ``cum_bytes_before // target``, so a bin
-    overflows by at most one file. Returns the bins (lists of manifest
-    entries), singleton bins included. Live deletion vectors compose
-    (r13): binning runs over the DATA entries; ``compact_table`` folds
-    a rewritten file's vector into the rewrite and carries untouched
-    files' vectors live — eq/pos delete files still raise."""
-    man = read_manifest(table_dir)
-    data, _dvs = _split_for_scan(man, "compaction")
-    col = next(iter(man["stats_types"]))
-    bounds = _decode_bounds(man, col)
+def _binpack_entries(
+    entries: list[dict], bounds, target_bytes: int
+) -> list[list[dict]]:
+    """The one greedy binpack rule (VERDICT r13 item 3 — previously
+    written twice): entries ordered by min bound (unknown bounds last),
+    a file joins bin ``cum_bytes_before // target``, so a bin overflows
+    by at most one file. Sparse mapping, not a dense list: a file LARGER
+    than the target advances the bin index by more than one, which the
+    old append-one-bin list indexing crashed on (latent until r13's
+    below-file-size targets exercised it)."""
     ordered = sorted(
-        data,
+        entries,
         key=lambda e: (bounds(e) is None, bounds(e)[0] if bounds(e) else None, e["path"]),
     )
-    # sparse mapping, not a dense list: a file LARGER than the target
-    # advances the bin index by more than one, which the old
-    # append-one-bin list indexing crashed on (latent until r13's
-    # below-file-size targets exercised it); the binning rule itself
-    # (bin = cum_bytes_before // target) is unchanged
     by_idx: dict[int, list[dict]] = {}
     cum = 0
     for e in ordered:
         by_idx.setdefault(cum // target_bytes, []).append(e)
         cum += e["bytes"]
     return [by_idx[i] for i in sorted(by_idx)]
+
+
+def plan_compaction(table_dir: str, *, target_bytes: int) -> list[list[dict]]:
+    """Greedy binpack of the CURRENT live files into target-size rewrite
+    groups — the same running-sum rule as maintenance_compaction_bins
+    (queries/maintenance.py): the shared ``_binpack_entries`` rule over
+    the data entries. Returns the bins (lists of manifest entries),
+    singleton bins included. Live deletion vectors compose (r13):
+    binning runs over the DATA entries; ``compact_table`` folds a
+    rewritten file's vector into the rewrite and carries untouched
+    files' vectors live — eq/pos delete files still raise."""
+    man = read_manifest(table_dir)
+    data, _dvs = _split_for_scan(man, "compaction")
+    col = next(iter(man["stats_types"]))
+    bounds = _decode_bounds(man, col)
+    return _binpack_entries(data, bounds, target_bytes)
 
 
 def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> dict:
@@ -3060,28 +3218,15 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
             if "bucket" not in e:
                 raise ValueError(
                     f"bucketed-layout table carries unbucketed entry "
-                    f"{e['path']!r}; re-bucket first"
+                    f"{e['path']!r}; run rebucket_imported first"
                 )
             groups.setdefault(e["bucket"], []).append(e)
         col = next(iter(man["stats_types"]))
         bounds = _decode_bounds(man, col)
         bins, bin_buckets = [], []
         for bk in sorted(groups):
-            ordered = sorted(
-                groups[bk],
-                key=lambda e: (
-                    bounds(e) is None,
-                    bounds(e)[0] if bounds(e) else None,
-                    e["path"],
-                ),
-            )
-            by_idx: dict[int, list[dict]] = {}
-            cum = 0
-            for e in ordered:
-                by_idx.setdefault(cum // target_bytes, []).append(e)
-                cum += e["bytes"]
-            for i in sorted(by_idx):
-                bins.append(by_idx[i])
+            for b in _binpack_entries(groups[bk], bounds, target_bytes):
+                bins.append(b)
                 bin_buckets.append(bk)
     else:
         bins = plan_compaction(table_dir, target_bytes=target_bytes)
@@ -3887,7 +4032,38 @@ def partitions_table(spark: SparkSession, table_dir: str) -> DataFrame:
 #: (README.md:18). Computed from MANIFEST bytes — zero cost to consult.
 #: Buckets that don't fit under the budget join with a shuffled-hash
 #: join scoped to that bucket's files instead (see the docstring).
+#: SPJ broadcast budget, denominated in ESTIMATED IN-MEMORY bytes
+#: (VERDICT r13 item 2): what the budget protects is the live
+#: BroadcastHashJoin relations (driver + every executor's broadcast
+#: store hold them all at once), not the parquet on disk.
 SPJ_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+#: Parquet→in-memory inflation for the admission estimate: manifest
+#: ``bytes`` are compressed, dictionary/RLE-encoded parquet, while a
+#: broadcast hash relation holds decoded UnsafeRows plus the hash
+#: index — typically 3–8× the file bytes for TPC-H-shaped rows. The
+#: admission check multiplies manifest bytes by this factor so
+#: SPJ_BROADCAST_MAX_BYTES means what it protects (Spark's own
+#: ``spark.sql.sources.fileCompressionFactor`` exists for exactly this
+#: correction; 4 sits mid-range — an underestimate costs at most ~2×
+#: the constant, vs the 4–8× overshoot of denominating in file bytes).
+SPJ_BROADCAST_INFLATION = 4
+
+
+def _spj_broadcast_admission(builds: dict[int, int], budget_bytes: int) -> set[int]:
+    """Smallest-build-first admission under the SUM budget: ``builds``
+    maps bucket id → estimated in-memory build bytes (manifest bytes ×
+    ``SPJ_BROADCAST_INFLATION``); the admitted set's total estimate
+    never exceeds ``budget_bytes`` (test-pinned). Smallest first
+    maximizes broadcast coverage under the cap; ties break on bucket id
+    for determinism."""
+    admitted: set[int] = set()
+    remaining = budget_bytes
+    for i in sorted(builds, key=lambda i: (builds[i], i)):
+        if builds[i] <= remaining:
+            admitted.add(i)
+            remaining -= builds[i]
+    return admitted
 
 
 def storage_partitioned_join(
@@ -3910,10 +4086,13 @@ def storage_partitioned_join(
     form of exactly this plan).
 
     BUILD-SIDE VALVE (VERDICT r12 item 1): each per-bucket join builds
-    from the smaller side's bucket. While the RUNNING SUM of broadcast
-    build bytes (manifest-computed, smallest buckets first so coverage
-    is maximal) stays under ``broadcast_max_bytes`` (default
-    ``SPJ_BROADCAST_MAX_BYTES``), the build side broadcasts — all those
+    from the smaller side's bucket. While the RUNNING SUM of estimated
+    IN-MEMORY build bytes — manifest bytes × ``SPJ_BROADCAST_INFLATION``
+    (VERDICT r13 item 2: the budget protects live broadcast hash
+    relations, which run 3–8× the compressed parquet bytes), smallest
+    buckets first so coverage is maximal — stays under
+    ``broadcast_max_bytes`` (default ``SPJ_BROADCAST_MAX_BYTES``, an
+    in-memory number), the build side broadcasts — all those
     BroadcastExchanges coexist in the one job, so the budget bounds
     driver + executor broadcast memory. A bucket that does NOT fit
     joins with a SORT-MERGE join (``hint("merge")``) scoped to that
@@ -3983,7 +4162,7 @@ def storage_partitioned_join(
             if "bucket" not in e:
                 raise ValueError(
                     f"entry {e['path']!r} in {td!r} carries no bucket id "
-                    "(rewritten outside the bucketed layout?) — re-bucket first"
+                    "(an add_files import?) — run rebucket_imported first"
                 )
             out.setdefault(e["bucket"], []).append(e)
         return out
@@ -4010,20 +4189,16 @@ def storage_partitioned_join(
 
     ba, bb = by_bucket(data_a, dir_a), by_bucket(data_b, dir_b)
     shared = sorted(set(ba) & set(bb))  # inner: lone buckets match nothing
-    # budget allocation, smallest build first (maximal broadcast coverage
-    # under the cap), from manifest bytes alone
+    # budget allocation from manifest bytes alone, INFLATED to the
+    # in-memory estimate the budget actually protects (VERDICT r13
+    # item 2: a parquet-denominated 256 MB budget admitted ~1–2 GB of
+    # live broadcast hash maps)
     builds = {
-        i: min(
-            sum(e["bytes"] for e in ba[i]), sum(e["bytes"] for e in bb[i])
-        )
+        i: SPJ_BROADCAST_INFLATION
+        * min(sum(e["bytes"] for e in ba[i]), sum(e["bytes"] for e in bb[i]))
         for i in shared
     }
-    budget = broadcast_max_bytes
-    can_broadcast: set[int] = set()
-    for i in sorted(shared, key=lambda i: (builds[i], i)):
-        if builds[i] <= budget:
-            can_broadcast.add(i)
-            budget -= builds[i]
+    can_broadcast = _spj_broadcast_admission(builds, broadcast_max_bytes)
     out = None
     for i in shared:
         fa = read_bucket(dir_a, man_a, ba[i], dvs_a)
@@ -4128,13 +4303,20 @@ def gc_orphans(
     manifest hasn't landed yet (Iceberg's ``older_than`` default for the
     same race). ``now`` is injectable for tests.
 
-    LOCKING (ADVICE r12): the whole reference-set build + delete loop
-    runs under ``_commit_lock``, serializing with every commit — in
-    particular with ``add_files``, whose in-lock re-stat hook closes the
-    stage-then-GC race (a legacy dump staged under ``data/`` past the
-    grace window is otherwise deletable right up to the commit that
-    registers it; staging dirs should not sit under ``data/`` longer
-    than the grace window).
+    LOCKING (ADVICE r12, re-scoped per ADVICE r13): the EXPENSIVE work —
+    the reference-set union (a Spark job past the threshold) and the
+    full data-tree candidate walk — runs OUTSIDE the commit lock, so
+    concurrent commits (including unrelated appends) never block for
+    the GC duration. The lock is taken only for a short
+    re-verify-and-delete phase: under it, any manifest version that
+    landed since the unlocked pass contributes its paths to the
+    reference set (commits can only ADD references), and only
+    still-unreferenced candidates are deleted. This mirrors the
+    add_files validate-hook pattern — add_files re-stats its imported
+    files under the same lock, so once its check passes the files
+    cannot vanish before its manifest lands (the stage-then-GC race
+    stays closed; staging dirs should still not sit under ``data/``
+    longer than the grace window).
 
     DEBRIS (ADVICE r12): orphaned NON-parquet siblings (_SUCCESS, .crc)
     are removed too, and a fully-unreferenced commit dir older than the
@@ -4157,35 +4339,57 @@ def gc_orphans(
     kept_grace = 0
     extra_removed = 0
     dirs_removed = 0
+    # PHASE 1 (UNLOCKED — ADVICE r13): the reference-set union (a Spark
+    # job past the threshold) and the full data-tree walk happen with no
+    # lock held; only candidate lists leave this phase. Dir mtimes are
+    # captured here, BEFORE any removal, because deleting a child bumps
+    # the parent's mtime and would spuriously re-grace it.
+    seen_versions = _manifest_versions(table_dir)
+    referenced = _referenced_paths_auto(spark, table_dir, seen_versions)
+    candidates: list[tuple[str, str]] = []  # (abs path, table-relative)
+    dir_mtimes: dict[str, float] = {}
+    for root, dirs, files in os.walk(data_root):
+        for d in dirs:
+            full = os.path.join(root, d)
+            dir_mtimes[full] = os.path.getmtime(full)
+        for name in files:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_dir)
+            if not name.endswith(".parquet") or rel in referenced:
+                continue
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    kept_grace += 1  # possibly in-flight: wait out grace
+                    continue
+            except FileNotFoundError:
+                continue  # vanished mid-walk (concurrent cleanup)
+            candidates.append((full, rel))
+    # PHASE 2 (LOCKED — short): manifests that landed since phase 1 can
+    # only ADD references, so folding just the delta versions in makes
+    # the candidate re-verify exact; then delete.
     with _commit_lock(table_dir):
-        referenced = _referenced_paths_auto(
-            spark, table_dir, _manifest_versions(table_dir)
-        )
-        # dirs holding (transitively) any referenced path are live; and
-        # dir mtimes are captured BEFORE any removal, because deleting a
-        # child bumps the parent's mtime and would spuriously re-grace it
+        new_versions = [
+            v for v in _manifest_versions(table_dir) if v not in set(seen_versions)
+        ]
+        if new_versions:
+            referenced |= _referenced_paths_auto(spark, table_dir, new_versions)
+        # dirs holding (transitively) any referenced path are live
         live_dirs: set[str] = set()
         for rel in referenced:
             d = os.path.dirname(rel)
             while d and d != ".":
                 live_dirs.add(d)
                 d = os.path.dirname(d)
-        dir_mtimes: dict[str, float] = {}
-        for root, dirs, files in os.walk(data_root):
-            for d in dirs:
-                full = os.path.join(root, d)
-                dir_mtimes[full] = os.path.getmtime(full)
-            for name in files:
-                full = os.path.join(root, name)
-                rel = os.path.relpath(full, table_dir)
-                if not name.endswith(".parquet") or rel in referenced:
-                    continue
-                if os.path.getmtime(full) > cutoff:
-                    kept_grace += 1  # possibly in-flight: wait out grace
-                    continue
+        for full, rel in candidates:
+            if rel in referenced:
+                continue  # registered while we walked (e.g. add_files)
+            try:
                 os.remove(full)
-                removed.append(rel)
-        # bottom-up: debris siblings in dead dirs, then the dirs themselves
+            except FileNotFoundError:
+                continue
+            removed.append(rel)
+        # bottom-up: debris siblings in dead dirs, then the dirs
+        # themselves — a metadata-only walk (no manifest IO, no job)
         for root, _dirs, _files in os.walk(data_root, topdown=False):
             if os.path.realpath(root) == os.path.realpath(data_root):
                 continue

@@ -2639,7 +2639,8 @@ def test_spj_valve_mixed_budget_row_equal(spark, tmp_path):
 
     ba, bb = build_bytes(man_a), build_bytes(man_b)
     builds = {i: min(ba[i], bb[i]) for i in set(ba) & set(bb)}
-    cap = min(builds.values())  # exactly one bucket fits
+    # exactly one bucket fits, in the in-memory denomination (r13 item 2)
+    cap = min(builds.values()) * ft.SPJ_BROADCAST_INFLATION
     j = ft.storage_partitioned_join(
         spark, ta, tb, on=("k", "k2"), broadcast_max_bytes=cap
     )
@@ -3352,8 +3353,9 @@ def test_planted_spj_budget_is_a_sum_not_per_bucket(spark, tmp_path):
     under the limit while letting ALL of them broadcast leaves driver
     memory at ~the smaller table's bytes — the exact r12 hole. The
     budget must bound the SUM: with a budget that admits roughly one
-    bucket's build, the static plan may carry at most a few
-    BroadcastExchanges, never one per bucket."""
+    bucket's build (in the in-memory denomination — manifest bytes ×
+    SPJ_BROADCAST_INFLATION, r13 item 2), the static plan may carry at
+    most a few BroadcastExchanges, never one per bucket."""
     ta, tb = _mk_spj_pair(spark, tmp_path)
     man_b = ft.read_manifest(tb)
     per_bucket: dict[int, int] = {}
@@ -3362,7 +3364,8 @@ def test_planted_spj_budget_is_a_sum_not_per_bucket(spark, tmp_path):
     smallest = min(per_bucket.values())
     n_buckets = len(per_bucket)
     j = ft.storage_partitioned_join(
-        spark, ta, tb, on=("k", "k2"), broadcast_max_bytes=int(smallest * 1.5)
+        spark, ta, tb, on=("k", "k2"),
+        broadcast_max_bytes=int(smallest * ft.SPJ_BROADCAST_INFLATION * 1.5),
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     n_bcast = plan.count("BroadcastExchange")
@@ -3450,3 +3453,218 @@ def test_planted_visible_bootstrap_raw_paths_over_deliver(spark, tmp_path):
         "the raw-paths rule must be DETECTABLY wrong (over-delivers the "
         "10 dv-deleted rows) — the kill is vacuous otherwise"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 14 — ADVICE r13 fixes + VERDICT r13 items 2/3
+# ---------------------------------------------------------------------------
+
+
+def test_spj_admission_stays_under_in_memory_budget():
+    """VERDICT r13 item 2: the admitted build set's ESTIMATED IN-MEMORY
+    total (manifest bytes x SPJ_BROADCAST_INFLATION) never exceeds the
+    budget — the constant now means what it protects."""
+    builds = {i: ft.SPJ_BROADCAST_INFLATION * (100 + 37 * i) for i in range(16)}
+    budget = 1000
+    admitted = ft._spj_broadcast_admission(builds, budget)
+    assert admitted, "some bucket must fit a non-trivial budget"
+    assert sum(builds[i] for i in admitted) <= budget
+    # the non-admitted buckets genuinely do not fit what remains
+    rest = budget - sum(builds[i] for i in admitted)
+    assert all(builds[i] > rest for i in set(builds) - admitted)
+    # zero budget admits nothing; huge budget admits everything
+    assert ft._spj_broadcast_admission(builds, 0) == set()
+    assert ft._spj_broadcast_admission(builds, 10**12) == set(builds)
+
+
+def test_binpack_helper_shared_and_gap_tolerant():
+    """VERDICT r13 item 3: one binning rule, both call sites — and the
+    sparse mapping tolerates a file larger than the target (bin index
+    advances by more than one; the r13 IndexError regression)."""
+    entries = [
+        {"path": "a", "bytes": 10, "stats": {"d": [1, 2]}},
+        {"path": "b", "bytes": 500, "stats": {"d": [3, 4]}},  # >> target
+        {"path": "c", "bytes": 10, "stats": {"d": [5, 6]}},
+    ]
+    bounds = lambda e: tuple(e["stats"]["d"])  # noqa: E731
+    bins = ft._binpack_entries(entries, bounds, 100)
+    assert [[e["path"] for e in b] for b in bins] == [["a", "b"], ["c"]]
+    # one entry per bin at a tiny target; order by min bound
+    bins2 = ft._binpack_entries(entries, bounds, 1)
+    assert [[e["path"] for e in b] for b in bins2] == [["a"], ["b"], ["c"]]
+
+
+def test_merge_checkpoint_blocks_freed_after_commit(spark, tmp_path):
+    """ADVICE r13: merge verbs release their eager localCheckpoint
+    blocks once the commit lands — the persistent-RDD count returns to
+    its pre-merge baseline (repeated merges in a long session no longer
+    accumulate executor storage)."""
+    td = str(tmp_path / "ckfree")
+    ft.create_table(
+        spark.createDataFrame([(i, float(i)) for i in range(40)], "k long, x double"),
+        td, stats_cols=["k"], n_files=2,
+    )
+    n_rdds = lambda: spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: E731
+    base = n_rdds()
+    src = spark.createDataFrame([(5, 99.0), (100, 1.0)], "k long, x double")
+    ft.merge_into(
+        spark, td, src, on=("k", "k"),
+        when_matched_update={"x": F.col("s.x")},
+        when_not_matched_insert={"k": F.col("s.k"), "x": F.col("s.x")},
+    )
+    assert n_rdds() == base, "CoW merge leaked checkpoint blocks"
+    ft.merge_into_mor(
+        spark, td, src.withColumn("x", F.col("x") + 1), on=("k", "k"),
+        when_matched_update={"x": F.col("s.x")},
+        when_not_matched_insert={"k": F.col("s.k"), "x": F.col("s.x")},
+    )
+    assert n_rdds() == base, "MOR merge leaked checkpoint blocks"
+    # and the verb still committed correctly (the free is post-commit)
+    got = {r["k"]: r["x"] for r in ft.read_table(spark, td).collect()}
+    assert got[5] == 100.0 and got[100] == 2.0
+
+
+def test_gc_orphans_expensive_phase_runs_outside_lock(spark, tmp_path, monkeypatch):
+    """ADVICE r13: the reference-set union and candidate walk run
+    OUTSIDE the commit lock; only the re-verify-and-delete phase takes
+    it. Pinned by holding the lock while GC runs in a thread: the union
+    completes while the lock is still held, the deletion does not."""
+    import threading
+    import time
+
+    td = str(tmp_path / "gcphase")
+    ft.create_table(
+        spark.createDataFrame([(1, 2)], "a long, b long"), td,
+        stats_cols=["b"], n_files=1,
+    )
+    orphan = os.path.join(td, "data", "c009998")
+    spark.createDataFrame([(9, 9)], "a long, b long").coalesce(1).write.parquet(orphan)
+    union_done = threading.Event()
+    gc_done = threading.Event()
+    orig = ft._referenced_paths_auto
+
+    def traced(*a, **k):
+        out = orig(*a, **k)
+        union_done.set()
+        return out
+
+    monkeypatch.setattr(ft, "_referenced_paths_auto", traced)
+    res = {}
+
+    def run():
+        res.update(ft.gc_orphans(td, grace_seconds=0, now=time.time() + 10))
+        gc_done.set()
+
+    with ft._commit_lock(td):
+        t = threading.Thread(target=run)
+        t.start()
+        assert union_done.wait(30), "the union must run without the lock"
+        time.sleep(0.5)
+        assert not gc_done.is_set(), "deletion must still wait for the lock"
+    t.join(30)
+    assert gc_done.is_set() and res["files_removed"] == 1
+
+
+def test_gc_orphans_reverify_spares_files_registered_mid_walk(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 safety: a candidate whose registration commits between
+    the unlocked walk and the locked delete phase survives — the locked
+    phase folds the delta manifest versions into the reference set."""
+    import time
+
+    td = str(tmp_path / "gcverify")
+    ft.create_table(
+        spark.createDataFrame([(1, 2)], "a long, b long"), td,
+        stats_cols=["b"], n_files=1,
+    )
+    staged = os.path.join(td, "data", "import9")
+    spark.createDataFrame([(7, 7)], "a long, b long").coalesce(1).write.parquet(staged)
+    orig = ft._referenced_paths_auto
+    calls = {"n": 0}
+
+    def racing(*a, **k):
+        out = orig(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:  # between phase 1 and phase 2: a commit lands
+            ft.add_files(spark, td, os.path.join("data", "import9"))
+        return out
+
+    monkeypatch.setattr(ft, "_referenced_paths_auto", racing)
+    res = ft.gc_orphans(td, grace_seconds=0, now=time.time() + 10)
+    assert res["files_removed"] == 0, "registered-mid-walk file must survive"
+    assert ft.read_table(spark, td).count() == 2
+    assert calls["n"] == 2, "the locked phase must re-union the delta versions"
+
+
+def test_rebucket_imported_restores_spj_and_compaction(spark, tmp_path):
+    """ADVICE r13: add_files on a bucketed table wedges SPJ and
+    bucket-preserving compaction; rebucket_imported is the explicit
+    escape — after it, both verbs work and rows are exact."""
+    ta, tb = _mk_spj_pair(spark, tmp_path)
+    want = sorted(
+        map(tuple, ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2")).collect())
+    )
+    imp = os.path.join(ta, "data", "import1")
+    extra = spark.createDataFrame(
+        [(i % 40, 20_000 + i, 2.5) for i in range(80)], "k long, oid long, amt double"
+    )
+    extra.coalesce(1).write.parquet(imp)
+    ft.add_files(spark, ta, os.path.join("data", "import1"))
+    with pytest.raises(ValueError, match="rebucket_imported"):
+        ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    with pytest.raises(ValueError, match="rebucket_imported"):
+        ft.compact_table(spark, ta, target_bytes=1 << 40)
+    s = ft.rebucket_imported(spark, ta)
+    assert s["files_rebucketed"] == 1 and s["files_out"] >= 1
+    man = ft.read_manifest(ta)
+    assert all(
+        "bucket" in e for e in man["entries"] if e.get("kind", "data") == "data"
+    )
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, "alignment must be restored"
+    extra_want = sorted(
+        map(
+            tuple,
+            extra.alias("e")
+            .join(
+                ft.read_table(spark, tb).alias("b"),
+                F.col("e.k") == F.col("b.k2"),
+            )
+            .select("e.k", "e.oid", "e.amt", "b.rid", "b.w")
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, j.collect())) == sorted(want + extra_want)
+    s2 = ft.compact_table(spark, ta, target_bytes=1 << 40)
+    assert s2["files_rewritten"] > 0, "compaction must work post-rebucket"
+    # idempotent: nothing left to re-bucket; no commit happens
+    v = ft.current_manifest_version(ta)
+    s3 = ft.rebucket_imported(spark, ta)
+    assert s3["files_rebucketed"] == 0 and ft.current_manifest_version(ta) == v
+
+
+def test_rebucket_imported_folds_dvs_and_guards(spark, tmp_path):
+    """rebucket_imported folds a vector on an imported file into the
+    rewrite (survivors only), keeps untouched files' vectors live, and
+    raises on unbucketed tables and live eq/pos deletes."""
+    ta, _tb = _mk_spj_pair(spark, tmp_path)
+    imp = os.path.join(ta, "data", "import2")
+    spark.createDataFrame(
+        [(i % 40, 30_000 + i, 1.0) for i in range(40)], "k long, oid long, amt double"
+    ).coalesce(1).write.parquet(imp)
+    ft.add_files(spark, ta, os.path.join("data", "import2"))
+    ft.delete_positions_dv(spark, ta, F.col("oid") >= 30_020)  # hits the import
+    want = sorted(map(tuple, ft.read_table(spark, ta).collect()))
+    s = ft.rebucket_imported(spark, ta)
+    assert s["dvs_folded"] >= 1
+    assert sorted(map(tuple, ft.read_table(spark, ta).collect())) == want
+    # guards
+    tu = str(tmp_path / "unbucketed")
+    ft.create_table(
+        spark.createDataFrame([(1, 2)], "a long, b long"), tu,
+        stats_cols=["b"], n_files=1,
+    )
+    with pytest.raises(ValueError, match="bucket-laid-out"):
+        ft.rebucket_imported(spark, tu)

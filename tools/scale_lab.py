@@ -469,7 +469,8 @@ def probes():
         # r13 fact⋈fact SPJ under the broadcast valve: BOTH sides grow
         # with scale (lineitem ⋈ orders — the reference's shared
         # bucket(16, match_id) shape), broadcast_max_bytes=0 so every
-        # bucket is a bucket-scoped shuffled-hash join. Expected linear
+        # bucket is a bucket-scoped SORT-MERGE join (spillable —
+        # shuffle_hash was measured fatal at 64×). Expected linear
         # in joined bytes with FLAT broadcast memory (zero) — the r12
         # design would have pushed ~orders' bytes through the driver.
         "lake_spj_ff": _lakehouse_probe("lake_spj_factfact_join", build_tpch),
