@@ -162,74 +162,87 @@ class QuerySpec:
 #       r6 tier was emptied by r12 — asserted). Tier membership is
 #       computed from the frozen artifacts by
 #       test_driver_window_r13_policy — machine-owned, as since r10.
+#   r14 window (staleness frozen at r01–r13): keeps + plan-changed
+#       (every lakehouse entry whose underlying verb code changed this
+#       round — the base+delta manifest commit path behind
+#       DELETE/UPDATE/MERGE/DV, the raw-manifest feed/changelog walks,
+#       the SPJ read_bucket restructure + memory-denominated broadcast
+#       budget, the two-phase GC lock scope, the binpack helper) + the
+#       new entries (lake_delta_manifest_verbs, VERDICT r13 item 1;
+#       lake_spj_eqdelete_join, item 5; lake_rebucket_imported, ADVICE
+#       r13) + the 9-entry r7 remainder and the alphabetically-oldest
+#       r8-stale entries filling to 50. Tier membership is computed
+#       from the frozen artifacts by test_driver_window_r14_policy —
+#       machine-owned, as since r10.
 DRIVER_WINDOW = 50
 
-_R13_PERMANENT_KEEPS = [
-    "flagship_revenue_topk",  # README.md:17 headline; r1..r12 green
+_R14_PERMANENT_KEEPS = [
+    "flagship_revenue_topk",  # README.md:17 headline; r1..r13 green
     "cohort_ltv_by_first_year",  # THE r4 flake; decimal-exact since r5
 ]
 
-_R13_CHANGED = [
-    # executed verbs materially changed this round — they ride for a
-    # fresh verdict even though last scored green in r12
-    "lake_spj_bucketed_join",  # broadcast valve + DV-aware bucket reads
-    "lake_cow_delete",  # delete_where -> _classify_where_auto dispatch
-    "lake_update_where",  # update_where -> _classify_where_auto dispatch
-    "lake_merge_into",  # source localCheckpoint + job candidate selection
+_R14_CHANGED = [
+    # executed verbs materially changed this round (VERDICT r13 items
+    # 1/2/5 + ADVICE r13) — they ride for a fresh verdict even though
+    # last scored green in r13
+    "lake_spj_bucketed_join",  # read_bucket restructure (eq/seq-aware)
+    "lake_spj_dv_join",  # same restructure on the DV-composed path
+    "lake_spj_factfact_join",  # memory-denominated broadcast budget
+    "lake_cow_delete",  # delete_where -> _commit_update delta dispatch
+    "lake_update_where",  # update_where -> _commit_update delta dispatch
+    "lake_merge_into",  # delta commit + checkpoint release
     "lake_merge_mor",  # same two changes on the MOR twin
-    "lake_gc_orphans",  # commit-lock + debris pruning + job reference union
-    "lake_dv_serve",  # delete_positions_dv gained the consolidation branch
-    "lake_changelog_dv",  # same verb change (DV commit path)
-    "lake_fold_gate_serve",  # fold_pressure job dispatch via _maybe_fold
-    "lake_skipping_scan",  # both scan planners now DV-aware (data-only prune)
-    "lake_zorder_box_scan",  # same planner change on the box path
-    "lake_bloom_point_lookup",  # DV-tolerant staleness + _read_planned route
-    "lake_compact_roundtrip",  # DV fold-inline + sparse-binpack fix
+    "lake_dv_serve",  # delete_positions_dv -> delta commit
+    "lake_changelog_dv",  # DV verb delta commit + chain-routed changelog
+    "lake_feed_visible_bootstrap",  # raw-manifest feed walk + expire pre-pass
+    "lake_changelog_delta",  # changelog_table -> header/plan entries
+    "lake_stream_commits",  # commit_delta_paths reads the delta record
+    "lake_maintenance_window",  # incremental_feed walk + expire pre-pass
+    "lake_gc_orphans",  # two-phase lock scope + chain-aware union
+    "lake_compact_roundtrip",  # shared binpack helper extraction
 ]
 
-_R13_NEW = [
+_R14_NEW = [
     # never driver-scored, must ride per Invariant 1
-    "lake_spj_factfact_join",  # the SPJ valve on a fact⋈fact input
-    "lake_spj_dv_join",  # SPJ composed with live deletion vectors
-    "lake_skipping_dv_scan",  # zone-map pruning composed with live DVs
-    "lake_feed_visible_bootstrap",  # DV-aware feed bootstrap, end-to-end
+    "lake_delta_manifest_verbs",  # the r14 O(delta) commit regime
+    "lake_rebucket_imported",  # ADVICE r13: the explicit re-bucket escape
+    "lake_spj_eqdelete_join",  # VERDICT r13 item 5: bucket-key eq deletes
 ]
 
-_R13_STALE_REFRESH = [
-    # the alphabetically-oldest r7-stale entries, filling the window
-    # (the 4-entry remainder leads r14's refresh tier; membership
-    # asserted from the frozen artifacts)
-    "argmax_customer_per_nation",
-    "copartitioned_join_agg",
-    "cube_order_stats",
-    "grouped_zscore_extremes",
-    "having_frequent_customers",
-    "join_anti_customers_no_urgent",
-    "join_left_outer_order_counts",
-    "join_semi_urgent_customers",
-    "layout_compression_lab",
-    "layout_zorder_lab",
-    "maintenance_compaction_bins",
-    "maintenance_orphan_files",
-    "maintenance_partition_health",
-    "maintenance_snapshot_expiry",
-    "pandas_udf_revenue",
-    "percentiles_by_priority",
-    "pipeline_hybrid_retrieval",
-    "profile_lineitem",
-    "q14_promo_revenue_share",
-    "q18_large_orders",
-    "q4_late_shipment_priority",
-    "q5_regional_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "retrieval_known_item_mrr",
-    "retrieval_rank_fusion",
-    "rollup_order_stats",
-    "salted_join_agg",
-    "scalar_functions_showcase",
-    "setops_intersect",
-    "setops_segments",
+_R14_STALE_REFRESH = [
+    # the artifact-computed staleness order: the whole 9-entry r7
+    # remainder, then the alphabetically-oldest r8-stale entries filling
+    # the window (membership asserted from the frozen r01-r13 artifacts)
+    "sort_global_topk",
+    "sql_interface_revenue",
+    "stats_moments_by_flag",
+    "subquery_above_nation_avg",
+    "text_bm25_topk",
+    "udaf_weighted_avg_price",
+    "window_lag_order_gaps",
+    "window_running_order_total",
+    "window_top3_orders_per_customer",
+    "cdc_scd2_history",
+    "cluster_kmeans_embeddings",
+    "corpus_cluster_profile",
+    "decontaminate_eval_overlap",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_exact",
+    "dedup_incremental_batch",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_quantization_error",
+    "events_asof_purchase_click",
+    "events_max_concurrency",
+    "events_pivot_type_counts",
+    "events_props_extract",
+    "events_range_join_followups",
+    "events_retention_cohorts",
+    "events_running_value",
+    "events_session_window_native",
+    "events_sessionization",
 ]
 
 def _merged() -> dict[str, QuerySpec]:
@@ -252,7 +265,7 @@ def _merged() -> dict[str, QuerySpec]:
                 raise ValueError(f"duplicate query names: {sorted(dup)}")
             pool.update(queries)
 
-    head = _R13_PERMANENT_KEEPS + _R13_CHANGED + _R13_NEW + _R13_STALE_REFRESH
+    head = _R14_PERMANENT_KEEPS + _R14_CHANGED + _R14_NEW + _R14_STALE_REFRESH
     missing = [n for n in head if n not in pool]
     if missing:
         raise ValueError(f"window entries not in pool: {missing}")

@@ -2113,6 +2113,281 @@ ORDER BY order_month
 """
 
 
+# ---------------------------------------------------------------------------
+# lake_rebucket_imported — add_files + the explicit re-bucket escape (r14)
+# ---------------------------------------------------------------------------
+
+
+def lake_rebucket_imported(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment totals from a storage-partitioned join whose fact
+    side ingested a third of its rows by ``add_files`` and then ran
+    ``rebucket_imported`` (ADVICE r13): an import carries no bucket ids,
+    which wedges BOTH the SPJ and bucket-preserving compaction until the
+    explicit re-bucket verb rewrites exactly the imported bytes into the
+    layout (ids stamped and commit-time verified). The serve is the
+    ordinary aligned per-bucket join — no fact-side shuffle — and the
+    oracle recomputes from the FULL fixture, so hash equality holds only
+    if every imported row re-bucketed into the hash layout correctly.
+
+    Scale: the re-bucket is O(imported bytes) — one hash-partitioned
+    rewrite of the legacy dump; the managed two-thirds is untouched
+    metadata."""
+    def build(staging: str) -> None:
+        ob = os.path.join(staging, "orders_b")
+        orders = read_fixture(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        )
+        ft.create_table(
+            orders.filter(F.col("o_orderkey") % 3 != 0),
+            ob,
+            stats_cols=["o_orderkey"],
+            bucket_by=("o_custkey", 16),
+        )
+        legacy = os.path.join(ob, "data", "legacy_dump")
+        orders.filter(F.col("o_orderkey") % 3 == 0).coalesce(2).write.parquet(legacy)
+        ft.add_files(spark, ob, os.path.join("data", "legacy_dump"))
+        s = ft.rebucket_imported(spark, ob)
+        if s["files_rebucketed"] == 0 or s["files_out"] == 0:
+            raise ValueError("rebucket build invariant broken (nothing rewritten)")
+        ft.create_table(
+            read_fixture(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            os.path.join(staging, "cust_b"),
+            stats_cols=["c_custkey"],
+            bucket_by=("c_custkey", 16),
+        )
+
+    root = _served_table(sf_dir, "lakerebkt_", "orders", "lakerebkt-v1", build)
+    j = ft.storage_partitioned_join(
+        spark,
+        os.path.join(root, "orders_b"),
+        os.path.join(root, "cust_b"),
+        on=("o_custkey", "c_custkey"),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LAKE_REBUCKET_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# lake_spj_eqdelete_join — bucket-key equality deletes through the SPJ (r14)
+# ---------------------------------------------------------------------------
+
+
+def lake_spj_eqdelete_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment totals from a storage-partitioned join whose fact
+    side carries a LIVE equality delete keyed on the BUCKET column
+    (VERDICT r13 item 5): a deleted key's rows and its delete row hash
+    to the same bucket (same murmur3 ⊕ pmod), so the seq-gated anti join
+    applies inside each per-bucket scan — the common GDPR-key case
+    composes with zero fact-side Exchange and NO fold. The build then
+    APPENDS a resurrection slice at a higher sequence number for some of
+    the deleted keys, so the oracle's union (complement ∪ revived rows)
+    hash-verifies the Iceberg v2 seq rule end-to-end: an over-applied
+    delete (revived rows missing) or an under-applied one (deleted rows
+    served) both mismatch.
+
+    Scale: the delete side rides the MOR_BROADCAST_MAX_ROWS broadcast
+    rule — one shared keys frame across all buckets; the fact sides
+    still never shuffle."""
+    def build(staging: str) -> None:
+        ob = os.path.join(staging, "orders_b")
+        orders = read_fixture(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        )
+        ft.create_table(
+            orders, ob, stats_cols=["o_orderkey"], bucket_by=("o_custkey", 16)
+        )
+        keys = (
+            orders.filter(F.col("o_custkey") % 37 == 0)
+            .select("o_custkey")
+            .distinct()
+        )
+        ft.delete_keys_mor(spark, ob, "o_custkey", keys)
+        # resurrection at a HIGHER seq: re-append the deleted customers'
+        # rows whose order key ends in 7 — the delete must not touch them
+        ft.append_table(
+            orders.filter(
+                (F.col("o_custkey") % 37 == 0) & (F.col("o_orderkey") % 10 == 7)
+            ),
+            ob,
+        )
+        ft.create_table(
+            read_fixture(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            os.path.join(staging, "cust_b"),
+            stats_cols=["c_custkey"],
+            bucket_by=("c_custkey", 16),
+        )
+
+    root = _served_table(sf_dir, "lakespjeq_", "orders", "lakespjeq-v1", build)
+    j = ft.storage_partitioned_join(
+        spark,
+        os.path.join(root, "orders_b"),
+        os.path.join(root, "cust_b"),
+        on=("o_custkey", "c_custkey"),
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LAKE_SPJ_EQDELETE_ORACLE = """
+WITH visible AS (
+    SELECT o_custkey, o_totalprice FROM orders WHERE o_custkey % 37 <> 0
+    UNION ALL
+    SELECT o_custkey, o_totalprice FROM orders
+    WHERE o_custkey % 37 = 0 AND o_orderkey % 10 = 7
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_price
+FROM visible JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# lake_delta_manifest_verbs — the r14 O(delta) commit regime, end-to-end
+# ---------------------------------------------------------------------------
+
+#: delete the oldest ~20% of the date span; flag customers in the next
+#: band (≤35%) — both cutoffs replayed arithmetically in the oracle
+_DELTA_DEL_FRAC = 0.20
+_DELTA_UPD_FRAC = 0.35
+
+
+def lake_delta_manifest_verbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly totals over a table whose ENTIRE mutation history ran in
+    the r14 DELTA-MANIFEST regime (VERDICT r13 item 1): with the
+    planning threshold forced to zero, the build's DELETE, UPDATE, MERGE
+    and DV-delete each commit a manifest delta — header + (base,
+    removed, added) — in O(delta) driver work; no commit composes the
+    full entry list (the routing test monkeypatch-explodes composition
+    to pin it). The serve resolves the delta chain through the parquet
+    manifest table and the oracle replays all four verbs arithmetically,
+    so one wrong removed/added id anywhere in the chain hash-mismatches.
+
+    Scale: this is the commit path a million-file table gets by
+    default — every verb O(touched), one amortized O(#files) STREAM per
+    MANIFEST_DELTA_MAX_CHAIN commits (the Iceberg manifest-list
+    compaction analog)."""
+    def build(staging: str) -> None:
+        orders = read_fixture(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("order_dt"),
+            "o_totalprice",
+        )
+        ft.create_table(
+            orders, staging, stats_cols=["order_dt"], cluster_by="order_dt",
+            n_files=16,
+        )
+        lo, hi = _date_bounds(staging, "order_dt")
+        span = (hi - lo).days
+        c1 = lo + _dt.timedelta(days=int(span * _DELTA_DEL_FRAC))
+        c2 = lo + _dt.timedelta(days=int(span * _DELTA_UPD_FRAC))
+        old = ft.PLAN_SPARK_THRESHOLD
+        ft.PLAN_SPARK_THRESHOLD = 0  # the delta regime, deterministically
+        try:
+            ft.delete_where(spark, staging, "order_dt", c1)
+            ft.update_where(
+                spark, staging, "order_dt", c2, {"o_custkey": F.lit(0)}
+            )
+            src = (
+                read_fixture(spark, sf_dir, "orders")
+                .filter(F.col("o_orderkey") % 97 == 0)
+                .select(F.col("o_orderkey").alias("sk"))
+            )
+            ft.merge_into(
+                spark, staging, src, on=("o_orderkey", "sk"),
+                when_matched_update={"o_custkey": F.lit(-1)},
+            )
+            ft.delete_positions_dv(
+                spark, staging, F.col("o_orderkey") % 89 == 0
+            )
+        finally:
+            ft.PLAN_SPARK_THRESHOLD = old
+        forms = [
+            ft._manifest_form(staging, v)[0]
+            for v in ft._manifest_versions(staging)
+        ]
+        if forms.count("delta") < 4:
+            raise ValueError(f"delta-regime build invariant broken: {forms}")
+
+    table_dir = _served_table(
+        sf_dir, "lakedelta_", "orders", "lakedelta-v1", build
+    )
+    return (
+        ft.read_table(spark, table_dir)
+        .groupBy(F.date_format("order_dt", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum("o_totalprice").alias("total_price"),
+            F.sum("o_custkey").cast("long").alias("cust_sum"),
+        )
+        .orderBy("order_month")
+    )
+
+
+LAKE_DELTA_VERBS_ORACLE = f"""
+WITH b AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+           MAX(CAST(o_orderdate AS DATE)) AS hi
+    FROM orders
+),
+cut AS (
+    SELECT lo + CAST(FLOOR({_DELTA_DEL_FRAC} * (hi - lo)) AS INT) AS c1,
+           lo + CAST(FLOOR({_DELTA_UPD_FRAC} * (hi - lo)) AS INT) AS c2
+    FROM b
+),
+visible AS (
+    SELECT CAST(o_orderdate AS DATE) AS order_dt,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           CASE
+               WHEN o_orderkey % 97 = 0 THEN -1
+               WHEN CAST(o_orderdate AS DATE) <= (SELECT c2 FROM cut) THEN 0
+               ELSE o_custkey
+           END AS cust
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) > (SELECT c1 FROM cut)
+      AND o_orderkey % 89 <> 0
+)
+SELECT strftime(order_dt, '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(price), 2) AS DOUBLE) AS total_price,
+       CAST(SUM(cust) AS BIGINT) AS cust_sum
+FROM visible
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # headline: the tier's serve-path representative (manifest prune +
     # pruned parquet read); the other two verbs serve metadata-identical
@@ -2156,5 +2431,17 @@ QUERIES: dict[str, QuerySpec] = {
     "lake_skipping_dv_scan": QuerySpec(lake_skipping_dv_scan, LAKE_SKIPPING_DV_ORACLE),
     "lake_feed_visible_bootstrap": QuerySpec(
         lake_feed_visible_bootstrap, LAKE_FEED_VISIBLE_ORACLE
+    ),
+    # r14: the ADVICE r13 re-bucket escape and the bucket-key equality
+    # delete both serve through the aligned SPJ
+    "lake_rebucket_imported": QuerySpec(lake_rebucket_imported, LAKE_REBUCKET_ORACLE),
+    "lake_spj_eqdelete_join": QuerySpec(
+        lake_spj_eqdelete_join, LAKE_SPJ_EQDELETE_ORACLE
+    ),
+    # fifth headline (r14): the O(delta) commit regime end-to-end — the
+    # round's scale story, benched so a chain-resolution regression in
+    # the manifest format is visible
+    "lake_delta_manifest_verbs": QuerySpec(
+        lake_delta_manifest_verbs, LAKE_DELTA_VERBS_ORACLE, headline=True
     ),
 }

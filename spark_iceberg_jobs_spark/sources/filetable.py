@@ -160,11 +160,60 @@ def current_manifest_version(table_dir: str) -> int:
     return v
 
 
+def _load_manifest_raw(table_dir: str, version: int) -> dict:
+    """The manifest file AS WRITTEN — full (inline ``entries``), DELTA
+    (``delta: {base, removed, added}``, r14), or external-full
+    (``entries_external`` + the flat entry log). Callers that need the
+    entry list go through ``read_manifest``; this loader exists so the
+    O(delta) paths (feed, changelog, chain walks) can read a delta
+    commit's record without composing the full list."""
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
 def read_manifest(table_dir: str, version: int | None = None) -> dict:
     if version is None:
         version = current_manifest_version(table_dir)
-    with open(_manifest_path(table_dir, version)) as f:
-        return json.load(f)
+    return _resolve_manifest(table_dir, _load_manifest_raw(table_dir, version))
+
+
+def _entry_id(e: dict) -> tuple:
+    """Entry identity within a manifest: data/eq/pos entries are unique
+    by path; DV entries share one sidecar path across targets (the
+    bytes-charged-to-first-entry rule), so their identity is
+    (path, target)."""
+    return (e["path"], e.get("target"))
+
+
+def _resolve_manifest(table_dir: str, man: dict) -> dict:
+    """Materialize a raw manifest to the classic inline-entries shape.
+    Full manifests pass through; delta and external-full manifests
+    compose through ``_compose_full_entries`` (the ONE driver-side
+    full-entry-list materialization point — past PLAN_SPARK_THRESHOLD
+    the verbs, the feed and the changelog never call it; the routing
+    test monkeypatch-explodes it to pin that)."""
+    if "entries" in man:
+        return man
+    out = {k: v for k, v in man.items() if k != "delta"}
+    out["entries"] = _compose_full_entries(table_dir, man)
+    return out
+
+
+def _compose_full_entries(table_dir: str, man: dict) -> list[dict]:
+    """Driver-side full-entry-list composition for a delta or
+    external-full manifest (VERDICT r13 item 1): external-full streams
+    its commit-time entry log back; a delta resolves its base (recursion
+    bounded by MANIFEST_DELTA_MAX_CHAIN — every deeper chain was
+    materialized at commit time) and applies removed/added by entry id.
+    This is the legacy/under-threshold service path — O(#files) driver
+    memory, exactly what the past-threshold paths route around."""
+    if man.get("entries_external"):
+        return _read_entries_jsonl(table_dir, man["version"], man["stats_types"])
+    d = man["delta"]
+    base = read_manifest(table_dir, d["base"])
+    removed = {tuple(r) for r in d["removed"]}
+    kept = [e for e in base["entries"] if _entry_id(e) not in removed]
+    return kept + d["added"]
 
 
 class CommitConflictError(RuntimeError):
@@ -290,6 +339,77 @@ def _entries_jsonl_path(table_dir: str, version: int) -> str:
     return os.path.join(_meta_dir(table_dir), f"entries_m{version:06d}.jsonl")
 
 
+def _entry_to_rec(e: dict, stats_cols: list[str]) -> dict:
+    """One flat entry-log record (LOSSLESS as of r14 — ``bucket`` rides
+    along, so a manifest can be reconstructed from its log: the
+    external-full form depends on it)."""
+    rec = {
+        "path": e["path"],
+        "kind": e.get("kind", "data"),
+        "seq": e.get("seq", 0),
+        "n_rows": e["rows"],
+        "n_bytes": e["bytes"],
+        "key_cols": (
+            json.dumps(_entry_key_cols(e))
+            if e.get("kind") == "eqdelete"
+            else None
+        ),
+        "target": e.get("target"),
+        "bucket": e.get("bucket"),
+    }
+    for c in stats_cols:
+        s = e["stats"].get(c)
+        rec[f"min_{c}"] = None if s is None else s[0]
+        rec[f"max_{c}"] = None if s is None else s[1]
+        rec[f"nulls_{c}"] = e.get("nulls", {}).get(c)
+    return rec
+
+
+def _rec_to_entry(rec: dict, stats_cols: list[str]) -> dict:
+    """Inverse of ``_entry_to_rec`` — behaviorally lossless: a stats/
+    nulls slot that was None comes back elided (``.get`` semantics are
+    identical; planners treat absent and None bounds the same)."""
+    e: dict = {
+        "path": rec["path"],
+        "rows": rec["n_rows"],
+        "bytes": rec["n_bytes"],
+        "seq": rec.get("seq", 0),
+        "stats": {},
+        "nulls": {},
+    }
+    if rec.get("kind") and rec["kind"] != "data":
+        e["kind"] = rec["kind"]
+    if rec.get("key_cols"):
+        e["key_cols"] = json.loads(rec["key_cols"])
+    if rec.get("target") is not None:
+        e["target"] = rec["target"]
+    if rec.get("bucket") is not None:
+        e["bucket"] = rec["bucket"]
+    for c in stats_cols:
+        mn = rec.get(f"min_{c}")
+        if mn is not None:
+            e["stats"][c] = [mn, rec.get(f"max_{c}")]
+        nl = rec.get(f"nulls_{c}")
+        if nl is not None:
+            e["nulls"][c] = nl
+    return e
+
+
+def _read_entries_jsonl(
+    table_dir: str, version: int, stats_types: dict
+) -> list[dict]:
+    """Stream a version's flat entry log back into entry dicts — the
+    read-side service for external-full manifests. Line-at-a-time, so
+    peak driver memory is the returned list itself."""
+    out = []
+    stats_cols = list(stats_types)
+    with open(_entries_jsonl_path(table_dir, version)) as f:
+        for line in f:
+            if line.strip():
+                out.append(_rec_to_entry(json.loads(line), stats_cols))
+    return out
+
+
 def _write_entries_jsonl(table_dir: str, manifest: dict, version: int) -> None:
     """Commit-time flat entry log (VERDICT r11 'what's wrong' #2): one
     JSON line per entry, STREAMED from the list the commit just composed
@@ -303,25 +423,7 @@ def _write_entries_jsonl(table_dir: str, manifest: dict, version: int) -> None:
     tmp = f"{_entries_jsonl_path(table_dir, version)}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         for e in manifest["entries"]:
-            rec = {
-                "path": e["path"],
-                "kind": e.get("kind", "data"),
-                "seq": e.get("seq", 0),
-                "n_rows": e["rows"],
-                "n_bytes": e["bytes"],
-                "key_cols": (
-                    json.dumps(_entry_key_cols(e))
-                    if e.get("kind") == "eqdelete"
-                    else None
-                ),
-                "target": e.get("target"),
-            }
-            for c in stats_cols:
-                s = e["stats"].get(c)
-                rec[f"min_{c}"] = None if s is None else s[0]
-                rec[f"max_{c}"] = None if s is None else s[1]
-                rec[f"nulls_{c}"] = e.get("nulls", {}).get(c)
-            f.write(json.dumps(rec) + "\n")
+            f.write(json.dumps(_entry_to_rec(e, stats_cols)) + "\n")
     os.replace(tmp, _entries_jsonl_path(table_dir, version))
 
 
@@ -329,6 +431,10 @@ def _finish_commit(
     table_dir: str, manifest: dict, nxt: int, fd: int, branch: str | None = None
 ) -> int:
     manifest["version"] = nxt
+    # O(schema)-header entry count: the threshold dispatch reads this
+    # instead of approximating from manifest file size (r14 — delta
+    # manifests made the byte heuristic meaningless)
+    manifest["n_entries"] = len(manifest["entries"])
     # data sequence number (Iceberg v2): entries added by THIS commit are
     # stamped with it; carried-over entries keep theirs. An equality
     # delete applies only to data files with a SMALLER seq — the rule
@@ -350,9 +456,15 @@ def _finish_commit(
         json.dump({k: v for k, v in manifest.items() if k != "entries"}, f)
     os.replace(tmp, hp)
     _write_entries_jsonl(table_dir, manifest, nxt)
+    return _publish_head(table_dir, nxt, branch)
+
+
+def _publish_head(table_dir: str, nxt: int, branch: str | None) -> int:
+    """Make a claimed-and-written manifest the visible head: a branch
+    commit moves only the branch ref (MAIN's hint never moves — readers
+    see nothing until fast_forward_table publishes); a main commit
+    repoints the hint via write-tmp + atomic replace."""
     if branch is not None:
-        # the branch head moves; MAIN's hint does not — readers of the
-        # main table see nothing until fast_forward_table publishes
         branches = _read_branches(table_dir)
         if branch not in branches:
             raise ValueError(f"no branch {branch!r} — create_branch first")
@@ -365,6 +477,269 @@ def _finish_commit(
         f.write(str(nxt))
     os.replace(tmp, hint)
     return nxt
+
+
+#: Delta-manifest chain cap (VERDICT r13 item 1 — the Iceberg
+#: manifest-list analog): a commit whose chain would exceed this many
+#: deltas since the last full snapshot MATERIALIZES instead (streams
+#: the ancestor's entry log through the cumulative delta into a fresh
+#: full log — external-full form). Bounds both read-side chain
+#: resolution and the commit-time amortized cost: every commit is
+#: O(delta) driver-side except one in MANIFEST_DELTA_MAX_CHAIN, which
+#: pays one O(#files) STREAM (never an O(#files) in-memory list).
+MANIFEST_DELTA_MAX_CHAIN = 8
+
+
+def _n_entries_approx(table_dir: str, version: int) -> int:
+    """The version's entry count from its O(schema) header (exact,
+    recorded at commit since r14); legacy versions fall back to the
+    manifest-file byte heuristic — correct for them, because every
+    legacy manifest is inline-full."""
+    try:
+        with open(_header_path(table_dir, version)) as f:
+            n = json.load(f).get("n_entries")
+        if n is not None:
+            return n
+    except (OSError, ValueError):
+        pass
+    return (
+        os.path.getsize(_manifest_path(table_dir, version))
+        // _MANIFEST_BYTES_PER_ENTRY
+    )
+
+
+def _manifest_form(table_dir: str, version: int) -> tuple[str, int | None]:
+    """(form, delta_base) from the O(schema) header — how chain walks
+    classify a version WITHOUT opening its manifest (an inline-full
+    manifest is O(#files) bytes; parsing it to learn its form would
+    defeat the walk). A version with no header (or one predating the
+    form marker) is inline-full by construction — the delta format
+    postdates header sidecars."""
+    try:
+        with open(_header_path(table_dir, version)) as f:
+            h = json.load(f)
+    except (OSError, ValueError):
+        return "full", None
+    return h.get("form", "full"), h.get("delta_base")
+
+
+def _delta_chain_depth(table_dir: str, version: int) -> int:
+    """Number of delta links between ``version`` and its nearest full
+    (inline or external) ancestor — O(chain) header reads, bounded by
+    MANIFEST_DELTA_MAX_CHAIN."""
+    depth = 0
+    v = version
+    while True:
+        form, base = _manifest_form(table_dir, v)
+        if form != "delta":
+            return depth
+        depth += 1
+        v = base
+
+
+def _materialize_entries_jsonl(table_dir: str, manifest: dict, nxt: int) -> int:
+    """Chain compaction: stream the nearest full ancestor's entry log
+    through the chain's cumulative delta (including THIS commit's) into
+    version ``nxt``'s full entry log. Driver memory is O(sum of chain
+    deltas) — the full list is never materialized in memory; the
+    ancestor log streams line-at-a-time. Returns the exact entry count.
+
+    Caveat (documented, loud-failing): an entry log written before the
+    ``bucket`` field existed reconstructs bucket-laid-out entries
+    without their ids — the SPJ/compaction guards then raise and
+    ``rebucket_imported`` is the escape; logs written by this code are
+    lossless."""
+    deltas: list[dict] = []
+    v = manifest["delta"]["base"]
+    while True:
+        form, base = _manifest_form(table_dir, v)
+        if form != "delta":
+            if not os.path.exists(_entries_jsonl_path(table_dir, v)):
+                # legacy cold path: written once per immutable version
+                _write_entries_jsonl(table_dir, read_manifest(table_dir, v), v)
+            break
+        deltas.append(_load_manifest_raw(table_dir, v)["delta"])
+        v = base
+    deltas.reverse()
+    deltas.append(manifest["delta"])
+    removed: set[tuple] = set()
+    added: dict[tuple, dict] = {}
+    for d in deltas:
+        for r in d["removed"]:
+            rid = tuple(r)
+            if rid in added:
+                del added[rid]  # added then removed within the chain
+            else:
+                removed.add(rid)  # commit-dir paths are never reused
+        for e in d["added"]:
+            added[_entry_id(e)] = e
+    stats_cols = list(manifest["stats_types"])
+    out_path = _entries_jsonl_path(table_dir, nxt)
+    tmp = f"{out_path}.tmp.{os.getpid()}"
+    n = 0
+    with open(_entries_jsonl_path(table_dir, v)) as src, open(tmp, "w") as dst:
+        for line in src:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if (rec["path"], rec.get("target")) in removed:
+                continue
+            dst.write(line if line.endswith("\n") else line + "\n")
+            n += 1
+        for e in added.values():
+            dst.write(json.dumps(_entry_to_rec(e, stats_cols)) + "\n")
+            n += 1
+    os.replace(tmp, out_path)
+    return n
+
+
+def _manifest_for_write(
+    table_dir: str, branch: str | None = None
+) -> dict:
+    """Two-level manifest access for a WRITE verb (VERDICT r13 item 1):
+    under the threshold, the resolved full manifest (entries inline —
+    byte-identical behavior to every prior round); past it, the
+    O(schema) header with ``entries: None`` — the verb then fetches only
+    the entries it touches from the parquet manifest table and commits a
+    DELTA through ``_commit_update``."""
+    version = (
+        branch_head(table_dir, branch)
+        if branch is not None
+        else current_manifest_version(table_dir)
+    )
+    if not _over_plan_threshold(table_dir, None, version):
+        return read_manifest(table_dir, version)
+    hdr = dict(read_manifest_header(table_dir, version))
+    hdr["version"] = version
+    hdr["entries"] = None
+    return hdr
+
+
+def _commit_update(
+    table_dir: str,
+    prev: dict,
+    *,
+    operation: str,
+    summary: dict,
+    removed_ids: list[tuple],
+    added_entries: list[dict],
+    adds_files: bool,
+    stats_types: dict | None = None,
+    branch: str | None = None,
+    rebase_append: bool = False,
+) -> int:
+    """The one commit API for entry-set updates, two-level:
+
+    - ``prev`` carries inline entries (under-threshold / legacy): the
+      classic path — compose the full list, commit through
+      ``_commit_manifest`` exactly as before;
+    - ``prev`` is a header view (``entries is None`` — past the
+      threshold, from ``_manifest_for_write``): write a DELTA manifest
+      — header fields + ``{base, removed, added}`` — in O(delta) driver
+      work; every MANIFEST_DELTA_MAX_CHAIN-th commit materializes the
+      chain into an external-full snapshot by STREAMING the ancestor
+      log (never holding the list).
+
+    ``removed_ids`` are ``_entry_id`` tuples; ``rebase_append`` marks a
+    commit whose additions are disjoint from anything concurrent by
+    construction (fresh CAS commit dirs) — it rebases onto a concurrent
+    winner instead of raising, like append_table always has. add_files
+    keeps the legacy path: its caller-chosen import paths need the
+    in-lock duplicate check only the full entry list provides."""
+    stats_types = stats_types if stats_types is not None else prev["stats_types"]
+    base_version = prev["version"]
+    if prev.get("entries") is not None:
+        removed = set(removed_ids)
+        entries = [
+            e for e in prev["entries"] if _entry_id(e) not in removed
+        ] + added_entries
+        return _commit_manifest(
+            table_dir,
+            _inherit_schema(prev, {
+                "operation": operation,
+                "stats_types": stats_types,
+                "summary": summary,
+                "entries": entries,
+            }, adds_files=adds_files),
+            base_version=base_version,
+            rebase_append=(
+                added_entries if rebase_append and branch is None else None
+            ),
+            branch=branch,
+        )
+    manifest = _inherit_schema(prev, {
+        "operation": operation,
+        "stats_types": stats_types,
+        "summary": summary,
+    }, adds_files=adds_files)
+    with _commit_lock(table_dir):
+        cur = (
+            branch_head(table_dir, branch)
+            if branch is not None
+            else current_manifest_version(table_dir)
+        )
+        base = base_version
+        if cur != base:
+            if rebase_append and not removed_ids:
+                cur_hdr = read_manifest_header(table_dir, cur)
+                if cur_hdr.get("schema") != manifest.get("schema"):
+                    raise CommitConflictError(
+                        "concurrent schema change; re-plan the append"
+                    )
+                # re-inherit the winner's bookkeeping (the full-path
+                # rebase does the same); new files are disjoint by
+                # construction, so no per-path check is needed
+                manifest["names_at_seq"] = dict(cur_hdr.get("names_at_seq", {}))
+                manifest["stats_types"] = cur_hdr["stats_types"]
+                base = cur
+            else:
+                raise CommitConflictError(
+                    f"planned from manifest {base} but current is {cur}; "
+                    "re-plan from the current snapshot"
+                )
+        manifest["parent"] = cur
+        nxt = (_manifest_versions(table_dir) or [0])[-1] + 1
+        while True:
+            path = _manifest_path(table_dir, nxt)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                nxt += 1
+        manifest["version"] = nxt
+        for e in added_entries:
+            e.setdefault("seq", nxt)
+        new_names = manifest.pop("_new_names", None)
+        if new_names is not None:
+            manifest.setdefault("names_at_seq", {})[str(nxt)] = new_names
+        manifest["delta"] = {
+            "base": base,
+            "removed": [list(r) for r in removed_ids],
+            "added": added_entries,
+        }
+        if _delta_chain_depth(table_dir, base) + 1 > MANIFEST_DELTA_MAX_CHAIN:
+            manifest["n_entries"] = _materialize_entries_jsonl(
+                table_dir, manifest, nxt
+            )
+            manifest["entries_external"] = True
+            form = "external"
+        else:
+            manifest["n_entries"] = (
+                max(0, _n_entries_approx(table_dir, base) - len(removed_ids))
+                + len(added_entries)
+            )
+            form = "delta"
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        hdr = {k: v for k, v in manifest.items() if k != "delta"}
+        hdr["form"] = form
+        hdr["delta_base"] = base
+        hp = _header_path(table_dir, nxt)
+        tmp = f"{hp}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(hdr, f)
+        os.replace(tmp, hp)
+        return _publish_head(table_dir, nxt, branch)
 
 
 def _stat_type(df: DataFrame, col: str) -> str:
@@ -618,7 +993,10 @@ def append_table(
     import shutil
 
     spark = df.sparkSession
-    prev = read_manifest(table_dir, branch_head(table_dir, branch))
+    # r14: past the threshold this is the O(schema) header and the
+    # commit below is a manifest DELTA — an append to a million-file
+    # table is O(new files) driver-side, never O(#files)
+    prev = _manifest_for_write(table_dir, branch)
     cur = _current_names(prev)
     if cur is not None and set(df.columns) != set(cur.values()):
         raise ValueError(
@@ -647,18 +1025,19 @@ def append_table(
             if ok is not None and not ok:
                 shutil.rmtree(staged_dir, ignore_errors=True)
                 raise ValueError(f"append audit #{i} failed; commit discarded")
-    manifest = _inherit_schema(prev, {
-        "operation": "append",
-        "stats_types": prev["stats_types"],
-        "summary": {"files_added": len(new), "rows_added": sum(e["rows"] for e in new)},
-        "entries": prev["entries"] + new,
-    }, adds_files=True)
-    return _commit_manifest(
+    return _commit_update(
         table_dir,
-        manifest,
-        base_version=prev["version"],
-        rebase_append=new if branch is None else None,
+        prev,
+        operation="append",
+        summary={
+            "files_added": len(new),
+            "rows_added": sum(e["rows"] for e in new),
+        },
+        removed_ids=[],
+        added_entries=new,
+        adds_files=True,
         branch=branch,
+        rebase_append=True,
     )
 
 
@@ -1088,6 +1467,15 @@ def write_manifest_parquet(
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     jsonl = _entries_jsonl_path(table_dir, version)
+    if not os.path.exists(jsonl):
+        form, base = _manifest_form(table_dir, version)
+        if form == "delta":
+            # r14 delta composition: base parquet manifest table
+            # (recursively materialized — recursion bounded by
+            # MANIFEST_DELTA_MAX_CHAIN) anti-joined with the removed ids
+            # and unioned with the added entries, entirely as a job —
+            # the driver touches only the O(delta) delta record
+            return _write_manifest_parquet_delta(spark, table_dir, version, base, out)
     if os.path.exists(jsonl):
         # r12 path: the commit already streamed the flat entry log, so
         # the conversion is a pure Spark job — schema'd JSON scan, typed
@@ -1098,7 +1486,7 @@ def write_manifest_parquet(
         raw_t = {"date": "string", "long": "long", "double": "double", "string": "string"}
         fields = [
             "path string", "kind string", "seq long", "n_rows long",
-            "n_bytes long", "key_cols string", "target string",
+            "n_bytes long", "key_cols string", "target string", "bucket long",
         ]
         for c in stats_cols:
             t = raw_t[hdr["stats_types"][c]]
@@ -1106,7 +1494,10 @@ def write_manifest_parquet(
         df = spark.read.json(jsonl, schema=", ".join(fields))
         sel = [
             F.col(c)
-            for c in ("path", "kind", "seq", "n_rows", "n_bytes", "key_cols", "target")
+            for c in (
+                "path", "kind", "seq", "n_rows", "n_bytes", "key_cols",
+                "target", "bucket",
+            )
         ]
         for c in stats_cols:
             if hdr["stats_types"][c] == "date":
@@ -1134,19 +1525,37 @@ def write_manifest_parquet(
         with open(tmp, "w") as f:
             json.dump({k: v for k, v in man.items() if k != "entries"}, f)
         os.replace(tmp, hp)
-    stats_cols = list(man["stats_types"])
-    decs = {c: _STAT_DECODERS[man["stats_types"][c]] for c in stats_cols}
+    rows, fields = _entry_rows_fields(man["entries"], man["stats_types"])
+    df = spark.createDataFrame(rows, ", ".join(fields))
+    # one shard per ~64k entries: a million-file manifest stays a few
+    # parquet files, each independently prunable by its own row groups
+    df.coalesce(max(1, len(rows) // 65536 + (1 if len(rows) % 65536 else 0))).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def _entry_rows_fields(
+    entries: list[dict], stats_types: dict
+) -> tuple[list[tuple], list[str]]:
+    """Entry dicts → (rows, DDL fields) for the parquet manifest table —
+    bounds decoded to the native domain so pruning predicates are plain
+    typed comparisons. Shared by the legacy full conversion and the
+    delta composition's added side."""
+    stats_cols = list(stats_types)
+    decs = {c: _STAT_DECODERS[stats_types[c]] for c in stats_cols}
     sql_t = {"date": "date", "long": "long", "double": "double", "string": "string"}
     fields = [
         "path string", "kind string", "seq long", "n_rows long", "n_bytes long",
         "key_cols string",  # eqdelete equality_ids, JSON-encoded (else null)
         "target string",  # dv entries: the data file the vector covers
+        "bucket long",  # bucketed-layout id (r14: manifest-table-lossless)
     ]
     for c in stats_cols:
-        t = sql_t[man["stats_types"][c]]
+        t = sql_t[stats_types[c]]
         fields += [f"min_{c} {t}", f"max_{c} {t}", f"nulls_{c} long"]
     rows = []
-    for e in man["entries"]:
+    for e in entries:
         row = [
             e["path"],
             e.get("kind", "data"),
@@ -1155,6 +1564,7 @@ def write_manifest_parquet(
             e["bytes"],
             json.dumps(_entry_key_cols(e)) if e.get("kind") == "eqdelete" else None,
             e.get("target"),
+            e.get("bucket"),
         ]
         for c in stats_cols:
             s = e["stats"].get(c)
@@ -1164,12 +1574,47 @@ def write_manifest_parquet(
                 e.get("nulls", {}).get(c),
             ]
         rows.append(tuple(row))
-    df = spark.createDataFrame(rows, ", ".join(fields))
-    # one shard per ~64k entries: a million-file manifest stays a few
-    # parquet files, each independently prunable by its own row groups
-    df.coalesce(max(1, len(rows) // 65536 + (1 if len(rows) % 65536 else 0))).write.mode(
-        "overwrite"
-    ).parquet(out)
+    return rows, fields
+
+
+def _write_manifest_parquet_delta(
+    spark: SparkSession, table_dir: str, version: int, base: int, out: str
+) -> str:
+    """Materialize a DELTA version's parquet manifest table as a job
+    (VERDICT r13 item 1, read side): base table ∖ removed ids ∪ added
+    entries. The driver reads only the O(delta) delta record; the base
+    table recursion is bounded by MANIFEST_DELTA_MAX_CHAIN (deeper
+    chains were materialized at commit time and hit the jsonl path)."""
+    base_dir = write_manifest_parquet(spark, table_dir, base)
+    d = _load_manifest_raw(table_dir, version)["delta"]
+    hdr = read_manifest_header(table_dir, version)
+    base_df = spark.read.parquet(base_dir)
+    # normalize optional columns absent from tables materialized by
+    # older code (pre-r12 lacked target/key_cols; pre-r14 lacked bucket)
+    for c, t in (("key_cols", "string"), ("target", "string"), ("bucket", "long")):
+        if c not in base_df.columns:
+            base_df = base_df.withColumn(c, F.lit(None).cast(t))
+    if d["removed"]:
+        rem = spark.createDataFrame(
+            [(p, t if t is not None else "") for p, t in (tuple(r) for r in d["removed"])],
+            "_rm_path string, _rm_target string",
+        )
+        base_df = base_df.alias("m").join(
+            F.broadcast(rem),
+            (F.col("m.path") == F.col("_rm_path"))
+            & (F.coalesce(F.col("m.target"), F.lit("")) == F.col("_rm_target")),
+            "left_anti",
+        )
+    if d["added"]:
+        rows, fields = _entry_rows_fields(d["added"], hdr["stats_types"])
+        base_df = base_df.unionByName(
+            spark.createDataFrame(rows, ", ".join(fields)),
+            allowMissingColumns=True,
+        )
+    n_approx = max(1, hdr.get("n_entries") or 1)
+    base_df.coalesce(
+        max(1, n_approx // 65536 + (1 if n_approx % 65536 else 0))
+    ).write.mode("overwrite").parquet(out)
     return out
 
 
@@ -1307,11 +1752,12 @@ def _over_plan_threshold(
         threshold = PLAN_SPARK_THRESHOLD
     if version is None:
         version = current_manifest_version(table_dir)
-    approx = (
-        os.path.getsize(_manifest_path(table_dir, version))
-        // _MANIFEST_BYTES_PER_ENTRY
-    )
-    return approx > threshold
+    # r14: delta manifests are O(delta) bytes, so file size no longer
+    # approximates the entry count — every r14 commit records n_entries
+    # in its O(schema) header; the byte heuristic remains the legacy
+    # fallback (correct for inline-full manifests, which are the only
+    # kind without the field)
+    return _n_entries_approx(table_dir, version) > threshold
 
 
 def _manifest_auto(
@@ -1334,6 +1780,10 @@ def _manifest_auto(
     mt = spark.read.parquet(pdir)
     if "target" not in mt.columns:
         return read_manifest(table_dir, version)  # pre-r12 materialization
+    cols = ["path", "kind", "seq", "n_rows", "n_bytes", "key_cols", "target"]
+    has_bucket = "bucket" in mt.columns  # pre-r14 tables lack the column
+    if has_bucket:
+        cols.append("bucket")
     entries = [
         {
             "path": r["path"],
@@ -1343,10 +1793,13 @@ def _manifest_auto(
             "bytes": r["n_bytes"],
             **({"key_cols": json.loads(r["key_cols"])} if r["key_cols"] else {}),
             **({"target": r["target"]} if r["target"] is not None else {}),
+            **(
+                {"bucket": r["bucket"]}
+                if has_bucket and r["bucket"] is not None
+                else {}
+            ),
         }
-        for r in mt.select(
-            "path", "kind", "seq", "n_rows", "n_bytes", "key_cols", "target"
-        ).collect()
+        for r in mt.select(*cols).collect()
     ]
     return {**read_manifest_header(table_dir, version), "entries": entries}
 
@@ -1425,6 +1878,64 @@ def _require_no_live_deletes(man: dict, verb: str) -> None:
         raise ValueError(
             f"{verb} on a table with live delete files — run fold_deletes first"
         )
+
+
+def _require_no_live_deletes_mt(
+    spark: SparkSession, table_dir: str, version: int, verb: str
+) -> int:
+    """The past-threshold twin of ``_require_no_live_deletes``: one
+    aggregate over the parquet manifest table (no entry dicts, no JSON
+    parse). Returns the DATA-file count — every caller needs it for its
+    untouched-count bookkeeping, so the one job serves both."""
+    mt = spark.read.parquet(write_manifest_parquet(spark, table_dir, version))
+    row = mt.agg(
+        F.count_if(F.col("kind") == "data").alias("n_data"),
+        F.count_if(F.col("kind") != "data").alias("n_other"),
+    ).collect()[0]
+    if row["n_other"]:
+        raise ValueError(
+            f"{verb} on a table with live delete files — run fold_deletes first"
+        )
+    return row["n_data"]
+
+
+def _mt_entries(
+    spark: SparkSession, table_dir: str, version: int, cond: Column
+) -> list[dict]:
+    """Narrow entry dicts for a BOUNDED subset of the parquet manifest
+    table — the way a past-threshold write verb fetches exactly the
+    entries it touches (collect bounded by the subset size, the same
+    bound the rewrite itself has). stats/nulls are elided (the verbs
+    need path/seq/rows/bytes/kind/target/key_cols/bucket); these dicts
+    serve reads and summary arithmetic ONLY and must never be written
+    back into a manifest — added entries always come fresh from
+    ``_collect_entries``."""
+    mt = spark.read.parquet(write_manifest_parquet(spark, table_dir, version))
+    cols = ["path", "kind", "seq", "n_rows", "n_bytes", "key_cols", "target"]
+    has_bucket = "bucket" in mt.columns
+    if has_bucket:
+        cols.append("bucket")
+    out = []
+    for r in mt.filter(cond).select(*cols).collect():
+        e = {
+            "path": r["path"],
+            "rows": r["n_rows"],
+            "bytes": r["n_bytes"],
+            "seq": r["seq"],
+            "stats": {},
+            "nulls": {},
+        }
+        if r["kind"] != "data":
+            e["kind"] = r["kind"]
+        if r["key_cols"]:
+            e["key_cols"] = json.loads(r["key_cols"])
+        if r["target"] is not None:
+            e["target"] = r["target"]
+        if has_bucket and r["bucket"] is not None:
+            e["bucket"] = r["bucket"]
+        out.append(e)
+    out.sort(key=lambda e: (e["path"], e.get("target") or ""))
+    return out
 
 
 def _split_entries(
@@ -1974,7 +2485,15 @@ def delete_positions_dv(
     prior vectors of the SAME files (O(touched)); merge is one
     distributed group-by over (file, position); the manifest delta is
     O(touched files)."""
-    man = read_manifest(table_dir)
+    # r14: past the threshold the read side runs off the narrow
+    # manifest-table entries (no JSON parse) and the commit below is a
+    # manifest DELTA — O(touched vectors), never O(#files)
+    prev = _manifest_for_write(table_dir)
+    man = (
+        _manifest_auto(spark, table_dir, prev["version"])
+        if prev["entries"] is None
+        else prev
+    )
     _data, _eqs, _poss, dvs = _split_entries(man)
     vis = _mor_read(spark, table_dir, man, keep_meta=True)
     new_pos = vis.filter(predicate).select(
@@ -1986,15 +2505,14 @@ def delete_positions_dv(
     prior_rows = sum(e["rows"] for e in dvs if e["target"] in set(touched))
     if not touched:
         summary = {"dv_targets": 0, "rows_pos_deleted": 0, "dv_rows_total": 0}
-        _commit_manifest(
+        _commit_update(
             table_dir,
-            _inherit_schema(man, {
-                "operation": "delete-dv",
-                "stats_types": man["stats_types"],
-                "summary": summary,
-                "entries": man["entries"],
-            }, adds_files=False),
-            base_version=man["version"],
+            prev,
+            operation="delete-dv",
+            summary=summary,
+            removed_ids=[],
+            added_entries=[],
+            adds_files=False,
         )
         return summary
     merged = new_pos
@@ -2057,10 +2575,8 @@ def delete_positions_dv(
         }
         for i, r in enumerate(sorted(counts, key=lambda r: r["_dv_target"]))
     ]
-    kept = [
-        e
-        for e in man["entries"]
-        if not (e.get("kind") == "dv" and e["target"] in superseded)
+    superseded_ids = [
+        (e["path"], e["target"]) for e in dvs if e["target"] in superseded
     ]
     total_after = sum(e["rows"] for e in new_entries)
     summary = {
@@ -2069,18 +2585,17 @@ def delete_positions_dv(
         "dv_rows_total": total_after,
         "sidecars_consolidated": consolidate,
         "sidecars_live": len(
-            {e["path"] for e in kept if e.get("kind") == "dv"} | {rel}
+            {e["path"] for e in dvs if e["target"] not in superseded} | {rel}
         ),
     }
-    _commit_manifest(
+    _commit_update(
         table_dir,
-        _inherit_schema(man, {
-            "operation": "delete-dv",
-            "stats_types": man["stats_types"],
-            "summary": summary,
-            "entries": kept + new_entries,
-        }, adds_files=False),
-        base_version=man["version"],
+        prev,
+        operation="delete-dv",
+        summary=summary,
+        removed_ids=superseded_ids,
+        added_entries=new_entries,
+        adds_files=False,
     )
     return _maybe_fold(spark, table_dir, auto_fold_threshold, summary)
 
@@ -2366,17 +2881,38 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
     Returns the commit summary (also embedded in the manifest, like an
     Iceberg snapshot summary).
 
-    TWO-LEVEL (r13, VERDICT r12 item 2): candidate classification
-    dispatches through ``_classify_where_auto`` — past the threshold the
-    bounds arithmetic runs as a job over the parquet manifest table and
-    the driver does set lookups only (the loop below is membership
-    bookkeeping, not per-entry decoding)."""
-    manifest = read_manifest(table_dir)
-    _require_no_live_deletes(manifest, "delete_where")
+    TWO-LEVEL (r13, VERDICT r12 item 2; r14, VERDICT r13 item 1):
+    candidate classification dispatches through ``_classify_where_auto``
+    — past the threshold the bounds arithmetic runs as a job over the
+    parquet manifest table — and the COMMIT is a manifest DELTA past the
+    threshold (``_commit_update``): the driver touches only the
+    classified entries and the new ones; the full entry list is never
+    composed (monkeypatch-explode pinned)."""
+    manifest = _manifest_for_write(table_dir)
+    if manifest["entries"] is not None:
+        _require_no_live_deletes(manifest, "delete_where")
+        n_data = None
+    else:
+        n_data = _require_no_live_deletes_mt(
+            spark, table_dir, manifest["version"], "delete_where"
+        )
     cls = _classify_where_auto(spark, table_dir, manifest, col, cutoff, "delete")
-    dropped = [e for e in manifest["entries"] if cls.get(e["path"]) == "dropped"]
-    straddle = [e for e in manifest["entries"] if cls.get(e["path"]) == "straddle"]
-    kept = [e for e in manifest["entries"] if e["path"] not in cls]
+    if manifest["entries"] is not None:
+        dropped = [e for e in manifest["entries"] if cls.get(e["path"]) == "dropped"]
+        straddle = [e for e in manifest["entries"] if cls.get(e["path"]) == "straddle"]
+        n_kept = sum(1 for e in manifest["entries"] if e["path"] not in cls)
+    else:
+        touched = (
+            _mt_entries(
+                spark, table_dir, manifest["version"],
+                F.col("path").isin(list(cls)),
+            )
+            if cls
+            else []
+        )
+        dropped = [e for e in touched if cls.get(e["path"]) == "dropped"]
+        straddle = [e for e in touched if cls.get(e["path"]) == "straddle"]
+        n_kept = n_data - len(cls)
     new_entries, rows_deleted, rows_kept = [], 0, 0
     if straddle:
         # schema-resolved read: straddlers written pre-evolution rewrite
@@ -2401,17 +2937,16 @@ def delete_where(spark: SparkSession, table_dir: str, col: str, cutoff) -> dict:
         "files_rewritten": len(straddle),
         "rows_deleted": rows_deleted + sum(e["rows"] for e in dropped),
         "rows_kept_in_rewrites": rows_kept,
-        "files_untouched": len(kept),
+        "files_untouched": n_kept,
     }
-    _commit_manifest(
+    _commit_update(
         table_dir,
-        _inherit_schema(manifest, {
-            "operation": "delete",
-            "stats_types": manifest["stats_types"],
-            "summary": summary,
-            "entries": kept + new_entries,
-        }, adds_files=bool(straddle)),
-        base_version=manifest["version"],
+        manifest,
+        operation="delete",
+        summary=summary,
+        removed_ids=[(p, None) for p in sorted(cls)],
+        added_entries=new_entries,
+        adds_files=bool(straddle),
     )
     return summary
 
@@ -2445,15 +2980,32 @@ def update_where(
     Scale: cost is O(files that can contain a match) — the zone maps
     bound the rewrite set exactly as for DELETE; everything above the
     cutoff survives untouched at any table size."""
-    manifest = read_manifest(table_dir)
-    _require_no_live_deletes(manifest, "update_where")
+    manifest = _manifest_for_write(table_dir)
+    if manifest["entries"] is not None:
+        _require_no_live_deletes(manifest, "update_where")
+        n_data = None
+    else:
+        n_data = _require_no_live_deletes_mt(
+            spark, table_dir, manifest["version"], "update_where"
+        )
     unknown = set(set_exprs) - {f["name"] for f in manifest.get("schema", {}).get("fields", [])}
     if unknown:
         raise ValueError(f"SET columns not in schema: {sorted(unknown)}")
-    # two-level classification (r13): see delete_where
+    # two-level classification (r13) + delta commit (r14): see delete_where
     cls = _classify_where_auto(spark, table_dir, manifest, col, cutoff, "update")
-    touched = [e for e in manifest["entries"] if e["path"] in cls]
-    kept = [e for e in manifest["entries"] if e["path"] not in cls]
+    if manifest["entries"] is not None:
+        touched = [e for e in manifest["entries"] if e["path"] in cls]
+        n_kept = sum(1 for e in manifest["entries"] if e["path"] not in cls)
+    else:
+        touched = (
+            _mt_entries(
+                spark, table_dir, manifest["version"],
+                F.col("path").isin(list(cls)),
+            )
+            if cls
+            else []
+        )
+        n_kept = n_data - len(cls)
     new_entries, rows_updated = [], 0
     if touched:
         src = _read_data(spark, table_dir, manifest, touched)
@@ -2480,18 +3032,17 @@ def update_where(
         )
     summary = {
         "files_rewritten": len(touched),
-        "files_untouched": len(kept),
+        "files_untouched": n_kept,
         "rows_updated": rows_updated,
     }
-    _commit_manifest(
+    _commit_update(
         table_dir,
-        _inherit_schema(manifest, {
-            "operation": "update",
-            "stats_types": manifest["stats_types"],
-            "summary": summary,
-            "entries": kept + new_entries,
-        }, adds_files=bool(new_entries)),
-        base_version=manifest["version"],
+        manifest,
+        operation="update",
+        summary=summary,
+        removed_ids=[(e["path"], None) for e in touched],
+        added_entries=new_entries,
+        adds_files=bool(new_entries),
     )
     return summary
 
@@ -2577,8 +3128,14 @@ def _merge_into_cow_checkpointed(
     when_not_matched_insert: dict[str, Column] | None,
 ) -> dict:
     tkey, skey = on
-    manifest = read_manifest(table_dir)
-    _require_no_live_deletes(manifest, "merge_into")
+    manifest = _manifest_for_write(table_dir)
+    if manifest["entries"] is not None:
+        _require_no_live_deletes(manifest, "merge_into")
+        n_data = None
+    else:
+        n_data = _require_no_live_deletes_mt(
+            spark, table_dir, manifest["version"], "merge_into"
+        )
 
     dup = source.agg(
         F.count(skey).alias("n"), F.countDistinct(skey).alias("d")
@@ -2600,10 +3157,28 @@ def _merge_into_cow_checkpointed(
         # join key carries no manifest bounds (or empty source range):
         # every data file is a candidate (conservative — the file-scoped
         # semi join still limits the rewrite set to files actually
-        # holding matches; only the zone-map prune is lost)
-        cand_paths = {e["path"] for e in manifest["entries"]}
-    candidates = [e for e in manifest["entries"] if e["path"] in cand_paths]
-    untouched = [e for e in manifest["entries"] if e["path"] not in cand_paths]
+        # holding matches; only the zone-map prune is lost). None marks
+        # the all-files case for the job path below.
+        cand_paths = (
+            None
+            if manifest["entries"] is None
+            else {e["path"] for e in manifest["entries"]}
+        )
+    if manifest["entries"] is not None:
+        candidates = [e for e in manifest["entries"] if e["path"] in cand_paths]
+        n_untouched = sum(
+            1 for e in manifest["entries"] if e["path"] not in cand_paths
+        )
+    else:
+        # collect bounded by the candidate count — the files the merge
+        # must read anyway (all of them only in the no-bounds case)
+        candidates = _mt_entries(
+            spark, table_dir, manifest["version"],
+            (F.col("kind") == "data")
+            if cand_paths is None
+            else F.col("path").isin(list(cand_paths)),
+        )
+        n_untouched = n_data - len(candidates)
 
     touched_paths: list[str] = []
     touched_entries: list[dict] = []
@@ -2620,10 +3195,9 @@ def _merge_into_cow_checkpointed(
             .collect()
         )  # bounded: one row per matched FILE
         touched_names = {os.path.basename(r["_ft_file"]) for r in touched}
-        still_untouched = [
-            e for e in candidates if os.path.basename(e["path"]) not in touched_names
-        ]
-        untouched += still_untouched
+        n_untouched += sum(
+            1 for e in candidates if os.path.basename(e["path"]) not in touched_names
+        )
         touched_entries = [
             e for e in candidates if os.path.basename(e["path"]) in touched_names
         ]
@@ -2685,12 +3259,7 @@ def _merge_into_cow_checkpointed(
             n_files=max(1, len(touched_paths)) + (1 if insert_df is not None else 0),
             **_layout_write_kwargs(manifest, cluster_by=tkey),
         )
-    touched_set = set(touched_paths)
-    rewritten_in = sum(
-        e["rows"]
-        for e in manifest["entries"]
-        if os.path.join(table_dir, e["path"]) in touched_set
-    )
+    rewritten_in = sum(e["rows"] for e in touched_entries)
     total_out = sum(e["rows"] for e in new_entries)
     # split the commit's row delta: one bounded count of the insert side
     # (only when both clauses ran — otherwise the file stats suffice),
@@ -2701,20 +3270,19 @@ def _merge_into_cow_checkpointed(
     summary = {
         "files_candidates": len(candidates),
         "files_rewritten": len(touched_paths),
-        "files_untouched": len(untouched),
+        "files_untouched": n_untouched,
         "rows_deleted": rows_deleted,
         "rows_inserted": n_inserted,
         "files_added": len(new_entries),
     }
-    _commit_manifest(
+    _commit_update(
         table_dir,
-        _inherit_schema(manifest, {
-            "operation": "merge",
-            "stats_types": manifest["stats_types"],
-            "summary": summary,
-            "entries": untouched + new_entries,
-        }, adds_files=bool(new_entries)),
-        base_version=manifest["version"],
+        manifest,
+        operation="merge",
+        summary=summary,
+        removed_ids=[(e["path"], None) for e in touched_entries],
+        added_entries=new_entries,
+        adds_files=bool(new_entries),
     )
     return summary
 
@@ -2793,8 +3361,19 @@ def _merge_into_mor_checkpointed(
     when_not_matched_insert: dict[str, Column] | None,
 ) -> dict:
     tkey, skey = on
-    manifest = read_manifest(table_dir)
-    _data, eqs, _poss, _dvs = _split_entries(manifest)
+    manifest = _manifest_for_write(table_dir)
+    if manifest["entries"] is not None:
+        delete_entries = [
+            e for e in manifest["entries"] if e.get("kind", "data") != "data"
+        ]
+    else:
+        # bounded: one narrow row per live DELETE entry (answer-scale —
+        # the MOR read needs each of them anyway); the data side is
+        # never collected unless it is the candidate set itself
+        delete_entries = _mt_entries(
+            spark, table_dir, manifest["version"], F.col("kind") != "data"
+        )
+    eqs = [e for e in delete_entries if e.get("kind") == "eqdelete"]
     if eqs:
         live_keys = _eq_key_cols(eqs)
         if live_keys != [tkey]:
@@ -2812,8 +3391,6 @@ def _merge_into_mor_checkpointed(
     srange = source.agg(F.min(skey).alias("lo"), F.max(skey).alias("hi")).collect()[0]
     s_lo, s_hi = srange["lo"], srange["hi"]
 
-    data, *_rest = _split_entries(manifest)
-    delete_entries = [e for e in manifest["entries"] if e.get("kind", "data") != "data"]
     if tkey in manifest["stats_types"] and s_lo is not None:
         # two-level classification (r13): the bounds intersection runs as
         # a manifest-table job past the threshold, like the CoW twin
@@ -2824,8 +3401,25 @@ def _merge_into_mor_checkpointed(
         # join key carries no manifest bounds (or empty source range):
         # every data file is a candidate (conservative — the file-scoped
         # matching still bounds the delete set; only the prune is lost)
-        cand_paths = {e["path"] for e in data}
-    candidates = [e for e in data if e["path"] in cand_paths]
+        cand_paths = (
+            None
+            if manifest["entries"] is None
+            else {
+                e["path"]
+                for e in manifest["entries"]
+                if e.get("kind", "data") == "data"
+            }
+        )
+    if manifest["entries"] is not None:
+        data, *_rest = _split_entries(manifest)
+        candidates = [e for e in data if e["path"] in cand_paths]
+    else:
+        candidates = _mt_entries(
+            spark, table_dir, manifest["version"],
+            (F.col("kind") == "data")
+            if cand_paths is None
+            else ((F.col("kind") == "data") & F.col("path").isin(list(cand_paths))),
+        )
     # the VISIBLE rows of candidate files only: restrict the data side,
     # keep every delete entry so MOR application stays exact
     man_cand = {**manifest, "entries": candidates + delete_entries}
@@ -2911,15 +3505,14 @@ def _merge_into_mor_checkpointed(
         "files_added": len(new_entries),
         "delete_files_added": len(del_new),
     }
-    _commit_manifest(
+    _commit_update(
         table_dir,
-        _inherit_schema(manifest, {
-            "operation": "merge-mor",
-            "stats_types": manifest["stats_types"],
-            "summary": summary,
-            "entries": manifest["entries"] + del_new + new_entries,
-        }, adds_files=bool(new_entries)),
-        base_version=manifest["version"],
+        manifest,
+        operation="merge-mor",
+        summary=summary,
+        removed_ids=[],
+        added_entries=del_new + new_entries,
+        adds_files=bool(new_entries),
     )
     return summary
 
@@ -3298,6 +3891,12 @@ def commit_delta_paths(table_dir: str, version: int) -> list[str]:
     appear here: they are new files from the reader's perspective, which
     is why real streaming consumers require append-only commits between
     checkpoints or a changelog view (cdc_changelog_* models that)."""
+    raw = _load_manifest_raw(table_dir, version)
+    if "delta" in raw:
+        # r14: the commit's own record answers in O(delta) — no parse
+        return [
+            os.path.join(table_dir, e["path"]) for e in raw["delta"]["added"]
+        ]
     prev: set[str] = set()
     if version > 1:
         prev = {e["path"] for e in read_manifest(table_dir, version - 1)["entries"]}
@@ -3324,6 +3923,62 @@ def _live_delete_kinds(man: dict) -> list[str]:
     return sorted(
         {e["kind"] for e in man["entries"] if e.get("kind", "data") != "data"}
     )
+
+
+def _data_paths_and_kinds_at(
+    table_dir: str, version: int
+) -> tuple[set[str], list[str]]:
+    """(live data-path set, live delete kinds) at a version WITHOUT
+    composing the full entry list: the delta chain is walked to its full
+    ancestor, whose state streams in (entry log line-at-a-time for
+    external-full; the inline JSON parse for legacy full manifests —
+    those predate the delta format and are the bootstrap-size answer
+    anyway), then the chain's removed/added apply as set arithmetic.
+    Peak memory is the returned path set plus the live delete-entry ids
+    — both answer-scale. Within a chain a removed id with a None target
+    is a DATA file (eq/pos removals only happen in fold commits, which
+    are inline-full and reset the chain)."""
+    deltas: list[dict] = []
+    v = version
+    while True:
+        form, base = _manifest_form(table_dir, v)
+        if form != "delta":
+            break
+        deltas.append(_load_manifest_raw(table_dir, v)["delta"])
+        v = base
+    deltas.reverse()
+    paths: set[str] = set()
+    nondata: dict[tuple, str] = {}  # entry id -> kind
+    raw = _load_manifest_raw(table_dir, v)
+    if raw.get("entries_external"):
+        with open(_entries_jsonl_path(table_dir, v)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec.get("kind", "data") == "data":
+                    paths.add(rec["path"])
+                else:
+                    nondata[(rec["path"], rec.get("target"))] = rec["kind"]
+    else:
+        for e in raw["entries"]:
+            if e.get("kind", "data") == "data":
+                paths.add(e["path"])
+            else:
+                nondata[_entry_id(e)] = e["kind"]
+    for d in deltas:
+        for r in d["removed"]:
+            rid = tuple(r)
+            if rid[1] is None and rid[0] in paths:
+                paths.discard(rid[0])
+            else:
+                nondata.pop(rid, None)
+        for e in d["added"]:
+            if e.get("kind", "data") == "data":
+                paths.add(e["path"])
+            else:
+                nondata[_entry_id(e)] = e["kind"]
+    return paths, sorted(set(nondata.values()))
 
 
 def incremental_feed(
@@ -3383,11 +4038,14 @@ def incremental_feed(
     rescanned, however long the history."""
     if bootstrap not in ("files", "visible"):
         raise ValueError(f"bootstrap must be 'files' or 'visible', got {bootstrap!r}")
+    # r14 (VERDICT r13 item 1): the walk loads RAW manifests — O(delta)
+    # bytes for every delta/external commit; only legacy inline-full
+    # manifests (which predate the delta format) parse their entries
     chain: list[dict] = []
     v: int | None = current_manifest_version(table_dir)
     while v is not None:
         try:
-            man = read_manifest(table_dir, v)
+            man = _load_manifest_raw(table_dir, v)
         except FileNotFoundError:
             break  # parent expired: the previous chain entry bootstraps
         chain.append(man)
@@ -3403,34 +4061,35 @@ def incremental_feed(
                 "lineage of the current head (expired or rolled back); "
                 "re-bootstrap the consumer"
             )
-        prev = chain[idx]
         chain = chain[idx + 1 :]
+        resume_paths, resume_kinds = _data_paths_and_kinds_at(
+            table_dir, since_version
+        )
         # a resume base carrying live MOR deletes is as unsound as a
         # bootstrap with them (ADVICE r11): its raw data-file list is
         # NOT what a consumer of the visible rows ingested. In VISIBLE
         # mode the checkpoint contract is 'ingested the visible rows',
         # and every post-checkpoint delete commit raises below — so the
         # append deltas equal the visible delta and the resume is sound.
-        if bootstrap == "files" and _live_delete_kinds(prev):
+        if bootstrap == "files" and resume_kinds:
             raise ValueError(
                 f"checkpoint version {since_version} carries live delete "
-                f"files ({_live_delete_kinds(prev)}); fold_deletes before "
+                f"files ({resume_kinds}); fold_deletes before "
                 "checkpointing, re-bootstrap from a folded snapshot, or "
                 "resume with bootstrap='visible'"
             )
-        resume_paths = {
-            e["path"] for e in prev["entries"] if e.get("kind", "data") == "data"
-        }
     feed = []
     prev_paths: set[str] | None = (
         resume_paths if since_version is not None else None
     )
+    first = since_version is None
     for man in chain:
         op = man["operation"]
-        data_paths = [
-            e["path"] for e in man["entries"] if e.get("kind", "data") == "data"
-        ]
-        if prev_paths is None:
+        if first:
+            first = False
+            boot_paths, boot_kinds = _data_paths_and_kinds_at(
+                table_dir, man["version"]
+            )
             if bootstrap == "visible":
                 # the consumer reads the MOR-applied snapshot, not raw
                 # paths — sound under any live delete state (r13)
@@ -3443,42 +4102,88 @@ def incremental_feed(
                         "paths": [],
                     }
                 )
-                prev_paths = set(data_paths)
+                prev_paths = boot_paths
                 continue
             # BOOTSTRAP guard (ADVICE r11, the medium one): a bootstrap
             # snapshot carrying live eqdelete/posdelete/dv entries would
             # feed raw data-file paths and silently re-surface deleted
             # rows, breaking the exactly-once contract. Loud, like the
             # mid-chain delete-commit case below.
-            if _live_delete_kinds(man):
+            if boot_kinds:
                 raise ValueError(
                     f"bootstrap snapshot {man['version']} carries live "
-                    f"delete files ({_live_delete_kinds(man)}) — its data "
+                    f"delete files ({boot_kinds}) — its data "
                     "files over-deliver deleted rows; run fold_deletes "
                     "before bootstrapping an incremental consumer, or "
                     "bootstrap='visible' to ingest the MOR-applied rows"
                 )
-            kind, paths = "bootstrap", data_paths
-        elif op in REPLACE_OPERATIONS:
-            kind, paths = "replace-skip", []
-        elif op in METADATA_OPERATIONS:
-            # schema/spec evolution: zero file delta by construction —
-            # assert it (a metadata op that DID move files would mean a
-            # new verb was misclassified) and skip
-            if set(data_paths) != prev_paths:
+            kind, paths = "bootstrap", sorted(boot_paths)
+            prev_paths = boot_paths
+        elif "delta" in man:
+            # the commit's own record IS the walk's answer — O(delta),
+            # no entry-list composition (the routing test pins this)
+            d = man["delta"]
+            added_data = [
+                e["path"] for e in d["added"] if e.get("kind", "data") == "data"
+            ]
+            removed_data = [r[0] for r in d["removed"] if r[1] is None]
+            if op in REPLACE_OPERATIONS:
+                kind, paths = "replace-skip", []
+            elif op in METADATA_OPERATIONS:
+                if d["added"] or d["removed"]:
+                    raise ValueError(
+                        f"metadata commit {man['version']} ({op!r}) changed "
+                        "the data file set; refusing to skip it"
+                    )
+                kind, paths = "metadata-skip", []
+            elif op in ("append", "create", "add-files"):
+                kind = "delta"
+                paths = [
+                    p
+                    for p in added_data
+                    if prev_paths is None or p not in prev_paths
+                ]
+            else:
                 raise ValueError(
-                    f"metadata commit {man['version']} ({op!r}) changed the "
-                    "data file set; refusing to skip it"
+                    f"incremental feed cannot represent a {op!r} commit (rows "
+                    "were removed or updated); consume changelog_table for "
+                    "this range"
                 )
-            kind, paths = "metadata-skip", []
-        elif op in ("append", "create", "add-files"):
-            kind = "delta"
-            paths = [p for p in data_paths if p not in prev_paths]
+            if prev_paths is not None:
+                prev_paths = (prev_paths - set(removed_data)) | set(added_data)
         else:
-            raise ValueError(
-                f"incremental feed cannot represent a {op!r} commit (rows were "
-                "removed or updated); consume changelog_table for this range"
-            )
+            # legacy inline-full commit: the classic diff (its parse IS
+            # the under-threshold regime)
+            data_paths = [
+                e["path"]
+                for e in man["entries"]
+                if e.get("kind", "data") == "data"
+            ]
+            if prev_paths is None:
+                # an inline commit after an unknown running set (only a
+                # threshold downcross mid-history): reconstruct once
+                prev_paths, _k = _data_paths_and_kinds_at(
+                    table_dir, man.get("parent")
+                )
+            if op in REPLACE_OPERATIONS:
+                kind, paths = "replace-skip", []
+            elif op in METADATA_OPERATIONS:
+                if set(data_paths) != prev_paths:
+                    raise ValueError(
+                        f"metadata commit {man['version']} ({op!r}) changed "
+                        "the data file set; refusing to skip it"
+                    )
+                kind, paths = "metadata-skip", []
+            elif op in ("append", "create", "add-files"):
+                kind = "delta"
+                paths = [p for p in data_paths if p not in prev_paths]
+            else:
+                raise ValueError(
+                    f"incremental feed cannot represent a {op!r} commit (rows "
+                    "were removed or updated); consume changelog_table for "
+                    "this range"
+                )
+            prev_paths = set(data_paths)
         feed.append(
             {
                 "version": man["version"],
@@ -3487,11 +4192,155 @@ def incremental_feed(
                 "paths": [os.path.join(table_dir, p) for p in paths],
             }
         )
-        prev_paths = set(data_paths)
     return feed
 
 
-def plan_changelog(table_dir: str, v_from: int, v_to: int) -> dict:
+def _delta_records_between(
+    table_dir: str, v_from: int, v_to: int
+) -> list[dict] | None:
+    """The commit delta records composing v_from → v_to, oldest first —
+    or None when the range isn't fully delta-recorded (a legacy
+    inline-full commit in between, or v_from not on v_to's base chain).
+    O(schema) header reads per link; only the O(delta) records load."""
+    recs: list[dict] = []
+    v = v_to
+    while v != v_from:
+        form, base = _manifest_form(table_dir, v)
+        if form == "full" or base is None or base < v_from:
+            return None
+        try:
+            recs.append(_load_manifest_raw(table_dir, v)["delta"])
+        except (FileNotFoundError, KeyError):
+            return None
+        v = base
+    recs.reverse()
+    return recs
+
+
+def _plan_changelog_chain(
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int
+) -> dict | None:
+    """Changelog planning from the COMMIT RECORDS (r14): net
+    removed/added by entry id across the chain, entry dicts for the
+    from-side fetched from the parquet manifest tables — no full
+    entry-list composition anywhere. Returns None when the range isn't
+    chain-covered (caller falls back to the manifest diff)."""
+    recs = _delta_records_between(table_dir, v_from, v_to)
+    if recs is None:
+        return None
+    hdr_f = read_manifest_header(table_dir, v_from)
+    hdr_t = read_manifest_header(table_dir, v_to)
+    if hdr_f.get("schema") != hdr_t.get("schema"):
+        raise ValueError(
+            f"changelog between versions {v_from} and {v_to} spans a schema "
+            "change; diff within one schema generation"
+        )
+    net_removed: set[tuple] = set()
+    net_added: dict[tuple, dict] = {}
+    for d in recs:
+        for r in d["removed"]:
+            rid = tuple(r)
+            if rid in net_added:
+                del net_added[rid]
+            else:
+                net_removed.add(rid)
+        for e in d["added"]:
+            net_added[_entry_id(e)] = e
+    mt_f = spark.read.parquet(write_manifest_parquet(spark, table_dir, v_from))
+    kc = mt_f.agg(
+        F.count_if(F.col("kind").isin("eqdelete", "posdelete")).alias("n_eqpos"),
+        F.count_if(F.col("kind") == "dv").alias("n_dv"),
+        F.count_if(F.col("kind") == "data").alias("n_data"),
+    ).collect()[0]
+    added_kinds = {e.get("kind", "data") for e in net_added.values()}
+    if kc["n_eqpos"] or added_kinds & {"eqdelete", "posdelete"}:
+        # eq/pos visibility is non-local — the honest two-full-MOR diff
+        return {
+            "mode": "full", "added": [], "removed": [],
+            "files_shared": 0,
+            "files_total": hdr_t.get("n_entries", 0),
+        }
+    removed_data = sorted(p for p, t in net_removed if t is None)
+    added_data = sorted(
+        (e for e in net_added.values() if e.get("kind", "data") == "data"),
+        key=lambda e: e["path"],
+    )
+    dv_in_play = (
+        kc["n_dv"]
+        or "dv" in added_kinds
+        or any(t is not None for _p, t in net_removed)
+    )
+    if not dv_in_play:
+        removed = (
+            _mt_entries(
+                spark, table_dir, v_from, F.col("path").isin(removed_data)
+            )
+            if removed_data
+            else []
+        )
+        return {
+            "mode": "delta",
+            "added": added_data,
+            "removed": removed,
+            "files_shared": kc["n_data"] - len(removed_data),
+            "files_total": kc["n_data"] + len(added_data),
+        }
+    # DV-DELTA: vectors keep visibility file-local, so cancellation
+    # extends to shared files whose vector is UNCHANGED; dv state only
+    # moves through the commit records, so the changed targets are
+    # exactly the chain's added/removed dv ids
+    changed_targets = {t for _p, t in net_removed if t is not None} | {
+        e["target"]
+        for e in net_added.values()
+        if e.get("kind") == "dv"
+    }
+    removed_set = set(removed_data)
+    base_of = lambda p: p.rsplit("/", 1)[-1]  # noqa: E731
+    from_data = (
+        _mt_entries(
+            spark, table_dir, v_from,
+            (F.col("kind") == "data")
+            & (
+                F.col("path").isin(removed_data)
+                | F.element_at(F.split("path", "/"), -1).isin(
+                    sorted(changed_targets)
+                )
+            ),
+        )
+        if removed_data or changed_targets
+        else []
+    )
+    changed_shared = [
+        e
+        for e in from_data
+        if e["path"] not in removed_set and base_of(e["path"]) in changed_targets
+    ]
+    from_files = [e for e in from_data if e["path"] in removed_set] + changed_shared
+    to_files = added_data + changed_shared
+
+    def dvs_for(version, files):
+        targets = sorted({base_of(e["path"]) for e in files})
+        if not targets:
+            return []
+        return _mt_entries(
+            spark, table_dir, version,
+            (F.col("kind") == "dv") & F.col("target").isin(targets),
+        )
+
+    return {
+        "mode": "delta-dv",
+        "from_entries": from_files + dvs_for(v_from, from_files),
+        "to_entries": to_files + dvs_for(v_to, to_files),
+        "added": to_files,
+        "removed": from_files,
+        "files_shared": kc["n_data"] - len(removed_data) - len(changed_shared),
+        "files_total": kc["n_data"] + len(added_data),
+    }
+
+
+def plan_changelog(
+    table_dir: str, v_from: int, v_to: int, spark: SparkSession | None = None
+) -> dict:
     """Manifest-delta CDF planning (VERDICT r10 item 5): the row-level
     changelog between two snapshots needs to read ONLY the files the
     manifests disagree on. Both snapshots are shared-files ⊎ their own
@@ -3509,7 +4358,19 @@ def plan_changelog(table_dir: str, v_from: int, v_to: int) -> dict:
     identity doesn't apply: live MOR delete files make visibility differ
     from data files, so ``mode="full"`` diffs the MOR reads instead.
     A schema change between the versions raises — a changelog across
-    differing schemas has no well-defined row diff."""
+    differing schemas has no well-defined row diff.
+
+    R14 (VERDICT r13 item 1): given ``spark``, a range covered by
+    delta-recorded commits plans from the COMMIT RECORDS — the net
+    (removed, added) composes in O(sum of deltas), removed/changed entry
+    dicts come from the parquet manifest tables (a bounded job), and no
+    version's full entry list is ever composed driver-side. A legacy
+    inline-full commit inside the range falls back to the manifest diff
+    below (those manifests are under-threshold by construction)."""
+    if spark is not None:
+        plan = _plan_changelog_chain(spark, table_dir, v_from, v_to)
+        if plan is not None:
+            return plan
     man_f = read_manifest(table_dir, v_from)
     man_t = read_manifest(table_dir, v_to)
     if man_f.get("schema") != man_t.get("schema"):
@@ -3596,27 +4457,31 @@ def changelog_table(
     O(table) — the property that makes CDC consumption of a 100 TB
     table's commit range feasible; the exceptAll hash aggregate runs
     over only the delta rows."""
-    plan = plan_changelog(table_dir, v_from, v_to)
+    plan = plan_changelog(table_dir, v_from, v_to, spark=spark)
+    # schema resolution needs only the O(schema) headers — the entry
+    # lists come from the plan, so no version's manifest is composed
+    hdr_f = lambda: {  # noqa: E731
+        **read_manifest_header(table_dir, v_from), "entries": None,
+    }
+    hdr_t = lambda: {  # noqa: E731
+        **read_manifest_header(table_dir, v_to), "entries": None,
+    }
     if plan["mode"] == "full":
         frm = read_table(spark, table_dir, version=v_from)
         to = read_table(spark, table_dir, version=v_to)
     elif plan["mode"] == "delta-dv":
         # each side reads ONLY its changed files, under its own vectors
-        man_f = read_manifest(table_dir, v_from)
-        man_t = read_manifest(table_dir, v_to)
         frm = _mor_read(
-            spark, table_dir, {**man_f, "entries": plan["from_entries"]},
+            spark, table_dir, {**hdr_f(), "entries": plan["from_entries"]},
             keep_meta=False,
         )
         to = _mor_read(
-            spark, table_dir, {**man_t, "entries": plan["to_entries"]},
+            spark, table_dir, {**hdr_t(), "entries": plan["to_entries"]},
             keep_meta=False,
         )
     else:
-        man_f = read_manifest(table_dir, v_from)
-        man_t = read_manifest(table_dir, v_to)
-        frm = _read_data(spark, table_dir, man_f, plan["removed"])
-        to = _read_data(spark, table_dir, man_t, plan["added"])
+        frm = _read_data(spark, table_dir, hdr_f(), plan["removed"])
+        to = _read_data(spark, table_dir, hdr_t(), plan["added"])
     ins = to.exceptAll(frm).withColumn("_change_type", F.lit("insert"))
     dels = frm.exceptAll(to).withColumn("_change_type", F.lit("delete"))
     return ins.unionByName(dels)
@@ -4115,8 +4980,16 @@ def storage_partitioned_join(
     dv'd bucket file applies its own bitmap inside the per-bucket scan
     without breaking bucket alignment — the join composes with live DV
     state (planted test: a dv'd row never reaches the join output).
-    Equality/position delete files genuinely do need the fold (their
-    visibility is cross-file) and still raise.
+
+    BUCKET-KEY EQUALITY DELETES (r14, VERDICT r13 item 5): an equality
+    delete whose key IS the bucket column is bucket-local by
+    construction — the deleted key's rows and its delete row hash to
+    the same bucket — so the seq-gated anti join applies inside each
+    per-bucket scan (the common GDPR-key case composes; delete keys
+    ride the MOR_BROADCAST_MAX_ROWS broadcast rule, separate from the
+    build-side valve). Equality deletes on any OTHER key and position
+    delete files genuinely do need the fold (their visibility crosses
+    buckets/files) and still raise (planted test).
 
     FALLBACK: layouts that don't align (different bucket counts, a key
     that isn't the bucket column, or an unbucketed side) shuffle like
@@ -4149,12 +5022,45 @@ def storage_partitioned_join(
         return a.join(b, a[ka] == b[kb], "inner").drop(b[kb])
     data_a, eqs_a, poss_a, dvs_a = _split_entries(man_a)
     data_b, eqs_b, poss_b, dvs_b = _split_entries(man_b)
-    if eqs_a or poss_a or eqs_b or poss_b:
-        raise ValueError(
-            "storage_partitioned_join on a table with live equality/position "
-            "delete files — their visibility is cross-file; run fold_deletes "
-            "first (file-local deletion vectors compose fine)"
+    # r14 (VERDICT r13 item 5): an EQUALITY delete whose key IS the
+    # bucket column composes — a deleted key's rows and its delete row
+    # hash to the SAME bucket (same murmur3 ⊕ pmod), so the seq-gated
+    # anti join is bucket-local by construction and alignment survives.
+    # Any other delete key has cross-bucket visibility; position deletes
+    # have cross-file visibility — both still raise (planted test).
+    for eqs, poss, key in ((eqs_a, poss_a, ka), (eqs_b, poss_b, kb)):
+        if poss:
+            raise ValueError(
+                "storage_partitioned_join on a table with live position "
+                "delete files — their visibility is cross-file; run "
+                "fold_deletes first (file-local deletion vectors and "
+                "bucket-key equality deletes compose fine)"
+            )
+        if eqs and _eq_key_cols(eqs) != [key]:
+            raise ValueError(
+                f"storage_partitioned_join on a table with live equality "
+                f"delete files keyed on {_eq_key_cols(eqs)} — only a delete "
+                f"keyed on the bucket column ({key!r}) is bucket-local; run "
+                "fold_deletes first"
+            )
+    # one shared keys frame per side: every per-bucket anti join reuses
+    # it (the broadcast is delete-side, bounded by MOR_BROADCAST_MAX_ROWS
+    # like every MOR read — the valve budget governs per-bucket BUILD
+    # tables, not the answer-scale delete keys)
+    keys_a = (
+        _hint_small(
+            _eq_keys_frame(spark, dir_a, eqs_a), sum(e["rows"] for e in eqs_a)
         )
+        if eqs_a
+        else None
+    )
+    keys_b = (
+        _hint_small(
+            _eq_keys_frame(spark, dir_b, eqs_b), sum(e["rows"] for e in eqs_b)
+        )
+        if eqs_b
+        else None
+    )
 
     def by_bucket(data: list[dict], td: str) -> dict[int, list[dict]]:
         out: dict[int, list[dict]] = {}
@@ -4168,23 +5074,38 @@ def storage_partitioned_join(
         return out
 
     def read_bucket(
-        td: str, man: dict, entries: list[dict], dvs: list[dict]
+        td: str,
+        man: dict,
+        entries: list[dict],
+        dvs: list[dict],
+        eqs: list[dict],
+        keys: DataFrame | None,
     ) -> DataFrame:
         # the dv'd files of THIS bucket pay the file-local bitmap probe;
         # clean files stay a plain multi-path scan (the _mor_read split)
+        seq_col = "_ft_seq" if eqs else None
         targets = {e["target"] for e in dvs}
         dvd = [e for e in entries if os.path.basename(e["path"]) in targets]
-        if not dvd:
-            return _read_data(spark, td, man, entries)
-        dvd_names = {os.path.basename(e["path"]) for e in dvd}
-        rel_dvs = [d for d in dvs if d["target"] in dvd_names]
         clean = [e for e in entries if os.path.basename(e["path"]) not in targets]
-        part = _read_data(spark, td, man, dvd, meta_cols=True)
-        part = _apply_dv_filter(spark, td, man, rel_dvs, part).drop(
-            "_ft_file", "_ft_pos"
-        )
+        part = None
+        if dvd:
+            dvd_names = {os.path.basename(e["path"]) for e in dvd}
+            rel_dvs = [d for d in dvs if d["target"] in dvd_names]
+            part = _read_data(
+                spark, td, man, dvd, seq_col=seq_col, meta_cols=True
+            )
+            part = _apply_dv_filter(spark, td, man, rel_dvs, part).drop(
+                "_ft_file", "_ft_pos"
+            )
         if clean:
-            part = _read_data(spark, td, man, clean).unionByName(part)
+            p = _read_data(spark, td, man, clean, seq_col=seq_col)
+            part = p if part is None else part.unionByName(p)
+        if eqs:
+            # bucket-local seq-gated anti join: keys hashing elsewhere
+            # match nothing here, so the shared frame is exact per bucket
+            part = part.join(
+                keys, _eq_join_cond(_eq_key_cols(eqs)), "left_anti"
+            ).drop("_ft_seq")
         return part
 
     ba, bb = by_bucket(data_a, dir_a), by_bucket(data_b, dir_b)
@@ -4201,8 +5122,8 @@ def storage_partitioned_join(
     can_broadcast = _spj_broadcast_admission(builds, broadcast_max_bytes)
     out = None
     for i in shared:
-        fa = read_bucket(dir_a, man_a, ba[i], dvs_a)
-        fb = read_bucket(dir_b, man_b, bb[i], dvs_b)
+        fa = read_bucket(dir_a, man_a, ba[i], dvs_a, eqs_a, keys_a)
+        fb = read_bucket(dir_b, man_b, bb[i], dvs_b, eqs_b, keys_b)
         dup = (set(fa.columns) & set(fb.columns)) - {kb}
         if dup:
             raise ValueError(f"colliding non-key columns: {sorted(dup)}")
@@ -4231,11 +5152,43 @@ def storage_partitioned_join(
     return out
 
 
+def _delta_union_split(
+    table_dir: str, versions: list[int]
+) -> tuple[list[int], set[str]]:
+    """Chain-aware split for the reference union (r14): a DELTA version
+    contributes only its ADDED paths — everything else it references is
+    a subset of its base, which the retention invariant keeps in the
+    version set (expire materializes a survivor before dropping any link
+    of its chain; a violated invariant raises, never under-counts). An
+    external-full version whose base is ALSO retained contributes the
+    same way (union absorption). Returns (versions still needing a full
+    path-set read, the delta-contributed paths)."""
+    vset = set(versions)
+    full: list[int] = []
+    extra: set[str] = set()
+    for v in versions:
+        form, base = _manifest_form(table_dir, v)
+        if form == "delta" and base not in vset:
+            raise ValueError(
+                f"delta manifest {v} references base {base} which is not "
+                "retained — the delta-chain retention invariant is broken"
+            )
+        if form in ("delta", "external") and base in vset:
+            extra |= {
+                e["path"]
+                for e in _load_manifest_raw(table_dir, v)["delta"]["added"]
+            }
+        else:
+            full.append(v)
+    return full, extra
+
+
 def _referenced_paths_driver(table_dir: str, versions: list[int]) -> set[str]:
     """The union of the given manifests' path sets, driver-side — the
-    under-threshold reference-set builder gc_orphans/expire_table use."""
-    referenced: set[str] = set()
-    for v in versions:
+    under-threshold reference-set builder gc_orphans/expire_table use.
+    Delta versions contribute O(delta) via ``_delta_union_split``."""
+    full, referenced = _delta_union_split(table_dir, versions)
+    for v in full:
         referenced |= {e["path"] for e in read_manifest(table_dir, v)["entries"]}
     return referenced
 
@@ -4248,19 +5201,24 @@ def _referenced_paths_spark(
     one path-schema'd JSON scan over every retained version's log, one
     distributed ``distinct``, and only the deduplicated path set comes
     back — the driver never parses a retained version's O(#files) JSON
-    manifest. Versions predating the entry log get one written from
-    their JSON manifest (once, idempotent — legacy cold path). The
-    returned set is O(#live files) paths on the driver, the same bound
+    manifest. Delta versions have no full log and need none: their
+    O(delta) added paths union in driver-side (``_delta_union_split``).
+    Full versions predating the entry log get one written from their
+    JSON manifest (once, idempotent — legacy cold path). The returned
+    set is O(#live files) paths on the driver, the same bound
     ``_manifest_auto``'s path list already has (the walk comparison
     needs it; a real deploy would anti-join the listing as a job too)."""
+    full, referenced = _delta_union_split(table_dir, versions)
     logs = []
-    for v in versions:
+    for v in full:
         p = _entries_jsonl_path(table_dir, v)
         if not os.path.exists(p):
             _write_entries_jsonl(table_dir, read_manifest(table_dir, v), v)
         logs.append(p)
-    df = spark.read.json(logs, schema="path string")
-    return {r["path"] for r in df.select("path").distinct().collect()}
+    if logs:
+        df = spark.read.json(logs, schema="path string")
+        referenced |= {r["path"] for r in df.select("path").distinct().collect()}
+    return referenced
 
 
 def _referenced_paths_auto(
@@ -4271,9 +5229,9 @@ def _referenced_paths_auto(
     ``_over_plan_threshold`` heuristic across ALL retained versions) the
     driver loop; past it — and given a session — the Spark job."""
     if spark is not None:
-        approx = sum(
-            os.path.getsize(_manifest_path(table_dir, v)) for v in versions
-        ) // _MANIFEST_BYTES_PER_ENTRY
+        # n_entries-based since r14 (delta manifests are tiny on disk,
+        # so file size stopped approximating the union's work)
+        approx = sum(_n_entries_approx(table_dir, v) for v in versions)
         if approx > PLAN_SPARK_THRESHOLD:
             return _referenced_paths_spark(spark, table_dir, versions)
     return _referenced_paths_driver(table_dir, versions)
@@ -4419,6 +5377,35 @@ def gc_orphans(
     }
 
 
+def _materialize_version(table_dir: str, version: int) -> None:
+    """Convert an existing DELTA manifest to external-full IN PLACE:
+    stream its chain into its own entry log, then atomically rewrite the
+    manifest and header with ``entries_external`` set. Content-identical
+    to the original (the delta record is kept — the feed still reads it
+    O(delta)); only the storage of the entry list changes, so a
+    concurrent reader sees either form and both resolve to the same
+    entries."""
+    raw = _load_manifest_raw(table_dir, version)
+    if "entries" in raw or raw.get("entries_external"):
+        return
+    n = _materialize_entries_jsonl(table_dir, raw, version)
+    raw["entries_external"] = True
+    raw["n_entries"] = n
+    mp = _manifest_path(table_dir, version)
+    tmp = f"{mp}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(raw, f, indent=1)
+    os.replace(tmp, mp)
+    hdr = {k: v for k, v in raw.items() if k != "delta"}
+    hdr["form"] = "external"
+    hdr["delta_base"] = raw["delta"]["base"]
+    hp = _header_path(table_dir, version)
+    tmp = f"{hp}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(hdr, f)
+    os.replace(tmp, hp)
+
+
 def expire_table(
     table_dir: str, *, keep_last: int = 1, spark: SparkSession | None = None
 ) -> dict:
@@ -4430,7 +5417,15 @@ def expire_table(
     through ``_referenced_paths_auto`` (VERDICT r12 item 4): past the
     threshold — and given ``spark`` — it runs as a job over the
     commit-time entry logs instead of parsing each survivor's JSON
-    manifest driver-side."""
+    manifest driver-side.
+
+    DELTA RETENTION INVARIANT (r14): a surviving DELTA manifest resolves
+    through its base chain, so before any manifest is removed, every
+    survivor whose chain passes through a to-be-removed version is
+    MATERIALIZED (converted in place to external-full by streaming the
+    chain into its own entry log — ``_materialize_version``). Expiry is
+    the rare maintenance event, so the amortized O(#files) stream lands
+    exactly where Iceberg pays its manifest rewrite."""
     versions = _manifest_versions(table_dir)
     current = current_manifest_version(table_dir)
     keep = (
@@ -4443,6 +5438,24 @@ def expire_table(
         | {r["head"] for r in _read_branches(table_dir).values()}
         | {r["base"] for r in _read_branches(table_dir).values()}
     )
+    for v in sorted(keep):
+        if v not in versions:
+            continue
+        form, base = _manifest_form(table_dir, v)
+        if form != "delta":
+            continue
+        chain_ok = True
+        link = base
+        while True:
+            if link not in keep:
+                chain_ok = False
+                break
+            lform, lbase = _manifest_form(table_dir, link)
+            if lform != "delta":
+                break
+            link = lbase
+        if not chain_ok:
+            _materialize_version(table_dir, v)
     removed_manifests = []
     referenced = _referenced_paths_auto(
         spark, table_dir, [v for v in versions if v in keep]

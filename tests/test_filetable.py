@@ -2678,13 +2678,53 @@ def test_spj_composes_with_deletion_vectors(spark, tmp_path):
 
 
 def test_spj_eq_pos_deletes_still_raise(spark, tmp_path):
-    """Equality/position delete files stay cross-file — the SPJ keeps
-    refusing them loudly (only file-local DVs compose)."""
+    """r14 (VERDICT r13 item 5): an equality delete keyed ON THE BUCKET
+    COLUMN is bucket-local (same murmur3 ⊕ pmod) and now COMPOSES —
+    row-equal to the MOR read, zero fact-side Exchange. A non-bucket-key
+    equality delete and a position delete keep raising (the planted
+    kills: their visibility crosses buckets/files)."""
     ta, tb = _mk_spj_pair(spark, tmp_path)
     ft.delete_keys_mor(
         spark, ta, "k", spark.createDataFrame([(3,)], "k long")
     )
-    with pytest.raises(ValueError, match="equality/position"):
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, "alignment must survive"
+    rows = j.collect()
+    assert all(r["k"] != 3 for r in rows), "deleted key served through SPJ"
+    b = ft.read_table(spark, tb)
+    want = sorted(
+        map(
+            tuple,
+            ft.read_table(spark, ta).alias("a")
+            .join(b.alias("b"), F.col("a.k") == F.col("b.k2"))
+            .select("a.k", "a.oid", "a.amt", "b.rid", "b.w")
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, rows)) == want
+    # resurrection: a later append at a higher seq revives the key
+    ft.append_table(
+        spark.createDataFrame([(3, 99_999, 9.9)], "k long, oid long, amt double"),
+        ta,
+    )
+    j2 = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    revived = [r for r in j2.collect() if r["k"] == 3]
+    assert {r["oid"] for r in revived} == {99_999}, "seq rule must gate the delete"
+    # non-bucket-key equality delete (on the other side): still refused
+    ft.delete_keys_mor(
+        spark, tb, "rid", spark.createDataFrame([(7,)], "rid long")
+    )
+    with pytest.raises(ValueError, match="bucket-local"):
+        ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+
+
+def test_spj_pos_deletes_still_raise(spark, tmp_path):
+    """Position delete files stay cross-file — the SPJ keeps refusing
+    them loudly (only DVs and bucket-key equality deletes compose)."""
+    ta, tb = _mk_spj_pair(spark, tmp_path)
+    ft.delete_positions_mor(spark, ta, F.col("oid") == 5)
+    with pytest.raises(ValueError, match="position"):
         ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
 
 
@@ -3668,3 +3708,247 @@ def test_rebucket_imported_folds_dvs_and_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucket-laid-out"):
         ft.rebucket_imported(spark, tu)
+
+
+# ---------------------------------------------------------------------------
+# round 14 — base+delta manifests (VERDICT r13 item 1)
+# ---------------------------------------------------------------------------
+
+
+def _mk_delta_table(spark, tmp_path, name="dlt"):
+    td = str(tmp_path / name)
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long, x double")  # noqa: E731
+    ft.create_table(
+        mk([(i, i, float(i)) for i in range(100)]), td, stats_cols=["d"], n_files=4
+    )
+    return td, mk
+
+
+def test_delta_commits_never_compose_full_entry_list(
+    spark, tmp_path, monkeypatch
+):
+    """THE r14 routing kill (VERDICT r13 item 1 done-criterion): past
+    the threshold a DELETE / UPDATE / MERGE / MOR-merge / append / DV
+    delete commits a manifest DELTA, and the feed, the changelog and
+    the reads all run with full-entry-list composition monkeypatched to
+    EXPLODE — row-equal results throughout."""
+    td, mk = _mk_delta_table(spark, tmp_path)
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "past the threshold nothing may compose the full entry list"
+        )
+
+    monkeypatch.setattr(ft, "_compose_full_entries", boom)
+    ft.append_table(mk([(i, i, float(i)) for i in range(100, 120)]), td, n_files=1)
+    s = ft.delete_where(spark, td, "d", 9)
+    assert s["rows_deleted"] == 10
+    assert ft.read_table(spark, td).count() == 110
+    s = ft.update_where(spark, td, "d", 19, {"x": F.col("x") + 1000})
+    assert s["rows_updated"] == 10
+    src = spark.createDataFrame([(50, 1), (500, 2)], "k long, n long")
+    s = ft.merge_into(
+        spark, td, src, on=("k", "k"),
+        when_matched_update={"x": F.lit(-1.0)},
+        when_not_matched_insert={
+            "k": F.col("s.k"), "d": F.col("s.n"), "x": F.lit(0.0),
+        },
+    )
+    assert s["rows_inserted"] == 1 and s["files_rewritten"] == 1
+    s = ft.merge_into_mor(
+        spark, td, src.withColumn("n", F.col("n") + 5), on=("k", "k"),
+        when_matched_update={"x": F.lit(-2.0)},
+        when_not_matched_insert={
+            "k": F.col("s.k"), "d": F.col("s.n"), "x": F.lit(0.5),
+        },
+    )
+    assert s["delete_keys"] == 2
+    got = {r["k"]: r["x"] for r in ft.read_table(spark, td).collect()}
+    assert len(got) == 111 and got[50] == -2.0 and got[500] == -2.0
+    # DV delete composes too (fold first would raise on live eqdeletes —
+    # fold is a full-path verb, so clear MOR state BEFORE the explode
+    # window in a second table instead)
+    feed_kinds = None
+    td2, mk2 = _mk_delta_table(spark, tmp_path, "dlt2")
+    ft.append_table(mk2([(i, i, 0.0) for i in range(100, 110)]), td2, n_files=1)
+    s = ft.delete_positions_dv(spark, td2, F.col("d") == 3)
+    assert s["rows_pos_deleted"] == 1
+    assert ft.read_table(spark, td2).count() == 109
+    # feed + changelog on an append-only delta history
+    td3, mk3 = _mk_delta_table(spark, tmp_path, "dlt3")
+    ft.append_table(mk3([(i, i, 0.0) for i in range(100, 110)]), td3, n_files=1)
+    ft.append_table(mk3([(i, i, 0.0) for i in range(110, 120)]), td3, n_files=1)
+    feed = ft.incremental_feed(td3)
+    feed_kinds = [b["kind"] for b in feed]
+    assert feed_kinds == ["bootstrap", "delta", "delta"]
+    assert len(feed[0]["paths"]) == 4 and len(feed[1]["paths"]) == 1
+    feed2 = ft.incremental_feed(td3, since_version=feed[1]["version"])
+    assert [b["kind"] for b in feed2] == ["delta"]
+    head = ft.current_manifest_version(td3)
+    plan = ft.plan_changelog(td3, 1, head, spark=spark)
+    assert plan["mode"] == "delta" and len(plan["added"]) == 2
+    ch = ft.changelog_table(spark, td3, 1, head)
+    assert ch.count() == 20
+    assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+
+
+def test_delta_regime_row_and_state_equal_to_full_regime(spark, tmp_path):
+    """The same verb history under the delta regime (threshold 0) and
+    the classic regime resolves to the SAME entries (by id and row/byte
+    accounting) and the same visible rows."""
+    results = {}
+    for regime, thr in (("full", None), ("delta", 0)):
+        td, mk = _mk_delta_table(spark, tmp_path, f"eq_{regime}")
+        old = ft.PLAN_SPARK_THRESHOLD
+        if thr is not None:
+            ft.PLAN_SPARK_THRESHOLD = thr
+        try:
+            ft.append_table(mk([(i, i, 1.0) for i in range(100, 140)]), td, n_files=2)
+            ft.delete_where(spark, td, "d", 24)
+            ft.update_where(spark, td, "d", 60, {"x": F.lit(7.0)})
+            src = spark.createDataFrame([(70, 9), (700, 9)], "k long, n long")
+            ft.merge_into(
+                spark, td, src, on=("k", "k"),
+                when_matched_update={"x": F.lit(-3.0)},
+                when_not_matched_insert={
+                    "k": F.col("s.k"), "d": F.col("s.n"), "x": F.lit(0.25),
+                },
+            )
+            ft.delete_positions_dv(spark, td, F.col("d") == 50)
+        finally:
+            ft.PLAN_SPARK_THRESHOLD = old
+        man = ft.read_manifest(td)
+        results[regime] = {
+            "rows": sorted(map(tuple, ft.read_table(spark, td).collect())),
+            "rowsum": sum(
+                e["rows"] for e in man["entries"]
+                if e.get("kind", "data") == "data"
+            ),
+            "kinds": sorted(
+                e.get("kind", "data") for e in man["entries"]
+            ),
+        }
+    assert results["full"]["rows"] == results["delta"]["rows"]
+    assert results["full"]["rowsum"] == results["delta"]["rowsum"]
+    assert results["full"]["kinds"] == results["delta"]["kinds"]
+
+
+def test_delta_chain_materializes_at_cap_and_streams(
+    spark, tmp_path, monkeypatch
+):
+    """The MANIFEST_DELTA_MAX_CHAIN-th delta commit materializes an
+    external-full snapshot (chain resets; deeper reads never walk more
+    than the cap) and the external form resolves row-equal from its own
+    entry log."""
+    td, mk = _mk_delta_table(spark, tmp_path)
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    for i in range(ft.MANIFEST_DELTA_MAX_CHAIN + 2):
+        ft.append_table(mk([(1000 + i, 1000 + i, 0.0)]), td, n_files=1)
+    forms = [ft._manifest_form(td, v)[0] for v in ft._manifest_versions(td)]
+    assert "external" in forms, f"no materialization in {forms}"
+    ext_v = ft._manifest_versions(td)[forms.index("external")]
+    # external resolves from its own log, chain-free
+    assert ft._delta_chain_depth(td, ext_v) == 0
+    man = ft.read_manifest(td, ext_v)
+    # v1 holds 100 rows; each later version appends exactly one row
+    assert sum(e["rows"] for e in man["entries"]) == 100 + (ext_v - 1)
+    assert ft.read_table(spark, td).count() == 100 + ft.MANIFEST_DELTA_MAX_CHAIN + 2
+
+
+def test_delta_jsonl_roundtrip_lossless():
+    """_entry_to_rec/_rec_to_entry: bucket, kinds, key_cols, target and
+    bounds survive; None stats slots elide with identical semantics."""
+    import json
+
+    stats = {"d": "long", "s": "string"}
+    entries = [
+        {"path": "data/c1/a.parquet", "rows": 5, "bytes": 100, "seq": 3,
+         "stats": {"d": [1, 9], "s": None}, "nulls": {"d": 0, "s": 2},
+         "bucket": 7},
+        {"path": "data/c2/k.parquet", "rows": 2, "bytes": 50, "seq": 4,
+         "stats": {}, "nulls": {}, "kind": "eqdelete", "key_cols": ["k"]},
+        {"path": "data/c3/dv.parquet", "rows": 3, "bytes": 60, "seq": 5,
+         "stats": {}, "nulls": {}, "kind": "dv", "target": "a.parquet"},
+    ]
+    cols = list(stats)
+    back = [
+        ft._rec_to_entry(json.loads(json.dumps(ft._entry_to_rec(e, cols))), cols)
+        for e in entries
+    ]
+    assert back[0]["bucket"] == 7 and back[0]["stats"]["d"] == [1, 9]
+    assert back[0]["stats"].get("s") is None and back[0]["nulls"]["s"] == 2
+    assert back[1]["kind"] == "eqdelete" and back[1]["key_cols"] == ["k"]
+    assert back[2]["target"] == "a.parquet" and back[2]["rows"] == 3
+    for e, b in zip(entries, back):
+        assert (b["path"], b["rows"], b["bytes"], b["seq"]) == (
+            e["path"], e["rows"], e["bytes"], e["seq"]
+        )
+
+
+def test_delta_commit_conflict_and_append_rebase(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency survives the delta path: a non-append
+    delta commit planned from a stale base raises CommitConflictError;
+    an append rebases onto the winner (disjoint by construction)."""
+    td, mk = _mk_delta_table(spark, tmp_path)
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    ft.append_table(mk([(200, 200, 0.0)]), td, n_files=1)
+    base = ft._manifest_for_write(td)
+    assert base["entries"] is None, "past the threshold the header view"
+    # a concurrent append lands after planning
+    ft.append_table(mk([(201, 201, 0.0)]), td, n_files=1)
+    with pytest.raises(ft.CommitConflictError):
+        ft._commit_update(
+            td, base, operation="delete", summary={},
+            removed_ids=[("data/c000001/x.parquet", None)],
+            added_entries=[], adds_files=False,
+        )
+    # append_table itself rebases: plan, interpose a winner, commit
+    orig = ft._write_commit
+    done = {"interposed": False}
+
+    def interpose(*a, **k):
+        out = orig(*a, **k)
+        if not done["interposed"]:
+            done["interposed"] = True
+            ft.append_table(mk([(300, 300, 0.0)]), td, n_files=1)
+        return out
+
+    monkeypatch.setattr(ft, "_write_commit", interpose)
+    ft.append_table(mk([(301, 301, 0.0)]), td, n_files=1)
+    assert ft.read_table(spark, td).count() == 104
+    got = {r["k"] for r in ft.read_table(spark, td).collect()}
+    assert {300, 301} <= got
+
+
+def test_expire_materializes_survivor_before_dropping_its_base(
+    spark, tmp_path, monkeypatch
+):
+    """The delta retention invariant: expiring a surviving delta's base
+    first materializes the survivor (external-full), so reads stay
+    row-equal and the reference union never walks a dangling chain —
+    and a BROKEN invariant raises instead of under-counting."""
+    import time
+
+    td, mk = _mk_delta_table(spark, tmp_path)
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    for i in range(3):
+        ft.append_table(mk([(400 + i, 400 + i, 0.0)]), td, n_files=1)
+    head = ft.current_manifest_version(td)
+    assert ft._manifest_form(td, head)[0] == "delta"
+    want = sorted(map(tuple, ft.read_table(spark, td).collect()))
+    res = ft.expire_table(td, keep_last=1, spark=spark)
+    assert res["manifests_removed"], "bases must actually expire"
+    assert ft._manifest_form(td, head)[0] == "external", "survivor materialized"
+    assert sorted(map(tuple, ft.read_table(spark, td).collect())) == want
+    ft.gc_orphans(td, grace_seconds=0, now=time.time() + 10, spark=spark)
+    assert sorted(map(tuple, ft.read_table(spark, td).collect())) == want
+    # broken invariant: a delta whose base manifest is deleted raises
+    td2, mk2 = _mk_delta_table(spark, tmp_path, "dlt_broken")
+    ft.append_table(mk2([(1, 1, 0.0)]), td2, n_files=1)
+    ft.append_table(mk2([(2, 2, 0.0)]), td2, n_files=1)
+    vs = ft._manifest_versions(td2)
+    os.remove(ft._manifest_path(td2, vs[1]))
+    os.remove(ft._header_path(td2, vs[1]))
+    with pytest.raises(ValueError, match="retention invariant"):
+        ft._referenced_paths_driver(td2, [v for v in vs if v != vs[1]])

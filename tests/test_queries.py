@@ -37,13 +37,13 @@ def test_query_runs_at_smoke_sf(spark, sf_dir, name):
     assert rows, f"{name} returned 0 rows at smoke scale"
 
 
-def test_driver_window_r13_policy():
+def test_driver_window_r14_policy():
     """The post-rotation window policy (documented in queries/__init__.py):
     permanent keeps + queries whose plan changed since their last driver
     verdict + never-scored new entries + the STALEST prior verdicts
     (oldest round first, alphabetical within a round). Staleness is
     evaluated ONLY against the artifacts that existed at window-composition
-    time (r01–r12, pinned below) — the r6 lesson: a glob matching the
+    time (r01-r13, pinned below) — the r6 lesson: a glob matching the
     current round's own artifact makes the test self-invalidating the
     moment the driver commits results.
 
@@ -56,35 +56,34 @@ def test_driver_window_r13_policy():
     import os
 
     from spark_iceberg_jobs_spark.queries import (
-        _R13_CHANGED,
-        _R13_NEW,
-        _R13_PERMANENT_KEEPS,
-        _R13_STALE_REFRESH,
+        _R14_CHANGED,
+        _R14_NEW,
+        _R14_PERMANENT_KEEPS,
+        _R14_STALE_REFRESH,
         DRIVER_WINDOW,
     )
 
     window = list(REG)[:DRIVER_WINDOW]
-    curated = _R13_PERMANENT_KEEPS + _R13_CHANGED + _R13_NEW + _R13_STALE_REFRESH
-    assert window == curated, "registry head must equal the curated r13 window"
+    curated = _R14_PERMANENT_KEEPS + _R14_CHANGED + _R14_NEW + _R14_STALE_REFRESH
+    assert window == curated, "registry head must equal the curated r14 window"
     assert len(curated) == DRIVER_WINDOW, (
         f"window misfilled: {len(curated)}/{DRIVER_WINDOW} curated entries"
     )
-    assert "cohort_ltv_by_first_year" in _R13_PERMANENT_KEEPS
-    assert "flagship_revenue_topk" in _R13_PERMANENT_KEEPS
+    assert "cohort_ltv_by_first_year" in _R14_PERMANENT_KEEPS
+    assert "flagship_revenue_topk" in _R14_PERMANENT_KEEPS
     assert all(REG[n].oracle is not None for n in window), (
         "every window entry needs a value-hash oracle"
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # Composition-time baseline: r01–r12 ONLY (frozen — later artifacts
+    # Composition-time baseline: r01-r13 ONLY (frozen — later artifacts
     # must never change what this test asserts).
     last_scored: dict[str, int] = {}
     baseline = sorted(
         glob.glob(os.path.join(repo, "CORRECTNESS_r0[1-9].json"))
-        + glob.glob(os.path.join(repo, "CORRECTNESS_r1[02].json"))
-        + glob.glob(os.path.join(repo, "CORRECTNESS_r11.json"))
+        + glob.glob(os.path.join(repo, "CORRECTNESS_r1[0-3].json"))
     )
-    assert len(baseline) == 12, "r01..r12 artifacts are part of the repo"
+    assert len(baseline) == 13, "r01..r13 artifacts are part of the repo"
     for f in baseline:
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         with open(f) as fh:
@@ -98,27 +97,37 @@ def test_driver_window_r13_policy():
         f"never-driver-scored entries outside the window: "
         f"{sorted(uncovered - set(window))}"
     )
-    assert all(n not in last_scored for n in _R13_NEW), (
-        "_R13_NEW is for entries with no prior driver verdict"
+    assert all(n not in last_scored for n in _R14_NEW), (
+        "_R14_NEW is for entries with no prior driver verdict"
     )
-    assert sorted(_R13_NEW) == sorted(uncovered), (
-        "_R13_NEW must be exactly the never-scored registry entries"
+    assert sorted(_R14_NEW) == sorted(uncovered), (
+        "_R14_NEW must be exactly the never-scored registry entries"
     )
-    # Invariant 2 — MACHINE-OWNED TIERS: r12 emptied the r6 tier
-    # (asserted, so a surprise leftover cannot silently vanish); the
-    # refresh list must equal, exactly and in order, the
-    # alphabetically-oldest r7-stale entries filling the window.
-    r6_all = sorted(n for n in REG if last_scored.get(n) == 6)
-    assert r6_all == [], "r12 refreshed the whole r6 tier"
-    r7_all = sorted(n for n in REG if last_scored.get(n) == 7)
+    # Invariant 2 — MACHINE-OWNED TIERS: r13 consumed most of the r7
+    # tier; its 9-entry remainder leads this round's refresh (asserted,
+    # so a surprise leftover cannot silently vanish), then the
+    # alphabetically-oldest r8-stale entries fill the window.
+    pinned = set(_R14_PERMANENT_KEEPS) | set(_R14_CHANGED)
+    r6_all = sorted(
+        n for n in REG if last_scored.get(n) == 6 and n not in pinned
+    )
+    assert r6_all == [], "the r6 tier stays empty (emptied by r12)"
+    r7_all = sorted(
+        n for n in REG if last_scored.get(n) == 7 and n not in pinned
+    )
+    r8_all = sorted(
+        n for n in REG if last_scored.get(n) == 8 and n not in pinned
+    )
     n_fill = DRIVER_WINDOW - (
-        len(_R13_PERMANENT_KEEPS) + len(_R13_CHANGED) + len(_R13_NEW)
+        len(_R14_PERMANENT_KEEPS) + len(_R14_CHANGED) + len(_R14_NEW)
     )
-    assert 0 < n_fill <= len(r7_all), "r7 tier must exist and suffice"
-    expected_refresh = r7_all[:n_fill]
-    assert _R13_STALE_REFRESH == expected_refresh, (
+    assert len(r7_all) < n_fill <= len(r7_all) + len(r8_all), (
+        "this round consumes all of r7 and part of r8"
+    )
+    expected_refresh = r7_all + r8_all[: n_fill - len(r7_all)]
+    assert _R14_STALE_REFRESH == expected_refresh, (
         "refresh tier must be exactly the artifact-computed staleness order: "
-        f"expected {len(expected_refresh)} oldest r7-stale entries"
+        f"the {len(r7_all)}-entry r7 remainder then the oldest r8-stale entries"
     )
 
 
@@ -136,14 +145,14 @@ def test_window_is_curated_not_positional():
     """Only the explicit curated list reaches the driver window: nothing
     rides in on module dict order (the r1 bug this guards against), and
     the regression keeps stay present."""
-    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R13_CHANGED
+    from spark_iceberg_jobs_spark.queries import DRIVER_WINDOW, _R14_CHANGED
 
     window = set(list(REG)[:DRIVER_WINDOW])
     assert "flagship_revenue_topk" in window
     # rotated-in extras are deliberate; anything else outside the curated
     # list must stay outside the window
     assert len(window) == DRIVER_WINDOW
-    assert set(_R13_CHANGED) <= window
+    assert set(_R14_CHANGED) <= window
 
 
 def test_quality_rules_fire_on_corrupted_rows(spark, monkeypatch):
