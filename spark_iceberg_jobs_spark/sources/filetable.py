@@ -73,7 +73,12 @@ O(table). The manifest itself is driver-side JSON, honest at the tested
 scales (file-grain entries, thousands); past PLAN_SPARK_THRESHOLD the
 SAME planning decisions run as Spark jobs over a sharded parquet
 manifest table (the Iceberg manifest-list shape), measured flat where
-the driver loop is linear (SCALE.md §Round-11).
+the driver loop is linear (SCALE.md §Round-11) — and, as of r14, the
+COMMITS are manifest DELTAS there too (header + base/removed/added in
+O(delta) driver work, with a streamed external-full materialization
+every MANIFEST_DELTA_MAX_CHAIN commits; SCALE.md §Round-14), so neither
+planning nor committing ever composes the full entry list past the
+threshold.
 """
 
 from __future__ import annotations
@@ -2806,10 +2811,9 @@ def _classify_where_auto(
 ) -> dict:
     """Two-level dispatch for write-path candidate classification — the
     delete/update twin of ``plan_scan_auto``. Past the threshold the
-    driver never decodes a single entry's bounds; composing the commit
-    still carries the full entry list through (the JSON-manifest
-    fallback's commit cost — a real format writes manifest deltas), but
-    that is set-membership bookkeeping, not per-entry arithmetic."""
+    driver never decodes a single entry's bounds — and since r14 the
+    commit itself is a manifest DELTA (``_commit_update``), so the full
+    entry list is never composed either."""
     if _over_plan_threshold(table_dir, None, manifest["version"]):
         return _classify_where_spark(
             spark, table_dir, manifest["version"], col, cutoff, mode
