@@ -2613,8 +2613,25 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     unaffected data files and later-seq appends survive by metadata;
     every delete file drops from the manifest. After folding, reads are
     pure data-file scans again (the anti join disappears — test-pinned
-    equal to the pre-fold MOR read)."""
-    man = read_manifest(table_dir)
+    equal to the pre-fold MOR read).
+
+    r14: past the threshold the read side runs off the narrow
+    manifest-table entries and the commit is a manifest DELTA — removed
+    ids are the delete entries plus the touched data files (bounded by
+    the fold's own rewrite set), so a fold on a million-file table is
+    O(touched) driver-side. compact_table / rewrite_layout stay
+    full-committing by design: they rewrite O(table) data anyway and
+    their inline-full manifests double as natural chain-reset points.
+    Note the delta record may therefore remove (path, None) ids that
+    are eq/pos delete FILES, not data — every chain walker resolves
+    removals by id against what actually exists (a path is never both),
+    so the ambiguity is nominal."""
+    prev = _manifest_for_write(table_dir)
+    man = (
+        _manifest_auto(spark, table_dir, prev["version"])
+        if prev["entries"] is None
+        else prev
+    )
     data, eqs, poss, dvs = _split_entries(man)
     if not eqs and not poss and not dvs:
         return {"files_rewritten": 0, "delete_files_folded": 0}
@@ -2676,15 +2693,15 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
         "delete_files_folded": len(eqs) + len(poss) + len(dvs),
         "rows_deleted": rows_deleted,
     }
-    _commit_manifest(
+    _commit_update(
         table_dir,
-        _inherit_schema(man, {
-            "operation": "fold-deletes",
-            "stats_types": man["stats_types"],
-            "summary": summary,
-            "entries": untouched + new_entries,
-        }, adds_files=bool(new_entries)),
-        base_version=man["version"],
+        prev,
+        operation="fold-deletes",
+        summary=summary,
+        removed_ids=[_entry_id(e) for e in eqs + poss + dvs]
+        + [(e["path"], None) for e in touched],
+        added_entries=new_entries,
+        adds_files=bool(new_entries),
     )
     return summary
 
@@ -3939,9 +3956,10 @@ def _data_paths_and_kinds_at(
     those predate the delta format and are the bootstrap-size answer
     anyway), then the chain's removed/added apply as set arithmetic.
     Peak memory is the returned path set plus the live delete-entry ids
-    — both answer-scale. Within a chain a removed id with a None target
-    is a DATA file (eq/pos removals only happen in fold commits, which
-    are inline-full and reset the chain)."""
+    — both answer-scale. A removed id with a None target may be a DATA
+    file or an eq/pos delete FILE (fold delta-commits since r14); the
+    apply loop resolves by what actually exists at that point — a path
+    is never both — so the ambiguity is nominal."""
     deltas: list[dict] = []
     v = version
     while True:

@@ -3775,6 +3775,11 @@ def test_delta_commits_never_compose_full_entry_list(
     s = ft.delete_positions_dv(spark, td2, F.col("d") == 3)
     assert s["rows_pos_deleted"] == 1
     assert ft.read_table(spark, td2).count() == 109
+    # fold delta-commits too (r14): delete entries + touched files out,
+    # rewritten survivors in — still zero full-entry composition
+    s = ft.fold_deletes(spark, td2)
+    assert s["delete_files_folded"] == 1 and s["files_rewritten"] >= 1
+    assert ft.read_table(spark, td2).count() == 109
     # feed + changelog on an append-only delta history
     td3, mk3 = _mk_delta_table(spark, tmp_path, "dlt3")
     ft.append_table(mk3([(i, i, 0.0) for i in range(100, 110)]), td3, n_files=1)
@@ -3952,3 +3957,86 @@ def test_expire_materializes_survivor_before_dropping_its_base(
     os.remove(ft._header_path(td2, vs[1]))
     with pytest.raises(ValueError, match="retention invariant"):
         ft._referenced_paths_driver(td2, [v for v in vs if v != vs[1]])
+
+
+def test_delta_regime_property_random_histories(spark, tmp_path, monkeypatch):
+    """Property replay for the r14 delta format: the SAME randomized
+    verb history (appends, range deletes, updates, merges, DV deletes,
+    interleaved) runs once in the classic regime and once with the
+    planning threshold at zero (every commit a delta). At every step the
+    visible rows must match, and at the end every retained version must
+    resolve to the same row multiset through time travel — one wrong
+    removed/added id anywhere in any chain breaks a step."""
+    import random
+
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long, x double")  # noqa: E731
+
+    def run(td: str, thr: int | None, seed: int) -> list[list[tuple]]:
+        rng = random.Random(seed)
+        old = ft.PLAN_SPARK_THRESHOLD
+        if thr is not None:
+            monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", thr)
+        try:
+            n0 = 80
+            ft.create_table(
+                mk([(i, i, float(i)) for i in range(n0)]), td,
+                stats_cols=["d"], n_files=3,
+            )
+            nxt = n0
+            snaps = []
+            has_dv = False
+            for _step in range(6):
+                # CoW verbs refuse live delete state (documented boundary),
+                # so once a DV lands the history stays in the MOR family —
+                # the verb sequence is still seed-deterministic across
+                # regimes
+                verb = rng.choice(
+                    ["append", "dv"]
+                    if has_dv
+                    else ["append", "delete", "update", "merge", "dv"]
+                )
+                if verb == "append":
+                    ft.append_table(
+                        mk([(i, i, 0.5) for i in range(nxt, nxt + 12)]), td,
+                        n_files=1,
+                    )
+                    nxt += 12
+                elif verb == "delete":
+                    ft.delete_where(spark, td, "d", rng.randint(0, 15))
+                elif verb == "update":
+                    ft.update_where(
+                        spark, td, "d", rng.randint(10, 30),
+                        {"x": F.col("x") + 1},
+                    )
+                elif verb == "merge":
+                    m = rng.randint(5, 9)
+                    src = spark.createDataFrame(
+                        [(k, float(k)) for k in range(0, nxt, m)],
+                        "sk long, sx double",
+                    )
+                    ft.merge_into(
+                        spark, td, src, on=("k", "sk"),
+                        when_matched_update={"x": F.col("s.sx") * 2},
+                    )
+                else:
+                    m = rng.randint(11, 19)
+                    ft.delete_positions_dv(spark, td, F.col("k") % m == 0)
+                    has_dv = True
+                snaps.append(
+                    sorted(map(tuple, ft.read_table(spark, td).collect()))
+                )
+            # every retained version time-travels to a consistent state
+            for v in ft._manifest_versions(td):
+                snaps.append(
+                    sorted(
+                        map(tuple, ft.read_table(spark, td, version=v).collect())
+                    )
+                )
+        finally:
+            monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", old)
+        return snaps
+
+    for seed in (7, 21):
+        a = run(str(tmp_path / f"full{seed}"), None, seed)
+        b = run(str(tmp_path / f"delta{seed}"), 0, seed)
+        assert a == b, f"seed {seed}: regimes diverged"

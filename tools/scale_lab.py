@@ -477,6 +477,15 @@ def probes():
         # r13 SPJ ∘ DV: dv'd bucket files pay the file-local probe inside
         # the aligned per-bucket join (probe side grows; dim fixed)
         "lake_spj_dv": _lakehouse_probe("lake_spj_dv_join", build_tpch),
+        # r14 O(delta) commit regime: build runs the full verb history as
+        # manifest deltas (threshold 0 in the build); serve resolves the
+        # chain through the parquet manifest table (expected flat serve —
+        # the commit-cost story is the synthetic-manifest lab in
+        # SCALE.md §Round-14, which this probe does not repeat)
+        "lake_delta": _lakehouse_probe("lake_delta_manifest_verbs", build_tpch),
+        # r14 bucket-key equality deletes through the SPJ: seq-gated
+        # anti join inside each per-bucket scan (probe side grows)
+        "lake_spj_eq": _lakehouse_probe("lake_spj_eqdelete_join", build_tpch),
     }
 
 
@@ -603,6 +612,8 @@ def main() -> int:
         "lake_gc",
         "lake_spj_ff",
         "lake_spj_dv",
+        "lake_delta",
+        "lake_spj_eq",
     )
     needs_corpus = any(
         not n.startswith("tpch_") and n not in self_building for n in selected
