@@ -4040,3 +4040,66 @@ def test_delta_regime_property_random_histories(spark, tmp_path, monkeypatch):
         a = run(str(tmp_path / f"full{seed}"), None, seed)
         b = run(str(tmp_path / f"delta{seed}"), 0, seed)
         assert a == b, f"seed {seed}: regimes diverged"
+
+
+def test_planted_delta_removal_is_by_id_not_path(spark, tmp_path, monkeypatch):
+    """Kills a path-keyed delta removal rule: DV entries SHARE one
+    sidecar path across targets (bytes charged to the first entry), so
+    a delta that removed by path alone would nuke the sibling target's
+    vector when a later commit supersedes only ONE of them — silently
+    resurrecting that file's deleted rows. Removal must key on
+    (path, target)."""
+    td = str(tmp_path / "dvid")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(60)]), td, stats_cols=["d"], n_files=3)
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    # one commit, two targets -> two dv entries sharing ONE sidecar path
+    ft.delete_positions_dv(spark, td, (F.col("k") == 5) | (F.col("k") == 45))
+    dvs = [
+        e for e in ft.read_manifest(td)["entries"] if e.get("kind") == "dv"
+    ]
+    assert len(dvs) == 2 and len({e["path"] for e in dvs}) == 1, (
+        "precondition: two targets must share one sidecar"
+    )
+    # supersede ONLY the bucket holding k=5 (same file: k in [0,20))
+    ft.delete_positions_dv(spark, td, F.col("k") == 6)
+    got = sorted(r["k"] for r in ft.read_table(spark, td).collect())
+    assert 45 not in got, "sibling target's vector was dropped with the path"
+    assert 5 not in got and 6 not in got
+    assert len(got) == 57
+
+
+def test_planted_gc_keeps_delta_removed_but_base_referenced_files(
+    spark, tmp_path, monkeypatch
+):
+    """Kills a union rule that reads a delta commit's REMOVED ids as
+    unreferenced: a file dropped by a delta DELETE is still referenced
+    by the retained base version (time travel serves it) — GC must keep
+    it until expiry actually removes that base."""
+    import time
+
+    td = str(tmp_path / "gcdelta")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long")  # noqa: E731
+    ft.create_table(mk([(i, i) for i in range(40)]), td, stats_cols=["d"], n_files=2)
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    # cutoff = the smaller file max bound -> at least one file leaves
+    # the current snapshot (dropped or rewritten; tiny-data range
+    # clustering can overlap, so the split is computed, not assumed)
+    man = ft.read_manifest(td)
+    v1_paths = {e["path"] for e in man["entries"]}
+    cutoff = sorted(int(e["stats"]["d"][1]) for e in man["entries"])[0]
+    s = ft.delete_where(spark, td, "d", cutoff)
+    assert s["files_dropped_metadata"] + s["files_rewritten"] >= 1
+    v2_paths = {e["path"] for e in ft.read_manifest(td)["entries"]}
+    gone = v1_paths - v2_paths
+    assert gone, "precondition: some file must be delta-removed"
+    v1 = ft._manifest_versions(td)[0]
+    res = ft.gc_orphans(td, grace_seconds=0, now=time.time() + 10, spark=spark)
+    assert res["files_removed"] == 0, "base-referenced files must survive GC"
+    assert ft.read_table(spark, td, version=v1).count() == 40, (
+        "time travel to the base must still serve the removed files"
+    )
+    # expiry owns the removal: once the base goes, exactly those files go
+    res = ft.expire_table(td, keep_last=1, spark=spark)
+    assert res["data_files_removed"] == len(gone)
+    assert ft.read_table(spark, td).count() == 40 - (cutoff + 1)
