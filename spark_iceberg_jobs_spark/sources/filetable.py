@@ -2619,9 +2619,10 @@ def fold_deletes(spark: SparkSession, table_dir: str) -> dict:
     manifest-table entries and the commit is a manifest DELTA — removed
     ids are the delete entries plus the touched data files (bounded by
     the fold's own rewrite set), so a fold on a million-file table is
-    O(touched) driver-side. compact_table / rewrite_layout stay
-    full-committing by design: they rewrite O(table) data anyway and
-    their inline-full manifests double as natural chain-reset points.
+    O(touched) driver-side. compact_table delta-commits too (its
+    removed set is the rewritten bins); only rewrite_layout stays
+    full-committing by design — it rewrites every file anyway and its
+    inline-full manifest doubles as a natural chain-reset point.
     Note the delta record may therefore remove (path, None) ids that
     are eq/pos delete FILES, not data — every chain walker resolves
     removals by id against what actually exists (a path is never both),
@@ -3817,36 +3818,52 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
     Streaming caveat (see commit_delta_paths): the compaction commit's
     delta is the rewritten files — an incremental consumer must skip
     replace-commits or it double-reads, exactly the no-double-count rule
-    maintenance_incremental_scan's rewrites_in_range leg reports."""
-    man = read_manifest(table_dir)
-    _data, dvs = _split_for_scan(man, "compaction")
-    dv_by_target = {d["target"]: d for d in dvs}
-    layout = man.get("layout")
-    if layout:
-        # BUCKET-PRESERVING compaction (r13): bins never cross buckets —
-        # each bucket's files binpack among themselves (same cum//target
-        # rule) and the rewritten file inherits the bucket id, so the
-        # storage-partitioned join stays aligned across compactions.
-        groups: dict[int, list[dict]] = {}
-        for e in _data:
-            if "bucket" not in e:
-                raise ValueError(
-                    f"bucketed-layout table carries unbucketed entry "
-                    f"{e['path']!r}; run rebucket_imported first"
-                )
-            groups.setdefault(e["bucket"], []).append(e)
-        col = next(iter(man["stats_types"]))
-        bounds = _decode_bounds(man, col)
-        bins, bin_buckets = [], []
-        for bk in sorted(groups):
-            for b in _binpack_entries(groups[bk], bounds, target_bytes):
-                bins.append(b)
-                bin_buckets.append(bk)
+    maintenance_incremental_scan's rewrites_in_range leg reports.
+
+    TWO-LEVEL (r14): past the threshold the BINNING runs as a window
+    job over the parquet manifest table (``_compaction_bins_spark`` —
+    the same cum_bytes_before // target rule as ``_binpack_entries``,
+    per bucket on a bucketed layout) and only the MULTI-FILE bins'
+    members come back to the driver (bounded by the rewrite set); the
+    commit is a manifest DELTA like the other write verbs. A
+    million-file table's compaction therefore never decodes a single
+    untouched entry driver-side."""
+    prev = _manifest_for_write(table_dir)
+    man = prev
+    if prev["entries"] is not None:
+        _data, dvs = _split_for_scan(prev, "compaction")
+        layout = prev.get("layout")
+        col = next(iter(prev["stats_types"]))
+        bounds = _decode_bounds(prev, col)
+        if layout:
+            # BUCKET-PRESERVING compaction (r13): bins never cross
+            # buckets — each bucket's files binpack among themselves and
+            # the rewritten file inherits the bucket id, so the
+            # storage-partitioned join stays aligned across compactions.
+            groups: dict[int, list[dict]] = {}
+            for e in _data:
+                if "bucket" not in e:
+                    raise ValueError(
+                        f"bucketed-layout table carries unbucketed entry "
+                        f"{e['path']!r}; run rebucket_imported first"
+                    )
+                groups.setdefault(e["bucket"], []).append(e)
+            bins, bin_buckets = [], []
+            for bk in sorted(groups):
+                for b in _binpack_entries(groups[bk], bounds, target_bytes):
+                    bins.append(b)
+                    bin_buckets.append(bk)
+        else:
+            bins = _binpack_entries(_data, bounds, target_bytes)
+            bin_buckets = [None] * len(bins)
+        n_bins = len(bins)
+        n_untouched = sum(1 for b in bins if len(b) == 1)
+        rewrite = [(b, bk) for b, bk in zip(bins, bin_buckets) if len(b) > 1]
     else:
-        bins = plan_compaction(table_dir, target_bytes=target_bytes)
-        bin_buckets = [None] * len(bins)
-    keep = [e for b in bins if len(b) == 1 for e in b]
-    rewrite = [(b, bk) for b, bk in zip(bins, bin_buckets) if len(b) > 1]
+        rewrite, n_bins, n_untouched, dvs, layout = _compaction_bins_spark(
+            spark, table_dir, prev, target_bytes
+        )
+    dv_by_target = {d["target"]: d for d in dvs}
     rewrite_bins = [b for b, _bk in rewrite]
     dvs_folded = 0
     new_entries: list[dict] = []
@@ -3864,9 +3881,18 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
         ]
         out = _read_data(spark, table_dir, man, b, meta_cols=bool(bin_dvs))
         if bin_dvs:
-            out = _apply_dv_filter(spark, table_dir, man, bin_dvs, out).drop(
-                "_ft_file", "_ft_pos"
-            )
+            # dvd_rows passed explicitly: past the threshold ``man`` is
+            # the header view (entries None) and the bin already knows
+            # its own dv'd files' row sum
+            dv_targets = {d["target"] for d in bin_dvs}
+            out = _apply_dv_filter(
+                spark, table_dir, man, bin_dvs, out,
+                dvd_rows=sum(
+                    e["rows"]
+                    for e in b
+                    if os.path.basename(e["path"]) in dv_targets
+                ),
+            ).drop("_ft_file", "_ft_pos")
             dvs_folded += len(bin_dvs)
         # one commit dir per bin: _collect_entries then maps files to
         # their bin exactly, which the bucket stamp below relies on
@@ -3880,28 +3906,117 @@ def compact_table(spark: SparkSession, table_dir: str, *, target_bytes: int) -> 
         new_entries += es
     # untouched files keep their vectors LIVE (they survive by metadata,
     # so their delete state must too); rewritten targets' vectors drop
-    kept_names = {os.path.basename(e["path"]) for e in keep}
-    carried_dvs = [d for d in dvs if d["target"] in kept_names]
+    # (nothing is dropped by compaction, so not-rewritten == kept)
+    rewritten_names = {
+        os.path.basename(e["path"]) for b in rewrite_bins for e in b
+    }
+    folded_dvs = [d for d in dvs if d["target"] in rewritten_names]
     summary = {
-        "bins": len(bins),
+        "bins": n_bins,
         "files_rewritten": sum(len(b) for b in rewrite_bins),
         "files_out": len(new_entries),
         "bytes_rewritten": sum(e["bytes"] for b in rewrite_bins for e in b),
-        "files_untouched": len(keep),
+        "files_untouched": n_untouched,
         "dvs_folded": dvs_folded,
-        "dvs_carried": len(carried_dvs),
+        "dvs_carried": len(dvs) - len(folded_dvs),
     }
-    _commit_manifest(
+    _commit_update(
         table_dir,
-        _inherit_schema(man, {
-            "operation": "compact",
-            "stats_types": man["stats_types"],
-            "summary": summary,
-            "entries": keep + carried_dvs + new_entries,
-        }, adds_files=bool(new_entries)),
-        base_version=man["version"],
+        prev,
+        operation="compact",
+        summary=summary,
+        removed_ids=[(e["path"], None) for b in rewrite_bins for e in b]
+        + [_entry_id(d) for d in folded_dvs],
+        added_entries=new_entries,
+        adds_files=bool(new_entries),
     )
     return summary
+
+
+def _compaction_bins_spark(
+    spark: SparkSession, table_dir: str, hdr: dict, target_bytes: int
+) -> tuple[list[tuple[list[dict], int | None]], int, int, list[dict], dict | None]:
+    """Compaction binning as a WINDOW JOB over the parquet manifest
+    table (r14): cum_bytes_before // target per partition (the bucket on
+    a bucketed layout; one global ordering otherwise — a single-reducer
+    window over NARROW manifest rows, honest to ~10M files), multi-file
+    bins' members fetched back bounded by the rewrite set. Returns
+    (rewrite [(entries, bucket)], n_bins, n_untouched, dv entries,
+    layout) — the same guards as the driver path (eq/pos raise;
+    unbucketed entries on a bucketed layout raise)."""
+    from pyspark.sql import Window
+
+    version = hdr["version"]
+    mt = spark.read.parquet(write_manifest_parquet(spark, table_dir, version))
+    counts = mt.agg(
+        F.count_if(F.col("kind").isin("eqdelete", "posdelete")).alias("n_eqpos"),
+        F.count_if(
+            (F.col("kind") == "data") & F.col("bucket").isNull()
+        ).alias("n_nobucket"),
+    ).collect()[0]
+    if counts["n_eqpos"]:
+        raise ValueError(
+            "compaction on a table with live equality/position delete "
+            "files — run fold_deletes first (file-local deletion vectors "
+            "compose)"
+        )
+    layout = hdr.get("layout")
+    if layout and counts["n_nobucket"]:
+        raise ValueError(
+            "bucketed-layout table carries unbucketed entries; run "
+            "rebucket_imported first"
+        )
+    col = next(iter(hdr["stats_types"]))
+    data = mt.filter(F.col("kind") == "data")
+    part = F.col("bucket") if layout else F.lit(0)
+    w = Window.partitionBy(part).orderBy(
+        F.col(f"min_{col}").isNull().asc(),
+        F.col(f"min_{col}").asc(),
+        F.col("path").asc(),
+    )
+    cum_before = F.coalesce(
+        F.sum("n_bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    per_bin = (
+        data.select(
+            "path",
+            "bucket",
+            F.floor(cum_before / F.lit(target_bytes)).alias("_bin"),
+        )
+        .groupBy("bucket", "_bin")
+        .agg(F.count("*").alias("n"), F.collect_list("path").alias("paths"))
+    )
+    agg = per_bin.agg(
+        F.count("*").alias("n_bins"),
+        F.count_if(F.col("n") == 1).alias("n_single"),
+    ).collect()[0]
+    multi = (
+        per_bin.filter(F.col("n") > 1).select("bucket", "_bin", "paths").collect()
+    )  # bounded: one row per REWRITE bin
+    all_paths = [p for r in multi for p in r["paths"]]
+    by_path = (
+        {
+            e["path"]: e
+            for e in _mt_entries(
+                spark, table_dir, version, F.col("path").isin(all_paths)
+            )
+        }
+        if all_paths
+        else {}
+    )
+    rewrite = [
+        ([by_path[p] for p in sorted(r["paths"])], r["bucket"])
+        for r in sorted(
+            multi,
+            key=lambda r: (
+                r["bucket"] if r["bucket"] is not None else -1,
+                r["_bin"],
+            ),
+        )
+    ]
+    dvs = _mt_entries(spark, table_dir, version, F.col("kind") == "dv")
+    return rewrite, agg["n_bins"], agg["n_single"], dvs, layout
 
 
 def commit_delta_paths(table_dir: str, version: int) -> list[str]:

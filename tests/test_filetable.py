@@ -4103,3 +4103,90 @@ def test_planted_gc_keeps_delta_removed_but_base_referenced_files(
     res = ft.expire_table(td, keep_last=1, spark=spark)
     assert res["data_files_removed"] == len(gone)
     assert ft.read_table(spark, td).count() == 40 - (cutoff + 1)
+
+
+def test_compaction_two_level_bins_and_delta_commit(
+    spark, tmp_path, monkeypatch
+):
+    """r14: past the threshold compaction BINS as a window job over the
+    parquet manifest table and commits a delta — same bins, same rows,
+    same file accounting as the driver path, with full-entry composition
+    exploded; the bucketed layout (and SPJ alignment) survives."""
+    mk = lambda rows: spark.createDataFrame(rows, "k long, d long, x double")  # noqa: E731
+    results = {}
+    for regime, thr in (("full", None), ("delta", 0)):
+        td = str(tmp_path / f"cmp_{regime}")
+        ft.create_table(
+            mk([(i, i, float(i)) for i in range(120)]), td,
+            stats_cols=["d"], n_files=4,
+        )
+        for j in range(3):
+            ft.append_table(
+                mk([(i, i, 0.0) for i in range(120 + 30 * j, 150 + 30 * j)]),
+                td, n_files=2,
+            )
+        ft.delete_positions_dv(spark, td, F.col("d") % 31 == 0)
+        if thr is not None:
+            monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", thr)
+
+            def boom(*a, **k):
+                raise AssertionError("compaction composed the full list")
+
+            monkeypatch.setattr(ft, "_compose_full_entries", boom)
+        try:
+            s = ft.compact_table(spark, td, target_bytes=1 << 40)
+        finally:
+            monkeypatch.undo()  # restore threshold + composition
+        results[regime] = {
+            "rows": sorted(map(tuple, ft.read_table(spark, td).collect())),
+            "bins": s["bins"],
+            "files_rewritten": s["files_rewritten"],
+            "files_untouched": s["files_untouched"],
+            "dvs_folded": s["dvs_folded"],
+            "dvs_carried": s["dvs_carried"],
+        }
+    assert results["full"] == results["delta"], (
+        f"two-level compaction diverged: {results}"
+    )
+    assert results["delta"]["files_rewritten"] > 0
+
+
+def test_compaction_two_level_bucketed_preserves_spj(spark, tmp_path, monkeypatch):
+    """The job binning respects bucket boundaries: a bucketed pair
+    compacted in the delta regime keeps per-bucket file purity and the
+    SPJ stays aligned and exact."""
+    ta, tb = _mk_spj_pair(spark, tmp_path)
+    want = sorted(
+        map(tuple, ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2")).collect())
+    )
+    ft.append_table(
+        spark.createDataFrame(
+            [(i % 40, 50_000 + i, 0.25) for i in range(200)],
+            "k long, oid long, amt double",
+        ),
+        ta,
+    )
+    extra = sorted(
+        map(
+            tuple,
+            spark.createDataFrame(
+                [(i % 40, 50_000 + i, 0.25) for i in range(200)],
+                "k long, oid long, amt double",
+            )
+            .alias("e")
+            .join(ft.read_table(spark, tb).alias("b"), F.col("e.k") == F.col("b.k2"))
+            .select("e.k", "e.oid", "e.amt", "b.rid", "b.w")
+            .collect(),
+        )
+    )
+    monkeypatch.setattr(ft, "PLAN_SPARK_THRESHOLD", 0)
+    s = ft.compact_table(spark, ta, target_bytes=1 << 40)
+    assert s["files_rewritten"] > 0
+    man = ft.read_manifest(ta)
+    assert all(
+        "bucket" in e for e in man["entries"] if e.get("kind", "data") == "data"
+    ), "job binning must stamp inherited bucket ids"
+    j = ft.storage_partitioned_join(spark, ta, tb, on=("k", "k2"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert sorted(map(tuple, j.collect())) == sorted(want + extra)
