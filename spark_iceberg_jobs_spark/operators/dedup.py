@@ -100,6 +100,11 @@ def ngram_jaccard_pairs(
     """
     sh = _distinct_shingles(documents, n=n)
     if max_shingle_df is not None:
+        # persist BEFORE deriving the stop-shingle set: `hot` descends
+        # from `sh`, so an unpersisted frame recomputes the tokenize +
+        # shingle + distinct pipeline a second time just to count df
+        # (the srp_dedup_pairs hot-bucket branch had the same shape, r14)
+        sh = scoped_persist(sh)
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -542,20 +547,28 @@ def semantic_dedup(
     Scale shape — this is why SemDeDup works at corpus scale where
     all-pairs cosine cannot: assignment to the fitted centroids is a
     literal-argmin PROJECTION (assign_cells — no shuffle, no crossJoin);
-    the self-join is keyed by cell, so pair work drops from O(n²) to
+    the pairing is keyed by cell, so pair work drops from O(n²) to
     Σ_cell n_cell² — with k clusters of even mass that is n²/k, and k is
-    the knob (production runs k in the tens of thousands). Pairs carry ids
-    + vectors per cell partition; scoring is the Arrow-vectorized numpy
-    cosine. A degenerate hot cell (mass collapsing into one cluster) is
-    the same failure mode as SRP's hot bucket — ``max_cell_rows`` drops
-    such cells from pairing (their members are better served by exact
-    dedup), mirroring srp_dedup_pairs' guard.
+    the knob (production runs k in the tens of thousands). Each cell
+    scores its own pairs inside one Arrow batch (r14 — the same
+    within-bucket scorer as srp_dedup_pairs, guide §8): vectors cross the
+    exchange ONCE in the linear cell-keyed stream instead of riding every
+    candidate pair through a self-join, and sub-threshold pairs never
+    leave the Python worker; per-pair arithmetic is bit-identical to the
+    old cosine_arrow join. A degenerate hot cell (mass collapsing into
+    one cluster) is the same failure mode as SRP's hot bucket —
+    ``max_cell_rows`` drops such cells from pairing (their members are
+    better served by exact dedup), mirroring srp_dedup_pairs' guard.
     """
-    from .similarity import assign_cells
+    from .similarity import _bucket_pair_scorer, assign_cells
 
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     assigned = assign_cells(e, cents, vec_col="v").select("vid", "cell", "v")
     if max_cell_rows is not None:
+        # persist BEFORE deriving the hot-cell set: `hot` descends from
+        # `assigned`, so an unpersisted frame re-runs the assignment scan
+        # a second time just to count cell occupancy
+        assigned = scoped_persist(assigned)
         hot = (
             assigned.groupBy("cell")
             .agg(F.count("*").alias("_rows"))
@@ -563,16 +576,11 @@ def semantic_dedup(
             .select("cell")
         )
         assigned = assigned.join(hot, "cell", "left_anti")
-    assigned = scoped_persist(assigned)  # both self-join sides; assign runs once
-    a = assigned.select("cell", F.col("vid").alias("keeper_id"), F.col("v").alias("va"))
-    b = assigned.select("cell", F.col("vid").alias("removed_id"), F.col("v").alias("vb"))
-    from ..functions.vectors import cosine_arrow
-
-    hits = (
-        a.join(b, "cell")
-        .filter(F.col("keeper_id") < F.col("removed_id"))
-        .withColumn("_sim", cosine_arrow(F.col("va"), F.col("vb")))
-        .filter(F.col("_sim") >= threshold)
+    hits = assigned.groupBy("cell").applyInPandas(
+        _bucket_pair_scorer(
+            threshold, a_col="keeper_id", b_col="removed_id", passthrough=("cell",)
+        ),
+        "cell long, keeper_id long, removed_id long, _sim double",
     )
     w = Window.partitionBy("removed_id").orderBy("keeper_id")
     return (

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.cache import scoped_persist
-from ..functions.vectors import as_double, cosine, cosine_arrow
+from ..functions.vectors import as_double, cosine
 
 
 def bruteforce_topk(
@@ -186,7 +186,13 @@ def _all_table_sigs_arrow(*, num_planes: int, num_tables: int, dim: int):
         per_table = weighted.reshape(len(V), -1, num_planes).sum(axis=2)
         return pd.Series(list(per_table))
 
-    return sigs
+    # asNondeterministic: posexplode over the UDF column plants an implicit
+    # size(...)>0 filter that the optimizer pushes BELOW the projection,
+    # duplicating the ArrowEvalPython node — every embedding then crosses
+    # the Python boundary twice and the matmul runs twice (observed in the
+    # r14 before-plans: two ArrowEvalPython per scan). The UDF is pure; the
+    # flag only forbids the optimizer to clone it.
+    return sigs.asNondeterministic()
 
 
 def _multi_table_sig(
@@ -426,6 +432,84 @@ def centroids_df(spark, cents: list[list[float]]) -> DataFrame:
     )
 
 
+#: One-shot pair scoring (np.triu_indices) is used up to this bucket size:
+#: n=512 is ~131k pairs — two gathered (pairs, dim) float64 blocks are
+#: ~67 MB each at dim=64, bounded even with a full slot count of
+#: concurrent bucket tasks. Bigger buckets (possible only when
+#: max_bucket_rows exceeds this or planes are pinned small) fall to a
+#: per-row sweep with O(n x dim) memory instead.
+_SRP_TRIU_MAX_ROWS = 512
+
+
+def _bucket_pair_scorer(
+    threshold: float,
+    *,
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+    passthrough: tuple[str, ...] = (),
+):
+    """applyInPandas scorer for one bucket/cell: all (a < b) member pairs,
+    exact numpy cosine, only pairs >= threshold returned.
+
+    The per-pair arithmetic is EXACTLY functions.vectors.cosine_arrow's —
+    elementwise product, axis-1 pairwise-summation reduce, sqrt-norm
+    product — on the same float64 rows, so a pair scores bit-identically
+    here, in the r13 join+cosine_arrow shape, and wherever it co-buckets
+    (a cross-table dropDuplicates may keep any copy). A zero-vector pair
+    scores NaN and fails the threshold, exactly like the old JVM filter on
+    cosine_arrow's NaN. ``passthrough`` names group-constant input columns
+    copied onto every output pair (they lead the output schema)."""
+    import numpy as np
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        def frame(a, b, s) -> pd.DataFrame:
+            cols = {c: pdf[c].iloc[:1].repeat(len(a)).to_numpy() for c in passthrough}
+            cols[a_col] = a
+            cols[b_col] = b
+            cols["_sim"] = s
+            return pd.DataFrame(cols)
+
+        n = len(pdf)
+        e_i = np.array([], dtype=np.int64)
+        if n < 2:
+            return frame(e_i, e_i, np.array([], dtype=np.float64))
+        pdf = pdf.sort_values("vid")  # (a < b) pair orientation
+        vids = pdf["vid"].to_numpy()
+        V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        # per-vector norms once (n folds, not n² — same rule the exact
+        # baseline uses); sqrt((row*row).sum(axis=1)) is bit-identical to
+        # cosine_arrow's per-pair recompute of the same row
+        nrm = np.sqrt((V * V).sum(axis=1))
+        out_a, out_b, out_s = [], [], []
+
+        def emit(ia: np.ndarray, ib: np.ndarray, sim: np.ndarray) -> None:
+            keep = sim >= threshold  # NaN compares False
+            if keep.any():
+                out_a.append(vids[ia][keep])
+                out_b.append(vids[ib][keep])
+                out_s.append(sim[keep])
+
+        if n <= _SRP_TRIU_MAX_ROWS:
+            ia, ib = np.triu_indices(n, k=1)
+            dots = (V[ia] * V[ib]).sum(axis=1)
+            d = nrm[ia] * nrm[ib]
+            emit(ia, ib, np.where(d != 0, dots / np.where(d == 0, 1.0, d), np.nan))
+        else:
+            for i in range(n - 1):
+                dots = (V[i] * V[i + 1 :]).sum(axis=1)
+                d = nrm[i] * nrm[i + 1 :]
+                sim = np.where(d != 0, dots / np.where(d == 0, 1.0, d), np.nan)
+                ib = np.arange(i + 1, n)
+                emit(np.full(len(ib), i), ib, sim)
+        if not out_a:
+            return frame(e_i, e_i, np.array([], dtype=np.float64))
+        return frame(
+            np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_s)
+        )
+
+    return score
+
+
 def srp_dedup_pairs(
     embeddings: DataFrame,
     *,
@@ -443,17 +527,23 @@ def srp_dedup_pairs(
     signature) across ``num_tables`` independent hash tables, then scored
     with exact cosine — only co-bucketed pairs ever meet.
 
-    Scale shape, stage by stage:
+    Scale shape, stage by stage (r14 — within-bucket scoring, optimization
+    guide §8: every shuffle but the last moves a lightweight proxy, and
+    heavy bytes move once):
 
-    - Candidate generation self-joins the (tbl, sig) signature table and
-      emits ID PAIRS ONLY — the candidate dedup shuffle moves 16-byte
-      rows, never vectors (carrying both 64-dim vectors through the
-      dropDuplicates was measured 25x slower at sf0.1).
-    - Vectors join back onto the unique pairs by id (broadcast when the
-      vector table is small, shuffle-hash at scale).
-    - Exact rescoring uses the Arrow-vectorized numpy cosine
-      (functions.vectors.cosine_arrow): the interpreted HOF fold is fine
-      for thousands of scores but dominates at millions of candidates.
+    - ONE exchange carries the vectors: the (tbl, sig)-keyed groupBy ships
+      each vector ``num_tables`` times — O(n x tables) linear rows, never
+      the candidate pair space.
+    - Each bucket scores its own pairs inside one Arrow batch
+      (``applyInPandas``): per-pair arithmetic is the exact numpy
+      expression cosine_arrow uses, and pairs BELOW threshold never leave
+      the Python worker. The r13 shape materialized every candidate pair
+      (~40% of all pairs on the fixture's random-vector regime), shuffled
+      the id-pair space through a dropDuplicates, joined both 64-dim
+      vectors back on, and pushed ~1 KB per pair through Arrow just to
+      discard most of them at the threshold filter.
+    - The cross-table dedup runs on SURVIVORS only (duplicates carry
+      bit-identical sims, so any representative wins).
 
     Never O(n²) pairs, never a broadcast of the full vector table into a
     nested-loop join (contrast queries/llm.dedup_embedding_cosine, the
@@ -494,8 +584,13 @@ def srp_dedup_pairs(
     e = embeddings.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
     sig = _multi_table_sig(
         e, vec_col="v", num_planes=num_planes, num_tables=num_tables, dim=dim
-    ).select("vid", "tbl", "sig")
+    ).select("vid", "v", "tbl", "sig")
     if max_bucket_rows is not None:
+        # persist BEFORE deriving the hot-bucket set: `hot` descends from
+        # `sig`, so an unpersisted frame recomputes the whole scan + Arrow
+        # matmul + explode a second time just to count bucket occupancy
+        # (observed in the r14 before-plan: two full sig pipelines)
+        sig = scoped_persist(sig)
         hot = (
             sig.groupBy("tbl", "sig")
             .agg(F.count("*").alias("_rows"))
@@ -503,22 +598,11 @@ def srp_dedup_pairs(
             .select("tbl", "sig")
         )
         sig = sig.join(hot, ["tbl", "sig"], "left_anti")
-    sig = scoped_persist(sig)  # both self-join sides; the plane folds run once
-    a = sig.select(F.col("vid").alias("vec_a"), "tbl", "sig")
-    b = sig.select(F.col("vid").alias("vec_b"), "tbl", "sig")
-    cands = (
-        a.join(b, ["tbl", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+    pairs = sig.groupBy("tbl", "sig").applyInPandas(
+        _bucket_pair_scorer(threshold), "vec_a long, vec_b long, _sim double"
     )
-    va = e.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
-    scored = cands.join(va, "vec_a").join(vb, "vec_b")
-    return (
-        scored.withColumn("_sim", cosine_arrow(F.col("va"), F.col("vb")))
-        .filter(F.col("_sim") >= threshold)
-        .select("vec_a", "vec_b", F.round("_sim", 4).alias("cos_sim"))
+    return pairs.dropDuplicates(["vec_a", "vec_b"]).select(
+        "vec_a", "vec_b", F.round("_sim", 4).alias("cos_sim")
     )
 
 
@@ -988,12 +1072,22 @@ def mmr_rerank(
         .filter(F.col("_rn") == 1)
         .select("probe_id", "cid", F.lit(1).alias("rnk"), F.col("_mmr").alias("score"))
     )
+    if k > 1:
+        # round-1 pick is referenced twice by round 2 — persist it (see
+        # the in-loop comment; |probes| rows)
+        sel = scoped_persist(sel)
     for r in range(2, k + 1):
         # every frame here descends from `cand`, so the joins are
         # self-joins — string aliases + qualified refs keep the analyzer
         # unambiguous about which lineage each column comes from
-        picked = sel.select(
-            F.col("probe_id").alias("sp"), F.col("cid").alias("sc")
+        # the picked set is < r rows per probe BY CONSTRUCTION (one
+        # row_number()==1 pick per round) — a broadcast is answer-scale
+        # for any serving batch, and it keeps the per-round joins
+        # exchange-free instead of sort-merging 3-row frames through
+        # full shuffles (r14; the guide §3.1 "broadcast what you know is
+        # small" case — size estimates on cached unions are useless here)
+        picked = F.broadcast(
+            sel.select(F.col("probe_id").alias("sp"), F.col("cid").alias("sc"))
         ).alias(f"sl{r}")
         rem = (
             slim.alias(f"rm{r}")
@@ -1005,8 +1099,8 @@ def mmr_rerank(
             )
             .alias(f"rem{r}")
         )
-        picked2 = sel.select(
-            F.col("probe_id").alias("sp"), F.col("cid").alias("sc")
+        picked2 = F.broadcast(
+            sel.select(F.col("probe_id").alias("sp"), F.col("cid").alias("sc"))
         ).alias(f"sm{r}")
         red = (
             rem.join(
@@ -1039,6 +1133,18 @@ def mmr_rerank(
             )
         )
         sel = sel.unionByName(pick)
+        if r < k:
+            # persist the growing selection BETWEEN rounds: round r+1
+            # references `sel` TWICE (the anti-join and the picked-set
+            # redundancy join), so an unpersisted union doubles the
+            # embedded plan every round — k rounds cost a 2^k-shaped plan
+            # (the r14 before-plan for k=3 was 1793 lines / 65 Exchanges /
+            # 72 Windows of re-derived picks). Caching the ≤ r·|probes|-row
+            # selection makes the next round reference rows, not lineage.
+            # The FINAL union is deliberately not persisted: it is the
+            # query's result, and intermediates are what scoped caching is
+            # for.
+            sel = scoped_persist(sel)
     return sel.select(
         "probe_id",
         "rnk",

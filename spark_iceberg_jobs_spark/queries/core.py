@@ -69,10 +69,18 @@ def _revenue():
 def flagship_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 customers by lineitem revenue, with nation/region context.
 
-    lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation) ⋈ broadcast(region):
-    the two fact joins shuffle on their keys (AQE-sized), the two dim joins
-    are BroadcastHashJoin — the same plan shape the reference teaches with
-    medals/maps (README.md:17).
+    Aggregate-before-join (optimization guide §2.3/§2.4, r14): revenue is
+    summed per o_custkey straight off lineitem ⋈ orders, and only the
+    |customers|-sized aggregate joins the dim side (customer ⋈
+    broadcast(nation) ⋈ broadcast(region)). The group keys (c_name, n_name,
+    r_name) are functionally dependent on c_custkey, so grouping by
+    custkey first computes the same groups — but the exchange after the
+    fact join now carries ~|customers| partial-agg rows instead of every
+    joined lineitem row with names attached. The r13 shape also fell to a
+    SortMergeJoin because the enriched-customer side's join-output size
+    ESTIMATE (a product of three joins) blew past the broadcast threshold
+    the 312 KB table is actually under; the aggregate side now reuses its
+    own exchange partitioning, so only the dim side moves.
     """
     t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
     enriched = broadcast_dim_join(
@@ -82,17 +90,18 @@ def flagship_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (t["region"].withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey"),
         ],
     )
-    joined = (
+    per_cust = (
         t["lineitem"]
         .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
-        .join(enriched, F.col("o_custkey") == F.col("c_custkey"))
-    )
-    return (
-        joined.groupBy("c_custkey", "c_name", "n_name", "r_name")
         # per-customer groups: int64 unit-sum fast path — exact and
         # order-independent like the decimal path, ~70% cheaper (see
         # functions/money.fast_money_sum capacity note)
+        .groupBy("o_custkey")
         .agg(fast_money_sum(_revenue()).alias("revenue"))
+    )
+    return (
+        per_cust.join(enriched, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(5)
     )

@@ -1352,6 +1352,7 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline is one lazy plan, no driver loops, no collect. At
     100 TB the stages swap in their scale twins with identical wiring
     (MinHash for 3, the bloom prefilter for 4)."""
+    from ..functions.cache import scoped_persist
     from ..functions.texts import normalize
     from ..operators.dedup import _distinct_shingles
     from ..operators.splits import assign_split
@@ -1364,7 +1365,9 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_docs = docs.filter(is_eval)
     base = docs.filter(~is_eval).filter(F.col("n_chars") >= 100)
 
-    keepers = (
+    keepers = scoped_persist(  # ids only; `deduped` fans out to the
+        # shingle pass AND the anti join, so an unpersisted keepers would
+        # re-run the md5-normalize aggregate + its exchange per consumer
         base.select("doc_id", F.md5(normalize("text")).alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -1863,6 +1866,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline scales like its parts; at 100 TB step 3 swaps in the MinHash
     candidates with identical downstream wiring.
     """
+    from ..functions.cache import scoped_persist
     from ..functions.texts import STOPWORDS, normalize, tokens
     from ..operators.dedup import ngram_jaccard_pairs
 
@@ -1872,7 +1876,9 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))) / n_tok
     quality = docs.filter((n_tok >= 30) & (stop_ratio >= 0.01))
 
-    keepers = (
+    keepers = scoped_persist(  # ids only; `deduped` fans out to the
+        # shingle pass AND the anti join, so an unpersisted keepers would
+        # re-run the md5-normalize aggregate + its exchange per consumer
         quality.select("doc_id", F.md5(normalize("text")).alias("h"))
         .groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -4002,8 +4008,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avg_dl"),
     )
+    qtf = (
+        tf.filter(F.col("doc_id") < 3)
+        .select(F.col("doc_id").alias("query_doc"), "term", F.col("tf").alias("qtf"))
+    )
+    # idf(t) depends only on t's own document frequency, and the ranking
+    # joins idf on the (broadcast) query terms — so the df count only needs
+    # tf rows whose term occurs in a query (guide §2.3: shuffle fewer
+    # bytes). The semi join cuts the idf aggregate from vocabulary-sized
+    # to query-term-sized; surviving terms' df values are unchanged, so
+    # scores are bit-identical (oracle-pinned).
     idf = (
-        tf.groupBy("term")
+        tf.join(F.broadcast(qtf.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(stats.select("n_docs")))
         .select(
@@ -4012,10 +4029,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
                 (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
             ).alias("idf"),
         )
-    )
-    qtf = (
-        tf.filter(F.col("doc_id") < 3)
-        .select(F.col("doc_id").alias("query_doc"), "term", F.col("tf").alias("qtf"))
     )
     return _bm25_rank(tf, dlen, idf, stats, qtf, k)
 
