@@ -200,6 +200,16 @@ _R14_CHANGED = [
     "lake_maintenance_window",  # incremental_feed walk + expire pre-pass
     "lake_gc_orphans",  # two-phase lock scope + chain-aware union
     "lake_compact_roundtrip",  # shared binpack helper extraction
+    # r14 OPTIMIZATION round: plans changed by the measured optimization
+    # pass (OPTIMIZATION_r14.md) — they ride for a fresh verdict
+    "retrieval_mmr_rerank",  # per-round persist + broadcast picked sets
+    "dedup_embedding_cosine_bucketed",  # within-bucket applyInPandas scoring
+    "dedup_embedding_cosine_bucketed_auto",  # same + pre-filter sig persist
+    "sim_lsh_topk",  # SRP sig UDF no longer optimizer-duplicated
+    "dedup_semantic",  # within-cell applyInPandas scoring
+    "text_bm25_topk",  # query-term-sized idf aggregate
+    "pipeline_pretraining_corpus",  # persisted keepers id set
+    "pipeline_corpus_curation",  # persisted keepers id set
 ]
 
 _R14_NEW = [
@@ -210,14 +220,17 @@ _R14_NEW = [
 ]
 
 _R14_STALE_REFRESH = [
-    # the artifact-computed staleness order: the whole 9-entry r7
-    # remainder, then the alphabetically-oldest r8-stale entries filling
-    # the window (membership asserted from the frozen r01-r13 artifacts)
+    # the artifact-computed staleness order: the r7 remainder (8 entries
+    # once text_bm25_topk moved to the plan-changed tier), then the
+    # alphabetically-oldest r8-stale entries filling the window
+    # (membership asserted from the frozen r01-r13 artifacts; the r14
+    # optimization pass moved 8 plan-changed entries into _R14_CHANGED,
+    # displacing the 8 newest stale-refresh slots per policy — changed
+    # outranks stale)
     "sort_global_topk",
     "sql_interface_revenue",
     "stats_moments_by_flag",
     "subquery_above_nation_avg",
-    "text_bm25_topk",
     "udaf_weighted_avg_price",
     "window_lag_order_gaps",
     "window_running_order_total",
@@ -228,7 +241,6 @@ _R14_STALE_REFRESH = [
     "decontaminate_eval_overlap",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "dedup_embedding_cosine_bucketed",
     "dedup_exact",
     "dedup_incremental_batch",
     "dedup_ngram_jaccard",
@@ -237,12 +249,6 @@ _R14_STALE_REFRESH = [
     "events_asof_purchase_click",
     "events_max_concurrency",
     "events_pivot_type_counts",
-    "events_props_extract",
-    "events_range_join_followups",
-    "events_retention_cohorts",
-    "events_running_value",
-    "events_session_window_native",
-    "events_sessionization",
 ]
 
 def _merged() -> dict[str, QuerySpec]:

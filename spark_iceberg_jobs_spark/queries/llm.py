@@ -1375,8 +1375,14 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = base.join(keepers, "doc_id", "left_semi")
 
-    ev_sh = _distinct_shingles(ev_docs, n=5).select("shingle").distinct()
-    tr_sh = _distinct_shingles(deduped, n=5)
+    # ONE tokenize+shingle pass feeds both decontamination sides (r14 —
+    # guide §1.2 step 1: don't compute the same pass twice): the eval side
+    # filters by the same pure md5 split expression, the train side
+    # semi-joins the deduped ids. The oracle's own `sh` CTE shingles all
+    # documents, so equivalence is definitional.
+    sh_all = scoped_persist(_distinct_shingles(docs, n=5))
+    ev_sh = sh_all.filter(is_eval).select("shingle").distinct()
+    tr_sh = sh_all.join(deduped.select("doc_id"), "doc_id", "left_semi")
     contaminated = (
         tr_sh.join(F.broadcast(ev_sh), "shingle").select("doc_id").distinct()
     )
