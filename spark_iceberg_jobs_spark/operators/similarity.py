@@ -28,7 +28,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.cache import scoped_persist
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, dot, norm
+
+
+def _cosine_prenormed(a, b, an, bn):
+    """Cosine from precomputed per-side norms — the same CASE shape, fold
+    arithmetic and values as ``functions.vectors.cosine`` (bit-identical:
+    ``an``/``bn`` ARE ``norm(a)``/``norm(b)``, just evaluated once per ROW
+    below the join instead of once per PAIR above it). The r15 A/B measured
+    the old shape folding five 64-element interpreted aggregates per
+    candidate pair (2 norms in the CASE condition + dot + 2 norms in the
+    divisor — r15 before-plan Project(9)); precomputing norms cuts the
+    scoring stage 2.2x (0.648 → 0.298 s) while static unrolling of the dot
+    itself measured WORSE than the fold (codegen fallback) and was
+    rejected — guide §1.1: empirical loop beats the first-principles plan."""
+    d = an * bn
+    return F.when(d != 0, dot(a, b) / d)
 
 
 def bruteforce_topk(
@@ -44,16 +59,24 @@ def bruteforce_topk(
     ``probes`` (small) is broadcast against the candidate scan — no shuffle
     of the big side; the per-probe ranking window shuffles only
     (probes x candidates) scored rows, which the k-filter then truncates.
+    Per-side norms are computed once per row BELOW the join (r15 — see
+    ``_cosine_prenormed``); the per-pair work is one dot fold.
     """
     p = probes.select(
         F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv")
-    )
+    ).withColumn("pn", norm(F.col("pv")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
-        .select("probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("sim"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine_prenormed(
+                F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -287,8 +310,26 @@ def ivf_nearest_cells(
     ties broken by cell asc — shared by ``ivf_topk`` and the
     persisted-index serving path (queries/ml.sim_ivf_incremental_topk) so
     their bit-equality contract has exactly one implementation."""
-    scored = df.crossJoin(F.broadcast(centroids.select("cell", "centv"))).select(
-        idcol, vcol, "cell", cosine(F.col(vcol), F.col("centv")).alias("csim")
+    # row norm once per input row, centroid norm once per centroid — the
+    # crossJoin pays one dot fold per (row, centroid) instead of five
+    # (r15, _cosine_prenormed; bit-identical)
+    scored = (
+        df.withColumn("_vn", norm(F.col(vcol)))
+        .crossJoin(
+            F.broadcast(
+                centroids.select("cell", "centv").withColumn(
+                    "_cn", norm(F.col("centv"))
+                )
+            )
+        )
+        .select(
+            idcol,
+            vcol,
+            "cell",
+            _cosine_prenormed(
+                F.col(vcol), F.col("centv"), F.col("_vn"), F.col("_cn")
+            ).alias("csim"),
+        )
     )
     w = Window.partitionBy(idcol).orderBy(F.desc("csim"), F.asc("cell"))
     return (
@@ -303,13 +344,21 @@ def ivf_search(assigned: DataFrame, probe_cells: DataFrame, *, k: int) -> DataFr
     self-exclusion, exact-cosine rescoring, per-probe top-k with the
     (sim desc, neighbor asc) tie-break. ``assigned`` carries (cid, cv,
     cell); ``probe_cells`` carries (probe_id, pv, cell)."""
+    # norms once per side below the join (r15, _cosine_prenormed) — works
+    # for every caller (ivf_topk and the persisted-index serves) because
+    # they are derived here, not read from the index schema
     cands = (
-        assigned.join(F.broadcast(probe_cells), "cell")
+        assigned.withColumn("_cn", norm(F.col("cv")))
+        .join(F.broadcast(probe_cells.withColumn("_pn", norm(F.col("pv")))), "cell")
         .filter(F.col("cid") != F.col("probe_id"))
         .dropDuplicates(["probe_id", "cid"])
     )
     scored = cands.select(
-        "probe_id", F.col("cid").alias("neighbor_id"), cosine(F.col("pv"), F.col("cv")).alias("sim")
+        "probe_id",
+        F.col("cid").alias("neighbor_id"),
+        _cosine_prenormed(F.col("pv"), F.col("cv"), F.col("_pn"), F.col("_cn")).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -447,18 +496,30 @@ def _bucket_pair_scorer(
     a_col: str = "vec_a",
     b_col: str = "vec_b",
     passthrough: tuple[str, ...] = (),
+    id_col: str = "vid",
+    vec_col: str = "v",
 ):
     """applyInPandas scorer for one bucket/cell: all (a < b) member pairs,
-    exact numpy cosine, only pairs >= threshold returned.
+    exact numpy cosine, only pairs >= threshold returned. The input frame
+    must carry ``id_col``/``vec_col`` (r15 ADVICE: previously hardcoded
+    'vid'/'v' while output names were parameterized — now both ends are).
 
     The per-pair arithmetic is EXACTLY functions.vectors.cosine_arrow's —
     elementwise product, axis-1 pairwise-summation reduce, sqrt-norm
     product — on the same float64 rows, so a pair scores bit-identically
     here, in the r13 join+cosine_arrow shape, and wherever it co-buckets
-    (a cross-table dropDuplicates may keep any copy). A zero-vector pair
-    scores NaN and fails the threshold, exactly like the old JVM filter on
-    cosine_arrow's NaN. ``passthrough`` names group-constant input columns
-    copied onto every output pair (they lead the output schema)."""
+    (a cross-table dropDuplicates may keep any copy).
+
+    Zero-vector (NaN-scoring) pairs: the numpy ``sim >= threshold`` below
+    drops them (NaN compares False). This is a DELIBERATE r14 behavior
+    change from the r13 JVM filter ``F.col('_sim') >= lit(threshold)``,
+    which KEPT them — Spark SQL orders NaN above every double, so NaN >=
+    threshold was true (and DuckDB under ieee_floating_point_ops ranks NaN
+    the same way). A zero vector has no direction, so "similar" is
+    undefined; dropping the pair is the defensible semantics, it matches
+    vectors.cosine's NULL (also dropped by any >= filter), and no fixture
+    contains a zero vector at any SF, so every oracle hash is unaffected —
+    pinned by test_bucket_pair_scorer_drops_zero_vector_pairs."""
     import numpy as np
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -473,9 +534,9 @@ def _bucket_pair_scorer(
         e_i = np.array([], dtype=np.int64)
         if n < 2:
             return frame(e_i, e_i, np.array([], dtype=np.float64))
-        pdf = pdf.sort_values("vid")  # (a < b) pair orientation
-        vids = pdf["vid"].to_numpy()
-        V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        pdf = pdf.sort_values(id_col)  # (a < b) pair orientation
+        vids = pdf[id_col].to_numpy()
+        V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
         # per-vector norms once (n folds, not n² — same rule the exact
         # baseline uses); sqrt((row*row).sum(axis=1)) is bit-identical to
         # cosine_arrow's per-pair recompute of the same row
@@ -625,17 +686,22 @@ def lsh_topk(
     before the (exact) cosine ranking, so precision is never approximate —
     only recall is. Recall vs bruteforce_topk is measured in tests.
     """
+    # per-side norms ride the signature explode (one extra double per row)
+    # so the bucket-match exact scoring pays ONE dot fold per candidate pair
+    # instead of five folds — bit-identical (r15, _cosine_prenormed)
     c = _multi_table_sig(
         embeddings.select(
             F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv")
-        ),
+        ).withColumn("cn", norm(F.col("cv"))),
         vec_col="cv",
         num_planes=num_planes,
         num_tables=num_tables,
         dim=dim,
     )
     p = _multi_table_sig(
-        probes.select(F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pv")),
+        probes.select(
+            F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pv")
+        ).withColumn("pn", norm(F.col("pv"))),
         vec_col="pv",
         num_planes=num_planes,
         num_tables=num_tables,
@@ -648,11 +714,15 @@ def lsh_topk(
             & (F.col("sig") == F.col("psig"))
             & (F.col("neighbor_id") != F.col("probe_id")),
         )
-        .select("probe_id", "neighbor_id", "pv", "cv")
+        .select("probe_id", "neighbor_id", "pv", "cv", "pn", "cn")
         .dropDuplicates(["probe_id", "neighbor_id"])
     )
     scored = cands.select(
-        "probe_id", "neighbor_id", cosine(F.col("pv"), F.col("cv")).alias("sim")
+        "probe_id",
+        "neighbor_id",
+        _cosine_prenormed(F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -1039,16 +1109,29 @@ def mmr_rerank(
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     if k > pool:
         raise ValueError(f"k ({k}) cannot exceed the candidate pool ({pool})")
-    p = probes.select(F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv"))
-    c = embeddings.select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+    # per-side norms once per row below the join (r15, _cosine_prenormed);
+    # the candidate pool carries its norm so the pool² pairwise cosines
+    # reuse it too — bit-identical to the per-pair HOF cosine
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), as_double(vec_col).alias("pv")
+    ).withColumn("pn", norm(F.col("pv")))
+    c = embeddings.select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     scored = c.join(F.broadcast(p), F.col("cid") != F.col("probe_id")).select(
-        "probe_id", "cid", "cv", cosine(F.col("pv"), F.col("cv")).alias("sim")
+        "probe_id",
+        "cid",
+        "cv",
+        "cn",
+        _cosine_prenormed(F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")).alias(
+            "sim"
+        ),
     )
     w_pool = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("cid"))
     cand = scoped_persist(
         scored.withColumn("_rn", F.row_number().over(w_pool))
         .filter(F.col("_rn") <= pool)
-        .select("probe_id", "cid", "cv", "sim")
+        .select("probe_id", "cid", "cv", "cn", "sim")
     )
     # pairwise cosines within each probe's pool: ≤ pool^2 rows per probe
     a, b = cand.alias("a"), cand.alias("b")
@@ -1061,7 +1144,9 @@ def mmr_rerank(
             F.col("a.probe_id").alias("probe_id"),
             F.col("a.cid").alias("ca"),
             F.col("b.cid").alias("cb"),
-            cosine(F.col("a.cv"), F.col("b.cv")).alias("psim"),
+            _cosine_prenormed(
+                F.col("a.cv"), F.col("b.cv"), F.col("a.cn"), F.col("b.cn")
+            ).alias("psim"),
         )
     )
     slim = cand.select("probe_id", "cid", "sim")

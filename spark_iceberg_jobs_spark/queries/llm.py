@@ -3140,7 +3140,8 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG indexing + retrieval, end-to-end as ONE verified dataflow —
     the second capstone (pipeline_pretraining_corpus covers curation;
     this covers serving): documents are chunked into overlapping token
-    windows (chunk_with_overlap, pure codegen expansion), the chunk
+    windows (chunk_with_overlap's geometry as a token-level codegen
+    expansion — the terms explode straight off the token slices), the chunk
     corpus becomes a TF-IDF inverted index (term-keyed — the only
     data-sized shuffle), and the first three documents act as queries,
     each retrieving its top-3 foreign chunks (own-document chunks
@@ -3156,20 +3157,50 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.cache import scoped_persist
     from ..functions.texts import tokens
-    from ..operators.text import chunk_with_overlap
 
     docs = read_fixture(spark, sf_dir, "documents")
-    chunks = scoped_persist(chunk_with_overlap(docs, chunk_tokens=16, overlap=4))
-    n_chunks = chunks.count()
+    # Chunk geometry (chunk_tokens=16, overlap=4 → stride 12), kept in
+    # lockstep with chunk_with_overlap and the oracle SQL. r15 (guide §1.2,
+    # §2.4): the r14 shape materialized an 85k-row chunk_text STRING cache
+    # (concat_ws over token slices) only to re-split every string back into
+    # tokens for ctf and to count rows for n_chunks. Now the corpus chunk
+    # count is ONE scalar aggregate of the same per-doc formula (no chunk
+    # materialization at all), and ctf explodes the token SLICES directly —
+    # identical terms (split(concat_ws(sep, arr), sep) == arr for the
+    # non-empty arrays tokens() always yields), no string round-trip, no
+    # chunk cache to build on the cold pass.
+    chunk_tokens, overlap, stride = 16, 4, 12
+    toks = tokens("text")
+    n_toks = F.size(toks)
+    n_chunks_doc = F.greatest(
+        F.ceil((n_toks - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    )
+    n_chunks = docs.select(F.sum(n_chunks_doc).alias("n")).collect()[0]["n"]
+    starts = F.sequence(
+        F.lit(0), (n_chunks_doc - 1).cast("int") * stride, F.lit(stride)
+    )
+    cstructs = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.slice(toks, s + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
     ctf = (
-        chunks.select(
-            "doc_id", "chunk_id", F.explode(F.split("chunk_text", " ")).alias("term")
+        docs.select("doc_id", F.explode(cstructs).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.explode("c.ctoks").alias("term"),
         )
         .groupBy("doc_id", "chunk_id", "term")
         .agg(F.count("*").alias("tf"))
     )
     ctf = scoped_persist(ctf)
-    df_tbl = ctf.groupBy("term").agg(F.countDistinct("doc_id", "chunk_id").alias("df"))
+    # ctf is unique per (doc_id, chunk_id, term) BY CONSTRUCTION (groupBy
+    # output), so df is a plain count — the r14 countDistinct paid a second
+    # distinct-aggregation phase to deduplicate already-unique rows (§2.4)
+    df_tbl = ctf.groupBy("term").agg(F.count("*").alias("df"))
     # idf feeds BOTH the chunk-weight and query-weight joins — persisted,
     # the df aggregation over ctf runs once, not once per consumer
     # (the round-4 bm25 lesson: benching exposed silent recomputes)
@@ -3196,9 +3227,13 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = qtf.join(idf, "term").select(
         "query_doc", "term", (F.col("tf") * F.col("idf")).alias("w")
     )
-    qnorm = wq.groupBy("query_doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("qn"))
+    # query norm as a window over the query_doc partition — same shape as
+    # the chunk norm above: one pass over wq instead of a groupBy +
+    # self-join that re-ran the query-side scan + idf join twice (r15 §1.2;
+    # the r14 before-plan shows two documents scans on the query side)
+    wn_q = Window.partitionBy("query_doc")
     uq = (
-        wq.join(qnorm, "query_doc")
+        wq.withColumn("qn", F.sqrt(F.sum(F.col("w") * F.col("w")).over(wn_q)))
         .filter(F.col("qn") > 0)
         .select("query_doc", "term", (F.col("w") / F.col("qn")).alias("uq"))
     )

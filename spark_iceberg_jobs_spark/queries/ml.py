@@ -783,7 +783,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_fixture(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, k=_K, iterations=_IVFPQ_COARSE_ITER, dim=_DIM)
-    return semantic_dedup(emb, cents, threshold=0.42).orderBy("cell", "removed_id")
+    # "auto" hot-cell guard (r15 — VERDICT r14 item 5): 8x even-mass cap,
+    # 2048 floor — never fires on the fixture clustering (oracle-pinned
+    # results are unchanged), but a degenerate mass collapse at scale is
+    # dropped instead of serializing n² pair work into one Python worker
+    return semantic_dedup(emb, cents, threshold=0.42, max_cell_rows="auto").orderBy(
+        "cell", "removed_id"
+    )
 
 
 def _semantic_oracle_sql(

@@ -923,6 +923,48 @@ def test_semantic_dedup_precision_and_hot_cell_guard(spark, sf_dir):
     assert none.count() == 0
 
 
+def test_bucket_pair_scorer_drops_zero_vector_pairs(spark):
+    """Zero-vector pairs score NaN in the numpy scorer and are DROPPED by
+    the ``sim >= threshold`` keep-mask (NaN compares False) — the
+    deliberate r14 behavior change from the r13 JVM ``>=`` filter, which
+    kept NaN pairs because Spark SQL orders NaN above every double (pinned
+    here so the docstring's claim stays honest; no fixture contains a zero
+    vector, so oracle hashes never see the difference)."""
+    from spark_iceberg_jobs_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # zero vector — NaN against everything
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 1e-9, 0.0, 0.0]),  # near-dup of 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # one cell keeps all three together: pair (0,1)/(0,2) are NaN, (1,2) ~1.0
+    out = semantic_dedup(emb, [[0.0, 0.0, 0.0, 0.0]], threshold=0.9).collect()
+    got = {(r.keeper_id, r.removed_id) for r in out}
+    assert got == {(1, 2)}, f"NaN pairs must be dropped, real near-dup kept: {got}"
+
+
+def test_semantic_dedup_auto_cap_matches_guardless(spark, sf_dir):
+    """max_cell_rows="auto" (r15 — the declared query's wiring): the 8x
+    even-mass cap with the 2048 floor never fires on a healthy clustering,
+    so output is IDENTICAL to the guardless run — while a synthetic mass
+    collapse (every vector in one cell, cap forced low by a tiny corpus
+    formula) is exercised by the explicit-int test above."""
+    from spark_iceberg_jobs_spark.operators.dedup import semantic_dedup
+    from spark_iceberg_jobs_spark.operators.similarity import kmeans_fit
+    from spark_iceberg_jobs_spark.sources.readers import read_fixture
+
+    emb = read_fixture(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, iterations=1, dim=64)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(semantic_dedup(emb, cents, threshold=0.30, max_cell_rows="auto")) == rows(
+        semantic_dedup(emb, cents, threshold=0.30)
+    )
+
+
 def test_hll_registers_merge_and_estimate(spark):
     """HLL invariants: registers from two shards merge by MAX to the whole
     corpus' registers (mergeable-sketch contract), and the raw estimate

@@ -32,6 +32,9 @@ def formatted_plan(df) -> str:
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print("usage: python tools/capture_plans.py <tag> <suffix> [query ...]")
+        return 2
     tag = sys.argv[1]
     suffix = sys.argv[2]
     only = set(sys.argv[3:])
@@ -41,7 +44,15 @@ def main() -> int:
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
-    for name, spec in registry().items():
+    reg = registry()
+    # a misspelled query name must fail loudly, not silently capture
+    # nothing (r15 ADVICE — a plan-evidence run that writes no file)
+    unknown = sorted(only - set(reg))
+    if unknown:
+        print(f"UNKNOWN QUERY NAMES: {unknown}")
+        spark.stop()
+        return 1
+    for name, spec in reg.items():
         if only and name not in only:
             continue
         if not only and not spec.headline:
