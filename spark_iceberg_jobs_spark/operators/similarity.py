@@ -1229,6 +1229,16 @@ def mmr_rerank(
             # The FINAL union is deliberately not persisted: it is the
             # query's result, and intermediates are what scoped caching is
             # for.
+            # The k-2 superseded round persists stay registered until the
+            # cache_scope exits (r15, on the r14 ADVICE): release()-ing a
+            # round's sel here would fire BEFORE anything materializes it
+            # (this loop only builds the plan), so the next round would
+            # recompute the whole union lineage — the 2^k plan this persist
+            # exists to break — and forcing materialization with a count()
+            # per round would move the cand/pair cache builds out of the
+            # benched action. Each stale entry is ≤ r·|probes| rows;
+            # outside a scope the plain-persist lifetime is the documented
+            # scoped_persist contract.
             sel = scoped_persist(sel)
     return sel.select(
         "probe_id",

