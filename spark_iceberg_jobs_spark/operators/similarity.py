@@ -1071,6 +1071,88 @@ def pq_adc_topk(
     )
 
 
+def _mmr_greedy_cogroup(cand: DataFrame, pair: DataFrame, *, k: int, lam: float) -> DataFrame:
+    """The MMR greedy selection as ONE cogrouped applyInPandas pass
+    (r15): each probe's (cid, sim) pool and (ca, cb, psim) pairs —
+    ≤ pool + pool² rows, answer-scale by construction — land in one
+    Python kernel that replays the cascade's exact semantics: round 1
+    picks max sim, later rounds max lam*sim - (1-lam)*max_{picked}(psim),
+    ties to the lowest cid, NULL scores last, NULL psims ignored by the
+    max (SQL MAX semantics), candidates exhausted early stop the rounds.
+    All floats are the JVM-computed inputs; the kernel's scalar IEEE ops
+    match the cascade's expressions bit for bit."""
+    lam = float(lam)
+    one_minus_lam = 1.0 - lam
+
+    def _f(v) -> float | None:
+        return None if v is None or (isinstance(v, float) and math.isnan(v)) else float(v)
+
+    def greedy(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out_p: list[int] = []
+        out_c: list[int] = []
+        out_r: list[int] = []
+        out_s: list[float | None] = []
+        if len(left):
+            probe = int(left["probe_id"].iloc[0])
+            sims = {int(c): _f(s) for c, s in zip(left["cid"], left["sim"])}
+            psim = {
+                (int(a), int(b)): _f(s)
+                for a, b, s in zip(right["ca"], right["cb"], right["psim"])
+            }
+            remaining = sorted(sims)
+            picked: list[int] = []
+            for rnd in range(1, k + 1):
+                if not remaining:
+                    break
+                best = None
+                for cid in remaining:
+                    if rnd == 1:
+                        score = sims[cid]
+                    else:
+                        reds = [
+                            v
+                            for v in (psim.get((cid, cb)) for cb in picked)
+                            if v is not None
+                        ]
+                        red = max(reds) if reds else None
+                        score = (
+                            None
+                            if sims[cid] is None or red is None
+                            else lam * sims[cid] - one_minus_lam * red
+                        )
+                    key = (score is None, -score if score is not None else 0.0, cid)
+                    if best is None or key < best[0]:
+                        best = (key, cid, score)
+                _, cid, score = best
+                remaining.remove(cid)
+                picked.append(cid)
+                out_p.append(probe)
+                out_c.append(cid)
+                out_r.append(rnd)
+                out_s.append(score)
+        return pd.DataFrame(
+            {
+                "probe_id": pd.array(out_p, dtype="int64"),
+                "cid": pd.array(out_c, dtype="int64"),
+                "rnk": pd.array(out_r, dtype="int32"),
+                "score": pd.array(out_s, dtype="Float64"),
+            }
+        )
+
+    sel = (
+        cand.select("probe_id", "cid", "sim")
+        .groupBy("probe_id")
+        .cogroup(pair.groupBy("probe_id"))
+        .applyInPandas(greedy, "probe_id long, cid long, rnk int, score double")
+    )
+    return sel.select(
+        "probe_id",
+        "rnk",
+        F.col("cid").alias("neighbor_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def mmr_rerank(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -1080,6 +1162,7 @@ def mmr_rerank(
     lam: float = 0.7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    arrow: bool = True,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998) —
     the standard diversification pass a RAG/serving stack runs AFTER
@@ -1094,10 +1177,23 @@ def mmr_rerank(
     plan to ``bruteforce_topk``; swap in the IVF/PQ tiers for bigger
     corpora). The rerank itself then touches only ``pool`` rows per
     probe: the candidate pool and its pairwise cosines (≤ pool² per
-    probe) are probe-keyed and tiny BY CONSTRUCTION, so the greedy
-    selection unrolls into ``k`` fixed rounds of (anti-join remaining,
-    max-redundancy join against picked, per-probe argmax) — one lazy
-    JVM-side plan, no driver loop over data, no Python. The DuckDB
+    probe) are probe-keyed and tiny BY CONSTRUCTION.
+
+    ``arrow=True`` (default, r15) runs the greedy selection per probe
+    inside ONE cogrouped ``applyInPandas`` pass over the JVM-computed
+    (cid, sim) pool and (ca, cb, psim) pairs — answer-scale rows cross
+    the Python boundary once, and the k-round plan cascade disappears
+    (the r14 shape was k rounds of anti-join + redundancy join + argmax
+    with a persisted selection between rounds to stop 2^k plan growth —
+    51 plan-tree exchanges and k-1 round caches at k=3; the cogroup plan
+    has none of either). Score arithmetic is bit-identical: every float
+    entering the kernel (sim, psim) is produced by the SAME JVM
+    expressions either way, and the kernel applies the same IEEE scalar
+    ops (lam*sim - (1-lam)*max(psim); max is order-exact) with the same
+    (score desc, cid asc, NULL last) tie-breaks — pinned by
+    test_mmr_arrow_greedy_matches_round_cascade. ``arrow=False`` keeps
+    the pure-JVM round cascade (the reference semantics the tests
+    compare against, like _multi_table_sig's fold path). The DuckDB
     oracle replays the identical rounds as MATERIALIZED CTEs.
 
     Round-1 score is the raw query similarity (the redundancy term is
@@ -1135,20 +1231,23 @@ def mmr_rerank(
     )
     # pairwise cosines within each probe's pool: ≤ pool^2 rows per probe
     a, b = cand.alias("a"), cand.alias("b")
-    pair = scoped_persist(
-        a.join(
-            b,
-            (F.col("a.probe_id") == F.col("b.probe_id"))
-            & (F.col("a.cid") != F.col("b.cid")),
-        ).select(
-            F.col("a.probe_id").alias("probe_id"),
-            F.col("a.cid").alias("ca"),
-            F.col("b.cid").alias("cb"),
-            _cosine_prenormed(
-                F.col("a.cv"), F.col("b.cv"), F.col("a.cn"), F.col("b.cn")
-            ).alias("psim"),
-        )
+    pair_df = a.join(
+        b,
+        (F.col("a.probe_id") == F.col("b.probe_id"))
+        & (F.col("a.cid") != F.col("b.cid")),
+    ).select(
+        F.col("a.probe_id").alias("probe_id"),
+        F.col("a.cid").alias("ca"),
+        F.col("b.cid").alias("cb"),
+        _cosine_prenormed(
+            F.col("a.cv"), F.col("b.cv"), F.col("a.cn"), F.col("b.cn")
+        ).alias("psim"),
     )
+    if arrow:
+        # single-consumer frames in this path: cand stays persisted (it
+        # feeds the pair join AND the cogroup), pair does not need to
+        return _mmr_greedy_cogroup(cand, pair_df, k=k, lam=lam)
+    pair = scoped_persist(pair_df)
     slim = cand.select("probe_id", "cid", "sim")
     w_pick = Window.partitionBy("probe_id").orderBy(F.desc("_mmr"), F.asc("cid"))
     sel = (

@@ -73,6 +73,40 @@ def test_bruteforce_topk_bit_equal_reference(spark):
     )
 
 
+def test_mmr_arrow_greedy_matches_round_cascade(spark):
+    """mmr_rerank(arrow=True) == the JVM k-round cascade (arrow=False) at
+    repr level on the fixture — the cogrouped greedy kernel consumes the
+    SAME JVM-computed sim/psim floats and applies the same IEEE scalar
+    ops and tie-breaks, so every bit of output must match."""
+    from spark_iceberg_jobs_spark.operators.similarity import mmr_rerank
+
+    emb = read_fixture(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    for kk, pp, ll in ((3, 8, 0.7), (2, 3, 0.5), (1, 2, 1.0), (4, 4, 0.0)):
+        got = _reprs(mmr_rerank(emb, probes, k=kk, pool=pp, lam=ll))
+        ref = _reprs(mmr_rerank(emb, probes, k=kk, pool=pp, lam=ll, arrow=False))
+        assert got == ref, f"k={kk} pool={pp} lam={ll}"
+
+
+def test_mmr_arrow_greedy_zero_vectors_match_cascade(spark):
+    """Degenerate zero-vector pools (NULL sims/psims): the kernel's
+    NULL-last / MAX-ignores-NULL semantics must match the cascade's."""
+    from spark_iceberg_jobs_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0] * 4),  # zero vector: NULL sim against every probe
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0] * 4),  # second zero vector
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") == 0)
+    got = _reprs(mmr_rerank(emb, probes, k=4, pool=4, lam=0.7))
+    ref = _reprs(mmr_rerank(emb, probes, k=4, pool=4, lam=0.7, arrow=False))
+    assert got == ref
+
+
 def test_zero_vector_still_null_and_excluded(spark):
     """A zero vector's pairs score NULL in the prenormed shape exactly like
     the old per-pair CASE (norm product 0 → CASE falls through to NULL)."""
